@@ -1,0 +1,288 @@
+"""Distributed histogram / density / KDE operators (SURVEY.md §2 R5–R11).
+
+Replaces the reference's eager, driver-orchestrated pipeline
+(``pyspark_dist_explore/pyspark_dist_explore.py`` ``Histogram.build()``:
+per-frame min job + max job + ``df.rdd.flatMap(...).histogram(bins)``,
+every row crossing the JVM→Python pickle boundary) with a fully lazy
+Catalyst plan:
+
+1. UNION ALL of per-series single-column projections (column pruning
+   reaches the parquet scan).
+2. One global min/max aggregate over the union → a 1-row stats frame,
+   attached via broadcast cross join (2 scalar values — safe at any
+   scale, never ``collect()``-ed by the engine).
+3. One bucket-index expression (functions/numeric.py) + one
+   ``groupBy(series, bucket).count()`` — partial+final hash aggregate,
+   ≤ series×bins groups, a single tiny shuffle, whole-stage-codegen'd.
+
+100 TB notes: the data side is scanned exactly twice (once for stats,
+once for counts) and once when ``range`` is given; shuffle payload is
+≤ series×bins rows regardless of input size; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.functions.numeric import (
+    bucket_col,
+    in_range,
+    valid_value,
+)
+
+#: (label, frame, column-name) — one histogram series.
+Series = tuple[str, DataFrame, str]
+
+
+@dataclass(frozen=True)
+class HistogramSpec:
+    """Binning parameters (reference ``Histogram(range=None, bins=10)``)."""
+
+    bins: int = 10
+    range: tuple[float, float] | None = None
+
+    def __post_init__(self) -> None:
+        if self.bins < 1:
+            raise ValueError(f"bins must be >= 1, got {self.bins}")
+        if self.range is not None and not self.range[0] <= self.range[1]:
+            raise ValueError(f"range must be (lo, hi) with lo <= hi, got {self.range}")
+
+
+def _union_series(series: Sequence[Series]) -> DataFrame:
+    """(series, v:double) union of all inputs, nulls/NaN dropped (R14)."""
+    if not series:
+        raise ValueError("at least one (label, df, column) series is required")
+    frames = [
+        df.select(
+            F.lit(label).alias("series"),
+            F.col(col).cast("double").alias("v"),
+        )
+        for label, df, col in series
+    ]
+    out = reduce(DataFrame.unionAll, frames)
+    return out.where(valid_value(F.col("v")))
+
+
+def _with_stats(data: DataFrame, spec: HistogramSpec) -> DataFrame:
+    """Attach global (lo, hi) columns — literals, or one broadcast agg (R5/R6)."""
+    if spec.range is not None:
+        lo, hi = spec.range
+        return data.withColumn("lo", F.lit(float(lo))).withColumn("hi", F.lit(float(hi)))
+    stats = data.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    return data.crossJoin(F.broadcast(stats))
+
+
+def _normalize(series, cols) -> list[Series]:
+    if isinstance(series, DataFrame):
+        if not cols:
+            raise ValueError("cols is required when passing a single DataFrame")
+        return [(c, series, c) for c in cols]
+    return list(series)
+
+
+def _sparse_hist(series: Sequence[Series], spec: HistogramSpec) -> DataFrame:
+    """(series, bucket, cnt, lo, hi) — lo/hi kept for derived measures."""
+    data = _with_stats(_union_series(series), spec)
+    v, lo, hi = F.col("v"), F.col("lo"), F.col("hi")
+    binned = data.where(in_range(v, lo, hi)).select(
+        "series",
+        bucket_col(v, lo, hi, spec.bins).alias("bucket"),
+        lo,
+        hi,
+    )
+    return binned.groupBy("series", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+
+
+def compute_histogram(
+    series: Sequence[Series] | DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    bins: int = 10,
+    range: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Core histogram (R8): ``(series, bucket, bin_lo, bin_hi, cnt)``.
+
+    ``series`` is either a list of (label, df, col) triples or a single
+    DataFrame with ``cols`` naming the columns to histogram (each column
+    becomes one series, sharing the global bin boundaries — reference
+    ``add_data`` semantics).
+    """
+    series = _normalize(series, cols)
+    spec = HistogramSpec(bins=bins, range=range)
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(spec.bins))
+    return _sparse_hist(series, spec).select(
+        "series",
+        "bucket",
+        (F.col("lo") + F.col("bucket") * width).alias("bin_lo"),
+        F.when(F.col("hi") == F.col("lo"), F.col("hi"))
+        .otherwise(F.col("lo") + (F.col("bucket") + 1) * width)
+        .alias("bin_hi"),
+        "cnt",
+    )
+
+
+def compute_histogram_dense(
+    series: Sequence[Series] | DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    bins: int = 10,
+    range: tuple[float, float] | None = None,
+) -> DataFrame:
+    """R9: dense output — every (series, bucket) pair present, zero-filled.
+
+    Left join of the (tiny) sparse result against ``series × range(bins)``
+    — both sides are ≤ series×bins rows, so this is driver-free and scale-
+    independent.
+    """
+    sparse = compute_histogram(series, cols, bins=bins, range=range)
+    spark = sparse.sparkSession
+    grid = (
+        sparse.select("series").distinct()
+        .crossJoin(spark.range(bins).select(F.col("id").alias("bucket")))
+    )
+    return (
+        grid.join(sparse, ["series", "bucket"], "left")
+        .select(
+            "series",
+            "bucket",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+def compute_density(
+    series: Sequence[Series] | DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    bins: int = 10,
+    range: tuple[float, float] | None = None,
+) -> DataFrame:
+    """R10: per-series density — ``cnt / total / bin_width`` integrates to 1.
+
+    Bin width is computed as ``(hi - lo) / bins`` in ONE operation order
+    (matching the oracle SQL exactly) rather than ``bin_hi - bin_lo``,
+    which differs in the last ulp.
+    """
+    series = _normalize(series, cols)
+    spec = HistogramSpec(bins=bins, range=range)
+    sparse = _sparse_hist(series, spec)
+    w = Window.partitionBy("series")
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(spec.bins))
+    # Degenerate single-bucket range has zero width; fall back to relative freq.
+    density = F.when(
+        F.col("hi") > F.col("lo"),
+        F.col("cnt") / F.sum("cnt").over(w) / width,
+    ).otherwise(F.col("cnt").cast("double") / F.sum("cnt").over(w))
+    return sparse.select(
+        "series",
+        "bucket",
+        (F.col("lo") + F.col("bucket") * width).alias("bin_lo"),
+        F.when(F.col("hi") == F.col("lo"), F.col("hi"))
+        .otherwise(F.col("lo") + (F.col("bucket") + 1) * width)
+        .alias("bin_hi"),
+        "cnt",
+        density.alias("density"),
+    )
+
+
+def compute_kde(
+    series: Sequence[Series] | DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    num: int = 300,
+    pre_bins: int = 1024,
+    bandwidth: float | None = None,
+) -> DataFrame:
+    """R11: smoothed density curve — Gaussian KDE over ``num`` grid points.
+
+    Scale design: a naive KDE is a ``num×`` row blow-up (every row scored
+    against every grid point).  Instead we first reduce the data to a
+    ``pre_bins``-bucket weighted histogram (one pass, tiny), then evaluate
+    the kernel on bin centers × grid — O(pre_bins × num) work on ≤ a few
+    thousand rows, independent of input size.  Matches the reference's
+    ``plot_density`` intent (smoothed curve, ``num=300``) without scipy;
+    kernel math follows pandas-on-Spark ``KdePlotBase.compute_kde_col``
+    ($PYSPARK/pandas/plot/core.py:421-463).
+    """
+    if isinstance(series, DataFrame):
+        if not cols:
+            raise ValueError("cols is required when passing a single DataFrame")
+        series = [(c, series, c) for c in cols]
+
+    data = _with_stats(_union_series(series), HistogramSpec(bins=pre_bins))
+    v, lo, hi = F.col("v"), F.col("lo"), F.col("hi")
+    width = (hi - lo) / F.lit(float(pre_bins))
+    centers = (
+        data.where(in_range(v, lo, hi))
+        .select(
+            "series",
+            bucket_col(v, lo, hi, pre_bins).alias("bucket"),
+            lo,
+            hi,
+        )
+        .groupBy("series", "bucket")
+        .agg(F.count(F.lit(1)).alias("w"), F.first("lo").alias("lo"), F.first("hi").alias("hi"))
+        .select(
+            "series",
+            (F.col("lo") + (F.col("bucket") + F.lit(0.5)) * width).alias("center"),
+            "w",
+            "lo",
+            "hi",
+        )
+    )
+    # Per-series stats for Silverman bandwidth + total weight, from the binned data.
+    stats = centers.groupBy("series").agg(
+        F.sum("w").alias("n"),
+        (F.sum(F.col("center") * F.col("w")) / F.sum("w")).alias("mean"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+    var = (
+        centers.join(stats, "series")
+        .groupBy("series")
+        .agg(
+            (F.sum(F.pow(F.col("center") - F.col("mean"), 2) * F.col("w")) / F.sum("w")).alias("var")
+        )
+    )
+    stats = stats.join(var, "series")
+    bw = (
+        F.lit(float(bandwidth))
+        if bandwidth is not None
+        else F.greatest(
+            F.lit(1.06) * F.sqrt("var") * F.pow(F.col("n"), F.lit(-0.2)),
+            F.lit(1e-9),
+        )
+    )
+    grid = stats.select(
+        "series",
+        "n",
+        "lo",
+        "hi",
+        bw.alias("h"),
+    ).select(
+        "series",
+        "n",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(num - 1))).alias("i"),
+        ((F.col("hi") - F.col("lo")) / F.lit(float(num - 1))).alias("step"),
+        "lo",
+    ).select(
+        "series", "n", "h", "i", (F.col("lo") + F.col("i") * F.col("step")).alias("x")
+    )
+    kernel = F.exp(F.lit(-0.5) * F.pow((F.col("x") - F.col("center")) / F.col("h"), 2)) / (
+        F.col("h") * F.lit(2.5066282746310002)  # sqrt(2*pi)
+    )
+    return (
+        grid.join(centers.select("series", "center", "w"), "series")
+        .groupBy("series", "i", "x")
+        .agg((F.sum(kernel * F.col("w")) / F.first("n")).alias("density"))
+    )

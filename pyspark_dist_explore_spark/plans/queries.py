@@ -1,0 +1,201 @@
+"""Named query registry — the driver contract (``__spark_entry__.py``).
+
+Every implemented operator from SURVEY.md §2 registers here as a
+``QuerySpec``: a Spark builder ``(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) a DuckDB oracle SQL string computing the identical
+result.  The driver hash-compares both at sf0.01 (order-insensitive,
+columns sorted by name), so:
+
+- every computed column is aliased identically on both sides;
+- float arithmetic is written with the same structure/operation order on
+  both sides (IEEE-754 doubles ⇒ bit-identical results);
+- order-dependent double aggregations (SUM/AVG over doubles) are ROUNDed
+  on both sides to absorb partial-aggregation ordering differences;
+- bucket expressions come from ``functions/numeric.py`` which renders
+  both dialects from one definition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.functions.numeric import bucket_sql, valid_value_sql
+from pyspark_dist_explore_spark.operators.histogram import (
+    compute_density,
+    compute_histogram,
+    compute_histogram_dense,
+    compute_kde,
+)
+from pyspark_dist_explore_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → driver does a rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Histogram oracle SQL generator — single source of truth with the Spark
+# bucket expression (functions/numeric.py).
+# --------------------------------------------------------------------------
+
+def _hist_oracle(
+    sources: Sequence[tuple[str, str, str]],  # (label, table, column)
+    bins: int,
+    range: tuple[float, float] | None = None,
+    dense: bool = False,
+) -> str:
+    selects = [
+        f"SELECT '{label}' AS series, CAST({col} AS DOUBLE) AS v FROM {table}"
+        for label, table, col in sources
+    ]
+    vals = " UNION ALL ".join(selects)
+    if range is not None:
+        lo_expr, hi_expr = repr(float(range[0])), repr(float(range[1]))
+        stats_cte = f"stats AS (SELECT {lo_expr} AS lo, {hi_expr} AS hi)"
+    else:
+        stats_cte = "stats AS (SELECT min(v) AS lo, max(v) AS hi FROM vals)"
+    bucket = bucket_sql("v", "lo", "hi", bins)
+    sparse = f"""
+WITH vals AS (
+  SELECT series, v FROM ({vals}) WHERE {valid_value_sql('v')}
+),
+{stats_cte},
+sparse AS (
+  SELECT series, {bucket} AS bucket, count(*) AS cnt
+  FROM vals, stats
+  WHERE v >= lo AND v <= hi
+  GROUP BY 1, 2
+)"""
+    if not dense:
+        return sparse + "\nSELECT series, bucket, cnt FROM sparse"
+    return sparse + f""",
+grid AS (
+  SELECT s.series, g.bucket
+  FROM (SELECT DISTINCT series FROM sparse) s,
+       (SELECT CAST(range AS BIGINT) AS bucket FROM range({bins})) g
+)
+SELECT grid.series, grid.bucket, COALESCE(sparse.cnt, CAST(0 AS BIGINT)) AS cnt
+FROM grid LEFT JOIN sparse USING (series, bucket)"""
+
+
+def _hist_sources(spark: SparkSession, sf_dir: str, sources: Sequence[tuple[str, str, str]]):
+    return [(label, load_table(spark, sf_dir, table), col) for label, table, col in sources]
+
+
+# --------------------------------------------------------------------------
+# R-series: reference parity (SURVEY §2.1)
+# --------------------------------------------------------------------------
+
+_FLAGSHIP = [("l_extendedprice", "lineitem", "l_extendedprice")]
+
+
+@register("hist_lineitem_price", _hist_oracle(_FLAGSHIP, bins=20))
+def q_hist_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 core: 20-bin fixed-width histogram of lineitem.l_extendedprice."""
+    df = compute_histogram(_hist_sources(spark, sf_dir, _FLAGSHIP), bins=20)
+    return df.select("series", "bucket", "cnt")
+
+
+_ACCTBAL = [
+    ("c_acctbal", "customer", "c_acctbal"),
+    ("s_acctbal", "supplier", "s_acctbal"),
+]
+
+
+@register("hist_multi_series", _hist_oracle(_ACCTBAL, bins=10))
+def q_hist_multi_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4/R5/R6: two frames (customer, supplier acctbal) share global bins."""
+    df = compute_histogram(_hist_sources(spark, sf_dir, _ACCTBAL), bins=10)
+    return df.select("series", "bucket", "cnt")
+
+
+@register(
+    "hist_user_range",
+    _hist_oracle(_FLAGSHIP, bins=10, range=(1000.0, 5000.0)),
+)
+def q_hist_user_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: user-supplied range; out-of-range values dropped, not clamped."""
+    df = compute_histogram(
+        _hist_sources(spark, sf_dir, _FLAGSHIP), bins=10, range=(1000.0, 5000.0)
+    )
+    return df.select("series", "bucket", "cnt")
+
+
+_PSIZE = [("p_size", "part", "p_size")]
+
+
+@register("hist_int_column", _hist_oracle(_PSIZE, bins=5))
+def q_hist_int_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer column histogram (cast to double, shared bucket expr)."""
+    df = compute_histogram(_hist_sources(spark, sf_dir, _PSIZE), bins=5)
+    return df.select("series", "bucket", "cnt")
+
+
+@register("hist_dense_fill", _hist_oracle(_ACCTBAL, bins=10, dense=True))
+def q_hist_dense_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9: dense zero-filled (series, bucket) grid via tiny post-agg join."""
+    return compute_histogram_dense(_hist_sources(spark, sf_dir, _ACCTBAL), bins=10)
+
+
+_DENSITY_SRC = [("l_quantity", "lineitem", "l_quantity")]
+
+
+@register(
+    "hist_density",
+    _hist_oracle(_DENSITY_SRC, bins=10).replace(
+        "SELECT series, bucket, cnt FROM sparse",
+        """SELECT series, bucket, cnt,
+       cnt / SUM(cnt) OVER (PARTITION BY series) / ((SELECT (hi - lo) / 10.0 FROM stats)) AS density
+FROM sparse""",
+    ),
+)
+def q_hist_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: density normalization — cnt / total / bin_width, integrates to 1.
+
+    Hash-safe without rounding: cnt and the window total are exact
+    integers, bin width is one double subtraction+division — identical
+    operation order on both sides.
+    """
+    df = compute_density(_hist_sources(spark, sf_dir, _DENSITY_SRC), bins=10)
+    return df.select("series", "bucket", "cnt", "density")
+
+
+@register(
+    "hist_global_range",
+    f"""
+SELECT least((SELECT min(CAST(c_acctbal AS DOUBLE)) FROM customer WHERE {valid_value_sql('CAST(c_acctbal AS DOUBLE)')}),
+             (SELECT min(CAST(s_acctbal AS DOUBLE)) FROM supplier WHERE {valid_value_sql('CAST(s_acctbal AS DOUBLE)')})) AS lo,
+       greatest((SELECT max(CAST(c_acctbal AS DOUBLE)) FROM customer WHERE {valid_value_sql('CAST(c_acctbal AS DOUBLE)')}),
+                (SELECT max(CAST(s_acctbal AS DOUBLE)) FROM supplier WHERE {valid_value_sql('CAST(s_acctbal AS DOUBLE)')})) AS hi
+""",
+)
+def q_hist_global_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5/R6: one-job global min/max across all added series."""
+    from pyspark_dist_explore_spark.operators.histogram import _union_series
+
+    data = _union_series(_hist_sources(spark, sf_dir, _ACCTBAL))
+    return data.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+
+@register("hist_kde_curve", None)  # KDE: approximate by design → rows-only check
+def q_hist_kde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: 300-point Gaussian KDE curve (pre-binned, scale-independent)."""
+    return compute_kde(_hist_sources(spark, sf_dir, _FLAGSHIP), num=300)

@@ -1,0 +1,35 @@
+"""Parquet sources for the driver's TPC-H-ish star schema (TESTDATA.md).
+
+At 100 TB these would be partitioned/ bucketed tables behind a catalog;
+here each table is a single parquet file per scale-factor directory.  The
+loader stays declarative (``spark.read.parquet``) so Catalyst gets
+predicate pushdown + column pruning for free — ``.explain`` on any query
+in ``plans/`` should show ``PushedFilters`` / a pruned ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: table name -> primary key column (used by deterministic dedup/top-k tie-breaks)
+TABLES: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {sorted(TABLES)}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

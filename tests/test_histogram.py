@@ -1,0 +1,121 @@
+"""Reference-parity edge cases (FIXTURES.md §B, SURVEY §7.4 traps)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark import (
+    Histogram,
+    compute_density,
+    compute_histogram,
+    compute_histogram_dense,
+    pandas_histogram,
+)
+
+
+def _counts(df, series=None):
+    rows = df.collect()
+    if series is not None:
+        rows = [r for r in rows if r["series"] == series]
+    return {r["bucket"]: r["cnt"] for r in rows}
+
+
+def test_f_basic_last_bucket_closed(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], ["v"])
+    out = compute_histogram([("v", df, "v")], bins=5)
+    assert _counts(out) == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}  # 10.0 lands in bin 4
+
+
+def test_f_nulls_nan_excluded(spark):
+    df = spark.createDataFrame(
+        [Row(v=1.0), Row(v=None), Row(v=float("nan")), Row(v=4.0)]
+    )
+    out = compute_histogram([("v", df, "v")], bins=3).collect()
+    assert sum(r["cnt"] for r in out) == 2
+    # Range derived from valid values only: [1, 4]
+    assert min(r["bin_lo"] for r in out) == 1.0
+    assert max(r["bin_hi"] for r in out) == 4.0
+
+
+def test_f_constant_degenerate(spark):
+    df = spark.createDataFrame([(7.0,)] * 5, ["v"])
+    out = compute_histogram([("v", df, "v")], bins=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["bucket"], r["cnt"]) == (0, 5)
+    assert (r["bin_lo"], r["bin_hi"]) == (7.0, 7.0)  # RDD semantics: [minv, maxv]
+
+
+def test_f_negative_values(spark):
+    df = spark.createDataFrame([(-10.5,), (-2.0,), (0.0,), (3.5,)], ["v"])
+    out = compute_histogram([("v", df, "v")], bins=2)
+    # range [-10.5, 3.5], width 7: bin0 [-10.5,-3.5), bin1 [-3.5,3.5]
+    assert _counts(out) == {0: 1, 1: 3}
+
+
+def test_f_int_even_split(spark):
+    df = spark.createDataFrame([(i,) for i in range(0, 51)], ["v"])
+    out = compute_histogram([("v", df, "v")], bins=2)
+    # [0,50] in 2 bins: [0,25) → 25 values, [25,50] → 26 values (rdd.histogram(2))
+    assert _counts(out) == {0: 25, 1: 26}
+
+
+def test_f_range_clip_drops(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], ["v"])
+    out = compute_histogram([("v", df, "v")], bins=3, range=(2.0, 5.0))
+    assert sum(c for c in _counts(out).values()) == 4  # 2,3,4,5 kept; rest dropped
+
+
+def test_f_two_frames_shared_binning(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(0, 11)], ["a"])
+    b = spark.createDataFrame([(float(i),) for i in range(5, 21)], ["b"])
+    out = compute_histogram([("a", a, "a"), ("b", b, "b")], bins=4)
+    rows = out.collect()
+    assert {r["series"] for r in rows} == {"a", "b"}
+    # shared range [0, 20], width 5
+    assert _counts(out, "a") == {0: 5, 1: 5, 2: 1}
+    assert _counts(out, "b") == {1: 5, 2: 5, 3: 6}
+
+
+def test_f_dup_names_label_dedup(spark):
+    df = spark.createDataFrame([(1.0,)], ["x"])
+    h = Histogram(bins=2)
+    h.add_column(df, "x")
+    h.add_column(df, "x")
+    assert [lbl for lbl, _, _ in h.series] == ["x", "x (1)"]
+
+
+def test_f_multicol_split(spark):
+    df = spark.createDataFrame([(1.0, 10.0)], ["a", "b"])
+    h = Histogram(bins=2)
+    h.add_data(df)
+    assert [lbl for lbl, _, _ in h.series] == ["a", "b"]
+
+
+def test_dense_fill_zero_buckets(spark):
+    df = spark.createDataFrame([(0.0,), (10.0,)], ["v"])
+    out = compute_histogram_dense([("v", df, "v")], bins=5).collect()
+    assert len(out) == 5
+    counts = {r["bucket"]: r["cnt"] for r in out}
+    assert counts == {0: 1, 1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_density_integrates_to_one(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    out = compute_density([("v", df, "v")], bins=10).collect()
+    width = out[0]["bin_hi"] - out[0]["bin_lo"]
+    total = sum(r["density"] * width for r in out)
+    assert math.isclose(total, 1.0, rel_tol=1e-9)
+
+
+def test_pandas_histogram_shape(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], ["v"])
+    pdf = pandas_histogram(df, bins=5)
+    assert list(pdf.columns) == ["v"]
+    assert len(pdf) == 5
+    assert pdf["v"].sum() == 10
+    assert pdf.index[0] == "1.00 - 2.80"
