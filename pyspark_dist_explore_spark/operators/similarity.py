@@ -1,0 +1,205 @@
+"""Vector similarity search over embedding columns (SURVEY.md §2.2 X4).
+
+The ``embeddings`` table carries ``embedding: array<float>`` (dim 64).
+Two paths:
+
+- **exact**: brute-force cosine top-k — the correctness baseline, a
+  broadcast theta-join + ``zip_with``/``aggregate`` dot product (JVM
+  higher-order functions, no Python).  Oracle-able in DuckDB
+  (``list_dot_product``), values rounded to 6 to absorb accumulation-
+  order float drift.
+- **approximate**: random-hyperplane LSH bucketing with hash-derived
+  (seed-free, fully deterministic) ±1 planes.  At scale the probe join
+  touches only same-bucket inverted lists instead of all N vectors —
+  the IVF-style scale path.  Candidates are re-ranked with the exact
+  cosine, so precision is 1.0 within the probed buckets.
+
+100 TB notes: brute-force is O(Q×N) — keep Q (the query set) broadcast-
+small; the LSH path shards N into 2^bits buckets, each probe shuffles
+only its bucket.  Both avoid ``collect()`` and keep vectors as Spark
+arrays end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — matches DuckDB list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def exact_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, rank, vec_id, cos_sim).
+
+    ``queries`` must be small (it is broadcast).  Self-matches (same id)
+    are excluded.  Deterministic ordering: rounded cosine desc, vec_id asc.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    v = vectors.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vv"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("vv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    Exact all-pairs form — oracle-able; for scale use
+    :func:`ann_lsh_neardup_pairs` which prunes with LSH buckets first.
+    """
+    v = vectors.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate path: deterministic random-hyperplane LSH
+# --------------------------------------------------------------------------
+
+
+def _plane_sign(plane: int, dim_idx: Column) -> Column:
+    """±1.0 pseudo-random weight for (plane, dim) — from xxhash64 parity,
+    no RNG state, reproducible everywhere."""
+    h = F.xxhash64(F.concat_ws("_", F.lit(plane), dim_idx.cast("string")))
+    return F.when(h.bitwiseAND(F.lit(1)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit p = sign(Σ_i w(p,i)·x_i) ≥ 0."""
+    out = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x * _plane_sign(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(proj >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket, exact re-rank.
+
+    Recall < 1 by construction (bucket-boundary misses); at scale each
+    probe touches ~N/2^n_planes vectors instead of N.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vv")
+    ).withColumn("bucket", lsh_bucket(F.col("vv"), n_planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes))
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("vv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def ann_lsh_neardup_pairs(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs pruned by shared LSH bucket, exact cosine verify."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
+    a = v.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

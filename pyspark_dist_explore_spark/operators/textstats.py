@@ -1,0 +1,134 @@
+"""Text analysis operators (SURVEY.md §2.2 X5): stats, quality scoring,
+language ID, token counting, fingerprinting.
+
+All built-in ``pyspark.sql.functions`` string/regex expressions — JVM-side,
+whole-stage-codegen'd, zero Python.  Every measure is either integer math
+or a single-division ratio, so the DuckDB oracles (plans/llm_ops.py)
+hash-match without rounding games; only multi-term scores are rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.operators.dedup import normalize_text
+
+#: BPE-ish tokenization: letter runs, digit runs, or punctuation runs.
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+#: tiny per-language stopword marker lists for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "es": [" el ", " los ", " una "],
+    "fr": [" le ", " les ", " des "],
+}
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """#occurrences of ``needle`` via length arithmetic — deterministic and
+    rendered identically in SQL: (len(t) - len(replace(t, n, ''))) / len(n)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, regex (BPE-ish) tokens,
+    punctuation count, avg token length."""
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    ws_tokens = F.when(norm == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+    re_tokens = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
+    n_chars = F.length(t)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("bigint").alias("n_chars"),
+        ws_tokens.cast("bigint").alias("n_tokens"),
+        re_tokens.cast("bigint").alias("n_bpe_tokens"),
+        n_punct.cast("bigint").alias("n_punct"),
+        F.round(
+            F.length(F.replace(norm, F.lit(" "), F.lit(""))).cast("double")
+            / F.greatest(ws_tokens, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality in [0,1]: penalize extreme length, high punctuation
+    density, low alphabetic ratio.  Deterministic single-row math."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")).cast("double")
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1.0))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
+    len_score = F.when((n_chars >= 20) & (n_chars <= 10000), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = F.round(
+        F.lit(0.5) * alpha_ratio + F.lit(0.3) * (F.lit(1.0) - punct_ratio) + F.lit(0.2) * len_score,
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic argmax (highest
+    score wins; ties go to the alphabetically-first language code).
+
+    The argmax is a plain CASE chain over the per-language marker
+    counts, so the DuckDB oracle renders the identical logic.
+    """
+    padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
+    langs = sorted(LANG_MARKERS)
+    scores = {
+        lang: sum_cols([occurrence_count(padded, m) for m in LANG_MARKERS[lang]])
+        for lang in langs
+    }
+    pred = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        lang = langs[i]
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        F.when(sum_cols(list(scores.values())) == 0, F.lit("und"))
+        .otherwise(pred)
+        .alias("lang_pred"),
+    )
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def doc_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) + duplicate-group stats."""
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

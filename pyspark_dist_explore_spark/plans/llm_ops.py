@@ -1,0 +1,300 @@
+"""LLM-data-pipeline query registrations (SURVEY.md §2.2, M4): dedup,
+similarity search, text analysis, multimodal plumbing.
+
+Oracle SQL is generated from the SAME marker lists / thresholds /
+normalization strings as the Spark operators, so both sides cannot
+drift.  Approximate/hash-seeded operators (MinHash LSH, SimHash,
+random-hyperplane ANN) have no DuckDB equivalent of xxhash64 → rows-only
+checks, but each has an exact oracle-checked counterpart registered
+beside it (fingerprint / jaccard / brute-force top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.operators import dedup, multimodal, similarity, textstats
+from pyspark_dist_explore_spark.plans.queries import register
+from pyspark_dist_explore_spark.sources.tables import load_table
+
+#: DuckDB rendering of dedup.normalize_text
+_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------------------------------------
+# X1: exact dedup (deterministic survivor) — on lineitem, which has real
+# multi-row keys (one order → up to 7 lines).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+QUALIFY row_number() OVER (
+  PARTITION BY l_orderkey
+  ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC, l_quantity ASC,
+           l_extendedprice ASC) = 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: one row per l_orderkey, deterministic survivor.
+
+    (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    the tie-break covers enough columns for a total order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return dedup.exact_dedup(
+        li,
+        ["l_orderkey"],
+        ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+@register(
+    "dedup_fingerprint",
+    f"""
+SELECT md5({_NORM.format(c='text')}) AS fingerprint,
+       min(doc_id) AS survivor_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text, group stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# X3: near-dup — exact Jaccard ground truth (oracle) + MinHash LSH and
+# SimHash approximations (rows-only).
+# --------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.9
+_JACCARD_MAX_ID = 100
+
+
+@register(
+    "neardup_jaccard_exact",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM.format(c='text')}, ' '))) AS tok
+  FROM documents WHERE doc_id < {_JACCARD_MAX_ID}
+),
+tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM tok2 a JOIN tok2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6) >= {_JACCARD_THRESHOLD}
+""",
+)
+def q_neardup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ 0.9 (ground truth for near-dup)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _JACCARD_MAX_ID)
+    return dedup.jaccard_pairs_exact(docs, "text", "doc_id", threshold=_JACCARD_THRESHOLD)
+
+
+@register("neardup_minhash_lsh", None)  # xxhash64 has no DuckDB twin → rows-only
+def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: token shingles → 32 hashes → 8 bands →
+    bucket join → exact-Jaccard verify ≥ 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_neardup(
+        docs, "text", "doc_id", threshold=0.8, num_hashes=32, bands=8, shingle_n=1
+    )
+
+
+@register("neardup_simhash", None)  # xxhash64-based → rows-only
+def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 3) via 16-bit chunk banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup(docs, "text", "doc_id", max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# X4: similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_COS = "list_dot_product({a}, {b})"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"round({_COS.format(a=a, b=b)} / "
+        f"(sqrt({_COS.format(a=a, b=a)}) * sqrt({_COS.format(a=b, b=b)})), 6)"
+    )
+
+
+@register(
+    "vector_topk_exact",
+    f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id, {_cosine_sql('qv', 've')} AS cos_sim
+  FROM v, q WHERE v.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def q_vector_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.exact_topk(emb, queries, k=5, query_id_col="query_id")
+
+
+_COS_THRESHOLD = 0.45
+
+
+@register(
+    "vector_neardup_pairs",
+    f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql('a.ve', 'b.ve')} AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.ve', 'b.ve')} >= {_COS_THRESHOLD}
+""",
+)
+def q_vector_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs form)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=_COS_THRESHOLD)
+
+
+@register("vector_ann_lsh", None)  # hash-derived hyperplanes → rows-only
+def q_vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH buckets + exact re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_lsh_topk(emb, queries, k=5, n_planes=4)
+
+
+# --------------------------------------------------------------------------
+# X5: text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+WITH n AS (SELECT doc_id, text, {_NORM.format(c='text')} AS norm FROM documents)
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{textstats.TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+       round(CAST(len(replace(norm, ' ', '')) AS DOUBLE)
+             / greatest(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END, 1), 6)
+         AS avg_token_len
+FROM n
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: chars, tokens, BPE-ish tokens, punctuation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.text_stats(docs, "text", "doc_id")
+
+
+@register(
+    "text_quality",
+    """
+SELECT doc_id,
+       round(CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS alpha_ratio,
+       round(CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+       round(0.5 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                    / greatest(CAST(len(text) AS DOUBLE), 1.0))
+           + 0.3 * (1.0 - CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                    / greatest(CAST(len(text) AS DOUBLE), 1.0))
+           + 0.2 * (CASE WHEN len(text) >= 20 AND len(text) <= 10000 THEN 1.0 ELSE 0.5 END), 6)
+         AS quality
+FROM documents
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score in [0, 1]."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.quality_score(docs, "text", "doc_id")
+
+
+def _lang_id_oracle() -> str:
+    padded = f"concat(' ', {_NORM.format(c='text')}, ' ')"
+    langs = sorted(textstats.LANG_MARKERS)
+    score_exprs = {}
+    for lang in langs:
+        terms = [
+            f"CAST((len(p) - len(replace(p, '{m}', ''))) / {len(m)} AS BIGINT)"
+            for m in textstats.LANG_MARKERS[lang]
+        ]
+        score_exprs[lang] = " + ".join(terms)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"score_{lang} >= score_{o}" for o in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    total = " + ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH p0 AS (SELECT doc_id, {padded} AS p FROM documents),
+scored AS (
+  SELECT doc_id,
+         {", ".join(f"{score_exprs[lang]} AS score_{lang}" for lang in langs)}
+  FROM p0
+)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+       CASE WHEN {total} = 0 THEN 'und'
+            {" ".join(cases)}
+            ELSE '{langs[-1]}' END AS lang_pred
+FROM scored
+"""
+
+
+@register("text_lang_id", _lang_id_oracle())
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.language_id(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# X6: multimodal plumbing — binary payload + Arrow-batched feature extract
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash,
+       'text' AS modality
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: encode → mapInPandas (Arrow) feature extract.
+
+    The md5-over-bytes in Python must equal DuckDB's md5 over the same
+    UTF-8 bytes — verifying the batch shape carries payloads intact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    return multimodal.extract_features(payload)

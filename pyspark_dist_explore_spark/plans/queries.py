@@ -199,3 +199,8 @@ def q_hist_global_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hist_kde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R11: 300-point Gaussian KDE curve (pre-binned, scale-independent)."""
     return compute_kde(_hist_sources(spark, sf_dir, _FLAGSHIP), num=300)
+
+
+# -- register the extension query families (import side effect) ------------
+from pyspark_dist_explore_spark.plans import llm_ops  # noqa: E402,F401
+from pyspark_dist_explore_spark.plans import relational  # noqa: E402,F401

@@ -1,0 +1,536 @@
+"""Relational coverage queries (SURVEY.md §2.3, M3): joins, windows,
+rollup, set ops, top-k, scalar function families, as-of join, JSON,
+timestamp binning, windowed event aggregation.
+
+Each query is idiomatic lazy DataFrame code — Catalyst handles pushdown,
+pruning and join strategy; small dimensions are explicitly broadcast.
+Money aggregates use functions/agg.py scaled-bigint sums so value hashes
+match DuckDB exactly at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.functions.agg import (
+    scaled_avg,
+    scaled_avg_sql,
+    scaled_sum,
+    scaled_sum_sql,
+)
+from pyspark_dist_explore_spark.functions.numeric import bucket_sql, valid_value_sql
+from pyspark_dist_explore_spark.operators.histogram import compute_histogram
+from pyspark_dist_explore_spark.plans.queries import register
+from pyspark_dist_explore_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Aggregation: TPC-H Q1-style pricing summary
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {scaled_sum_sql('l_quantity')} AS sum_qty,
+       {scaled_sum_sql('l_extendedprice')} AS sum_base_price,
+       {scaled_sum_sql('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+       {scaled_avg_sql('l_quantity')} AS avg_qty,
+       {scaled_avg_sql('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregatable group-by with date filter pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        # timestamp_ntz literal: comparison is wall-clock, session-tz-free
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            scaled_sum(F.col("l_quantity")).alias("sum_qty"),
+            scaled_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            scaled_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            scaled_avg(F.col("l_quantity")).alias("avg_qty"),
+            scaled_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join + group + top-k: TPC-H Q3-style shipping priority
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_top_orders",
+    f"""
+SELECT o.o_orderkey,
+       {scaled_sum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (customer side broadcast), agg, deterministic top-10."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            scaled_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-join star query: TPC-H Q5-style revenue by nation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q5_nation_revenue",
+    f"""
+SELECT n.n_name,
+       {scaled_sum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'AMERICA'
+GROUP BY n.n_name
+""",
+)
+def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: dims (region, nation, customer) broadcast, one shuffle
+    for the orders⋈lineitem fact join + final agg."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            scaled_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_running_total",
+    f"""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 10000.0) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0
+         AS running_total,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS INT)
+         AS order_seq
+FROM orders
+""",
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend (deterministic frame order)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    scaled = F.round(F.col("o_totalprice") * F.lit(10000.0)).cast("bigint")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(scaled).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            / F.lit(10000.0)
+        ).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via ranked window (single shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup / grouping sets
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_status",
+    f"""
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       {scaled_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (sub-total + grand-total rows, NULL markers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        scaled_sum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_customers",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+""",
+)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two filtered key sets."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_totalprice") > 200000.0).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_ops_except",
+    """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def q_set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with no open orders."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+# --------------------------------------------------------------------------
+# As-of join (events → most recent prior order of the same customer)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_events",
+    """
+WITH ords AS (
+  SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+         max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+),
+evts AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS event_epoch FROM events
+)
+SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey, o.order_epoch AS last_order_epoch
+FROM evts e
+ASOF JOIN ords o ON e.user_id = o.o_custkey AND e.event_epoch >= o.order_epoch
+""",
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed Spark-first: union the two timelines, one
+    window pass carries the latest order forward — no range cross join,
+    one shuffle on the key (how you'd do it on 100 TB; DuckDB's native
+    ASOF JOIN is the oracle).
+
+    Times are compared as session-tz-free epoch seconds (events: raw
+    nanos div 1e9; orders: days×86400 — all orderdates are midnight).
+    Orders are pre-deduped per (custkey, epoch) keeping max orderkey so
+    the as-of pick is unique and deterministic on both engines.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns div 1000000000").alias("event_epoch"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            (F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint") * 86400).alias(
+                "order_epoch"
+            ),
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = e.select(
+        F.col("user_id").alias("k"),
+        F.col("event_epoch").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("bigint").alias("order_epoch"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("order_epoch").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "order_epoch",
+    )
+    # Order events after orders at identical t (ties: order visible to event).
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_event").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("order_epoch", ignorenulls=True).over(w).alias("last_order_epoch"),
+    )
+    return (
+        merged.where((F.col("is_event") == 1) & F.col("last_orderkey").isNotNull())
+        .join(
+            load_table(spark, sf_dir, "events").select("event_id", "user_id"),
+            "event_id",
+        )
+        .select("event_id", "user_id", "last_orderkey", "last_order_epoch")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function families
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_funcs_part",
+    """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       CAST(len(p_name) AS BIGINT) AS name_len,
+       concat(p_brand, ':', p_type) AS brand_type,
+       round(sqrt(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+       round(ln(p_retailprice), 6) AS price_ln,
+       abs(p_size - 25) AS size_dev,
+       CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
+FROM part
+""",
+)
+def q_scalar_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/conditional scalar families, row-parallel, codegen'd."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.when(F.col("p_size") > 25, "large").otherwise("small").alias("size_class"),
+    )
+
+
+@register(
+    "date_funcs_orders",
+    """
+SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+       CAST(date_part('month', o_orderdate) AS INT) AS o_month,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def q_date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + distinct aggregation by month."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON, percentiles, distinct aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_events",
+    """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
+FROM events GROUP BY 1
+""",
+)
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the event props column."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "percentiles_quantity",
+    """
+SELECT l_returnflag,
+       round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 6) AS p25,
+       round(CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE), 6) AS p50,
+       round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 6) AS p75
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (X7 family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@register("approx_stats", None)  # sketch-based (HLL / KLL) → rows-only check
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: approx_count_distinct + approx percentiles (sketches differ
+    from DuckDB's by algorithm — verified rows-only + bounds in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Timestamp binning + windowed event aggregation (batch form of X8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hist_orderdate_epoch",
+    f"""
+WITH vals AS (
+  SELECT 'o_orderdate' AS series, epoch(o_orderdate) AS v FROM orders
+  WHERE {valid_value_sql('epoch(o_orderdate)')}
+),
+stats AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+sparse AS (
+  SELECT series, {bucket_sql('v', 'lo', 'hi', 12)} AS bucket, count(*) AS cnt
+  FROM vals, stats WHERE v >= lo AND v <= hi GROUP BY 1, 2
+)
+SELECT series, bucket, cnt FROM sparse
+""",
+)
+def q_hist_orderdate_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp histogram over epoch seconds, same bucket expr.
+
+    ``o_orderdate`` is TIMESTAMP_NTZ (naive) — epoch is derived from
+    date/time parts (``unix_date*86400 + h*3600 + m*60 + s``), which is
+    session-timezone-free and matches DuckDB ``epoch()`` on the naive
+    value exactly.  A plain cast-to-double would shift with the driver's
+    session timezone and DST.
+    """
+    c = F.col("o_orderdate")
+    epoch = (
+        F.unix_date(c.cast("date")).cast("bigint") * 86400
+        + F.hour(c) * 3600
+        + F.minute(c) * 60
+        + F.second(c)
+    ).cast("double")
+    o = load_table(spark, sf_dir, "orders").select(epoch.alias("o_orderdate"))
+    return compute_histogram([("o_orderdate", o, "o_orderdate")], bins=12).select(
+        "series", "bucket", "cnt"
+    )
+
+
+@register(
+    "events_window_agg",
+    f"""
+SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) * 3600 AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {scaled_sum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the streaming
+    histogram X8 — same window expression Structured Streaming uses)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            scaled_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("double").cast("bigint").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

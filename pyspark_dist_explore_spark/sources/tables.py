@@ -29,7 +29,29 @@ TABLES: dict[str, str] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` is on (runtime
+    settable).  The raw int64 nanos are kept as ``ts_ns`` and a
+    microsecond-precision ``ts`` timestamp is derived — hour/minute
+    windowing semantics are unaffected by the dropped sub-micro digits.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(TABLES)}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            F.col("ts").alias("ts_ns"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    return spark.read.parquet(path)
