@@ -1,0 +1,113 @@
+"""Streaming-shaped query registrations (batch twins of X8).
+
+The driver's oracle harness collects a batch DataFrame, so the entries
+here run the streaming plans in batch mode — the plan shape (window
+expression, bucket expression, session gap logic) is identical to what
+``readStream`` executes; tests/test_streaming.py proves the streaming
+execution path itself (micro-batches, watermark, late-data drop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.functions.numeric import bucket_sql
+from pyspark_dist_explore_spark.plans.queries import register
+from pyspark_dist_explore_spark.sources.tables import load_table
+from pyspark_dist_explore_spark.streaming.histogram_stream import stream_windowed_histogram
+
+_BINS = 10
+_LO, _HI = 0.0, 500.0
+
+
+@register(
+    "events_stream_hist",
+    f"""
+SELECT CAST(floor(epoch(ts) / 21600.0) AS BIGINT) * 21600 AS window_start,
+       {bucket_sql('value', repr(_LO), repr(_HI), _BINS)} AS bucket,
+       count(*) AS cnt
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value) AND value >= {_LO!r} AND value <= {_HI!r}
+GROUP BY 1, 2
+""",
+)
+def q_events_stream_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: the streaming windowed histogram plan, batch-executed.
+
+    6-hour tumbling windows, fixed range [0, 500] (streams can't take a
+    global min/max pre-pass), same bucket expression as the batch
+    histogram.  window_start emitted as epoch seconds (tz-free).
+    """
+    e = load_table(spark, sf_dir, "events")
+    out = stream_windowed_histogram(
+        e, window_duration="6 hours", bins=_BINS, range=(_LO, _HI)
+    )
+    return out.select(
+        F.col("window_start").cast("double").cast("bigint").alias("window_start"),
+        "bucket",
+        "cnt",
+    )
+
+
+@register(
+    "events_session_window",
+    """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+),
+flagged AS (
+  SELECT user_id, sec,
+         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, sec,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(sec) AS session_start, max(sec) AS session_last, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — ``session_window`` is the
+    Structured Streaming primitive; the DuckDB oracle is the classic
+    gaps-and-islands rewrite of the same semantics.
+
+    Second-granularity epochs on both sides (sub-second event spacing
+    within one user never straddles the 30-min gap test).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000000000").alias("sec")
+    )
+    flagged = e.select(
+        "user_id",
+        "sec",
+        F.when(
+            F.col("sec")
+            - F.lag("sec").over(Window.partitionBy("user_id").orderBy("sec"))
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "sec",
+        F.sum("new_session")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("sec")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("sec").alias("session_start"),
+        F.max("sec").alias("session_last"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("session_id")

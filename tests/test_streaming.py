@@ -1,0 +1,167 @@
+"""Structured Streaming execution tests (X2/X8): real micro-batches via
+the file source + memory sink, watermark-driven window finalization,
+late-data drop, and streaming dedup state bounding."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pyspark_dist_explore_spark.streaming.histogram_stream import (
+    stream_dedup,
+    stream_windowed_histogram,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows, n):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _ts(minute, second=0):
+    return datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    return str(tmp_path / "stream")
+
+
+def test_windowed_histogram_stream_late_data(spark, stream_dir, tmp_path):
+    """Append mode + watermark: windows emit once finalized; a row later
+    than the watermark is dropped, not re-opened."""
+    batch1 = [
+        (1, _ts(0), 10.0),   # window 10:00
+        (2, _ts(5), 20.0),   # window 10:00
+        (3, _ts(12), 30.0),  # window 10:10
+    ]
+    _write_batch(spark, stream_dir, batch1, 1)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    hist = stream_windowed_histogram(
+        stream,
+        window_duration="10 minutes",
+        bins=5,
+        range=(0.0, 50.0),
+        watermark="5 minutes",
+    )
+    query = (
+        hist.writeStream.format("memory")
+        .queryName("hist_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # watermark after batch1 = 10:12 - 5min = 10:07 → no window closed yet.
+        # batch2 pushes the watermark to 10:20 (> window end 10:10), closing
+        # and emitting the 10:00 window.
+        _write_batch(spark, stream_dir, [(4, _ts(25), 40.0)], 2)
+        query.processAllAvailable()
+        # batch3: a row for the CLOSED 10:00 window — watermark (10:20) is
+        # past the window end, so it must be dropped, not re-emitted.
+        _write_batch(spark, stream_dir, [(5, _ts(1, 30), 11.0)], 3)
+        query.processAllAvailable()
+        # one more batch so any (incorrect) re-emission would be flushed
+        _write_batch(spark, stream_dir, [(6, _ts(40), 49.0)], 4)
+        query.processAllAvailable()
+        out = {
+            (r["window_start"].minute, r["bucket"]): r["cnt"]
+            for r in spark.table("hist_sink").collect()
+        }
+        # 10:00 window finalized from batch1 only: values 10.0→bucket 1, 20.0→bucket 2
+        assert out.get((0, 1)) == 1
+        assert out.get((0, 2)) == 1
+        # the late 11.0 row (bucket 1, window 10:00) must NOT appear again
+        assert sum(1 for (m, b) in out if m == 0 and b == 1) == 1
+        # 10:10 window: 30.0 → bucket 3
+        assert out.get((10, 3)) == 1
+    finally:
+        query.stop()
+
+
+def test_stream_dedup_within_watermark(spark, stream_dir):
+    rows = [
+        (1, _ts(0), 10.0),
+        (1, _ts(1), 10.0),  # dup key within watermark → dropped
+        (2, _ts(2), 20.0),
+    ]
+    _write_batch(spark, stream_dir, rows, 1)
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    deduped = stream_dedup(stream, ["event_id"], watermark="10 minutes")
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = sorted(r["event_id"] for r in spark.table("dedup_sink").collect())
+        assert got == [1, 2]
+    finally:
+        query.stop()
+
+
+def test_session_window_streaming_primitive(spark, stream_dir):
+    """Native session_window on a stream (keyed — global session agg is
+    unsupported): two bursts 40 min apart with a 15-min gap form two
+    sessions for user 1.0 (the ``value`` column doubles as the user key)."""
+    rows = [
+        (1, _ts(0), 1.0),
+        (2, _ts(5), 1.0),
+        (3, _ts(45), 1.0),
+        (4, _ts(46), 1.0),
+        (5, _ts(59), 99.0),  # watermark pusher (its own session/user)
+    ]
+    _write_batch(spark, stream_dir, rows, 1)
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    # NB: do NOT filter on the grouping column here — Catalyst pushes the
+    # predicate below the session aggregation, which starves the stateful
+    # operator of the watermark-pushing rows and stalls eviction.
+    sessions = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "15 minutes").alias("w"), F.col("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "value", "n")
+    )
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # push the watermark past the second session's end (10:46 + 15min)
+        _write_batch(spark, stream_dir, [(6, datetime(2024, 1, 1, 11, 10), 99.0)], 2)
+        query.processAllAvailable()
+        # watermark advances at batch end; one more batch evicts + emits
+        _write_batch(spark, stream_dir, [(7, datetime(2024, 1, 1, 11, 20), 99.0)], 3)
+        query.processAllAvailable()
+        got = {
+            r["start"].minute: r["n"]
+            for r in spark.table("sess_sink").collect()
+            if r["value"] == 1.0
+        }
+        assert got.get(0) == 2   # burst at 10:00–10:05
+        assert got.get(45) == 2  # burst at 10:45–10:46
+    finally:
+        query.stop()
