@@ -1,0 +1,113 @@
+"""Summary statistics operators (SURVEY.md §2.2 X7): exact describe,
+approximate sketches.
+
+``describe_exact`` reproduces ``df.describe()``'s shape with hash-stable
+arithmetic: counts and min/max are exact; mean and variance come from
+scaled-integer / exact-decimal power sums, so the final double values are
+bit-identical across engines and parallelism (see functions/agg.py for
+the technique).  Variance uses the power-sum identity
+``var = (Σx² − (Σx)²/n) / (n−1)`` with Σ computed exactly — the one
+subtraction happens once, in double, identically everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def describe_exact(df: DataFrame, cols: Sequence[str], *, scale: int = 4) -> DataFrame:
+    """(col_name, cnt, mean, stddev, vmin, vmax), one row per column.
+
+    Values are scaled to ``10^scale`` fixed-point before summing: Σx as
+    BIGINT (exact), Σx² as DECIMAL(38,0) (exact — BIGINT would overflow:
+    a 1e5 value scaled by 1e4 squares to 1e18, one row from the edge).
+    """
+    m = float(10**scale)
+    frames = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        valid = x.isNotNull() & ~F.isnan(x)
+        scaled = F.round(x * F.lit(m)).cast("bigint")
+        dec = scaled.cast("decimal(19,0)")
+        agg = df.where(valid).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(scaled).alias("sx"),
+            F.sum(dec * dec).alias("sxx"),
+            F.min(x).alias("vmin"),
+            F.max(x).alias("vmax"),
+        )
+        n = F.col("cnt")
+        sx_d = F.col("sx").cast("double")
+        sxx_d = F.col("sxx").cast("double")
+        mean = F.when(n >= 1, sx_d / F.lit(m) / n)
+        # n < 2 → sample stddev undefined (and (n-1)=0 divides by zero);
+        # the guard wraps the whole sqrt so the result is NULL, not 0.0
+        # (greatest(NULL, 0.0) would fold back to 0.0)
+        stddev = F.when(
+            n >= 2,
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (sxx_d / F.lit(m * m) - (sx_d / F.lit(m)) * (sx_d / F.lit(m)) / n)
+                        / (n - 1),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            ),
+        )
+        frames.append(
+            agg.select(
+                F.lit(c).alias("col_name"),
+                "cnt",
+                F.round(mean, 6).alias("mean"),
+                stddev.alias("stddev"),
+                "vmin",
+                "vmax",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+def describe_exact_sql(table: str, cols: Sequence[str], *, scale: int = 4) -> str:
+    """DuckDB rendering of :func:`describe_exact` — identical arithmetic."""
+    m = f"{float(10 ** scale)!r}"
+    selects = []
+    for c in cols:
+        x = f"CAST({c} AS DOUBLE)"
+        scaled = f"CAST(round({x} * {m}) AS BIGINT)"
+        dec = f"CAST({scaled} AS DECIMAL(19,0))"
+        selects.append(
+            f"""
+SELECT '{c}' AS col_name, count(*) AS cnt,
+       round(CASE WHEN count(*) >= 1
+                  THEN CAST(sum({scaled}) AS DOUBLE) / {m} / count(*) END, 6) AS mean,
+       CASE WHEN count(*) >= 2 THEN round(sqrt(greatest(
+         (CAST(sum({dec} * {dec}) AS DOUBLE) / ({m} * {m})
+          - (CAST(sum({scaled}) AS DOUBLE) / {m}) * (CAST(sum({scaled}) AS DOUBLE) / {m}) / count(*))
+         / (count(*) - 1), 0.0)), 6) END AS stddev,
+       min({x}) AS vmin, max({x}) AS vmax
+FROM {table} WHERE {x} IS NOT NULL AND NOT isnan({x})"""
+        )
+    return " UNION ALL ".join(selects)
+
+
+def histogram_approx(df: DataFrame, col: str, *, bins: int = 10) -> DataFrame:
+    """One-scan approximate histogram via ``histogram_numeric`` (SURVEY
+    §4.2): no min/max pre-pass, NON-uniform data-adaptive bin centers —
+    deliberately a separate operator from the exact fixed-width path, and
+    excluded from the value-hash oracle (sketch-based).
+    """
+    x = F.col(col).cast("double")
+    return (
+        df.where(x.isNotNull() & ~F.isnan(x))
+        .agg(F.histogram_numeric(x, F.lit(bins)).alias("h"))
+        .select(F.posexplode("h").alias("bucket", "bc"))
+        .select("bucket", F.col("bc.x").alias("center"), F.col("bc.y").alias("weight"))
+    )

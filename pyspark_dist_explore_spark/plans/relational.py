@@ -453,6 +453,30 @@ def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from pyspark_dist_explore_spark.operators.stats import (  # noqa: E402
+    describe_exact,
+    describe_exact_sql,
+    histogram_approx,
+)
+
+_DESCRIBE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@register("summary_stats", describe_exact_sql("lineitem", _DESCRIBE_COLS))
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: exact describe (count/mean/stddev/min/max) with hash-stable
+    power-sum arithmetic — the distributed twin of ``df.describe()``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return describe_exact(li, _DESCRIBE_COLS)
+
+
+@register("hist_approx_numeric", None)  # sketch-based, non-uniform bins → rows-only
+def q_hist_approx_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan approximate histogram (histogram_numeric sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_approx(li, "l_extendedprice", bins=20)
+
+
 @register("approx_stats", None)  # sketch-based (HLL / KLL) → rows-only check
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: approx_count_distinct + approx percentiles (sketches differ

@@ -1,0 +1,150 @@
+"""Operator unit tests on hand-built fixtures (FIXTURES.md §B:
+f_docs_dup, f_vecs + sink round-trip + stats sanity)."""
+
+from __future__ import annotations
+
+import math
+import statistics
+
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.operators import dedup, similarity, stats, textstats
+from pyspark_dist_explore_spark.operators.histogram import compute_histogram
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),          # near dup (1 token)
+    (4, "completely different content about spark engines"),
+    (5, "  The  Quick  Brown  Fox  Jumps  Over  The  Lazy  Dog "),  # ws/case dup of 1
+    (6, "unrelated text regarding histogram buckets and bins"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_fingerprint_dedup_normalizes(spark):
+    out = dedup.fingerprint_dedup(_docs(spark), "text", "doc_id").collect()
+    groups = {r["survivor_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 3  # docs 1, 2, 5 collapse (case + whitespace)
+    assert groups[3] == 1 and groups[4] == 1 and groups[6] == 1
+
+
+def test_jaccard_exact_finds_neardup(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs_exact(_docs(spark), "text", "doc_id", threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # 1 vs 3: tokens {the,quick,brown,fox,jumps/leaps,over,lazy,dog}: 7/9
+    assert math.isclose(pairs[(1, 3)], 7 / 9, rel_tol=1e-5)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_finds_neardups_not_strangers(spark):
+    out = dedup.minhash_neardup(
+        _docs(spark), "text", "doc_id", threshold=0.7, num_hashes=32, bands=16, shingle_n=1
+    ).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in found and (1, 5) in found and (2, 5) in found
+    assert (1, 3) in found  # 7/9 ≈ 0.78 ≥ 0.7
+    assert all(4 not in p and 6 not in p for p in found)
+
+
+def test_simhash_close_for_neardups(spark):
+    sig = {
+        r["doc_id"]: r["sim"]
+        for r in dedup.simhash_signatures(_docs(spark), "text", "doc_id").collect()
+    }
+    assert sig[1] == sig[2] == sig[5]  # identical token sets
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])
+
+
+def test_exact_dedup_survivor(spark):
+    out = dedup.exact_dedup(
+        _docs(spark).withColumn("norm", F.lower(F.col("text"))), ["norm"], ["doc_id"]
+    ).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3, 4, 5, 6]  # doc 2 (exact dup of 1) dropped, min id kept
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [0.7, 0.7, 0.0, 0.0]),   # diagonal
+    (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_exact_topk_ranking(spark):
+    v = _vecs(spark)
+    q = v.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = [
+        r["vec_id"]
+        for r in similarity.exact_topk(v, q, k=4).orderBy("rank").collect()
+    ]
+    assert got == [1, 3, 2, 4]  # cos: .994, .707, 0, -1
+
+
+def test_ann_lsh_subset_of_exact_scores(spark):
+    v = _vecs(spark)
+    q = v.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    ann = similarity.ann_lsh_topk(v, q, k=4, n_planes=2).collect()
+    exact = {
+        r["vec_id"]: r["cos_sim"] for r in similarity.exact_topk(v, q, k=4).collect()
+    }
+    for r in ann:  # every ANN hit scores identically to the exact scan
+        assert exact[r["vec_id"]] == r["cos_sim"]
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(df, "text", "doc_id").collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_describe_exact_matches_python_stats(spark):
+    vals = [1.5, 2.25, 3.75, 10.0, 7.25]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    r = stats.describe_exact(df, ["x"]).collect()[0]
+    assert r["cnt"] == 5
+    assert math.isclose(r["mean"], statistics.mean(vals), abs_tol=1e-6)
+    assert math.isclose(r["stddev"], statistics.stdev(vals), abs_tol=1e-6)
+    assert (r["vmin"], r["vmax"]) == (1.5, 10.0)
+
+
+def test_histogram_parquet_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    hist = compute_histogram([("v", df, "v")], bins=10)
+    path = str(tmp_path / "hist_out")
+    hist.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    # nullability may legitimately widen across a parquet round-trip
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in hist.schema.fields
+    ]
+    assert sorted((r["bucket"], r["cnt"]) for r in back.collect()) == sorted(
+        (r["bucket"], r["cnt"]) for r in hist.collect()
+    )

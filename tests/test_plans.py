@@ -1,0 +1,70 @@
+"""Physical-plan regression tests (SURVEY §4): the optimizations that
+matter at 100 TB must be visible in ``.explain`` — column pruning to the
+scan, filter pushdown, broadcast joins for dims, no stray shuffles."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark_dist_explore_spark.plans.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def _explain(spark, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].build(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _plan(spark, name: str) -> str:
+    return _explain(spark, name, "formatted")
+
+
+def test_histogram_scan_pruned_and_pushed(spark):
+    plan = _plan(spark, "hist_lineitem_price")
+    # scans read ONLY the histogram column
+    assert "ReadSchema: struct<l_extendedprice:double>" in plan
+    assert "PushedFilters: [IsNotNull(l_extendedprice)]" in plan
+    # stats side joins via broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_histogram_single_count_shuffle(spark):
+    plan = _plan(spark, "hist_lineitem_price")
+    # exchanges: 1 for the stats agg (SinglePartition) + 1 for the count agg
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") <= 2
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "q5_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the region filter reaches the region scan
+    assert any(
+        "PushedFilters" in line and "EqualTo(r_name,AMERICA)" in line
+        for line in plan.splitlines()
+    )
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # only the 5 needed columns are read (not all 11)
+    assert "l_quantity" in plan and "l_comment" not in plan
+    for scan_schema in [s for s in plan.splitlines() if "ReadSchema" in s]:
+        assert "l_orderkey" not in scan_schema  # not needed by Q1
+
+
+def test_topk_filter_pushed_through_window(spark):
+    plan = _plan(spark, "q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+@pytest.mark.parametrize("name", ["hist_lineitem_price", "q1_pricing_summary"])
+def test_whole_stage_codegen(spark, name):
+    codegen = _explain(spark, name, "codegen")
+    assert "WholeStageCodegen" in codegen
