@@ -1,0 +1,282 @@
+"""Extended relational + UDF-surface coverage (SURVEY §2.3 completion):
+join variants (left/semi/anti), CUBE / GROUPING SETS, lag/lead windows,
+non-equi range join, the pandas-UDF surface (applyInPandas per-group
+histogram, Arrow grouped aggregation), and the reference's pivoted
+pandas-histogram shape (R3/R13) as an oracle-checked query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from pyspark_dist_explore_spark.functions.agg import scaled_sum_sql
+from pyspark_dist_explore_spark.functions.numeric import bucket_sql
+from pyspark_dist_explore_spark.plans.queries import register
+from pyspark_dist_explore_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Join variants
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_semi_anti",
+    """
+SELECT c_custkey, 'has_urgent' AS status FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, 'no_urgent' AS status FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (existence tests without row blow-up)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    has = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_urgent").alias("status")
+    )
+    hasnt = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_urgent").alias("status")
+    )
+    return has.unionAll(hasnt)
+
+
+@register(
+    "join_left_outer",
+    """
+SELECT n.n_name, count(s.s_suppkey) AS n_suppliers
+FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving unmatched dimension rows (count=0)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "range_join_bands",
+    """
+WITH bands AS (
+  SELECT * FROM (VALUES ('budget', 0.0, 30000.0), ('mid', 30000.0, 70000.0),
+                        ('premium', 70000.0, 1000000.0)) b(band, lo, hi)
+)
+SELECT band, count(*) AS cnt, {sum_sql} AS sum_price
+FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+""".format(sum_sql=scaled_sum_sql("l_extendedprice")),
+)
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a broadcast band table."""
+    from pyspark_dist_explore_spark.functions.agg import scaled_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 30000.0), ("mid", 30000.0, 70000.0), ("premium", 70000.0, 1000000.0)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            scaled_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE / GROUPING SETS / lag-lead
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cube_status",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "grouping_sets_priority",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def q_grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (temp view + spark.sql)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders_gs GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(round((o_totalprice - lag(o_totalprice) OVER w) * 100.0) AS BIGINT) AS delta_cents,
+       CAST(floor(epoch(lead(o_orderdate) OVER w)) AS BIGINT)
+         - CAST(floor(epoch(o_orderdate)) AS BIGINT) AS secs_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a deterministic per-customer order timeline."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    epoch = F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint") * 86400
+    epoch_lead = F.unix_date(F.lead("o_orderdate").over(w).cast("date")).cast("bigint") * 86400
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round((F.col("o_totalprice") - F.lag("o_totalprice").over(w)) * 100.0)
+        .cast("bigint")
+        .alias("delta_cents"),
+        (epoch_lead - epoch).alias("secs_to_next"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pandas-UDF surface: applyInPandas / grouped Arrow aggregation
+# --------------------------------------------------------------------------
+
+_GH_SCHEMA = StructType(
+    [
+        StructField("l_returnflag", StringType()),
+        StructField("bucket", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+@register(
+    "grouped_hist_pandas",
+    f"""
+SELECT l_returnflag, {bucket_sql('l_quantity', '1.0', '50.0', 10)} AS bucket, count(*) AS cnt
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+  AND l_quantity >= 1.0 AND l_quantity <= 50.0
+GROUP BY 1, 2
+""",
+)
+def q_grouped_hist_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group histogram via ``applyInPandas`` (UDTF-like gapply).
+
+    ``np.histogram`` shares the engine's bucket semantics (half-open bins,
+    last closed) so the DuckDB oracle is the same bucket CASE — this pins
+    the Arrow group-map plumbing end-to-end, counts exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+
+    def group_hist(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["l_quantity"].to_numpy(dtype=float)
+        v = v[~np.isnan(v)]
+        v = v[(v >= 1.0) & (v <= 50.0)]
+        counts, _ = np.histogram(v, bins=10, range=(1.0, 50.0))
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {"l_returnflag": key[0], "bucket": nz.astype("int64"), "cnt": counts[nz]}
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(group_hist, schema=_GH_SCHEMA)
+
+
+@register(
+    "grouped_sum_pandas",
+    f"""
+SELECT l_returnflag, {scaled_sum_sql('l_extendedprice')} AS total_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_grouped_sum_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (Arrow): exact scaled-integer sum in numpy —
+    bit-identical to the JVM scaled_sum and the DuckDB oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    @F.pandas_udf(LongType())
+    def scaled_cents(x: pd.Series) -> int:
+        return int(np.round(x.to_numpy(dtype=float) * 10000.0).astype("int64").sum())
+
+    return li.groupBy("l_returnflag").agg(
+        (scaled_cents("l_extendedprice").cast("double") / F.lit(10000.0)).alias("total_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# R3/R13: the reference's pivoted pandas-histogram shape
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hist_pivot_pandas_shape",
+    f"""
+WITH vals AS (
+  SELECT 'c_acctbal' AS series, CAST(c_acctbal AS DOUBLE) AS v FROM customer
+  UNION ALL
+  SELECT 's_acctbal' AS series, CAST(s_acctbal AS DOUBLE) AS v FROM supplier
+),
+valid AS (SELECT series, v FROM vals WHERE v IS NOT NULL AND NOT isnan(v)),
+stats AS (SELECT min(v) AS lo, max(v) AS hi FROM valid),
+sparse AS (
+  SELECT series, {bucket_sql('v', 'lo', 'hi', 8)} AS bucket, count(*) AS cnt
+  FROM valid, stats WHERE v >= lo AND v <= hi GROUP BY 1, 2
+),
+grid AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(8))
+SELECT g.bucket,
+       COALESCE(max(CASE WHEN series = 'c_acctbal' THEN cnt END), 0) AS c_acctbal,
+       COALESCE(max(CASE WHEN series = 's_acctbal' THEN cnt END), 0) AS s_acctbal
+FROM grid g LEFT JOIN sparse s ON g.bucket = s.bucket
+GROUP BY g.bucket
+""",
+)
+def q_hist_pivot_pandas_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3/R13: ``pandas_histogram`` output shape — one column per series,
+    dense bucket index — computed distributed via groupBy().pivot()."""
+    from pyspark_dist_explore_spark.operators.histogram import compute_histogram_dense
+
+    sources = [
+        ("c_acctbal", load_table(spark, sf_dir, "customer"), "c_acctbal"),
+        ("s_acctbal", load_table(spark, sf_dir, "supplier"), "s_acctbal"),
+    ]
+    dense = compute_histogram_dense(sources, bins=8)
+    return (
+        dense.groupBy("bucket")
+        .pivot("series", ["c_acctbal", "s_acctbal"])
+        .sum("cnt")
+        .select(
+            "bucket",
+            F.coalesce("c_acctbal", F.lit(0)).alias("c_acctbal"),
+            F.coalesce("s_acctbal", F.lit(0)).alias("s_acctbal"),
+        )
+    )

@@ -205,3 +205,4 @@ def q_hist_kde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pyspark_dist_explore_spark.plans import llm_ops  # noqa: E402,F401
 from pyspark_dist_explore_spark.plans import relational  # noqa: E402,F401
 from pyspark_dist_explore_spark.plans import streaming_q  # noqa: E402,F401
+from pyspark_dist_explore_spark.plans import extended  # noqa: E402,F401
