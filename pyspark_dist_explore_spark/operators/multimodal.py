@@ -89,3 +89,93 @@ def extract_features(
             )
 
     return binary_df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+#: (doc_id, width, height, pixels_hash) — what a real image-resize emits
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("pixels_hash", StringType()),
+    ]
+)
+
+#: (doc_id, frame_idx, frame_hash) — what a real frame-sampler emits
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def resize_images(
+    binary_df: DataFrame,
+    *,
+    width: int = 224,
+    height: int = 224,
+    decoder: Callable[[bytes], object] | None = None,
+) -> DataFrame:
+    """Image resize plumbing (STUBBED decode — no codecs in container).
+
+    With ``decoder=None`` a deterministic fake runs: the "pixels" are the
+    md5 of (payload, width, height) — schema, Arrow batch shape, and
+    partition behavior are identical to a real PIL/cv2 decoder, which
+    plugs in via ``decoder`` and raises here by design.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder is not None:
+                raise NotImplementedError(
+                    "image decoding requires codec libraries not present here"
+                )
+            fake = pdf["payload"].map(
+                lambda b: hashlib.md5(bytes(b) + f"|{width}x{height}".encode()).hexdigest()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels_hash": fake,
+                }
+            )
+
+    return binary_df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    *,
+    every_n: int = 10,
+    max_frames: int = 3,
+    decoder: Callable[[bytes], object] | None = None,
+) -> DataFrame:
+    """Video frame-sampling plumbing (STUBBED decode).
+
+    The deterministic fake emits ``max_frames`` rows per doc with hashes
+    derived from (payload, frame index) — exercising the one-to-many
+    mapInPandas shape (each input row fans out to several output rows)
+    that a real ffmpeg-backed sampler produces.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder is not None:
+                raise NotImplementedError(
+                    "video decoding requires codec libraries not present here"
+                )
+            out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(max_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i * every_n)
+                    out["frame_hash"].append(
+                        hashlib.md5(bytes(payload) + f"|frame{i * every_n}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(_sample, schema=FRAMES_SCHEMA)

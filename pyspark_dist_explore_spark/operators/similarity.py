@@ -202,6 +202,74 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into inverted lists, probe the
+    ``n_probe`` nearest lists, exact re-rank inside them.
+
+    Centroids are the ``n_centroids`` lowest-id vectors — deterministic
+    and cheap; swap in Spark ML KMeans centers for better recall (the
+    list assignment / probe plan below is unchanged).  At scale each
+    query scans ~``n_probe/n_centroids`` of the corpus instead of all of
+    it, and the inverted lists are the shuffle key.
+    """
+    v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
+    cents = F.broadcast(
+        v.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("vv").alias("cv"))
+    )
+    # assign every vector to its nearest centroid (rank 1 of a tiny window)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        v.crossJoin(cents)
+        .select("vec_id", "vv", "cent_id", _dot_arrow(F.col("vv"), F.col("cv")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "vv", "cent_id")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.crossJoin(cents)
+        .select("query_id", "qv", "cent_id", _dot_arrow(F.col("qv"), F.col("cv")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot_arrow(F.col("qv"), F.col("vv")), 6).alias("cos_sim"),
+        )
+        .distinct()  # a (query, vec) pair can meet in several probed lists
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )
+
+
 def ann_lsh_neardup_pairs(
     vectors: DataFrame,
     *,

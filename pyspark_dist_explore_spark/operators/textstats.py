@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pyspark_dist_explore_spark.operators.dedup import normalize_text
+from pyspark_dist_explore_spark.operators.dedup import normalize_text, tokens
 
 #: BPE-ish tokenization: letter runs, digit runs, or punctuation runs.
 TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
@@ -117,6 +117,44 @@ def sum_cols(cols: list[Column]) -> Column:
     for c in cols[1:]:
         out = out + c
     return out
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection).
+
+    Classic MOSS-style scheme: hash every word ``k``-gram (the rolling
+    hash is xxhash64 per gram — cheaper on Spark than a true polynomial
+    roll and just as selective), then keep the MINIMUM hash of each
+    ``window`` of consecutive grams.  Guarantees any shared substring of
+    ≥ k+window-1 words yields a shared fingerprint, while storing only
+    ~1/window of the grams.  Output: (doc_id, fingerprint) distinct rows
+    — join on fingerprint to find copied passages.
+
+    All array expressions evaluate map-side; the only shuffle is the
+    final distinct by (doc_id, fingerprint).
+    """
+    toks = tokens(F.col(text_col))
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gram_idx = F.sequence(F.lit(1), n_grams)
+    hashes = F.transform(gram_idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    win_idx = F.sequence(F.lit(1), n_windows)
+    fps = F.array_distinct(
+        F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fps.alias("fps"))
+        .select("doc_id", F.explode("fps").alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
+        .distinct()
+    )
 
 
 def doc_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

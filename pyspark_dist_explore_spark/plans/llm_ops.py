@@ -186,6 +186,40 @@ def q_vector_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(emb, threshold=_COS_THRESHOLD)
 
 
+@register("text_winnowing_fp", None)  # xxhash64-based → rows-only
+def q_text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: shared-passage detection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
+
+
+@register("vector_ivf_topk", None)  # probe subset differs from full scan → rows-only
+def q_vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: inverted centroid lists, n_probe probing, exact
+    re-rank — the scale path for similarity search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@register("multimodal_resize_stub", None)  # deterministic fake decode → rows-only
+def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over binary payloads (decode stubbed)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    payload = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    return multimodal.resize_images(payload)
+
+
+@register("multimodal_frames_stub", None)  # deterministic fake decode → rows-only
+def q_multimodal_frames_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (one-to-many mapInPandas fan-out)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    payload = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    return multimodal.sample_frames(payload)
+
+
 @register("vector_ann_lsh", None)  # hash-derived hyperplanes → rows-only
 def q_vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via random-hyperplane LSH buckets + exact re-rank."""

@@ -148,3 +148,59 @@ def test_histogram_parquet_sink_roundtrip(spark, tmp_path):
     assert sorted((r["bucket"], r["cnt"]) for r in back.collect()) == sorted(
         (r["bucket"], r["cnt"]) for r in hist.collect()
     )
+
+
+def test_winnowing_shared_passage_detected(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "X Y alpha beta gamma delta epsilon zeta eta theta iota kappa Z"),
+            (3, "one two three four five six seven eight nine ten eleven"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = textstats.winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    by_doc = {
+        i: {r["fingerprint"] for r in rows}
+        for i, rows in [
+            (i, fps.where(F.col("doc_id") == i).collect()) for i in (1, 2, 3)
+        ]
+    }
+    # docs 1 and 2 share a 10-word passage (≥ k+window-1=8) → shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    # doc 3 shares nothing with doc 1
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_ivf_topk_scores_match_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in similarity.exact_topk(emb, q, k=50).collect()
+    }
+    ivf = similarity.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    assert len(ivf) > 0
+    hits = [r for r in ivf if (r["query_id"], r["vec_id"]) in exact]
+    # every IVF result that the exact top-50 contains scores identically
+    for r in hits:
+        assert exact[(r["query_id"], r["vec_id"])] == r["cos_sim"]
+
+
+def test_multimodal_stubs_and_real_decode_raises(spark):
+    from pyspark_dist_explore_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1, "hello world"), (2, "spark engine")], ["doc_id", "text"])
+    payload = multimodal.attach_binary_payload(docs, "text", "doc_id")
+    resized = multimodal.resize_images(payload).collect()
+    assert {(r["width"], r["height"]) for r in resized} == {(224, 224)}
+    assert len({r["pixels_hash"] for r in resized}) == 2  # distinct payloads → distinct hashes
+    frames = multimodal.sample_frames(payload, max_frames=3).collect()
+    assert len(frames) == 6  # one-to-many fan-out: 2 docs × 3 frames
+    assert sorted({r["frame_idx"] for r in frames}) == [0, 10, 20]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|decoding"):
+        multimodal.resize_images(payload, decoder=lambda b: b).collect()

@@ -1,0 +1,84 @@
+"""Scale-pattern tests (SURVEY §4.2): bucketed co-located joins elide the
+shuffle; salted joins spread hot keys; results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.operators.joins import salted_join
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Both sides bucketed+sorted by the join key → SortMergeJoin with NO
+    Exchange on either input (the co-location survives the catalog)."""
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_id"), (F.col("id") % 100).alias("cust")
+    )
+    custs = spark.range(0, 100).select(
+        F.col("id").alias("cust"), F.concat(F.lit("c"), F.col("id")).alias("name")
+    )
+    for name, df, key in [("t_orders", orders, "cust"), ("t_custs", custs, "cust")]:
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny tables would broadcast; force the shuffle-join path so the
+        # bucketing (shuffle elision) is what's under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders").join(spark.table("t_custs"), "cust")
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing co-located both sides
+        assert "Bucketed: true" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS t_orders")
+        spark.sql("DROP TABLE IF EXISTS t_custs")
+
+
+def test_salted_join_correctness(spark):
+    """Salted join returns exactly the plain join's rows — hot key (0) is
+    spread across salt buckets, result multiset unchanged."""
+    big = spark.range(0, 2000).select(
+        (F.when(F.col("id") < 1000, 0).otherwise(F.col("id") % 50)).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    plain = big.join(small, "k").select("k", "payload", "val")
+    salted = salted_join(big, small, "k", salt_buckets=8).select("k", "payload", "val")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = spark.range(0, 1000).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.range(0, 1).select(F.col("id").alias("k"), F.lit("x").alias("val"))
+    salted = salted_join(big, small, "k", salt_buckets=8)
+    # the deterministic salt actually uses >1 bucket for the hot key
+    n_salts = (
+        big.withColumn("s", F.pmod(F.xxhash64("payload"), F.lit(8)))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+    assert salted.count() == 1000
