@@ -137,24 +137,41 @@ def winnowing_fingerprints(
     ~1/window of the grams.  Output: (doc_id, fingerprint) distinct rows
     — join on fingerprint to find copied passages.
 
-    All array expressions evaluate map-side; the only shuffle is the
-    final distinct by (doc_id, fingerprint).
+    Execution shape: one projection builds the per-doc gram-hash array
+    (single pass), ``posexplode`` flattens to (doc_id, idx, hash) rows,
+    and the window minimum is a sliding-frame ``min() OVER (PARTITION BY
+    doc ORDER BY idx ROWS BETWEEN CURRENT AND window-1 FOLLOWING)`` —
+    O(n) vectorized rows.  (A nested ``transform(win, i ->
+    array_min(slice(hashes, i, w)))`` re-inlines the whole hash-array
+    expression per window element — quadratic re-evaluation, 80× slower
+    at 5k docs.)  The only shuffles: by doc_id for the window, and the
+    final distinct.
     """
+    from pyspark.sql import Window
+
     toks = tokens(F.col(text_col))
     n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    gram_idx = F.sequence(F.lit(1), n_grams)
-    hashes = F.transform(gram_idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
-    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
-    win_idx = F.sequence(F.lit(1), n_windows)
-    fps = F.array_distinct(
-        F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), fps.alias("fps"))
-        .select("doc_id", F.explode("fps").alias("fingerprint"))
-        .where(F.col("fingerprint").isNotNull())
+    grams = df.select(F.col(id_col).alias("doc_id"), F.posexplode(hashes).alias("idx", "h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    with_count = grams.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    fps = (
+        with_count.withColumn("fp", F.min("h").over(w))
+        # full windows only — plus idx 0 when the doc is shorter than one window
+        .where((F.col("idx") <= F.col("n") - window) | (F.col("idx") == 0))
+        .select("doc_id", F.col("fp").alias("fingerprint"))
         .distinct()
     )
+    return fps
 
 
 def doc_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -122,6 +122,15 @@ def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("neardup_minhash_ml", None)  # ML feature-hash + seeded LSH → rows-only
+def q_neardup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-ML MinHashLSH route (Tokenizer→HashingTF→approxSimilarityJoin).
+    Capped input + high threshold: the all-similar synthetic corpus makes
+    the verified-pair output quadratic (see q_neardup_minhash_lsh)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    return dedup.minhash_ml_neardup(docs, "text", "doc_id", threshold=0.8)
+
+
 @register("neardup_simhash", None)  # xxhash64-based → rows-only
 def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3) via 16-bit chunk banding."""

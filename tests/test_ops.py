@@ -204,3 +204,28 @@ def test_multimodal_stubs_and_real_decode_raises(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|decoding"):
         multimodal.resize_images(payload, decoder=lambda b: b).collect()
+
+
+def test_minhash_ml_variant_finds_dups(spark):
+    out = dedup.minhash_ml_neardup(_docs(spark), "text", "doc_id", threshold=0.7).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in found  # exact dups always share all buckets
+    assert all(4 not in p for p in found)
+
+
+def test_kde_curve_integrates_to_one(spark):
+    import numpy as np
+    from pyspark_dist_explore_spark.operators.histogram import compute_kde
+
+    df = spark.createDataFrame([(float(v),) for v in np.linspace(0, 100, 500)], ["v"])
+    pdf = (
+        compute_kde([("v", df, "v")], num=200)
+        .orderBy("i")
+        .toPandas()
+    )
+    assert len(pdf) == 200
+    # trapezoidal integral of the density over the grid ≈ 1 (mass beyond
+    # the [min,max] grid tails is small but nonzero)
+    integral = np.trapz(pdf["density"], pdf["x"])
+    assert 0.9 < integral < 1.05
+    assert (pdf["density"] >= 0).all()
