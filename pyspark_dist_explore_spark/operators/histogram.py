@@ -53,6 +53,30 @@ class HistogramSpec:
             raise ValueError(f"range must be (lo, hi) with lo <= hi, got {self.range}")
 
 
+def _as_numeric(df: DataFrame, col: str):
+    """Column as double; timestamps/dates become epoch seconds.
+
+    Temporal casts are session-timezone-free: TIMESTAMP uses its UTC
+    micros, TIMESTAMP_NTZ/DATE decompose into date/time parts (a plain
+    cast would shift with the session tz and DST).  Sub-second precision
+    on NTZ is dropped (binning granularity is the use case).
+    """
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype == "date":
+        return F.unix_date(c).cast("bigint").cast("double") * 86400.0
+    if dtype == "timestamp_ntz":
+        return (
+            F.unix_date(c.cast("date")).cast("bigint") * 86400
+            + F.hour(c) * 3600
+            + F.minute(c) * 60
+            + F.second(c)
+        ).cast("double")
+    if dtype == "timestamp":
+        return c.cast("double")
+    return c.cast("double")
+
+
 def _union_series(series: Sequence[Series]) -> DataFrame:
     """(series, v:double) union of all inputs, nulls/NaN dropped (R14)."""
     if not series:
@@ -60,7 +84,7 @@ def _union_series(series: Sequence[Series]) -> DataFrame:
     frames = [
         df.select(
             F.lit(label).alias("series"),
-            F.col(col).cast("double").alias("v"),
+            _as_numeric(df, col).alias("v"),
         )
         for label, df, col in series
     ]

@@ -113,24 +113,94 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
-    Exact all-pairs form — oracle-able; for scale use
-    :func:`ann_lsh_neardup_pairs` which prunes with LSH buckets first.
+    Exact all-pairs, computed BLOCKED: vectors hash into ``n_blocks``
+    blocks; every unordered block pair (i ≤ j) becomes one Arrow group in
+    which a single numpy matmul scores the full sub-matrix and emits only
+    pairs ≥ threshold.  Data replication is ×``n_blocks`` (each block
+    participates in n_blocks pairs), but the O(N²) scoring runs as BLAS
+    inside ~n_blocks²/2 groups instead of N²/2 per-row expression evals —
+    and thresholding happens before anything is returned to the plan.
+    This is the shape that scales: on a cluster, raise ``n_blocks`` until
+    a block fits executor memory; groups shuffle by block-pair key.
+
+    For sub-quadratic pruning use :func:`ann_lsh_neardup_pairs`.
     """
-    v = vectors.select(F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("v"))
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_dot_arrow(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StructField as _SF,
+        StructType as _ST,
     )
+
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        _unit(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    # replicate each vector into every block-pair group its block joins
+    pair_key = F.explode(
+        F.array(
+            *[
+                F.when(
+                    F.col("blk") <= F.lit(other),
+                    F.struct(
+                        (F.col("blk") * n_blocks + F.lit(other)).alias("pk"),
+                        F.lit(0).alias("side"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        (F.lit(other) * n_blocks + F.col("blk")).alias("pk"),
+                        F.lit(1).alias("side"),
+                    )
+                )
+                for other in range(n_blocks)
+            ]
+        )
+    )
+    rep = v.select("id", "v", "blk", pair_key.alias("p")).select(
+        "id", "v", "blk", F.col("p.pk").alias("pk"), F.col("p.side").alias("side")
+    )
+
+    out_schema = _ST(
+        [_SF("id_a", _L()), _SF("id_b", _L()), _SF("cos_sim", _D())]
+    )
+    thr = float(threshold)
+
+    def score_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        lo_blk, hi_blk = divmod(int(key[0]), n_blocks)
+        left = pdf[pdf["blk"] == lo_blk]
+        right = pdf[pdf["blk"] == hi_blk]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        # de-dup replicas: same-block pairs appear once (side 0 == side 1)
+        left = left.drop_duplicates("id")
+        right = right.drop_duplicates("id")
+        A = np.stack(left["v"].to_numpy())
+        B = np.stack(right["v"].to_numpy())
+        sims = A @ B.T
+        ia, ib = np.nonzero(np.round(sims, 6) >= thr)
+        id_a = left["id"].to_numpy()[ia]
+        id_b = right["id"].to_numpy()[ib]
+        if lo_blk == hi_blk:
+            # same-block matrix holds (x,y) AND (y,x): keep one orientation
+            keep = id_a < id_b
+            id_a, id_b, s = id_a[keep], id_b[keep], sims[ia, ib][keep]
+        else:
+            # cross-block pairs appear once with arbitrary id order: emit (min, max)
+            s = sims[ia, ib]
+            id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame(
+            {"id_a": id_a, "id_b": id_b, "cos_sim": np.round(s, 6)}
+        )
+
+    return rep.groupBy("pk").applyInPandas(score_block, schema=out_schema)
 
 
 # --------------------------------------------------------------------------

@@ -509,22 +509,12 @@ SELECT series, bucket, cnt FROM sparse
 """,
 )
 def q_hist_orderdate_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamp histogram over epoch seconds, same bucket expr.
-
-    ``o_orderdate`` is TIMESTAMP_NTZ (naive) — epoch is derived from
-    date/time parts (``unix_date*86400 + h*3600 + m*60 + s``), which is
-    session-timezone-free and matches DuckDB ``epoch()`` on the naive
-    value exactly.  A plain cast-to-double would shift with the driver's
-    session timezone and DST.
+    """Timestamp histogram: the engine auto-converts temporal columns to
+    session-timezone-free epoch seconds (operators/histogram._as_numeric),
+    matching DuckDB ``epoch()`` on the naive value exactly — a plain
+    cast-to-double would shift with the driver's session timezone/DST.
     """
-    c = F.col("o_orderdate")
-    epoch = (
-        F.unix_date(c.cast("date")).cast("bigint") * 86400
-        + F.hour(c) * 3600
-        + F.minute(c) * 60
-        + F.second(c)
-    ).cast("double")
-    o = load_table(spark, sf_dir, "orders").select(epoch.alias("o_orderdate"))
+    o = load_table(spark, sf_dir, "orders")
     return compute_histogram([("o_orderdate", o, "o_orderdate")], bins=12).select(
         "series", "bucket", "cnt"
     )

@@ -119,3 +119,21 @@ def test_pandas_histogram_shape(spark):
     assert len(pdf) == 5
     assert pdf["v"].sum() == 10
     assert pdf.index[0] == "1.00 - 2.80"
+
+
+def test_temporal_columns_bin_tz_free(spark):
+    from datetime import date, datetime
+
+    df = spark.createDataFrame(
+        [(date(2024, 1, 1),), (date(2024, 1, 2),), (date(2024, 1, 3),)], "d date"
+    )
+    out = compute_histogram([("d", df, "d")], bins=2).collect()
+    assert sum(r["cnt"] for r in out) == 3
+    assert min(r["bin_lo"] for r in out) == 1704067200.0  # 2024-01-01 epoch
+
+    ts = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0, 0),), (datetime(2024, 1, 1, 12, 0, 0),)],
+        "t timestamp_ntz",
+    )
+    out2 = compute_histogram([("t", ts, "t")], bins=2).collect()
+    assert {r["bucket"]: r["cnt"] for r in out2} == {0: 1, 1: 1}
