@@ -22,6 +22,30 @@ from pyspark_dist_explore_spark.operators.histogram import (
     compute_density,
     compute_kde,
 )
+from pyspark_dist_explore_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    jaccard_pairs_exact,
+    minhash_neardup,
+    simhash_neardup,
+)
+from pyspark_dist_explore_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_neardup_pairs,
+    exact_topk,
+    ivf_topk,
+)
+from pyspark_dist_explore_spark.operators.stats import describe_exact, histogram_approx
+from pyspark_dist_explore_spark.operators.textstats import (
+    language_id,
+    quality_score,
+    text_stats,
+    winnowing_fingerprints,
+)
+from pyspark_dist_explore_spark.streaming.histogram_stream import (
+    stream_dedup,
+    stream_windowed_histogram,
+)
 from pyspark_dist_explore_spark.viz import (
     Histogram,
     hist,
@@ -30,15 +54,38 @@ from pyspark_dist_explore_spark.viz import (
 )
 
 __all__ = [
+    # histogram engine
     "HistogramSpec",
     "compute_histogram",
     "compute_histogram_dense",
     "compute_density",
     "compute_kde",
+    # reference-compatible surface
     "Histogram",
     "hist",
     "distplot",
     "pandas_histogram",
+    # dedup
+    "exact_dedup",
+    "fingerprint_dedup",
+    "jaccard_pairs_exact",
+    "minhash_neardup",
+    "simhash_neardup",
+    # similarity
+    "exact_topk",
+    "cosine_neardup_pairs",
+    "ann_lsh_topk",
+    "ivf_topk",
+    # stats / text
+    "describe_exact",
+    "histogram_approx",
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "winnowing_fingerprints",
+    # streaming
+    "stream_windowed_histogram",
+    "stream_dedup",
 ]
 
 __version__ = "0.1.0"

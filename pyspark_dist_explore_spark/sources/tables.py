@@ -55,3 +55,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "props",
         )
     return spark.read.parquet(path)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str, schema=None, **options) -> DataFrame:
+    """Format-agnostic scan (parquet / csv / json / orc).
+
+    CSV and JSON get an explicit schema when provided — schema inference
+    is a full extra pass over the data, never acceptable at 100 TB.  CSV
+    defaults: header on.  All formats go through the DataSource V1/V2
+    readers, so pushdown/pruning behave per-format (columnar formats
+    prune, row formats at least push filters).
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path)

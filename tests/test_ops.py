@@ -229,3 +229,28 @@ def test_kde_curve_integrates_to_one(spark):
     integral = np.trapz(pdf["density"], pdf["x"])
     assert 0.9 < integral < 1.05
     assert (pdf["density"] >= 0).all()
+
+
+def test_csv_json_sources_agree_with_parquet(spark, tmp_path):
+    """The engine is source-agnostic: the same histogram over CSV, JSON
+    and parquet copies of one table is identical."""
+    from pyspark_dist_explore_spark.sources.tables import read_any
+
+    src = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    csv_p, json_p = str(tmp_path / "c_csv"), str(tmp_path / "c_json")
+    src.write.mode("overwrite").option("header", "true").csv(csv_p)
+    src.write.mode("overwrite").json(json_p)
+    schema = "c_custkey bigint, c_acctbal double"
+    expected = sorted(
+        (r["bucket"], r["cnt"])
+        for r in compute_histogram([("x", src, "c_acctbal")], bins=8).collect()
+    )
+    for fmt, path in [("csv", csv_p), ("json", json_p)]:
+        df = read_any(spark, path, fmt, schema=schema)
+        got = sorted(
+            (r["bucket"], r["cnt"])
+            for r in compute_histogram([("x", df, "c_acctbal")], bins=8).collect()
+        )
+        assert got == expected, fmt

@@ -18,6 +18,22 @@ finite = st.floats(
     allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
 )
 
+# Integer-valued floats in a modest range sit far from fractional bin
+# edges, so every bucket-assignment arithmetic agrees — the right data
+# for comparing against numpy's DIFFERENT float formula (edge array +
+# searchsorted vs our floor((v-lo)*n/(hi-lo))); at boundary-ulp cases
+# the two legitimately differ by one bucket.
+safe = st.integers(min_value=-1000, max_value=1000).map(float)
+
+
+def _spec_bucket(v: float, lo: float, hi: float, n: int) -> int:
+    """Pure-Python rendering of functions/numeric.bucket_col — the spec."""
+    if hi == lo:
+        return 0
+    if v == hi:
+        return n - 1
+    return min(int(math.floor((v - lo) * float(n) / (hi - lo))), n - 1)
+
 
 @settings(
     max_examples=25,
@@ -26,6 +42,28 @@ finite = st.floats(
 )
 @given(
     values=st.lists(finite, min_size=1, max_size=60),
+    bins=st.integers(min_value=1, max_value=12),
+)
+def test_histogram_matches_spec_on_arbitrary_floats(spark, values, bins):
+    """Distributed execution == the scalar spec formula, ANY floats."""
+    df = spark.createDataFrame([(float(v),) for v in values], ["v"])
+    rows = compute_histogram([("v", df, "v")], bins=bins).collect()
+    got = {r["bucket"]: r["cnt"] for r in rows}
+    lo, hi = min(values), max(values)
+    expected: dict[int, int] = {}
+    for v in values:
+        b = _spec_bucket(v, lo, hi, bins)
+        expected[b] = expected.get(b, 0) + 1
+    assert got == expected
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(safe, min_size=1, max_size=60),
     bins=st.integers(min_value=1, max_value=12),
 )
 def test_histogram_matches_numpy(spark, values, bins):
@@ -67,9 +105,9 @@ def test_nulls_and_nans_always_dropped(spark, values):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
-    values=st.lists(finite, min_size=2, max_size=40),
-    lo=st.floats(min_value=-100, max_value=0),
-    hi=st.floats(min_value=1, max_value=100),
+    values=st.lists(safe, min_size=2, max_size=40),
+    lo=st.integers(min_value=-100, max_value=0).map(float),
+    hi=st.integers(min_value=1, max_value=100).map(float),
 )
 def test_user_range_matches_numpy(spark, values, lo, hi):
     df = spark.createDataFrame([(float(v),) for v in values], ["v"])

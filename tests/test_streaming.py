@@ -165,3 +165,38 @@ def test_session_window_streaming_primitive(spark, stream_dir):
         assert got.get(45) == 2  # burst at 10:45–10:46
     finally:
         query.stop()
+
+
+def test_streaming_parquet_sink_with_checkpoint(spark, stream_dir, tmp_path):
+    """Durable streaming: file sink + checkpoint; output equals the batch
+    run of the same plan."""
+    rows = [(i, _ts(i), float(i * 10)) for i in range(6)]
+    _write_batch(spark, stream_dir, rows, 1)
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    hist = stream_windowed_histogram(
+        stream, window_duration="2 minutes", bins=4, range=(0.0, 60.0), watermark="1 minute"
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        hist.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode: only watermark-closed windows are in the sink
+    got = {
+        (r["window_start"].minute, r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+    batch = {
+        (r["window_start"].minute, r["bucket"]): r["cnt"]
+        for r in stream_windowed_histogram(
+            batch_df, window_duration="2 minutes", bins=4, range=(0.0, 60.0)
+        ).collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v  # everything emitted matches the batch truth
