@@ -55,15 +55,22 @@ def exact_dedup(df: DataFrame, keys: Sequence[str], tie_break: str | Sequence[st
     Equivalent to ``dropDuplicates(keys)`` but reproducible (the survivor
     is defined, not partition-order-dependent).  ``tie_break`` must be a
     TOTAL order within each key group — pass enough columns to break all
-    ties, or the survivor is again partition-dependent.  One shuffle.
+    ties, or the survivor is again partition-dependent.
+
+    Execution: ``min(struct(tie..., rest...))`` hash aggregate — struct
+    comparison is lexicographic, so the minimum IS the first row under
+    the tie order.  Unlike a ``row_number`` window (full sort of every
+    partition), this gets map-side partial aggregation and shuffles only
+    one candidate row per key per mapper — the 100 TB-friendly shape.
     """
     ties = [tie_break] if isinstance(tie_break, str) else list(tie_break)
-    w = Window.partitionBy(*keys).orderBy(*[F.col(t).asc() for t in ties])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    rest = [c for c in df.columns if c not in keys and c not in ties]
+    packed = df.groupBy(*keys).agg(
+        F.min(F.struct(*[F.col(c) for c in [*ties, *rest]])).alias("__best")
     )
+    return packed.select(
+        *keys, *[F.col(f"__best.{c}").alias(c) for c in [*ties, *rest]]
+    ).select(*df.columns)
 
 
 def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

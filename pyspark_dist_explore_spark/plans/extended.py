@@ -167,6 +167,25 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_part_metrics",
+    """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+""",
+)
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide columns to (metric, value) rows."""
+    p = load_table(spark, sf_dir, "part")
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 # --------------------------------------------------------------------------
 # pandas-UDF surface: applyInPandas / grouped Arrow aggregation
 # --------------------------------------------------------------------------
