@@ -57,6 +57,81 @@ def stream_windowed_histogram(
     )
 
 
+def stream_running_stats(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum, max) maintained across micro-batches.
+
+    Each key's state is three numbers — O(#keys) total, evicted after
+    ``state_timeout_ms`` of event-time silence (GroupStateTimeout.
+    EventTimeTimeout, bound by the watermark).  Emits one updated row per
+    key per micro-batch — the building block for streaming profiles/
+    quantile sketches that windowed aggregation can't express (state
+    survives across windows).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, vmax = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            v = pdf[value_col].dropna()
+            n += len(v)
+            total += float(v.sum()) if len(v) else 0.0
+            vmax = max(vmax, float(v.max())) if len(v) else vmax
+        state.update((n, total, vmax))
+        # first micro-batch reports watermark 0 — arming a timeout there
+        # would land in 1970 and evict the state on the next batch
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0:
+            state.setTimeoutTimestamp(wm + state_timeout_ms)
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total], "vmax": [vmax]})
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_dedup(
     events: DataFrame,
     keys: list[str],

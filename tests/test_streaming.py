@@ -200,3 +200,39 @@ def test_streaming_parquet_sink_with_checkpoint(spark, stream_dir, tmp_path):
     }
     for k, v in got.items():
         assert batch[k] == v  # everything emitted matches the batch truth
+
+
+def test_apply_in_pandas_with_state_running_stats(spark, stream_dir):
+    """Custom stateful operator: per-key running stats accumulate ACROSS
+    micro-batches (state survives), emitted in update mode."""
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_running_stats,
+    )
+
+    _write_batch(spark, stream_dir, [(1, _ts(0), 10.0), (1, _ts(1), 20.0), (2, _ts(2), 5.0)], 1)
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    stats = stream_running_stats(
+        stream, key_col="event_id", value_col="value", watermark="10 minutes"
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("state_sink")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: key 1 gets one more value — state must carry over
+        _write_batch(spark, stream_dir, [(1, _ts(5), 30.0)], 2)
+        q.processAllAvailable()
+        rows = spark.table("state_sink").collect()
+        # update mode appends one emission per key per batch; the running
+        # count only grows, so max-n per key IS the latest state
+        latest = {}
+        for r in rows:
+            if r["key"] not in latest or r["n"] > latest[r["key"]][0]:
+                latest[r["key"]] = (r["n"], r["total"], r["vmax"])
+        assert latest[1] == (3, 60.0, 30.0)  # 10+20 from batch1, +30 from batch2
+        assert latest[2] == (1, 5.0, 5.0)
+    finally:
+        q.stop()
