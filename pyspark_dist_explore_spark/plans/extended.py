@@ -168,6 +168,35 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_skew_join",
+    f"""
+SELECT l.l_returnflag, count(*) AS cnt, {scaled_sum_sql('l.l_extendedprice')} AS sum_price
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY l.l_returnflag
+""",
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join, oracle-checked against the plain join: lineitem's
+    supplier key is low-cardinality (10 suppliers for 600k rows — every
+    key is hot), the textbook case where one reducer melts.  The salt
+    spreads each key across 8 sub-keys; results are identical to the
+    unsalted join by construction (operators/joins.salted_join).
+    """
+    from pyspark_dist_explore_spark.functions.agg import scaled_sum
+    from pyspark_dist_explore_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_returnflag", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(li, s, "s_suppkey", salt_buckets=8)
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        scaled_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@register(
     "unpivot_part_metrics",
     """
 SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
