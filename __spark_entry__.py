@@ -12,11 +12,19 @@ three-function shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pyspark_dist_explore_spark.plans.queries import REGISTRY
+# the driver may import this module by path from a different cwd — make
+# sure the sibling package resolves regardless
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from pyspark_dist_explore_spark.plans.queries import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
