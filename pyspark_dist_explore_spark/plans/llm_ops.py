@@ -139,6 +139,41 @@ def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dataset splitting / sampling
+# --------------------------------------------------------------------------
+
+from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
+    hash_split,
+    hash_split_sql,
+    stratified_sample,
+)
+
+
+@register(
+    "dataset_hash_split",
+    f"""
+SELECT {hash_split_sql('doc_id')} AS split, count(*) AS cnt
+FROM documents GROUP BY 1
+""",
+)
+def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed train/val/test split — same row, same
+    split, every run, every engine (no RNG, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register("stratified_sample_langs", None)  # seeded Bernoulli → rows-only
+def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified rebalance: downsample dominant languages via sampleBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    fracs = {"en": 0.5, "de": 0.5, "es": 0.5, "zh": 1.0, "fr": 1.0}
+    return stratified_sample(docs, "lang", fracs).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# --------------------------------------------------------------------------
 # X4: similarity search over embeddings
 # --------------------------------------------------------------------------
 

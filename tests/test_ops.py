@@ -254,3 +254,28 @@ def test_csv_json_sources_agree_with_parquet(spark, tmp_path):
             for r in compute_histogram([("x", df, "c_acctbal")], bins=8).collect()
         )
         assert got == expected, fmt
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from pyspark_dist_explore_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 20000).select(F.col("id"))
+    a = {r["id"]: r["split"] for r in hash_split(df, "id").collect()}
+    b = {r["id"]: r["split"] for r in hash_split(df, "id").collect()}
+    assert a == b  # fully deterministic
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 20000 - 0.8) < 0.02
+    assert abs(c["val"] / 20000 - 0.1) < 0.01
+    assert abs(c["test"] / 20000 - 0.1) < 0.01
+
+
+def test_hash_split_bad_fractions(spark):
+    from pyspark_dist_explore_spark.operators.sampling import hash_split
+
+    df = spark.range(10)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "id", fractions={"a": 0.5, "b": 0.4})
