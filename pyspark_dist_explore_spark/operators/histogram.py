@@ -270,12 +270,13 @@ def compute_kde(
         F.first("lo").alias("lo"),
         F.first("hi").alias("hi"),
     )
+    # (d*d), not pow(d, 2): pow is not bit-identical across engines, and
+    # the DuckDB oracle mirrors this arithmetic term for term
+    d = F.col("center") - F.col("mean")
     var = (
         centers.join(stats, "series")
         .groupBy("series")
-        .agg(
-            (F.sum(F.pow(F.col("center") - F.col("mean"), 2) * F.col("w")) / F.sum("w")).alias("var")
-        )
+        .agg((F.sum(d * d * F.col("w")) / F.sum("w")).alias("var"))
     )
     stats = stats.join(var, "series")
     bw = (
@@ -302,8 +303,9 @@ def compute_kde(
     ).select(
         "series", "n", "h", "i", (F.col("lo") + F.col("i") * F.col("step")).alias("x")
     )
-    kernel = F.exp(F.lit(-0.5) * F.pow((F.col("x") - F.col("center")) / F.col("h"), 2)) / (
-        F.col("h") * F.lit(2.5066282746310002)  # sqrt(2*pi)
+    u = (F.col("x") - F.col("center")) / F.col("h")
+    kernel = F.exp(F.lit(-0.5) * u * u) / (
+        F.col("h") * F.lit(2.5066282746310002)  # sqrt(2*pi); u*u not pow (engine-portable)
     )
     return (
         grid.join(centers.select("series", "center", "w"), "series")

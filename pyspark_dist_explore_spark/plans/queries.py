@@ -195,10 +195,61 @@ def q_hist_global_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
 
 
-@register("hist_kde_curve", None)  # KDE: approximate by design → rows-only check
+def _kde_oracle(label: str, table: str, col: str, num: int = 300, pre_bins: int = 1024) -> str:
+    """DuckDB rendering of compute_kde, term-for-term (same operation
+    order everywhere; the density is rounded to 10 decimals on both sides
+    to absorb summation-order ulp drift in the smooth float math)."""
+    bucket = bucket_sql("v", "lo", "hi", pre_bins)
+    return f"""
+WITH vals AS (
+  SELECT CAST({col} AS DOUBLE) AS v FROM {table}
+  WHERE {valid_value_sql(f'CAST({col} AS DOUBLE)')}
+),
+stats0 AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+binned AS (
+  SELECT {bucket} AS bucket, count(*) AS w
+  FROM vals, stats0 WHERE v >= lo AND v <= hi GROUP BY 1
+),
+centers AS (
+  SELECT lo + (bucket + 0.5) * ((hi - lo) / {float(pre_bins)!r}) AS center, w, lo, hi
+  FROM binned, stats0
+),
+agg AS (
+  SELECT sum(w) AS n, sum(center * w) / sum(w) AS mean,
+         min(lo) AS lo, min(hi) AS hi
+  FROM centers
+),
+params AS (
+  SELECT n, lo, hi,
+         greatest(1.06 * sqrt((SELECT sum(((center - mean) * (center - mean)) * w) / sum(w)
+                               FROM centers, agg)) * pow(n, -0.2), 1e-9) AS h
+  FROM agg
+),
+grid AS (
+  SELECT CAST(t.range AS INT) AS i, n, h,
+         lo + t.range * ((hi - lo) / {float(num - 1)!r}) AS x
+  FROM params, range({num}) t
+)
+SELECT '{label}' AS series, i, x,
+       round(sum(exp((-0.5 * ((x - center) / h)) * ((x - center) / h))
+                 / (h * 2.5066282746310002) * w) / any_value(n), 10) AS density
+FROM grid, centers
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "hist_kde_curve",
+    _kde_oracle("l_extendedprice", "lineitem", "l_extendedprice"),
+)
 def q_hist_kde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R11: 300-point Gaussian KDE curve (pre-binned, scale-independent)."""
-    return compute_kde(_hist_sources(spark, sf_dir, _FLAGSHIP), num=300)
+    """R11: 300-point Gaussian KDE curve (pre-binned, scale-independent),
+    oracle-checked: the DuckDB SQL mirrors every arithmetic term, and the
+    density is rounded to 10 dp on both sides (the only inter-engine
+    differences are smooth ulp-level drifts from summation order and
+    pow/exp rounding, orders of magnitude below the rounding grid)."""
+    df = compute_kde(_hist_sources(spark, sf_dir, _FLAGSHIP), num=300)
+    return df.select("series", "i", "x", F.round("density", 10).alias("density"))
 
 
 # -- register the extension query families (import side effect) ------------
