@@ -68,3 +68,31 @@ def test_topk_filter_pushed_through_window(spark):
 def test_whole_stage_codegen(spark, name):
     codegen = _explain(spark, name, "codegen")
     assert "WholeStageCodegen" in codegen
+
+
+def test_minhash_no_cartesian_product(spark):
+    """LSH banding must join on (band, band_hash) equi-keys — a
+    CartesianProduct in the plan means the pruning is broken."""
+    plan = _plan(spark, "neardup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # signature mins are map-side partial
+
+
+def test_simhash_partial_aggregation(spark):
+    plan = _plan(spark, "neardup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # 64 bit-sums combine map-side
+
+
+def test_blocked_cosine_single_group_shuffle(spark):
+    """The blocked matmul shuffles once by block-pair key into the Arrow
+    group map; no per-pair join appears in the plan."""
+    plan = _plan(spark, "vector_neardup_pairs")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_partial_min(spark):
+    plan = _plan(spark, "dedup_exact")
+    assert "partial_min" in plan
+    assert "Window" not in plan  # min-struct agg replaced the sorted window
