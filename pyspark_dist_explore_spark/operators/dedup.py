@@ -62,6 +62,10 @@ def exact_dedup(df: DataFrame, keys: Sequence[str], tie_break: str | Sequence[st
     the tie order.  Unlike a ``row_number`` window (full sort of every
     partition), this gets map-side partial aggregation and shuffles only
     one candidate row per key per mapper — the 100 TB-friendly shape.
+
+    NULL tie-break values sort FIRST (Spark struct ordering): a NULL in a
+    tie column beats any non-NULL.  SQL mirrors must order with
+    ``ASC NULLS FIRST``.
     """
     ties = [tie_break] if isinstance(tie_break, str) else list(tie_break)
     rest = [c for c in df.columns if c not in keys and c not in ties]

@@ -163,16 +163,18 @@ def compute_histogram_dense(
 ) -> DataFrame:
     """R9: dense output — every (series, bucket) pair present, zero-filled.
 
-    Left join of the (tiny) sparse result against ``series × range(bins)``
-    — both sides are ≤ series×bins rows, so this is driver-free and scale-
-    independent.
+    The grid side is built from the DRIVER-KNOWN series labels (a local
+    literal frame × ``spark.range(bins)``), not ``sparse.select('series')
+    .distinct()`` — the latter would re-execute the whole histogram plan
+    (including the min/max stats scan) just to enumerate labels already
+    held as Python strings.  A series with zero valid rows therefore
+    still appears, all-zero — the shape a caller indexes by.
     """
-    sparse = compute_histogram(series, cols, bins=bins, range=range)
+    series = _normalize(series, cols)
+    sparse = compute_histogram(series, bins=bins, range=range)
     spark = sparse.sparkSession
-    grid = (
-        sparse.select("series").distinct()
-        .crossJoin(spark.range(bins).select(F.col("id").alias("bucket")))
-    )
+    labels = spark.createDataFrame([(lbl,) for lbl, _, _ in series], ["series"]).distinct()
+    grid = labels.crossJoin(spark.range(bins).select(F.col("id").alias("bucket")))
     return (
         grid.join(sparse, ["series", "bucket"], "left")
         .select(
@@ -237,6 +239,8 @@ def compute_kde(
     kernel math follows pandas-on-Spark ``KdePlotBase.compute_kde_col``
     ($PYSPARK/pandas/plot/core.py:421-463).
     """
+    if num < 2:
+        raise ValueError(f"num must be >= 2 grid points, got {num}")
     if isinstance(series, DataFrame):
         if not cols:
             raise ValueError("cols is required when passing a single DataFrame")

@@ -37,6 +37,10 @@ def salted_join(
     runs, no RNG state.  ``small`` is replicated ``salt_buckets`` times;
     keep it broadcast-small or the replication cost dominates.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        # right/full outer would emit each unmatched small-side REPLICA as
+        # its own null-extended row (salt_buckets copies per unmatched key)
+        raise ValueError(f"salted_join supports inner/left/left_semi joins, got how={how!r}")
     if salt_source is None:
         salt_source = [c for c in big.columns if c != key]
     if not salt_source:

@@ -67,9 +67,16 @@ def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def _unit(arr: Column) -> Column:
     """Unit-normalize once per VECTOR (O(N)), so pairwise cosine is a bare
-    dot product (no per-pair norm recomputation on the O(N²) side)."""
+    dot product (no per-pair norm recomputation on the O(N²) side).
+
+    Zero-norm (all-zero) vectors normalize to all-zeros rather than NULLs
+    (x/0.0 is NULL in Spark, and NULL elements crash the Arrow matmul
+    downstream) — they score cosine 0 against everything.
+    """
     n = l2norm(_as_double(arr))
-    return F.transform(arr, lambda x: x.cast("double") / n)
+    return F.transform(
+        arr, lambda x: F.when(n > 0, x.cast("double") / n).otherwise(F.lit(0.0))
+    )
 
 
 def exact_topk(
@@ -132,10 +139,12 @@ def cosine_neardup_pairs(
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType as _D,
-        LongType as _L,
         StructField as _SF,
         StructType as _ST,
     )
+
+    # output id type follows the input id column (not hardcoded int64)
+    id_type = vectors.schema[id_col].dataType
 
     v = vectors.select(
         F.col(id_col).alias("id"),
@@ -167,7 +176,7 @@ def cosine_neardup_pairs(
     )
 
     out_schema = _ST(
-        [_SF("id_a", _L()), _SF("id_b", _L()), _SF("cos_sim", _D())]
+        [_SF("id_a", id_type), _SF("id_b", id_type), _SF("cos_sim", _D())]
     )
     thr = float(threshold)
 
@@ -176,9 +185,7 @@ def cosine_neardup_pairs(
         left = pdf[pdf["blk"] == lo_blk]
         right = pdf[pdf["blk"] == hi_blk]
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
-            )
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
         # de-dup replicas: same-block pairs appear once (side 0 == side 1)
         left = left.drop_duplicates("id")
         right = right.drop_duplicates("id")

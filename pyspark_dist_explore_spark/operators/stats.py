@@ -24,24 +24,33 @@ def describe_exact(df: DataFrame, cols: Sequence[str], *, scale: int = 4) -> Dat
     Values are scaled to ``10^scale`` fixed-point before summing: Σx as
     BIGINT (exact), Σx² as DECIMAL(38,0) (exact — BIGINT would overflow:
     a 1e5 value scaled by 1e4 squares to 1e18, one row from the edge).
+
+    ONE scan for any number of columns: per-column validity becomes a
+    ``when(valid, x)`` null-out (aggregates skip NULLs), all power sums
+    land in a single aggregate row, and ``stack`` pivots it long.  The
+    per-column-job alternative multiplies the dominant I/O cost by
+    ``len(cols)`` at scale.
     """
     m = float(10**scale)
-    frames = []
-    for c in cols:
+    aggs = []
+    for i, c in enumerate(cols):
         x = F.col(c).cast("double")
-        valid = x.isNotNull() & ~F.isnan(x)
-        scaled = F.round(x * F.lit(m)).cast("bigint")
+        xv = F.when(x.isNotNull() & ~F.isnan(x), x)
+        scaled = F.round(xv * F.lit(m)).cast("bigint")
         dec = scaled.cast("decimal(19,0)")
-        agg = df.where(valid).agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(scaled).alias("sx"),
-            F.sum(dec * dec).alias("sxx"),
-            F.min(x).alias("vmin"),
-            F.max(x).alias("vmax"),
-        )
-        n = F.col("cnt")
-        sx_d = F.col("sx").cast("double")
-        sxx_d = F.col("sxx").cast("double")
+        aggs += [
+            F.count(xv).alias(f"cnt_{i}"),
+            F.sum(scaled).alias(f"sx_{i}"),
+            F.sum(dec * dec).alias(f"sxx_{i}"),
+            F.min(xv).alias(f"vmin_{i}"),
+            F.max(xv).alias(f"vmax_{i}"),
+        ]
+    row = df.agg(*aggs)
+    derived = []
+    for i, c in enumerate(cols):
+        n = F.col(f"cnt_{i}")
+        sx_d = F.col(f"sx_{i}").cast("double")
+        sxx_d = F.col(f"sxx_{i}").cast("double")
         mean = F.when(n >= 1, sx_d / F.lit(m) / n)
         # n < 2 → sample stddev undefined (and (n-1)=0 divides by zero);
         # the guard wraps the whole sqrt so the result is NULL, not 0.0
@@ -59,20 +68,23 @@ def describe_exact(df: DataFrame, cols: Sequence[str], *, scale: int = 4) -> Dat
                 6,
             ),
         )
-        frames.append(
-            agg.select(
-                F.lit(c).alias("col_name"),
-                "cnt",
-                F.round(mean, 6).alias("mean"),
-                stddev.alias("stddev"),
-                "vmin",
-                "vmax",
-            )
+        derived += [
+            F.col(f"cnt_{i}"),
+            F.round(mean, 6).alias(f"mean_{i}"),
+            stddev.alias(f"stddev_{i}"),
+            F.col(f"vmin_{i}"),
+            F.col(f"vmax_{i}"),
+        ]
+    wide = row.select(*derived)
+    stack_terms = ", ".join(
+        f"'{c}', cnt_{i}, mean_{i}, stddev_{i}, vmin_{i}, vmax_{i}"
+        for i, c in enumerate(cols)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_terms}) AS (col_name, cnt, mean, stddev, vmin, vmax)"
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionAll(f)
-    return out
+    )
 
 
 def describe_exact_sql(table: str, cols: Sequence[str], *, scale: int = 4) -> str:

@@ -35,8 +35,9 @@ SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
 FROM lineitem
 QUALIFY row_number() OVER (
   PARTITION BY l_orderkey
-  ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC, l_quantity ASC,
-           l_extendedprice ASC) = 1
+  ORDER BY l_linenumber ASC NULLS FIRST, l_partkey ASC NULLS FIRST,
+           l_suppkey ASC NULLS FIRST, l_quantity ASC NULLS FIRST,
+           l_extendedprice ASC NULLS FIRST) = 1
 """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

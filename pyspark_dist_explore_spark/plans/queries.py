@@ -86,10 +86,11 @@ sparse AS (
 )"""
     if not dense:
         return sparse + "\nSELECT series, bucket, cnt FROM sparse"
+    label_values = ", ".join(f"('{label}')" for label, _, _ in sources)
     return sparse + f""",
 grid AS (
   SELECT s.series, g.bucket
-  FROM (SELECT DISTINCT series FROM sparse) s,
+  FROM (SELECT DISTINCT * FROM (VALUES {label_values}) v(series)) s,
        (SELECT CAST(range AS BIGINT) AS bucket FROM range({bins})) g
 )
 SELECT grid.series, grid.bucket, COALESCE(sparse.cnt, CAST(0 AS BIGINT)) AS cnt

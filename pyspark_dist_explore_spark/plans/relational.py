@@ -255,14 +255,19 @@ SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
 """,
 )
 def q_set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customers with no open orders."""
+    """EXCEPT: customers with no open orders.
+
+    ``subtract`` IS SQL EXCEPT (distinct left minus anything present on
+    the right); ``exceptAll().distinct()`` would keep left rows that
+    merely outnumber their right-side occurrences.
+    """
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     o = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderstatus") == "O")
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)
 
 
 # --------------------------------------------------------------------------

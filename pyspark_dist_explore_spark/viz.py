@@ -44,6 +44,7 @@ class Histogram:
         self.range = range
         self.series: list[Series] = []
         self._result: pd.DataFrame | None = None
+        self._edges: np.ndarray | None = None  # numeric bin edges of the last build
 
     # -- registration (driver-side metadata only; no Spark job) ------------
     def _dedup_label(self, label: str) -> str:
@@ -100,9 +101,17 @@ class Histogram:
         sparse = self._result
         if sparse.empty:
             return pd.DataFrame()
-        lo = float(sparse["bin_lo"].min())
-        hi = float(sparse["bin_hi"].max())
+        if self.range is not None:
+            # the true binning range — sparse min/max would be wrong when
+            # the extreme buckets happen to be empty
+            lo, hi = float(self.range[0]), float(self.range[1])
+        else:
+            # data-derived range: global min/max always occupy the first
+            # and last non-empty positions of the sparse result
+            lo = float(sparse["bin_lo"].min())
+            hi = float(sparse["bin_hi"].max())
         edges = self._boundaries((lo, hi))
+        self._edges = edges
         nb = len(edges) - 1
         labels = [f"{edges[i]:.2f} - {edges[i + 1]:.2f}" for i in range(nb)]
         out = pd.DataFrame(index=pd.Index(labels))
@@ -119,10 +128,11 @@ class Histogram:
     # -- plotting (optional matplotlib) -------------------------------------
     def plot_hist(self, ax, overlapping: bool = False, formatted_yaxis: bool = True, **kwargs):
         pdf = self.to_pandas("hist")
-        edges_lo = [float(s.split(" - ")[0]) for s in pdf.index]
-        edges_hi = [float(s.split(" - ")[1]) for s in pdf.index]
-        centers = [(a + b) / 2 for a, b in zip(edges_lo, edges_hi)]
-        width = (edges_hi[0] - edges_lo[0]) if edges_lo else 1.0
+        # numeric edges from the build — parsing the "%.2f" display labels
+        # would collapse any bin narrower than 0.01
+        edges = self._edges if self._edges is not None else np.array([0.0, 1.0])
+        centers = [(edges[i] + edges[i + 1]) / 2 for i in range(len(pdf))]
+        width = float(edges[1] - edges[0]) if len(edges) > 1 else 1.0
         ncols = max(len(pdf.columns), 1)
         for j, colname in enumerate(pdf.columns):
             if overlapping:
@@ -177,10 +187,9 @@ def distplot(axes, x, **kwargs):
     """R2: normalized histogram + smoothed density curve."""
     h = _as_histogram(x, bins=kwargs.pop("bins", 10), range=kwargs.pop("range", None))
     pdf = h.to_pandas("density")
-    edges_lo = [float(s.split(" - ")[0]) for s in pdf.index]
-    edges_hi = [float(s.split(" - ")[1]) for s in pdf.index]
-    centers = [(a + b) / 2 for a, b in zip(edges_lo, edges_hi)]
-    width = (edges_hi[0] - edges_lo[0]) if edges_lo else 1.0
+    edges = h._edges if h._edges is not None else np.array([0.0, 1.0])
+    centers = [(edges[i] + edges[i + 1]) / 2 for i in range(len(pdf))]
+    width = float(edges[1] - edges[0]) if len(edges) > 1 else 1.0
     for colname in pdf.columns:
         axes.bar(centers, pdf[colname], width=width, alpha=0.4, label=colname)
     h.plot_density(axes, **kwargs)

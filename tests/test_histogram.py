@@ -137,3 +137,16 @@ def test_temporal_columns_bin_tz_free(spark):
     )
     out2 = compute_histogram([("t", ts, "t")], bins=2).collect()
     assert {r["bucket"]: r["cnt"] for r in out2} == {0: 1, 1: 1}
+
+
+def test_to_pandas_explicit_range_empty_edge_buckets(spark):
+    """Explicit range whose extreme buckets are empty: labels must follow
+    the RANGE grid, not the occupied buckets (review finding)."""
+    df = spark.createDataFrame([(55.0,), (56.0,)], ["v"])
+    h = Histogram(bins=10, range=(0.0, 100.0))
+    h.add_column(df, "v")
+    pdf = h.to_pandas("hist")
+    assert pdf.index[0] == "0.00 - 10.00"
+    assert pdf.index[5] == "50.00 - 60.00"
+    assert pdf["v"].iloc[5] == 2  # both values in the [50,60) bin
+    assert pdf["v"].sum() == 2

@@ -279,3 +279,42 @@ def test_hash_split_bad_fractions(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "id", fractions={"a": 0.5, "b": 0.4})
+
+
+def test_zero_vector_scores_zero_not_crash(spark):
+    v = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    q = v.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = similarity.exact_topk(v, q, k=2).collect()
+    assert all(r["cos_sim"] == 0.0 for r in rows)  # zero vector ⊥ everything
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+    from pyspark_dist_explore_spark.operators.joins import salted_join
+
+    big = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("p"))
+    small = spark.range(2).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="right")
+
+
+def test_describe_exact_single_scan(spark):
+    """All columns in ONE aggregate job (review finding: was N scans)."""
+    import contextlib
+    import io
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan_buf = io.StringIO()
+    with contextlib.redirect_stdout(plan_buf):
+        stats.describe_exact(df, ["l_quantity", "l_extendedprice", "l_discount"]).explain(
+            "formatted"
+        )
+    import re
+
+    # formatted explain shows each node twice (tree + detail); count the
+    # numbered detail headers, one per physical scan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan_buf.getvalue(), re.M)
+    assert len(scans) == 1
