@@ -2,11 +2,14 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
 The Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
-UDF signatures, partition sizing — is real and tested; the actual
-decode step is STUBBED (``decode=None`` → deterministic metadata-only
-features) because no image/audio libraries ship in this container.
-Plug a real decoder in via the ``decode`` callable; the distributed
-plan is unchanged.
+UDF signatures, partition sizing — is real and tested, and the decode
+path is real too: a pure-stdlib 24-bit BMP codec (:func:`encode_bmp` /
+:func:`decode_bmp`) lets ``resize_images`` / ``sample_frames`` run an
+actual decode → numpy → resize/sample pipeline with no codec libraries.
+"Videos" are concatenated BMP frames (each BMP self-describes its byte
+length at offset 2, so frames split without a container format).
+Swap :func:`decode_bmp` for a PIL/cv2/ffmpeg decoder in production —
+the distributed plan is unchanged.
 
 100 TB notes: binary payloads never cross a shuffle here — features are
 extracted map-side (``mapInPandas``) and only the small feature frame
@@ -17,8 +20,10 @@ Arrow moves the bytes to Python in columnar batches, never per-row.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,6 +34,81 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# --------------------------------------------------------------------------
+# Pure-stdlib 24-bit BMP codec (BITMAPFILEHEADER + BITMAPINFOHEADER,
+# BI_RGB uncompressed, bottom-up rows padded to 4 bytes — the classic
+# Windows 3.x layout every viewer understands).
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BMP."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3  # rows padded to 4-byte multiples
+    image_size = row_size * h
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + image_size, 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        # BMP stores BGR
+        rows += pixels[y, :, ::-1].tobytes() + pad
+    return header + info + bytes(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode the first 24-bit BMP in ``data`` to an (h, w, 3) RGB array.
+
+    Trailing bytes after the BMP's self-declared file size are ignored,
+    which is what makes concatenated-BMP "videos" splittable.
+    """
+    magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    header_size, w, h, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    if bpp != 24 or header_size < 40:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        start = offset + i * row_size
+        row = np.frombuffer(data, dtype=np.uint8, count=w * 3, offset=start).reshape(w, 3)
+        y = h - 1 - i if bottom_up else i
+        out[y] = row[:, ::-1]  # BGR → RGB
+    return out
+
+
+def split_bmp_frames(data: bytes) -> list[bytes]:
+    """Split concatenated BMPs using each frame's declared byte length."""
+    frames, pos = [], 0
+    view = memoryview(data)
+    while pos + 14 <= len(data):
+        magic, file_size = struct.unpack_from("<2sI", data, pos)
+        if magic != b"BM" or file_size <= 0:
+            raise ValueError(f"corrupt frame boundary at byte {pos}")
+        frames.append(bytes(view[pos : pos + file_size]))
+        pos += file_size
+    return frames
+
+
+def _doc_pixels(doc_id: int, frame: int, width: int, height: int) -> np.ndarray:
+    """Deterministic per-(doc, frame) test pattern — no RNG, any engine
+    regenerates identical bytes."""
+    y, x = np.mgrid[0:height, 0:width]
+    base = (doc_id * 31 + frame * 17 + y * 7 + x * 3) % 256
+    return np.stack([base, (base + 85) % 256, (base + 170) % 256], axis=-1).astype(np.uint8)
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (numpy fancy indexing, vectorized)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return pixels[ys][:, xs]
 
 #: schema of the extracted feature frame
 FEATURE_SCHEMA = StructType(
@@ -58,6 +138,59 @@ def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
+IMAGE_META_SCHEMA = "mime string, size bigint, width int, height int, n_frames int"
+
+
+def attach_image_payload(
+    df: DataFrame,
+    id_col: str,
+    *,
+    width: int = 16,
+    height: int = 12,
+    n_frames: int = 3,
+) -> DataFrame:
+    """Materialize a real decodable media column: ``n_frames`` concatenated
+    24-bit BMPs per row, pixels a deterministic function of the id.
+
+    Stands in for reading a media table at scale — payload bytes are
+    born map-side (mapInPandas), typed metadata rides alongside, and
+    nothing here shuffles.  ``n_frames=1`` gives plain images; >1 gives
+    splittable "video clips" for :func:`sample_frames`.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"))
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                b"".join(
+                    encode_bmp(_doc_pixels(int(d), f, width, height)) for f in range(n_frames)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                    "size": [len(p) for p in payloads],
+                    "width": width,
+                    "height": height,
+                    "n_frames": n_frames,
+                }
+            )
+
+    gen = base.mapInPandas(
+        _gen,
+        schema="doc_id bigint, payload binary, mime string, size bigint, "
+        "width int, height int, n_frames int",
+    )
+    return gen.select(
+        "doc_id",
+        "payload",
+        F.struct("mime", "size", "width", "height", "n_frames").alias("meta"),
+    )
+
+
 def extract_features(
     binary_df: DataFrame,
     *,
@@ -65,21 +198,15 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``decode`` receives raw bytes and returns a feature dict; the default
-    (None) computes deterministic metadata features only.  A real decoder
-    (image resize, audio resample, frame sampling) raises
-    ``NotImplementedError`` here by design — container has no codecs.
+    ``decode`` receives raw bytes and returns a feature dict merged over
+    the defaults; the default (None) computes deterministic metadata
+    features only.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            if decode is not None:
-                raise NotImplementedError(
-                    "real media decoding is stubbed in this environment; "
-                    "plug in a decoder where codecs are installed"
-                )
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
@@ -87,6 +214,13 @@ def extract_features(
                     "modality": "text",
                 }
             )
+            if decode is not None:
+                extra = payloads.map(lambda b: decode(bytes(b)))
+                for k in FEATURE_SCHEMA.fieldNames():
+                    vals = extra.map(lambda d, k=k: d.get(k))
+                    if vals.notna().any():
+                        out[k] = vals
+            yield out
 
     return binary_df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
@@ -116,31 +250,37 @@ def resize_images(
     *,
     width: int = 224,
     height: int = 224,
-    decoder: Callable[[bytes], object] | None = None,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
 ) -> DataFrame:
-    """Image resize plumbing (STUBBED decode — no codecs in container).
+    """Map-side image decode + nearest-neighbor resize.
 
-    With ``decoder=None`` a deterministic fake runs: the "pixels" are the
-    md5 of (payload, width, height) — schema, Arrow batch shape, and
-    partition behavior are identical to a real PIL/cv2 decoder, which
-    plugs in via ``decoder`` and raises here by design.
+    ``decoder`` maps raw bytes to an (h, w, 3) uint8 array — pass
+    :func:`decode_bmp` for the built-in pure-Python path, or any
+    PIL/cv2-backed callable in a full environment.  ``pixels_hash`` is
+    the md5 of the RESIZED RGB bytes, so downstream exact-dup detection
+    on decoded content works out of the box.  With ``decoder=None`` a
+    deterministic metadata-only fake runs (hash over raw payload bytes) —
+    same schema and batch shape, for payloads with no decodable format.
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder is not None:
-                raise NotImplementedError(
-                    "image decoding requires codec libraries not present here"
+                hashes = pdf["payload"].map(
+                    lambda b: hashlib.md5(
+                        resize_nearest(decoder(bytes(b)), width, height).tobytes()
+                    ).hexdigest()
                 )
-            fake = pdf["payload"].map(
-                lambda b: hashlib.md5(bytes(b) + f"|{width}x{height}".encode()).hexdigest()
-            )
+            else:
+                hashes = pdf["payload"].map(
+                    lambda b: hashlib.md5(bytes(b) + f"|{width}x{height}".encode()).hexdigest()
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": width,
                     "height": height,
-                    "pixels_hash": fake,
+                    "pixels_hash": hashes,
                 }
             )
 
@@ -150,32 +290,31 @@ def resize_images(
 def sample_frames(
     binary_df: DataFrame,
     *,
-    every_n: int = 10,
+    every_n: int = 1,
     max_frames: int = 3,
-    decoder: Callable[[bytes], object] | None = None,
+    decoder: Callable[[bytes], np.ndarray] | None = decode_bmp,
+    splitter: Callable[[bytes], list[bytes]] = split_bmp_frames,
 ) -> DataFrame:
-    """Video frame-sampling plumbing (STUBBED decode).
+    """Video frame sampling: split the clip, decode every ``every_n``-th
+    frame (≤ ``max_frames``), one output row per sampled frame.
 
-    The deterministic fake emits ``max_frames`` rows per doc with hashes
-    derived from (payload, frame index) — exercising the one-to-many
-    mapInPandas shape (each input row fans out to several output rows)
-    that a real ffmpeg-backed sampler produces.
+    The 1→N ``mapInPandas`` fan-out is exactly what an ffmpeg-backed
+    sampler produces; here the container format is concatenated BMPs
+    (self-length-described, see :func:`split_bmp_frames`).
+    ``frame_hash`` is the md5 of the DECODED RGB bytes.  ``decoder=None``
+    falls back to hashing the raw frame bytes.
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder is not None:
-                raise NotImplementedError(
-                    "video decoding requires codec libraries not present here"
-                )
             out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for i in range(max_frames):
+                frames = splitter(bytes(payload))[:: max(every_n, 1)][:max_frames]
+                for i, frame in enumerate(frames):
+                    content = decoder(frame).tobytes() if decoder is not None else frame
                     out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i * every_n)
-                    out["frame_hash"].append(
-                        hashlib.md5(bytes(payload) + f"|frame{i * every_n}".encode()).hexdigest()
-                    )
+                    out["frame_idx"].append(i * max(every_n, 1))
+                    out["frame_hash"].append(hashlib.md5(content).hexdigest())
             yield pd.DataFrame(out)
 
     return binary_df.mapInPandas(_sample, schema=FRAMES_SCHEMA)

@@ -123,15 +123,6 @@ def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("neardup_minhash_ml", None)  # ML feature-hash + seeded LSH → rows-only
-def q_neardup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-ML MinHashLSH route (Tokenizer→HashingTF→approxSimilarityJoin).
-    Capped input + high threshold: the all-similar synthetic corpus makes
-    the verified-pair output quadratic (see q_neardup_minhash_lsh)."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
-    return dedup.minhash_ml_neardup(docs, "text", "doc_id", threshold=0.8)
-
-
 @register("neardup_simhash", None)  # xxhash64-based → rows-only
 def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3) via 16-bit chunk banding."""
@@ -249,20 +240,20 @@ def q_vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
-@register("multimodal_resize_stub", None)  # deterministic fake decode → rows-only
-def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing over binary payloads (decode stubbed)."""
+@register("multimodal_decode", None)  # Python-side decode → rows-only
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode+resize AND frame-sampling plumbing in one query:
+    deterministic BMP payloads decoded by a real (pure-stdlib) decoder,
+    resized map-side, joined with the 1→N frame-sample fan-out counts."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    payload = multimodal.attach_binary_payload(docs, "text", "doc_id")
-    return multimodal.resize_images(payload)
-
-
-@register("multimodal_frames_stub", None)  # deterministic fake decode → rows-only
-def q_multimodal_frames_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing (one-to-many mapInPandas fan-out)."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    payload = multimodal.attach_binary_payload(docs, "text", "doc_id")
-    return multimodal.sample_frames(payload)
+    payload = multimodal.attach_image_payload(docs, "doc_id")
+    resized = multimodal.resize_images(payload, width=8, height=8, decoder=multimodal.decode_bmp)
+    frames = (
+        multimodal.sample_frames(payload)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return resized.join(frames, "doc_id")
 
 
 @register("vector_ann_lsh", None)  # hash-derived hyperplanes → rows-only

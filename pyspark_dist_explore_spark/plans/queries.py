@@ -258,3 +258,25 @@ from pyspark_dist_explore_spark.plans import llm_ops  # noqa: E402,F401
 from pyspark_dist_explore_spark.plans import relational  # noqa: E402,F401
 from pyspark_dist_explore_spark.plans import streaming_q  # noqa: E402,F401
 from pyspark_dist_explore_spark.plans import extended  # noqa: E402,F401
+
+# -- driver-window ordering -------------------------------------------------
+# The driver's correctness harness records rows for the FIRST 50 registry
+# entries only (CORRECTNESS_r01.json stopped there, leaving 8 oracle-backed
+# queries unchecked).  Order oracle-backed queries first so every
+# hash-checkable query lands inside the checked window; rows-only
+# (non-SQL-expressible) queries follow.  Insertion order is otherwise
+# preserved within each class.
+
+DRIVER_CHECK_WINDOW = 50
+
+_ordered = {n: s for n, s in REGISTRY.items() if s.oracle is not None}
+_n_oracle = len(_ordered)
+if _n_oracle > DRIVER_CHECK_WINDOW:  # pragma: no cover - guarded by tests
+    raise RuntimeError(
+        f"{_n_oracle} oracle-backed queries exceed the driver's "
+        f"{DRIVER_CHECK_WINDOW}-entry correctness window; consolidate before adding more"
+    )
+_ordered.update({n: s for n, s in REGISTRY.items() if s.oracle is None})
+REGISTRY.clear()
+REGISTRY.update(_ordered)
+del _ordered

@@ -189,21 +189,58 @@ def test_ivf_topk_scores_match_exact(spark):
         assert exact[(r["query_id"], r["vec_id"])] == r["cos_sim"]
 
 
-def test_multimodal_stubs_and_real_decode_raises(spark):
+def test_bmp_codec_roundtrip():
+    import numpy as np
     from pyspark_dist_explore_spark.operators import multimodal
 
-    docs = spark.createDataFrame([(1, "hello world"), (2, "spark engine")], ["doc_id", "text"])
-    payload = multimodal.attach_binary_payload(docs, "text", "doc_id")
-    resized = multimodal.resize_images(payload).collect()
-    assert {(r["width"], r["height"]) for r in resized} == {(224, 224)}
-    assert len({r["pixels_hash"] for r in resized}) == 2  # distinct payloads → distinct hashes
-    frames = multimodal.sample_frames(payload, max_frames=3).collect()
-    assert len(frames) == 6  # one-to-many fan-out: 2 docs × 3 frames
-    assert sorted({r["frame_idx"] for r in frames}) == [0, 10, 20]
-    import pytest as _pytest
+    px = multimodal._doc_pixels(7, 0, width=5, height=3)  # odd width → row padding
+    data = multimodal.encode_bmp(px)
+    assert data[:2] == b"BM"
+    decoded = multimodal.decode_bmp(data)
+    assert decoded.shape == (3, 5, 3)
+    assert np.array_equal(decoded, px)
+    # concatenated frames split on the self-declared byte length
+    clip = data + multimodal.encode_bmp(multimodal._doc_pixels(7, 1, 5, 3))
+    frames = multimodal.split_bmp_frames(clip)
+    assert len(frames) == 2 and frames[0] == data
+    # decode_bmp on the clip returns the FIRST frame (trailing bytes ignored)
+    assert np.array_equal(multimodal.decode_bmp(clip), px)
 
-    with _pytest.raises(Exception, match="NotImplementedError|decoding"):
-        multimodal.resize_images(payload, decoder=lambda b: b).collect()
+
+def test_multimodal_real_decode_resize_and_frames(spark):
+    import numpy as np
+    from pyspark_dist_explore_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    payload = multimodal.attach_image_payload(docs, "doc_id", width=16, height=12, n_frames=3)
+    resized = multimodal.resize_images(
+        payload, width=8, height=8, decoder=multimodal.decode_bmp
+    ).collect()
+    assert {(r["width"], r["height"]) for r in resized} == {(8, 8)}
+    # the hash is over the REAL resized pixels — recompute driver-side
+    import hashlib
+
+    expected = {
+        d: hashlib.md5(
+            multimodal.resize_nearest(
+                multimodal._doc_pixels(d, 0, 16, 12), 8, 8
+            ).tobytes()
+        ).hexdigest()
+        for d in (1, 2)
+    }
+    assert {r["doc_id"]: r["pixels_hash"] for r in resized} == expected
+    frames = multimodal.sample_frames(payload, every_n=2, max_frames=3).collect()
+    # 3-frame clips sampled every 2nd frame → frames 0 and 2 per doc
+    assert len(frames) == 4
+    assert sorted({r["frame_idx"] for r in frames}) == [0, 2]
+    f0 = {r["doc_id"]: r["frame_hash"] for r in frames if r["frame_idx"] == 0}
+    assert f0[1] == hashlib.md5(multimodal._doc_pixels(1, 0, 16, 12).tobytes()).hexdigest()
+    # metadata-only fallback still runs for undecodable payloads
+    text_payload = multimodal.attach_binary_payload(
+        spark.createDataFrame([(1, "hello")], ["doc_id", "text"]), "text", "doc_id"
+    )
+    fallback = multimodal.resize_images(text_payload).collect()
+    assert len(fallback) == 1 and fallback[0]["width"] == 224
 
 
 def test_minhash_ml_variant_finds_dups(spark):

@@ -96,3 +96,16 @@ def test_exact_dedup_partial_min(spark):
     plan = _plan(spark, "dedup_exact")
     assert "partial_min" in plan
     assert "Window" not in plan  # min-struct agg replaced the sorted window
+
+
+def test_registry_oracle_queries_inside_driver_window():
+    """The driver records CORRECTNESS rows for the first 50 registry
+    entries only — every oracle-backed query must precede every
+    rows-only query, and there must be ≤ 50 of them."""
+    from pyspark_dist_explore_spark.plans.queries import DRIVER_CHECK_WINDOW
+
+    flags = [spec.oracle is not None for spec in REGISTRY.values()]
+    n_oracle = sum(flags)
+    assert n_oracle <= DRIVER_CHECK_WINDOW
+    assert all(flags[:n_oracle]), "a rows-only query precedes an oracle-backed one"
+    assert not any(flags[n_oracle:]), "an oracle-backed query fell past the window"
