@@ -338,10 +338,13 @@ def minhash_ml_neardup(
     tok = RegexTokenizer(
         inputCol="text", outputCol="toks", pattern=r"\s+", toLowercase=True
     ).transform(base)
+    # MinHashLSH requires ≥1 nonzero feature; a nonempty token list hashes
+    # to a nonzero binary TF vector, so the guard is a JVM-side size check
+    # BEFORE HashingTF — no Python row UDF in the pipeline
+    tok = tok.where(F.size(F.col("toks")) > 0)
     tf = HashingTF(
         inputCol="toks", outputCol="features", numFeatures=num_features, binary=True
     ).transform(tok)
-    tf = tf.where(F.udf(lambda v: v.numNonzeros() > 0, "boolean")("features"))
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     ).fit(tf)

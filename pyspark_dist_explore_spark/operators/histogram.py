@@ -169,6 +169,14 @@ def compute_histogram_dense(
     (including the min/max stats scan) just to enumerate labels already
     held as Python strings.  A series with zero valid rows therefore
     still appears, all-zero — the shape a caller indexes by.
+
+    Degenerate note: for all-constant data (min == max) the sparse
+    histogram follows the reference's RDD semantics — ONE bucket holding
+    every count — so the dense grid shows that count in bucket 0 and
+    zeros in buckets 1..bins-1.  The grid stays ``bins``-long by design
+    (it is driver-known and shape-stable; degeneracy is data-dependent);
+    the reference-shaped single-bucket form lives in
+    ``viz.Histogram.to_pandas``.
     """
     series = _normalize(series, cols)
     sparse = compute_histogram(series, bins=bins, range=range)

@@ -279,6 +279,39 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    *,
+    vec_col: str = "vv",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Unit-normalized Spark ML KMeans centers as (cent_id, cv) rows.
+
+    Data-aware centroids (vs picking arbitrary corpus vectors) keep the
+    inverted lists balanced on clustered real embeddings — recall@k
+    degrades gracefully instead of unpredictably.  Centers are
+    unit-normalized so a bare dot product against unit vectors IS
+    cosine.  At 100 TB fit on a hash-sample first
+    (``F.pmod(F.xxhash64(id), 100) == 0``) — centroid quality needs a
+    sample, not the corpus; the assignment plan below is unchanged.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    centers = []
+    for i, c in enumerate(model.clusterCenters()):
+        arr = np.asarray(c, dtype=float)
+        norm = float(np.linalg.norm(arr))
+        centers.append((i, [float(x) for x in (arr / norm if norm > 0 else arr)]))
+    return vectors.sparkSession.createDataFrame(
+        centers, "cent_id bigint, cv array<double>"
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -293,28 +326,27 @@ def ivf_topk(
     """IVF-style ANN: coarse-quantize into inverted lists, probe the
     ``n_probe`` nearest lists, exact re-rank inside them.
 
-    Centroids are the ``n_centroids`` lowest-id vectors — deterministic
-    and cheap; swap in Spark ML KMeans centers for better recall (the
-    list assignment / probe plan below is unchanged).  At scale each
-    query scans ~``n_probe/n_centroids`` of the corpus instead of all of
-    it, and the inverted lists are the shuffle key.
+    Centroids come from seeded Spark ML KMeans (:func:`kmeans_centroids`).
+    At scale each query scans ~``n_probe/n_centroids`` of the corpus
+    instead of all of it, and the inverted lists are the shuffle key.
     """
     v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
-    cents = F.broadcast(
-        v.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("cent_id"), F.col("vv").alias("cv"))
-    )
-    # assign every vector to its nearest centroid (rank 1 of a tiny window)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("cent_id").asc()
-    )
+    cents = F.broadcast(kmeans_centroids(v, n_centroids))
+    # nearest-centroid assignment as max_by aggregation: map-side partial
+    # aggregation collapses the n_centroids× replicated crossJoin output
+    # back to N rows BEFORE the shuffle (a row_number window here would
+    # shuffle the full replicated corpus just to pick each vector's max)
     assigned = (
         v.crossJoin(cents)
         .select("vec_id", "vv", "cent_id", _dot_arrow(F.col("vv"), F.col("cv")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "vv", "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cent_id", "vv"),
+                F.struct(F.col("sim"), (-F.col("cent_id")).alias("neg_cent")),
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.vv").alias("vv"), F.col("best.cent_id").alias("cent_id"))
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")

@@ -174,6 +174,95 @@ def winnowing_fingerprints(
     return fps
 
 
+# --------------------------------------------------------------------------
+# Text vectorization (X5 second half): term frequencies + TF-IDF
+# --------------------------------------------------------------------------
+
+
+def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, term, tf) — raw per-document term counts.
+
+    Relational CountVectorizer: explode whitespace tokens of the
+    normalized text, hash-aggregate by (doc, term).  One shuffle whose
+    key cardinality is Σ distinct terms per doc; partial counts combine
+    map-side.  No vocabulary fit/broadcast step (terms stay strings, not
+    indices), so the operator is a single pass at any corpus size.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc_id, term, tf, df_t, tfidf) — smoothed TF-IDF weights.
+
+    ``idf = ln((N + 1) / (df_t + 1)) + 1`` (sklearn's smooth_idf shape:
+    never zero, never divides by zero).  Document frequencies are a
+    second hash aggregate over the tf rows; the idf join is by term —
+    at scale the df side is vocabulary-sized (≪ corpus), so AQE
+    broadcasts it.  ``tfidf`` is rounded to 6 (ln differs in the last
+    ulp across engines).
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    # corpus size as a lazy 1-row broadcast (never .count() on the driver)
+    n = df.agg(F.count_distinct(F.col(id_col)).cast("double").alias("n_docs"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))  # tf rows are distinct per (doc, term)
+        .where(F.col("df_t") >= min_df)
+    )
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_t",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_doc_vectors(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: list[str],
+) -> DataFrame:
+    """(doc_id, vec: array<double>) — dense L2-normalized TF-IDF vectors
+    over a driver-known vocabulary, ready for the similarity operators
+    (:mod:`operators.similarity` expects array columns).
+
+    The vocabulary must be driver-small (it defines the dense dimension);
+    derive it from ``tfidf(...)`` top-N terms.  Pivot is map-side
+    (conditional aggregation per vocab slot), one shuffle by doc_id.
+    """
+    w = tfidf(df, text_col, id_col)
+    slots = [
+        F.sum(F.when(F.col("term") == t, F.col("tfidf")).otherwise(F.lit(0.0))).alias(f"_v{i}")
+        for i, t in enumerate(vocab)
+    ]
+    wide = w.groupBy("doc_id").agg(*slots)
+    vec = F.array(*[F.col(f"_v{i}") for i in range(len(vocab))])
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.transform(vec, lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)))
+    return wide.select("doc_id", unit.alias("vec"))
+
+
 def doc_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprint (md5 of normalized text) + duplicate-group stats."""
     return (

@@ -27,11 +27,15 @@ from pyspark_dist_explore_spark.sources.tables import load_table
 @register(
     "join_semi_anti",
     """
-SELECT c_custkey, 'has_urgent' AS status FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT c_custkey, 'has_urgent' AS status FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
 UNION ALL
-SELECT c_custkey, 'no_urgent' AS status FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+-- NOT EXISTS, not NOT IN: a NULL o_custkey would make NOT IN return zero
+-- rows while Spark's left_anti keeps unmatched customers
+SELECT c_custkey, 'no_urgent' AS status FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
 """,
 )
 def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:

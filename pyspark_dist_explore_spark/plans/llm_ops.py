@@ -169,24 +169,28 @@ def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X4: similarity search over embeddings
 # --------------------------------------------------------------------------
 
-_COS = "list_dot_product({a}, {b})"
-
-
-def _cosine_sql(a: str, b: str) -> str:
-    return (
-        f"round({_COS.format(a=a, b=b)} / "
-        f"(sqrt({_COS.format(a=a, b=a)}) * sqrt({_COS.format(a=b, b=b)})), 6)"
-    )
+# Unit-normalize then dot — the SAME arithmetic shape as the Spark side
+# (similarity._unit + dot of unit vectors), so hash parity does not rely
+# on round(...,6) absorbing a different operation order.  Zero-norm
+# vectors normalize to all-zeros (cosine 0 vs everything), mirroring the
+# Spark guard and avoiding DuckDB's divide-by-zero.
+_UNIT = (
+    "CASE WHEN sqrt(list_dot_product({v}, {v})) > 0 "
+    "THEN list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v}))) "
+    "ELSE list_transform({v}, x -> 0.0) END"
+)
+_UNIT_CTE = f"u AS (SELECT vec_id, {_UNIT.format(v='ve')} AS uv FROM v)"
 
 
 @register(
     "vector_topk_exact",
     f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+{_UNIT_CTE},
+q AS (SELECT vec_id AS query_id, uv AS qv FROM u WHERE vec_id < 5),
 scored AS (
-  SELECT q.query_id, v.vec_id, {_cosine_sql('qv', 've')} AS cos_sim
-  FROM v, q WHERE v.vec_id <> q.query_id
+  SELECT q.query_id, u.vec_id, round(list_dot_product(qv, uv), 6) AS cos_sim
+  FROM u, q WHERE u.vec_id <> q.query_id
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim FROM (
   SELECT query_id, vec_id, cos_sim,
@@ -210,10 +214,12 @@ _COS_THRESHOLD = 0.45
 @register(
     "vector_neardup_pairs",
     f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql('a.ve', 'b.ve')} AS cos_sim
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {_cosine_sql('a.ve', 'b.ve')} >= {_COS_THRESHOLD}
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+{_UNIT_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.uv, b.uv), 6) AS cos_sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.uv, b.uv), 6) >= {_COS_THRESHOLD}
 """,
 )
 def q_vector_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,6 +356,53 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID with deterministic argmax."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.language_id(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# X5 second half: text vectorization (term frequencies + TF-IDF)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_tf",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+  FROM documents
+)
+SELECT doc_id, term, count(*) AS tf
+FROM tok WHERE term <> '' GROUP BY doc_id, term
+""",
+)
+def q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational CountVectorizer: per-document term frequencies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.term_frequencies(docs, "text", "doc_id")
+
+
+@register(
+    "text_tfidf",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+       round(tf.tf * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0), 6) AS tfidf
+FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+""",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF weights (idf = ln((N+1)/(df+1)) + 1), rounded to 6
+    — ln is within-ulp across engines, absorbed by the rounding grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.tfidf(docs, "text", "doc_id")
 
 
 # --------------------------------------------------------------------------

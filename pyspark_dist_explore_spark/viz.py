@@ -44,6 +44,7 @@ class Histogram:
         self.range = range
         self.series: list[Series] = []
         self._result: pd.DataFrame | None = None
+        self._result_key: tuple | None = None  # (bins, range) the cache was built with
         self._edges: np.ndarray | None = None  # numeric bin edges of the last build
 
     # -- registration (driver-side metadata only; no Spark job) ------------
@@ -92,12 +93,26 @@ class Histogram:
         return np.linspace(lo, hi, self.bins + 1)
 
     def to_pandas(self, kind: str = "hist") -> pd.DataFrame:
-        """R13: counts (or densities) as pandas, bin-label index ``"lo - hi"``."""
-        if self._result is None:
+        """R13: counts (or densities) as pandas, bin-label index ``"lo - hi"``.
+
+        Degenerate all-constant data yields ONE bucket ``[minv, maxv]``
+        (the reference's RDD-histogram semantics).  Note ``build()``
+        intentionally differs: its dense grid is a fixed ``bins``-length
+        shape callers index positionally, so constant data appears there
+        as ``bins`` buckets with the count in bucket 0.
+
+        The cached result is keyed on ``(bins, range)`` — mutating either
+        after a build transparently recomputes instead of returning stale
+        counts.
+        """
+        key = (self.bins, self.range)
+        if self._result is None or self._result_key != key:
             from pyspark_dist_explore_spark.operators.histogram import compute_histogram
 
-            sparse = compute_histogram(self.series, bins=self.bins, range=self.range).toPandas()
-            self._result = sparse
+            self._result = compute_histogram(
+                self.series, bins=self.bins, range=self.range
+            ).toPandas()
+            self._result_key = key
         sparse = self._result
         if sparse.empty:
             return pd.DataFrame()
@@ -147,15 +162,19 @@ class Histogram:
                     **kwargs,
                 )
         if formatted_yaxis:
-            from matplotlib.ticker import FuncFormatter
+            try:
+                from matplotlib.ticker import FuncFormatter
+            except ImportError:  # matplotlib-free ax stand-ins skip formatting
+                FuncFormatter = None
+            if FuncFormatter is not None:
 
-            def fmt(x, _pos):
-                for div, suf in ((1e9, "B"), (1e6, "M"), (1e3, "K")):
-                    if abs(x) >= div:
-                        return f"{x / div:.1f}{suf}"
-                return f"{x:.0f}"
+                def fmt(x, _pos):
+                    for div, suf in ((1e9, "B"), (1e6, "M"), (1e3, "K")):
+                        if abs(x) >= div:
+                            return f"{x / div:.1f}{suf}"
+                    return f"{x:.0f}"
 
-            ax.yaxis.set_major_formatter(FuncFormatter(fmt))
+                ax.yaxis.set_major_formatter(FuncFormatter(fmt))
         ax.legend()
         return ax
 

@@ -189,6 +189,42 @@ def test_ivf_topk_scores_match_exact(spark):
         assert exact[(r["query_id"], r["vec_id"])] == r["cos_sim"]
 
 
+def test_ivf_recall_at_5(spark):
+    """IVF recall probe with KMeans centroids.
+
+    The synthetic embeddings are near-isotropic (mean pairwise cos ≈ 0,
+    no cluster structure), the worst case for ANY partitioning ANN —
+    measured recall@5 here is ~0.57 @ n_probe=4 and ~0.92 @ n_probe=10
+    (a prior 0.85 @ n_probe=4 figure was an artifact of the query
+    vectors themselves being the data-blind centroids).  So the test
+    pins (a) floors per probe width, (b) monotone improvement, and
+    (c) the exactness invariant: probing EVERY list must reproduce the
+    exact top-5 bit-for-bit (recall 1.0) — the end-to-end correctness
+    check of assignment + probe + re-rank.
+    """
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in similarity.exact_topk(emb, q, k=5).collect()
+    }
+
+    def recall(n_probe: int) -> float:
+        ivf = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ivf_topk(
+                emb, q, k=5, n_centroids=16, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact & ivf) / len(exact)
+
+    r4, r8, r16 = recall(4), recall(8), recall(16)
+    assert r4 >= 0.5, f"recall@5(n_probe=4)={r4:.3f}"
+    assert r8 >= r4 and r8 >= 0.75, f"recall@5(n_probe=8)={r8:.3f}"
+    assert r16 == 1.0, f"full probe must equal exact, got {r16:.3f}"
+
+
 def test_bmp_codec_roundtrip():
     import numpy as np
     from pyspark_dist_explore_spark.operators import multimodal
@@ -241,6 +277,53 @@ def test_multimodal_real_decode_resize_and_frames(spark):
     )
     fallback = multimodal.resize_images(text_payload).collect()
     assert len(fallback) == 1 and fallback[0]["width"] == 224
+
+
+def test_tfidf_matches_sklearn_shape(spark):
+    """Smoothed-idf formula check against a tiny hand-computed corpus."""
+    import math
+
+    from pyspark_dist_explore_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "cat sat"), (2, "cat ran"), (3, "dog ran ran")], ["doc_id", "text"]
+    )
+    rows = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df_t"], r["tfidf"])
+        for r in textstats.tfidf(docs, "text", "doc_id").collect()
+    }
+    # 'cat' appears in 2 of 3 docs; 'ran' tf=2 in doc 3
+    assert rows[(1, "cat")][0:2] == (1, 2)
+    assert rows[(3, "ran")][0:2] == (2, 2)
+    idf_ran = math.log((3 + 1) / (2 + 1)) + 1
+    assert rows[(3, "ran")][2] == round(2 * idf_ran, 6)
+
+
+def test_tfidf_vectors_feed_similarity(spark):
+    """tfidf_doc_vectors output plugs straight into the similarity ops."""
+    from pyspark_dist_explore_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine shuffles data fast"),
+            (2, "spark engine shuffles data fast"),  # exact dup of 1
+            (3, "completely different words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    vocab = sorted(
+        {r["term"] for r in textstats.term_frequencies(docs, "text", "doc_id").collect()}
+    )
+    vecs = textstats.tfidf_doc_vectors(docs, "text", "doc_id", vocab)
+    pairs = similarity.cosine_neardup_pairs(
+        vecs, threshold=0.99, id_col="doc_id", vec_col="vec", n_blocks=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    # unit-normalized: every non-empty doc vector has L2 norm 1
+    import numpy as np
+
+    for r in vecs.collect():
+        assert abs(np.linalg.norm(r["vec"]) - 1.0) < 1e-9
 
 
 def test_minhash_ml_variant_finds_dups(spark):

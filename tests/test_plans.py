@@ -98,6 +98,36 @@ def test_exact_dedup_partial_min(spark):
     assert "Window" not in plan  # min-struct agg replaced the sorted window
 
 
+def test_ivf_assignment_map_side_partial(spark):
+    """Nearest-centroid assignment must be a max_by aggregate (map-side
+    partial collapses the replicated crossJoin before the shuffle), never
+    a row_number window over the replicated corpus."""
+    plan = _plan(spark, "vector_ivf_topk")
+    assert "partial_max_by" in plan
+    # the only row_number windows left are per-QUERY (probe pick + final
+    # rank) — none may partition by the corpus vec_id
+    for line in plan.splitlines():
+        if "row_number()" in line and "Arguments" in line:
+            assert "query_id" in line and "[vec_id" not in line
+
+
+def test_minhash_ml_no_python_row_udf(spark):
+    """The ML MinHashLSH pipeline must stay JVM-side — empty-vector
+    filtering via F.size(toks), not a pickled per-row UDF."""
+    import contextlib
+    import io
+
+    from pyspark_dist_explore_spark.operators import dedup
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").where("doc_id < 50")
+    df = dedup.minhash_ml_neardup(docs, "text", "doc_id", threshold=0.8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "BatchEvalPython" not in buf.getvalue()
+
+
 def test_registry_oracle_queries_inside_driver_window():
     """The driver records CORRECTNESS rows for the first 50 registry
     entries only — every oracle-backed query must precede every
