@@ -263,6 +263,45 @@ def tfidf_doc_vectors(
     return wide.select("doc_id", unit.alias("vec"))
 
 
+def word2vec_embeddings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    vector_size: int = 16,
+    min_count: int = 1,
+    seed: int = 42,
+    max_iter: int = 1,
+) -> DataFrame:
+    """(doc_id, vec: array<double>) — Spark ML Word2Vec document vectors
+    (average of word vectors), seeded for reproducibility.
+
+    Closes SURVEY §2.2 X5's ``Word2Vec`` mapping ($PYSPARK/ml/feature.py
+    Word2Vec).  Training is iterative (not a one-pass SQL plan) — at
+    scale fit on a corpus sample and ``transform`` the full table; the
+    transform itself is a map-side lookup join, embarrassingly parallel.
+    Output plugs into :mod:`operators.similarity` like any embedding
+    column.
+    """
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") > 0)
+    model = Word2Vec(
+        inputCol="toks",
+        outputCol="w2v",
+        vectorSize=vector_size,
+        minCount=min_count,
+        seed=seed,
+        maxIter=max_iter,
+    ).fit(toks)
+    return model.transform(toks).select(
+        "doc_id", vector_to_array(F.col("w2v")).alias("vec")
+    )
+
+
 def doc_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprint (md5 of normalized text) + duplicate-group stats."""
     return (

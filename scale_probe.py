@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""10× scale probes for the bucketed LLM-pipeline operators (BASELINE.md).
+
+Each probe runs an operator at 1× and 10× of the sf0.1 corpus and prints
+wall time + output/candidate counts.  The 10× corpora are built by
+union-ing id-remapped copies that stay DISJOINT in the operator's key
+space (shifted orderkeys / copy-prefixed tokens / remapped vec_ids), so
+measured growth reflects the operator's scaling shape — the bucketed
+paths should grow ~linearly, never quadratically.
+
+Usage: python scale_probe.py  [SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1]
+Prints one JSON line per probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def timed(df: DataFrame) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = df.count()
+    return round(time.perf_counter() - t0, 3), n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark_dist_explore_spark.operators import dedup, similarity
+
+    # -- dedup_exact: 600k → 6M lineitem rows, key space scaled 10× --------
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li10 = reduce(
+        DataFrame.unionAll,
+        [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000))
+            for i in range(10)
+        ],
+    )
+    ties = ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"]
+    t1, n1 = timed(dedup.exact_dedup(li, ["l_orderkey"], ties))
+    t10, n10 = timed(dedup.exact_dedup(li10, ["l_orderkey"], ties))
+    print(json.dumps({"probe": "dedup_exact", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
+
+    # -- minhash LSH candidates: 10× docs, token spaces disjoint per copy --
+    # (copy-prefixing every token keeps each copy's near-dup structure but
+    # makes buckets disjoint across copies — candidate growth measures the
+    # banding, not the synthetic corpus's everything-matches-everything
+    # degeneracy)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs10 = reduce(
+        DataFrame.unionAll,
+        [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                F.concat(
+                    F.lit(f"x{i} "), F.regexp_replace(F.col("text"), " ", f" x{i}")
+                ).alias("text"),
+            )
+            for i in range(10)
+        ],
+    )
+    t1, n1 = timed(dedup.minhash_candidates(docs, "text", "doc_id",
+                                            num_hashes=32, bands=8, shingle_n=1))
+    t10, n10 = timed(dedup.minhash_candidates(docs10, "text", "doc_id",
+                                              num_hashes=32, bands=8, shingle_n=1))
+    print(json.dumps({"probe": "minhash_lsh_candidates", "t_1x": t1, "t_10x": t10,
+                      "cands_1x": n1, "cands_10x": n10, "ratio": round(t10 / t1, 2)}))
+
+    # -- IVF top-k: 10× vectors, same 20 queries ---------------------------
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb10 = reduce(
+        DataFrame.unionAll,
+        [emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000)) for i in range(10)],
+    )
+    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    t1, n1 = timed(similarity.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4))
+    t10, n10 = timed(similarity.ivf_topk(emb10, q, k=5, n_centroids=16, n_probe=4))
+    print(json.dumps({"probe": "vector_ivf_topk", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

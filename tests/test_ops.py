@@ -326,6 +326,32 @@ def test_tfidf_vectors_feed_similarity(spark):
         assert abs(np.linalg.norm(r["vec"]) - 1.0) < 1e-9
 
 
+def test_word2vec_doc_vectors(spark):
+    """Seeded Word2Vec doc vectors: right shape, deterministic, and exact
+    dups get identical vectors (average of the same word vectors)."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine shuffles data fast"),
+            (2, "spark engine shuffles data fast"),
+            (3, "totally unrelated words appear here"),
+        ],
+        ["doc_id", "text"],
+    )
+    vecs = {
+        r["doc_id"]: np.array(r["vec"])
+        for r in textstats.word2vec_embeddings(
+            docs, "text", "doc_id", vector_size=8
+        ).collect()
+    }
+    assert set(vecs) == {1, 2, 3}
+    assert all(v.shape == (8,) for v in vecs.values())
+    assert np.allclose(vecs[1], vecs[2])  # identical docs → identical vectors
+
+
 def test_minhash_ml_variant_finds_dups(spark):
     out = dedup.minhash_ml_neardup(_docs(spark), "text", "doc_id", threshold=0.7).collect()
     found = {(r["doc_a"], r["doc_b"]) for r in out}
