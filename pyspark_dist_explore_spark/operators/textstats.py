@@ -137,41 +137,47 @@ def winnowing_fingerprints(
     ~1/window of the grams.  Output: (doc_id, fingerprint) distinct rows
     — join on fingerprint to find copied passages.
 
-    Execution shape: one projection builds the per-doc gram-hash array
-    (single pass), ``posexplode`` flattens to (doc_id, idx, hash) rows,
-    and the window minimum is a sliding-frame ``min() OVER (PARTITION BY
-    doc ORDER BY idx ROWS BETWEEN CURRENT AND window-1 FOLLOWING)`` —
-    O(n) vectorized rows.  (A nested ``transform(win, i ->
-    array_min(slice(hashes, i, w)))`` re-inlines the whole hash-array
-    expression per window element — quadratic re-evaluation, 80× slower
-    at 5k docs.)  The only shuffles: by doc_id for the window, and the
-    final distinct.
+    Execution shape: ``posexplode`` the token stream once, then build
+    each gram RELATIONALLY as ``concat_ws(tok, lead(tok,1) …
+    lead(tok,k-1))`` — the lead window and the sliding fingerprint
+    minimum share the same ``(doc_id, idx)`` partitioning+sort, so the
+    whole operator is ONE shuffle + one sort + the final distinct.
+    (Earlier formulations measured on 5k docs @ sf0.1: nested
+    ``transform(win, i -> array_min(slice(...)))`` 80× slower —
+    quadratic re-evaluation; per-gram ``slice``+``concat_ws`` over a
+    token array 4.5× slower — O(n·k) array work outside the window.)
+    Docs shorter than ``k`` tokens produce one whole-doc gram
+    (``concat_ws`` skips the NULL leads), matching slice semantics.
     """
     from pyspark.sql import Window
 
-    toks = tokens(F.col(text_col))
-    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("idx", "tok"),
+    ).where(F.col("tok") != "")
+    w_ord = Window.partitionBy("doc_id").orderBy("idx")
+    gram = F.concat_ws(" ", F.col("tok"), *[F.lead("tok", j).over(w_ord) for j in range(1, k)])
+    n_tok = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    grams = toks.select(
+        "doc_id",
+        "idx",
+        F.xxhash64(gram).alias("h"),
+        n_tok.alias("n_tok"),
+    ).where(
+        (F.col("idx") <= F.col("n_tok") - k)  # full k-grams
+        | ((F.col("n_tok") < k) & (F.col("idx") == 0))  # short doc: one gram
     )
-    grams = df.select(F.col(id_col).alias("doc_id"), F.posexplode(hashes).alias("idx", "h"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("idx")
-        .rowsBetween(Window.currentRow, window - 1)
+    w_min = Window.partitionBy("doc_id").orderBy("idx").rowsBetween(
+        Window.currentRow, window - 1
     )
-    with_count = grams.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
-    fps = (
-        with_count.withColumn("fp", F.min("h").over(w))
-        # full windows only — plus idx 0 when the doc is shorter than one window
-        .where((F.col("idx") <= F.col("n") - window) | (F.col("idx") == 0))
+    return (
+        grams.withColumn("fp", F.min("h").over(w_min))
+        # full windows only — plus idx 0 when the doc has fewer grams
+        # than one window (n_grams = n_tok - k + 1)
+        .where((F.col("idx") <= F.col("n_tok") - k - (window - 1)) | (F.col("idx") == 0))
         .select("doc_id", F.col("fp").alias("fingerprint"))
         .distinct()
     )
-    return fps
 
 
 # --------------------------------------------------------------------------

@@ -172,6 +172,27 @@ def test_winnowing_shared_passage_detected(spark):
     assert not (by_doc[1] & by_doc[3])
 
 
+def test_winnowing_short_and_exact_dup_docs(spark):
+    """Docs shorter than k tokens yield exactly ONE whole-doc gram
+    fingerprint; exact-dup docs yield identical fingerprint sets."""
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny doc"),  # 2 tokens < k=5
+            (2, "tiny doc"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+            (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = textstats.winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert len(by_doc[1]) == 1 and by_doc[1] == by_doc[2]
+    assert by_doc[3] == by_doc[4] and len(by_doc[3]) >= 1
+    assert not (by_doc[1] & by_doc[3])
+
+
 def test_ivf_topk_scores_match_exact(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 3).select(
