@@ -98,6 +98,18 @@ def test_exact_dedup_partial_min(spark):
     assert "Window" not in plan  # min-struct agg replaced the sorted window
 
 
+def test_winnowing_single_shuffle(spark):
+    """Gram construction (lead), gram count, and the sliding minimum all
+    share one (doc_id, idx) sort, and the final distinct reuses the
+    doc_id hash partitioning — the whole operator is ONE exchange."""
+    plan = _plan(spark, "text_winnowing_fp")
+    assert "CartesianProduct" not in plan
+    n_exchange = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}"
+
+
 def test_ivf_assignment_map_side_partial(spark):
     """Nearest-centroid assignment must be a max_by aggregate (map-side
     partial collapses the replicated crossJoin before the shuffle), never

@@ -117,3 +117,23 @@ def test_user_range_matches_numpy(spark, values, lo, hi):
     expected_counts, _ = np.histogram(arr, bins=4, range=(lo, hi))
     expected = {i: int(c) for i, c in enumerate(expected_counts) if c}
     assert got == expected
+
+
+# -- BMP codec property: encode/decode round-trips any RGB image ----------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=17),
+    h=st.integers(min_value=1, max_value=13),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_codec_roundtrip_property(w, h, seed):
+    from pyspark_dist_explore_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = multimodal.encode_bmp(px)
+    assert np.array_equal(multimodal.decode_bmp(data), px)
+    # concatenated frames always split back on declared lengths
+    frames = multimodal.split_bmp_frames(data + data + data)
+    assert len(frames) == 3 and all(f == data for f in frames)
