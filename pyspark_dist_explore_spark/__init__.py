@@ -35,12 +35,23 @@ from pyspark_dist_explore_spark.operators.similarity import (
     exact_topk,
     ivf_topk,
 )
+from pyspark_dist_explore_spark.operators.multimodal import (
+    decode_bmp,
+    encode_bmp,
+    resize_images,
+    sample_frames,
+)
+from pyspark_dist_explore_spark.operators.sampling import hash_split, stratified_sample
 from pyspark_dist_explore_spark.operators.stats import describe_exact, histogram_approx
 from pyspark_dist_explore_spark.operators.textstats import (
     language_id,
     quality_score,
+    term_frequencies,
     text_stats,
+    tfidf,
+    tfidf_doc_vectors,
     winnowing_fingerprints,
+    word2vec_embeddings,
 )
 from pyspark_dist_explore_spark.streaming.histogram_stream import (
     stream_dedup,
@@ -83,6 +94,18 @@ __all__ = [
     "quality_score",
     "language_id",
     "winnowing_fingerprints",
+    "term_frequencies",
+    "tfidf",
+    "tfidf_doc_vectors",
+    "word2vec_embeddings",
+    # multimodal
+    "encode_bmp",
+    "decode_bmp",
+    "resize_images",
+    "sample_frames",
+    # sampling
+    "hash_split",
+    "stratified_sample",
     # streaming
     "stream_windowed_histogram",
     "stream_dedup",
