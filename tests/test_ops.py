@@ -300,6 +300,37 @@ def test_multimodal_real_decode_resize_and_frames(spark):
     assert len(fallback) == 1 and fallback[0]["width"] == 224
 
 
+def test_minhash_verify_agrees_with_exact_jaccard(spark):
+    """Cross-operator consistency: every LSH-verified near-dup pair must
+    carry the SAME jaccard value the exact all-pairs operator computes,
+    and be a subset of it (banding can only miss pairs, never invent or
+    mis-score them)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "entirely unrelated content goes right here now"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_neardup(
+            docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=16, shingle_n=1
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+    assert (1, 5) in lsh and lsh[(1, 5)] == 1.0  # identical docs always collide
+
+
 def test_tfidf_matches_sklearn_shape(spark):
     """Smoothed-idf formula check against a tiny hand-computed corpus."""
     import math
