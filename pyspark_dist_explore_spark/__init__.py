@@ -36,8 +36,11 @@ from pyspark_dist_explore_spark.operators.similarity import (
     ivf_topk,
 )
 from pyspark_dist_explore_spark.operators.multimodal import (
+    audio_features,
     decode_bmp,
+    decode_wav,
     encode_bmp,
+    encode_wav,
     resize_images,
     sample_frames,
 )
@@ -101,8 +104,11 @@ __all__ = [
     # multimodal
     "encode_bmp",
     "decode_bmp",
+    "encode_wav",
+    "decode_wav",
     "resize_images",
     "sample_frames",
+    "audio_features",
     # sampling
     "hash_split",
     "stratified_sample",

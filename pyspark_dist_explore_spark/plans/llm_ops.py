@@ -262,6 +262,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.join(frames, "doc_id")
 
 
+@register("multimodal_audio", None)  # Python-side WAV decode → rows-only
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode path: deterministic PCM-16 WAV payloads decoded by the
+    pure-stdlib RIFF walker, 2× decimated, duration/RMS/peak extracted
+    map-side."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    payload = multimodal.attach_audio_payload(docs, "doc_id")
+    return multimodal.audio_features(payload, every_n=2)
+
+
 @register("vector_ann_lsh", None)  # hash-derived hyperplanes → rows-only
 def q_vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via random-hyperplane LSH buckets + exact re-rank."""

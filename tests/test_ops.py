@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 import statistics
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyspark_dist_explore_spark.operators import dedup, similarity, stats, textstats
@@ -262,6 +263,30 @@ def test_bmp_codec_roundtrip():
     assert len(frames) == 2 and frames[0] == data
     # decode_bmp on the clip returns the FIRST frame (trailing bytes ignored)
     assert np.array_equal(multimodal.decode_bmp(clip), px)
+
+
+def test_wav_codec_roundtrip_and_audio_features(spark):
+    import numpy as np
+    from pyspark_dist_explore_spark.operators import multimodal
+
+    samples = multimodal._doc_samples(7, 1000)
+    data = multimodal.encode_wav(samples, 8000)
+    rate, decoded = multimodal.decode_wav(data)
+    assert rate == 8000 and np.array_equal(decoded, samples)
+
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    payload = multimodal.attach_audio_payload(docs, "doc_id", n_samples=1000)
+    feats = {r["doc_id"]: r for r in multimodal.audio_features(payload).collect()}
+    for d in (1, 2):
+        s = multimodal._doc_samples(d, 1000).astype(float)
+        assert feats[d]["n_samples"] == 1000
+        assert feats[d]["duration_s"] == 1000 / 8000
+        assert feats[d]["rms"] == pytest.approx(float(np.sqrt(np.mean(s * s))))
+        assert feats[d]["peak"] == int(np.max(np.abs(s)))
+    # decimation halves the sample count and rate (duration preserved)
+    half = {r["doc_id"]: r for r in multimodal.audio_features(payload, every_n=2).collect()}
+    assert half[1]["n_samples"] == 500 and half[1]["sample_rate"] == 4000
+    assert half[1]["duration_s"] == feats[1]["duration_s"]
 
 
 def test_multimodal_real_decode_resize_and_frames(spark):
