@@ -67,6 +67,25 @@ def test_salted_join_correctness(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_no_driver_materialization_in_engine_source():
+    """The engine never .collect()s or .toPandas()es data: operators
+    return lazy DataFrames, aggregates stay bounded.  The ONLY allowed
+    driver materialization is viz.py's ≤ bins×series pandas conversion —
+    the reference-compatible client edge."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "pyspark_dist_explore_spark"
+    offenders = []
+    for p in sorted(root.rglob("*.py")):
+        if p.name == "viz.py":
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".collect()" in code or ".toPandas()" in code:
+                offenders.append(f"{p.relative_to(root)}:{i}")
+    assert not offenders, f"driver materialization in engine source: {offenders}"
+
+
 def test_salted_join_spreads_hot_key(spark):
     big = spark.range(0, 1000).select(
         F.lit(0).alias("k"), F.col("id").alias("payload")
