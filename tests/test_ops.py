@@ -436,6 +436,28 @@ def test_minhash_ml_variant_finds_dups(spark):
     assert all(4 not in p for p in found)
 
 
+def test_approx_sketches_within_error_bounds(spark):
+    """The approximate sketches (X7c) stay inside their published error
+    envelopes against exact answers on real data — the accuracy check the
+    rows-only driver entry can't provide."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    exact_distinct = li.select("l_orderkey").distinct().count()
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("acd"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_exact"),
+    ).collect()[0]
+    assert abs(approx["acd"] - exact_distinct) / exact_distinct < 0.05  # 2% rsd, 2.5σ slack
+    # percentile_approx with high accuracy lands within one quantity unit
+    assert abs(approx["p50_approx"] - approx["p50_exact"]) <= 1.0
+
+    hist = stats.histogram_approx(li, "l_extendedprice", bins=20).collect()
+    n_valid = li.where(F.col("l_extendedprice").isNotNull()).count()
+    assert sum(r["weight"] for r in hist) == pytest.approx(n_valid)  # weights conserve mass
+    centers = [r["center"] for r in hist]
+    assert centers == sorted(centers)  # adaptive bins come out ordered
+
+
 def test_kde_curve_integrates_to_one(spark):
     import numpy as np
     from pyspark_dist_explore_spark.operators.histogram import compute_kde
