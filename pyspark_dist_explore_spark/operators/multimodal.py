@@ -98,6 +98,12 @@ def split_bmp_frames(data: bytes) -> list[bytes]:
         magic, file_size = struct.unpack_from("<2sI", data, pos)
         if magic != b"BM" or file_size <= 0:
             raise ValueError(f"corrupt frame boundary at byte {pos}")
+        if pos + file_size > len(data):
+            # slicing would silently clamp and return a corrupt final frame
+            raise ValueError(
+                f"truncated frame at byte {pos}: declares {file_size} bytes, "
+                f"{len(data) - pos} remain"
+            )
         frames.append(bytes(view[pos : pos + file_size]))
         pos += file_size
     return frames
@@ -273,9 +279,12 @@ def extract_features(
             if decode is not None:
                 extra = payloads.map(lambda b: decode(bytes(b)))
                 for k in FEATURE_SCHEMA.fieldNames():
+                    if k == "doc_id":  # identity column: decode can't override
+                        continue
                     vals = extra.map(lambda d, k=k: d.get(k))
-                    if vals.notna().any():
-                        out[k] = vals
+                    # merge per-ROW: rows whose decode dict lacks this key keep
+                    # the default value instead of going NULL in a mixed batch
+                    out[k] = vals.where(vals.notna(), out[k])
             yield out
 
     return binary_df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
@@ -356,13 +365,15 @@ def audio_features(
                    "duration_s": [], "rms": [], "peak": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rate, samples = decoder(bytes(payload))
-                rate = rate // max(every_n, 1) or 1
-                samples = samples[:: max(every_n, 1)]
+                step = max(every_n, 1)
+                samples = samples[::step]
                 x = samples.astype(np.float64)
                 out["doc_id"].append(doc_id)
-                out["sample_rate"].append(rate)
+                out["sample_rate"].append(rate // step or 1)
                 out["n_samples"].append(len(samples))
-                out["duration_s"].append(len(samples) / rate)
+                # duration from the ORIGINAL rate: integer-divided rates are
+                # inexact when every_n doesn't divide the sample rate
+                out["duration_s"].append(len(samples) * step / rate)
                 out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
                 out["peak"].append(int(np.max(np.abs(samples))) if len(samples) else 0)
             yield pd.DataFrame(out)

@@ -272,9 +272,15 @@ DRIVER_CHECK_WINDOW = 50
 _ordered = {n: s for n, s in REGISTRY.items() if s.oracle is not None}
 _n_oracle = len(_ordered)
 if _n_oracle > DRIVER_CHECK_WINDOW:  # pragma: no cover - guarded by tests
-    raise RuntimeError(
+    # warn, don't raise: an import-time RuntimeError would make the whole
+    # package unimportable; test_registry_within_driver_window enforces it
+    import warnings
+
+    warnings.warn(
         f"{_n_oracle} oracle-backed queries exceed the driver's "
-        f"{DRIVER_CHECK_WINDOW}-entry correctness window; consolidate before adding more"
+        f"{DRIVER_CHECK_WINDOW}-entry correctness window; consolidate before adding more",
+        RuntimeWarning,
+        stacklevel=2,
     )
 _ordered.update({n: s for n, s in REGISTRY.items() if s.oracle is None})
 REGISTRY.clear()

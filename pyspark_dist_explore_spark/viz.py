@@ -101,11 +101,12 @@ class Histogram:
         shape callers index positionally, so constant data appears there
         as ``bins`` buckets with the count in bucket 0.
 
-        The cached result is keyed on ``(bins, range)`` — mutating either
-        after a build transparently recomputes instead of returning stale
-        counts.
+        The cached result is keyed on ``(bins, range, #series)`` —
+        mutating any of them (including ``add_column``/``add_data`` after
+        a build) transparently recomputes instead of returning stale
+        counts that omit the new series.
         """
-        key = (self.bins, self.range)
+        key = (self.bins, self.range, len(self.series))
         if self._result is None or self._result_key != key:
             from pyspark_dist_explore_spark.operators.histogram import compute_histogram
 

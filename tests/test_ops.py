@@ -263,6 +263,10 @@ def test_bmp_codec_roundtrip():
     assert len(frames) == 2 and frames[0] == data
     # decode_bmp on the clip returns the FIRST frame (trailing bytes ignored)
     assert np.array_equal(multimodal.decode_bmp(clip), px)
+    # a frame whose declared size overruns the buffer raises instead of
+    # silently returning a truncated (corrupt) final frame
+    with pytest.raises(ValueError, match="truncated frame"):
+        multimodal.split_bmp_frames(clip[:-10])
 
 
 def test_wav_codec_roundtrip_and_audio_features(spark):
@@ -287,6 +291,33 @@ def test_wav_codec_roundtrip_and_audio_features(spark):
     half = {r["doc_id"]: r for r in multimodal.audio_features(payload, every_n=2).collect()}
     assert half[1]["n_samples"] == 500 and half[1]["sample_rate"] == 4000
     assert half[1]["duration_s"] == feats[1]["duration_s"]
+    # non-dividing every_n: duration stays exact (len*step/original_rate),
+    # not drifting with the integer-divided nominal rate
+    third = {r["doc_id"]: r for r in multimodal.audio_features(payload, every_n=3).collect()}
+    assert third[1]["n_samples"] == 334  # ceil(1000/3)
+    assert third[1]["duration_s"] == 334 * 3 / 8000
+
+
+def test_extract_features_partial_decode_merges_per_row(spark):
+    from pyspark_dist_explore_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1, "aa"), (2, "bb")], ["doc_id", "text"])
+    payload = multimodal.attach_binary_payload(docs, "text", "doc_id")
+
+    def decode(b: bytes) -> dict:
+        # mixed batch: only payload b"aa" reports a modality, nobody
+        # reports content_hash, and doc_id must be un-overridable
+        d = {"doc_id": -99}
+        if b == b"aa":
+            d["modality"] = "image"
+        return d
+
+    rows = {r["doc_id"]: r for r in multimodal.extract_features(payload, decode=decode).collect()}
+    assert set(rows) == {1, 2}  # doc_id never overridden by decode
+    assert rows[1]["modality"] == "image"
+    assert rows[2]["modality"] == "text"  # default kept, not NULLed
+    for r in rows.values():  # defaults preserved where decode lacks the key
+        assert r["content_hash"] is not None and r["n_bytes"] == 2
 
 
 def test_multimodal_real_decode_resize_and_frames(spark):

@@ -120,6 +120,18 @@ def test_to_pandas_cache_invalidated_on_param_change(spark, two_series):
     assert h.to_pandas()["a"].sum() == 6
 
 
+def test_to_pandas_cache_invalidated_on_added_series(spark, two_series):
+    a, b = two_series
+    h = Histogram(bins=5)
+    h.add_column(a, "a")
+    first = h.to_pandas()
+    assert list(first.columns) == ["a"]
+    h.add_column(b, "b")  # add AFTER a build — cache must not omit "b"
+    second = h.to_pandas()
+    assert list(second.columns) == ["a", "b"]
+    assert second["b"].sum() == b.count()
+
+
 def test_pandas_histogram_matches_numpy(spark):
     vals = [float(v) for v in np.r_[np.arange(0, 50), np.arange(0, 10)]]
     df = spark.createDataFrame([(v,) for v in vals], ["x"])
