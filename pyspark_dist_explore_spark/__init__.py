@@ -27,6 +27,7 @@ from pyspark_dist_explore_spark.operators.dedup import (
     fingerprint_dedup,
     jaccard_pairs_exact,
     minhash_neardup,
+    neardup_clusters,
     simhash_neardup,
 )
 from pyspark_dist_explore_spark.operators.similarity import (
@@ -84,6 +85,7 @@ __all__ = [
     "fingerprint_dedup",
     "jaccard_pairs_exact",
     "minhash_neardup",
+    "neardup_clusters",
     "simhash_neardup",
     # similarity
     "exact_topk",

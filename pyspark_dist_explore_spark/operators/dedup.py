@@ -360,6 +360,83 @@ def minhash_ml_neardup(
 
 
 # --------------------------------------------------------------------------
+# Cluster resolution: near-dup pairs → duplicate clusters → one survivor
+# --------------------------------------------------------------------------
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    all_ids: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate clusters: one row per doc,
+    ``(doc_id, cluster_id, is_survivor)`` with ``cluster_id`` = the
+    minimum doc id of the connected component and ``is_survivor`` = 1 on
+    exactly that doc.  This is the pipeline deliverable pair lists are
+    not: pair output is quadratic on dup-heavy corpora, cluster-survivor
+    output is linear in documents — keep-list = ``is_survivor = 1``.
+
+    ``all_ids`` (one id column, any name) adds isolated docs as their own
+    single-member clusters; without it only docs appearing in ``pairs``
+    are labeled.
+
+    Execution: iterative min-label propagation with pointer jumping
+    (each round a node takes ``min(own, neighbors', label-of-label)``),
+    a chain of hash joins + partial-agg ``min()`` groupBys — never a
+    driver-side loop over DATA, only over plan iterations.  Pointer
+    jumping makes rounds O(log n) instead of O(graph diameter); each
+    round is localCheckpoint-ed (cuts lineage so plans don't snowball)
+    and the loop stops at the first round with zero label changes — the
+    convergence count is the one tiny action per round.  Labels are
+    (id, id)-shaped — 2 longs per doc — so 100 TB of text is still only
+    GBs of label state shuffling on the id key.
+    """
+    src = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = src.union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    if all_ids is not None:
+        extra = all_ids.select(F.col(all_ids.columns[0]).alias("doc_id")).distinct()
+        nodes = nodes.union(extra).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .select(F.col("src").alias("doc_id"), "nbr_lbl")
+        )
+        parents = labels.select(F.col("doc_id").alias("lbl"), F.col("lbl").alias("jump_lbl"))
+        stepped = (
+            labels.join(nbr, "doc_id", "left")
+            .join(parents, "lbl", "left")
+            .select(
+                "doc_id",
+                F.col("lbl").alias("old_lbl"),
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("nbr_lbl"), F.col("lbl")),
+                    F.coalesce(F.col("jump_lbl"), F.col("lbl")),
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.where(F.col("lbl") != F.col("old_lbl")).count()
+        labels = stepped.select("doc_id", "lbl")
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).cast("int").alias("is_survivor"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact n-gram / token Jaccard via self-join (oracle-able ground truth)
 # --------------------------------------------------------------------------
 

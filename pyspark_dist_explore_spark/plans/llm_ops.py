@@ -107,20 +107,73 @@ def q_neardup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("neardup_minhash_lsh", None)  # xxhash64 has no DuckDB twin → rows-only
 def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: token shingles → 32 hashes → 8 bands →
-    bucket join → exact-Jaccard verify ≥ 0.8.
+    """MinHash+LSH near-dup over the WHOLE corpus, no id cap: 3-gram
+    shingles → 32 hashes → 8 bands → bucket join → exact shingle-Jaccard
+    verify ≥ 0.8.
 
-    Input capped at doc_id < 1000: the synthetic corpus draws every doc
-    from one ~30-word vocabulary, so at token granularity nearly ALL
-    pairs are true near-dups — the verified-pair OUTPUT is inherently
-    quadratic regardless of how well LSH prunes.  The cap bounds the
-    demo's output size; the operator itself (dedup.minhash_neardup)
-    scales with candidate count, not corpus size.
+    shingle_n=3 is the semantic point of MinHash-over-shingles: 3-gram
+    overlap detects shared *passages* (word order matters), not shared
+    vocabulary — at token granularity (shingle_n=1) this word-salad
+    corpus is all-pairs-similar and the output goes quadratic (the old
+    capped demo).  At 3 grams only genuinely near-identical docs clear
+    0.8, so the verified pair list is linear-ish and the cap is gone.
     """
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_neardup(
-        docs, "text", "doc_id", threshold=0.8, num_hashes=32, bands=8, shingle_n=1
+        docs, "text", "doc_id", threshold=0.8, num_hashes=32, bands=8, shingle_n=3
     )
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM.format(c='text')}, ' '))) AS tok
+  FROM documents WHERE doc_id < {_JACCARD_MAX_ID}
+),
+tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM tok2 a JOIN tok2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON inter.doc_a = sa.doc_id
+  JOIN sizes sb ON inter.doc_b = sb.doc_id
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6)
+        >= {_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT)
+         AS is_survivor
+FROM (SELECT doc_id FROM documents WHERE doc_id < {_JACCARD_MAX_ID}) d
+LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@register("neardup_clusters", _CLUSTER_ORACLE)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X3 end-goal: near-dup pairs resolved into duplicate CLUSTERS
+    with one deterministic survivor each (min doc id of the connected
+    component; isolated docs are their own cluster).  Pairs come from the
+    oracle-able exact-Jaccard graph; the DuckDB twin walks the same graph
+    with a recursive CTE.  Linear output in documents — the shape a
+    keep-list pipeline actually consumes (``is_survivor = 1``)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _JACCARD_MAX_ID)
+    pairs = dedup.jaccard_pairs_exact(docs, "text", "doc_id", threshold=_JACCARD_THRESHOLD)
+    return dedup.neardup_clusters(pairs, all_ids=docs.select("doc_id"))
 
 
 @register("neardup_simhash", None)  # xxhash64-based → rows-only

@@ -54,6 +54,32 @@ def test_minhash_finds_neardups_not_strangers(spark):
     assert all(4 not in p and 6 not in p for p in found)
 
 
+def test_neardup_clusters_chain_and_singletons(spark):
+    # chain 1-2-3-...-8 (diameter 7 forces >1 propagation round with
+    # pointer jumping), separate pair (20,21), singletons 30/31 via all_ids
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)] + [(21, 20)], ["doc_a", "doc_b"]
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in range(1, 9)] + [(20,), (21,), (30,), (31,)], ["doc_id"]
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in dedup.neardup_clusters(pairs, all_ids=ids).collect()
+    }
+    assert len(out) == 12
+    for i in range(1, 9):
+        assert out[i] == (1, 1 if i == 1 else 0)
+    assert out[20] == (20, 1) and out[21] == (20, 0)
+    assert out[30] == (30, 1) and out[31] == (31, 1)
+
+
+def test_neardup_clusters_pairs_only_no_all_ids(spark):
+    pairs = spark.createDataFrame([(3, 7), (7, 5)], ["doc_a", "doc_b"])
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup.neardup_clusters(pairs).collect()}
+    assert out == {3: 3, 5: 3, 7: 3}
+
+
 def test_simhash_close_for_neardups(spark):
     sig = {
         r["doc_id"]: r["sim"]
