@@ -286,6 +286,8 @@ def kmeans_centroids(
     n_centroids: int,
     *,
     vec_col: str = "vv",
+    id_col: str | None = None,
+    fit_sample_mod: int | None = None,
     seed: int = 7,
     max_iter: int = 5,
 ) -> DataFrame:
@@ -299,14 +301,33 @@ def kmeans_centroids(
     (each k-means|| init step + iteration re-reads it; uncached that
     re-runs the scan+normalize per pass — measured 5.0 s → 1.7 s at
     2k×64) and unpersisted before returning.  Coarse quantization needs
-    few iterations — default 5.  At 100 TB fit on a hash-sample first
-    (``F.pmod(F.xxhash64(id), 100) == 0``) — centroid quality needs a
-    sample, not the corpus; the assignment plan below is unchanged.
+    few iterations — default 5.
+
+    ``fit_sample_mod=s`` (with ``id_col``) fits on the deterministic
+    hash-sample ``pmod(xxhash64(id), s) == 0`` — ~1/s of the corpus —
+    because centroid QUALITY needs a sample, not the corpus: the fit is
+    the only part of IVF that scans the data iteratively, so at 100 TB
+    it is the part that must not see all rows.  Falls back to the full
+    corpus when the sample is too thin to seed ``n_centroids`` clusters
+    (< 8 rows per centroid).  The assignment/probe plans are unchanged.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = vectors.select(array_to_vector(F.col(vec_col)).alias("features")).persist()
+    fit_src = vectors
+    if fit_sample_mod is not None and fit_sample_mod > 1:
+        if id_col is None:
+            raise ValueError("fit_sample_mod requires id_col (the hash-sample key)")
+        sample = vectors.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod)) == 0
+        )
+        # thin-sample guard: limit().count() short-circuits the scan as
+        # soon as enough rows are found (a bare count() scans everything)
+        need = 8 * n_centroids
+        if sample.limit(need).count() >= need:
+            fit_src = sample
+
+    train = fit_src.select(array_to_vector(F.col(vec_col)).alias("features")).persist()
     try:
         # seeded random init: k-means|| costs ~8 extra passes for init
         # quality the 5 refinement iterations recover anyway at this k
@@ -332,6 +353,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    fit_sample_mod: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -339,12 +361,19 @@ def ivf_topk(
     """IVF-style ANN: coarse-quantize into inverted lists, probe the
     ``n_probe`` nearest lists, exact re-rank inside them.
 
-    Centroids come from seeded Spark ML KMeans (:func:`kmeans_centroids`).
-    At scale each query scans ~``n_probe/n_centroids`` of the corpus
+    Centroids come from seeded Spark ML KMeans fit on a deterministic
+    hash-sample of ~1/``fit_sample_mod`` of the corpus (the 100 TB
+    shape — the iterative fit is the only corpus-scanning loop in IVF;
+    see :func:`kmeans_centroids`; ``None`` fits on everything).  At
+    scale each query scans ~``n_probe/n_centroids`` of the corpus
     instead of all of it, and the inverted lists are the shuffle key.
     """
     v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
-    cents = F.broadcast(kmeans_centroids(v, n_centroids))
+    cents = F.broadcast(
+        kmeans_centroids(
+            v, n_centroids, id_col="vec_id", fit_sample_mod=fit_sample_mod
+        )
+    )
     # nearest-centroid assignment as max_by aggregation: map-side partial
     # aggregation collapses the n_centroids× replicated crossJoin output
     # back to N rows BEFORE the shuffle (a row_number window here would

@@ -273,6 +273,24 @@ def test_ivf_recall_at_5(spark):
     assert r16 == 1.0, f"full probe must equal exact, got {r16:.3f}"
 
 
+def test_kmeans_sample_fit_guards(spark):
+    from pyspark_dist_explore_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = emb.select(F.col("vec_id"), similarity._unit(F.col("embedding")).alias("vv"))
+    with pytest.raises(ValueError, match="id_col"):
+        similarity.kmeans_centroids(v, 4, fit_sample_mod=4)
+    # thin sample (500/64 < 8*16) falls back to the full corpus: the fit
+    # still seeds all n_centroids clusters
+    cents = similarity.kmeans_centroids(
+        v, 16, id_col="vec_id", fit_sample_mod=64
+    ).collect()
+    assert len(cents) == 16
+    # healthy sample: deterministic hash-sample fit, still n_centroids rows
+    cents2 = similarity.kmeans_centroids(v, 8, id_col="vec_id", fit_sample_mod=4).collect()
+    assert len(cents2) == 8
+
+
 def test_bmp_codec_roundtrip():
     import numpy as np
     from pyspark_dist_explore_spark.operators import multimodal
