@@ -42,8 +42,10 @@ from pyspark_dist_explore_spark.operators.multimodal import (
     decode_wav,
     encode_bmp,
     encode_wav,
+    read_binary_media,
     resize_images,
     sample_frames,
+    write_media_fixture,
 )
 from pyspark_dist_explore_spark.operators.sampling import hash_split, stratified_sample
 from pyspark_dist_explore_spark.operators.stats import describe_exact, histogram_approx
@@ -108,8 +110,10 @@ __all__ = [
     "decode_bmp",
     "encode_wav",
     "decode_wav",
+    "read_binary_media",
     "resize_images",
     "sample_frames",
+    "write_media_fixture",
     "audio_features",
     # sampling
     "hash_split",

@@ -381,6 +381,71 @@ def audio_features(
     return binary_df.mapInPandas(_extract, schema=AUDIO_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Real file ingestion: the way a 100 TB media table actually arrives —
+# files on storage, read distributed via Spark's binaryFile source.
+# --------------------------------------------------------------------------
+
+
+def write_media_fixture(
+    dir_path: str,
+    doc_ids: Iterator[int] | list[int],
+    *,
+    kind: str = "wav",
+    n_samples: int = 4000,
+    sample_rate: int = 8000,
+    width: int = 16,
+    height: int = 12,
+) -> str:
+    """Write deterministic per-doc media FILES (``{doc_id}.wav`` /
+    ``{doc_id}.bmp``) for the binaryFile ingestion path — a test/demo
+    fixture standing in for a real media bucket.  Idempotent: existing
+    files are left untouched (payloads are pure functions of doc_id).
+    Returns ``dir_path``.
+    """
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    for d in doc_ids:
+        path = os.path.join(dir_path, f"{int(d)}.{kind}")
+        if os.path.exists(path):
+            continue
+        if kind == "wav":
+            payload = encode_wav(_doc_samples(int(d), n_samples), sample_rate)
+        elif kind == "bmp":
+            payload = encode_bmp(_doc_pixels(int(d), 0, width, height))
+        else:
+            raise ValueError(f"unsupported fixture kind {kind!r}")
+        with open(path, "wb") as f:
+            f.write(payload)
+    return dir_path
+
+
+def read_binary_media(
+    spark, path: str, *, id_regex: str = r"(\d+)\.\w+$"
+) -> DataFrame:
+    """Ingest media files via ``spark.read.format("binaryFile")`` into the
+    engine's standard (doc_id, payload, meta) shape — the production
+    entry point for :func:`audio_features` / :func:`resize_images` /
+    :func:`sample_frames`.
+
+    doc_id is parsed from the file name (``id_regex`` group 1).  The
+    binaryFile source distributes whole files across partitions (one
+    file = one row; ``spark.sql.files.maxPartitionBytes`` packs small
+    files per task), filters on path/length push down, and payload bytes
+    stay map-side exactly like the synthesized-payload path.
+    """
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.regexp_extract(F.col("path"), id_regex, 1).cast("bigint").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.col("path").alias("uri"),
+            F.col("length").cast("bigint").alias("size"),
+        ).alias("meta"),
+    )
+
+
 #: (doc_id, width, height, pixels_hash) — what a real image-resize emits
 RESIZE_SCHEMA = StructType(
     [

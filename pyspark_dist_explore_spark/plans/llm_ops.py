@@ -299,12 +299,29 @@ def q_vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
-@register("multimodal_decode", None)  # Python-side decode → rows-only
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode+resize AND frame-sampling plumbing in one query:
-    deterministic BMP payloads decoded by a real (pure-stdlib) decoder,
-    resized map-side, joined with the 1→N frame-sample fan-out counts."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+#: media fixture for the binaryFile ingestion path (gitignored scratch dir)
+_MEDIA_FIXTURE_DIR = "/root/repo/spark-warehouse/media_fixture_wav"
+_MEDIA_FIXTURE_IDS = 100
+
+
+@register("multimodal_pipeline", None)  # Python-side decode → rows-only
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal feature pipeline in one query, per doc_id:
+
+    - **image**: deterministic BMP payloads decoded by the pure-stdlib
+      codec, nearest-neighbor resized map-side (``pixels_hash`` over the
+      RESIZED RGB bytes);
+    - **video**: 1→N frame-sample fan-out, counted back per doc;
+    - **audio**: real FILE ingestion — WAV files on disk read through
+      ``spark.read.format("binaryFile")`` (the way a production media
+      bucket arrives), RIFF-decoded, 2× decimated, duration/RMS/peak.
+
+    Payload bytes never cross a shuffle (all three branches extract
+    map-side; only small feature frames join on doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _MEDIA_FIXTURE_IDS
+    )
     payload = multimodal.attach_image_payload(docs, "doc_id")
     resized = multimodal.resize_images(payload, width=8, height=8, decoder=multimodal.decode_bmp)
     frames = (
@@ -312,17 +329,29 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
-    return resized.join(frames, "doc_id")
+    fixture = multimodal.write_media_fixture(
+        _MEDIA_FIXTURE_DIR, range(_MEDIA_FIXTURE_IDS), kind="wav"
+    )
+    audio = multimodal.audio_features(
+        multimodal.read_binary_media(spark, fixture + "/*.wav"), every_n=2
+    ).select("doc_id", "sample_rate", "duration_s", "rms", "peak")
+    return resized.join(frames, "doc_id").join(audio, "doc_id")
 
 
-@register("multimodal_audio", None)  # Python-side WAV decode → rows-only
-def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio decode path: deterministic PCM-16 WAV payloads decoded by the
-    pure-stdlib RIFF walker, 2× decimated, duration/RMS/peak extracted
-    map-side."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    payload = multimodal.attach_audio_payload(docs, "doc_id")
-    return multimodal.audio_features(payload, every_n=2)
+@register("word2vec_topk", None)  # iterative ML fit → rows-only
+def q_word2vec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 closing query: seeded Word2Vec document vectors feeding the
+    exact cosine top-k operator — text → embedding → similarity search,
+    the end-to-end semantic-dedup shape.  Fit is seeded (reproducible
+    per Spark version); the transform is a map-side lookup join."""
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = textstats.word2vec_embeddings(docs, "text", "doc_id")
+    queries = vecs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "vec"
+    )
+    return similarity.exact_topk(
+        vecs, queries, k=5, id_col="doc_id", vec_col="vec"
+    )
 
 
 @register("vector_ann_lsh", None)  # hash-derived hyperplanes → rows-only

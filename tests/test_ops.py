@@ -364,6 +364,29 @@ def test_extract_features_partial_decode_merges_per_row(spark):
         assert r["content_hash"] is not None and r["n_bytes"] == 2
 
 
+def test_binary_file_ingestion_roundtrip(spark, tmp_path):
+    """Files on disk → binaryFile source → decoder: the production path."""
+    import numpy as np
+    from pyspark_dist_explore_spark.operators import multimodal
+
+    d = multimodal.write_media_fixture(str(tmp_path / "wav"), [3, 7], n_samples=1000)
+    ingested = multimodal.read_binary_media(spark, d + "/*.wav")
+    rows = {r["doc_id"]: r for r in ingested.collect()}
+    assert set(rows) == {3, 7}
+    # the ingested bytes ARE the encoded payload (bit-exact round trip)
+    assert bytes(rows[3]["payload"]) == multimodal.encode_wav(
+        multimodal._doc_samples(3, 1000), 8000
+    )
+    assert rows[3]["meta"]["size"] == len(bytes(rows[3]["payload"]))
+    # and they decode through the normal feature path
+    feats = {r["doc_id"]: r for r in multimodal.audio_features(ingested).collect()}
+    s = multimodal._doc_samples(7, 1000).astype(float)
+    assert feats[7]["rms"] == pytest.approx(float(np.sqrt(np.mean(s * s))))
+    # idempotent rewrite leaves files alone
+    multimodal.write_media_fixture(str(tmp_path / "wav"), [3, 7], n_samples=1000)
+    assert ingested.count() == 2
+
+
 def test_multimodal_real_decode_resize_and_frames(spark):
     import numpy as np
     from pyspark_dist_explore_spark.operators import multimodal
