@@ -288,15 +288,27 @@ def q_text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
 
 
-@register("vector_ivf_topk", None)  # probe subset differs from full scan → rows-only
-def q_vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: inverted centroid lists, n_probe probing, exact
-    re-rank — the scale path for similarity search."""
+@register("vector_ann_topk", None)  # probe subsets differ from full scan → rows-only
+def q_vector_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN scale paths for similarity search in one tagged result:
+
+    - ``ivf``: seeded-KMeans inverted centroid lists (fit on a hash
+      sample), n_probe probing, exact re-rank inside probed lists;
+    - ``lsh``: deterministic random-hyperplane buckets, exact re-rank
+      inside the query's bucket.
+
+    Same (query_id, rank, vec_id, cos_sim) shape per method — recall
+    floors and the full-probe==exact invariant are pytest-pinned.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    ivf = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    lsh = similarity.ann_lsh_topk(emb, queries, k=5, n_planes=4)
+    return ivf.select(F.lit("ivf").alias("method"), "*").unionAll(
+        lsh.select(F.lit("lsh").alias("method"), "*")
+    )
 
 
 #: media fixture for the binaryFile ingestion path (gitignored scratch dir)
@@ -352,16 +364,6 @@ def q_word2vec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.exact_topk(
         vecs, queries, k=5, id_col="doc_id", vec_col="vec"
     )
-
-
-@register("vector_ann_lsh", None)  # hash-derived hyperplanes → rows-only
-def q_vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via random-hyperplane LSH buckets + exact re-rank."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return similarity.ann_lsh_topk(emb, queries, k=5, n_planes=4)
 
 
 # --------------------------------------------------------------------------
@@ -455,19 +457,13 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "text_tf",
-    f"""
-WITH tok AS (
-  SELECT doc_id, unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
-  FROM documents
-)
-SELECT doc_id, term, count(*) AS tf
-FROM tok WHERE term <> '' GROUP BY doc_id, term
-""",
-)
 def q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational CountVectorizer: per-document term frequencies."""
+    """Relational CountVectorizer: per-document term frequencies.
+
+    No longer REGISTERED: its output is a strict projection of
+    ``text_tfidf``'s (doc_id, term, tf ⊂ tf, df_t, tfidf), so the driver
+    window slot is better spent elsewhere.  Kept callable; the tf values
+    stay oracle-pinned through the tfidf query."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.term_frequencies(docs, "text", "doc_id")
 

@@ -128,26 +128,60 @@ def q_hist_multi_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("series", "bucket", "cnt")
 
 
-@register(
-    "hist_user_range",
-    _hist_oracle(_FLAGSHIP, bins=10, range=(1000.0, 5000.0)),
-)
-def q_hist_user_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R7: user-supplied range; out-of-range values dropped, not clamped."""
-    df = compute_histogram(
-        _hist_sources(spark, sf_dir, _FLAGSHIP), bins=10, range=(1000.0, 5000.0)
-    )
-    return df.select("series", "bucket", "cnt")
-
-
 _PSIZE = [("p_size", "part", "p_size")]
 
+_ORDERDATE_HIST_ORACLE = f"""
+WITH vals AS (
+  SELECT 'o_orderdate' AS series, epoch(o_orderdate) AS v FROM orders
+  WHERE {valid_value_sql('epoch(o_orderdate)')}
+),
+stats AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+sparse AS (
+  SELECT series, {bucket_sql('v', 'lo', 'hi', 12)} AS bucket, count(*) AS cnt
+  FROM vals, stats WHERE v >= lo AND v <= hi GROUP BY 1, 2
+)
+SELECT series, bucket, cnt FROM sparse
+"""
 
-@register("hist_int_column", _hist_oracle(_PSIZE, bins=5))
-def q_hist_int_column(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer column histogram (cast to double, shared bucket expr)."""
-    df = compute_histogram(_hist_sources(spark, sf_dir, _PSIZE), bins=5)
-    return df.select("series", "bucket", "cnt")
+
+@register(
+    "hist_mixed_sources",
+    "\nUNION ALL\n".join(
+        f"SELECT * FROM ({sql})"
+        for sql in (
+            _hist_oracle(_FLAGSHIP, bins=10, range=(1000.0, 5000.0)),
+            _hist_oracle(_PSIZE, bins=5),
+            _ORDERDATE_HIST_ORACLE,
+        )
+    ),
+)
+def q_hist_mixed_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 + temporal binning, three independent histograms in one result:
+
+    - user-supplied range (out-of-range values DROPPED, not clamped) on
+      ``l_extendedprice``;
+    - integer column (``p_size``, cast to double, shared bucket expr);
+    - timestamp column (``o_orderdate``) — the engine auto-converts
+      temporal columns to session-timezone-free epoch seconds
+      (operators/histogram._as_numeric), matching DuckDB ``epoch()`` on
+      the naive value exactly; a plain cast-to-double would shift with
+      the driver's session timezone/DST.
+
+    Each series keeps its own data range (they are separate ``hist``
+    calls, not one shared-range multi-series histogram — that semantic
+    is ``hist_multi_series``).
+    """
+    from pyspark_dist_explore_spark.sources.tables import load_table as _lt
+
+    a = compute_histogram(
+        _hist_sources(spark, sf_dir, _FLAGSHIP), bins=10, range=(1000.0, 5000.0)
+    )
+    b = compute_histogram(_hist_sources(spark, sf_dir, _PSIZE), bins=5)
+    c = compute_histogram(
+        [("o_orderdate", _lt(spark, sf_dir, "orders"), "o_orderdate")], bins=12
+    )
+    cols = ["series", "bucket", "cnt"]
+    return a.select(*cols).unionAll(b.select(*cols)).unionAll(c.select(*cols))
 
 
 @register("hist_dense_fill", _hist_oracle(_ACCTBAL, bins=10, dense=True))
@@ -179,17 +213,15 @@ def q_hist_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("series", "bucket", "cnt", "density")
 
 
-@register(
-    "hist_global_range",
-    f"""
-SELECT least((SELECT min(CAST(c_acctbal AS DOUBLE)) FROM customer WHERE {valid_value_sql('CAST(c_acctbal AS DOUBLE)')}),
-             (SELECT min(CAST(s_acctbal AS DOUBLE)) FROM supplier WHERE {valid_value_sql('CAST(s_acctbal AS DOUBLE)')})) AS lo,
-       greatest((SELECT max(CAST(c_acctbal AS DOUBLE)) FROM customer WHERE {valid_value_sql('CAST(c_acctbal AS DOUBLE)')}),
-                (SELECT max(CAST(s_acctbal AS DOUBLE)) FROM supplier WHERE {valid_value_sql('CAST(s_acctbal AS DOUBLE)')})) AS hi
-""",
-)
 def q_hist_global_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R5/R6: one-job global min/max across all added series."""
+    """R5/R6: one-job global min/max across all added series.
+
+    No longer a REGISTERED query — it is a strict sub-plan of
+    ``hist_multi_series`` (whose oracle pins the same global-range
+    arithmetic end-to-end) and the 50-entry driver window is better
+    spent on independent operators.  Kept callable for the library
+    surface; tests/test_histogram pins the one-job property.
+    """
     from pyspark_dist_explore_spark.operators.histogram import _union_series
 
     data = _union_series(_hist_sources(spark, sf_dir, _ACCTBAL))

@@ -19,8 +19,6 @@ from pyspark_dist_explore_spark.functions.agg import (
     scaled_sum,
     scaled_sum_sql,
 )
-from pyspark_dist_explore_spark.functions.numeric import bucket_sql, valid_value_sql
-from pyspark_dist_explore_spark.operators.histogram import compute_histogram
 from pyspark_dist_explore_spark.plans.queries import register
 from pyspark_dist_explore_spark.sources.tables import load_table
 
@@ -153,23 +151,33 @@ def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_running_total",
-    f"""
+    "window_funcs",
+    """
 SELECT o_custkey, o_orderkey,
        CAST(sum(CAST(round(o_totalprice * 10000.0) AS BIGINT))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0
          AS running_total,
-       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS INT)
-         AS order_seq
+       CAST(row_number() OVER w AS INT) AS order_seq,
+       CAST(round((o_totalprice - lag(o_totalprice) OVER w) * 100.0) AS BIGINT) AS delta_cents,
+       CAST(floor(epoch(lead(o_orderdate) OVER w)) AS BIGINT)
+         - CAST(floor(epoch(o_orderdate)) AS BIGINT) AS secs_to_next
 FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """,
 )
-def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer cumulative spend (deterministic frame order)."""
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function family over ONE per-customer order timeline:
+    cumulative spend (framed sum), row_number, lag (price delta), lead
+    (seconds to next order).  One window spec → Catalyst evaluates all
+    four in a single sort+shuffle pass — merging the former
+    ``window_running_total`` / ``window_lag_lead`` pair is cheaper than
+    either alone ran twice.  Epochs are session-tz-free day arithmetic.
+    """
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
     scaled = F.round(F.col("o_totalprice") * F.lit(10000.0)).cast("bigint")
+    epoch = F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint") * 86400
+    epoch_lead = F.unix_date(F.lead("o_orderdate").over(w).cast("date")).cast("bigint") * 86400
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -179,6 +187,10 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("running_total"),
         F.row_number().over(w).alias("order_seq"),
+        F.round((F.col("o_totalprice") - F.lag("o_totalprice").over(w)) * 100.0)
+        .cast("bigint")
+        .alias("delta_cents"),
+        (epoch_lead - epoch).alias("secs_to_next"),
     )
 
 
@@ -208,21 +220,34 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_status",
+    "rollup_cube_status",
     f"""
-SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+SELECT 'rollup' AS grouping_kind, l_returnflag, l_linestatus, count(*) AS cnt,
        {scaled_sum_sql('l_quantity')} AS sum_qty
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS grouping_kind, l_returnflag, l_linestatus, count(*) AS cnt,
+       {scaled_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
-def q_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP aggregation (sub-total + grand-total rows, NULL markers)."""
+def q_rollup_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE over the same dimensions, tagged and unioned:
+    sub-total/grand-total rows with NULL markers (rollup) plus the full
+    2^k grouping combinations (cube), each a single expand+aggregate
+    pass with map-side partials."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    aggs = [
         F.count(F.lit(1)).alias("cnt"),
         scaled_sum(F.col("l_quantity")).alias("sum_qty"),
+    ]
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(*aggs).select(
+        F.lit("rollup").alias("grouping_kind"), "l_returnflag", "l_linestatus", "cnt", "sum_qty"
     )
+    cube = li.cube("l_returnflag", "l_linestatus").agg(*aggs).select(
+        F.lit("cube").alias("grouping_kind"), "l_returnflag", "l_linestatus", "cnt", "sum_qty"
+    )
+    return rollup.unionAll(cube)
 
 
 # --------------------------------------------------------------------------
@@ -231,43 +256,50 @@ def q_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_ops_customers",
+    "set_ops",
     """
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+SELECT 'intersect' AS op, custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0
+)
+UNION ALL
+SELECT 'except' AS op, custkey FROM (
+  SELECT c_custkey AS custkey FROM customer
+  EXCEPT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+)
 """,
 )
-def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT of two filtered key sets."""
-    o = load_table(spark, sf_dir, "orders")
-    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
-    b = o.where(F.col("o_totalprice") > 200000.0).select("o_custkey")
-    return a.intersect(b)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT in one tagged result.
 
-
-@register(
-    "set_ops_except",
-    """
-SELECT c_custkey FROM customer
-EXCEPT
-SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
-""",
-)
-def q_set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customers with no open orders.
-
-    ``subtract`` IS SQL EXCEPT (distinct left minus anything present on
-    the right); ``exceptAll().distinct()`` would keep left rows that
+    ``intersect``/``subtract`` ARE SQL set semantics (distinct);
+    ``exceptAll().distinct()`` would differ — it keeps left rows that
     merely outnumber their right-side occurrences.
     """
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .where(F.col("o_orderstatus") == "O")
-        .select(F.col("o_custkey").alias("c_custkey"))
+    o = load_table(spark, sf_dir, "orders")
+    inter = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .intersect(
+            o.where(F.col("o_totalprice") > 200000.0).select(
+                F.col("o_custkey").alias("custkey")
+            )
+        )
     )
-    return c.subtract(o)
+    exc = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("custkey"))
+        .subtract(
+            o.where(F.col("o_orderstatus") == "O").select(
+                F.col("o_custkey").alias("custkey")
+            )
+        )
+    )
+    return inter.select(F.lit("intersect").alias("op"), "custkey").unionAll(
+        exc.select(F.lit("except").alias("op"), "custkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -475,54 +507,52 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return describe_exact(li, _DESCRIBE_COLS)
 
 
-@register("hist_approx_numeric", None)  # sketch-based, non-uniform bins → rows-only
-def q_hist_approx_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-scan approximate histogram (histogram_numeric sketch)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return histogram_approx(li, "l_extendedprice", bins=20)
+@register("approx_sketches", None)  # sketch-based (HLL / KLL / histogram_numeric) → rows-only
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: the one-scan sketch family in a single long-format result —
+    ``histogram_numeric`` (data-adaptive bin centers), HLL
+    ``approx_count_distinct`` and KLL ``percentile_approx`` per group.
+    Sketches differ from DuckDB's by algorithm → rows-only here; pytest
+    bounds each against its exact counterpart (test_ops sketch bounds).
 
-
-@register("approx_stats", None)  # sketch-based (HLL / KLL) → rows-only check
-def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X7: approx_count_distinct + approx percentiles (sketches differ
-    from DuckDB's by algorithm — verified rows-only + bounds in tests)."""
+    Long format ``(sketch, key, metric, value)`` so the three sketches
+    union into one frame.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    h = histogram_approx(li, "l_extendedprice", bins=20).select(
+        F.lit("hist_numeric").alias("sketch"),
+        F.col("bucket").cast("string").alias("key"),
+        F.lit("center").alias("metric"),
+        F.col("center").cast("double").alias("value"),
+    ).unionAll(
+        histogram_approx(li, "l_extendedprice", bins=20).select(
+            F.lit("hist_numeric").alias("sketch"),
+            F.col("bucket").cast("string").alias("key"),
+            F.lit("weight").alias("metric"),
+            F.col("weight").cast("double").alias("value"),
+        )
+    )
+    s = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median"),
     )
+    stats_long = s.unpivot(
+        ids=["l_returnflag"],
+        values=["approx_parts", "approx_median"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(
+        F.lit("group_stats").alias("sketch"),
+        F.col("l_returnflag").alias("key"),
+        "metric",
+        F.col("value").cast("double").alias("value"),
+    )
+    return h.unionAll(stats_long)
 
 
 # --------------------------------------------------------------------------
 # Timestamp binning + windowed event aggregation (batch form of X8)
 # --------------------------------------------------------------------------
-
-
-@register(
-    "hist_orderdate_epoch",
-    f"""
-WITH vals AS (
-  SELECT 'o_orderdate' AS series, epoch(o_orderdate) AS v FROM orders
-  WHERE {valid_value_sql('epoch(o_orderdate)')}
-),
-stats AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
-sparse AS (
-  SELECT series, {bucket_sql('v', 'lo', 'hi', 12)} AS bucket, count(*) AS cnt
-  FROM vals, stats WHERE v >= lo AND v <= hi GROUP BY 1, 2
-)
-SELECT series, bucket, cnt FROM sparse
-""",
-)
-def q_hist_orderdate_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamp histogram: the engine auto-converts temporal columns to
-    session-timezone-free epoch seconds (operators/histogram._as_numeric),
-    matching DuckDB ``epoch()`` on the naive value exactly — a plain
-    cast-to-double would shift with the driver's session timezone/DST.
-    """
-    o = load_table(spark, sf_dir, "orders")
-    return compute_histogram([("o_orderdate", o, "o_orderdate")], bins=12).select(
-        "series", "bucket", "cnt"
-    )
 
 
 @register(

@@ -273,6 +273,28 @@ def test_ivf_recall_at_5(spark):
     assert r16 == 1.0, f"full probe must equal exact, got {r16:.3f}"
 
 
+def test_grouped_sum_pandas_matches_jvm(spark):
+    """The unregistered grouped-agg pandas UDF surface stays pinned: the
+    Arrow scaled-integer sum must equal the JVM scaled_sum exactly."""
+    from pyspark_dist_explore_spark.functions.agg import scaled_sum
+    from pyspark_dist_explore_spark.plans.extended import q_grouped_sum_pandas
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    arrow = {
+        r["l_returnflag"]: r["total_price"]
+        for r in q_grouped_sum_pandas(spark, sf).collect()
+    }
+    jvm = {
+        r["l_returnflag"]: r["total_price"]
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(scaled_sum(F.col("l_extendedprice")).alias("total_price"))
+        .collect()
+    }
+    assert arrow == jvm and len(arrow) >= 2
+
+
 def test_kmeans_sample_fit_guards(spark):
     from pyspark_dist_explore_spark.operators import similarity
 

@@ -114,7 +114,7 @@ def test_ivf_assignment_map_side_partial(spark):
     """Nearest-centroid assignment must be a max_by aggregate (map-side
     partial collapses the replicated crossJoin before the shuffle), never
     a row_number window over the replicated corpus."""
-    plan = _plan(spark, "vector_ivf_topk")
+    plan = _plan(spark, "vector_ann_topk")
     assert "partial_max_by" in plan
     # the only row_number windows left are per-QUERY (probe pick + final
     # rank) — none may partition by the corpus vec_id
@@ -142,12 +142,17 @@ def test_minhash_ml_no_python_row_udf(spark):
 
 def test_registry_oracle_queries_inside_driver_window():
     """The driver records CORRECTNESS rows for the first 50 registry
-    entries only — every oracle-backed query must precede every
-    rows-only query, and there must be ≤ 50 of them."""
+    entries only — EVERY registered query must land inside that window
+    (so every operator gets hard driver signal), with oracle-backed
+    queries first.  Adding a 51st query means consolidating, not
+    overflowing."""
     from pyspark_dist_explore_spark.plans.queries import DRIVER_CHECK_WINDOW
 
     flags = [spec.oracle is not None for spec in REGISTRY.values()]
     n_oracle = sum(flags)
-    assert n_oracle <= DRIVER_CHECK_WINDOW
+    assert len(flags) <= DRIVER_CHECK_WINDOW, (
+        f"{len(flags)} registered queries exceed the driver's "
+        f"{DRIVER_CHECK_WINDOW}-entry window — consolidate"
+    )
     assert all(flags[:n_oracle]), "a rows-only query precedes an oracle-backed one"
     assert not any(flags[n_oracle:]), "an oracle-backed query fell past the window"
