@@ -42,28 +42,39 @@ def main() -> None:
     # measure the plan, not session startup.
     REGISTRY["hist_lineitem_price"].build(spark, sf_dir).collect()
 
-    # two passes per query, keep the min — shared-host load and JIT noise
-    # otherwise dominate round-over-round comparisons
+    # min-of-N per query — shared-host load and JIT noise otherwise
+    # dominate round-over-round comparisons.  Cheap queries get 2 warm
+    # passes; queries whose cold pass exceeds EXPENSIVE_SEC get 3 so the
+    # numbers that decide the round verdict are the most stable ones.
+    # "spread" (max−min across attempts) makes run-to-run variance
+    # visible next to each timing instead of being folded into it.
+    EXPENSIVE_SEC = 1.5
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, spec in REGISTRY.items():
-        best = float("inf")
-        for attempt in range(2):
+        dts: list[float] = []
+        attempts = 2
+        while len(dts) < attempts:
             t0 = time.perf_counter()
             rows = spec.build(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
-            if attempt == 0:
+            if not dts:
                 cold[name] = round(dt, 4)
+                if dt > EXPENSIVE_SEC:
+                    attempts = 3
                 if not rows:
                     print(f"WARNING: {name} returned 0 rows", file=sys.stderr)
-            best = min(best, dt)
-        timings[name] = round(best, 4)
+            dts.append(dt)
+        timings[name] = round(min(dts), 4)
+        spread[name] = round(max(dts) - min(dts), 4)
 
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "cold_total": round(sum(cold.values()), 4),
         "sf": sf,
     }

@@ -86,6 +86,38 @@ def main() -> None:
     print(json.dumps({"probe": "minhash_lsh_candidates", "t_1x": t1, "t_10x": t10,
                       "cands_1x": n1, "cands_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- neardup_clusters: 10× disjoint pair graphs ------------------------
+    # (copy-shifted ids keep each copy's component structure; rounds are
+    # bounded by the 1× diameter, so 10× data must cost ~1× iterations —
+    # growth measures the per-round join+agg, which is linear)
+    pairs = dedup.jaccard_pairs_exact(
+        docs.where(F.col("doc_id") < 1000), "text", "doc_id", threshold=0.9
+    ).persist()
+    pairs.count()
+    pairs10 = reduce(
+        DataFrame.unionAll,
+        [
+            pairs.select(
+                (F.col("doc_a") + F.lit(i * 1_000_000)).alias("doc_a"),
+                (F.col("doc_b") + F.lit(i * 1_000_000)).alias("doc_b"),
+            )
+            for i in range(10)
+        ],
+    ).persist()
+    pairs10.count()
+    # time the BUILD too: the propagation rounds run eagerly inside
+    # neardup_clusters (localCheckpoint per round), so timing only the
+    # final count would miss all the real work
+    t0 = time.perf_counter()
+    n1 = dedup.neardup_clusters(pairs).count()
+    t1 = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n10 = dedup.neardup_clusters(pairs10).count()
+    t10 = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"probe": "neardup_clusters", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
+    pairs.unpersist(), pairs10.unpersist()
+
     # -- IVF top-k: 10× vectors, same 20 queries ---------------------------
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb10 = reduce(

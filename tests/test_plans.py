@@ -140,6 +140,31 @@ def test_minhash_ml_no_python_row_udf(spark):
     assert "BatchEvalPython" not in buf.getvalue()
 
 
+def test_tfidf_document_frequency_join_broadcasts(spark):
+    """TF-IDF's df_t side is vocabulary-sized — it must arrive at the tf
+    rows as a broadcast hash join, never a sort-merge shuffle of the full
+    term-frequency table."""
+    plan = _plan(spark, "text_tfidf")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_single_window_pass(spark):
+    """The as-of join is the union+window form: ONE window pass carries
+    the latest order forward — no range cross join, no sort-merge join,
+    and at most two hash shuffles (orders pre-dedup by (custkey, epoch) +
+    the window partitioning by key)."""
+    plan = _plan(spark, "asof_join_events")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
+    # tree lines only (the detail section repeats each node)
+    n_hash_exchanges = (
+        plan.count("+- Exchange") + plan.count(":- Exchange")
+    )
+    assert n_hash_exchanges <= 2, plan
+
+
 def test_registry_oracle_queries_inside_driver_window():
     """The driver records CORRECTNESS rows for the first 50 registry
     entries only — EVERY registered query must land inside that window
