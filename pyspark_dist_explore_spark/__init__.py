@@ -49,6 +49,7 @@ from pyspark_dist_explore_spark.operators.multimodal import (
 )
 from pyspark_dist_explore_spark.operators.sampling import hash_split, stratified_sample
 from pyspark_dist_explore_spark.operators.stats import describe_exact, histogram_approx
+from pyspark_dist_explore_spark.pipeline import curate_documents
 from pyspark_dist_explore_spark.operators.textstats import (
     language_id,
     quality_score,
@@ -84,6 +85,7 @@ __all__ = [
     "pandas_histogram",
     # dedup
     "exact_dedup",
+    "curate_documents",
     "fingerprint_dedup",
     "jaccard_pairs_exact",
     "minhash_neardup",

