@@ -59,6 +59,7 @@ def curate_documents(
     pair_fn: PairFn | None = None,
     jaccard_threshold: float = 0.9,
     split_fractions: dict[str, float] | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Curate a document corpus into a training keep-list.
 
@@ -72,6 +73,12 @@ def curate_documents(
     token-Jaccard self-join at ``jaccard_threshold`` (SQL-expressible →
     DuckDB-oracle-checkable).  ``allowed_langs=None`` skips the language
     filter.
+
+    ``materialize=True`` localCheckpoints the deduped intermediate,
+    which three downstream consumers re-read (the pair generator, the
+    cluster label init, the final survivor join) — one scoring scan
+    instead of three.  On a very large corpus prefer writing the deduped
+    snapshot out to parquet between stages instead (see module doc).
     """
     t = F.col(text_col)
     _, _, quality = quality_ratio_exprs(t)
@@ -86,6 +93,8 @@ def curate_documents(
 
     fp = base.withColumn("__fp", F.md5(dedup.normalize_text(F.col("__text"))))
     kept = dedup.exact_dedup(fp, ["__fp"], "doc_id").drop("__fp")
+    if materialize:
+        kept = kept.localCheckpoint()
 
     if pair_fn is None:
         pair_fn = lambda d: dedup.jaccard_pairs_exact(  # noqa: E731

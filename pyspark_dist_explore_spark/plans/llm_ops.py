@@ -367,6 +367,7 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=_CURATE_MIN_QUALITY,
         allowed_langs=sorted(textstats.LANG_MARKERS),
         jaccard_threshold=_JACCARD_THRESHOLD,
+        materialize=True,
     )
 
 
