@@ -50,6 +50,7 @@ from pyspark_dist_explore_spark.operators.multimodal import (
 from pyspark_dist_explore_spark.operators.sampling import hash_split, stratified_sample
 from pyspark_dist_explore_spark.operators.stats import describe_exact, histogram_approx
 from pyspark_dist_explore_spark.pipeline import curate_documents
+from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
     language_id,
     quality_score,
@@ -85,7 +86,9 @@ __all__ = [
     "pandas_histogram",
     # dedup
     "exact_dedup",
+    "build_session",
     "curate_documents",
+    "recommended_conf",
     "fingerprint_dedup",
     "jaccard_pairs_exact",
     "minhash_neardup",
