@@ -165,6 +165,39 @@ def test_asof_join_single_window_pass(spark):
     assert n_hash_exchanges <= 2, plan
 
 
+def test_pipeline_scan_pruned_and_pushed(spark):
+    """The composed curation pipeline's ONLY parquet scan must read just
+    (doc_id, text) — lang/source/n_chars pruned — with the id cap pushed
+    to the scan, and the survivor keep-list must arrive as a broadcast
+    (it is a shrunken id set, never a shuffle of the corpus)."""
+    import pyspark.sql.functions as F
+
+    from pyspark_dist_explore_spark.pipeline import curate_documents
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").where(F.col("doc_id") < 300)
+    out = curate_documents(docs, "text", "doc_id", min_quality=0.908)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,300)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_pipeline_materialized_scans_source_once(spark):
+    """With materialize=True (the registered query), the deduped
+    intermediate is localCheckpointed: the final plan must read ONLY
+    checkpointed RDDs — zero parquet re-scans of the scoring stage for
+    the three downstream consumers."""
+    plan = _plan(spark, "pipeline_curate")
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_registry_oracle_queries_inside_driver_window():
     """The driver records CORRECTNESS rows for the first 50 registry
     entries only — EVERY registered query must land inside that window
