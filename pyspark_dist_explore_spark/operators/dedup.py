@@ -409,6 +409,7 @@ def neardup_clusters(
         extra = all_ids.select(F.col(all_ids.columns[0]).alias("doc_id")).distinct()
         nodes = nodes.union(extra).distinct()
     labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    changed = -1  # sentinel: max_iter == 0 never converged
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -435,6 +436,20 @@ def neardup_clusters(
         labels = stepped.select("doc_id", "lbl")
         if changed == 0:
             break
+    if changed != 0:
+        # returning partial propagation as if converged would silently
+        # mark several "survivors" inside one true cluster — a dedup
+        # pipeline would then KEEP near-duplicates with no signal
+        import warnings
+
+        warnings.warn(
+            f"neardup_clusters: label propagation did not converge within "
+            f"max_iter={max_iter} rounds ({changed} labels still moving); "
+            f"components may report multiple survivors — raise max_iter "
+            f"(pointer jumping needs ~log2(diameter) rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

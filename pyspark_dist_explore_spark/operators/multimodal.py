@@ -399,8 +399,11 @@ def write_media_fixture(
 ) -> str:
     """Write deterministic per-doc media FILES (``{doc_id}.wav`` /
     ``{doc_id}.bmp``) for the binaryFile ingestion path — a test/demo
-    fixture standing in for a real media bucket.  Idempotent: existing
-    files are left untouched (payloads are pure functions of doc_id).
+    fixture standing in for a real media bucket.  Idempotent on CONTENT:
+    payloads are pure functions of ``(doc_id, kind, n_samples,
+    sample_rate, width, height)``, and an existing file is kept only if
+    its bytes match the expected payload — so changing a parameter
+    rewrites stale files instead of silently serving old ones.
     Returns ``dir_path``.
     """
     import os
@@ -408,42 +411,66 @@ def write_media_fixture(
     os.makedirs(dir_path, exist_ok=True)
     for d in doc_ids:
         path = os.path.join(dir_path, f"{int(d)}.{kind}")
-        if os.path.exists(path):
-            continue
         if kind == "wav":
             payload = encode_wav(_doc_samples(int(d), n_samples), sample_rate)
         elif kind == "bmp":
             payload = encode_bmp(_doc_pixels(int(d), 0, width, height))
         else:
             raise ValueError(f"unsupported fixture kind {kind!r}")
+        if os.path.exists(path) and os.path.getsize(path) == len(payload):
+            with open(path, "rb") as f:
+                if f.read() == payload:
+                    continue
         with open(path, "wb") as f:
             f.write(payload)
     return dir_path
 
 
 def read_binary_media(
-    spark, path: str, *, id_regex: str = r"(\d+)\.\w+$"
+    spark, path: str, *, id_regex: str = r"(\d+)\.\w+$", strict: bool = False
 ) -> DataFrame:
     """Ingest media files via ``spark.read.format("binaryFile")`` into the
     engine's standard (doc_id, payload, meta) shape — the production
     entry point for :func:`audio_features` / :func:`resize_images` /
     :func:`sample_frames`.
 
-    doc_id is parsed from the file name (``id_regex`` group 1).  The
-    binaryFile source distributes whole files across partitions (one
+    doc_id is parsed from the file name (``id_regex`` group 1).  Files
+    whose names do NOT match are DROPPED by an explicit filter (they
+    would otherwise surface as NULL doc_ids that silently vanish in
+    downstream joins); pass ``strict=True`` to instead fail the job on
+    the first unparseable name — the right default for a production
+    bucket that is supposed to be uniformly keyed.
+
+    The binaryFile source distributes whole files across partitions (one
     file = one row; ``spark.sql.files.maxPartitionBytes`` packs small
     files per task), filters on path/length push down, and payload bytes
     stay map-side exactly like the synthesized-payload path.
     """
     raw = spark.read.format("binaryFile").load(path)
-    return raw.select(
-        F.regexp_extract(F.col("path"), id_regex, 1).cast("bigint").alias("doc_id"),
+    parsed = F.regexp_extract(F.col("path"), id_regex, 1)
+    if strict:
+        doc_id = F.when(parsed != "", parsed).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("read_binary_media: file name does not match id_regex: "),
+                    F.col("path"),
+                )
+            )
+        ).cast("bigint")
+    else:
+        # try_cast, not cast: ANSI mode makes CAST('' AS BIGINT) throw a
+        # bare NumberFormatException mid-job — NULL-then-filter is the
+        # documented drop semantics
+        doc_id = parsed.try_cast("bigint")
+    out = raw.select(
+        doc_id.alias("doc_id"),
         F.col("content").alias("payload"),
         F.struct(
             F.col("path").alias("uri"),
             F.col("length").cast("bigint").alias("size"),
         ).alias("meta"),
     )
+    return out if strict else out.where(F.col("doc_id").isNotNull())
 
 
 #: (doc_id, width, height, pixels_hash) — what a real image-resize emits

@@ -23,13 +23,18 @@ Stage shapes (the scale story, per stage):
 Label state through stages 3–4 is (id, small scalars) — text never
 travels past the pair generator.
 
-The returned frame is lazy: the deduped intermediate is referenced by
-the pair generator, the cluster label init, and the final survivor
-join, so a production run over a large corpus should persist (or write
-out) the deduped snapshot between stages 2 and 3 — e.g.
+Laziness caveat: CONSTRUCTION is not free.  ``neardup_clusters``
+materializes the edge list (localCheckpoint — this eagerly runs the
+scoring scan, exact dedup, and the pair self-join) and executes its
+propagation rounds with a count action per round, all inside the
+``curate_documents`` call; ``materialize=True`` also eagerly
+checkpoints the deduped stage.  Only the RETURNED frame (survivor
+join + split) is lazy.  The deduped intermediate is referenced by the
+pair generator, the cluster label init, and the final survivor join,
+so a production run over a large corpus should persist (or write out)
+the deduped snapshot between stages 2 and 3 — e.g.
 ``kept.write.parquet(...)`` and read it back — rather than recompute
-the scoring scan three times.  (The near-dup EDGE list is materialized
-once inside ``neardup_clusters`` regardless.)
+the scoring scan three times.
 """
 
 from __future__ import annotations

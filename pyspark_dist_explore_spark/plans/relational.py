@@ -519,17 +519,22 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     union into one frame.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    h = histogram_approx(li, "l_extendedprice", bins=20).select(
-        F.lit("hist_numeric").alias("sketch"),
-        F.col("bucket").cast("string").alias("key"),
-        F.lit("center").alias("metric"),
-        F.col("center").cast("double").alias("value"),
-    ).unionAll(
-        histogram_approx(li, "l_extendedprice", bins=20).select(
+    # ONE histogram_numeric execution unpivoted to long format — two
+    # separate builds would scan lineitem twice AND could emit center and
+    # weight rows from two different sketches (merge-order-dependent)
+    h = (
+        histogram_approx(li, "l_extendedprice", bins=20)
+        .unpivot(
+            ids=["bucket"],
+            values=["center", "weight"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .select(
             F.lit("hist_numeric").alias("sketch"),
             F.col("bucket").cast("string").alias("key"),
-            F.lit("weight").alias("metric"),
-            F.col("weight").cast("double").alias("value"),
+            "metric",
+            F.col("value").cast("double").alias("value"),
         )
     )
     s = li.groupBy("l_returnflag").agg(

@@ -80,6 +80,23 @@ def test_neardup_clusters_pairs_only_no_all_ids(spark):
     assert out == {3: 3, 5: 3, 7: 3}
 
 
+def test_neardup_clusters_warns_when_unconverged(spark):
+    """Exhausting max_iter with labels still moving must WARN — silently
+    returning partial propagation would keep near-dups in a training set."""
+    import warnings
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], ["doc_a", "doc_b"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.neardup_clusters(pairs, max_iter=1)
+    assert any("did not converge" in str(w.message) for w in caught)
+    # and a sufficient budget stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.neardup_clusters(pairs)
+    assert not any("did not converge" in str(w.message) for w in caught)
+
+
 def test_simhash_close_for_neardups(spark):
     sig = {
         r["doc_id"]: r["sim"]
@@ -407,6 +424,34 @@ def test_binary_file_ingestion_roundtrip(spark, tmp_path):
     # idempotent rewrite leaves files alone
     multimodal.write_media_fixture(str(tmp_path / "wav"), [3, 7], n_samples=1000)
     assert ingested.count() == 2
+
+
+def test_media_fixture_rewrites_on_param_change(spark, tmp_path):
+    """Idempotency keys on CONTENT: re-calling with different payload
+    parameters must rewrite stale files, not silently serve old ones."""
+    from pyspark_dist_explore_spark.operators import multimodal
+
+    d = multimodal.write_media_fixture(str(tmp_path / "wav"), [3], n_samples=4000)
+    multimodal.write_media_fixture(str(tmp_path / "wav"), [3], n_samples=1000)
+    [row] = multimodal.read_binary_media(spark, d + "/*.wav").collect()
+    assert bytes(row["payload"]) == multimodal.encode_wav(
+        multimodal._doc_samples(3, 1000), 8000
+    )
+
+
+def test_binary_media_unparseable_names(spark, tmp_path):
+    """Non-matching file names: dropped by an explicit filter by default,
+    job failure under strict=True — never silent NULL doc_ids."""
+    from pyspark_dist_explore_spark.operators import multimodal
+
+    d = multimodal.write_media_fixture(str(tmp_path / "wav"), [3], n_samples=500)
+    (tmp_path / "wav" / "sample.wav").write_bytes(b"not keyed by doc id")
+    ingested = multimodal.read_binary_media(spark, d + "/*.wav")
+    assert [r["doc_id"] for r in ingested.collect()] == [3]
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="does not match id_regex"):
+        multimodal.read_binary_media(spark, d + "/*.wav", strict=True).collect()
 
 
 def test_multimodal_real_decode_resize_and_frames(spark):

@@ -198,6 +198,16 @@ def test_pipeline_materialized_scans_source_once(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_approx_sketches_single_sketch_execution(spark):
+    """The hist_numeric leg must unpivot ONE sketch execution — two
+    independent builds would scan lineitem twice and could pair center
+    and weight rows from two different merge-order-dependent sketches.
+    Formatted mode lists each node twice (tree + details): 2 real scans
+    (hist leg + group-stats leg) → 4 occurrences."""
+    plan = _plan(spark, "approx_sketches")
+    assert plan.count("Scan parquet") <= 4
+
+
 def test_registry_oracle_queries_inside_driver_window():
     """The driver records CORRECTNESS rows for the first 50 registry
     entries only — EVERY registered query must land inside that window
