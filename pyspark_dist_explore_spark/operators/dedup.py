@@ -207,6 +207,16 @@ def minhash_neardup(
     the intersection is a COUNT per pair — no arrays cross the shuffle,
     each join is an equi hash join.  Returns (doc_a, doc_b, jaccard),
     jaccard rounded to 6.
+
+    Scan shape: the exploded shingle rows are computed up to 4× (the
+    signature agg, the size agg, both verify sides).  Measured at sf0.1
+    that costs ~8% warm / ~40% cold vs persisting the rows once — kept
+    lazy anyway because a ``persist`` inside a library function leaks a
+    CacheManager entry the caller never knows to drop (a merged-agg /
+    ReusedExchange restructure was also measured: column pruning splits
+    the exchanges, no reuse).  At 100 TB, write the shingle table (or
+    ``.persist()`` it) yourself and feed the stages — same pattern as
+    the documented tf persist in tfidf.
     """
     rows = _shingle_rows(df, text_col, id_col, shingle_n)
     sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -364,6 +374,22 @@ def minhash_ml_neardup(
 # --------------------------------------------------------------------------
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort immediate release of a ``localCheckpoint``-ed frame's
+    storage blocks.  The DataFrame API exposes no unpersist for local
+    checkpoints, so this reaches the LogicalRDD's materialized RDD via
+    the JVM handle; where that handle doesn't exist (Spark Connect) it
+    silently defers to the ContextCleaner, which reclaims the blocks
+    when the driver-side reference is garbage-collected.  Callers must
+    only release frames nothing will read again — a localCheckpoint has
+    no lineage to recompute from.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def neardup_clusters(
     pairs: DataFrame,
     *,
@@ -388,11 +414,20 @@ def neardup_clusters(
     a chain of hash joins + partial-agg ``min()`` groupBys — never a
     driver-side loop over DATA, only over plan iterations.  Pointer
     jumping makes rounds O(log n) instead of O(graph diameter); each
-    round is localCheckpoint-ed (cuts lineage so plans don't snowball)
-    and the loop stops at the first round with zero label changes — the
-    convergence count is the one tiny action per round.  Labels are
-    (id, id)-shaped — 2 longs per doc — so 100 TB of text is still only
-    GBs of label state shuffling on the id key.
+    round's label state is localCheckpoint-ed (cuts lineage so plans
+    don't snowball — a persist-based variant keeping full lineage
+    measured 4× slower: AQE re-optimizes the whole growing tree every
+    round) and the PREVIOUS round's checkpoint blocks are explicitly
+    released once the new round materializes, so live label-state
+    storage is bounded at two copies no matter how many rounds run (the
+    edge list is localCheckpoint-ed once — it is joined every round and
+    must not re-execute its upstream pair pipeline).  The loop stops at
+    the first round with zero label changes — the convergence count is
+    the one tiny action per round.  Labels are (id, id)-shaped — 2
+    longs per doc — so 100 TB of text is still only GBs of label state
+    shuffling on the id key.  The FINAL round's state backs the
+    returned frame and stays pinned until the driver reference is
+    garbage-collected (Spark's ContextCleaner then drops the blocks).
     """
     src = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     # materialize the edge list ONCE: every round joins against it, and
@@ -408,7 +443,8 @@ def neardup_clusters(
     if all_ids is not None:
         extra = all_ids.select(F.col(all_ids.columns[0]).alias("doc_id")).distinct()
         nodes = nodes.union(extra).distinct()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    prev = nodes.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    labels = prev
     changed = -1  # sentinel: max_iter == 0 never converged
     for _ in range(max_iter):
         nbr = (
@@ -430,9 +466,14 @@ def neardup_clusters(
                     F.coalesce(F.col("jump_lbl"), F.col("lbl")),
                 ).alias("lbl"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: stepped is self-contained blocks now
         )
         changed = stepped.where(F.col("lbl") != F.col("old_lbl")).count()
+        # the superseded round's blocks can go the moment its successor
+        # has materialized — without this, a long run pins every round's
+        # (doc_id, lbl) copy until driver GC gets around to it
+        _release_local_checkpoint(prev)
+        prev = stepped
         labels = stepped.select("doc_id", "lbl")
         if changed == 0:
             break
@@ -442,14 +483,18 @@ def neardup_clusters(
         # pipeline would then KEEP near-duplicates with no signal
         import warnings
 
+        moving = "no rounds ran" if changed < 0 else f"{changed} labels still moving"
         warnings.warn(
             f"neardup_clusters: label propagation did not converge within "
-            f"max_iter={max_iter} rounds ({changed} labels still moving); "
-            f"components may report multiple survivors — raise max_iter "
-            f"(pointer jumping needs ~log2(diameter) rounds)",
+            f"max_iter={max_iter} rounds ({moving}); components may report "
+            f"multiple survivors — raise max_iter (pointer jumping needs "
+            f"~log2(diameter) rounds)",
             RuntimeWarning,
             stacklevel=2,
         )
+    # the returned plan reads ONLY the final round's checkpoint — the
+    # edge list is not referenced past the loop, so drop it now too
+    _release_local_checkpoint(edges)
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

@@ -365,15 +365,17 @@ def audio_features(
                    "duration_s": [], "rms": [], "peak": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rate, samples = decoder(bytes(payload))
+                n_orig = len(samples)
                 step = max(every_n, 1)
                 samples = samples[::step]
                 x = samples.astype(np.float64)
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(rate // step or 1)
                 out["n_samples"].append(len(samples))
-                # duration from the ORIGINAL rate: integer-divided rates are
-                # inexact when every_n doesn't divide the sample rate
-                out["duration_s"].append(len(samples) * step / rate)
+                # duration from the PRE-decimation count and ORIGINAL rate:
+                # ceil(n/step)*step/rate would overstate by up to
+                # (step-1)/rate when step doesn't divide the sample count
+                out["duration_s"].append(n_orig / rate)
                 out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
                 out["peak"].append(int(np.max(np.abs(samples))) if len(samples) else 0)
             yield pd.DataFrame(out)
@@ -421,8 +423,12 @@ def write_media_fixture(
             with open(path, "rb") as f:
                 if f.read() == payload:
                     continue
-        with open(path, "wb") as f:
+        # write-to-temp + rename, not open('wb'): a concurrent reader (a
+        # binaryFile scan from a parallel run) must never see a torn file
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
             f.write(payload)
+        os.replace(tmp, path)
     return dir_path
 
 
@@ -447,21 +453,26 @@ def read_binary_media(
     stay map-side exactly like the synthesized-payload path.
     """
     raw = spark.read.format("binaryFile").load(path)
-    parsed = F.regexp_extract(F.col("path"), id_regex, 1)
+    # try_cast, not cast: ANSI mode makes CAST('' AS BIGINT) throw a bare
+    # NumberFormatException mid-job; NULL is the one signal both the
+    # drop filter and the strict error share
+    parsed = F.regexp_extract(F.col("path"), id_regex, 1).try_cast("bigint")
     if strict:
-        doc_id = F.when(parsed != "", parsed).otherwise(
+        # gate on the CAST result, not the regex alone: a custom id_regex
+        # can match a non-numeric group, which must also fail loudly
+        doc_id = F.when(parsed.isNotNull(), parsed).otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("read_binary_media: file name does not match id_regex: "),
+                    F.lit(
+                        "read_binary_media: file name does not match id_regex "
+                        "(or its group 1 is not an integer): "
+                    ),
                     F.col("path"),
                 )
-            )
-        ).cast("bigint")
+            ).cast("bigint")
+        )
     else:
-        # try_cast, not cast: ANSI mode makes CAST('' AS BIGINT) throw a
-        # bare NumberFormatException mid-job — NULL-then-filter is the
-        # documented drop semantics
-        doc_id = parsed.try_cast("bigint")
+        doc_id = parsed
     out = raw.select(
         doc_id.alias("doc_id"),
         F.col("content").alias("payload"),

@@ -465,14 +465,16 @@ def q_vector_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: media fixture for the binaryFile ingestion path — a machine-local
-#: scratch dir (NOT a hardcoded checkout path: any user/cwd can write
-#: it); write_media_fixture keys idempotency on file CONTENT, so a
-#: stale dir from an older parameterization self-heals
+#: scratch dir (NOT a hardcoded checkout path), suffixed with the euid
+#: so two users on one host never fight over file ownership;
+#: write_media_fixture keys idempotency on file CONTENT (atomic
+#: replace), so a stale dir from an older parameterization self-heals
 import os as _os
 import tempfile as _tempfile
 
 _MEDIA_FIXTURE_DIR = _os.path.join(
-    _tempfile.gettempdir(), "pyspark_dist_explore_media_fixture_wav"
+    _tempfile.gettempdir(),
+    f"pyspark_dist_explore_media_fixture_wav_{getattr(_os, 'geteuid', lambda: 0)()}",
 )
 _MEDIA_FIXTURE_IDS = 100
 

@@ -171,14 +171,12 @@ def q_hist_mixed_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     calls, not one shared-range multi-series histogram — that semantic
     is ``hist_multi_series``).
     """
-    from pyspark_dist_explore_spark.sources.tables import load_table as _lt
-
     a = compute_histogram(
         _hist_sources(spark, sf_dir, _FLAGSHIP), bins=10, range=(1000.0, 5000.0)
     )
     b = compute_histogram(_hist_sources(spark, sf_dir, _PSIZE), bins=5)
     c = compute_histogram(
-        [("o_orderdate", _lt(spark, sf_dir, "orders"), "o_orderdate")], bins=12
+        [("o_orderdate", load_table(spark, sf_dir, "orders"), "o_orderdate")], bins=12
     )
     cols = ["series", "bucket", "cnt"]
     return a.select(*cols).unionAll(b.select(*cols)).unionAll(c.select(*cols))

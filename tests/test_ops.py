@@ -97,6 +97,44 @@ def test_neardup_clusters_warns_when_unconverged(spark):
     assert not any("did not converge" in str(w.message) for w in caught)
 
 
+def test_semantic_dedup_composition(spark):
+    """Embedding-level semantic dedup is a straight composition of two
+    shipped operators: ANN-pruned cosine near-dup pairs feeding cluster
+    resolution — every embedding gets a cluster, each cluster one
+    survivor, near-identical vectors (cos >= 0.98) never both survive."""
+    from pyspark_dist_explore_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(500)
+    pairs = similarity.ann_lsh_neardup_pairs(
+        emb, threshold=0.98, n_planes=4, id_col="vec_id", vec_col="embedding"
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    clusters = dedup.neardup_clusters(pairs, all_ids=emb.select("vec_id"))
+    rows = clusters.collect()
+    assert len(rows) == emb.count()  # every vector labeled
+    by_id = {r["doc_id"]: r for r in rows}
+    survivors = {r["doc_id"] for r in rows if r["is_survivor"] == 1}
+    # each cluster's survivor is its min id, and it is in the survivor set
+    for r in rows:
+        assert by_id[r["cluster_id"]]["is_survivor"] == 1
+        assert r["cluster_id"] <= r["doc_id"]
+    # no near-dup pair survives twice
+    for p in pairs.collect():
+        assert not (p["doc_a"] in survivors and p["doc_b"] in survivors)
+
+
+def test_neardup_clusters_releases_round_storage(spark):
+    """Superseded propagation rounds must not pin checkpoint blocks: a
+    multi-round run may leave at most the FINAL round's state behind
+    (plus anything persisted before the call), never one copy per round."""
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # a 40-node chain needs several pointer-jumping rounds to converge
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 40)], ["doc_a", "doc_b"])
+    res = dedup.neardup_clusters(pairs)
+    assert res.where(F.col("is_survivor") == 1).count() == 1
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1, f"leaked {after - before} checkpointed round states"
+
+
 def test_simhash_close_for_neardups(spark):
     sig = {
         r["doc_id"]: r["sim"]
@@ -374,11 +412,11 @@ def test_wav_codec_roundtrip_and_audio_features(spark):
     half = {r["doc_id"]: r for r in multimodal.audio_features(payload, every_n=2).collect()}
     assert half[1]["n_samples"] == 500 and half[1]["sample_rate"] == 4000
     assert half[1]["duration_s"] == feats[1]["duration_s"]
-    # non-dividing every_n: duration stays exact (len*step/original_rate),
-    # not drifting with the integer-divided nominal rate
+    # non-dividing every_n: duration stays exact (pre-decimation count /
+    # original rate) — ceil(1000/3)*3/8000 would overstate by 2 samples
     third = {r["doc_id"]: r for r in multimodal.audio_features(payload, every_n=3).collect()}
     assert third[1]["n_samples"] == 334  # ceil(1000/3)
-    assert third[1]["duration_s"] == 334 * 3 / 8000
+    assert third[1]["duration_s"] == 1000 / 8000
 
 
 def test_extract_features_partial_decode_merges_per_row(spark):
@@ -452,6 +490,14 @@ def test_binary_media_unparseable_names(spark, tmp_path):
 
     with pytest.raises(SparkRuntimeException, match="does not match id_regex"):
         multimodal.read_binary_media(spark, d + "/*.wav", strict=True).collect()
+    # a regex whose group 1 MATCHES but is not an integer must also fail
+    # strict mode (and be dropped by default), not emit NULL doc_ids
+    loose = r"([a-z0-9]+)\.\w+$"
+    assert multimodal.read_binary_media(spark, d + "/*.wav", id_regex=loose).count() == 1
+    with pytest.raises(SparkRuntimeException, match="not an integer"):
+        multimodal.read_binary_media(
+            spark, d + "/*.wav", id_regex=loose, strict=True
+        ).collect()
 
 
 def test_multimodal_real_decode_resize_and_frames(spark):
