@@ -63,6 +63,7 @@ from pyspark_dist_explore_spark.operators.textstats import (
 )
 from pyspark_dist_explore_spark.streaming.histogram_stream import (
     stream_dedup,
+    stream_interval_join,
     stream_windowed_histogram,
 )
 from pyspark_dist_explore_spark.viz import (
@@ -126,6 +127,7 @@ __all__ = [
     # streaming
     "stream_windowed_histogram",
     "stream_dedup",
+    "stream_interval_join",
 ]
 
 __version__ = "0.1.0"

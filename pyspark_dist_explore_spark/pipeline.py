@@ -28,13 +28,14 @@ materializes the edge list (localCheckpoint — this eagerly runs the
 scoring scan, exact dedup, and the pair self-join) and executes its
 propagation rounds with a count action per round, all inside the
 ``curate_documents`` call; ``materialize=True`` also eagerly
-checkpoints the deduped stage.  Only the RETURNED frame (survivor
-join + split) is lazy.  The deduped intermediate is referenced by the
-pair generator, the cluster label init, and the final survivor join,
-so a production run over a large corpus should persist (or write out)
-the deduped snapshot between stages 2 and 3 — e.g.
-``kept.write.parquet(...)`` and read it back — rather than recompute
-the scoring scan three times.
+checkpoints the deduped stage, and ``snapshot_dir=...`` eagerly WRITES
+it to parquet and re-reads the files.  Only the RETURNED frame
+(survivor join + split) is lazy.  The deduped intermediate is
+referenced by the pair generator, the cluster label init, and the
+final survivor join, so a production run over a large corpus should
+pass ``snapshot_dir`` (durable, resumable, audit-able) — or at least
+``materialize=True`` — rather than recompute the scoring scan three
+times.
 """
 
 from __future__ import annotations
@@ -65,6 +66,7 @@ def curate_documents(
     jaccard_threshold: float = 0.9,
     split_fractions: dict[str, float] | None = None,
     materialize: bool = False,
+    snapshot_dir: str | None = None,
 ) -> DataFrame:
     """Curate a document corpus into a training keep-list.
 
@@ -82,8 +84,12 @@ def curate_documents(
     ``materialize=True`` localCheckpoints the deduped intermediate,
     which three downstream consumers re-read (the pair generator, the
     cluster label init, the final survivor join) — one scoring scan
-    instead of three.  On a very large corpus prefer writing the deduped
-    snapshot out to parquet between stages instead (see module doc).
+    instead of three.  ``snapshot_dir`` is the 100 TB form of the same
+    idea and takes precedence over ``materialize``: the deduped stage is
+    written to parquet there (eager, one scoring scan) and every
+    downstream consumer reads the files back — durable across executor
+    loss, resumable, and the snapshot doubles as the audit copy of the
+    post-dedup corpus.
     """
     t = F.col(text_col)
     _, _, quality = quality_ratio_exprs(t)
@@ -98,7 +104,10 @@ def curate_documents(
 
     fp = base.withColumn("__fp", F.md5(dedup.normalize_text(F.col("__text"))))
     kept = dedup.exact_dedup(fp, ["__fp"], "doc_id").drop("__fp")
-    if materialize:
+    if snapshot_dir is not None:
+        kept.write.mode("overwrite").parquet(snapshot_dir)
+        kept = docs.sparkSession.read.parquet(snapshot_dir)
+    elif materialize:
         kept = kept.localCheckpoint()
 
     if pair_fn is None:

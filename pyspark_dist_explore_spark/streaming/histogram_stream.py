@@ -148,3 +148,48 @@ def stream_dedup(
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "30 minutes",
+    suffix: str = "_r",
+) -> DataFrame:
+    """X8: stream-stream inner join on a key within an event-time
+    interval — the attribution shape (impression ⋈ click ≤ ``within``
+    later) a training-data event pipeline needs.
+
+    Both sides are watermarked and the join condition carries the time
+    interval, so Spark can PROVE when buffered rows are joinable-no-more
+    and evict them: state is bounded by ``watermark + within`` per key,
+    not by stream length.  Works identically on batch frames (watermarks
+    skipped) — that batch twin is what tests pin the semantics against.
+
+    Right-side columns that clash with the left get ``suffix``; the
+    right event time is always emitted as ``{right_ts}{suffix}``.
+    """
+    renames = {
+        c: c + suffix
+        for c in right.columns
+        if c != on and (c in left.columns or c == right_ts)
+    }
+    r = right
+    for old, new in renames.items():
+        r = r.withColumnRenamed(old, new)
+    rts = right_ts + suffix if right_ts in renames else right_ts
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(rts, watermark)
+    cond = (
+        (left[on] == r[on])
+        & (F.col(rts) >= F.col(left_ts))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(r, cond).drop(r[on])

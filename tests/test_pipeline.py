@@ -88,3 +88,27 @@ def test_curate_pluggable_minhash_pair_fn(spark):
     assert out.columns == ["doc_id", "lang_pred", "quality", "split"]
     ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_curate_snapshot_dir_replaces_scoring_rescans(spark, tmp_path):
+    """snapshot_dir (the 100 TB materialization form) must (a) produce
+    the SAME keep-list as the in-memory pipeline, (b) leave the deduped
+    snapshot on disk as readable parquet, and (c) make the returned
+    plan's only parquet scans read the SNAPSHOT, not the source."""
+    import io, contextlib
+
+    docs = _docs(spark)
+    snap = str(tmp_path / "dedup_snapshot")
+    out = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, snapshot_dir=snap
+    )
+    base = curate_documents(docs, "text", "doc_id", min_quality=0.0)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+    snap_cols = spark.read.parquet(snap).columns
+    assert {"doc_id", "quality", "lang_pred"} <= set(snap_cols)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    scans = [ln for ln in plan.splitlines() if "Location:" in ln]
+    assert scans and all("dedup_snapshot" in ln for ln in scans)

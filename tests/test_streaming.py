@@ -236,3 +236,51 @@ def test_apply_in_pandas_with_state_running_stats(spark, stream_dir):
         assert latest[2] == (1, 5.0, 5.0)
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: a click attributes to an
+    impression only within the interval; out-of-interval and unmatched
+    rows never emit; the batch twin returns the identical pair set."""
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_interval_join,
+    )
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    imps = [
+        (1, _ts(0), 0.0),   # user 1 impression 10:00
+        (2, _ts(0), 0.0),   # user 2 impression 10:00
+        (3, _ts(5), 0.0),   # user 3 impression 10:05, never clicks
+    ]
+    clks = [
+        (1, _ts(10), 1.0),  # 10 min later → attributed
+        (2, _ts(45), 1.0),  # 45 min later → outside 30-min interval
+        (4, _ts(1), 1.0),   # click with no impression
+    ]
+    _write_batch(spark, imp_dir, imps, 1)
+    _write_batch(spark, clk_dir, clks, 1)
+
+    imp_s = spark.readStream.schema(SCHEMA).parquet(imp_dir)
+    clk_s = spark.readStream.schema(SCHEMA).parquet(clk_dir)
+    joined = stream_interval_join(
+        imp_s, clk_s, "event_id", within="30 minutes", watermark="10 minutes"
+    )
+    assert "ts_r" in joined.columns
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("attr_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = [(r["event_id"], r["ts"], r["ts_r"]) for r in spark.table("attr_sink").collect()]
+    finally:
+        query.stop()
+    assert got == [(1, _ts(0), _ts(10))]
+
+    # batch twin: same operator, same pair set
+    imp_b = spark.read.schema(SCHEMA).parquet(imp_dir)
+    clk_b = spark.read.schema(SCHEMA).parquet(clk_dir)
+    batch = stream_interval_join(imp_b, clk_b, "event_id", within="30 minutes")
+    assert [(r["event_id"], r["ts"], r["ts_r"]) for r in batch.collect()] == got
