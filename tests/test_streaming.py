@@ -284,3 +284,38 @@ def test_stream_stream_interval_join(spark, tmp_path):
     clk_b = spark.read.schema(SCHEMA).parquet(clk_dir)
     batch = stream_interval_join(imp_b, clk_b, "event_id", within="30 minutes")
     assert [(r["event_id"], r["ts"], r["ts_r"]) for r in batch.collect()] == got
+
+
+def test_interval_join_batch_twin_vs_duckdb(spark):
+    """The interval join's BATCH twin hash-matches a DuckDB oracle on the
+    real events table: click events attribute to the view events of the
+    same user within 30 minutes after the view."""
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_interval_join,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        from pyspark_dist_explore_spark.sources.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        j = stream_interval_join(views, clicks, "user_id", within="30 minutes")
+        return j.select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("event_id_r").alias("click_id"),
+        )
+
+    oracle = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+    compare(spark, SF_SMOKE, build, oracle)
