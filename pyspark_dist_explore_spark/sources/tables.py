@@ -31,11 +31,22 @@ TABLES: dict[str, str] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    unless ``spark.sql.legacy.parquet.nanosAsLong`` is on (runtime
-    settable).  The raw int64 nanos are kept as ``ts_ns`` and a
-    microsecond-precision ``ts`` timestamp is derived — hour/minute
-    windowing semantics are unaffected by the dropped sub-micro digits.
+    ``events.ts`` arrives in one of two physical schemas depending on the
+    testdata generation (both observed across driver rounds), and the
+    loader normalizes BOTH to the same contract — ``ts`` TIMESTAMP
+    (microsecond precision, the naive value interpreted as UTC) plus
+    ``ts_ns`` BIGINT epoch-nanoseconds — so every downstream query and
+    oracle is schema-generation-independent:
+
+    - parquet TIMESTAMP(NANOS): Spark 4 rejects it unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is on (runtime settable),
+      so the column reads as raw int64 nanos → ``ts_ns`` as-is, ``ts``
+      derived via ``timestamp_micros``.
+    - parquet timestamp[us] (no tz → TIMESTAMP_NTZ under Spark 4's
+      default NTZ inference): epoch micros are extracted with
+      ``timestampdiff`` against the NTZ epoch — session-timezone-free,
+      unlike a ntz→timestamp cast — and DuckDB's ``epoch(ts)`` over the
+      same naive value agrees exactly.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(TABLES)}")
@@ -45,10 +56,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # legacy TIMESTAMP(NANOS) read as int64
+            micros = F.expr("ts div 1000")
+            ts_ns = F.col("ts")
+        elif ts_type == "timestamp_ntz":
+            micros = F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            ts_ns = micros * F.lit(1000)
+        else:  # plain TIMESTAMP (isAdjustedToUTC / NTZ inference off)
+            micros = F.unix_micros(F.col("ts"))
+            ts_ns = micros * F.lit(1000)
         return df.select(
             "event_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            F.col("ts").alias("ts_ns"),
+            F.timestamp_micros(micros).alias("ts"),
+            ts_ns.cast("bigint").alias("ts_ns"),
             "user_id",
             "event_type",
             "value",
