@@ -31,9 +31,9 @@ TABLES: dict[str, str] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` arrives in one of two physical schemas depending on the
-    testdata generation (both observed across driver rounds), and the
-    loader normalizes BOTH to the same contract — ``ts`` TIMESTAMP
+    ``events.ts`` arrives in one of three physical schemas depending on
+    the testdata generation (all observed across driver rounds), and the
+    loader normalizes ALL of them to the same contract — ``ts`` TIMESTAMP
     (microsecond precision, the naive value interpreted as UTC) plus
     ``ts_ns`` BIGINT epoch-nanoseconds — so every downstream query and
     oracle is schema-generation-independent:
@@ -41,12 +41,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - parquet TIMESTAMP(NANOS): Spark 4 rejects it unless
       ``spark.sql.legacy.parquet.nanosAsLong`` is on (runtime settable),
       so the column reads as raw int64 nanos → ``ts_ns`` as-is, ``ts``
-      derived via ``timestamp_micros``.
+      derived via ``timestamp_micros`` with FLOOR division (``div``
+      truncates toward zero, which for pre-1970 nanos not divisible by
+      1000 would land one micro late vs a flooring oracle like DuckDB's
+      ``epoch()``).
     - parquet timestamp[us] (no tz → TIMESTAMP_NTZ under Spark 4's
       default NTZ inference): epoch micros are extracted with
       ``timestampdiff`` against the NTZ epoch — session-timezone-free,
       unlike a ntz→timestamp cast — and DuckDB's ``epoch(ts)`` over the
       same naive value agrees exactly.
+    - plain TIMESTAMP (isAdjustedToUTC, or NTZ inference off): the
+      stored instant is already UTC-adjusted; ``unix_micros`` reads the
+      epoch micros directly (timezone-free by definition).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(TABLES)}")
@@ -54,11 +60,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # footer carries TIMESTAMP(NANOS) — Spark 4 refuses it at
+            # schema inference unless nanosAsLong is on.  Set it only on
+            # this path (a timestamp[us]/plain-timestamp dataset never
+            # mutates the session), and leave it set: the conf is
+            # consulted again when the lazy scan executes, so restoring
+            # it here would fail the plan at action time.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # legacy TIMESTAMP(NANOS) read as int64
-            micros = F.expr("ts div 1000")
+            # exact integer floor division: `div` truncates toward zero,
+            # so compensate when a NEGATIVE ts has a remainder (Spark %
+            # follows the dividend's sign); a double-based floor() would
+            # lose precision past 2^53 nanos (~104 days)
+            micros = F.expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
             ts_ns = F.col("ts")
         elif ts_type == "timestamp_ntz":
             micros = F.expr(

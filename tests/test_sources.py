@@ -1,0 +1,71 @@
+"""Source-loader contract tests (sources/tables.py): the three physical
+``events.ts`` schemas must all normalize to the same (ts TIMESTAMP µs,
+ts_ns BIGINT) contract, with flooring nanos→micros division and no
+session-conf mutation unless the footer actually demands it."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _write_events_nanos(path: str, nanos: list[int]) -> None:
+    """events.parquet whose ts column is physical TIMESTAMP(NANOS)."""
+    n = len(nanos)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(nanos, pa.timestamp("ns")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    # parquet format version 2.6 keeps TIMESTAMP(NANOS) instead of
+    # coercing to micros — the legacy physical schema the loader handles
+    pq.write_table(table, path, version="2.6", coerce_timestamps=None)
+
+
+def test_nanos_branch_floor_division(spark, tmp_path):
+    """Pre-1970 nanos not divisible by 1000 must floor (DuckDB epoch()
+    semantics), not truncate toward zero — and positive values agree."""
+    sf_dir = str(tmp_path)
+    nanos = [-1, -999, -1001, -1500, 0, 1, 999, 1001, 1_700_000_000_123_456_789]
+    _write_events_nanos(os.path.join(sf_dir, "events.parquet"), nanos)
+    df = load_table(spark, sf_dir, "events")
+    rows = {r["event_id"]: r for r in df.select("event_id", "ts_ns").collect()}
+    for i, ns in enumerate(nanos):
+        assert rows[i]["ts_ns"] == ns
+    # compare via unix_micros on the normalized ts column (exact, no tz games)
+    got = {
+        r["event_id"]: r["m"]
+        for r in df.select("event_id", F.unix_micros("ts").alias("m")).collect()
+    }
+    for i, ns in enumerate(nanos):
+        assert got[i] == ns // 1000, f"ns={ns}: got {got[i]}, want {ns // 1000}"
+
+
+def test_micros_schema_does_not_mutate_session_conf(spark):
+    """Loading the (timestamp[us]) driver testdata must not flip the
+    session-wide nanosAsLong conf as a side effect."""
+    try:
+        spark.conf.unset(NANOS_CONF)
+    except Exception:
+        pass
+    load_table(spark, SF_SMOKE, "events").limit(1).collect()
+    assert spark.conf.get(NANOS_CONF, None) in (None, "false")
+
+
+def test_unknown_table_raises(spark):
+    with pytest.raises(KeyError):
+        load_table(spark, SF_SMOKE, "nope")
