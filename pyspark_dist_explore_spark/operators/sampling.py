@@ -7,9 +7,12 @@ The hash is md5 (available and identical in Spark and DuckDB), compared
 on its leading hex chars, so the DuckDB oracle renders the exact same
 logic and the split is auditable in plain SQL.
 
-``stratified_sample`` wraps Spark's seeded ``sampleBy`` for
-per-stratum-fraction sampling (approximate row counts by design —
-rows-only checks).
+``stratified_sample_hash`` applies the same md5-bucket scheme
+PER-STRATUM: keep a row when its content-hash bucket falls below the
+stratum's fraction.  Fully deterministic and engine-portable (DuckDB
+oracle renders the identical CASE), unlike the seeded-RNG
+``stratified_sample`` (Spark ``sampleBy``), which is kept for API parity
+with Spark's own sampling surface but is only rows-only checkable.
 """
 
 from __future__ import annotations
@@ -73,5 +76,78 @@ def stratified_sample(
     seed: int = 42,
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling (seeded ``sampleBy``): e.g. rebalance
-    a skewed language mix by downsampling the dominant strata."""
+    a skewed language mix by downsampling the dominant strata.
+
+    Seeded-RNG by nature — the kept SET depends on partitioning and Spark
+    version.  Prefer :func:`stratified_sample_hash` when reproducibility
+    across runs/engines matters (it almost always does for training-data
+    splits: re-running the pipeline must not silently swap sample rows).
+    """
     return df.sampleBy(stratum_col, fractions=fractions, seed=seed)
+
+
+def _stratum_threshold(frac: float) -> str | None:
+    """4-hex upper bound for a fraction, or None for keep-all (frac≥1)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fractions must be in [0, 1], got {frac}")
+    thr = int(round(frac * 65536))
+    return None if thr >= 65536 else f"{thr:04x}"
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the leading 4 hex
+    chars of ``md5(stratum || ':' || key)`` fall below the stratum's
+    fraction (65536 buckets — granularity 1/65536 ≈ 0.0015%).
+
+    Same row → same decision on every run, every engine, any
+    partitioning: the predicate is pure row-local expression work (no
+    RNG, no shuffle, whole-stage codegen'd) and
+    :func:`stratified_sample_hash_sql` renders the identical CASE for
+    DuckDB, so the kept SET — not just its size — is hash-checkable.
+    Like ``sampleBy``, strata missing from ``fractions`` are dropped
+    (fraction 0).  Row counts are binomial around frac·n like any
+    Bernoulli sampler; exact-count-per-stratum needs a window rank
+    (one shuffle) and is a different operator.
+    """
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col(stratum_col).cast("string"), F.col(key_col).cast("string")
+            )
+        ),
+        1,
+        4,
+    )
+    keep = None
+    for name, frac in fractions.items():
+        thr = _stratum_threshold(frac)
+        cond = F.lit(True) if thr is None else (h < F.lit(thr))
+        cased = F.when(F.col(stratum_col) == name, cond)
+        keep = cased if keep is None else keep.when(F.col(stratum_col) == name, cond)
+    if keep is None:
+        return df.where(F.lit(False))
+    return df.where(keep.otherwise(F.lit(False)))
+
+
+def stratified_sample_hash_sql(
+    stratum: str, key: str, fractions: dict[str, float]
+) -> str:
+    """DuckDB boolean expression matching :func:`stratified_sample_hash`
+    exactly (use in a WHERE clause)."""
+    h = (
+        f"substr(md5(concat(CAST({stratum} AS VARCHAR), ':', "
+        f"CAST({key} AS VARCHAR))), 1, 4)"
+    )
+    whens = []
+    for name, frac in fractions.items():
+        thr = _stratum_threshold(frac)
+        cond = "TRUE" if thr is None else f"{h} < '{thr}'"
+        whens.append(f"WHEN {stratum} = '{name}' THEN {cond}")
+    if not whens:
+        return "FALSE"
+    return "CASE " + " ".join(whens) + " ELSE FALSE END"

@@ -148,16 +148,24 @@ def winnowing_fingerprints(
     *,
     k: int = 5,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (rolling-hash selection).
 
     Classic MOSS-style scheme: hash every word ``k``-gram (the rolling
-    hash is xxhash64 per gram — cheaper on Spark than a true polynomial
-    roll and just as selective), then keep the MINIMUM hash of each
-    ``window`` of consecutive grams.  Guarantees any shared substring of
-    ≥ k+window-1 words yields a shared fingerprint, while storing only
-    ~1/window of the grams.  Output: (doc_id, fingerprint) distinct rows
-    — join on fingerprint to find copied passages.
+    hash is per-gram — cheaper on Spark than a true polynomial roll and
+    just as selective), then keep the MINIMUM hash of each ``window`` of
+    consecutive grams.  Guarantees any shared substring of ≥ k+window-1
+    words yields a shared fingerprint, while storing only ~1/window of
+    the grams.  Output: (doc_id, fingerprint) distinct rows — join on
+    fingerprint to find copied passages.
+
+    ``hash_fn`` picks the gram hash: ``"xxhash64"`` (BIGINT fingerprints,
+    the fast default) or ``"md5"`` (32-hex STRING fingerprints — md5
+    exists identically in DuckDB, and lexicographic min over fixed-width
+    hex equals numeric min, so the md5 variant is hash-oracle-checkable
+    end-to-end; the window-min selection logic is byte-identical between
+    the two).
 
     Execution shape: ``posexplode`` the token stream once, then build
     each gram RELATIONALLY as ``concat_ws(tok, lead(tok,1) …
@@ -173,17 +181,20 @@ def winnowing_fingerprints(
     """
     from pyspark.sql import Window
 
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("idx", "tok"),
     ).where(F.col("tok") != "")
     w_ord = Window.partitionBy("doc_id").orderBy("idx")
     gram = F.concat_ws(" ", F.col("tok"), *[F.lead("tok", j).over(w_ord) for j in range(1, k)])
+    hashed = F.xxhash64(gram) if hash_fn == "xxhash64" else F.md5(gram)
     n_tok = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     grams = toks.select(
         "doc_id",
         "idx",
-        F.xxhash64(gram).alias("h"),
+        hashed.alias("h"),
         n_tok.alias("n_tok"),
     ).where(
         (F.col("idx") <= F.col("n_tok") - k)  # full k-grams

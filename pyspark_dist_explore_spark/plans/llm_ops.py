@@ -248,7 +248,8 @@ def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
     hash_split,
     hash_split_sql,
-    stratified_sample,
+    stratified_sample_hash,
+    stratified_sample_hash_sql,
 )
 from pyspark_dist_explore_spark.pipeline import curate_documents  # noqa: E402
 
@@ -267,13 +268,28 @@ def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "doc_id").groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-@register("stratified_sample_langs", None)  # seeded Bernoulli → rows-only
+_STRAT_FRACS = {"en": 0.5, "de": 0.5, "es": 0.5, "zh": 1.0, "fr": 1.0}
+
+
+@register(
+    "stratified_sample_langs",
+    f"""
+SELECT lang, count(*) AS cnt FROM documents
+WHERE {stratified_sample_hash_sql('lang', 'doc_id', _STRAT_FRACS)}
+GROUP BY lang
+""",
+)
 def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified rebalance: downsample dominant languages via sampleBy."""
+    """Stratified rebalance: downsample dominant languages with the
+    DETERMINISTIC md5-bucket sampler — the kept set (not just its size)
+    is identical on every run and engine, so the whole query is
+    hash-oracle-checked.  (The seeded ``sampleBy`` variant stays
+    callable as ``operators.sampling.stratified_sample``.)"""
     docs = load_table(spark, sf_dir, "documents")
-    fracs = {"en": 0.5, "de": 0.5, "es": 0.5, "zh": 1.0, "fr": 1.0}
-    return stratified_sample(docs, "lang", fracs).groupBy("lang").agg(
-        F.count(F.lit(1)).alias("cnt")
+    return (
+        stratified_sample_hash(docs, "lang", _STRAT_FRACS, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -434,11 +450,58 @@ def q_vector_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(emb, threshold=_COS_THRESHOLD)
 
 
-@register("text_winnowing_fp", None)  # xxhash64-based → rows-only
+def _winnowing_oracle(k: int, window: int) -> str:
+    """DuckDB twin of winnowing_fingerprints(hash_fn='md5'): the zip-unnest
+    reproduces posexplode (index over the ORIGINAL split array), the
+    lead-window gram build, both boundary filters, and the sliding
+    window-min — structurally identical stages, so the fingerprint SET
+    hash-matches without rounding games (md5 hex strings, exact)."""
+    norm = _NORM.format(c="text")
+    leads = ", ".join(f"lead(tok, {j}) OVER w" for j in range(1, k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(l))) - 1 AS idx,
+         unnest(l) AS tok
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS l FROM documents) t
+),
+t2 AS (SELECT doc_id, idx, tok FROM toks WHERE tok <> ''),
+grams AS (
+  SELECT doc_id, idx,
+         md5(concat_ws(' ', tok, {leads})) AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n_tok
+  FROM t2
+  WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+),
+g2 AS (
+  SELECT doc_id, idx, h, n_tok FROM grams
+  WHERE idx <= n_tok - {k} OR (n_tok < {k} AND idx = 0)
+),
+fp AS (
+  SELECT doc_id, idx, n_tok,
+         min(h) OVER (PARTITION BY doc_id ORDER BY idx
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fingerprint
+  FROM g2
+)
+SELECT DISTINCT doc_id, fingerprint
+FROM fp WHERE idx <= n_tok - {k} - {window - 1} OR idx = 0
+"""
+
+
+@register("text_winnowing_fp", _winnowing_oracle(k=5, window=4))
 def q_text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling-hash) fingerprints: shared-passage detection."""
+    """Winnowing (rolling-hash) fingerprints: shared-passage detection.
+
+    Registered with the md5 gram hash (STRING fingerprints) so the whole
+    window-min selection is DuckDB-hash-checked.  xxhash64 (BIGINT
+    fingerprints, faster) stays the library default; which gram each
+    window selects is hash-dependent by design (any uniform hash gives a
+    valid winnowing), so the two variants are separately pytest-pinned
+    on the shared-substring guarantee rather than against each other."""
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    return textstats.winnowing_fingerprints(
+        docs, "text", "doc_id", k=5, window=4, hash_fn="md5"
+    )
 
 
 @register("vector_ann_topk", None)  # probe subsets differ from full scan → rows-only

@@ -470,16 +470,18 @@ def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "percentiles_quantity",
-    """
+#: deregistered round 4 — merged into ``summary_stats``'s long-format
+#: result to free a driver-window slot for ``events_interval_join``;
+#: still callable, oracle-pinned by tests/test_ops.py
+PERCENTILES_ORACLE = """
 SELECT l_returnflag,
        round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 6) AS p25,
        round(CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE), 6) AS p50,
        round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 6) AS p75
 FROM lineitem GROUP BY l_returnflag
-""",
-)
+"""
+
+
 def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (X7 family)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -498,13 +500,55 @@ from pyspark_dist_explore_spark.operators.stats import (  # noqa: E402
 
 _DESCRIBE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
+_DESCRIBE_STATS = ["cnt", "mean", "stddev", "vmin", "vmax"]
 
-@register("summary_stats", describe_exact_sql("lineitem", _DESCRIBE_COLS))
+_SUMMARY_MERGED_ORACLE = f"""
+WITH d AS ({describe_exact_sql("lineitem", _DESCRIBE_COLS)})
+{" UNION ALL ".join(
+    f"SELECT col_name, '{s}' AS stat, CAST({s} AS DOUBLE) AS value FROM d"
+    for s in _DESCRIBE_STATS
+)}
+UNION ALL
+{" UNION ALL ".join(
+    f"SELECT concat('l_quantity/', l_returnflag) AS col_name, '{p}' AS stat, "
+    f"round(CAST(quantile_cont(l_quantity, {q}) AS DOUBLE), 6) AS value "
+    f"FROM lineitem GROUP BY l_returnflag"
+    for p, q in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
+)}
+"""
+
+
+@register("summary_stats", _SUMMARY_MERGED_ORACLE)
 def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X7: exact describe (count/mean/stddev/min/max) with hash-stable
-    power-sum arithmetic — the distributed twin of ``df.describe()``."""
+    """X7 in one long-format result ``(col_name, stat, value)``: exact
+    describe (count/mean/stddev/min/max, hash-stable power-sum
+    arithmetic — the distributed twin of ``df.describe()``) UNION exact
+    per-group interpolated percentiles (keyed ``l_quantity/<flag>``).
+    Merged round 4 so both X7 sub-operators stay driver-oracle-checked
+    in one registry slot; the wide-shape builders remain the public API
+    (``describe_exact`` / ``q_percentiles_quantity``)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return describe_exact(li, _DESCRIBE_COLS)
+    d_long = describe_exact(li, _DESCRIBE_COLS).unpivot(
+        ids=["col_name"],
+        values=_DESCRIBE_STATS,
+        variableColumnName="stat",
+        valueColumnName="value",
+    )
+    p_long = (
+        q_percentiles_quantity(spark, sf_dir)
+        .unpivot(
+            ids=["l_returnflag"],
+            values=["p25", "p50", "p75"],
+            variableColumnName="stat",
+            valueColumnName="value",
+        )
+        .select(
+            F.concat(F.lit("l_quantity/"), F.col("l_returnflag")).alias("col_name"),
+            "stat",
+            "value",
+        )
+    )
+    return d_long.unionAll(p_long)
 
 
 @register("approx_sketches", None)  # sketch-based (HLL / KLL / histogram_numeric) → rows-only

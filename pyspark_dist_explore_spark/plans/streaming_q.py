@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 from pyspark_dist_explore_spark.functions.numeric import bucket_sql
 from pyspark_dist_explore_spark.plans.queries import register
 from pyspark_dist_explore_spark.sources.tables import load_table
-from pyspark_dist_explore_spark.streaming.histogram_stream import stream_windowed_histogram
+from pyspark_dist_explore_spark.streaming.histogram_stream import (
+    stream_interval_join,
+    stream_windowed_histogram,
+)
 
 _BINS = 10
 _LO, _HI = 0.0, 500.0
@@ -47,6 +50,35 @@ def q_events_stream_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("double").cast("bigint").alias("window_start"),
         "bucket",
         "cnt",
+    )
+
+
+@register(
+    "events_interval_join",
+    """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+)
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8d: the stream-stream interval join's batch twin — click events
+    attribute to same-user view events within 30 minutes after the view.
+    The PLAN here (key equi-join + event-time interval condition) is the
+    one ``readStream`` executes; the streaming path itself (dual
+    watermark, bounded state, late-data eviction) is pytest-pinned in
+    tests/test_streaming.py.  Registered round 4 so the last round-3
+    flagship gains a driver oracle row."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    j = stream_interval_join(views, clicks, "user_id", within="30 minutes")
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_r").alias("click_id"),
     )
 
 

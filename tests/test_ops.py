@@ -232,7 +232,8 @@ def test_histogram_parquet_sink_roundtrip(spark, tmp_path):
     )
 
 
-def test_winnowing_shared_passage_detected(spark):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_winnowing_shared_passage_detected(spark, hash_fn):
     docs = spark.createDataFrame(
         [
             (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
@@ -241,7 +242,9 @@ def test_winnowing_shared_passage_detected(spark):
         ],
         ["doc_id", "text"],
     )
-    fps = textstats.winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    fps = textstats.winnowing_fingerprints(
+        docs, "text", "doc_id", k=5, window=4, hash_fn=hash_fn
+    )
     by_doc = {
         i: {r["fingerprint"] for r in rows}
         for i, rows in [
@@ -254,7 +257,8 @@ def test_winnowing_shared_passage_detected(spark):
     assert not (by_doc[1] & by_doc[3])
 
 
-def test_winnowing_short_and_exact_dup_docs(spark):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_winnowing_short_and_exact_dup_docs(spark, hash_fn):
     """Docs shorter than k tokens yield exactly ONE whole-doc gram
     fingerprint; exact-dup docs yield identical fingerprint sets."""
     docs = spark.createDataFrame(
@@ -266,7 +270,9 @@ def test_winnowing_short_and_exact_dup_docs(spark):
         ],
         ["doc_id", "text"],
     )
-    fps = textstats.winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    fps = textstats.winnowing_fingerprints(
+        docs, "text", "doc_id", k=5, window=4, hash_fn=hash_fn
+    )
     by_doc = {}
     for r in fps.collect():
         by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
@@ -735,6 +741,50 @@ def test_hash_split_bad_fractions(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "id", fractions={"a": 0.5, "b": 0.4})
+
+
+def test_percentiles_quantity_still_oracle_green(spark):
+    """Deregistered from the 50-entry window round 4 (merged into
+    summary_stats' long format) but still a public query — pin it."""
+    from pyspark_dist_explore_spark.plans.relational import (
+        PERCENTILES_ORACLE,
+        q_percentiles_quantity,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    compare(spark, SF_SMOKE, q_percentiles_quantity, PERCENTILES_ORACLE)
+
+
+def test_stratified_sample_hash_deterministic(spark):
+    """The md5-bucket stratified sampler keeps the same SET every run,
+    hits ~frac per stratum, drops unlisted strata, keeps frac=1 whole."""
+    from pyspark_dist_explore_spark.operators.sampling import stratified_sample_hash
+
+    df = spark.range(0, 30000).select(
+        F.col("id"),
+        F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")), (F.col("id") % 3 + 1).cast("int")).alias("s"),
+    )
+    fracs = {"a": 0.25, "b": 1.0}  # "c" unlisted → dropped
+    kept1 = {r["id"] for r in stratified_sample_hash(df, "s", fracs, "id").collect()}
+    kept2 = {r["id"] for r in stratified_sample_hash(df, "s", fracs, "id").collect()}
+    assert kept1 == kept2  # the SET, not just the count, is stable
+    by_stratum = {"a": 0, "b": 0, "c": 0}
+    for i in kept1:
+        by_stratum["abc"[i % 3]] += 1
+    assert by_stratum["c"] == 0
+    assert by_stratum["b"] == 10000  # frac 1.0 keeps every row
+    assert abs(by_stratum["a"] / 10000 - 0.25) < 0.02
+
+
+def test_stratified_sample_hash_bad_fraction(spark):
+    from pyspark_dist_explore_spark.operators.sampling import stratified_sample_hash
+
+    import pytest as _pytest
+
+    df = spark.range(10).select(F.col("id"), F.lit("a").alias("s"))
+    with _pytest.raises(ValueError, match="fractions"):
+        stratified_sample_hash(df, "s", {"a": 1.5}, "id")
 
 
 def test_zero_vector_scores_zero_not_crash(spark):
