@@ -28,6 +28,7 @@ from pyspark_dist_explore_spark.operators.dedup import (
     jaccard_pairs_exact,
     minhash_neardup,
     neardup_clusters,
+    shingle_rows,
     simhash_neardup,
 )
 from pyspark_dist_explore_spark.operators.similarity import (
@@ -47,9 +48,13 @@ from pyspark_dist_explore_spark.operators.multimodal import (
     sample_frames,
     write_media_fixture,
 )
-from pyspark_dist_explore_spark.operators.sampling import hash_split, stratified_sample
+from pyspark_dist_explore_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+    stratified_sample_hash,
+)
 from pyspark_dist_explore_spark.operators.stats import describe_exact, histogram_approx
-from pyspark_dist_explore_spark.pipeline import curate_documents
+from pyspark_dist_explore_spark.pipeline import curate_documents, minhash_pair_fn
 from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
     language_id,
@@ -93,7 +98,9 @@ __all__ = [
     "fingerprint_dedup",
     "jaccard_pairs_exact",
     "minhash_neardup",
+    "minhash_pair_fn",
     "neardup_clusters",
+    "shingle_rows",
     "simhash_neardup",
     # similarity
     "exact_topk",
@@ -124,6 +131,7 @@ __all__ = [
     # sampling
     "hash_split",
     "stratified_sample",
+    "stratified_sample_hash",
     # streaming
     "stream_windowed_histogram",
     "stream_dedup",

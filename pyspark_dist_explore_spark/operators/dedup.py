@@ -102,17 +102,29 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def _shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) -> DataFrame:
     """(doc_id, sh) — one row per distinct shingle per doc.
 
     Row-relational form: every downstream step is a plain hash
     aggregate / hash join over it (vectorized, partial-agg friendly),
     instead of nested array lambdas re-evaluated per expression.
+
+    This is also the STAGED-INPUT handle for the MinHash family: the
+    full ``minhash_neardup`` pipeline reads these rows up to 4× (the
+    signature agg, the size agg, both verify sides), so at scale compute
+    them once, ``persist()`` them or land them to parquet, and pass the
+    frame back via the ``shingle_rows=`` parameter — the caller owns the
+    materialization lifecycle (a persist hidden inside the library would
+    leak a CacheManager entry the caller never knows to drop).
     """
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
     ).where(F.col("sh") != "")
+
+
+#: backward-compat private alias (public name since round 4)
+_shingle_rows = shingle_rows
 
 
 def minhash_signatures(
@@ -122,6 +134,7 @@ def minhash_signatures(
     *,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, h0..h{k-1}) MinHash signature table.
 
@@ -129,8 +142,14 @@ def minhash_signatures(
     xxhash64(shingle, seed=i)`` — computed as ``num_hashes`` MIN
     aggregates over the exploded shingle rows: one shuffle by doc_id,
     map-side partial mins, no giant codegen expression trees.
+
+    ``shingle_rows``: precomputed ``(doc_id, sh)`` frame (see
+    :func:`shingle_rows`) consumed INSTEAD of re-deriving the shingles
+    from ``df`` — pass a persisted/parquet-landed copy at scale so the
+    only corpus-text scan is the one that built it.
     """
-    rows = _shingle_rows(df, text_col, id_col, shingle_n)
+    # the parameter shadows the module-level builder; use the _ alias
+    rows = shingle_rows if shingle_rows is not None else _shingle_rows(df, text_col, id_col, shingle_n)
     return rows.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -144,18 +163,25 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing ≥1 band.
 
     ``num_hashes`` must divide into ``bands`` equal rows-per-band chunks.
     Shuffle payload is (band, band_hash, doc_id) only — text and
-    signatures never travel with the join.
+    signatures never travel with the join.  ``shingle_rows``: staged
+    precomputed shingles (see :func:`shingle_rows`).
     """
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
-        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        shingle_rows=shingle_rows,
     )
     banded = sig.select(
         "doc_id",
@@ -199,6 +225,7 @@ def minhash_neardup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-Jaccard ≥ ``threshold``.
 
@@ -208,20 +235,30 @@ def minhash_neardup(
     each join is an equi hash join.  Returns (doc_a, doc_b, jaccard),
     jaccard rounded to 6.
 
-    Scan shape: the exploded shingle rows are computed up to 4× (the
-    signature agg, the size agg, both verify sides).  Measured at sf0.1
-    that costs ~8% warm / ~40% cold vs persisting the rows once — kept
-    lazy anyway because a ``persist`` inside a library function leaks a
-    CacheManager entry the caller never knows to drop (a merged-agg /
-    ReusedExchange restructure was also measured: column pruning splits
-    the exchanges, no reuse).  At 100 TB, write the shingle table (or
-    ``.persist()`` it) yourself and feed the stages — same pattern as
-    the documented tf persist in tfidf.
+    Scan shape: the exploded shingle rows feed FOUR consumers (the
+    signature agg, the size agg, both verify sides).  Left lazy they are
+    recomputed up to 4× — measured at sf0.1 that costs ~8% warm / ~40%
+    cold vs materializing once; a library-internal ``persist`` was
+    rejected (it leaks a CacheManager entry the caller never knows to
+    drop), and a merged-agg / ReusedExchange restructure was measured
+    and rejected (column pruning splits the exchanges, no reuse).  The
+    STAGED-INPUT path is the scale answer: build the rows once with
+    :func:`shingle_rows`, ``persist()`` them or land them to parquet
+    (the caller owns the lifecycle), and pass the frame via
+    ``shingle_rows=`` — every consumer then reads the materialized
+    copy and the corpus text is scanned exactly once, plan-pinned by
+    ``test_minhash_staged_shingles_single_text_scan``.
     """
-    rows = _shingle_rows(df, text_col, id_col, shingle_n)
+    rows = shingle_rows if shingle_rows is not None else _shingle_rows(df, text_col, id_col, shingle_n)
     sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cands = minhash_candidates(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        shingle_rows=rows,
     )
     a_sh = rows.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh"))
     b_sh = rows.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh"))
@@ -254,41 +291,74 @@ def _mask(i: int) -> Column:
     return F.shiftleft(F.lit(1).cast("bigint"), i)
 
 
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, sim) 64-bit SimHash signature table.
+#: bit width per hash_fn: xxhash64 is a native 64-bit long; the md5
+#: variant uses the leading 15 hex chars = 60 bits (16 would overflow a
+#: signed BIGINT, and DuckDB's '0x…'::BIGINT twin has the same ceiling)
+SIMHASH_BITS = {"xxhash64": 64, "md5": 60}
 
-    Row-relational: explode distinct tokens → one xxhash64 per token →
-    64 SUM(±1) partial aggregates by doc_id → sign per bit.  Vectorized
-    hash aggregation (one shuffle by doc_id), no per-element lambda
-    folds — ~10× cheaper than the nested-array formulation.
+
+def _simhash_token_hash(hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64("tok")
+    if hash_fn == "md5":
+        # identical in DuckDB as ('0x' || substr(md5(tok),1,15))::BIGINT
+        return F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, *, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, sim) SimHash signature table (64-bit, or 60-bit for md5).
+
+    Row-relational: explode distinct tokens → one hash per token →
+    n_bits SUM(±1) partial aggregates by doc_id → sign per bit.
+    Vectorized hash aggregation (one shuffle by doc_id), no per-element
+    lambda folds — ~10× cheaper than the nested-array formulation.
+
+    ``hash_fn="md5"`` derives a 60-bit token hash from the md5 hex
+    digest — slower than xxhash64 but available bit-identically in
+    DuckDB, which makes the whole SimHash family hash-oracle-checkable
+    (the registered driver query uses it; xxhash64 stays the default).
     """
+    h_expr = _simhash_token_hash(hash_fn)  # validates hash_fn
+    bits = SIMHASH_BITS[hash_fn]
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).where(F.col("tok") != "")
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    hashed = toks.select("doc_id", h_expr.alias("h"))
     sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(F.when(F.col("h").bitwiseAND(_mask(i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sim = F.lit(0).cast("bigint")
-    for i in range(64):
+    for i in range(bits):
         sim = sim + F.when(F.col(f"b{i}") > 0, _mask(i)).otherwise(F.lit(0).cast("bigint"))
     return sums.select("doc_id", sim.alias("sim"))
 
 
 def simhash_neardup(
-    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ ``max_hamming``.
 
-    Candidate generation bands the 64-bit hash into 4×16-bit chunks
-    (pigeonhole: distance ≤3 ⇒ ≥1 identical chunk), so the join is on
-    small buckets, not a cross join.
+    Candidate generation bands the hash into 4 equal chunks (16 bits for
+    xxhash64, 15 for the md5 variant; pigeonhole: distance ≤3 ⇒ ≥1
+    identical chunk), so the join is on small buckets, not a cross join.
     """
-    sig = simhash_signatures(df, text_col, id_col)
+    if hash_fn not in SIMHASH_BITS:
+        raise ValueError(f"hash_fn must be one of {sorted(SIMHASH_BITS)}, got {hash_fn!r}")
+    chunk_bits = SIMHASH_BITS[hash_fn] // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    sig = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     chunks = sig.select(
         "doc_id",
         "sim",
@@ -297,7 +367,9 @@ def simhash_neardup(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                        F.shiftrightunsigned("sim", c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
+                        .alias("ck"),
                     )
                     for c in range(4)
                 ]

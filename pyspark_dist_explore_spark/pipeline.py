@@ -55,6 +55,72 @@ from pyspark_dist_explore_spark.operators.textstats import (
 PairFn = Callable[[DataFrame], DataFrame]
 
 
+def minhash_pair_fn(
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    stage: bool = True,
+) -> PairFn:
+    """Ready-made MinHash-LSH ``pair_fn`` for :func:`curate_documents` —
+    the scale path that replaces the demo's quadratic exact-Jaccard
+    self-join with banded candidate generation.
+
+    ``stage=True`` (default) builds the ``(doc_id, sh)`` shingle rows
+    ONCE and ``localCheckpoint``s them before handing them to
+    ``minhash_neardup`` via its staged ``shingle_rows=`` input: the four
+    shingle consumers (signature agg, size agg, both verify sides) read
+    the materialized blocks instead of re-running shingling + the
+    upstream scoring scan 4×.  The blocks live until the driver-side
+    reference is garbage-collected (pair generation is fully consumed
+    inside the ``curate_documents`` call, so that is the natural
+    lifetime — same accepted pattern as the cluster-resolution rounds).
+    ``stage=False`` keeps the fully-lazy plan (useful when the caller
+    already persisted the input frame).
+    """
+
+    def fn(kept: DataFrame) -> DataFrame:
+        rows = dedup.shingle_rows(kept, "__text", "doc_id", shingle_n)
+        if stage:
+            rows = rows.localCheckpoint()
+        return dedup.minhash_neardup(
+            kept,
+            "__text",
+            "doc_id",
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            shingle_rows=rows,
+        )
+
+    return fn
+
+
+def _check_snapshot_dir_overwritable(spark, snapshot_dir: str) -> None:
+    """Refuse to ``mode("overwrite")`` a non-empty directory that does not
+    look like a previous snapshot (no ``_SUCCESS`` marker): a typo'd
+    ``snapshot_dir`` would otherwise silently DELETE whatever was there.
+    Uses the Hadoop FileSystem API so the check follows the path's scheme
+    (local, HDFS, object store) exactly like the write that follows.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return
+    names = [s.getPath().getName() for s in fs.listStatus(jpath)]
+    if names and "_SUCCESS" not in names:
+        raise ValueError(
+            f"snapshot_dir {snapshot_dir!r} exists, is non-empty, and has no "
+            "_SUCCESS marker — refusing to overwrite a directory that was "
+            "not written by a previous snapshot (possible typo'd path). "
+            "Point snapshot_dir at an empty/new directory or a previous "
+            "snapshot, or delete the directory explicitly."
+        )
+
+
 def curate_documents(
     docs: DataFrame,
     text_col: str = "text",
@@ -89,7 +155,9 @@ def curate_documents(
     written to parquet there (eager, one scoring scan) and every
     downstream consumer reads the files back — durable across executor
     loss, resumable, and the snapshot doubles as the audit copy of the
-    post-dedup corpus.
+    post-dedup corpus.  The write refuses a non-empty ``snapshot_dir``
+    that lacks a ``_SUCCESS`` marker (i.e. anything that is not a
+    previous snapshot) so a typo'd path can't silently delete data.
     """
     t = F.col(text_col)
     _, _, quality = quality_ratio_exprs(t)
@@ -105,6 +173,7 @@ def curate_documents(
     fp = base.withColumn("__fp", F.md5(dedup.normalize_text(F.col("__text"))))
     kept = dedup.exact_dedup(fp, ["__fp"], "doc_id").drop("__fp")
     if snapshot_dir is not None:
+        _check_snapshot_dir_overwritable(docs.sparkSession, snapshot_dir)
         kept.write.mode("overwrite").parquet(snapshot_dir)
         kept = docs.sparkSession.read.parquet(snapshot_dir)
     elif materialize:

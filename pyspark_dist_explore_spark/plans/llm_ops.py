@@ -234,11 +234,56 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_clusters(pairs, all_ids=docs.select("doc_id"))
 
 
-@register("neardup_simhash", None)  # xxhash64-based → rows-only
+def _simhash_oracle(max_hamming: int) -> str:
+    """DuckDB twin of simhash_neardup(hash_fn='md5'): the 60-bit token
+    hash is ('0x'||substr(md5(tok),1,15))::BIGINT — bit-identical to
+    Spark's conv(substr(md5,1,15),16,10) (pinned in tests) — and every
+    later stage (±1 bit sums, sign reassembly, 4×15-bit chunk banding,
+    bit_count hamming) is plain integer SQL on both sides."""
+    bits = dedup.SIMHASH_BITS["md5"]
+    chunk_bits = bits // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    norm = _NORM.format(c="text")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    reassemble = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split({norm}, ' '))) AS tok
+  FROM documents
+),
+tok2 AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM tok WHERE tok <> ''
+),
+sums AS (SELECT doc_id, {bit_sums} FROM tok2 GROUP BY doc_id),
+sig AS (SELECT doc_id, ({reassemble}) AS sim FROM sums),
+chunks AS (
+  SELECT doc_id, sim, c.chunk, (sim >> (c.chunk * {chunk_bits})) & {chunk_mask} AS ck
+  FROM sig, (VALUES (0), (1), (2), (3)) c(chunk)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sim, b.sim)) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
+@register("neardup_simhash", _simhash_oracle(max_hamming=3))
 def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (hamming ≤ 3) via 16-bit chunk banding."""
+    """SimHash near-dup pairs (hamming ≤ 3) via 4-chunk banding,
+    registered with the md5-derived 60-bit hash so the ENTIRE pipeline —
+    token hash, bit sums, sign reassembly, chunk-bucket join, hamming
+    filter — is DuckDB-hash-checked.  The 64-bit xxhash64 variant stays
+    the library default (faster; same algorithm, wider hash)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_neardup(docs, "text", "doc_id", max_hamming=3)
+    return dedup.simhash_neardup(docs, "text", "doc_id", max_hamming=3, hash_fn="md5")
 
 
 # --------------------------------------------------------------------------

@@ -118,6 +118,32 @@ def main() -> None:
                       "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
     pairs.unpersist(), pairs10.unpersist()
 
+    # -- pipeline_curate end-to-end: 10× documents via disjoint copies -----
+    # (same copy-prefixed-token construction as the minhash probe: each
+    # copy keeps its internal near-dup structure, copies stay disjoint in
+    # fingerprint AND shingle space so the exact-dedup and pair stages
+    # measure operator scaling, not cross-copy degeneracy.  Quality/lang
+    # scoring still runs on every row; the filters are left open because
+    # token-prefixing would strip the language markers asymmetrically.
+    # Expected curve: ≤~4× for 10× docs — bounded by cluster resolution,
+    # the same shape as the standalone neardup_clusters probe.)
+    from pyspark_dist_explore_spark.pipeline import curate_documents, minhash_pair_fn
+
+    def run_curate(d: DataFrame) -> tuple[float, int]:
+        # build + count together: scoring scan, dedup, pair generation and
+        # the propagation rounds all run eagerly inside curate_documents
+        t0 = time.perf_counter()
+        n = curate_documents(
+            d, "text", "doc_id", min_quality=0.0,
+            pair_fn=minhash_pair_fn(threshold=0.8), materialize=True,
+        ).count()
+        return round(time.perf_counter() - t0, 3), n
+
+    t1, n1 = run_curate(docs)
+    t10, n10 = run_curate(docs10)
+    print(json.dumps({"probe": "pipeline_curate", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
+
     # -- IVF top-k: 10× vectors, same 20 queries ---------------------------
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb10 = reduce(

@@ -135,10 +135,13 @@ def test_neardup_clusters_releases_round_storage(spark):
     assert after - before <= 1, f"leaked {after - before} checkpointed round states"
 
 
-def test_simhash_close_for_neardups(spark):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_simhash_close_for_neardups(spark, hash_fn):
     sig = {
         r["doc_id"]: r["sim"]
-        for r in dedup.simhash_signatures(_docs(spark), "text", "doc_id").collect()
+        for r in dedup.simhash_signatures(
+            _docs(spark), "text", "doc_id", hash_fn=hash_fn
+        ).collect()
     }
     assert sig[1] == sig[2] == sig[5]  # identical token sets
 
@@ -146,6 +149,29 @@ def test_simhash_close_for_neardups(spark):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
     assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])
+
+
+def test_simhash_md5_token_hash_matches_duckdb(spark):
+    """The md5-variant's 60-bit token hash (conv of the leading 15 md5
+    hex chars) must be bit-identical to DuckDB's '0x…'::BIGINT twin —
+    the whole simhash oracle rests on this equality."""
+    import duckdb
+
+    toks = ["the", "Quick", "brown-fox", "héllo wörld", "123", "x" * 50]
+    df = spark.createDataFrame([(t,) for t in toks], ["tok"])
+    got = {
+        r["tok"]: r["h"]
+        for r in df.select(
+            "tok",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("h"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in toks:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [t]
+        ).fetchone()[0]
+        assert got[t] == want, t
 
 
 def test_exact_dedup_survivor(spark):
@@ -741,6 +767,27 @@ def test_hash_split_bad_fractions(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "id", fractions={"a": 0.5, "b": 0.4})
+
+
+def test_minhash_staged_input_same_pairs(spark):
+    """The staged shingle_rows= path must return the identical verified
+    pair set as the fully-lazy derivation — it is an execution-shape
+    change only."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        F.col("doc_id") < 300
+    )
+    lazy = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_neardup(docs, "text", "doc_id", threshold=0.8).collect()
+    }
+    rows = dedup.shingle_rows(docs, "text", "doc_id", 3).localCheckpoint()
+    staged = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_neardup(
+            docs, "text", "doc_id", threshold=0.8, shingle_rows=rows
+        ).collect()
+    }
+    assert staged == lazy
 
 
 def test_percentiles_quantity_still_oracle_green(spark):

@@ -71,23 +71,48 @@ def test_curate_neardup_stage_drops_cluster_members(spark):
 
 def test_curate_pluggable_minhash_pair_fn(spark):
     """The scale path: swap the quadratic exact-Jaccard pair stage for
-    banded MinHash-LSH.  Same output contract (schema, unique survivors,
-    subset of input)."""
+    banded MinHash-LSH via the ready-made staged factory.  Same output
+    contract (schema, unique survivors, subset of input), and the staged
+    (localCheckpoint-ed shingles) and unstaged variants agree row for
+    row — staging is an execution-shape change only."""
+    from pyspark_dist_explore_spark.pipeline import minhash_pair_fn
+
     docs = _docs(spark)
     out = curate_documents(
-        docs,
-        "text",
-        "doc_id",
-        min_quality=0.0,
-        pair_fn=lambda d: dedup.minhash_neardup(
-            d, "__text", "doc_id", threshold=0.8, num_hashes=32, bands=8, shingle_n=3
-        ),
+        docs, "text", "doc_id", min_quality=0.0, pair_fn=minhash_pair_fn()
     )
     rows = out.collect()
     assert rows
     assert out.columns == ["doc_id", "lang_pred", "quality", "split"]
     ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids))
+    unstaged = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, pair_fn=minhash_pair_fn(stage=False)
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, unstaged.collect()))
+
+
+def test_curate_snapshot_dir_overwrite_guard(spark, tmp_path):
+    """A non-empty snapshot_dir without a _SUCCESS marker must be refused
+    (and left untouched); a previous snapshot (has _SUCCESS) and a fresh
+    path must both be writable."""
+    import pytest
+
+    docs = _docs(spark).limit(30)
+    precious = tmp_path / "precious"
+    precious.mkdir()
+    (precious / "data.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        curate_documents(
+            docs, "text", "doc_id", min_quality=0.0, snapshot_dir=str(precious)
+        )
+    assert (precious / "data.txt").read_text() == "do not delete"
+
+    snap = tmp_path / "snap"
+    curate_documents(docs, "text", "doc_id", min_quality=0.0, snapshot_dir=str(snap))
+    assert (snap / "_SUCCESS").exists()
+    # a second run over the same snapshot dir is a legitimate overwrite
+    curate_documents(docs, "text", "doc_id", min_quality=0.0, snapshot_dir=str(snap))
 
 
 def test_curate_snapshot_dir_replaces_scoring_rescans(spark, tmp_path):

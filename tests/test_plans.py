@@ -140,6 +140,28 @@ def test_minhash_ml_no_python_row_udf(spark):
     assert "BatchEvalPython" not in buf.getvalue()
 
 
+def test_minhash_staged_shingles_single_text_scan(spark):
+    """With a localCheckpoint-ed frame passed via ``shingle_rows=``, every
+    shingle consumer in minhash_neardup reads the staged blocks: the
+    final plan contains ZERO parquet scans (the one corpus-text scan
+    happened when the stage materialized) and no cartesian."""
+    from pyspark_dist_explore_spark.operators import dedup
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").where("doc_id < 200")
+    rows = dedup.shingle_rows(docs, "text", "doc_id", 3).localCheckpoint()
+    out = dedup.minhash_neardup(
+        docs, "text", "doc_id", threshold=0.8, shingle_rows=rows
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tfidf_document_frequency_join_broadcasts(spark):
     """TF-IDF's df_t side is vocabulary-sized — it must arrive at the tf
     rows as a broadcast hash join, never a sort-merge shuffle of the full
