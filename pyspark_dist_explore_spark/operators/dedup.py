@@ -127,6 +127,28 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) 
 _shingle_rows = shingle_rows
 
 
+def _minhash_hash_exprs(hash_fn: str, num_hashes: int) -> list[Column]:
+    """The ``num_hashes`` per-shingle hash expressions for one hash_fn.
+
+    - ``xxhash64``: ``xxhash64(sh, seed=i)`` — k independent native
+      hashes, the fast default.
+    - ``md5``: Kirsch–Mitzenmacher double hashing, ``h_i = h1 + i·h2``
+      with h1/h2 the two 48-bit halves of ONE md5 digest (hex chars
+      1-12 / 13-24).  One digest per shingle row (not k), values stay
+      < 2^54 so the arithmetic never overflows a signed 64-bit integer
+      in EITHER engine (DuckDB raises on bigint overflow; Spark wraps —
+      both would break cross-engine parity), and DuckDB reproduces every
+      h_i bit-for-bit from ``('0x'||substr(md5(sh),…))::BIGINT``.
+    """
+    if hash_fn == "xxhash64":
+        return [F.xxhash64("sh", F.lit(i)) for i in range(num_hashes)]
+    if hash_fn == "md5":
+        h1 = F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("bigint")
+        h2 = F.conv(F.substring(F.md5("sh"), 13, 12), 16, 10).cast("bigint")
+        return [h1 + F.lit(i) * h2 for i in range(num_hashes)]
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -135,23 +157,29 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
     shingle_rows: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, h0..h{k-1}) MinHash signature table.
 
     Permutation-free MinHash: ``h_i = min over shingles of
-    xxhash64(shingle, seed=i)`` — computed as ``num_hashes`` MIN
-    aggregates over the exploded shingle rows: one shuffle by doc_id,
-    map-side partial mins, no giant codegen expression trees.
+    hash_i(shingle)`` — computed as ``num_hashes`` MIN aggregates over
+    the exploded shingle rows: one shuffle by doc_id, map-side partial
+    mins, no giant codegen expression trees.  ``hash_fn="md5"`` swaps
+    the k seeded xxhash64 calls for double hashing over one md5 digest
+    (see :func:`_minhash_hash_exprs`) — slightly slower, but every h_i
+    is reproducible in DuckDB, which makes the whole LSH pipeline
+    hash-oracle-checkable.
 
     ``shingle_rows``: precomputed ``(doc_id, sh)`` frame (see
     :func:`shingle_rows`) consumed INSTEAD of re-deriving the shingles
     from ``df`` — pass a persisted/parquet-landed copy at scale so the
     only corpus-text scan is the one that built it.
     """
+    hash_exprs = _minhash_hash_exprs(hash_fn, num_hashes)
     # the parameter shadows the module-level builder; use the _ alias
     rows = shingle_rows if shingle_rows is not None else _shingle_rows(df, text_col, id_col, shingle_n)
     return rows.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(h).alias(f"h{i}") for i, h in enumerate(hash_exprs)]
     )
 
 
@@ -164,6 +192,7 @@ def minhash_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     shingle_rows: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing ≥1 band.
 
@@ -171,6 +200,12 @@ def minhash_candidates(
     Shuffle payload is (band, band_hash, doc_id) only — text and
     signatures never travel with the join.  ``shingle_rows``: staged
     precomputed shingles (see :func:`shingle_rows`).
+
+    ``hash_fn="md5"`` keeps the band key as the RAW comma-joined
+    signature string instead of xxhash64-compacting it — equality is
+    what banding needs, and the string form is reproducible in DuckDB
+    (a few dozen bytes per band row; the 8-byte compaction stays the
+    default because at 100 TB the band join's shuffle payload matters).
     """
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
@@ -182,21 +217,21 @@ def minhash_candidates(
         num_hashes=num_hashes,
         shingle_n=shingle_n,
         shingle_rows=shingle_rows,
+        hash_fn=hash_fn,
     )
+
+    def band_key(b: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        return F.xxhash64(joined) if hash_fn == "xxhash64" else joined
+
     banded = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                            )
-                        ).alias("band_hash"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("band_hash"))
                     for b in range(bands)
                 ]
             )
@@ -226,6 +261,7 @@ def minhash_neardup(
     bands: int = 8,
     shingle_n: int = 3,
     shingle_rows: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-Jaccard ≥ ``threshold``.
 
@@ -259,6 +295,7 @@ def minhash_neardup(
         bands=bands,
         shingle_n=shingle_n,
         shingle_rows=rows,
+        hash_fn=hash_fn,
     )
     a_sh = rows.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh"))
     b_sh = rows.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh"))

@@ -163,7 +163,72 @@ def q_neardup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_exact(docs, "text", "doc_id", threshold=_JACCARD_THRESHOLD)
 
 
-@register("neardup_minhash_lsh", None)  # xxhash64 has no DuckDB twin → rows-only
+def _minhash_oracle(
+    threshold: float, num_hashes: int, bands: int, shingle_n: int
+) -> str:
+    """DuckDB twin of minhash_neardup(hash_fn='md5'), stage for stage:
+    3-gram shingle build (zip-unnest + lead window, short-doc single
+    gram, DISTINCT), Kirsch–Mitzenmacher double hashing (h_i = h1 + i·h2
+    from one md5 digest — values < 2^54, overflow-free in both engines),
+    ``num_hashes`` MIN aggregates, raw-string band keys, the band-bucket
+    self-join, and the exact shingle-Jaccard verify."""
+    rows_per_band = num_hashes // bands
+    norm = _NORM.format(c="text")
+    leads = ", ".join(f"lead(tok, {j}) OVER w" for j in range(1, shingle_n))
+    mins = ", ".join(f"min(h1 + {i} * h2) AS h{i}" for i in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS band_hash FROM sig".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    jac = "round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx, unnest(l) AS tok
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS l FROM documents) t
+),
+t2 AS (SELECT doc_id, idx, tok FROM toks WHERE tok <> ''),
+grams AS (
+  SELECT doc_id, idx, concat_ws(' ', tok, {leads}) AS sh,
+         count(*) OVER (PARTITION BY doc_id) AS n_tok
+  FROM t2 WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM grams
+  WHERE idx <= n_tok - {shingle_n} OR (n_tok < {shingle_n} AND idx = 0)
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
+  FROM sh
+),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bandrows AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, {jac} AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE {jac} >= {threshold}
+"""
+
+
+@register("neardup_minhash_lsh", _minhash_oracle(0.8, 32, 8, 3))
 def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup over the WHOLE corpus, no id cap: 3-gram
     shingles → 32 hashes → 8 bands → bucket join → exact shingle-Jaccard
@@ -175,10 +240,17 @@ def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is all-pairs-similar and the output goes quadratic (the old
     capped demo).  At 3 grams only genuinely near-identical docs clear
     0.8, so the verified pair list is linear-ish and the cap is gone.
+
+    Registered with ``hash_fn="md5"`` (round 4): double hashing over one
+    md5 digest is reproducible in DuckDB, so the ENTIRE LSH pipeline —
+    shingling, signature mins, banding, bucket join, Jaccard verify —
+    is hash-oracle-checked.  xxhash64 stays the library default (k
+    independent native hashes + 8-byte compacted band keys).
     """
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_neardup(
-        docs, "text", "doc_id", threshold=0.8, num_hashes=32, bands=8, shingle_n=3
+        docs, "text", "doc_id", threshold=0.8, num_hashes=32, bands=8, shingle_n=3,
+        hash_fn="md5",
     )
 
 

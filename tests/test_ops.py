@@ -568,11 +568,12 @@ def test_multimodal_real_decode_resize_and_frames(spark):
     assert len(fallback) == 1 and fallback[0]["width"] == 224
 
 
-def test_minhash_verify_agrees_with_exact_jaccard(spark):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_minhash_verify_agrees_with_exact_jaccard(spark, hash_fn):
     """Cross-operator consistency: every LSH-verified near-dup pair must
     carry the SAME jaccard value the exact all-pairs operator computes,
     and be a subset of it (banding can only miss pairs, never invent or
-    mis-score them)."""
+    mis-score them) — for both the xxhash64 and md5 hash families."""
     docs = spark.createDataFrame(
         [
             (1, "the quick brown fox jumps over the lazy dog"),
@@ -590,13 +591,40 @@ def test_minhash_verify_agrees_with_exact_jaccard(spark):
     lsh = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in dedup.minhash_neardup(
-            docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=16, shingle_n=1
+            docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=16, shingle_n=1,
+            hash_fn=hash_fn,
         ).collect()
     }
     assert set(lsh) <= set(exact)
     for pair, j in lsh.items():
         assert exact[pair] == j
     assert (1, 5) in lsh and lsh[(1, 5)] == 1.0  # identical docs always collide
+
+
+def test_minhash_md5_double_hash_matches_duckdb(spark):
+    """The md5-variant's h_i = h1 + i·h2 values must be bit-identical to
+    the DuckDB twin's arithmetic — the minhash oracle rests on this."""
+    import duckdb
+
+    shingles = ["the quick brown", "héllo wörld x", "a", "x y z"]
+    df = spark.createDataFrame([(s,) for s in shingles], ["sh"])
+    h1 = F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5("sh"), 13, 12), 16, 10).cast("bigint")
+    got = {
+        r["sh"]: [r[f"h{i}"] for i in range(4)]
+        for r in df.select(
+            "sh", *[(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(4)]
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in shingles:
+        want = con.execute(
+            """SELECT list_transform([0,1,2,3], i ->
+                 ('0x' || substr(md5(?),1,12))::BIGINT
+                 + i * ('0x' || substr(md5(?),13,12))::BIGINT)""",
+            [s, s],
+        ).fetchone()[0]
+        assert got[s] == want, s
 
 
 def test_tfidf_matches_sklearn_shape(spark):
