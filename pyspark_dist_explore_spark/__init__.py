@@ -54,6 +54,10 @@ from pyspark_dist_explore_spark.operators.sampling import (
     stratified_sample_hash,
 )
 from pyspark_dist_explore_spark.operators.stats import describe_exact, histogram_approx
+from pyspark_dist_explore_spark.sources.sinks import (
+    write_bucketed_table,
+    write_partitioned,
+)
 from pyspark_dist_explore_spark.pipeline import curate_documents, minhash_pair_fn
 from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
@@ -132,6 +136,9 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "stratified_sample_hash",
+    # sinks / physical layout
+    "write_partitioned",
+    "write_bucketed_table",
     # streaming
     "stream_windowed_histogram",
     "stream_dedup",

@@ -1,0 +1,92 @@
+"""Write-side layout helpers (SURVEY §2.3 scans/sinks completion): the
+two physical layouts that decide scan cost at 100 TB.
+
+- **Partitioned layout** (``write_partitioned``): one directory per
+  partition-column value.  Catalyst turns equality/range predicates on
+  partition columns into PartitionFilters — pruned directories are never
+  listed, never opened, never read.  This is THE first-order lever for a
+  100 TB corpus: a date-partitioned events table turns "last 7 days"
+  from a full scan into 7 directory reads.
+- **Bucketed layout** (``write_bucketed_table``): rows pre-hashed into a
+  fixed bucket count per file.  Joins/aggregations on the bucket key
+  elide their Exchange entirely (pinned by
+  tests/test_scale_patterns.py::test_bucketed_join_elides_shuffle) —
+  pay one shuffle at WRITE time, skip it on every subsequent join.
+
+Small-files discipline: a naive partitioned write emits
+``#tasks × #values`` files; ``write_partitioned`` repartitions by the
+partition columns first (one task per live value → one file per
+directory) and callers cap file size with ``max_records_per_file`` —
+at scale both matter, because a million tiny files costs more in
+listing/open overhead than the data read itself.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    *,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` hive-partitioned by ``partition_by`` columns.
+
+    Repartitions by the partition columns first so each live partition
+    value is written by one task — one file per directory instead of one
+    per (task × value).  For very large single partitions, set
+    ``max_records_per_file`` to split them into bounded files (Spark
+    rolls files at that row count; tune it to land near the cluster's
+    preferred scan split, e.g. ~128 MB).
+
+    Reading back: plain ``spark.read.parquet(path)`` — any filter on a
+    partition column shows up as ``PartitionFilters`` in ``.explain``
+    (pruned directories are skipped at file-listing time, before any
+    I/O; pinned by tests/test_scale_patterns.py).
+    """
+    writer = df.repartition(*[df[c] for c in partition_by]).write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_by).format(fmt).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str | Sequence[str],
+    *,
+    buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Save ``df`` as a bucketed+sorted catalog table (``saveAsTable`` —
+    bucketing metadata lives in the catalog, so it needs a table, not a
+    bare path).  Two tables bucketed the same way on the join key
+    sort-merge-join with ZERO exchanges — the write-once/join-many trade
+    that pays for itself after the first downstream join at scale.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(name)
+    )
+
+
+def read_partition_pruned(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Scan a partitioned layout; apply partition-column filters on the
+    RESULT and Catalyst prunes directories (no special API needed — this
+    exists so the read side of the layout contract has a named, tested
+    entry point)."""
+    return spark.read.format(fmt).load(path)

@@ -27,14 +27,10 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
     custs = spark.range(0, 100).select(
         F.col("id").alias("cust"), F.concat(F.lit("c"), F.col("id")).alias("name")
     )
+    from pyspark_dist_explore_spark.sources.sinks import write_bucketed_table
+
     for name, df, key in [("t_orders", orders, "cust"), ("t_custs", custs, "cust")]:
-        (
-            df.write.mode("overwrite")
-            .option("path", str(tmp_path / name))
-            .bucketBy(8, key)
-            .sortBy(key)
-            .saveAsTable(name)
-        )
+        write_bucketed_table(df, name, str(tmp_path / name), key, buckets=8)
     threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         # tiny tables would broadcast; force the shuffle-join path so the
@@ -50,6 +46,40 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS t_orders")
         spark.sql("DROP TABLE IF EXISTS t_custs")
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory-level pruning — no file of the other partitions is even
+    listed), and the partitioned round-trip must preserve the data."""
+    from pyspark_dist_explore_spark.sources.sinks import (
+        read_partition_pruned,
+        write_partitioned,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dest = str(tmp_path / "events_by_type")
+    write_partitioned(events, dest, ["event_type"])
+
+    back = read_partition_pruned(spark, dest)
+    assert back.count() == events.count()
+
+    clicks = back.where(F.col("event_type") == "click")
+    plan = _explain(clicks)
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines and any("event_type" in ln for ln in scan_lines), plan
+    # pruning is real: only the click directory's files are read
+    n_click = events.where(F.col("event_type") == "click").count()
+    assert clicks.count() == n_click
+    import pathlib
+
+    dirs = {p.name for p in pathlib.Path(dest).iterdir() if p.is_dir()}
+    assert any(d.startswith("event_type=") for d in dirs)
+    # one file per partition directory (repartition-by-partition-cols)
+    for d in pathlib.Path(dest).iterdir():
+        if d.is_dir():
+            files = [f for f in d.iterdir() if f.suffix == ".parquet"]
+            assert len(files) == 1, f"{d.name}: {len(files)} files"
 
 
 def test_salted_join_correctness(spark):
