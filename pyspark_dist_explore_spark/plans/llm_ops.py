@@ -648,7 +648,12 @@ def q_vector_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: scratch dir (NOT a hardcoded checkout path), suffixed with the euid
 #: so two users on one host never fight over file ownership;
 #: write_media_fixture keys idempotency on file CONTENT (atomic
-#: replace), so a stale dir from an older parameterization self-heals
+#: replace), so a stale dir from an older parameterization self-heals.
+#: DEMO-ONLY side effect: building this query's plan writes the WAV
+#: fixture to local scratch so there is something for binaryFile to
+#: ingest in a bare container.  A production deployment deletes the
+#: fixture call and points read_binary_media at the existing media
+#: bucket/volume — plan construction then touches no filesystem.
 import os as _os
 import tempfile as _tempfile
 

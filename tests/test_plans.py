@@ -187,6 +187,20 @@ def test_asof_join_single_window_pass(spark):
     assert n_hash_exchanges <= 2, plan
 
 
+def test_interval_join_equi_key_not_cartesian(spark):
+    """The interval join must execute as an EQUI join on the key with the
+    time bounds as join-condition filters — never a cartesian/range-only
+    join (which would be quadratic per key-partition at scale), and the
+    event_type filters must push to the scan."""
+    plan = _plan(spark, "events_interval_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "user_id" in plan
+    assert any(
+        "PushedFilters" in ln and "event_type" in ln for ln in plan.splitlines()
+    ), plan
+
+
 def test_pipeline_scan_pruned_and_pushed(spark):
     """The composed curation pipeline's ONLY parquet scan must read just
     (doc_id, text) — lang/source/n_chars pruned — with the id cap pushed
