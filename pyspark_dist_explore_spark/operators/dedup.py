@@ -175,9 +175,25 @@ def minhash_signatures(
     from ``df`` — pass a persisted/parquet-landed copy at scale so the
     only corpus-text scan is the one that built it.
     """
-    hash_exprs = _minhash_hash_exprs(hash_fn, num_hashes)
     # the parameter shadows the module-level builder; use the _ alias
     rows = shingle_rows if shingle_rows is not None else _shingle_rows(df, text_col, id_col, shingle_n)
+    if hash_fn == "md5":
+        # project the two digest halves ONCE below the aggregate: inlining
+        # h1/h2 into all k aggregate expressions leaves ~1.5 md5 calls per
+        # (row, hash) in the optimized plan (CSE only partially collapses
+        # them); as attributes the digest is computed once per row
+        halves = rows.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("bigint").alias("__h1"),
+            F.conv(F.substring(F.md5("sh"), 13, 12), 16, 10).cast("bigint").alias("__h2"),
+        )
+        return halves.groupBy("doc_id").agg(
+            *[
+                F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+    hash_exprs = _minhash_hash_exprs(hash_fn, num_hashes)
     return rows.groupBy("doc_id").agg(
         *[F.min(h).alias(f"h{i}") for i, h in enumerate(hash_exprs)]
     )
