@@ -63,7 +63,10 @@ from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
     language_id,
     quality_score,
+    repetition_signals,
+    scrub_text,
     term_frequencies,
+    text_profile,
     text_stats,
     tfidf,
     tfidf_doc_vectors,
@@ -115,8 +118,11 @@ __all__ = [
     "describe_exact",
     "histogram_approx",
     "text_stats",
+    "text_profile",
     "quality_score",
     "language_id",
+    "scrub_text",
+    "repetition_signals",
     "winnowing_fingerprints",
     "term_frequencies",
     "tfidf",

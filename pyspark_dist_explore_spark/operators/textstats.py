@@ -36,10 +36,9 @@ def occurrence_count(text: Column, needle: str) -> Column:
     return F.regexp_count(text, F.lit(re.escape(needle))).cast("bigint")
 
 
-def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-document stats: chars, whitespace tokens, regex (BPE-ish) tokens,
-    punctuation count, avg token length."""
-    t = F.col(text_col)
+def _stats_exprs(t: Column) -> list[Column]:
+    """The five per-document stat columns, aliased — shared by
+    :func:`text_stats` and the merged :func:`text_profile`."""
     norm = normalize_text(t)
     ws_tokens = F.when(norm == "", F.lit(0)).otherwise(
         F.size(F.split(norm, " "))
@@ -47,8 +46,7 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     re_tokens = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), F.lit(0)))
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
     n_chars = F.length(t)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         n_chars.cast("bigint").alias("n_chars"),
         ws_tokens.cast("bigint").alias("n_tokens"),
         re_tokens.cast("bigint").alias("n_bpe_tokens"),
@@ -58,6 +56,28 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             / F.greatest(ws_tokens, F.lit(1)),
             6,
         ).alias("avg_token_len"),
+    ]
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, regex (BPE-ish) tokens,
+    punctuation count, avg token length."""
+    return df.select(F.col(id_col).alias("doc_id"), *_stats_exprs(F.col(text_col)))
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stats + quality in ONE row-local projection (a single scan — the
+    shape :func:`text_stats` ∪ :func:`quality_score` would need a
+    join to produce): ``(doc_id, n_chars, n_tokens, n_bpe_tokens,
+    n_punct, avg_token_len, alpha_ratio, punct_ratio, quality)``."""
+    t = F.col(text_col)
+    alpha_ratio, punct_ratio, score = quality_ratio_exprs(t)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *_stats_exprs(t),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        score.alias("quality"),
     )
 
 
@@ -344,6 +364,107 @@ def word2vec_embeddings(
     ).fit(toks)
     return model.transform(toks).select(
         "doc_id", vector_to_array(F.col("w2v")).alias("vec")
+    )
+
+
+# --------------------------------------------------------------------------
+# Curation signals (X5 additions, round 4): PII-style scrubbing and
+# Gopher/MassiveText-style repetition measures
+# --------------------------------------------------------------------------
+
+#: ordered (kind, regex) — applied in THIS order when scrubbing, so the
+#: Spark chain and the DuckDB oracle replace identically.  Patterns stay
+#: inside the Java∩RE2 common dialect (no lookaround, no backrefs).
+SCRUB_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^\s]+"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]"),
+]
+
+
+def scrub_text(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    replacement: str = "<redacted>",
+) -> DataFrame:
+    """PII-style redaction: emails, URLs, phone-number-shaped runs.
+
+    Returns ``(doc_id, n_email, n_url, n_phone, scrubbed)`` — counts are
+    measured on the ORIGINAL text per pattern (independent signals, not
+    order-dependent leftovers); the scrubbed text applies the
+    replacements sequentially in ``SCRUB_PATTERNS`` order.  Pure
+    row-local regex work (whole-stage codegen, no shuffle), and every
+    pattern lives in the Java∩RE2 common dialect so DuckDB's
+    ``regexp_extract_all`` / ``regexp_replace(…,'g')`` reproduce both
+    the counts and the scrubbed bytes exactly (the registered query
+    hash-checks ``md5(scrubbed)``).
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("bigint").alias(f"n_{kind}")
+        for kind, pat in SCRUB_PATTERNS
+    ]
+    scrubbed = t
+    for _, pat in SCRUB_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    return df.select(F.col(id_col).alias("doc_id"), *counts, scrubbed.alias("scrubbed"))
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition measures per document:
+
+    - ``n_tokens`` / ``dup_token_frac``: ``1 − distinct/total`` tokens —
+      word-salad and boilerplate both push this up;
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over all bigram slots — the classic repeated-phrase signal
+      (NULL for docs with < 2 tokens, where no bigram exists).
+
+    Execution: one token explode feeds a per-doc hash aggregate (token
+    counts) and a lead-window bigram build sharing the same
+    ``(doc_id, idx)`` sort as winnowing; bigram counts are a second hash
+    aggregate, reduced per-doc with ``max``/``sum`` partials.  Ratios
+    round to 6 so the DuckDB twin hash-matches.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("idx", "tok"),
+    ).where(F.col("tok") != "")
+    tok_stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.col("tok")).alias("n_distinct"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("idx")
+    n_tok = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    bigrams = (
+        toks.select(
+            "doc_id",
+            "idx",
+            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w_ord)).alias("bg"),
+            n_tok.alias("n_tok"),
+        )
+        .where(F.col("idx") <= F.col("n_tok") - 2)
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bg_stats = bigrams.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_bg"), F.sum("cnt").alias("total_bg")
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            F.round(
+                F.col("top_bg").cast("double") / F.col("total_bg"), 6
+            ).alias("top_bigram_frac"),
+        )
     )
 
 

@@ -730,30 +730,107 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
        round(CAST(len(replace(norm, ' ', '')) AS DOUBLE)
              / greatest(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END, 1), 6)
-         AS avg_token_len
+         AS avg_token_len,
+       round({_alpha_ratio_sql('text')}, 6) AS alpha_ratio,
+       round({_punct_ratio_sql('text')}, 6) AS punct_ratio,
+       {_quality_sql('text')} AS quality
 FROM n
 """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document stats: chars, tokens, BPE-ish tokens, punctuation."""
+    """Per-document stats AND quality signals in one row-local projection
+    (merged round 4 — both halves are pure expressions over the same
+    scan, so one registry slot carries both; the freed slot registers
+    ``text_scrub_repetition``).  Columns: chars/token counts/avg token
+    length + alpha/punct ratios + the [0,1] quality score."""
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.text_stats(docs, "text", "doc_id")
+    return textstats.text_profile(docs, "text", "doc_id")
 
 
-@register(
-    "text_quality",
-    f"""
+#: deregistered round 4 — its three columns are a strict subset of the
+#: merged ``text_stats`` profile; still callable, oracle-pinned in tests
+TEXT_QUALITY_ORACLE = f"""
 SELECT doc_id,
        round({_alpha_ratio_sql('text')}, 6) AS alpha_ratio,
        round({_punct_ratio_sql('text')}, 6) AS punct_ratio,
        {_quality_sql('text')} AS quality
 FROM documents
-""",
-)
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality score in [0, 1]."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.quality_score(docs, "text", "doc_id")
+
+
+def _scrub_repetition_oracle() -> str:
+    """DuckDB twin of scrub_text ⋈ repetition_signals: the same ordered
+    regexp_replace chain (counts measured on the ORIGINAL text), md5 of
+    the scrubbed bytes, zip-unnest tokens, lead-window bigrams."""
+    norm = _NORM.format(c="text")
+    repl = "<redacted>"
+    count_cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in textstats.SCRUB_PATTERNS
+    )
+    scrubbed = "text"
+    for _, pat in textstats.SCRUB_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH s AS (
+  SELECT doc_id, {count_cols}, md5({scrubbed}) AS scrub_hash
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx, unnest(l) AS tok
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS l FROM documents) t
+),
+t2 AS (SELECT doc_id, idx, tok FROM toks WHERE tok <> ''),
+tok_stats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+  FROM t2 GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, idx,
+         concat_ws(' ', tok, lead(tok, 1) OVER w) AS bg,
+         count(*) OVER (PARTITION BY doc_id) AS n_tok
+  FROM t2 WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+),
+bg_counts AS (
+  SELECT doc_id, bg, count(*) AS cnt FROM bg
+  WHERE idx <= n_tok - 2 GROUP BY doc_id, bg
+),
+bg_stats AS (
+  SELECT doc_id, max(cnt) AS top_bg, sum(cnt) AS total_bg
+  FROM bg_counts GROUP BY doc_id
+),
+rep AS (
+  SELECT ts.doc_id, ts.n_tokens,
+         round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+         round(CAST(top_bg AS DOUBLE) / total_bg, 6) AS top_bigram_frac
+  FROM tok_stats ts LEFT JOIN bg_stats USING (doc_id)
+)
+SELECT s.doc_id, n_email, n_url, n_phone, scrub_hash,
+       n_tokens, dup_token_frac, top_bigram_frac
+FROM s JOIN rep ON s.doc_id = rep.doc_id
+"""
+
+
+@register("text_scrub_repetition", _scrub_repetition_oracle())
+def q_text_scrub_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation signals in one doc-level result: PII-style
+    scrubbing (email/URL/phone counts + md5 of the redacted text, so the
+    TRANSFORMATION is verified, not just the counts) joined with
+    Gopher-style repetition measures (dup-token fraction, top-bigram
+    fraction).  Both halves are the real pre-training filters a corpus
+    pipeline runs before quality scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrub = textstats.scrub_text(docs, "text", "doc_id").select(
+        "doc_id", "n_email", "n_url", "n_phone", F.md5("scrubbed").alias("scrub_hash")
+    )
+    rep = textstats.repetition_signals(docs, "text", "doc_id")
+    return scrub.join(rep, "doc_id")
 
 
 def _lang_id_oracle() -> str:

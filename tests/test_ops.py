@@ -818,6 +818,91 @@ def test_minhash_staged_input_same_pairs(spark):
     assert staged == lazy
 
 
+def test_text_quality_still_oracle_green(spark):
+    """Deregistered round 4 (subset of the merged text_stats profile)
+    but still a public query — pin it."""
+    from pyspark_dist_explore_spark.plans.llm_ops import (
+        TEXT_QUALITY_ORACLE,
+        q_text_quality,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    compare(spark, SF_SMOKE, q_text_quality, TEXT_QUALITY_ORACLE)
+
+
+def test_scrub_text_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.org or visit https://a.example/p?q=1 now"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "plain text, nothing sensitive"),
+            (4, "two mails: a@b.io c@d.co and http://x.y"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.scrub_text(docs, "text", "doc_id").collect()}
+    assert (out[1]["n_email"], out[1]["n_url"], out[1]["n_phone"]) == (1, 1, 0)
+    assert "jo.doe" not in out[1]["scrubbed"] and "https://" not in out[1]["scrubbed"]
+    assert out[1]["scrubbed"].count("<redacted>") == 2
+    assert out[2]["n_phone"] == 1 and "555" not in out[2]["scrubbed"]
+    assert out[3]["scrubbed"] == "plain text, nothing sensitive"
+    assert out[4]["n_email"] == 2 and out[4]["n_url"] == 1
+
+
+def test_scrub_patterns_match_duckdb_semantics(spark):
+    """Counts and the scrubbed BYTES must agree between Spark (Java
+    regex) and DuckDB (RE2) for the shared pattern set — the oracle's
+    md5(scrubbed) hash rests on this."""
+    import duckdb
+
+    texts = [
+        "mail jo.doe+x@example.org or https://a.example/p?q=1 now",
+        "call +1 (555) 123-4567 or (020) 7946-0958 x",
+        "a@b.io http://x.y +44 20 7946 0958",
+        "nothing here",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r["i"]: (r["n_email"], r["n_url"], r["n_phone"], r["scrubbed"])
+        for r in textstats.scrub_text(df, "text", "i").withColumnRenamed("doc_id", "i").collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = []
+        for _, pat in textstats.SCRUB_PATTERNS:
+            want.append(
+                con.execute("SELECT len(regexp_extract_all(?, ?))", [t, pat]).fetchone()[0]
+            )
+        scrubbed = t
+        for _, pat in textstats.SCRUB_PATTERNS:
+            scrubbed = con.execute(
+                "SELECT regexp_replace(?, ?, '<redacted>', 'g')", [scrubbed, pat]
+            ).fetchone()[0]
+        assert got[i] == (*want, scrubbed), (i, t, got[i], (*want, scrubbed))
+
+
+def test_repetition_signals_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 tokens, 1 distinct; bigram "a a" ×3 / 3
+            (2, "the cat sat the cat ran"),  # 6 tok, 4 distinct; "the cat" ×2 / 5
+            (3, "one"),              # single token → no bigram
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.repetition_signals(docs, "text", "doc_id").collect()
+    }
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["dup_token_frac"] == 0.75
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_token_frac"] == round(1 - 4 / 6, 6)
+    assert out[2]["top_bigram_frac"] == 0.4
+    assert out[3]["top_bigram_frac"] is None  # no bigram exists
+
+
 def test_percentiles_quantity_still_oracle_green(spark):
     """Deregistered from the 50-entry window round 4 (merged into
     summary_stats' long format) but still a public query — pin it."""
