@@ -133,6 +133,8 @@ def curate_documents(
     split_fractions: dict[str, float] | None = None,
     materialize: bool = False,
     snapshot_dir: str | None = None,
+    scrub: bool = False,
+    max_dup_token_frac: float | None = None,
 ) -> DataFrame:
     """Curate a document corpus into a training keep-list.
 
@@ -158,17 +160,39 @@ def curate_documents(
     post-dedup corpus.  The write refuses a non-empty ``snapshot_dir``
     that lacks a ``_SUCCESS`` marker (i.e. anything that is not a
     previous snapshot) so a typo'd path can't silently delete data.
+
+    ``scrub=True`` redacts PII-shaped spans (`textstats.scrub_text`
+    patterns) BEFORE anything else, so quality scoring, fingerprinting,
+    near-dup detection and the surviving corpus all see the scrubbed
+    text — still a row-local expression, no extra scan or shuffle.
+    ``max_dup_token_frac`` drops documents whose Gopher-style duplicate
+    -token fraction exceeds the bound (boilerplate / word-salad filter);
+    this one costs a token explode + per-doc aggregate + semi join on
+    the already-filtered survivors, so it is opt-in.
     """
+    from pyspark_dist_explore_spark.operators.textstats import (
+        SCRUB_PATTERNS,
+        repetition_signals,
+    )
+
     t = F.col(text_col)
+    if scrub:
+        for _, pat in SCRUB_PATTERNS:
+            t = F.regexp_replace(t, pat, "<redacted>")
     _, _, quality = quality_ratio_exprs(t)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("__text"),
+        t.alias("__text"),
         quality.alias("quality"),
         lang_pred_expr(t).alias("lang_pred"),
     ).where(F.col("quality") >= F.lit(min_quality))
     if allowed_langs is not None:
         base = base.where(F.col("lang_pred").isin(list(allowed_langs)))
+    if max_dup_token_frac is not None:
+        ok = repetition_signals(base, "__text", "doc_id").where(
+            F.col("dup_token_frac") <= F.lit(float(max_dup_token_frac))
+        )
+        base = base.join(ok.select("doc_id"), "doc_id", "left_semi")
 
     fp = base.withColumn("__fp", F.md5(dedup.normalize_text(F.col("__text"))))
     kept = dedup.exact_dedup(fp, ["__fp"], "doc_id").drop("__fp")

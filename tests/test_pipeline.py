@@ -92,6 +92,39 @@ def test_curate_pluggable_minhash_pair_fn(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, unstaged.collect()))
 
 
+def test_curate_scrub_and_repetition_stages(spark):
+    """scrub=True must make the pipeline dedup on SCRUBBED text (two docs
+    differing only in PII collapse to one), and max_dup_token_frac must
+    drop repetitive docs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean document with plenty of distinct readable words here"),
+            (2, "another entirely different page covering various unrelated topics"),
+            (3, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        ["doc_id", "text"],
+    )
+    base = curate_documents(docs, "text", "doc_id", min_quality=0.0)
+    assert {r.doc_id for r in base.collect()} == {1, 2, 3}
+
+    # two docs identical up to the PII span scrub to the same text
+    scrub_dup = spark.createDataFrame(
+        [
+            (1, "reach me at a@b.io for details on the offer"),
+            (2, "reach me at c.d@e.org for details on the offer"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curate_documents(scrub_dup, "text", "doc_id", min_quality=0.0, scrub=True)
+    assert {r.doc_id for r in out.collect()} == {1}, "PII-only variants must collapse"
+
+    filtered = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, max_dup_token_frac=0.5
+    )
+    kept = {r.doc_id for r in filtered.collect()}
+    assert 3 not in kept and {1, 2} <= kept
+
+
 def test_curate_snapshot_dir_overwrite_guard(spark, tmp_path):
     """A non-empty snapshot_dir without a _SUCCESS marker must be refused
     (and left untouched); a previous snapshot (has _SUCCESS) and a fresh
