@@ -48,6 +48,7 @@ from pyspark_dist_explore_spark.operators.multimodal import (
     sample_frames,
     write_media_fixture,
 )
+from pyspark_dist_explore_spark.operators.packing import pack_sequences
 from pyspark_dist_explore_spark.operators.sampling import (
     hash_split,
     stratified_sample,
@@ -138,10 +139,11 @@ __all__ = [
     "sample_frames",
     "write_media_fixture",
     "audio_features",
-    # sampling
+    # sampling / batch shaping
     "hash_split",
     "stratified_sample",
     "stratified_sample_hash",
+    "pack_sequences",
     # sinks / physical layout
     "write_partitioned",
     "write_bucketed_table",

@@ -1,0 +1,188 @@
+"""Sequence packing (training-batch shaping): assign documents to fixed
+token-budget "packs" (context windows) so short documents share a
+sequence instead of wasting pad tokens.
+
+Exact greedy packing is inherently sequential, so the operator shards
+the corpus into ``buckets`` deterministic md5 buckets first (the same
+engine-portable hex-bucket scheme as ``sampling.hash_split``) and packs
+WITHIN each bucket — embarrassingly parallel, reproducible, and at 1000+
+buckets the per-bucket sequential work is tiny even at 100 TB.  Two
+modes per bucket:
+
+- ``cumsum`` (default): ``pack = floor(exclusive_running_tokens /
+  max_tokens)`` over docs ordered by id — pure window SQL (one
+  shuffle+sort by bucket), DuckDB-oracle-checkable.  A document that
+  straddles a boundary lands in the pack where its cumsum started, so a
+  pack may overflow by at most one document (< 2× budget when docs are
+  ≤ budget); trainers that truncate-at-boundary accept exactly this.
+- ``greedy``: first-fit-by-order inside an ``applyInPandas`` per-bucket
+  group — a document that would overflow CLOSES the pack and starts the
+  next, so every pack is strictly ≤ ``max_tokens`` (oversize documents
+  get a solo pack, flagged).  Same one shuffle; the Python work is a
+  linear scan per bucket over (id, count) pairs only — text never
+  enters the UDF.
+
+Output either way: ``(doc_id, n_tokens, bucket, pack_id, oversize)``
+with ``pack_id`` unique across buckets (``bucket * 2^40 + local``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: bucket·2^40 keeps pack_id collision-free while staying far from the
+#: BIGINT ceiling (buckets < 2^22, packs-per-bucket < 2^40)
+_PACK_STRIDE = 1 << 40
+
+_PACK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("bucket", IntegerType()),
+        StructField("pack_id", LongType()),
+        StructField("oversize", IntegerType()),
+    ]
+)
+
+
+def _bucket_expr(id_col: str, buckets: int):
+    """Deterministic engine-portable bucket: leading 4 md5 hex chars mod
+    ``buckets`` — DuckDB renders the identical expression."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % buckets
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    *,
+    token_count_col: str | None = None,
+    text_col: str | None = None,
+    max_tokens: int = 2048,
+    buckets: int = 32,
+    mode: str = "cumsum",
+) -> DataFrame:
+    """Pack documents into ≤ ``max_tokens`` sequences (see module doc).
+
+    Provide EITHER ``token_count_col`` (precomputed counts — the normal
+    path when stats already ran) or ``text_col`` (whitespace token count
+    of the normalized text is computed inline, same expression as
+    ``textstats.text_stats``).
+    """
+    if mode not in ("cumsum", "greedy"):
+        raise ValueError(f"mode must be 'cumsum' or 'greedy', got {mode!r}")
+    if (token_count_col is None) == (text_col is None):
+        raise ValueError("provide exactly one of token_count_col / text_col")
+    if token_count_col is not None:
+        n_tokens = F.col(token_count_col).cast("bigint")
+    else:
+        from pyspark_dist_explore_spark.operators.dedup import normalize_text
+
+        norm = normalize_text(F.col(text_col))
+        n_tokens = (
+            F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+        ).cast("bigint")
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        _bucket_expr(id_col, buckets).alias("bucket"),
+    )
+
+    if mode == "cumsum":
+        w = (
+            Window.partitionBy("bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+        return base.select(
+            "doc_id",
+            "n_tokens",
+            "bucket",
+            (
+                F.col("bucket").cast("bigint") * F.lit(_PACK_STRIDE)
+                + F.floor(pre / F.lit(max_tokens)).cast("bigint")
+            ).alias("pack_id"),
+            (F.col("n_tokens") > max_tokens).cast("int").alias("oversize"),
+        )
+
+    def greedy(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bucket = int(key[0])
+        packs, oversize = [], []
+        cur, pid = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > max_tokens:
+                if cur > 0:
+                    pid += 1  # close the open pack; the giant doc rides alone
+                packs.append(pid)
+                oversize.append(1)
+                pid += 1
+                cur = 0
+            else:
+                if cur + n > max_tokens:
+                    pid += 1
+                    cur = 0
+                packs.append(pid)
+                oversize.append(0)
+                cur += n
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_tokens": pdf["n_tokens"].astype("int64"),
+                "bucket": bucket,
+                "pack_id": [bucket * _PACK_STRIDE + p for p in packs],
+                "oversize": oversize,
+            }
+        )
+        return out
+
+    return base.groupBy("bucket").applyInPandas(greedy, schema=_PACK_SCHEMA)
+
+
+def pack_sequences_sql(
+    table: str,
+    id_col: str,
+    *,
+    max_tokens: int,
+    buckets: int,
+    norm_text_expr: str,
+) -> str:
+    """DuckDB rendering of ``pack_sequences(mode='cumsum')`` — identical
+    bucket hash, exclusive window cumsum, floor division, stride."""
+    bucket = (
+        f"(CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 4)) AS BIGINT)"
+        f" % {buckets})"
+    )
+    n_tok = (
+        f"CAST(CASE WHEN {norm_text_expr} = '' THEN 0 "
+        f"ELSE len(string_split({norm_text_expr}, ' ')) END AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST({id_col} AS BIGINT) AS doc_id,
+         {n_tok} AS n_tokens,
+         CAST({bucket} AS INT) AS bucket
+  FROM {table}
+)
+SELECT doc_id, n_tokens, bucket,
+       bucket * {_PACK_STRIDE} + CAST(floor(
+         COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / {max_tokens}.0) AS BIGINT) AS pack_id,
+       CAST(n_tokens > {max_tokens} AS INT) AS oversize
+FROM base
+"""

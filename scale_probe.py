@@ -144,6 +144,24 @@ def main() -> None:
     print(json.dumps({"probe": "pipeline_curate", "t_1x": t1, "t_10x": t10,
                       "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- simhash near-dup: 10× docs, disjoint token spaces -----------------
+    # (same copy-prefixed construction: each copy keeps its internal
+    # near-dup structure, chunk buckets stay disjoint across copies)
+    t1, n1 = timed(dedup.simhash_neardup(docs, "text", "doc_id", max_hamming=3))
+    t10, n10 = timed(dedup.simhash_neardup(docs10, "text", "doc_id", max_hamming=3))
+    print(json.dumps({"probe": "simhash_neardup", "t_1x": t1, "t_10x": t10,
+                      "pairs_1x": n1, "pairs_10x": n10, "ratio": round(t10 / t1, 2)}))
+
+    # -- winnowing fingerprints: 10× docs ----------------------------------
+    # (per-doc operator — one (doc_id, idx) shuffle+sort; growth must be
+    # ~linear in rows, the partition count is the only shared state)
+    from pyspark_dist_explore_spark.operators.textstats import winnowing_fingerprints
+
+    t1, n1 = timed(winnowing_fingerprints(docs, "text", "doc_id"))
+    t10, n10 = timed(winnowing_fingerprints(docs10, "text", "doc_id"))
+    print(json.dumps({"probe": "winnowing_fp", "t_1x": t1, "t_10x": t10,
+                      "fps_1x": n1, "fps_10x": n10, "ratio": round(t10 / t1, 2)}))
+
     # -- IVF top-k: 10× vectors, same 20 queries ---------------------------
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb10 = reduce(

@@ -903,6 +903,78 @@ def test_repetition_signals_hand_computed(spark):
     assert out[3]["top_bigram_frac"] is None  # no bigram exists
 
 
+def test_pack_sequences_cumsum_matches_duckdb(spark):
+    """The cumsum packing mode is pure window SQL — pin it against the
+    DuckDB rendering on the real documents table (pytest-level oracle;
+    packing has no registry slot)."""
+    from pyspark_dist_explore_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_sql,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+    def build(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return pack_sequences(
+            docs, "doc_id", text_col="text", max_tokens=512, buckets=8
+        )
+
+    oracle = pack_sequences_sql(
+        "documents", "doc_id", max_tokens=512, buckets=8, norm_text_expr=norm
+    )
+    compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    """Greedy mode: every pack ≤ max_tokens (oversize docs ride alone),
+    all docs packed exactly once, deterministic across runs."""
+    from pyspark_dist_explore_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 900 + 1) for i in range(500)] + [(1000, 5000)],
+        ["doc_id", "n_tok"],
+    )
+    out = pack_sequences(
+        docs, "doc_id", token_count_col="n_tok", max_tokens=1000, buckets=4,
+        mode="greedy",
+    )
+    rows = out.collect()
+    assert len(rows) == 501 and len({r["doc_id"] for r in rows}) == 501
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(r["n_tokens"] for r in members)
+        if any(r["oversize"] for r in members):
+            assert len(members) == 1, "oversize docs must ride alone"
+        else:
+            assert total <= 1000, f"pack {pid} holds {total} tokens"
+    rows2 = pack_sequences(
+        docs, "doc_id", token_count_col="n_tok", max_tokens=1000, buckets=4,
+        mode="greedy",
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_pack_sequences_utilization(spark):
+    """Packing short docs at a generous budget must put multiple docs per
+    pack (the point of packing) in both modes."""
+    from pyspark_dist_explore_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(i, 100) for i in range(200)], ["doc_id", "n_tok"])
+    for mode in ("cumsum", "greedy"):
+        out = pack_sequences(
+            docs, "doc_id", token_count_col="n_tok", max_tokens=1000, buckets=2,
+            mode=mode,
+        )
+        n_packs = out.select("pack_id").distinct().count()
+        # 200 docs × 100 tok at 1000 budget over 2 buckets → ≥9-10 docs/pack
+        assert n_packs <= 22, (mode, n_packs)
+
+
 def test_percentiles_quantity_still_oracle_green(spark):
     """Deregistered from the 50-entry window round 4 (merged into
     summary_stats' long format) but still a public query — pin it."""
