@@ -76,6 +76,7 @@ from pyspark_dist_explore_spark.operators.textstats import (
 )
 from pyspark_dist_explore_spark.streaming.histogram_stream import (
     stream_dedup,
+    stream_enrich,
     stream_interval_join,
     stream_windowed_histogram,
 )
@@ -150,6 +151,7 @@ __all__ = [
     # streaming
     "stream_windowed_histogram",
     "stream_dedup",
+    "stream_enrich",
     "stream_interval_join",
 ]
 

@@ -150,6 +150,34 @@ def stream_dedup(
     return events.dropDuplicates(keys)
 
 
+def stream_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes (user
+    profile, document metadata, …) to a stream.
+
+    Stream-static joins are STATELESS in Structured Streaming — each
+    micro-batch joins against the current static frame, nothing is
+    buffered, no watermark is needed — which makes this the cheapest
+    join shape a streaming pipeline has.  ``broadcast=True`` (default)
+    hints the dim side so every executor joins map-side with zero
+    shuffle of the stream; turn it off only when the dimension is too
+    big to broadcast (then pre-bucket both sides instead).  ``how`` is
+    ``left`` by default: enrichment must never DROP stream rows just
+    because the dimension is missing one key.
+
+    Works identically on batch frames (it is a plain join) — tests pin
+    the streaming execution path via the memory sink.
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return events.join(d, on, how)
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -187,6 +187,24 @@ def test_asof_join_single_window_pass(spark):
     assert n_hash_exchanges <= 2, plan
 
 
+def test_pack_sequences_cumsum_single_shuffle(spark):
+    """Cumsum packing must cost exactly ONE exchange (the bucket
+    partitioning that the window sort reuses) with a pruned scan."""
+    from pyspark_dist_explore_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = pack_sequences(docs, "doc_id", text_col="text", max_tokens=512, buckets=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    n_exchange = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert n_exchange == 1, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
 def test_interval_join_equi_key_not_cartesian(spark):
     """The interval join must execute as an EQUI join on the key with the
     time bounds as join-condition filters — never a cartesian/range-only

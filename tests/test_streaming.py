@@ -238,6 +238,44 @@ def test_apply_in_pandas_with_state_running_stats(spark, stream_dir):
         q.stop()
 
 
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static enrichment: every micro-batch joins against the
+    static dim with no state and no watermark; left join keeps stream
+    rows whose key the dim lacks; the broadcast hint lands in the plan."""
+    from pyspark_dist_explore_spark.streaming.histogram_stream import stream_enrich
+
+    ev_dir = str(tmp_path / "ev")
+    _write_batch(spark, ev_dir, [(1, _ts(0), 10.0), (2, _ts(1), 20.0), (9, _ts(2), 30.0)], 1)
+    dim = spark.createDataFrame([(1, "gold"), (2, "basic")], ["event_id", "tier"])
+
+    stream = spark.readStream.schema(SCHEMA).parquet(ev_dir)
+    enriched = stream_enrich(stream, dim, "event_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["tier"] for r in spark.table("enrich_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {1: "gold", 2: "basic", 9: None}
+
+    # batch twin + plan: the dim side must arrive broadcast
+    import contextlib
+    import io
+
+    batch = stream_enrich(spark.read.schema(SCHEMA).parquet(ev_dir), dim, "event_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        batch.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream interval join: a click attributes to an
     impression only within the interval; out-of-interval and unmatched
