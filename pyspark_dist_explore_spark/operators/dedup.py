@@ -127,28 +127,6 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) 
 _shingle_rows = shingle_rows
 
 
-def _minhash_hash_exprs(hash_fn: str, num_hashes: int) -> list[Column]:
-    """The ``num_hashes`` per-shingle hash expressions for one hash_fn.
-
-    - ``xxhash64``: ``xxhash64(sh, seed=i)`` — k independent native
-      hashes, the fast default.
-    - ``md5``: Kirsch–Mitzenmacher double hashing, ``h_i = h1 + i·h2``
-      with h1/h2 the two 48-bit halves of ONE md5 digest (hex chars
-      1-12 / 13-24).  One digest per shingle row (not k), values stay
-      < 2^54 so the arithmetic never overflows a signed 64-bit integer
-      in EITHER engine (DuckDB raises on bigint overflow; Spark wraps —
-      both would break cross-engine parity), and DuckDB reproduces every
-      h_i bit-for-bit from ``('0x'||substr(md5(sh),…))::BIGINT``.
-    """
-    if hash_fn == "xxhash64":
-        return [F.xxhash64("sh", F.lit(i)) for i in range(num_hashes)]
-    if hash_fn == "md5":
-        h1 = F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("bigint")
-        h2 = F.conv(F.substring(F.md5("sh"), 13, 12), 16, 10).cast("bigint")
-        return [h1 + F.lit(i) * h2 for i in range(num_hashes)]
-    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -166,8 +144,8 @@ def minhash_signatures(
     the exploded shingle rows: one shuffle by doc_id, map-side partial
     mins, no giant codegen expression trees.  ``hash_fn="md5"`` swaps
     the k seeded xxhash64 calls for double hashing over one md5 digest
-    (see :func:`_minhash_hash_exprs`) — slightly slower, but every h_i
-    is reproducible in DuckDB, which makes the whole LSH pipeline
+    (inline comment below) — slightly slower, but every h_i is
+    reproducible in DuckDB, which makes the whole LSH pipeline
     hash-oracle-checkable.
 
     ``shingle_rows``: precomputed ``(doc_id, sh)`` frame (see
@@ -175,13 +153,19 @@ def minhash_signatures(
     from ``df`` — pass a persisted/parquet-landed copy at scale so the
     only corpus-text scan is the one that built it.
     """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     # the parameter shadows the module-level builder; use the _ alias
     rows = shingle_rows if shingle_rows is not None else _shingle_rows(df, text_col, id_col, shingle_n)
     if hash_fn == "md5":
-        # project the two digest halves ONCE below the aggregate: inlining
-        # h1/h2 into all k aggregate expressions leaves ~1.5 md5 calls per
-        # (row, hash) in the optimized plan (CSE only partially collapses
-        # them); as attributes the digest is computed once per row
+        # Kirsch–Mitzenmacher double hashing: h_i = h1 + i·h2 with h1/h2
+        # the two 48-bit halves of ONE md5 digest — values < 2^54, so the
+        # arithmetic never overflows a signed 64-bit integer in EITHER
+        # engine (DuckDB raises on bigint overflow; Spark wraps — both
+        # would break cross-engine parity).  The halves are projected as
+        # attributes ONCE below the aggregate: inlining them into all k
+        # aggregate expressions leaves ~1.5 md5 calls per (row, hash) in
+        # the optimized plan (CSE only partially collapses them).
         halves = rows.select(
             "doc_id",
             F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("bigint").alias("__h1"),
@@ -193,9 +177,8 @@ def minhash_signatures(
                 for i in range(num_hashes)
             ]
         )
-    hash_exprs = _minhash_hash_exprs(hash_fn, num_hashes)
     return rows.groupBy("doc_id").agg(
-        *[F.min(h).alias(f"h{i}") for i, h in enumerate(hash_exprs)]
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
