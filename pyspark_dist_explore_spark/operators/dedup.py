@@ -155,6 +155,17 @@ def minhash_signatures(
     """
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    if hash_fn == "md5" and num_hashes > 4096:
+        # the double-hashing arithmetic below is overflow-free only while
+        # h1 + i·h2 < 2^63: h1,h2 < 2^48, so i ≤ 4095 keeps the sum
+        # ≤ 2^60.  Past that Spark would wrap silently while DuckDB
+        # raises — exactly the cross-engine divergence the md5 variant
+        # exists to prevent, so refuse instead of drifting.
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds 4096, the provably overflow-free "
+            "bound for hash_fn='md5' double hashing (h1 + i*h2 with 48-bit "
+            "halves); use hash_fn='xxhash64' for larger signature widths"
+        )
     # the parameter shadows the module-level builder; use the _ alias
     rows = shingle_rows if shingle_rows is not None else _shingle_rows(df, text_col, id_col, shingle_n)
     if hash_fn == "md5":

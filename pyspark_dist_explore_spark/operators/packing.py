@@ -54,7 +54,17 @@ _PACK_SCHEMA = StructType(
 
 def _bucket_expr(id_col: str, buckets: int):
     """Deterministic engine-portable bucket: leading 4 md5 hex chars mod
-    ``buckets`` — DuckDB renders the identical expression."""
+    ``buckets`` — DuckDB renders the identical expression.
+
+    The hash draw has 65 536 values, so ``buckets`` must be ≤ 65536 (a
+    larger value would silently leave buckets empty) and non-power-of-two
+    values carry a tiny mod bias (≤ 1/65536 relative — irrelevant for
+    load-balancing, which is all the bucket is for).
+    """
+    if not 1 <= buckets <= 65536:
+        raise ValueError(
+            f"buckets must be in [1, 65536] (the md5 draw has 16 bits), got {buckets}"
+        )
     return (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
         .cast("int")
@@ -92,8 +102,26 @@ def pack_sequences(
         n_tokens = (
             F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
         ).cast("bigint")
+    # ids must be non-null and bigint-castable: a non-numeric string id
+    # would otherwise become NULL (non-ANSI) or raise a bare CAST error
+    # (ANSI), collapsing ordering/dedup of the output or burying the
+    # cause — fail the JOB with a named error instead (try_cast gives
+    # NULL in BOTH modes; assert_true evaluates per row inside the same
+    # projection and its NULL result gates the value)
+    casted_id = F.col(id_col).try_cast("bigint")
+    checked_id = F.when(
+        F.assert_true(
+            casted_id.isNotNull(),
+            F.concat(
+                F.lit(f"pack_sequences: id_col {id_col!r} value "),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                F.lit(" is not castable to a non-null bigint"),
+            ),
+        ).isNull(),
+        casted_id,
+    )
     base = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
+        checked_id.alias("doc_id"),
         n_tokens.alias("n_tokens"),
         _bucket_expr(id_col, buckets).alias("bucket"),
     )

@@ -64,8 +64,8 @@ def hash_split_sql(key: str, fractions: dict[str, float] | None = None) -> str:
     for name in names[:-1]:
         acc += fractions[name]
         upper = f"{min(int(round(acc * 65536)), 65535):04x}"
-        parts.append(f"WHEN {h} < '{upper}' THEN '{name}'")
-    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+        parts.append(f"WHEN {h} < '{upper}' THEN {sql_str_lit(name)}")
+    return "CASE " + " ".join(parts) + f" ELSE {sql_str_lit(names[-1])} END"
 
 
 def stratified_sample(
@@ -113,11 +113,22 @@ def stratified_sample_hash(
     (fraction 0).  Row counts are binomial around frac·n like any
     Bernoulli sampler; exact-count-per-stratum needs a window rank
     (one shuffle) and is a different operator.
+
+    NULL handling: a NULL stratum or key hashes as the EMPTY STRING on
+    both engines (explicit ``coalesce`` on both sides — Spark's
+    ``concat_ws`` silently skips NULL args while DuckDB's ``concat``
+    keeps the separator, so without the coalesce the two engines would
+    hash different bytes).  NULL-stratum rows are still dropped by the
+    stratum-equality CASE, like ``sampleBy``; all NULL-KEY rows within a
+    stratum share one keep/drop decision — pass a unique non-null key
+    for per-row sampling.
     """
     h = F.substring(
         F.md5(
             F.concat_ws(
-                ":", F.col(stratum_col).cast("string"), F.col(key_col).cast("string")
+                ":",
+                F.coalesce(F.col(stratum_col).cast("string"), F.lit("")),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("")),
             )
         ),
         1,
@@ -134,20 +145,29 @@ def stratified_sample_hash(
     return df.where(keep.otherwise(F.lit(False)))
 
 
+def sql_str_lit(value: str) -> str:
+    """Render a python string as a single-quoted SQL literal, doubling
+    embedded quotes — every oracle renderer that interpolates a VALUE
+    (stratum names, regex patterns) must go through this so a quote in
+    the value cannot break (or inject into) the generated SQL."""
+    return "'" + value.replace("'", "''") + "'"
+
+
 def stratified_sample_hash_sql(
     stratum: str, key: str, fractions: dict[str, float]
 ) -> str:
     """DuckDB boolean expression matching :func:`stratified_sample_hash`
-    exactly (use in a WHERE clause)."""
+    exactly (use in a WHERE clause) — including the NULL→'' coalesce and
+    quote-escaped stratum literals."""
     h = (
-        f"substr(md5(concat(CAST({stratum} AS VARCHAR), ':', "
-        f"CAST({key} AS VARCHAR))), 1, 4)"
+        f"substr(md5(concat(COALESCE(CAST({stratum} AS VARCHAR), ''), ':', "
+        f"COALESCE(CAST({key} AS VARCHAR), ''))), 1, 4)"
     )
     whens = []
     for name, frac in fractions.items():
         thr = _stratum_threshold(frac)
         cond = "TRUE" if thr is None else f"{h} < '{thr}'"
-        whens.append(f"WHEN {stratum} = '{name}' THEN {cond}")
+        whens.append(f"WHEN {stratum} = {sql_str_lit(name)} THEN {cond}")
     if not whens:
         return "FALSE"
     return "CASE " + " ".join(whens) + " ELSE FALSE END"

@@ -104,13 +104,29 @@ def _check_snapshot_dir_overwritable(spark, snapshot_dir: str) -> None:
     ``snapshot_dir`` would otherwise silently DELETE whatever was there.
     Uses the Hadoop FileSystem API so the check follows the path's scheme
     (local, HDFS, object store) exactly like the write that follows.
+
+    The guard is best-effort insurance, not correctness: on sessions
+    with no JVM handle (Spark Connect has no ``_jvm``/``_jsc``) it warns
+    and degrades to write-with-no-guard instead of crashing.
     """
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return
+        names = [s.getPath().getName() for s in fs.listStatus(jpath)]
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            "snapshot_dir overwrite guard unavailable on this session "
+            "(no JVM filesystem handle — e.g. Spark Connect); writing "
+            "without the non-empty-directory check",
+            RuntimeWarning,
+            stacklevel=3,
+        )
         return
-    names = [s.getPath().getName() for s in fs.listStatus(jpath)]
     if names and "_SUCCESS" not in names:
         raise ValueError(
             f"snapshot_dir {snapshot_dir!r} exists, is non-empty, and has no "
@@ -189,10 +205,15 @@ def curate_documents(
     if allowed_langs is not None:
         base = base.where(F.col("lang_pred").isin(list(allowed_langs)))
     if max_dup_token_frac is not None:
-        ok = repetition_signals(base, "__text", "doc_id").where(
-            F.col("dup_token_frac") <= F.lit(float(max_dup_token_frac))
+        # anti-join against VIOLATORS (not semi-join against survivors):
+        # zero-token docs emit no repetition row at all, and they must
+        # pass through unfiltered — the filter's contract is "drop docs
+        # whose dup-token fraction exceeds the bound", and a doc with no
+        # tokens exceeds nothing
+        bad = repetition_signals(base, "__text", "doc_id").where(
+            F.col("dup_token_frac") > F.lit(float(max_dup_token_frac))
         )
-        base = base.join(ok.select("doc_id"), "doc_id", "left_semi")
+        base = base.join(bad.select("doc_id"), "doc_id", "left_anti")
 
     fp = base.withColumn("__fp", F.md5(dedup.normalize_text(F.col("__text"))))
     kept = dedup.exact_dedup(fp, ["__fp"], "doc_id").drop("__fp")

@@ -78,6 +78,14 @@ class Histogram:
             for c in numeric:
                 self.add_column(data, c)
         else:
+            # strings are iterable-of-str — without this guard a stray
+            # label/tuple argument recurses char-by-char until the
+            # recursion limit instead of failing with a usable message
+            if isinstance(data, (str, bytes)) or not hasattr(data, "__iter__"):
+                raise TypeError(
+                    "add_data takes a DataFrame or an iterable of DataFrames, "
+                    f"got {type(data).__name__!s}"
+                )
             for frame in data:
                 self.add_data(frame)
 

@@ -1056,3 +1056,90 @@ def test_describe_exact_single_scan(spark):
     # numbered detail headers, one per physical scan
     scans = re.findall(r"^\(\d+\) Scan parquet", plan_buf.getvalue(), re.M)
     assert len(scans) == 1
+
+
+def test_minhash_md5_num_hashes_overflow_guard(spark):
+    """hash_fn='md5' must refuse num_hashes past the provably
+    overflow-free double-hashing bound (Spark would wrap silently where
+    DuckDB raises — the exact divergence the md5 variant exists to
+    prevent); xxhash64 stays unrestricted."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="4096"):
+        dedup.minhash_signatures(
+            docs, "text", "doc_id", num_hashes=5000, hash_fn="md5"
+        )
+    # the boundary value and the xxhash64 path build fine (no action run)
+    dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=64, hash_fn="md5")
+    dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=5000)
+
+
+def test_pack_sequences_bucket_bounds(spark):
+    """buckets draws 16 hash bits — >65536 would silently leave buckets
+    empty, so it must raise instead."""
+    import pytest as _pytest
+    from pyspark_dist_explore_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(1, 10)], ["doc_id", "n_tok"])
+    for bad in (0, 65537):
+        with _pytest.raises(ValueError, match="65536"):
+            pack_sequences(
+                docs, "doc_id", token_count_col="n_tok", buckets=bad
+            )
+    pack_sequences(docs, "doc_id", token_count_col="n_tok", buckets=65536)
+
+
+def test_pack_sequences_rejects_uncastable_ids(spark):
+    """A non-numeric string id must fail the job loudly, not silently
+    collapse to NULL doc_ids (which would break ordering and dedup)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [("a", 10), ("7", 20)], ["doc_id", "n_tok"]
+    )
+    from pyspark_dist_explore_spark.operators.packing import pack_sequences
+
+    out = pack_sequences(docs, "doc_id", token_count_col="n_tok")
+    with _pytest.raises(Exception, match="not castable"):
+        out.collect()
+    # numeric strings cast cleanly
+    ok = spark.createDataFrame([("7", 20), ("8", 30)], ["doc_id", "n_tok"])
+    rows = pack_sequences(ok, "doc_id", token_count_col="n_tok").collect()
+    assert {r["doc_id"] for r in rows} == {7, 8}
+
+
+def test_stratified_sample_hash_null_key_cross_engine(spark):
+    """NULL keys/strata must hash identically in Spark and DuckDB (both
+    coalesce to '' explicitly — concat_ws vs concat NULL semantics would
+    otherwise diverge), and quoted stratum names must render as valid
+    escaped SQL literals."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.sampling import (
+        stratified_sample_hash,
+        stratified_sample_hash_sql,
+    )
+
+    fracs = {"a": 0.5, "o'brien": 0.5}
+    data = [(i, "a" if i % 2 else "o'brien") for i in range(200)] + [
+        (None, "a"),
+        (None, "o'brien"),
+        (7777, None),  # NULL stratum → dropped on both engines
+    ]
+    df = spark.createDataFrame(data, ["k", "s"])
+    kept_spark = sorted(
+        (r["k"] if r["k"] is not None else -1, r["s"])
+        for r in stratified_sample_hash(df, "s", fracs, "k").collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (k BIGINT, s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", data)
+        pred = stratified_sample_hash_sql("s", "k", fracs)
+        duck = con.execute(f"SELECT k, s FROM t WHERE {pred}").fetchall()
+    finally:
+        con.close()
+    kept_duck = sorted((k if k is not None else -1, s) for k, s in duck)
+    assert kept_spark == kept_duck
+    assert kept_spark  # the sampler kept something (frac 0.5 strata)

@@ -170,3 +170,44 @@ def test_curate_snapshot_dir_replaces_scoring_rescans(spark, tmp_path):
     plan = buf.getvalue()
     scans = [ln for ln in plan.splitlines() if "Location:" in ln]
     assert scans and all("dedup_snapshot" in ln for ln in scans)
+
+
+def test_curate_repetition_filter_keeps_zero_token_docs(spark):
+    """The max_dup_token_frac filter drops VIOLATORS via anti-join: a
+    document with zero tokens (whitespace/punctuation-only) emits no
+    repetition row and must pass through, not be silently dropped."""
+    docs = spark.createDataFrame(
+        [
+            (1, "normal document with several distinct words present"),
+            (2, "--- ... !!!"),  # punct-only tokens, all distinct → kept
+            (3, ""),             # empty text → ZERO tokens, no repetition row
+            (4, "dup dup dup dup dup dup dup dup"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, max_dup_token_frac=0.5
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 4 not in kept, "repetitive doc must be dropped"
+    assert 3 in kept, "zero-token doc must pass the repetition filter"
+    assert 1 in kept
+
+
+def test_snapshot_guard_degrades_without_jvm(spark, tmp_path):
+    """On sessions with no JVM handle (Spark Connect), the snapshot-dir
+    overwrite guard must warn and no-op instead of raising
+    AttributeError."""
+    import warnings
+
+    from pyspark_dist_explore_spark.pipeline import _check_snapshot_dir_overwritable
+
+    class _NoJvmSession:
+        @property
+        def _jvm(self):
+            raise AttributeError("'SparkSession' object has no attribute '_jvm'")
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _check_snapshot_dir_overwritable(_NoJvmSession(), str(tmp_path / "x"))
+    assert any("guard unavailable" in str(x.message) for x in w)
