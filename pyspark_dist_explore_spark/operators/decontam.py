@@ -1,0 +1,122 @@
+"""Eval-set decontamination (SURVEY.md §2.2 north-star extension): flag
+training documents that share any word ``n``-gram with a benchmark/eval
+corpus, so evaluation results are not inflated by memorized test items.
+
+This is the standard pretraining-pipeline stage (e.g. GPT-3 appendix C /
+PaLM / Llama dedup-against-benchmarks): an exact ≥ ``n``-token overlap
+between a training document and any eval document marks the training
+document contaminated.  Composition of existing pieces:
+
+1. gram build — :func:`dedup.shingle_rows` on BOTH sides (distinct word
+   ``n``-grams per document, the same lead-window relational build the
+   MinHash family uses; docs shorter than ``n`` tokens contribute one
+   whole-doc gram);
+2. the eval side collapses to a DISTINCT gram set — benchmark corpora
+   are tiny next to a training corpus, so this set is broadcast and the
+   probe is a map-side hash join against the training grams: the 100 TB
+   corpus is scanned once, shuffled only to aggregate per-doc hit
+   counts (key = doc id, map-side partial counts);
+3. verdict — one row per training document ``(doc_id, n_eval_grams,
+   contaminated)`` where ``n_eval_grams`` counts the DISTINCT training-
+   doc grams found in the eval set.
+
+Everything is plain string equality on gram text — fully
+SQL-expressible, so the registered driver query has a DuckDB oracle twin
+(plans/llm_ops.py) hash-checking the whole chain.
+
+``pipeline.curate_documents(decontaminate_against=...)`` wires the flag
+in as an opt-in drop stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.operators.dedup import shingle_rows
+
+
+def eval_gram_set(
+    eval_df: DataFrame, text_col: str, *, ngram_n: int = 13
+) -> DataFrame:
+    """DISTINCT word ``n``-grams of the eval corpus, one ``sh`` column.
+
+    Separate entry point so a pipeline can build the set once, persist
+    or land it to parquet, and reuse it across many training shards —
+    the eval corpus is static while training data streams past it.
+    """
+    # shingle_rows wants an id column only to carry it along; the eval
+    # side discards ids, so reuse text_col as a stand-in id
+    return (
+        shingle_rows(eval_df, text_col, text_col, ngram_n)
+        .select("sh")
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram_n: int = 13,
+    eval_text_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-training-document contamination verdict against an eval corpus.
+
+    Returns one row per training document: ``(doc_id, n_eval_grams,
+    contaminated)`` — ``n_eval_grams`` = number of distinct word
+    ``ngram_n``-grams of the document that also occur anywhere in
+    ``eval_df``; ``contaminated`` = 1 when that count is positive.
+
+    ``broadcast_eval=True`` (default) marks the eval gram set for
+    broadcast — the right call whenever the eval corpus is
+    benchmark-sized (it removes the shuffle of the full training gram
+    stream; only the per-doc count aggregate shuffles, keyed on doc id
+    with map-side partials).  Set it False if the "eval" side is itself
+    corpus-scale and let AQE pick the join.
+
+    Docs shorter than ``ngram_n`` tokens contribute one whole-doc gram
+    (shingle semantics) — they are flagged only when the eval set
+    contains an identically short document/passage, never by a longer
+    eval gram.
+    """
+    grams = shingle_rows(train, text_col, id_col, ngram_n)
+    ev = eval_gram_set(eval_df, eval_text_col or text_col, ngram_n=ngram_n)
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (
+        grams.join(ev, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    )
+    ids = train.select(F.col(id_col).alias("doc_id")).distinct()
+    n = F.coalesce(F.col("n_eval_grams"), F.lit(0).cast("bigint"))
+    return ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n.alias("n_eval_grams"),
+        (n > 0).cast("int").alias("contaminated"),
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram_n: int = 13,
+    eval_text_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Just the flagged ids (one ``doc_id`` column) — the anti-join input
+    :func:`pipeline.curate_documents` consumes.  Skips the keep-side
+    left join of :func:`decontaminate`, so the plan is gram build →
+    broadcast probe → distinct ids."""
+    grams = shingle_rows(train, text_col, id_col, ngram_n)
+    ev = eval_gram_set(eval_df, eval_text_col or text_col, ngram_n=ngram_n)
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return grams.join(ev, "sh").select("doc_id").distinct()

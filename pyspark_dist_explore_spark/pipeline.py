@@ -151,6 +151,9 @@ def curate_documents(
     snapshot_dir: str | None = None,
     scrub: bool = False,
     max_dup_token_frac: float | None = None,
+    decontaminate_against: DataFrame | None = None,
+    decontam_ngram: int = 13,
+    decontam_text_col: str | None = None,
 ) -> DataFrame:
     """Curate a document corpus into a training keep-list.
 
@@ -183,8 +186,18 @@ def curate_documents(
     text — still a row-local expression, no extra scan or shuffle.
     ``max_dup_token_frac`` drops documents whose Gopher-style duplicate
     -token fraction exceeds the bound (boilerplate / word-salad filter);
-    this one costs a token explode + per-doc aggregate + semi join on
+    this one costs a token explode + per-doc aggregate + anti join on
     the already-filtered survivors, so it is opt-in.
+
+    ``decontaminate_against`` (opt-in) drops documents sharing any
+    ``decontam_ngram``-token word n-gram with the given eval/benchmark
+    frame (text column ``decontam_text_col``, default ``text_col``) —
+    the standard leakage guard before training.  Cost: one gram build
+    over the already-filtered survivors probed against a broadcast
+    distinct gram set of the (benchmark-sized) eval corpus
+    (:func:`operators.decontam.contaminated_ids`).  When ``scrub=True``
+    the TRAINING side is compared post-scrub; scrub the eval frame
+    yourself if its text carries the same PII spans.
     """
     from pyspark_dist_explore_spark.operators.textstats import (
         SCRUB_PATTERNS,
@@ -214,6 +227,18 @@ def curate_documents(
             F.col("dup_token_frac") > F.lit(float(max_dup_token_frac))
         )
         base = base.join(bad.select("doc_id"), "doc_id", "left_anti")
+    if decontaminate_against is not None:
+        from pyspark_dist_explore_spark.operators.decontam import contaminated_ids
+
+        flagged = contaminated_ids(
+            base,
+            decontaminate_against,
+            "__text",
+            "doc_id",
+            ngram_n=decontam_ngram,
+            eval_text_col=decontam_text_col or text_col,
+        )
+        base = base.join(flagged, "doc_id", "left_anti")
 
     fp = base.withColumn("__fp", F.md5(dedup.normalize_text(F.col("__text"))))
     kept = dedup.exact_dedup(fp, ["__fp"], "doc_id").drop("__fp")

@@ -16,7 +16,13 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_dist_explore_spark.operators import dedup, multimodal, similarity, textstats
+from pyspark_dist_explore_spark.operators import (
+    decontam,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 from pyspark_dist_explore_spark.plans.queries import register
 from pyspark_dist_explore_spark.sources.tables import load_table
 
@@ -501,6 +507,103 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowed_langs=sorted(textstats.LANG_MARKERS),
         jaccard_threshold=_JACCARD_THRESHOLD,
         materialize=True,
+    )
+
+
+# --------------------------------------------------------------------------
+# Eval-set decontamination (round 5): flag training docs sharing any
+# ≥n-token word n-gram with a benchmark/eval corpus.
+# --------------------------------------------------------------------------
+
+_DECONTAM_NGRAM = 13  # the standard ≥13-token overlap rule
+
+
+def _decontam_oracle(n: int) -> str:
+    """DuckDB twin of decontam.decontaminate over a train/eval split of
+    the documents table (eval = doc_id % 10 == 0): ONE gram build (the
+    same zip-unnest + lead-window + short-doc + DISTINCT stages as the
+    minhash oracle) split into the two sides, an equi-join probe, and
+    the per-doc verdict with a keep-all left join."""
+    norm = _NORM.format(c="text")
+    leads = ", ".join(f"lead(tok, {j}) OVER w" for j in range(1, n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx, unnest(l) AS tok
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS l FROM documents) t
+),
+t2 AS (SELECT doc_id, idx, tok FROM toks WHERE tok <> ''),
+grams AS (
+  SELECT doc_id, idx, concat_ws(' ', tok, {leads}) AS sh,
+         count(*) OVER (PARTITION BY doc_id) AS n_tok
+  FROM t2 WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM grams
+  WHERE idx <= n_tok - {n} OR (n_tok < {n} AND idx = 0)
+),
+tgrams AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0),
+egrams AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_eval_grams
+  FROM tgrams JOIN egrams USING (sh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_eval_grams, CAST(0 AS BIGINT)) AS n_eval_grams,
+       CAST(COALESCE(h.n_eval_grams, 0) > 0 AS INT) AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("decontaminate_eval", _decontam_oracle(_DECONTAM_NGRAM))
+def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per training document, count the
+    distinct 13-token word n-grams it shares with the held-out "eval"
+    slice (doc_id % 10 == 0 stands in for a benchmark table) and flag
+    any overlap — the leakage guard every pretraining pipeline runs
+    before the corpus ships.  Execution: gram build on the training
+    side, broadcast distinct gram set of the (benchmark-sized) eval
+    side, map-side hash-join probe, one doc_id-keyed count aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    return decontam.decontaminate(
+        train, ev, "text", "doc_id", ngram_n=_DECONTAM_NGRAM
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (registered round 5; operator + oracle landed round 4)
+# --------------------------------------------------------------------------
+
+from pyspark_dist_explore_spark.operators.packing import (  # noqa: E402
+    pack_sequences,
+    pack_sequences_sql,
+)
+
+
+@register(
+    "pack_sequences",
+    pack_sequences_sql(
+        "documents",
+        "doc_id",
+        max_tokens=512,
+        buckets=32,
+        norm_text_expr=_NORM.format(c="text"),
+    ),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch sequence packing, cumsum mode: md5-bucket shard →
+    per-bucket exclusive running token count → floor-division pack ids.
+    Pure window SQL (ONE exchange, plan-pinned in tests/test_plans.py);
+    the DuckDB twin renders the identical bucket hash, window frame, and
+    stride arithmetic, so pack assignment is hash-checked end-to-end.
+    The strictly-bounded ``mode='greedy'`` variant stays pytest-pinned
+    (its first-fit loop is not SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", text_col="text", max_tokens=512, buckets=32
     )
 
 

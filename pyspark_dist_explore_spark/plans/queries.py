@@ -121,9 +121,26 @@ _ACCTBAL = [
 ]
 
 
-@register("hist_multi_series", _hist_oracle(_ACCTBAL, bins=10))
+#: retired round 5 — the sparse result is exactly the dense grid's
+#: cnt>0 rows, so the merged dense registration pins both; still
+#: pytest-pinned (tests/test_histogram.py) against the sparse builder
+HIST_MULTI_SERIES_SPARSE_ORACLE = _hist_oracle(_ACCTBAL, bins=10)
+
+
+@register("hist_multi_series", _hist_oracle(_ACCTBAL, bins=10, dense=True))
 def q_hist_multi_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4/R5/R6: two frames (customer, supplier acctbal) share global bins."""
+    """R4/R5/R6 + R9 in one registration (merged round 5 to free a
+    driver slot for ``decontaminate_eval``): two frames (customer,
+    supplier acctbal) share global one-job min/max bins, and the result
+    is the DENSE zero-filled (series, bucket) grid — its cnt>0 rows ARE
+    the sparse histogram, so this single oracle pins the shared-range
+    arithmetic, the per-bin counts, and the dense fill."""
+    return compute_histogram_dense(_hist_sources(spark, sf_dir, _ACCTBAL), bins=10)
+
+
+def q_hist_multi_series_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-merge sparse form — deregistered round 5, kept callable;
+    ``HIST_MULTI_SERIES_SPARSE_ORACLE`` stays pinned in pytest."""
     df = compute_histogram(_hist_sources(spark, sf_dir, _ACCTBAL), bins=10)
     return df.select("series", "bucket", "cnt")
 
@@ -182,30 +199,36 @@ def q_hist_mixed_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(*cols).unionAll(b.select(*cols)).unionAll(c.select(*cols))
 
 
-@register("hist_dense_fill", _hist_oracle(_ACCTBAL, bins=10, dense=True))
 def q_hist_dense_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R9: dense zero-filled (series, bucket) grid via tiny post-agg join."""
+    """R9: dense zero-filled (series, bucket) grid via tiny post-agg join.
+
+    Deregistered round 5: identical plan to the merged
+    ``hist_multi_series`` registration above (same sources, same bins,
+    same dense fill), so it no longer earns its own driver slot."""
     return compute_histogram_dense(_hist_sources(spark, sf_dir, _ACCTBAL), bins=10)
 
 
 _DENSITY_SRC = [("l_quantity", "lineitem", "l_quantity")]
 
 
-@register(
-    "hist_density",
-    _hist_oracle(_DENSITY_SRC, bins=10).replace(
-        "SELECT series, bucket, cnt FROM sparse",
-        """SELECT series, bucket, cnt,
+#: retired round 5 (merged into ``hist_density_kde``); pytest-pinned
+HIST_DENSITY_ORACLE = _hist_oracle(_DENSITY_SRC, bins=10).replace(
+    "SELECT series, bucket, cnt FROM sparse",
+    """SELECT series, bucket, cnt,
        cnt / SUM(cnt) OVER (PARTITION BY series) / ((SELECT (hi - lo) / 10.0 FROM stats)) AS density
 FROM sparse""",
-    ),
 )
+
+
 def q_hist_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R10: density normalization — cnt / total / bin_width, integrates to 1.
 
     Hash-safe without rounding: cnt and the window total are exact
     integers, bin width is one double subtraction+division — identical
-    operation order on both sides.
+    operation order on both sides.  Deregistered round 5 (merged with
+    the KDE curve into ``hist_density_kde`` below, freeing a driver
+    slot for ``pack_sequences``); kept callable, oracle pinned in
+    pytest.
     """
     df = compute_density(_hist_sources(spark, sf_dir, _DENSITY_SRC), bins=10)
     return df.select("series", "bucket", "cnt", "density")
@@ -269,18 +292,56 @@ GROUP BY 1, 2, 3
 """
 
 
-@register(
-    "hist_kde_curve",
-    _kde_oracle("l_extendedprice", "lineitem", "l_extendedprice"),
-)
+#: retired round 5 (merged into ``hist_density_kde``); pytest-pinned
+HIST_KDE_ORACLE = _kde_oracle("l_extendedprice", "lineitem", "l_extendedprice")
+
+
 def q_hist_kde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R11: 300-point Gaussian KDE curve (pre-binned, scale-independent),
-    oracle-checked: the DuckDB SQL mirrors every arithmetic term, and the
-    density is rounded to 10 dp on both sides (the only inter-engine
-    differences are smooth ulp-level drifts from summation order and
-    pow/exp rounding, orders of magnitude below the rounding grid)."""
+    """R11: 300-point Gaussian KDE curve (pre-binned, scale-independent).
+    Deregistered round 5 (merged into ``hist_density_kde``); kept
+    callable, oracle pinned in pytest."""
     df = compute_kde(_hist_sources(spark, sf_dir, _FLAGSHIP), num=300)
     return df.select("series", "i", "x", F.round("density", 10).alias("density"))
+
+
+@register(
+    "hist_density_kde",
+    f"""
+SELECT series, 'hist' AS kind, CAST(bucket AS BIGINT) AS i,
+       CAST(NULL AS DOUBLE) AS x, cnt, density
+FROM ({HIST_DENSITY_ORACLE})
+UNION ALL
+SELECT series, 'kde' AS kind, CAST(i AS BIGINT) AS i, x,
+       CAST(NULL AS BIGINT) AS cnt, density
+FROM ({HIST_KDE_ORACLE})
+""",
+)
+def q_hist_density_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 + R11 in one long-format registration (merged round 5): the
+    density-normalized histogram (integrates to 1; exact integer counts
+    + one double division, hash-safe unrounded) and the 300-point
+    Gaussian KDE curve (every arithmetic term mirrored in the DuckDB
+    twin, density rounded to 10 dp on both sides to absorb ulp-level
+    summation-order drift).  The two halves keep their own ``series``
+    tags, so nothing collides in the union; ``kind`` distinguishes the
+    row shapes (hist rows carry cnt, kde rows carry x)."""
+    d = compute_density(_hist_sources(spark, sf_dir, _DENSITY_SRC), bins=10).select(
+        "series",
+        F.lit("hist").alias("kind"),
+        F.col("bucket").cast("bigint").alias("i"),
+        F.lit(None).cast("double").alias("x"),
+        "cnt",
+        "density",
+    )
+    k = compute_kde(_hist_sources(spark, sf_dir, _FLAGSHIP), num=300).select(
+        "series",
+        F.lit("kde").alias("kind"),
+        F.col("i").cast("bigint").alias("i"),
+        "x",
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.round("density", 10).alias("density"),
+    )
+    return d.unionAll(k)
 
 
 # -- register the extension query families (import side effect) ------------

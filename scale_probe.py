@@ -162,17 +162,89 @@ def main() -> None:
     print(json.dumps({"probe": "winnowing_fp", "t_1x": t1, "t_10x": t10,
                       "fps_1x": n1, "fps_10x": n10, "ratio": round(t10 / t1, 2)}))
 
-    # -- IVF top-k: 10× vectors, same 20 queries ---------------------------
+    # -- IVF top-k: 10× vectors, same 20 queries, WITH recall@k ------------
+    # (recall vs the exact brute-force top-k at the same scale: the time
+    # curve alone can't justify bucket counts — a fast ANN that stops
+    # finding the true neighbors at 10× would pass silently)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb10 = reduce(
         DataFrame.unionAll,
         [emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000)) for i in range(10)],
     )
     q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def recall_at_k(ann: DataFrame, base: DataFrame, k: int = 5) -> float:
+        exact = similarity.exact_topk(base, q, k=k).select("query_id", "vec_id")
+        hit = ann.select("query_id", "vec_id").intersect(exact).count()
+        return round(hit / exact.count(), 3)
+
     t1, n1 = timed(similarity.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4))
     t10, n10 = timed(similarity.ivf_topk(emb10, q, k=5, n_centroids=16, n_probe=4))
+    r1 = recall_at_k(similarity.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4), emb)
+    r10 = recall_at_k(similarity.ivf_topk(emb10, q, k=5, n_centroids=16, n_probe=4), emb10)
     print(json.dumps({"probe": "vector_ivf_topk", "t_1x": t1, "t_10x": t10,
-                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2),
+                      "recall_1x": r1, "recall_10x": r10}))
+
+    lsh1 = similarity.ann_lsh_topk(emb, q, k=5, n_planes=4)
+    lsh10 = similarity.ann_lsh_topk(emb10, q, k=5, n_planes=4)
+    t1, n1 = timed(lsh1)
+    t10, n10 = timed(lsh10)
+    print(json.dumps({"probe": "vector_lsh_topk", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2),
+                      "recall_1x": recall_at_k(lsh1, emb),
+                      "recall_10x": recall_at_k(lsh10, emb10)}))
+
+    # -- greedy sequence packing: 10× docs + utilization -------------------
+    # (cumsum mode's curve is pinned by its window-SQL shape; greedy is
+    # the Python-per-bucket path, so measure BOTH its growth and its
+    # pack utilization = total_tokens / (packs × budget) over non-
+    # oversize packs — the number that justifies packing at all)
+    from pyspark_dist_explore_spark.operators.packing import pack_sequences
+
+    def pack_stats(d: DataFrame, max_tokens: int = 512) -> tuple[float, int, float]:
+        out = pack_sequences(
+            d, "doc_id", text_col="text", max_tokens=max_tokens, buckets=32,
+            mode="greedy",
+        )
+        t0 = time.perf_counter()
+        agg = (
+            out.where(F.col("oversize") == 0)
+            .groupBy("pack_id")
+            .agg(F.sum("n_tokens").alias("tok"))
+            .agg(F.count(F.lit(1)).alias("packs"), F.sum("tok").alias("tokens"))
+            .collect()[0]
+        )
+        dt = round(time.perf_counter() - t0, 3)
+        util = round(agg["tokens"] / (agg["packs"] * max_tokens), 3)
+        return dt, agg["packs"], util
+
+    t1, p1, u1 = pack_stats(docs)
+    t10, p10, u10 = pack_stats(docs10)
+    print(json.dumps({"probe": "pack_greedy", "t_1x": t1, "t_10x": t10,
+                      "packs_1x": p1, "packs_10x": p10,
+                      "util_1x": u1, "util_10x": u10,
+                      "ratio": round(t10 / t1, 2)}))
+
+    # -- eval-set decontamination: 10× training corpus, fixed eval side ----
+    # (the realistic shape: benchmarks stay constant while training data
+    # grows — the broadcast probe must scale ~linearly in training grams)
+    from pyspark_dist_explore_spark.operators.decontam import decontaminate
+
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr1 = docs.where(F.col("doc_id") % 10 != 0)
+    tr10 = docs10.where(F.col("doc_id") % 10 != 0)
+    t1, n1 = timed(
+        decontaminate(tr1, ev, "text", "doc_id", ngram_n=13)
+        .where(F.col("contaminated") == 1)
+    )
+    t10, n10 = timed(
+        decontaminate(tr10, ev, "text", "doc_id", ngram_n=13)
+        .where(F.col("contaminated") == 1)
+    )
+    print(json.dumps({"probe": "decontaminate", "t_1x": t1, "t_10x": t10,
+                      "flagged_1x": n1, "flagged_10x": n10,
+                      "ratio": round(t10 / t1, 2)}))
 
     spark.stop()
 

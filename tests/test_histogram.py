@@ -150,3 +150,35 @@ def test_to_pandas_explicit_range_empty_edge_buckets(spark):
     assert pdf.index[5] == "50.00 - 60.00"
     assert pdf["v"].iloc[5] == 2  # both values in the [50,60) bin
     assert pdf["v"].sum() == 2
+
+
+def test_retired_histogram_oracles_still_green(spark):
+    """Round-5 registry merges (sparse multi-series ⊂ dense grid;
+    density + KDE → hist_density_kde) deregistered three queries — the
+    builders stay public API, so their oracles stay pinned here."""
+    from pyspark_dist_explore_spark.plans.queries import (
+        HIST_DENSITY_ORACLE,
+        HIST_KDE_ORACLE,
+        HIST_MULTI_SERIES_SPARSE_ORACLE,
+        q_hist_density,
+        q_hist_dense_fill,
+        q_hist_kde_curve,
+        q_hist_multi_series_sparse,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    compare(
+        spark, SF_SMOKE, q_hist_multi_series_sparse, HIST_MULTI_SERIES_SPARSE_ORACLE
+    )
+    compare(spark, SF_SMOKE, q_hist_density, HIST_DENSITY_ORACLE)
+    compare(spark, SF_SMOKE, q_hist_kde_curve, HIST_KDE_ORACLE)
+    # hist_dense_fill is now the same plan as the registered
+    # hist_multi_series — assert they agree rather than re-oracle it
+    a = sorted(map(tuple, q_hist_dense_fill(spark, SF_SMOKE).collect()))
+    from pyspark_dist_explore_spark.plans.queries import REGISTRY
+
+    b = sorted(
+        map(tuple, REGISTRY["hist_multi_series"].build(spark, SF_SMOKE).collect())
+    )
+    assert a == b

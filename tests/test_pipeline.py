@@ -211,3 +211,53 @@ def test_snapshot_guard_degrades_without_jvm(spark, tmp_path):
         warnings.simplefilter("always")
         _check_snapshot_dir_overwritable(_NoJvmSession(), str(tmp_path / "x"))
     assert any("guard unavailable" in str(x.message) for x in w)
+
+
+_EVAL_PASSAGE = (
+    "the quick brown fox jumps over the lazy sleeping dog tonight for fun"
+)  # exactly 13 tokens → one 13-gram
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc containing a 13-token passage from the eval set
+    must be flagged; unrelated docs must come back clean with a zero
+    count (keep-all left join)."""
+    from pyspark_dist_explore_spark.operators.decontam import decontaminate
+
+    eval_df = spark.createDataFrame([(100, _EVAL_PASSAGE)], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [
+            (1, "completely unrelated text about different things entirely here"),
+            (2, f"prefix words then {_EVAL_PASSAGE} and a trailing suffix"),
+            (3, "short doc"),  # < 13 tokens → whole-doc gram, no match
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(train, eval_df, "text", "doc_id", ngram_n=13).collect()
+    }
+    assert len(out) == 3
+    assert out[2]["contaminated"] == 1 and out[2]["n_eval_grams"] >= 1
+    assert out[1]["contaminated"] == 0 and out[1]["n_eval_grams"] == 0
+    assert out[3]["contaminated"] == 0
+
+
+def test_curate_decontaminate_drops_planted_doc(spark):
+    """curate_documents(decontaminate_against=...) must drop exactly the
+    docs sharing a >= decontam_ngram n-gram with the eval frame."""
+    eval_df = spark.createDataFrame([(0, _EVAL_PASSAGE)], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly ordinary training document with distinct readable words"),
+            (2, f"leaked benchmark item embedded here {_EVAL_PASSAGE} end of doc"),
+            (3, "another clean document covering various unrelated training topics"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, decontaminate_against=eval_df
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 2 not in kept, "contaminated doc must be dropped"
+    assert {1, 3} <= kept

@@ -357,3 +357,57 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
 """
     compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_interval_join_state_plateaus_under_watermark(spark, tmp_path):
+    """The bounded-state claim, measured: feed the interval join a long
+    stream of time-advancing micro-batches and read
+    ``stateOperators[].numRowsTotal`` from StreamingQueryProgress after
+    each — once the watermark is moving, total state must PLATEAU at a
+    few batches' worth of rows instead of accumulating the whole
+    history (watermark 10 min + within 30 min ⇒ state window ≈ 40 min;
+    batches arrive 60 min apart, so each batch's state is evictable by
+    the next)."""
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_interval_join,
+    )
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    per_batch = 4
+
+    def batch_rows(b):
+        base = datetime(2024, 1, 1, b, 0)  # one hour apart
+        return [(b * 100 + i, base, 0.0) for i in range(per_batch)]
+
+    _write_batch(spark, imp_dir, batch_rows(0), 1)
+    _write_batch(spark, clk_dir, batch_rows(0), 1)
+    imp_s = spark.readStream.schema(SCHEMA).parquet(imp_dir)
+    clk_s = spark.readStream.schema(SCHEMA).parquet(clk_dir)
+    joined = stream_interval_join(
+        imp_s, clk_s, "event_id", within="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("state_plateau_sink")
+        .outputMode("append")
+        .start()
+    )
+    totals = []
+    try:
+        q.processAllAvailable()
+        for b in range(1, 8):
+            _write_batch(spark, imp_dir, batch_rows(b), b + 1)
+            _write_batch(spark, clk_dir, batch_rows(b), b + 1)
+            q.processAllAvailable()
+            prog = q.lastProgress
+            if prog and prog["stateOperators"]:
+                totals.append(prog["stateOperators"][0]["numRowsTotal"])
+    finally:
+        q.stop()
+    assert len(totals) >= 5
+    ingested = 8 * 2 * per_batch
+    # plateau: bounded by a few batches of rows, nowhere near the full
+    # history, and the tail is not larger than the early steady state
+    assert totals[-1] <= 4 * 2 * per_batch, totals
+    assert totals[-1] < ingested / 2, totals
+    assert max(totals[-2:]) <= max(totals[1:4]) + 2 * per_batch, totals
