@@ -167,9 +167,22 @@ def main() -> None:
     # curve alone can't justify bucket counts — a fast ANN that stops
     # finding the true neighbors at 10× would pass silently)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # copies get DISTINCT vectors via per-copy coordinate rotation (norms
+    # and intra-copy cosines preserved exactly): verbatim copies would
+    # make every query's true neighbors its own duplicates — recall@k
+    # would read 1.0 trivially at 10× instead of measuring anything
     emb10 = reduce(
         DataFrame.unionAll,
-        [emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000)) for i in range(10)],
+        [
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, size(embedding) - {i}), "
+                    f"slice(embedding, 1, {i}))"
+                ).alias("embedding"),
+            )
+            for i in range(10)
+        ],
     )
     q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
 
@@ -233,7 +246,12 @@ def main() -> None:
 
     ev = docs.where(F.col("doc_id") % 10 == 0)
     tr1 = docs.where(F.col("doc_id") % 10 != 0)
-    tr10 = docs10.where(F.col("doc_id") % 10 != 0)
+    # keep copy 0 VERBATIM (docs10 token-prefixes every copy): the fixed
+    # eval set then flags the same docs at both scales — the prefixed
+    # copies are pure distractor growth, which is what the probe measures
+    tr10 = docs.unionAll(docs10.where(F.col("doc_id") >= 1_000_000)).where(
+        F.col("doc_id") % 10 != 0
+    )
     t1, n1 = timed(
         decontaminate(tr1, ev, "text", "doc_id", ngram_n=13)
         .where(F.col("contaminated") == 1)

@@ -261,3 +261,18 @@ def test_curate_decontaminate_drops_planted_doc(spark):
     kept = {r.doc_id for r in out.collect()}
     assert 2 not in kept, "contaminated doc must be dropped"
     assert {1, 3} <= kept
+
+
+def test_decontaminate_empty_eval_set(spark):
+    """An empty eval frame must flag nothing (and not error): every doc
+    comes back (n_eval_grams=0, contaminated=0)."""
+    from pyspark_dist_explore_spark.operators.decontam import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "some training document text here"), (2, "another one entirely")],
+        ["doc_id", "text"],
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rows = decontaminate(train, empty, "text", "doc_id").collect()
+    assert len(rows) == 2
+    assert all(r["contaminated"] == 0 and r["n_eval_grams"] == 0 for r in rows)

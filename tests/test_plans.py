@@ -285,3 +285,13 @@ def test_registry_oracle_queries_inside_driver_window():
     )
     assert all(flags[:n_oracle]), "a rows-only query precedes an oracle-backed one"
     assert not any(flags[n_oracle:]), "an oracle-backed query fell past the window"
+
+
+def test_decontaminate_broadcast_probe_no_cartesian(spark):
+    """The gram probe against the eval set must be a broadcast hash join
+    (eval gram sets are benchmark-sized) with map-side partial counts —
+    never a cartesian product or a full shuffle of the training grams."""
+    plan = _plan(spark, "decontaminate_eval")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
