@@ -48,6 +48,11 @@ from pyspark_dist_explore_spark.operators.multimodal import (
     sample_frames,
     write_media_fixture,
 )
+from pyspark_dist_explore_spark.operators.decontam import (
+    contaminated_ids,
+    decontaminate,
+    decontaminate_winnow,
+)
 from pyspark_dist_explore_spark.operators.packing import pack_sequences
 from pyspark_dist_explore_spark.operators.sampling import (
     hash_split,
@@ -145,6 +150,9 @@ __all__ = [
     "stratified_sample",
     "stratified_sample_hash",
     "pack_sequences",
+    "contaminated_ids",
+    "decontaminate",
+    "decontaminate_winnow",
     # sinks / physical layout
     "write_partitioned",
     "write_bucketed_table",

@@ -101,6 +101,70 @@ def decontaminate(
     )
 
 
+def decontaminate_winnow(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    eval_text_col: str | None = None,
+    broadcast_eval: bool = True,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing-fingerprint decontamination — the reduced-storage scale
+    variant of :func:`decontaminate`.
+
+    Both sides reduce to winnowing fingerprints (~``1/window`` of their
+    grams, see :func:`textstats.winnowing_fingerprints`), then probe the
+    broadcast eval fingerprint set.  The winnowing guarantee gives exact
+    sandwich semantics relative to the n-gram operator:
+
+    - any shared passage of ≥ ``k + window - 1`` tokens IS flagged
+      (both sides must select a common fingerprint inside it), and
+    - a flag implies a shared ``k``-gram (the fingerprint is the hash
+      of one),
+
+    so ``flags(decontaminate, ngram_n=k)`` ⊇ ``flags(here)`` ⊇
+    ``flags(decontaminate, ngram_n=k+window-1)`` — pinned by
+    ``test_decontaminate_winnow_sandwich``.  Use it when the eval corpus
+    is large enough that its full gram set strains the broadcast budget:
+    fingerprints cut both the broadcast and the probe stream by
+    ~``window``× while keeping a hard lower-bound guarantee.
+
+    Output matches :func:`decontaminate`: ``(doc_id, n_eval_fps,
+    contaminated)``.
+    """
+    from pyspark_dist_explore_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+
+    fps = winnowing_fingerprints(
+        train, text_col, id_col, k=k, window=window, hash_fn=hash_fn
+    )
+    etc = eval_text_col or text_col
+    ev = (
+        winnowing_fingerprints(eval_df, etc, etc, k=k, window=window, hash_fn=hash_fn)
+        .select("fingerprint")
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (
+        fps.join(ev, "fingerprint")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_fps"))
+    )
+    ids = train.select(F.col(id_col).alias("doc_id")).distinct()
+    n = F.coalesce(F.col("n_eval_fps"), F.lit(0).cast("bigint"))
+    return ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n.alias("n_eval_fps"),
+        (n > 0).cast("int").alias("contaminated"),
+    )
+
+
 def contaminated_ids(
     train: DataFrame,
     eval_df: DataFrame,

@@ -94,7 +94,12 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle strings of the normalized text (distinct)."""
+    """Word n-gram shingle strings of the normalized text (distinct), as
+    an ARRAY column.  Kept for expression-level composition; the engine
+    paths use :func:`shingle_rows` (relational lead-window build), which
+    produces the identical distinct set ~3-4× faster — the per-row
+    ``transform``+``slice`` here re-slices the token array once per gram
+    (O(tokens·n) array work inside one projection)."""
     toks = tokens(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
@@ -109,6 +114,18 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) 
     aggregate / hash join over it (vectorized, partial-agg friendly),
     instead of nested array lambdas re-evaluated per expression.
 
+    Build (round 5): ``posexplode`` the token stream once, construct
+    each gram as ``concat_ws(tok, lead(tok,1) … lead(tok,n-1))`` over a
+    ``(doc_id, idx)`` window, keep full grams (plus the whole-doc gram
+    for docs shorter than ``n`` — ``concat_ws`` skips the NULL leads,
+    matching slice semantics), DISTINCT.  Same shape as winnowing's gram
+    stage and the DuckDB oracle twins; measured 3-4× faster than the
+    earlier per-row ``transform``+``slice`` array build at n=3..13
+    (sf0.1: 3.5 s → ~1.0 s) — the window's shuffle+sort is cheaper than
+    O(tokens·n) array re-slicing inside a projection, and the relational
+    form is the one Catalyst can pipeline into the downstream
+    aggregates.
+
     This is also the STAGED-INPUT handle for the MinHash family: the
     full ``minhash_neardup`` pipeline reads these rows up to 4× (the
     signature agg, the size agg, both verify sides), so at scale compute
@@ -117,10 +134,24 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) 
     materialization lifecycle (a persist hidden inside the library would
     leak a CacheManager entry the caller never knows to drop).
     """
-    return df.select(
+    toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).where(F.col("sh") != "")
+        F.posexplode(tokens(F.col(text_col))).alias("idx", "tok"),
+    ).where(F.col("tok") != "")
+    w_ord = Window.partitionBy("doc_id").orderBy("idx")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", j).over(w_ord) for j in range(1, shingle_n)]
+    )
+    n_tok = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    return (
+        toks.select("doc_id", "idx", gram.alias("sh"), n_tok.alias("n_tok"))
+        .where(
+            (F.col("idx") <= F.col("n_tok") - shingle_n)
+            | ((F.col("n_tok") < shingle_n) & (F.col("idx") == 0))
+        )
+        .select("doc_id", "sh")
+        .distinct()
+    )
 
 
 #: backward-compat private alias (public name since round 4)

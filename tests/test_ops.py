@@ -1143,3 +1143,49 @@ def test_stratified_sample_hash_null_key_cross_engine(spark):
     kept_duck = sorted((k if k is not None else -1, s) for k, s in duck)
     assert kept_spark == kept_duck
     assert kept_spark  # the sampler kept something (frac 0.5 strata)
+
+
+def test_shingle_rows_matches_array_form(spark):
+    """The relational lead-window gram build (round-5 rewrite, ~3-4×
+    faster) must produce the IDENTICAL distinct (doc_id, sh) set as the
+    expression-level `shingles()` array builder it replaced, including
+    short-doc whole-gram and empty-text edge cases."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "short doc"),
+            (3, "one"),
+            (4, ""),
+            (5, "  spaced   out   tokens  here "),
+            (6, "dup dup dup dup"),
+        ],
+        ["doc_id", "text"],
+    )
+    for n in (1, 3, 5, 13):
+        fast = {
+            (r["doc_id"], r["sh"])
+            for r in dedup.shingle_rows(docs, "text", "doc_id", n).collect()
+        }
+        slow = {
+            (r["doc_id"], r["sh"])
+            for r in docs.select(
+                "doc_id", F.explode(dedup.shingles(F.col("text"), n)).alias("sh")
+            )
+            .where(F.col("sh") != "")
+            .collect()
+        }
+        assert fast == slow, f"n={n}: {fast ^ slow}"
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = {
+        (r["doc_id"], r["sh"])
+        for r in dedup.shingle_rows(real, "text", "doc_id", 3).collect()
+    }
+    slow = {
+        (r["doc_id"], r["sh"])
+        for r in real.select(
+            "doc_id", F.explode(dedup.shingles(F.col("text"), 3)).alias("sh")
+        )
+        .where(F.col("sh") != "")
+        .collect()
+    }
+    assert fast == slow

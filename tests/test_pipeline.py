@@ -276,3 +276,28 @@ def test_decontaminate_empty_eval_set(spark):
     rows = decontaminate(train, empty, "text", "doc_id").collect()
     assert len(rows) == 2
     assert all(r["contaminated"] == 0 and r["n_eval_grams"] == 0 for r in rows)
+
+
+def test_decontaminate_winnow_sandwich(spark):
+    """Winnowing-based decontamination must sit exactly between the two
+    n-gram operators (the winnowing guarantee): every doc the exact
+    (k+window-1)-gram check flags is winnow-flagged, and every
+    winnow-flag implies a shared k-gram."""
+    from pyspark_dist_explore_spark.operators.decontam import (
+        decontaminate,
+        decontaminate_winnow,
+    )
+
+    k, window = 5, 4
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+
+    def flags(df):
+        return {r["doc_id"] for r in df.where(F.col("contaminated") == 1).collect()}
+
+    lo = flags(decontaminate(train, ev, "text", "doc_id", ngram_n=k + window - 1))
+    mid = flags(decontaminate_winnow(train, ev, "text", "doc_id", k=k, window=window))
+    hi = flags(decontaminate(train, ev, "text", "doc_id", ngram_n=k))
+    assert lo <= mid <= hi, (sorted(lo - mid), sorted(mid - hi))
+    assert hi, "the corpus has near-dups; the k-gram check must flag some"
