@@ -154,6 +154,7 @@ def curate_documents(
     decontaminate_against: DataFrame | None = None,
     decontam_ngram: int = 13,
     decontam_text_col: str | None = None,
+    decontam_method: str = "ngram",
 ) -> DataFrame:
     """Curate a document corpus into a training keep-list.
 
@@ -198,6 +199,14 @@ def curate_documents(
     (:func:`operators.decontam.contaminated_ids`).  When ``scrub=True``
     the TRAINING side is compared post-scrub; scrub the eval frame
     yourself if its text carries the same PII spans.
+    ``decontam_method="winnow"`` swaps the exact n-gram probe for
+    winnowing fingerprints (:func:`operators.decontam.
+    decontaminate_winnow` with ``k=5``, ``window=decontam_ngram-4``, so
+    any shared passage of ≥ ``decontam_ngram`` tokens is still
+    guaranteed flagged) — ~``window``× less broadcast/probe volume for
+    eval corpora too big to ship whole; may additionally drop docs
+    sharing only a shorter (≥ 5-token) passage, which for a leakage
+    guard errs in the safe direction.
     """
     from pyspark_dist_explore_spark.operators.textstats import (
         SCRUB_PATTERNS,
@@ -228,16 +237,41 @@ def curate_documents(
         )
         base = base.join(bad.select("doc_id"), "doc_id", "left_anti")
     if decontaminate_against is not None:
-        from pyspark_dist_explore_spark.operators.decontam import contaminated_ids
+        from pyspark_dist_explore_spark.operators import decontam
 
-        flagged = contaminated_ids(
-            base,
-            decontaminate_against,
-            "__text",
-            "doc_id",
-            ngram_n=decontam_ngram,
-            eval_text_col=decontam_text_col or text_col,
-        )
+        if decontam_method == "ngram":
+            flagged = decontam.contaminated_ids(
+                base,
+                decontaminate_against,
+                "__text",
+                "doc_id",
+                ngram_n=decontam_ngram,
+                eval_text_col=decontam_text_col or text_col,
+            )
+        elif decontam_method == "winnow":
+            k = 5
+            if decontam_ngram < k + 1:
+                raise ValueError(
+                    f"decontam_method='winnow' needs decontam_ngram >= {k + 1}, "
+                    f"got {decontam_ngram}"
+                )
+            flagged = (
+                decontam.decontaminate_winnow(
+                    base,
+                    decontaminate_against,
+                    "__text",
+                    "doc_id",
+                    k=k,
+                    window=decontam_ngram - k + 1,
+                    eval_text_col=decontam_text_col or text_col,
+                )
+                .where(F.col("contaminated") == 1)
+                .select("doc_id")
+            )
+        else:
+            raise ValueError(
+                f"decontam_method must be 'ngram' or 'winnow', got {decontam_method!r}"
+            )
         base = base.join(flagged, "doc_id", "left_anti")
 
     fp = base.withColumn("__fp", F.md5(dedup.normalize_text(F.col("__text"))))

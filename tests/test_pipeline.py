@@ -301,3 +301,36 @@ def test_decontaminate_winnow_sandwich(spark):
     hi = flags(decontaminate(train, ev, "text", "doc_id", ngram_n=k))
     assert lo <= mid <= hi, (sorted(lo - mid), sorted(mid - hi))
     assert hi, "the corpus has near-dups; the k-gram check must flag some"
+
+
+def test_curate_decontaminate_winnow_method(spark):
+    """decontam_method='winnow' must drop the planted contaminated doc
+    (the >= decontam_ngram-token shared passage is inside the winnowing
+    guarantee) and reject nonsense parameters."""
+    import pytest
+
+    eval_df = spark.createDataFrame([(0, _EVAL_PASSAGE)], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly ordinary training document with distinct readable words"),
+            (2, f"leaked benchmark item embedded here {_EVAL_PASSAGE} end of doc"),
+            (3, "another clean document covering various unrelated training topics"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0,
+        decontaminate_against=eval_df, decontam_method="winnow",
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 2 not in kept and {1, 3} <= kept
+    with pytest.raises(ValueError, match="winnow"):
+        curate_documents(
+            docs, "text", "doc_id", decontaminate_against=eval_df,
+            decontam_method="winnow", decontam_ngram=4,
+        )
+    with pytest.raises(ValueError, match="ngram"):
+        curate_documents(
+            docs, "text", "doc_id", decontaminate_against=eval_df,
+            decontam_method="bogus",
+        )
