@@ -134,6 +134,16 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) 
     materialization lifecycle (a persist hidden inside the library would
     leak a CacheManager entry the caller never knows to drop).
     """
+    if shingle_n == 1:
+        # degenerate case: grams ARE the tokens — no window needed
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(tokens(F.col(text_col))).alias("sh"),
+            )
+            .where(F.col("sh") != "")
+            .distinct()
+        )
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("idx", "tok"),
