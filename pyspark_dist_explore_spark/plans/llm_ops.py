@@ -23,6 +23,7 @@ from pyspark_dist_explore_spark.operators import (
     similarity,
     textstats,
 )
+from pyspark_dist_explore_spark.operators.sampling import sql_str_lit
 from pyspark_dist_explore_spark.plans.queries import register
 from pyspark_dist_explore_spark.sources.tables import load_table
 
@@ -63,7 +64,7 @@ def _lang_score_sql() -> dict[str, str]:
     leftmost non-overlapping matches."""
     return {
         lang: " + ".join(
-            f"CAST(len(regexp_extract_all(p, '{re.escape(m)}')) AS BIGINT)"
+            f"CAST(len(regexp_extract_all(p, {sql_str_lit(re.escape(m))})) AS BIGINT)"
             for m in textstats.LANG_MARKERS[lang]
         )
         for lang in sorted(textstats.LANG_MARKERS)
@@ -434,7 +435,7 @@ def _curate_oracle() -> str:
     norm = _NORM.format(c="text")
     langs = sorted(textstats.LANG_MARKERS)
     score_exprs = _lang_score_sql()
-    in_list = ", ".join(f"'{lang}'" for lang in langs)
+    in_list = ", ".join(sql_str_lit(lang) for lang in langs)
     return f"""
 WITH RECURSIVE
 src AS (SELECT doc_id, text FROM documents WHERE doc_id < {_CURATE_MAX_ID}),
@@ -829,7 +830,7 @@ WITH n AS (SELECT doc_id, text, {_NORM.format(c='text')} AS norm FROM documents)
 SELECT doc_id,
        CAST(len(text) AS BIGINT) AS n_chars,
        CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '{textstats.TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, {sql_str_lit(textstats.TOKEN_RE)})) AS BIGINT) AS n_bpe_tokens,
        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
        round(CAST(len(replace(norm, ' ', '')) AS DOUBLE)
              / greatest(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END, 1), 6)
@@ -874,12 +875,12 @@ def _scrub_repetition_oracle() -> str:
     norm = _NORM.format(c="text")
     repl = "<redacted>"
     count_cols = ", ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        f"CAST(len(regexp_extract_all(text, {sql_str_lit(pat)})) AS BIGINT) AS n_{kind}"
         for kind, pat in textstats.SCRUB_PATTERNS
     )
     scrubbed = "text"
     for _, pat in textstats.SCRUB_PATTERNS:
-        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+        scrubbed = f"regexp_replace({scrubbed}, {sql_str_lit(pat)}, {sql_str_lit(repl)}, 'g')"
     return f"""
 WITH s AS (
   SELECT doc_id, {count_cols}, md5({scrubbed}) AS scrub_hash
