@@ -334,3 +334,43 @@ def test_curate_decontaminate_winnow_method(spark):
             docs, "text", "doc_id", decontaminate_against=eval_df,
             decontam_method="bogus",
         )
+
+
+def test_decontaminate_winnow_matches_duckdb(spark):
+    """The winnow decontamination variant (md5 fingerprints) has a full
+    DuckDB twin: winnowing fingerprint build on ALL docs, train/eval
+    split by doc_id % 10, semi-join probe, per-doc verdict — pytest-level
+    hash oracle (the variant holds no registry slot)."""
+    from pyspark_dist_explore_spark.operators.decontam import decontaminate_winnow
+    from pyspark_dist_explore_spark.plans.llm_ops import _winnowing_oracle
+    from tests.oracle_utils import compare
+
+    k, window = 5, 4
+    oracle = f"""
+WITH allfp AS ({_winnowing_oracle(k=k, window=window)}),
+tfp AS (SELECT doc_id, fingerprint FROM allfp WHERE doc_id % 10 <> 0),
+efp AS (SELECT DISTINCT fingerprint FROM allfp WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_eval_fps
+  FROM tfp JOIN efp USING (fingerprint) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_eval_fps, CAST(0 AS BIGINT)) AS n_eval_fps,
+       CAST(COALESCE(h.n_eval_fps, 0) > 0 AS INT) AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+    def build(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return decontaminate_winnow(
+            docs.where(F.col("doc_id") % 10 != 0),
+            docs.where(F.col("doc_id") % 10 == 0),
+            "text",
+            "doc_id",
+            k=k,
+            window=window,
+            hash_fn="md5",
+        )
+
+    compare(spark, SF_SMOKE, build, oracle)
