@@ -56,6 +56,7 @@ from pyspark_dist_explore_spark.operators.decontam import (
 from pyspark_dist_explore_spark.operators.packing import pack_sequences
 from pyspark_dist_explore_spark.operators.sampling import (
     hash_split,
+    select_by_token_budget,
     stratified_sample,
     stratified_sample_hash,
 )
@@ -151,6 +152,7 @@ __all__ = [
     "stratified_sample_hash",
     "pack_sequences",
     "contaminated_ids",
+    "select_by_token_budget",
     "decontaminate",
     "decontaminate_winnow",
     # sinks / physical layout

@@ -17,7 +17,7 @@ with Spark's own sampling surface but is only rows-only checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -143,6 +143,61 @@ def stratified_sample_hash(
     if keep is None:
         return df.where(F.lit(False))
     return df.where(keep.otherwise(F.lit(False)))
+
+
+def select_by_token_budget(
+    df: DataFrame,
+    quality_col: str,
+    token_col: str,
+    budget: int,
+    *,
+    bins: int = 1000,
+) -> DataFrame:
+    """Keep the highest-``quality`` documents until a TOKEN budget fills —
+    the data-mixing stage that turns a scored corpus into "the best B
+    tokens" for a training run.
+
+    Scale shape: a global ``orderBy(quality)`` + running sum would funnel
+    the whole corpus through one partition, so instead quality is
+    bucketed into ``bins`` fixed-width bins (row-local expression), one
+    hash aggregate sums tokens per bin (≤ ``bins`` rows — driver-small),
+    the cumulative-from-the-top threshold is resolved on that tiny
+    frame, and the keep-set is a broadcast semi-join back. One shuffle
+    of ``bins`` rows total, whatever the corpus size.
+
+    Semantics: whole bins are admitted while their cumulative token sum
+    (from the highest-quality bin down) stays ≤ ``budget`` — the result
+    under-fills by at most one bin's tokens (bin width = quality range /
+    ``bins``; raise ``bins`` to tighten).  Deterministic: same corpus →
+    same kept SET, no RNG, no partition-order dependence.  NULL quality
+    or NULL/negative token counts are dropped (they can neither be
+    ranked nor budgeted).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    q = F.col(quality_col).cast("double")
+    t = F.col(token_col).cast("bigint")
+    scored = df.where(q.isNotNull() & t.isNotNull() & (t >= 0))
+    # fixed [0,1]-anchored bins keep the bucket expression row-local and
+    # reproducible; qualities outside [0,1] clamp into the edge bins
+    qb = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor(q * bins).cast("int")),
+    )
+    per_bin = scored.select(qb.alias("__qb"), t.alias("__tok")).groupBy("__qb").agg(
+        F.sum("__tok").alias("__tok")
+    )
+    w = Window.orderBy(F.col("__qb").desc())  # <= `bins` rows: tiny frame
+    keep_bins = (
+        per_bin.withColumn("__cum", F.sum("__tok").over(w))
+        .where(F.col("__cum") <= F.lit(int(budget)))
+        .select("__qb")
+    )
+    return scored.join(
+        F.broadcast(keep_bins), qb == F.col("__qb"), "left_semi"
+    ).select(*df.columns)
 
 
 def sql_str_lit(value: str) -> str:

@@ -1189,3 +1189,51 @@ def test_shingle_rows_matches_array_form(spark):
         .collect()
     }
     assert fast == slow
+
+
+def test_select_by_token_budget_exact_semantics(spark):
+    """Budgeted quality selection must equal the Python reference (whole
+    highest-quality bins admitted while cumulative tokens <= budget) on
+    real profiled documents, stay within budget, and be deterministic."""
+    from pyspark_dist_explore_spark.operators.sampling import select_by_token_budget
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    profile = textstats.text_profile(docs, "text", "doc_id").select(
+        "doc_id", "quality", "n_tokens"
+    )
+    rows = profile.collect()
+    bins, budget = 1000, 5000
+    by_bin = {}
+    for r in rows:
+        qb = min(bins - 1, max(0, int(r["quality"] * bins)))
+        by_bin.setdefault(qb, [0, []])
+        by_bin[qb][0] += r["n_tokens"]
+        by_bin[qb][1].append(r["doc_id"])
+    expected, cum = set(), 0
+    for qb in sorted(by_bin, reverse=True):
+        cum += by_bin[qb][0]
+        if cum > budget:
+            break
+        expected.update(by_bin[qb][1])
+    out = select_by_token_budget(profile, "quality", "n_tokens", budget, bins=bins)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == expected
+    tok = sum(r["n_tokens"] for r in rows if r["doc_id"] in kept)
+    assert tok <= budget
+    assert kept, "a 5k-token budget on 500 docs must admit something"
+    kept2 = {
+        r["doc_id"]
+        for r in select_by_token_budget(
+            profile, "quality", "n_tokens", budget, bins=bins
+        ).collect()
+    }
+    assert kept2 == kept  # deterministic
+    # degenerate budgets
+    assert (
+        select_by_token_budget(profile, "quality", "n_tokens", 0, bins=bins).count()
+        == 0
+    )
+    big = select_by_token_budget(
+        profile, "quality", "n_tokens", 10**12, bins=bins
+    ).count()
+    assert big == len(rows)
