@@ -57,6 +57,7 @@ from pyspark_dist_explore_spark.operators.packing import pack_sequences
 from pyspark_dist_explore_spark.operators.sampling import (
     hash_split,
     select_by_token_budget,
+    select_by_token_budget_stratified,
     stratified_sample,
     stratified_sample_hash,
 )
@@ -153,6 +154,7 @@ __all__ = [
     "pack_sequences",
     "contaminated_ids",
     "select_by_token_budget",
+    "select_by_token_budget_stratified",
     "decontaminate",
     "decontaminate_winnow",
     # sinks / physical layout

@@ -200,6 +200,64 @@ def select_by_token_budget(
     ).select(*df.columns)
 
 
+def select_by_token_budget_stratified(
+    df: DataFrame,
+    stratum_col: str,
+    quality_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    *,
+    bins: int = 1000,
+) -> DataFrame:
+    """Per-stratum token budgets — the data-mixing recipe shape: "this
+    many tokens of each language/domain/source, best quality first".
+
+    Same execution skeleton as :func:`select_by_token_budget`, run for
+    every stratum inside ONE plan: the per-(stratum, bin) aggregate is
+    still ≤ ``len(budgets)·bins`` rows (driver-small), the cumulative
+    threshold window partitions by stratum, and one broadcast semi-join
+    on (stratum, bin) admits the keep-set.  Strata missing from
+    ``budgets`` are dropped (like ``sampleBy``); each stratum
+    under-fills by at most one bin's tokens.
+    """
+    for name, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {name!r} must be >= 0, got {b}")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not budgets:
+        return df.where(F.lit(False))
+    q = F.col(quality_col).cast("double")
+    t = F.col(token_col).cast("bigint")
+    s = F.col(stratum_col)
+    scored = df.where(
+        q.isNotNull() & t.isNotNull() & (t >= 0) & s.isin(list(budgets))
+    )
+    qb = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor(q * bins).cast("int")),
+    )
+    per_bin = (
+        scored.select(s.alias("__s"), qb.alias("__qb"), t.alias("__tok"))
+        .groupBy("__s", "__qb")
+        .agg(F.sum("__tok").alias("__tok"))
+    )
+    budget_of = F.create_map(
+        *[x for name, b in budgets.items() for x in (F.lit(name), F.lit(int(b)))]
+    )[F.col("__s")].cast("bigint")
+    w = Window.partitionBy("__s").orderBy(F.col("__qb").desc())
+    keep_bins = (
+        per_bin.withColumn("__cum", F.sum("__tok").over(w))
+        .where(F.col("__cum") <= budget_of)
+        .select("__s", "__qb")
+    )
+    return scored.join(
+        F.broadcast(keep_bins),
+        (s == F.col("__s")) & (qb == F.col("__qb")),
+        "left_semi",
+    ).select(*df.columns)
+
+
 def sql_str_lit(value: str) -> str:
     """Render a python string as a single-quoted SQL literal, doubling
     embedded quotes — every oracle renderer that interpolates a VALUE

@@ -1237,3 +1237,54 @@ def test_select_by_token_budget_exact_semantics(spark):
         profile, "quality", "n_tokens", 10**12, bins=bins
     ).count()
     assert big == len(rows)
+
+
+def test_select_by_token_budget_stratified(spark):
+    """Per-stratum budgeted selection: each language fills its own token
+    budget independently (Python-reference equality per stratum),
+    unlisted strata drop, and the whole thing is one plan."""
+    from pyspark_dist_explore_spark.operators.sampling import (
+        select_by_token_budget_stratified,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    profile = (
+        textstats.text_profile(docs, "text", "doc_id")
+        .select("doc_id", "quality", "n_tokens")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    rows = profile.collect()
+    bins = 1000
+    budgets = {"en": 3000, "de": 1500}
+    expected = set()
+    for lang, budget in budgets.items():
+        by_bin = {}
+        for r in rows:
+            if r["lang"] != lang:
+                continue
+            qb = min(bins - 1, max(0, int(r["quality"] * bins)))
+            by_bin.setdefault(qb, [0, []])
+            by_bin[qb][0] += r["n_tokens"]
+            by_bin[qb][1].append(r["doc_id"])
+        cum = 0
+        for qb in sorted(by_bin, reverse=True):
+            cum += by_bin[qb][0]
+            if cum > budget:
+                break
+            expected.update(by_bin[qb][1])
+    out = select_by_token_budget_stratified(
+        profile, "lang", "quality", "n_tokens", budgets, bins=bins
+    )
+    kept_rows = out.collect()
+    assert {r["doc_id"] for r in kept_rows} == expected
+    assert {r["lang"] for r in kept_rows} <= set(budgets)
+    for lang, budget in budgets.items():
+        tok = sum(r["n_tokens"] for r in kept_rows if r["lang"] == lang)
+        assert tok <= budget, (lang, tok)
+    # empty budgets → empty result, not an error
+    assert (
+        select_by_token_budget_stratified(
+            profile, "lang", "quality", "n_tokens", {}
+        ).count()
+        == 0
+    )
