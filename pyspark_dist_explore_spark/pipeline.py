@@ -155,6 +155,8 @@ def curate_documents(
     decontam_ngram: int = 13,
     decontam_text_col: str | None = None,
     decontam_method: str = "ngram",
+    token_budget: int | None = None,
+    token_budgets: dict[str, int] | None = None,
 ) -> DataFrame:
     """Curate a document corpus into a training keep-list.
 
@@ -207,6 +209,14 @@ def curate_documents(
     eval corpora too big to ship whole; may additionally drop docs
     sharing only a shorter (≥ 5-token) passage, which for a leakage
     guard errs in the safe direction.
+
+    ``token_budget`` (opt-in) caps the SURVIVING corpus at a total
+    token budget, best quality first (`sampling.select_by_token_budget`
+    on the post-dedup survivors — whitespace token counts computed
+    inline from the pipeline's text).  ``token_budgets`` is the
+    per-language mixture form (keyed by ``lang_pred``); pass one or the
+    other.  Both run before the split, so train/val/test stay
+    proportional within the budgeted corpus.
     """
     from pyspark_dist_explore_spark.operators.textstats import (
         SCRUB_PATTERNS,
@@ -292,7 +302,28 @@ def curate_documents(
     )
     survivors = clusters.where(F.col("is_survivor") == 1).select("doc_id")
 
-    out = kept.join(survivors, "doc_id").drop("__text")
+    out = kept.join(survivors, "doc_id")
+    if token_budget is not None and token_budgets is not None:
+        raise ValueError("pass token_budget OR token_budgets, not both")
+    if token_budget is not None or token_budgets is not None:
+        from pyspark_dist_explore_spark.operators.sampling import (
+            select_by_token_budget,
+            select_by_token_budget_stratified,
+        )
+
+        norm = dedup.normalize_text(F.col("__text"))
+        n_tok = (
+            F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+        ).cast("bigint")
+        out = out.withColumn("__n_tok", n_tok)
+        if token_budgets is not None:
+            out = select_by_token_budget_stratified(
+                out, "lang_pred", "quality", "__n_tok", token_budgets
+            )
+        else:
+            out = select_by_token_budget(out, "quality", "__n_tok", token_budget)
+        out = out.drop("__n_tok")
+    out = out.drop("__text")
     return hash_split(out, "doc_id", fractions=split_fractions).select(
         "doc_id", "lang_pred", "quality", "split"
     )

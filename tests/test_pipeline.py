@@ -374,3 +374,37 @@ LEFT JOIN hits h USING (doc_id)
         )
 
     compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_curate_token_budget_stage(spark):
+    """token_budget caps the surviving corpus best-quality-first;
+    token_budgets does it per predicted language; passing both raises."""
+    import pytest
+
+    docs = _docs(spark)
+    full = curate_documents(docs, "text", "doc_id", min_quality=0.0)
+    full_ids = {r.doc_id for r in full.collect()}
+    budgeted = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, token_budget=3000
+    )
+    rows = budgeted.collect()
+    kept = {r.doc_id for r in rows}
+    assert kept < full_ids, "a tight budget must strictly shrink the keep-list"
+    assert kept, "a 3k-token budget must keep something"
+    # kept docs are the top of the quality order: no kept doc may rank
+    # below (strictly lower quality bin than) a dropped one
+    qual = {r.doc_id: r.quality for r in full.collect()}
+    min_kept_bin = min(int(qual[i] * 1000) for i in kept)
+    dropped = full_ids - kept
+    assert all(int(qual[i] * 1000) <= min_kept_bin for i in dropped)
+
+    mixed = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0,
+        token_budgets={"en": 2000, "de": 1000},
+    )
+    assert {r.lang_pred for r in mixed.collect()} <= {"en", "de"}
+
+    with pytest.raises(ValueError, match="not both"):
+        curate_documents(
+            docs, "text", "doc_id", token_budget=1, token_budgets={"en": 1}
+        )
