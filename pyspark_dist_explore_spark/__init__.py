@@ -53,7 +53,7 @@ from pyspark_dist_explore_spark.operators.decontam import (
     decontaminate,
     decontaminate_winnow,
 )
-from pyspark_dist_explore_spark.operators.packing import pack_sequences
+from pyspark_dist_explore_spark.operators.packing import chunk_documents, pack_sequences
 from pyspark_dist_explore_spark.operators.sampling import (
     hash_split,
     select_by_token_budget,
@@ -152,6 +152,7 @@ __all__ = [
     "stratified_sample",
     "stratified_sample_hash",
     "pack_sequences",
+    "chunk_documents",
     "contaminated_ids",
     "select_by_token_budget",
     "select_by_token_budget_stratified",

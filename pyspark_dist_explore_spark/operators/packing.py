@@ -181,6 +181,66 @@ def pack_sequences(
     return base.groupBy("bucket").applyInPandas(greedy, schema=_PACK_SCHEMA)
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_tokens: int = 2048,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into ≤ ``max_tokens`` token chunks with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the stage that runs BEFORE :func:`pack_sequences` so oversize
+    documents become packable windows instead of solo oversize packs.
+
+    Output: one row per chunk, ``(doc_id, chunk_idx, n_tokens,
+    chunk_text)`` — chunk ``i`` covers tokens ``[i·stride, i·stride +
+    max_tokens)`` of the whitespace-normalized token stream, ``stride =
+    max_tokens - overlap``.  Pure row-local expression work (tokenize →
+    per-chunk ``slice`` → ``posexplode``): no shuffle, no Python, and
+    the work is proportional to the OUTPUT text, which any chunker must
+    write.  Deterministic; empty/whitespace-only docs yield one empty
+    chunk (``n_tokens = 0``) so no document silently disappears.
+    """
+    from pyspark_dist_explore_spark.operators.dedup import normalize_text
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap} for max_tokens={max_tokens}"
+        )
+    stride = max_tokens - overlap
+    norm = normalize_text(F.col(text_col))
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    n = F.size(toks)
+    # chunks fully covering n tokens at this stride: 1 + ceil((n - max) / stride)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.lit(1) + F.ceil((n - F.lit(max_tokens)) / F.lit(stride)).cast("int"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("__pos", "__ci"),
+        )
+        .select(
+            "doc_id",
+            F.col("__ci").cast("int").alias("chunk_idx"),
+            F.size(F.slice(F.col("__toks"), F.col("__ci") * stride + 1, max_tokens))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__ci") * stride + 1, max_tokens)
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def pack_sequences_sql(
     table: str,
     id_col: str,

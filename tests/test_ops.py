@@ -1288,3 +1288,62 @@ def test_select_by_token_budget_stratified(spark):
         ).count()
         == 0
     )
+
+
+def test_chunk_documents_reference_semantics(spark):
+    """Chunking must match the Python reference exactly: stride windows
+    over the normalized token stream, every chunk <= max_tokens,
+    overlap carried, empty docs yield one empty chunk, and the
+    chunk->pack composition packs long docs instead of oversizing."""
+    from pyspark_dist_explore_spark.operators.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    docs = docs.unionByName(
+        spark.createDataFrame([(9001, ""), (9002, "  one  two  ")], ["doc_id", "text"])
+        .join(docs.limit(0), ["doc_id", "text"], "left_anti")
+        .select("doc_id", "text", *[F.lit(None).cast(docs.schema[c].dataType).alias(c) for c in docs.columns if c not in ("doc_id", "text")])
+    )
+    max_tokens, overlap = 30, 5
+    stride = max_tokens - overlap
+    out = chunk_documents(
+        docs, "text", "doc_id", max_tokens=max_tokens, overlap=overlap
+    ).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"]) for r in out}
+    import re as _re
+
+    expected = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = _re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+        toks = toks.split(" ") if toks else []
+        n = len(toks)
+        n_chunks = max(1, 1 + -(-(n - max_tokens) // stride)) if n > max_tokens else 1
+        for ci in range(n_chunks):
+            ch = toks[ci * stride : ci * stride + max_tokens]
+            expected[(r["doc_id"], ci)] = (len(ch), " ".join(ch))
+    assert got == expected
+    assert all(n <= max_tokens for n, _ in got.values())
+    # composition: chunks pack without oversize flags
+    chunks = chunk_documents(docs, "text", "doc_id", max_tokens=max_tokens)
+    packed = pack_sequences(
+        chunks.select(
+            (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("cid"), "n_tokens"
+        ),
+        "cid",
+        token_count_col="n_tokens",
+        max_tokens=max_tokens,
+    )
+    assert packed.where(F.col("oversize") == 1).count() == 0
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as _pytest
+    from pyspark_dist_explore_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "text", "doc_id", max_tokens=10, overlap=10)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(docs, "text", "doc_id", max_tokens=0)
