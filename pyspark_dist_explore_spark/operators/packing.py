@@ -241,6 +241,80 @@ def chunk_documents(
     )
 
 
+#: chunk_id = doc_id * 2^20 + chunk_idx keeps chunk ids collision-free
+#: (chunks-per-doc < 2^20, doc ids < 2^43) while staying inside BIGINT
+CHUNK_ID_STRIDE = 1 << 20
+
+
+def chunk_ids(chunks: DataFrame) -> DataFrame:
+    """Collapse :func:`chunk_documents` output ``(doc_id, chunk_idx)``
+    into a single collision-free bigint ``chunk_id`` (doc-major, so
+    ordering by ``chunk_id`` preserves document order then chunk order
+    — the order :func:`pack_sequences` packs in)."""
+    return chunks.select(
+        (
+            F.col("doc_id").cast("bigint") * F.lit(CHUNK_ID_STRIDE)
+            + F.col("chunk_idx").cast("bigint")
+        ).alias("chunk_id"),
+        "n_tokens",
+    )
+
+
+def chunk_pack_sql(
+    table: str,
+    id_col: str,
+    *,
+    chunk_max_tokens: int,
+    overlap: int,
+    max_tokens: int,
+    buckets: int,
+    norm_text_expr: str,
+) -> str:
+    """DuckDB rendering of the composed ``chunk_documents`` →
+    ``chunk_ids`` → ``pack_sequences(mode='cumsum')`` chain — the full
+    training-batch shaping pipeline (stride-window chunking, doc-major
+    chunk ids, md5 bucket shard, exclusive window cumsum, floor-division
+    packs) as ONE hash-checkable query."""
+    stride = chunk_max_tokens - overlap
+    bucket = (
+        f"(CAST(('0x' || substr(md5(CAST(chunk_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+        f" % {buckets})"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         CASE WHEN {norm_text_expr} = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split({norm_text_expr}, ' ') END AS toks
+  FROM {table}
+),
+nch AS (
+  SELECT doc_id, toks,
+         GREATEST(1, 1 + CAST(ceil((len(toks) - {chunk_max_tokens}) / {stride}.0) AS INT))
+           AS n_chunks
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS ci FROM nch
+),
+base AS (
+  SELECT CAST(doc_id AS BIGINT) * {CHUNK_ID_STRIDE} + ci AS chunk_id,
+         CAST(len(list_slice(toks, ci * {stride} + 1, ci * {stride} + {chunk_max_tokens}))
+              AS BIGINT) AS n_tokens
+  FROM chunks
+),
+bucketed AS (
+  SELECT chunk_id, n_tokens, CAST({bucket} AS INT) AS bucket FROM base
+)
+SELECT chunk_id, n_tokens, bucket,
+       bucket * {_PACK_STRIDE} + CAST(floor(
+         COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY chunk_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / {max_tokens}.0) AS BIGINT) AS pack_id,
+       CAST(n_tokens > {max_tokens} AS INT) AS oversize
+FROM bucketed
+"""
+
+
 def pack_sequences_sql(
     table: str,
     id_col: str,

@@ -579,33 +579,55 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from pyspark_dist_explore_spark.operators.packing import (  # noqa: E402
+    chunk_documents,
+    chunk_ids,
+    chunk_pack_sql,
     pack_sequences,
-    pack_sequences_sql,
 )
+
+_CHUNK_MAX = 128
+_CHUNK_OVERLAP = 16
+_PACK_MAX = 512
 
 
 @register(
     "pack_sequences",
-    pack_sequences_sql(
+    chunk_pack_sql(
         "documents",
         "doc_id",
-        max_tokens=512,
+        chunk_max_tokens=_CHUNK_MAX,
+        overlap=_CHUNK_OVERLAP,
+        max_tokens=_PACK_MAX,
         buckets=32,
         norm_text_expr=_NORM.format(c="text"),
     ),
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-batch sequence packing, cumsum mode: md5-bucket shard →
-    per-bucket exclusive running token count → floor-division pack ids.
-    Pure window SQL (ONE exchange, plan-pinned in tests/test_plans.py);
-    the DuckDB twin renders the identical bucket hash, window frame, and
-    stride arithmetic, so pack assignment is hash-checked end-to-end.
-    The strictly-bounded ``mode='greedy'`` variant stays pytest-pinned
-    (its first-fit loop is not SQL-expressible)."""
+    """Training-batch shaping end-to-end: stride-window CHUNKING
+    (``chunk_documents``: ≤128-token windows, 16-token overlap — pure
+    row-local tokenize → slice → posexplode, no shuffle) → doc-major
+    bigint chunk ids → sequence PACKING in cumsum mode
+    (``pack_sequences``: md5-bucket shard → per-bucket exclusive running
+    token count → floor-division pack ids — pure window SQL, ONE
+    exchange, plan-pinned in tests/test_plans.py).  The DuckDB twin
+    renders the identical chunk arithmetic, bucket hash, window frame,
+    and stride, so chunk boundaries AND pack assignment are hash-checked
+    end-to-end.  The strictly-bounded ``mode='greedy'`` packing variant
+    stays pytest-pinned (its first-fit loop is not SQL-expressible);
+    plain no-chunk packing keeps its own DuckDB-parity pytest
+    (tests/test_ops.py::test_pack_sequences_cumsum_matches_duckdb)."""
     docs = load_table(spark, sf_dir, "documents")
-    return pack_sequences(
-        docs, "doc_id", text_col="text", max_tokens=512, buckets=32
+    chunks = chunk_documents(
+        docs, "text", "doc_id", max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
     )
+    packed = pack_sequences(
+        chunk_ids(chunks),
+        "chunk_id",
+        token_count_col="n_tokens",
+        max_tokens=_PACK_MAX,
+        buckets=32,
+    )
+    return packed.withColumnRenamed("doc_id", "chunk_id")
 
 
 # --------------------------------------------------------------------------
