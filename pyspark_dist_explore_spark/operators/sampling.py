@@ -258,6 +258,52 @@ def select_by_token_budget_stratified(
     ).select(*df.columns)
 
 
+def select_by_token_budget_stratified_sql(
+    scored_sql: str,
+    stratum: str,
+    quality: str,
+    tokens: str,
+    budgets: dict[str, int],
+    out_cols: list[str],
+    *,
+    bins: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`select_by_token_budget_stratified` over a
+    scored subquery — renders the identical fixed-width quality bin,
+    per-(stratum, bin) token aggregate, descending cumulative window,
+    budget map, and keep-join, so the kept SET is hash-checkable.
+    ``quality`` must be an already-rounded column (both engines bin the
+    same 6-dp double, so floor(q·bins) cannot straddle differently)."""
+    in_list = ", ".join(sql_str_lit(s) for s in budgets) or "NULL"
+    budget_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN __s = {sql_str_lit(s)} THEN CAST({int(b)} AS BIGINT)"
+            for s, b in budgets.items()
+        )
+        + " END"
+    )
+    qb = f"LEAST({bins - 1}, GREATEST(0, CAST(floor({quality} * {bins}) AS INT)))"
+    cols = ", ".join(f"f.{c}" for c in out_cols)
+    return f"""
+WITH f AS (
+  SELECT *, {qb} AS __qb FROM ({scored_sql})
+  WHERE {quality} IS NOT NULL AND {tokens} IS NOT NULL AND {tokens} >= 0
+    AND {stratum} IN ({in_list})
+),
+per_bin AS (
+  SELECT {stratum} AS __s, __qb, sum({tokens}) AS __tok FROM f GROUP BY 1, 2
+),
+keep AS (
+  SELECT __s, __qb FROM (
+    SELECT __s, __qb, sum(__tok) OVER (PARTITION BY __s ORDER BY __qb DESC) AS __cum
+    FROM per_bin)
+  WHERE __cum <= {budget_case}
+)
+SELECT {cols} FROM f JOIN keep ON f.{stratum} = keep.__s AND f.__qb = keep.__qb
+"""
+
+
 def sql_str_lit(value: str) -> str:
     """Render a python string as a single-quoted SQL literal, doubling
     embedded quotes — every oracle renderer that interpolates a VALUE

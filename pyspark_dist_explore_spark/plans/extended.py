@@ -160,16 +160,21 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "unpivot_part_metrics",
-    """
+#: deregistered round 5 (merged into ``scalar_unpivot_part`` in
+#: relational.py); kept callable with the oracle pinned in tests/test_ops.py
+UNPIVOT_PART_ORACLE = """
 SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
 UNION ALL
 SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
-""",
-)
+"""
+
+
 def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNPIVOT/melt: wide columns to (metric, value) rows."""
+    """UNPIVOT/melt: wide columns to (metric, value) rows.
+
+    Deregistered round 5: the merged ``scalar_unpivot_part`` registration
+    unpivots the same raw metrics (plus computed ones); oracle pinned in
+    pytest."""
     p = load_table(spark, sf_dir, "part")
     return p.unpivot(
         ids=["p_partkey"],

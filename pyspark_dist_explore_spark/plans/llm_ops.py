@@ -23,7 +23,10 @@ from pyspark_dist_explore_spark.operators import (
     similarity,
     textstats,
 )
-from pyspark_dist_explore_spark.operators.sampling import sql_str_lit
+from pyspark_dist_explore_spark.operators.sampling import (
+    select_by_token_budget_stratified_sql,
+    sql_str_lit,
+)
 from pyspark_dist_explore_spark.plans.queries import register
 from pyspark_dist_explore_spark.sources.tables import load_table
 
@@ -414,6 +417,72 @@ def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_sample_hash(docs, "lang", _STRAT_FRACS, "doc_id")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+#: per-source token budgets for the mixture query: a partial keep
+#: (src0–src3 at shrinking budgets), a keep-all at this SF (src4), a
+#: zero budget (src5), and every other source dropped entirely — the
+#: four behaviors a mixture recipe exercises
+_MIX_BUDGETS = {
+    "src0": 800,
+    "src1": 600,
+    "src2": 400,
+    "src3": 200,
+    "src4": 10_000,
+    "src5": 0,
+}
+
+_MIX_NTOK = (
+    f"CAST(CASE WHEN {_NORM.format(c='text')} = '' THEN 0 "
+    f"ELSE len(string_split({_NORM.format(c='text')}, ' ')) END AS BIGINT)"
+)
+
+
+@register(
+    "corpus_token_budget",
+    select_by_token_budget_stratified_sql(
+        f"SELECT doc_id, source, {_quality_sql('text')} AS quality, "
+        f"{_MIX_NTOK} AS n_tok FROM documents",
+        "source",
+        "quality",
+        "n_tok",
+        _MIX_BUDGETS,
+        ["doc_id", "source", "quality", "n_tok"],
+    ),
+)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing recipe: per-source TOKEN budgets, best quality first
+    (``sampling.select_by_token_budget_stratified``) — "this many tokens
+    of each source" is the stage that turns a scored corpus into a
+    training mixture.  Execution: row-local quality score + token count
+    on the scan, quality bucketed into 1000 fixed bins, ONE tiny
+    per-(source, bin) aggregate (driver-small however big the corpus),
+    cumulative budget threshold resolved on that frame, broadcast
+    semi-join admits the keep-set — one shuffle of ≤ strata·bins rows
+    total.  Budgets cover partial / keep-all / zero / dropped strata.
+    Deterministic (no RNG), so the kept SET itself is hash-checked
+    against the DuckDB twin."""
+    from pyspark_dist_explore_spark.operators.dedup import normalize_text
+    from pyspark_dist_explore_spark.operators.sampling import (
+        select_by_token_budget_stratified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    norm = normalize_text(t)
+    n_tok = (
+        F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    ).cast("bigint")
+    _, _, quality = textstats.quality_ratio_exprs(t)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality, 6).alias("quality"),
+        n_tok.alias("n_tok"),
+    )
+    return select_by_token_budget_stratified(
+        scored, "source", "quality", "n_tok", _MIX_BUDGETS
     )
 
 

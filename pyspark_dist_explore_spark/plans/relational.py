@@ -392,9 +392,10 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "scalar_funcs_part",
-    """
+#: deregistered round 5 (merged into ``scalar_unpivot_part`` below, which
+#: carries the identical scalar families as id/metric columns); kept
+#: callable with the oracle pinned in tests/test_ops.py
+SCALAR_FUNCS_PART_ORACLE = """
 SELECT p_partkey,
        upper(p_brand) AS brand_upper,
        substr(p_name, 1, 8) AS name_prefix,
@@ -405,10 +406,76 @@ SELECT p_partkey,
        abs(p_size - 25) AS size_dev,
        CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
 FROM part
-""",
+"""
+
+_SCALAR_WIDE_SQL = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       concat(p_brand, ':', p_type) AS brand_type,
+       CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class,
+       CAST(len(p_name) AS DOUBLE) AS name_len,
+       round(sqrt(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+       round(ln(p_retailprice), 6) AS price_ln,
+       CAST(abs(p_size - 25) AS DOUBLE) AS size_dev,
+       CAST(p_size AS DOUBLE) AS p_size,
+       CAST(p_retailprice AS DOUBLE) AS p_retailprice
+FROM part
+"""
+
+_UNPIVOT_METRICS = [
+    "name_len",
+    "size_sqrt",
+    "price_ln",
+    "size_dev",
+    "p_size",
+    "p_retailprice",
+]
+
+_SCALAR_IDS = ["p_partkey", "brand_upper", "name_prefix", "brand_type", "size_class"]
+
+
+@register(
+    "scalar_unpivot_part",
+    "\nUNION ALL\n".join(
+        f"SELECT {', '.join(_SCALAR_IDS)}, '{m}' AS metric, {m} AS value"
+        f" FROM ({_SCALAR_WIDE_SQL})"
+        for m in _UNPIVOT_METRICS
+    ),
 )
+def q_scalar_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar families + UNPIVOT merged (round 5): the string/math/
+    conditional scalar expressions ride as id columns while the raw and
+    computed numeric metrics melt to ``(metric, value)`` long format —
+    one part scan exercises every family ``scalar_funcs_part`` covered
+    plus the wide→long unpivot ``unpivot_part_metrics`` covered."""
+    p = load_table(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.when(F.col("p_size") > 25, "large").otherwise("small").alias("size_class"),
+        F.length("p_name").cast("double").alias("name_len"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
+        F.abs(F.col("p_size") - 25).cast("double").alias("size_dev"),
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return wide.unpivot(
+        ids=_SCALAR_IDS,
+        values=_UNPIVOT_METRICS,
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 def q_scalar_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/math/conditional scalar families, row-parallel, codegen'd."""
+    """String/math/conditional scalar families, row-parallel, codegen'd.
+
+    Deregistered round 5: every expression here rides inside the merged
+    ``scalar_unpivot_part`` registration; oracle pinned in pytest."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

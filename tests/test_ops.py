@@ -1075,6 +1075,52 @@ def test_minhash_md5_num_hashes_overflow_guard(spark):
     dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=5000)
 
 
+def test_deregistered_part_queries_match_duckdb(spark):
+    """scalar_funcs_part and unpivot_part_metrics were merged into the
+    registered scalar_unpivot_part (round 5); the original builders stay
+    callable with their oracles pinned here."""
+    from pyspark_dist_explore_spark.plans.extended import (
+        UNPIVOT_PART_ORACLE,
+        q_unpivot_part_metrics,
+    )
+    from pyspark_dist_explore_spark.plans.relational import (
+        SCALAR_FUNCS_PART_ORACLE,
+        q_scalar_funcs_part,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    compare(spark, SF_SMOKE, q_scalar_funcs_part, SCALAR_FUNCS_PART_ORACLE)
+    compare(spark, SF_SMOKE, q_unpivot_part_metrics, UNPIVOT_PART_ORACLE)
+
+
+def test_token_budget_stratified_semantics(spark):
+    """Direct semantics pin for select_by_token_budget_stratified:
+    budgets admit whole quality bins from the top until the budget
+    fills; zero budget keeps nothing; missing strata are dropped."""
+    from pyspark_dist_explore_spark.operators.sampling import (
+        select_by_token_budget_stratified,
+    )
+
+    rows = [
+        # (id, stratum, quality, tokens)
+        (1, "a", 0.9, 100),
+        (2, "a", 0.8, 100),
+        (3, "a", 0.7, 100),
+        (4, "b", 0.9, 100),
+        (5, "b", 0.1, 100),
+        (6, "c", 0.99, 50),
+    ]
+    df = spark.createDataFrame(rows, ["id", "s", "q", "tok"])
+    out = select_by_token_budget_stratified(
+        df, "s", "q", "tok", {"a": 200, "b": 0}, bins=10
+    )
+    kept = sorted(r.id for r in out.collect())
+    # a: bins 9 (q=.9) then 8 (q=.8) fill 200 exactly; bin 7 would exceed.
+    # b: zero budget -> nothing. c: not in budgets -> dropped.
+    assert kept == [1, 2]
+
+
 def test_pack_sequences_bucket_bounds(spark):
     """buckets draws 16 hash bits — >65536 would silently leave buckets
     empty, so it must raise instead."""
