@@ -703,3 +703,130 @@ def jaccard_pairs_exact(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new crawl batch vs. an existing corpus snapshot.
+# The day-one production shape — the corpus already shipped, a new batch
+# arrives, and only genuinely-new content may enter.
+# --------------------------------------------------------------------------
+
+
+def _fp_km_hashes(fp_col: Column) -> tuple[Column, Column]:
+    """Kirsch–Mitzenmacher base hashes from an md5 hex fingerprint:
+    h1 = first 12 hex digits (48 bits), h2 = next 12 forced odd
+    (< 2^49), so h1 + i·h2 stays < 2^54 for i ≤ 16 — overflow-free
+    bigint arithmetic, same trick as the md5 MinHash variant above."""
+    h1 = F.conv(F.substring(fp_col, 1, 12), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(fp_col, 13, 12), 16, 10).cast("bigint") * 2 + 1
+    return h1, h2
+
+
+def build_fp_bloom(seen_fps: DataFrame, fp_col: str, *, bits: int, hashes: int):
+    """Distributed Bloom-filter build over a fingerprint column: each
+    fingerprint sets ``hashes`` bit positions (md5-derived double
+    hashing — deterministic, engine-portable), positions fold to
+    (word, mask) pairs, and ONE ``bit_or`` hash aggregate produces the
+    ≤ ``bits``/64-row bitmap that is collected (≈ ``bits``/8 bytes on
+    the driver — size ``bits`` accordingly) and returned as a numpy
+    uint64 array.  Map-side partial ``bit_or`` means the shuffle moves
+    at most ``bits``/64 rows per partition regardless of corpus size.
+    """
+    import numpy as np
+
+    if bits < 64 or bits % 64:
+        raise ValueError(f"bits must be a positive multiple of 64, got {bits}")
+    if not 1 <= hashes <= 16:
+        raise ValueError(f"hashes must be in [1, 16] (overflow bound), got {hashes}")
+    h1, h2 = _fp_km_hashes(F.col(fp_col))
+    pos = F.explode(
+        F.array(*[(h1 + F.lit(i) * h2) % F.lit(bits) for i in range(hashes)])
+    ).alias("p")
+    words = (
+        seen_fps.select(pos)
+        .select(
+            (F.col("p") / 64).cast("bigint").alias("word"),
+            # F.shiftleft only takes a literal shift count; the SQL form
+            # accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    arr = np.zeros(bits // 64, dtype=np.uint64)
+    for r in words.collect():
+        arr[int(r["word"])] = np.uint64(r["mask"] & 0xFFFFFFFFFFFFFFFF)
+    return arr
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    fp_col: str = "fingerprint",
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 5,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus snapshot: collapse
+    the batch to one row per distinct content (deterministic min-id
+    survivor + duplicate count, :func:`fingerprint_dedup`), then drop
+    every fingerprint already present in ``seen_fps``.  Returns
+    ``(fingerprint, survivor_id, n_dups)`` for genuinely-new content.
+
+    ``bloom_bits=None`` (default): plain ``left_anti`` join — both
+    sides shuffle on fingerprint; fine when batch and snapshot are
+    comparable sizes.
+
+    ``bloom_bits=N`` is the low-overlap scale path: a Bloom filter of
+    the snapshot fingerprints (:func:`build_fp_bloom` — distributed
+    ``bit_or`` build, ``N``/8 bytes on the driver) is broadcast into an
+    Arrow-batched membership test; definitely-new rows (bloom miss)
+    bypass joining entirely, and only the maybe-seen remainder —
+    true dups + false positives (rate ≈ (1-e^(-hashes·n/N))^hashes) —
+    is verified with broadcast joins: the candidate fingerprints
+    broadcast into a ``left_semi`` probe of the snapshot (the 100 TB
+    side NEVER shuffles) and the confirmed hits broadcast back into a
+    ``left_anti``.  Result is EXACTLY equal to the plain path (false
+    positives are weeded by the verify join, never silently dropped);
+    requires the maybe-seen set to be broadcast-small, i.e. a batch
+    whose overlap with the snapshot is low — the normal incremental
+    case.  Both paths deterministic; no RNG anywhere.
+    """
+    batch = fingerprint_dedup(new_df, text_col, id_col)
+    seen = seen_fps.select(F.col(fp_col).alias("fingerprint")).distinct()
+    if bloom_bits is None:
+        return batch.join(seen, "fingerprint", "left_anti")
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    arr = build_fp_bloom(seen, "fingerprint", bits=bloom_bits, hashes=bloom_hashes)
+    bits, hashes = bloom_bits, bloom_hashes
+
+    # no pd.Series annotations: pandas is imported locally, so string
+    # hints can't resolve — the bare signature defaults to scalar eval
+    @pandas_udf("boolean")
+    def _maybe_seen(h1, h2):
+        import numpy as np
+
+        a1 = h1.to_numpy(dtype=np.int64)
+        a2 = h2.to_numpy(dtype=np.int64)
+        hit = np.ones(len(a1), dtype=bool)
+        for i in range(hashes):
+            p = (a1 + i * a2) % bits
+            w = p >> 6
+            b = (p & 63).astype(np.uint64)
+            hit &= ((arr[w] >> b) & np.uint64(1)).astype(bool)
+        return pd.Series(hit)
+
+    h1, h2 = _fp_km_hashes(F.col("fingerprint"))
+    flagged = batch.withColumn("__maybe", _maybe_seen(h1, h2))
+    sure_new = flagged.where(~F.col("__maybe")).drop("__maybe")
+    cand = flagged.where(F.col("__maybe")).drop("__maybe")
+    confirmed = seen.join(
+        F.broadcast(cand.select("fingerprint")), "fingerprint", "left_semi"
+    )
+    verified_new = cand.join(F.broadcast(confirmed), "fingerprint", "left_anti")
+    return sure_new.unionByName(verified_new)

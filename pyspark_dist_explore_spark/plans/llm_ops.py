@@ -136,6 +136,67 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fingerprint_dedup(docs, "text", "doc_id")
 
 
+#: re-keyed "re-crawl" offset for the incremental-dedup demo: copies of
+#: every doc_id % 10 == 3 document re-enter the new batch under a fresh
+#: id, so the anti-join (copies of SEEN docs) and the within-batch
+#: survivor (copies of NEW docs) both do real work
+_RECRAWL_OFFSET = 1_000_000
+
+_INCR_FP = f"md5({_NORM.format(c='text')})"
+
+
+@register(
+    "dedup_incremental",
+    f"""
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + {_RECRAWL_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 3
+),
+seen AS (
+  SELECT DISTINCT {_INCR_FP} AS fingerprint FROM documents WHERE doc_id % 7 = 0
+),
+dedup AS (
+  SELECT {_INCR_FP} AS fingerprint, min(doc_id) AS survivor_id,
+         count(*) AS n_dups
+  FROM batch GROUP BY 1
+)
+SELECT d.fingerprint, d.survivor_id, d.n_dups
+FROM dedup d ANTI JOIN seen s ON d.fingerprint = s.fingerprint
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the day-one production shape: a NEW crawl
+    batch (here the doc_id % 7 != 0 slice plus re-keyed "re-crawl"
+    copies of every % 10 == 3 doc) deduped against the fingerprint
+    snapshot of the already-shipped corpus (the % 7 == 0 slice).
+    Within-batch dups collapse to a deterministic min-id survivor;
+    already-seen content is dropped.  Runs the Bloom-prefilter scale
+    path (``bloom_bits=4096``): the snapshot bitmap builds via ONE
+    distributed bit_or aggregate, broadcast into an Arrow membership
+    test — bloom-miss rows (definitely new) never join at all, and the
+    maybe-seen remainder is verified with broadcast joins so the
+    snapshot side never shuffles.  The result is EXACTLY the plain
+    anti-join (false positives get weeded, never dropped), which is
+    what the DuckDB twin checks; 4096 bits over ~70 snapshot docs
+    forces real false positives through the verify branch at sf0.01."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text").unionAll(
+        docs.where(F.col("doc_id") % 10 == 3).select(
+            (F.col("doc_id") + _RECRAWL_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    seen = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select(F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint"))
+        .distinct()
+    )
+    return dedup.incremental_dedup(
+        batch, seen, "text", "doc_id", bloom_bits=4096, bloom_hashes=5
+    )
+
+
 # --------------------------------------------------------------------------
 # X3: near-dup — exact Jaccard ground truth (oracle) + MinHash LSH and
 # SimHash approximations (rows-only).

@@ -520,15 +520,20 @@ def q_date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "json_extract_events",
-    """
+#: deregistered round 5 (the JSON extraction now rides as a grouping key
+#: inside ``events_window_agg``); kept callable, oracle pinned in
+#: tests/test_ops.py
+JSON_EXTRACT_ORACLE = """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
 FROM events GROUP BY 1
-""",
-)
+"""
+
+
 def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field extraction from the event props column."""
+    """JSON field extraction from the event props column.
+
+    Deregistered round 5: merged into ``events_window_agg`` (same scan,
+    JSON key added to the window grouping); oracle pinned in pytest."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
@@ -676,18 +681,27 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) * 3600 AS window_start,
        event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        count(*) AS n_events,
        {scaled_sum_sql('value')} AS sum_value
 FROM events
-GROUP BY 1, 2
+GROUP BY 1, 2, 3
 """,
 )
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation (batch form of the streaming
-    histogram X8 — same window expression Structured Streaming uses)."""
+    histogram X8 — same window expression Structured Streaming uses),
+    additionally keyed by a JSON-extracted props field (merged round 5:
+    absorbs ``json_extract_events`` — same scan, the extraction becomes
+    a grouping key; the original builder stays callable, pytest-pinned).
+    """
     e = load_table(spark, sf_dir, "events")
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             scaled_sum(F.col("value")).alias("sum_value"),
@@ -695,6 +709,7 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("w.start").cast("double").cast("bigint").alias("window_start"),
             "event_type",
+            "k",
             "n_events",
             "sum_value",
         )

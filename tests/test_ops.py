@@ -1075,6 +1075,58 @@ def test_minhash_md5_num_hashes_overflow_guard(spark):
     dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=5000)
 
 
+def test_incremental_dedup_bloom_equals_plain(spark):
+    """The Bloom-prefilter path must return EXACTLY the plain anti-join
+    result — tiny bitmaps force heavy false-positive traffic through the
+    verify branch, which must weed them without dropping anything."""
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    new = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    seen = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint"))
+    )
+    plain = sorted(
+        map(tuple, dedup.incremental_dedup(new, seen, "text", "doc_id").collect())
+    )
+    assert plain, "plain path returned nothing — fixture degenerate"
+    for bits in (256, 65536):
+        bloom = sorted(
+            map(
+                tuple,
+                dedup.incremental_dedup(
+                    new, seen, "text", "doc_id", bloom_bits=bits
+                ).collect(),
+            )
+        )
+        assert bloom == plain, f"bloom path diverged at bits={bits}"
+
+
+def test_incremental_dedup_validation(spark):
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    seen = spark.createDataFrame([("x",)], ["fingerprint"])
+    with pytest.raises(ValueError, match="multiple of 64"):
+        dedup.incremental_dedup(docs, seen, "text", "doc_id", bloom_bits=100)
+    with pytest.raises(ValueError, match="hashes"):
+        dedup.incremental_dedup(
+            docs, seen, "text", "doc_id", bloom_bits=256, bloom_hashes=17
+        )
+
+
+def test_deregistered_json_extract_matches_duckdb(spark):
+    """json_extract_events was merged into events_window_agg (round 5);
+    the original builder stays callable with its oracle pinned here."""
+    from pyspark_dist_explore_spark.plans.relational import (
+        JSON_EXTRACT_ORACLE,
+        q_json_extract_events,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    compare(spark, SF_SMOKE, q_json_extract_events, JSON_EXTRACT_ORACLE)
+
+
 def test_deregistered_part_queries_match_duckdb(spark):
     """scalar_funcs_part and unpivot_part_metrics were merged into the
     registered scalar_unpivot_part (round 5); the original builders stay

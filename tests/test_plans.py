@@ -8,6 +8,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyspark_dist_explore_spark.plans.queries import REGISTRY
 from tests.conftest import SF_SMOKE
@@ -203,6 +204,27 @@ def test_pack_sequences_cumsum_single_shuffle(spark):
     )
     assert n_exchange == 1, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_incremental_dedup_bloom_verify_is_broadcast(spark):
+    """The bloom path's verify joins must both be broadcast (the
+    candidate set broadcasts into the snapshot semi-probe and the
+    confirmed hits broadcast into the anti-join) — the snapshot side,
+    which is the 100 TB side in production, must never sort-merge."""
+    from pyspark_dist_explore_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    new = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    seen = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    out = dedup.incremental_dedup(new, seen, "text", "doc_id", bloom_bits=4096)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_interval_join_equi_key_not_cartesian(spark):
