@@ -25,6 +25,7 @@ from pyspark_dist_explore_spark.operators.histogram import (
 from pyspark_dist_explore_spark.operators.dedup import (
     exact_dedup,
     fingerprint_dedup,
+    incremental_dedup,
     jaccard_pairs_exact,
     minhash_neardup,
     neardup_clusters,
@@ -58,6 +59,7 @@ from pyspark_dist_explore_spark.operators.sampling import (
     hash_split,
     select_by_token_budget,
     select_by_token_budget_stratified,
+    shuffle_shards,
     stratified_sample,
     stratified_sample_hash,
 )
@@ -112,6 +114,7 @@ __all__ = [
     "curate_documents",
     "recommended_conf",
     "fingerprint_dedup",
+    "incremental_dedup",
     "jaccard_pairs_exact",
     "minhash_neardup",
     "minhash_pair_fn",
@@ -156,6 +159,7 @@ __all__ = [
     "contaminated_ids",
     "select_by_token_budget",
     "select_by_token_budget_stratified",
+    "shuffle_shards",
     "decontaminate",
     "decontaminate_winnow",
     # sinks / physical layout

@@ -258,6 +258,71 @@ def select_by_token_budget_stratified(
     ).select(*df.columns)
 
 
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    *,
+    shards: int,
+    salt: str = "shuffle",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle + sharding — the last stage before a
+    training dump: break source/crawl locality by ordering the corpus
+    pseudo-randomly, split it into ``shards`` balanced shards, and give
+    every row a stable position within its shard.
+
+    Order key is ``md5(salt || ':' || key)`` — pseudo-random but
+    reproducible (same corpus → same order, every run, every engine; a
+    different ``salt`` yields an independent reshuffle, which is how you
+    get epoch-distinct orders without RNG).  The shard is the leading 16
+    bits of the same hash mod ``shards`` (hash-balanced), and ``pos`` is
+    the row_number over (shard, order-key) — so readers stream shard
+    files in ``pos`` order and see a globally de-correlated sequence.
+
+    Scale shape: ONE shuffle (the window's hash partition by shard) and
+    a per-shard sort — never a global order-by, so no single-partition
+    funnel; shard sizes are hash-balanced whatever the corpus size.
+    Write with ``df.write.partitionBy(shard_col)`` (or the bucketed sink
+    in ``sources/sinks.py``) for one directory per shard.
+    """
+    if shards < 1 or shards > 65536:
+        raise ValueError(
+            f"shards must be in [1, 65536] (the md5 draw has 16 bits), got {shards}"
+        )
+    # explicit coalesce on the key (Spark concat_ws skips NULLs, DuckDB
+    # concat keeps the separator — same divergence as stratified_sample)
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(salt), F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+        )
+    )
+    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % shards
+    tagged = df.withColumn("__h", h).withColumn(shard_col, shard)
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(key_col))
+    return tagged.withColumn(pos_col, F.row_number().over(w)).drop("__h")
+
+
+def shuffle_shards_sql(
+    table_sql: str,
+    key: str,
+    *,
+    shards: int,
+    salt: str = "shuffle",
+    out_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`shuffle_shards` — identical hash, shard,
+    and row_number arithmetic over a subquery."""
+    h = f"md5(concat({sql_str_lit(salt)}, ':', COALESCE(CAST({key} AS VARCHAR), '')))"
+    shard = f"CAST((CAST(('0x' || substr({h}, 1, 4)) AS BIGINT) % {shards}) AS INT)"
+    cols = ", ".join(out_cols) if out_cols else "*"
+    return f"""
+SELECT {cols}, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY {h}, {key}) AS INT) AS pos
+FROM (SELECT *, {shard} AS shard FROM ({table_sql}))
+"""
+
+
 def select_by_token_budget_stratified_sql(
     scored_sql: str,
     stratum: str,

@@ -1075,6 +1075,64 @@ def test_minhash_md5_num_hashes_overflow_guard(spark):
     dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=5000)
 
 
+def test_shuffle_shards_matches_duckdb(spark):
+    """The deterministic training shuffle (global pseudo-random order →
+    balanced shards → within-shard positions) is pure hash + window SQL;
+    pin it against the DuckDB twin on the documents table."""
+    from pyspark_dist_explore_spark.operators.sampling import (
+        shuffle_shards,
+        shuffle_shards_sql,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return shuffle_shards(
+            docs.select("doc_id", "source"), "doc_id", shards=8
+        )
+
+    oracle = shuffle_shards_sql(
+        "SELECT doc_id, source FROM documents",
+        "doc_id",
+        shards=8,
+        out_cols=["doc_id", "source"],
+    )
+    compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_shuffle_shards_invariants(spark):
+    """Shards are hash-balanced, positions are 1..n_shard dense, the
+    order de-correlates from the input order, and a different salt gives
+    an independent reshuffle while the same salt reproduces exactly."""
+    from pyspark_dist_explore_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = shuffle_shards(df, "k", shards=8).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(range(8))
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * min(sizes), sizes  # hash-balanced
+    for rows in by_shard.values():
+        assert sorted(r.pos for r in rows) == list(range(1, len(rows) + 1))
+    # de-correlated: consecutive ids rarely stay adjacent in shard order
+    shard0 = sorted(by_shard[0], key=lambda r: r.pos)
+    adjacent = sum(
+        1 for a, b in zip(shard0, shard0[1:]) if abs(a.k - b.k) == 1
+    )
+    assert adjacent < len(shard0) / 10, adjacent
+    again = shuffle_shards(df, "k", shards=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = {
+        r.k: (r.shard, r.pos)
+        for r in shuffle_shards(df, "k", shards=8, salt="epoch2").collect()
+    }
+    moved = sum(1 for r in out if other[r.k] != (r.shard, r.pos))
+    assert moved > len(out) * 0.9, moved  # independent reshuffle
+
+
 def test_incremental_dedup_bloom_equals_plain(spark):
     """The Bloom-prefilter path must return EXACTLY the plain anti-join
     result — tiny bitmaps force heavy false-positive traffic through the

@@ -206,6 +206,27 @@ def test_pack_sequences_cumsum_single_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_shuffle_shards_single_exchange(spark):
+    """The training shuffle must cost exactly ONE exchange (hash
+    partition by shard, reused by the window sort) — never a global
+    single-partition order-by."""
+    from pyspark_dist_explore_spark.operators.sampling import shuffle_shards
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = shuffle_shards(docs.select("doc_id", "source"), "doc_id", shards=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    n_exchange = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert n_exchange == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_incremental_dedup_bloom_verify_is_broadcast(spark):
     """The bloom path's verify joins must both be broadcast (the
     candidate set broadcasts into the snapshot semi-probe and the
