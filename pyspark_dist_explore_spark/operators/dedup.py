@@ -754,7 +754,7 @@ def build_fp_bloom(seen_fps: DataFrame, fp_col: str, *, bits: int, hashes: int):
         .agg(F.bit_or("mask").alias("mask"))
     )
     arr = np.zeros(bits // 64, dtype=np.uint64)
-    for r in words.collect():
+    for r in words.collect():  # bounded-collect: ≤ bits/64 rows (≈ bits/8 bytes)
         arr[int(r["word"])] = np.uint64(r["mask"] & 0xFFFFFFFFFFFFFFFF)
     return arr
 

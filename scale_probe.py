@@ -264,6 +264,87 @@ def main() -> None:
                       "flagged_1x": n1, "flagged_10x": n10,
                       "ratio": round(t10 / t1, 2)}))
 
+    # -- corpus token budget: 10× docs, FIXED budgets ----------------------
+    # (the mixture stage's shuffle is the ≤ strata·bins-row aggregate, so
+    # growth must be scan-bound ~linear; the admitted token volume stays
+    # pinned at the budget whatever the corpus size)
+    from pyspark_dist_explore_spark.operators.sampling import (
+        select_by_token_budget_stratified,
+        shuffle_shards,
+    )
+    from pyspark_dist_explore_spark.operators.textstats import quality_ratio_exprs
+
+    docs_s = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    docs_s10 = reduce(
+        DataFrame.unionAll,
+        [
+            docs_s.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                "text",
+                "source",
+            )
+            for i in range(10)
+        ],
+    )
+
+    def budget_in(d: DataFrame) -> DataFrame:
+        t = F.col("text")
+        norm = dedup.normalize_text(t)
+        n_tok = (
+            F.when(norm == "", 0).otherwise(F.size(F.split(norm, " ")))
+        ).cast("bigint")
+        _, _, q = quality_ratio_exprs(t)
+        return d.select(
+            "doc_id", "source", F.round(q, 6).alias("quality"), n_tok.alias("n_tok")
+        )
+
+    budgets = {f"src{i}": 5000 for i in range(20)}
+    t1, n1 = timed(
+        select_by_token_budget_stratified(
+            budget_in(docs_s), "source", "quality", "n_tok", budgets
+        )
+    )
+    t10, n10 = timed(
+        select_by_token_budget_stratified(
+            budget_in(docs_s10), "source", "quality", "n_tok", budgets
+        )
+    )
+    print(json.dumps({"probe": "corpus_token_budget", "t_1x": t1, "t_10x": t10,
+                      "kept_1x": n1, "kept_10x": n10, "ratio": round(t10 / t1, 2)}))
+
+    # -- incremental dedup (bloom path): 10× new batch, FIXED snapshot -----
+    # (the realistic shape: the shipped corpus is constant, batches grow;
+    # copy-prefixed docs10 content is all-new, the verbatim docs rows are
+    # the re-crawl overlap — identical at both scales, so output growth
+    # isolates the genuinely-new volume and time must stay ~linear)
+    seen_fps = docs.select(
+        F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    batch1 = docs10.where(F.col("doc_id") >= 9_000_000).unionAll(docs)
+    batch10 = docs10.unionAll(docs)
+    t1, n1 = timed(
+        dedup.incremental_dedup(
+            batch1, seen_fps, "text", "doc_id", bloom_bits=1 << 20, bloom_hashes=7
+        )
+    )
+    t10, n10 = timed(
+        dedup.incremental_dedup(
+            batch10, seen_fps, "text", "doc_id", bloom_bits=1 << 20, bloom_hashes=7
+        )
+    )
+    print(json.dumps({"probe": "dedup_incremental", "t_1x": t1, "t_10x": t10,
+                      "new_1x": n1, "new_10x": n10, "ratio": round(t10 / t1, 2)}))
+
+    # -- training shuffle + shard: 10× docs --------------------------------
+    # (one exchange + per-shard sort; must grow ~linearly, never like a
+    # global order-by)
+    t1, n1 = timed(shuffle_shards(docs, "doc_id", shards=64))
+    t10, n10 = timed(shuffle_shards(docs10, "doc_id", shards=64))
+    print(json.dumps({"probe": "shuffle_shards", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
+
     spark.stop()
 
 
