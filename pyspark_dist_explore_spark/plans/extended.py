@@ -24,9 +24,10 @@ from pyspark_dist_explore_spark.sources.tables import load_table
 # --------------------------------------------------------------------------
 
 
-@register(
-    "join_semi_anti",
-    """
+#: deregistered round 5 (merged into ``join_variants`` below to free a
+#: driver slot for ``corpus_shuffle_shards``); kept callable with the
+#: oracle pinned in tests/test_ops.py
+JOIN_SEMI_ANTI_ORACLE = """
 SELECT c_custkey, 'has_urgent' AS status FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
@@ -36,8 +37,9 @@ UNION ALL
 SELECT c_custkey, 'no_urgent' AS status FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-""",
-)
+"""
+
+
 def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI + LEFT ANTI joins (existence tests without row blow-up)."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
@@ -55,14 +57,15 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return has.unionAll(hasnt)
 
 
-@register(
-    "join_left_outer",
-    """
+#: deregistered round 5 (merged into ``join_variants``); kept callable
+#: with the oracle pinned in tests/test_ops.py
+JOIN_LEFT_OUTER_ORACLE = """
 SELECT n.n_name, count(s.s_suppkey) AS n_suppliers
 FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
-""",
-)
+"""
+
+
 def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER join preserving unmatched dimension rows (count=0)."""
     n = load_table(spark, sf_dir, "nation")
@@ -72,6 +75,60 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("s_suppkey").alias("n_suppliers"))
     )
+
+
+@register(
+    "join_variants",
+    """
+SELECT 'has_urgent' AS tag, CAST(c_custkey AS VARCHAR) AS k, CAST(1 AS BIGINT) AS val
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+UNION ALL
+-- NOT EXISTS, not NOT IN: a NULL o_custkey would make NOT IN return zero
+-- rows while Spark's left_anti keeps unmatched customers
+SELECT 'no_urgent' AS tag, CAST(c_custkey AS VARCHAR) AS k, CAST(1 AS BIGINT) AS val
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'suppliers' AS tag, n.n_name AS k, count(s.s_suppkey) AS val
+FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI + LEFT OUTER joins in one plan (merged from
+    ``join_semi_anti`` + ``join_left_outer`` round 5 to free a driver
+    slot; the original builders stay callable with their own oracles
+    pinned in pytest).  Per-row granularity is preserved — every semi /
+    anti survivor and every outer-join group is its own hash-checked
+    row — so the merge loses no checking power, only a slot."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+
+    def _branch(join_type: str, tag: str) -> DataFrame:
+        return c.join(urgent, c.c_custkey == urgent.o_custkey, join_type).select(
+            F.lit(tag).alias("tag"),
+            F.col("c_custkey").cast("string").alias("k"),
+            F.lit(1).cast("bigint").alias("val"),
+        )
+
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    outer = (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("val"))
+        .select(F.lit("suppliers").alias("tag"), F.col("n_name").alias("k"), "val")
+    )
+    return _branch("left_semi", "has_urgent").unionAll(
+        _branch("left_anti", "no_urgent")
+    ).unionAll(outer)
 
 
 @register(

@@ -436,10 +436,35 @@ def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
     hash_split,
     hash_split_sql,
+    shuffle_shards,
+    shuffle_shards_sql,
     stratified_sample_hash,
     stratified_sample_hash_sql,
 )
 from pyspark_dist_explore_spark.pipeline import curate_documents  # noqa: E402
+
+
+@register(
+    "corpus_shuffle_shards",
+    shuffle_shards_sql(
+        "SELECT doc_id, source FROM documents",
+        "doc_id",
+        shards=8,
+        salt="epoch0",
+        out_cols=["doc_id", "source"],
+    ),
+)
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training shuffle + sharding — the last stage before
+    a training dump: order the corpus by ``md5(salt:doc_id)`` (breaks
+    source/crawl locality, reproducible, salt = epoch), split into 8
+    hash-balanced shards, and number rows within each shard so readers
+    stream a globally de-correlated sequence.  ONE shuffle (window hash
+    partition by shard), per-shard sort, never a global order-by — the
+    shape that holds at 100 TB.  The ENTIRE output (every row's shard
+    and position) is hash-checked against the DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return shuffle_shards(docs, "doc_id", shards=8, salt="epoch0")
 
 
 @register(
