@@ -35,8 +35,11 @@ from pyspark_dist_explore_spark.operators.dedup import (
 from pyspark_dist_explore_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_neardup_pairs,
+    dimension_minmax,
     exact_topk,
     ivf_topk,
+    quantize_embeddings,
+    topk_quantized,
 )
 from pyspark_dist_explore_spark.operators.multimodal import (
     audio_features,
@@ -126,6 +129,9 @@ __all__ = [
     "cosine_neardup_pairs",
     "ann_lsh_topk",
     "ivf_topk",
+    "dimension_minmax",
+    "quantize_embeddings",
+    "topk_quantized",
     # stats / text
     "describe_exact",
     "histogram_approx",

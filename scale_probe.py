@@ -345,6 +345,57 @@ def main() -> None:
     print(json.dumps({"probe": "shuffle_shards", "t_1x": t1, "t_10x": t10,
                       "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- int8-quantized top-k scan: 10× vectors, recall vs exact -----------
+    # (the memory lever: the scan side is packed bytes, 1 B/dim; the probe
+    # records the byte shrink alongside time AND recall@5 so the 4× memory
+    # claim carries its quality cost.  Per-copy coordinate rotation keeps
+    # copies from being verbatim — same trick as the IVF/LSH probes.)
+    from pyspark_dist_explore_spark.operators.similarity import (
+        dimension_minmax,
+        exact_topk,
+        quantize_embeddings,
+        topk_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dim = len(emb.first().embedding)
+    emb10 = reduce(
+        DataFrame.unionAll,
+        [
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", i + 1, dim - i), F.slice("embedding", 1, i)
+                ).alias("embedding"),
+            )
+            for i in range(10)
+        ],
+    )
+    queries = emb.orderBy("vec_id").limit(20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def recall_quant(vectors: DataFrame) -> tuple[float, int, float]:
+        mm = dimension_minmax(vectors)
+        q = quantize_embeddings(vectors, mm)
+        t, _ = timed(topk_quantized(q, mm, queries, k=5))
+        got = {
+            (r.query_id, r.vec_id)
+            for r in topk_quantized(q, mm, queries, k=5).collect()
+        }
+        truth = {(r.query_id, r.vec_id) for r in exact_topk(vectors, queries, k=5).collect()}
+        return t, len(got), round(len(got & truth) / max(len(truth), 1), 3)
+
+    t1, n1, r1 = recall_quant(emb)
+    t10, n10, r10 = recall_quant(emb10)
+    packed_bytes = dim  # 1 byte/dim vs 4 (float32) / 8 (double)
+    print(json.dumps({"probe": "topk_quantized", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10,
+                      "recall_1x": r1, "recall_10x": r10,
+                      "bytes_per_vec_packed": packed_bytes,
+                      "bytes_per_vec_f32": 4 * dim,
+                      "ratio": round(t10 / t1, 2)}))
+
     spark.stop()
 
 

@@ -1204,6 +1204,23 @@ def test_deregistered_part_queries_match_duckdb(spark):
     compare(spark, SF_SMOKE, q_unpivot_part_metrics, UNPIVOT_PART_ORACLE)
 
 
+def test_deregistered_join_queries_match_duckdb(spark):
+    """join_semi_anti and join_left_outer were merged into the registered
+    join_variants (round 5, freeing a slot for corpus_shuffle_shards);
+    the original builders stay callable with their oracles pinned here."""
+    from pyspark_dist_explore_spark.plans.extended import (
+        JOIN_LEFT_OUTER_ORACLE,
+        JOIN_SEMI_ANTI_ORACLE,
+        q_join_left_outer,
+        q_join_semi_anti,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    compare(spark, SF_SMOKE, q_join_semi_anti, JOIN_SEMI_ANTI_ORACLE)
+    compare(spark, SF_SMOKE, q_join_left_outer, JOIN_LEFT_OUTER_ORACLE)
+
+
 def test_token_budget_stratified_semantics(spark):
     """Direct semantics pin for select_by_token_budget_stratified:
     budgets admit whole quality bins from the top until the budget
@@ -1503,3 +1520,95 @@ def test_chunk_documents_validation(spark):
         chunk_documents(docs, "text", "doc_id", max_tokens=10, overlap=10)
     with _pytest.raises(ValueError, match="max_tokens"):
         chunk_documents(docs, "text", "doc_id", max_tokens=0)
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization (similarity.quantize_embeddings)
+# --------------------------------------------------------------------------
+
+
+def test_quantize_codes_match_duckdb(spark):
+    """The affine int8 codes are deterministic arithmetic — the whole
+    (minmax → scale → round) chain must be bit-identical to the DuckDB
+    twin at every position of every vector."""
+    from pyspark_dist_explore_spark.operators.similarity import (
+        dimension_minmax,
+        quantize_embeddings,
+        quantize_codes_sql,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        mm = dimension_minmax(emb, vec_col="embedding")
+        return quantize_embeddings(emb, mm, id_col="vec_id", vec_col="embedding").select(
+            "vec_id", "codes"
+        )
+
+    compare(
+        spark,
+        SF_SMOKE,
+        build,
+        quantize_codes_sql("SELECT vec_id, embedding FROM embeddings"),
+    )
+
+
+def test_quantize_pack_roundtrip_and_error_bound(spark):
+    """packed is a pure byte re-encode of codes (exact round-trip), and
+    dequantization error is bounded by half a step per dimension."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        dimension_minmax,
+        quantize_embeddings,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    mm = dimension_minmax(emb)
+    quant = quantize_embeddings(emb, mm, id_col="vec_id").withColumnRenamed(
+        "vec_id", "qid"
+    )
+    rows = (
+        quant.join(emb, quant.qid == emb.vec_id)
+        .select("codes", "packed", "embedding")
+        .limit(200)
+        .collect()
+    )
+    mm_rows = sorted(mm.collect(), key=lambda r: r.dim)
+    lo = np.array([r.lo for r in mm_rows])
+    hi = np.array([r.hi for r in mm_rows])
+    step = (hi - lo) / 255.0
+    assert len(rows) == 200
+    for r in rows:
+        assert list(np.frombuffer(r.packed, dtype=np.uint8)) == r.codes
+        x = np.array(r.embedding, dtype=np.float64)
+        xq = lo + np.array(r.codes, dtype=np.float64) * step
+        assert np.all(np.abs(x - xq) <= step / 2 + 1e-9)
+
+
+def test_topk_quantized_recall_vs_exact(spark):
+    """8-bit quantization must preserve neighbor structure: recall@5 of
+    the packed-code scan vs the exact float scan ≥ 0.9 (measured; the
+    memory win is 4-8x, the recall cost should be ~none)."""
+    from pyspark_dist_explore_spark.operators.similarity import (
+        dimension_minmax,
+        exact_topk,
+        quantize_embeddings,
+        topk_quantized,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = exact_topk(emb, queries, k=5)
+    mm = dimension_minmax(emb)
+    quant = topk_quantized(quantize_embeddings(emb, mm), mm, queries, k=5)
+    truth = {(r.query_id, r.vec_id) for r in exact.collect()}
+    got = {(r.query_id, r.vec_id) for r in quant.collect()}
+    assert len(truth) == 25 and len(got) == 25
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"quantized recall@5 {recall} < 0.9"
