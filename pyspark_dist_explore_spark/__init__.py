@@ -38,6 +38,7 @@ from pyspark_dist_explore_spark.operators.similarity import (
     dimension_minmax,
     exact_topk,
     ivf_topk,
+    ivf_topk_packed,
     quantize_embeddings,
     topk_quantized,
 )
@@ -129,6 +130,7 @@ __all__ = [
     "cosine_neardup_pairs",
     "ann_lsh_topk",
     "ivf_topk",
+    "ivf_topk_packed",
     "dimension_minmax",
     "quantize_embeddings",
     "topk_quantized",

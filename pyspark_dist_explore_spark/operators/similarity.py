@@ -471,6 +471,41 @@ def dimension_minmax(
     )
 
 
+def _minmax_row(minmax: DataFrame) -> DataFrame:
+    """Collapse the (dim, lo, hi) table to ONE row of dim-ordered lo/hi
+    arrays — the broadcast-able form every quantized path joins on."""
+    return (
+        minmax.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "lo", "hi"))).alias("s"))
+        .select(
+            F.transform("s", lambda r: r["lo"]).alias("los"),
+            F.transform("s", lambda r: r["hi"]).alias("his"),
+        )
+    )
+
+
+def _make_dot_packed(bits: int):
+    """Arrow-batched cosine of packed uint8 codes against float unit
+    vectors: frombuffer-unpack, affine dequantize, row-normalize, one
+    einsum per batch — floats never exist outside the batch."""
+    levels = float((1 << bits) - 1)
+
+    @F.pandas_udf(DoubleType())
+    def _dot_packed(
+        packed: pd.Series, qv: pd.Series, los: pd.Series, his: pd.Series
+    ) -> pd.Series:
+        C = np.stack(packed.map(lambda b: np.frombuffer(b, dtype=np.uint8)).to_numpy())
+        lo = np.stack(los.to_numpy())
+        hi = np.stack(his.to_numpy())
+        X = lo + C.astype(np.float64) * (hi - lo) / levels
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0.0] = 1.0
+        Q = np.stack(qv.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", X / n[:, None], Q))
+
+    return _dot_packed
+
+
 def quantize_embeddings(
     vectors: DataFrame,
     minmax: DataFrame,
@@ -497,14 +532,7 @@ def quantize_embeddings(
     if not 1 <= bits <= 8:
         raise ValueError(f"bits must be in [1, 8] (one packed byte per dim), got {bits}")
     levels = (1 << bits) - 1
-    arrs = minmax.groupBy().agg(
-        F.array_sort(
-            F.collect_list(F.struct("dim", "lo", "hi"))
-        ).alias("s")
-    ).select(
-        F.transform("s", lambda r: r["lo"]).alias("los"),
-        F.transform("s", lambda r: r["hi"]).alias("his"),
-    )
+    arrs = _minmax_row(minmax)
     coded = vectors.crossJoin(F.broadcast(arrs)).select(
         F.col(id_col).alias("vec_id"),
         F.transform(
@@ -548,28 +576,11 @@ def topk_quantized(
     pytest (8-bit keeps neighbor order almost everywhere; the residual
     is bounded by the per-dim step (hi-lo)/255).
     """
-    levels = float((1 << bits) - 1)
-    arrs = minmax.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("dim", "lo", "hi"))).alias("s")
-    ).select(
-        F.transform("s", lambda r: r["lo"]).alias("los"),
-        F.transform("s", lambda r: r["hi"]).alias("his"),
-    )
+    arrs = _minmax_row(minmax)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
     )
-
-    @F.pandas_udf(DoubleType())
-    def _dot_packed(packed: pd.Series, qv: pd.Series, los: pd.Series, his: pd.Series) -> pd.Series:
-        C = np.stack(packed.map(lambda b: np.frombuffer(b, dtype=np.uint8)).to_numpy())
-        lo = np.stack(los.to_numpy())
-        hi = np.stack(his.to_numpy())
-        X = lo + C.astype(np.float64) * (hi - lo) / levels
-        n = np.linalg.norm(X, axis=1)
-        n[n == 0.0] = 1.0
-        Q = np.stack(qv.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", X / n[:, None], Q))
-
+    _dot_packed = _make_dot_packed(bits)
     scored = (
         quantized.crossJoin(F.broadcast(arrs))
         .crossJoin(F.broadcast(q))
@@ -585,6 +596,113 @@ def topk_quantized(
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def ivf_topk_packed(
+    quantized: DataFrame,
+    minmax: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    fit_sample_mod: int | None = 4,
+    bits: int = 8,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over PACKED int8 codes — the composed 100 TB path:
+    bucketed candidate generation (scan ~n_probe/n_centroids of the
+    corpus per query) over vectors that are 4× smaller than float32.
+
+    The corpus side stays ``packed`` end-to-end: centroid assignment
+    and final scoring both go through the Arrow packed-dot (dequantize
+    per batch, one einsum); floats exist corpus-side ONLY for the
+    KMeans fit, which dequantizes just the deterministic hash sample
+    (~1/``fit_sample_mod``) row-locally in the JVM.  With
+    ``n_probe == n_centroids`` the result is exactly
+    :func:`topk_quantized` (every list scanned) — pinned in pytest.
+    """
+    arrs = _minmax_row(minmax)
+    _dot_packed = _make_dot_packed(bits)
+    levels = float((1 << bits) - 1)
+
+    # fit-side dequantization (sample only): codes -> lo + c*(hi-lo)/levels,
+    # a row-local JVM transform — no Python, no shuffle
+    def _dequant(codes: Column) -> Column:
+        return F.transform(
+            codes,
+            lambda c, i: F.element_at(F.col("los"), i + 1)
+            + c.cast("double")
+            * (
+                F.element_at(F.col("his"), i + 1) - F.element_at(F.col("los"), i + 1)
+            )
+            / F.lit(levels),
+        )
+
+    fit_src = quantized.crossJoin(F.broadcast(arrs)).select(
+        "vec_id", _unit(_dequant(F.col("codes"))).alias("vv")
+    )
+    cents = F.broadcast(
+        kmeans_centroids(
+            fit_src, n_centroids, id_col="vec_id", fit_sample_mod=fit_sample_mod
+        )
+    )
+    # nearest-centroid assignment over packed codes: same map-side
+    # max_by collapse as ivf_topk, but the corpus column is 1 byte/dim
+    assigned = (
+        quantized.select("vec_id", "packed")
+        .crossJoin(F.broadcast(arrs))
+        .crossJoin(cents)
+        .select(
+            "vec_id",
+            "packed",
+            "cent_id",
+            _dot_packed(F.col("packed"), F.col("cv"), F.col("los"), F.col("his")).alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cent_id", "packed"),
+                F.struct(F.col("sim"), (-F.col("cent_id")).alias("neg_cent")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id", F.col("best.packed").alias("packed"), F.col("best.cent_id").alias("cent_id")
+        )
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.crossJoin(cents)
+        .select("query_id", "qv", "cent_id", _dot_arrow(F.col("qv"), F.col("cv")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(arrs))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot_packed(F.col("packed"), F.col("qv"), F.col("los"), F.col("his")), 6
+            ).alias("cos_sim"),
+        )
+        .distinct()  # a (query, vec) pair can meet in several probed lists
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos_sim")
     )
