@@ -23,6 +23,7 @@ from pyspark_dist_explore_spark.operators.histogram import (
     compute_kde,
 )
 from pyspark_dist_explore_spark.operators.dedup import (
+    containment_pairs,
     exact_dedup,
     fingerprint_dedup,
     incremental_dedup,
@@ -120,6 +121,7 @@ __all__ = [
     "fingerprint_dedup",
     "incremental_dedup",
     "jaccard_pairs_exact",
+    "containment_pairs",
     "minhash_neardup",
     "minhash_pair_fn",
     "neardup_clusters",

@@ -830,3 +830,79 @@ def incremental_dedup(
     )
     verified_new = cand.join(F.broadcast(confirmed), "fingerprint", "left_anti")
     return sure_new.unionByName(verified_new)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.8,
+    k: int = 5,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+    max_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: does one document CONTAIN another?
+
+    Jaccard-style symmetric similarity misses the commonest crawl shape —
+    a short article embedded in a long page full of boilerplate (sim is
+    low, but the article is 100% copied).  Containment
+    ``C(A→B) = |fp(A) ∩ fp(B)| / |fp(A)|`` catches it: ~1.0 whenever A's
+    passages all appear in B, whatever B's extra bulk.
+
+    Built on winnowing fingerprints (:func:`textstats
+    .winnowing_fingerprints` — any shared passage of ≥ k+window-1 words
+    yields a shared fingerprint, storing ~1/window of the grams), so the
+    estimate is passage-level, not token-level.  Output:
+    ``(id_a, id_b, shared, n_a, n_b, containment_a, containment_b)``
+    with ``id_a < id_b`` and ``max(containment_a, containment_b) >=
+    threshold``; ``containment_a`` is the fraction of A's fingerprints
+    found in B (A-contained-in-B when ~1).
+
+    Scale shape — same family as the LSH band join: pairs are generated
+    ONLY through shared-fingerprint buckets (equi-join on fingerprint,
+    shuffle keyed by fingerprint), never all-pairs.  ``max_df`` drops
+    fingerprints appearing in more than that many documents first:
+    boilerplate grams (nav bars, footers) are exactly the ones that
+    would make a bucket quadratic, and they carry no containment signal.
+    Ratios are over the post-``max_df`` fingerprint sets (documented
+    semantics: boilerplate passages don't count toward containment).
+    """
+    from pyspark_dist_explore_spark.operators.textstats import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(
+        df, text_col, id_col, k=k, window=window, hash_fn=hash_fn
+    )
+    common = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") <= max_df)
+        .select("fingerprint")
+    )
+    kept = fps.join(common, "fingerprint", "left_semi")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.round(F.col("shared") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("shared") / F.col("n_b"), 6).alias("containment_b"),
+        )
+        .where(F.greatest("containment_a", "containment_b") >= threshold)
+    )

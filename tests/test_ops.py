@@ -1667,3 +1667,75 @@ def test_ivf_packed_recall_floor(spark):
     truth = {(r.query_id, r.vec_id) for r in exact_topk(emb, queries, k=5).collect()}
     recall = len(got & truth) / len(truth)
     assert recall >= 0.4, f"packed IVF recall@5 {recall} < 0.4"
+
+
+# --------------------------------------------------------------------------
+# containment detection (dedup.containment_pairs)
+# --------------------------------------------------------------------------
+
+
+def test_containment_pairs_match_duckdb(spark):
+    """The full chain (winnowing md5 fps -> max_df filter -> bucketed
+    pair join -> asymmetric ratios) hash-matches a DuckDB twin built on
+    the registered winnowing oracle SQL."""
+    from pyspark_dist_explore_spark.operators.dedup import containment_pairs
+    from pyspark_dist_explore_spark.plans.llm_ops import _winnowing_oracle
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return containment_pairs(
+            docs, "text", "doc_id", threshold=0.5, hash_fn="md5", max_df=50
+        )
+
+    fp_sql = _winnowing_oracle(k=5, window=4)
+    oracle = f"""
+WITH fps AS ({fp_sql}),
+common AS (
+  SELECT fingerprint FROM fps GROUP BY fingerprint HAVING count(*) <= 50
+),
+kept AS (SELECT f.* FROM fps f SEMI JOIN common c ON f.fingerprint = c.fingerprint),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared, na.n_fp AS n_a, nb.n_fp AS n_b,
+       round(CAST(shared AS DOUBLE) / na.n_fp, 6) AS containment_a,
+       round(CAST(shared AS DOUBLE) / nb.n_fp, 6) AS containment_b
+FROM shared JOIN sizes na ON shared.id_a = na.doc_id
+            JOIN sizes nb ON shared.id_b = nb.doc_id
+WHERE greatest(round(CAST(shared AS DOUBLE) / na.n_fp, 6),
+               round(CAST(shared AS DOUBLE) / nb.n_fp, 6)) >= 0.5
+"""
+    compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_containment_pairs_planted_asymmetric(spark):
+    """A short doc pasted verbatim inside a much longer one must surface
+    with containment ~1.0 for the short side while symmetric Jaccard
+    (the minhash/simhash view) stays low — the case this operator
+    exists for."""
+    from pyspark_dist_explore_spark.operators.dedup import containment_pairs
+
+    article = " ".join(f"word{i} token{i * 7 % 13}" for i in range(40))
+    filler = " ".join(f"boiler{i} chrome{i * 3 % 11}" for i in range(400))
+    rows = [
+        (1, article),
+        (2, filler[: len(filler) // 2] + " " + article + " " + filler[len(filler) // 2 :]),
+        (3, "completely unrelated text " + " ".join(f"z{i}" for i in range(60))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r
+        for r in containment_pairs(
+            docs, "text", "doc_id", threshold=0.8, max_df=10
+        ).collect()
+    }
+    assert (1, 2) in got, f"planted containment pair missing: {got.keys()}"
+    r = got[(1, 2)]
+    assert r.containment_a >= 0.9  # nearly all of doc 1's passages are in doc 2
+    assert r.containment_b <= 0.5  # doc 2 is mostly its own bulk
+    assert (1, 3) not in got and (2, 3) not in got
