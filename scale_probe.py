@@ -345,6 +345,20 @@ def main() -> None:
     print(json.dumps({"probe": "shuffle_shards", "t_1x": t1, "t_10x": t10,
                       "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- containment pairs: 10× docs, token-disjoint copies ----------------
+    # (pairs flow ONLY through shared-fingerprint buckets + the max_df
+    # boilerplate drop, so pair output must scale ~10× and time ~linearly)
+    from pyspark_dist_explore_spark.operators.dedup import containment_pairs
+
+    t1, n1 = timed(
+        containment_pairs(docs, "text", "doc_id", threshold=0.5, max_df=100)
+    )
+    t10, n10 = timed(
+        containment_pairs(docs10, "text", "doc_id", threshold=0.5, max_df=100)
+    )
+    print(json.dumps({"probe": "containment_pairs", "t_1x": t1, "t_10x": t10,
+                      "pairs_1x": n1, "pairs_10x": n10, "ratio": round(t10 / t1, 2)}))
+
     # -- int8-quantized top-k scan: 10× vectors, recall vs exact -----------
     # (the memory lever: the scan side is packed bytes, 1 B/dim; the probe
     # records the byte shrink alongside time AND recall@5 so the 4× memory
