@@ -73,7 +73,11 @@ from pyspark_dist_explore_spark.sources.sinks import (
     write_bucketed_table,
     write_partitioned,
 )
-from pyspark_dist_explore_spark.pipeline import curate_documents, minhash_pair_fn
+from pyspark_dist_explore_spark.pipeline import (
+    containment_pair_fn,
+    curate_documents,
+    minhash_pair_fn,
+)
 from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
     language_id,
@@ -124,6 +128,7 @@ __all__ = [
     "containment_pairs",
     "minhash_neardup",
     "minhash_pair_fn",
+    "containment_pair_fn",
     "neardup_clusters",
     "shingle_rows",
     "simhash_neardup",

@@ -98,6 +98,38 @@ def minhash_pair_fn(
     return fn
 
 
+def containment_pair_fn(
+    *,
+    threshold: float = 0.8,
+    k: int = 5,
+    window: int = 4,
+    max_df: int = 1000,
+) -> PairFn:
+    """Ready-made asymmetric-containment ``pair_fn`` for
+    :func:`curate_documents` — catches the crawl shape symmetric
+    Jaccard misses (a short article embedded verbatim in a long
+    boilerplate page) and folds those pairs into the same cluster
+    resolution, so the short-in-long copy and its host collapse to one
+    survivor.  Bucketed like the MinHash path (pairs only through
+    shared winnowing fingerprints, ``max_df`` boilerplate drop), so it
+    is a drop-in scale-safe alternative/complement; to combine both
+    signals union the two pair frames in a custom ``pair_fn``.
+    """
+
+    def fn(kept: DataFrame) -> DataFrame:
+        return dedup.containment_pairs(
+            kept,
+            "__text",
+            "doc_id",
+            threshold=threshold,
+            k=k,
+            window=window,
+            max_df=max_df,
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+
+    return fn
+
+
 def _check_snapshot_dir_overwritable(spark, snapshot_dir: str) -> None:
     """Refuse to ``mode("overwrite")`` a non-empty directory that does not
     look like a previous snapshot (no ``_SUCCESS`` marker): a typo'd

@@ -408,3 +408,31 @@ def test_curate_token_budget_stage(spark):
         curate_documents(
             docs, "text", "doc_id", token_budget=1, token_budgets={"en": 1}
         )
+
+
+def test_curate_pluggable_containment_pair_fn(spark):
+    """Plant a short-doc-inside-long-page pair (low Jaccard — the
+    MinHash stage would keep both) and curate with the containment
+    pair_fn: the pair must collapse to one survivor (min id), while the
+    output contract holds."""
+    from pyspark_dist_explore_spark.pipeline import containment_pair_fn
+
+    docs = _docs(spark).limit(40)
+    base = docs.where(F.col("doc_id") == 0).select("text").first().text
+    host = spark.createDataFrame(
+        [(2_000_000, " ".join(f"boiler{i}" for i in range(300)) + " " + base)],
+        ["doc_id", "text"],
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("web")).withColumn(
+        "n_chars", F.length("text")
+    )
+    out = curate_documents(
+        docs.unionByName(host),
+        "text",
+        "doc_id",
+        min_quality=0.0,
+        pair_fn=containment_pair_fn(threshold=0.8, max_df=50),
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 0 in kept, "the short original (min id) survives"
+    assert 2_000_000 not in kept, "the containing host is clustered with it and dropped"
+    assert out.columns == ["doc_id", "lang_pred", "quality", "split"]
