@@ -526,8 +526,11 @@ def quantize_embeddings(
     and 8× vs the double arrays Spark shuffles otherwise: at 100 TB of
     embeddings this is the difference between an ANN index that fits
     executor memory and one that spills.  Degenerate dims (lo == hi)
-    code to 0.  Codes are deterministic ⇒ DuckDB-twin-checkable
-    (pinned in tests/test_ops.py).
+    and NULL elements code to 0; values outside [lo, hi] saturate —
+    so coding NEW vectors against a SAVED minmax (the incremental
+    path: fit stats once, reuse per batch) is safe by construction.
+    Codes are deterministic ⇒ DuckDB-twin-checkable (pinned in
+    tests/test_ops.py).
     """
     if not 1 <= bits <= 8:
         raise ValueError(f"bits must be in [1, 8] (one packed byte per dim), got {bits}")
@@ -537,14 +540,31 @@ def quantize_embeddings(
         F.col(id_col).alias("vec_id"),
         F.transform(
             _as_double(F.col(vec_col)),
-            lambda x, i: F.when(
-                F.element_at(F.col("his"), i + 1) > F.element_at(F.col("los"), i + 1),
-                F.round(
-                    (x - F.element_at(F.col("los"), i + 1))
-                    / (F.element_at(F.col("his"), i + 1) - F.element_at(F.col("los"), i + 1))
-                    * F.lit(float(levels))
-                ).cast("int"),
-            ).otherwise(F.lit(0)),
+            # clamp to [0, levels]: when coding NEW vectors against a
+            # SAVED minmax (the incremental case — no per-batch re-fit),
+            # out-of-range values saturate instead of wrapping in the
+            # uint8 pack; NULL elements code to 0 (documented, like
+            # degenerate dims) rather than crashing the Arrow pack
+            lambda x, i: F.coalesce(
+                F.when(
+                    F.element_at(F.col("his"), i + 1) > F.element_at(F.col("los"), i + 1),
+                    F.least(
+                        F.lit(levels),
+                        F.greatest(
+                            F.lit(0),
+                            F.round(
+                                (x - F.element_at(F.col("los"), i + 1))
+                                / (
+                                    F.element_at(F.col("his"), i + 1)
+                                    - F.element_at(F.col("los"), i + 1)
+                                )
+                                * F.lit(float(levels))
+                            ).cast("int"),
+                        ),
+                    ),
+                ).otherwise(F.lit(0)),
+                F.lit(0),
+            ),
         ).alias("codes"),
     )
     return coded.withColumn("packed", _pack_codes(F.col("codes")))
@@ -734,10 +754,11 @@ mm AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM exploded GROUP BY dim)
 SELECT v.{id_col} AS vec_id,
        list_transform(
          list_zip(v.{vec_col}, range(1, len(v.{vec_col}) + 1)),
-         p -> CASE WHEN mmh.his[p[2]] > mml.los[p[2]]
-                   THEN CAST(round((CAST(p[1] AS DOUBLE) - mml.los[p[2]])
-                        / (mmh.his[p[2]] - mml.los[p[2]]) * {levels}) AS INT)
-                   ELSE 0 END
+         p -> COALESCE(CASE WHEN mmh.his[p[2]] > mml.los[p[2]]
+                   THEN LEAST({levels}, GREATEST(0,
+                        CAST(round((CAST(p[1] AS DOUBLE) - mml.los[p[2]])
+                        / (mmh.his[p[2]] - mml.los[p[2]]) * {levels}) AS INT)))
+                   ELSE 0 END, 0)
        ) AS codes
 FROM v,
      (SELECT list(lo ORDER BY dim) AS los FROM mm) mml,

@@ -1739,3 +1739,28 @@ def test_containment_pairs_planted_asymmetric(spark):
     assert r.containment_a >= 0.9  # nearly all of doc 1's passages are in doc 2
     assert r.containment_b <= 0.5  # doc 2 is mostly its own bulk
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_quantize_saturates_new_vectors_against_saved_minmax(spark):
+    """The incremental path: coding NEW vectors against a SAVED minmax
+    must saturate out-of-range values to [0, 255] (never wrap in the
+    uint8 pack) and code NULL elements to 0."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        dimension_minmax,
+        quantize_embeddings,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 10.0])], ["vec_id", "embedding"]
+    )
+    mm = dimension_minmax(base)
+    newv = spark.createDataFrame(
+        [(2, [5.0, -3.0]), (3, [None, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(newv, mm).collect()}
+    assert rows[2].codes == [255, 0]  # above hi saturates, below lo floors
+    assert rows[3].codes[0] == 0  # NULL element codes to 0
+    assert list(np.frombuffer(rows[2].packed, dtype=np.uint8)) == [255, 0]
