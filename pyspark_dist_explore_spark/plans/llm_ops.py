@@ -902,6 +902,57 @@ def q_text_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_oracle(*, threshold: float, max_df: int, k: int, window: int) -> str:
+    """DuckDB twin of ``dedup.containment_pairs(hash_fn='md5')``: the
+    registered winnowing-fingerprint twin as a CTE, then the identical
+    max_df boilerplate drop, bucketed shared-count join, and
+    per-direction containment ratios."""
+    fp_sql = _winnowing_oracle(k=k, window=window)
+    return f"""
+WITH fps AS ({fp_sql}),
+common AS (
+  SELECT fingerprint FROM fps GROUP BY fingerprint HAVING count(*) <= {max_df}
+),
+kept AS (SELECT f.* FROM fps f SEMI JOIN common c ON f.fingerprint = c.fingerprint),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared, na.n_fp AS n_a, nb.n_fp AS n_b,
+       round(CAST(shared AS DOUBLE) / na.n_fp, 6) AS containment_a,
+       round(CAST(shared AS DOUBLE) / nb.n_fp, 6) AS containment_b
+FROM shared JOIN sizes na ON shared.id_a = na.doc_id
+            JOIN sizes nb ON shared.id_b = nb.doc_id
+WHERE greatest(round(CAST(shared AS DOUBLE) / na.n_fp, 6),
+               round(CAST(shared AS DOUBLE) / nb.n_fp, 6)) >= {threshold}
+"""
+
+
+@register(
+    "neardup_containment",
+    _containment_oracle(threshold=0.5, max_df=50, k=5, window=4),
+)
+def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (X16): the crawl near-dup shape
+    symmetric Jaccard misses — a short doc embedded verbatim in a long
+    boilerplate page scores low Jaccard but C(A→B)=|fp∩|/|fp(A)| ≈ 1.
+
+    Registered with the md5 winnowing variant so the ENTIRE chain
+    (fingerprints → max_df boilerplate drop → bucketed pair join →
+    per-direction ratios) is DuckDB-hash-checked; pairs flow only
+    through shared-fingerprint buckets (LSH-band family, never
+    all-pairs) and the max_df drop caps bucket width — 10× probe 1.17×
+    with pair output exactly 10×."""
+    from pyspark_dist_explore_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id", threshold=0.5, hash_fn="md5", max_df=50
+    )
+
+
 @register("vector_ann_topk", None)  # probe subsets differ from full scan → rows-only
 def q_vector_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both ANN scale paths for similarity search in one tagged result:

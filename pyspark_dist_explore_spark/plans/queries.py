@@ -127,14 +127,22 @@ _ACCTBAL = [
 HIST_MULTI_SERIES_SPARSE_ORACLE = _hist_oracle(_ACCTBAL, bins=10)
 
 
-@register("hist_multi_series", _hist_oracle(_ACCTBAL, bins=10, dense=True))
+#: deregistered late round 5 — `hist_pivot_pandas_shape` pins the SAME
+#: machinery (compute_histogram_dense over the same two acctbal
+#: sources: one-job global min/max, shared bins, per-bin counts, dense
+#: zero-fill) plus the pivot, so the long format no longer earned its
+#: own slot; freed for ``neardup_containment``.  Oracle stays pinned in
+#: tests/test_histogram.py.
+HIST_MULTI_SERIES_DENSE_ORACLE = _hist_oracle(_ACCTBAL, bins=10, dense=True)
+
+
 def q_hist_multi_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4/R5/R6 + R9 in one registration (merged round 5 to free a
-    driver slot for ``decontaminate_eval``): two frames (customer,
-    supplier acctbal) share global one-job min/max bins, and the result
-    is the DENSE zero-filled (series, bucket) grid — its cnt>0 rows ARE
-    the sparse histogram, so this single oracle pins the shared-range
-    arithmetic, the per-bin counts, and the dense fill."""
+    """R4/R5/R6 + R9 in one query: two frames (customer, supplier
+    acctbal) share global one-job min/max bins; the result is the DENSE
+    zero-filled (series, bucket) grid — its cnt>0 rows ARE the sparse
+    histogram.  Deregistered late round 5 (coverage rides in
+    ``hist_pivot_pandas_shape``, same sources + dense machinery);
+    ``HIST_MULTI_SERIES_DENSE_ORACLE`` stays pinned in pytest."""
     return compute_histogram_dense(_hist_sources(spark, sf_dir, _ACCTBAL), bins=10)
 
 

@@ -159,10 +159,12 @@ def test_retired_histogram_oracles_still_green(spark):
     from pyspark_dist_explore_spark.plans.queries import (
         HIST_DENSITY_ORACLE,
         HIST_KDE_ORACLE,
+        HIST_MULTI_SERIES_DENSE_ORACLE,
         HIST_MULTI_SERIES_SPARSE_ORACLE,
         q_hist_density,
         q_hist_dense_fill,
         q_hist_kde_curve,
+        q_hist_multi_series,
         q_hist_multi_series_sparse,
     )
     from tests.conftest import SF_SMOKE
@@ -171,14 +173,14 @@ def test_retired_histogram_oracles_still_green(spark):
     compare(
         spark, SF_SMOKE, q_hist_multi_series_sparse, HIST_MULTI_SERIES_SPARSE_ORACLE
     )
+    # hist_multi_series itself deregistered LATE round 5 (coverage rides
+    # in the registered hist_pivot_pandas_shape, same sources + dense
+    # machinery; slot freed for neardup_containment) — oracle pinned here
+    compare(spark, SF_SMOKE, q_hist_multi_series, HIST_MULTI_SERIES_DENSE_ORACLE)
     compare(spark, SF_SMOKE, q_hist_density, HIST_DENSITY_ORACLE)
     compare(spark, SF_SMOKE, q_hist_kde_curve, HIST_KDE_ORACLE)
-    # hist_dense_fill is now the same plan as the registered
-    # hist_multi_series — assert they agree rather than re-oracle it
+    # hist_dense_fill is the same plan as q_hist_multi_series —
+    # assert they agree rather than re-oracle it
     a = sorted(map(tuple, q_hist_dense_fill(spark, SF_SMOKE).collect()))
-    from pyspark_dist_explore_spark.plans.queries import REGISTRY
-
-    b = sorted(
-        map(tuple, REGISTRY["hist_multi_series"].build(spark, SF_SMOKE).collect())
-    )
+    b = sorted(map(tuple, q_hist_multi_series(spark, SF_SMOKE).collect()))
     assert a == b

@@ -1674,43 +1674,21 @@ def test_ivf_packed_recall_floor(spark):
 # --------------------------------------------------------------------------
 
 
-def test_containment_pairs_match_duckdb(spark):
-    """The full chain (winnowing md5 fps -> max_df filter -> bucketed
-    pair join -> asymmetric ratios) hash-matches a DuckDB twin built on
-    the registered winnowing oracle SQL."""
+def test_containment_xxhash_variant_runs(spark):
+    """The registered neardup_containment query (md5 variant) is
+    oracle-checked by test_oracle_parity; the faster xxhash64 library
+    default shares every stage but the gram hash — pin that it runs and
+    emits the same SCHEMA (which grams winnow out is hash-dependent by
+    design, so sets are pinned per-variant, not cross-variant)."""
     from pyspark_dist_explore_spark.operators.dedup import containment_pairs
-    from pyspark_dist_explore_spark.plans.llm_ops import _winnowing_oracle
     from tests.conftest import SF_SMOKE
-    from tests.oracle_utils import compare
 
-    def build(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return containment_pairs(
-            docs, "text", "doc_id", threshold=0.5, hash_fn="md5", max_df=50
-        )
-
-    fp_sql = _winnowing_oracle(k=5, window=4)
-    oracle = f"""
-WITH fps AS ({fp_sql}),
-common AS (
-  SELECT fingerprint FROM fps GROUP BY fingerprint HAVING count(*) <= 50
-),
-kept AS (SELECT f.* FROM fps f SEMI JOIN common c ON f.fingerprint = c.fingerprint),
-sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM kept a JOIN kept b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, shared, na.n_fp AS n_a, nb.n_fp AS n_b,
-       round(CAST(shared AS DOUBLE) / na.n_fp, 6) AS containment_a,
-       round(CAST(shared AS DOUBLE) / nb.n_fp, 6) AS containment_b
-FROM shared JOIN sizes na ON shared.id_a = na.doc_id
-            JOIN sizes nb ON shared.id_b = nb.doc_id
-WHERE greatest(round(CAST(shared AS DOUBLE) / na.n_fp, 6),
-               round(CAST(shared AS DOUBLE) / nb.n_fp, 6)) >= 0.5
-"""
-    compare(spark, SF_SMOKE, build, oracle)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = containment_pairs(docs, "text", "doc_id", threshold=0.5, max_df=50)
+    assert out.columns == [
+        "id_a", "id_b", "shared", "n_a", "n_b", "containment_a", "containment_b",
+    ]
+    assert out.count() > 0
 
 
 def test_containment_pairs_planted_asymmetric(spark):
