@@ -871,6 +871,10 @@ def containment_pairs(
     """
     from pyspark_dist_explore_spark.operators.textstats import winnowing_fingerprints
 
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1 (it caps fingerprint doc-frequency), got {max_df}")
     fps = winnowing_fingerprints(
         df, text_col, id_col, k=k, window=window, hash_fn=hash_fn
     )

@@ -1742,3 +1742,15 @@ def test_quantize_saturates_new_vectors_against_saved_minmax(spark):
     assert rows[2].codes == [255, 0]  # above hi saturates, below lo floors
     assert rows[3].codes[0] == 0  # NULL element codes to 0
     assert list(np.frombuffer(rows[2].packed, dtype=np.uint8)) == [255, 0]
+
+
+def test_containment_pairs_validates_params(spark):
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="threshold"):
+        containment_pairs(docs, "text", "doc_id", threshold=0.0)
+    with _pytest.raises(ValueError, match="max_df"):
+        containment_pairs(docs, "text", "doc_id", max_df=0)
