@@ -842,6 +842,7 @@ def containment_pairs(
     window: int = 4,
     hash_fn: str = "xxhash64",
     max_df: int = 1000,
+    fp_rows: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: does one document CONTAIN another?
 
@@ -868,6 +869,15 @@ def containment_pairs(
     would make a bucket quadratic, and they carry no containment signal.
     Ratios are over the post-``max_df`` fingerprint sets (documented
     semantics: boilerplate passages don't count toward containment).
+
+    ``fp_rows=`` is the staged-input form (same pattern as
+    ``minhash_neardup(shingle_rows=)``): the lazy plan reads the
+    fingerprint build FOUR times (both pair-join sides, the doc-freq
+    aggregate, the per-doc sizes), so a caller who materializes
+    ``winnowing_fingerprints(...)`` once — ``localCheckpoint()`` or a
+    parquet write — and passes it here pays ONE scan instead of four.
+    Must be (doc_id, fingerprint) rows with k/window/hash_fn semantics
+    of this call (they are ignored when ``fp_rows`` is given).
     """
     from pyspark_dist_explore_spark.operators.textstats import winnowing_fingerprints
 
@@ -875,9 +885,15 @@ def containment_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if max_df < 1:
         raise ValueError(f"max_df must be >= 1 (it caps fingerprint doc-frequency), got {max_df}")
-    fps = winnowing_fingerprints(
-        df, text_col, id_col, k=k, window=window, hash_fn=hash_fn
-    )
+    if fp_rows is not None:
+        missing = {"doc_id", "fingerprint"} - set(fp_rows.columns)
+        if missing:
+            raise ValueError(f"fp_rows missing columns: {sorted(missing)}")
+        fps = fp_rows
+    else:
+        fps = winnowing_fingerprints(
+            df, text_col, id_col, k=k, window=window, hash_fn=hash_fn
+        )
     common = (
         fps.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("doc_freq"))

@@ -104,6 +104,7 @@ def containment_pair_fn(
     k: int = 5,
     window: int = 4,
     max_df: int = 1000,
+    stage: bool = True,
 ) -> PairFn:
     """Ready-made asymmetric-containment ``pair_fn`` for
     :func:`curate_documents` — catches the crawl shape symmetric
@@ -114,9 +115,21 @@ def containment_pair_fn(
     shared winnowing fingerprints, ``max_df`` boilerplate drop), so it
     is a drop-in scale-safe alternative/complement; to combine both
     signals union the two pair frames in a custom ``pair_fn``.
+
+    ``stage=True`` (default) materializes the winnowing fingerprints
+    once (``localCheckpoint``) and hands them to ``containment_pairs``
+    via its staged ``fp_rows=`` input — the lazy plan otherwise re-runs
+    the fingerprint build (and the upstream scoring scan) four times;
+    same lifetime pattern as :func:`minhash_pair_fn`.
     """
+    from pyspark_dist_explore_spark.operators.textstats import winnowing_fingerprints
 
     def fn(kept: DataFrame) -> DataFrame:
+        rows = None
+        if stage:
+            rows = winnowing_fingerprints(
+                kept, "__text", "doc_id", k=k, window=window
+            ).localCheckpoint()
         return dedup.containment_pairs(
             kept,
             "__text",
@@ -125,6 +138,7 @@ def containment_pair_fn(
             k=k,
             window=window,
             max_df=max_df,
+            fp_rows=rows,
         ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
 
     return fn

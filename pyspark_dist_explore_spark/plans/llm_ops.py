@@ -944,12 +944,22 @@ def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-direction ratios) is DuckDB-hash-checked; pairs flow only
     through shared-fingerprint buckets (LSH-band family, never
     all-pairs) and the max_df drop caps bucket width — 10× probe 1.17×
-    with pair output exactly 10×."""
+    with pair output exactly 10×.
+
+    Uses the staged ``fp_rows=`` input (fingerprints localCheckpoint-ed
+    ONCE at build — the lazy plan reads the fingerprint build 4×;
+    measured A/B at sf0.1: staged 2.3 s warm vs lazy 6.7 s, identical
+    263 pairs).  Same eager-at-build pattern as ``neardup_clusters``;
+    blocks release when the result is garbage-collected."""
     from pyspark_dist_explore_spark.operators.dedup import containment_pairs
+    from pyspark_dist_explore_spark.operators.textstats import winnowing_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(
+        docs, "text", "doc_id", k=5, window=4, hash_fn="md5"
+    ).localCheckpoint()
     return containment_pairs(
-        docs, "text", "doc_id", threshold=0.5, hash_fn="md5", max_df=50
+        docs, "text", "doc_id", threshold=0.5, hash_fn="md5", max_df=50, fp_rows=fps
     )
 
 

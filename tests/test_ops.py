@@ -1754,3 +1754,25 @@ def test_containment_pairs_validates_params(spark):
         containment_pairs(docs, "text", "doc_id", threshold=0.0)
     with _pytest.raises(ValueError, match="max_df"):
         containment_pairs(docs, "text", "doc_id", max_df=0)
+
+
+def test_containment_staged_fp_rows_matches_lazy(spark):
+    """fp_rows= staging is an execution-shape change only: staged and
+    lazy agree row for row, and a wrong-schema fp_rows fails fast."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.dedup import containment_pairs
+    from pyspark_dist_explore_spark.operators.textstats import winnowing_fingerprints
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+    lazy = containment_pairs(docs, "text", "doc_id", threshold=0.5, max_df=50)
+    rows = winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4).localCheckpoint()
+    staged = containment_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_df=50, fp_rows=rows
+    )
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, staged.collect()))
+    with _pytest.raises(ValueError, match="fp_rows missing"):
+        containment_pairs(
+            docs, "text", "doc_id", fp_rows=rows.withColumnRenamed("fingerprint", "fp")
+        )
