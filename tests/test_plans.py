@@ -338,3 +338,36 @@ def test_decontaminate_broadcast_probe_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_containment_staged_fp_rows_zero_parquet_scans(spark):
+    """With fp_rows= staged (localCheckpoint), every fingerprint consumer
+    in containment_pairs (both pair-join sides, doc-freq, sizes) reads
+    the staged blocks: the final plan has ZERO parquet scans and no
+    cartesian — the corpus text was scanned exactly once, when the stage
+    materialized."""
+    from pyspark_dist_explore_spark.operators.dedup import containment_pairs
+    from pyspark_dist_explore_spark.operators.textstats import winnowing_fingerprints
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").where("doc_id < 200")
+    rows = winnowing_fingerprints(docs, "text", "doc_id").localCheckpoint()
+    out = containment_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_df=50, fp_rows=rows
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shuffle_shards_registered_no_global_sort(spark):
+    """corpus_shuffle_shards must never plan a global order-by (a
+    single-partition funnel at scale): the only exchange is the window's
+    hash partition by shard."""
+    plan = _plan(spark, "corpus_shuffle_shards")
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("hashpartitioning(shard") == 1, plan
