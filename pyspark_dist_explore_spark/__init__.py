@@ -68,7 +68,11 @@ from pyspark_dist_explore_spark.operators.sampling import (
     stratified_sample,
     stratified_sample_hash,
 )
-from pyspark_dist_explore_spark.operators.stats import describe_exact, histogram_approx
+from pyspark_dist_explore_spark.operators.stats import (
+    describe_exact,
+    histogram_approx,
+    histogram_drift,
+)
 from pyspark_dist_explore_spark.sources.sinks import (
     write_bucketed_table,
     write_partitioned,
@@ -144,6 +148,7 @@ __all__ = [
     # stats / text
     "describe_exact",
     "histogram_approx",
+    "histogram_drift",
     "text_stats",
     "text_profile",
     "quality_score",

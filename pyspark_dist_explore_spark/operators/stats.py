@@ -123,3 +123,65 @@ def histogram_approx(df: DataFrame, col: str, *, bins: int = 10) -> DataFrame:
         .select(F.posexplode("h").alias("bucket", "bc"))
         .select("bucket", F.col("bc.x").alias("center"), F.col("bc.y").alias("weight"))
     )
+
+
+def histogram_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    *,
+    cur_col: str | None = None,
+    bins: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots — per-bin PSI
+    (population stability index) over a SHARED-range histogram:
+    ``(bucket, ref_cnt, cur_cnt, p, q, psi)`` with
+    ``psi = (p − q) · ln(p/q)``; sum the column for the headline score
+    (rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+    This is the reference's multi-series histogram core (ONE global
+    min/max job across BOTH frames → shared fixed-width bins → per-bin
+    counts → dense zero-fill) applied to the pipeline question "did this
+    crawl/quality-score/length distribution move since the last
+    snapshot?".  Zero-count bins are clamped to ``eps`` before the log —
+    the standard PSI smoothing, and what keeps the expression total.
+
+    Scale: the same 2-scans-total shape as any multi-series histogram
+    (stats job + count job, map-side partials, ≤ bins-row grid), so two
+    100 TB snapshots cost two scans, no extra shuffle.  Deterministic
+    double arithmetic, identical expression order on the DuckDB twin —
+    pinned in pytest (rounded to 10 dp to absorb libm ulp differences
+    in ``ln``).
+    """
+    from pyspark_dist_explore_spark.operators.histogram import compute_histogram_dense
+
+    dense = compute_histogram_dense(
+        [("ref", ref, col), ("cur", cur, cur_col or col)], bins=bins
+    )
+    pivoted = (
+        dense.groupBy("bucket")
+        .pivot("series", ["ref", "cur"])
+        .sum("cnt")
+        .select(
+            "bucket",
+            F.coalesce("ref", F.lit(0)).alias("ref_cnt"),
+            F.coalesce("cur", F.lit(0)).alias("cur_cnt"),
+        )
+    )
+    totals = pivoted.groupBy().agg(
+        F.sum("ref_cnt").alias("__tr"), F.sum("cur_cnt").alias("__tc")
+    )
+    p = F.greatest(F.col("ref_cnt") / F.col("__tr"), F.lit(eps))
+    q = F.greatest(F.col("cur_cnt") / F.col("__tc"), F.lit(eps))
+    return (
+        pivoted.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "ref_cnt",
+            "cur_cnt",
+            F.round(p, 10).alias("p"),
+            F.round(q, 10).alias("q"),
+            F.round((p - q) * F.log(p / q), 10).alias("psi"),
+        )
+    )

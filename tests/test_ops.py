@@ -1776,3 +1776,62 @@ def test_containment_staged_fp_rows_matches_lazy(spark):
         containment_pairs(
             docs, "text", "doc_id", fp_rows=rows.withColumnRenamed("fingerprint", "fp")
         )
+
+
+# --------------------------------------------------------------------------
+# distribution drift (stats.histogram_drift)
+# --------------------------------------------------------------------------
+
+
+def test_histogram_drift_matches_duckdb(spark):
+    """The whole PSI chain (shared-range dense histogram over two frames
+    -> pivot -> clamped ratios -> (p-q)ln(p/q)) hash-matches DuckDB at
+    10 dp."""
+    from pyspark_dist_explore_spark.operators.stats import histogram_drift
+    from pyspark_dist_explore_spark.plans.queries import _hist_oracle
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        return histogram_drift(c, s, "c_acctbal", cur_col="s_acctbal", bins=20)
+
+    hist_sql = _hist_oracle(
+        [("ref", "customer", "c_acctbal"), ("cur", "supplier", "s_acctbal")],
+        bins=20,
+        dense=True,
+    )
+    oracle = f"""
+WITH dense AS ({hist_sql}),
+piv AS (
+  SELECT bucket,
+         COALESCE(max(CASE WHEN series = 'ref' THEN cnt END), 0) AS ref_cnt,
+         COALESCE(max(CASE WHEN series = 'cur' THEN cnt END), 0) AS cur_cnt
+  FROM dense GROUP BY bucket
+),
+tot AS (SELECT sum(ref_cnt) AS tr, sum(cur_cnt) AS tc FROM piv)
+SELECT bucket, ref_cnt, cur_cnt,
+       round(greatest(ref_cnt / tr, 1e-06), 10) AS p,
+       round(greatest(cur_cnt / tc, 1e-06), 10) AS q,
+       round((greatest(ref_cnt / tr, 1e-06) - greatest(cur_cnt / tc, 1e-06))
+             * ln(greatest(ref_cnt / tr, 1e-06) / greatest(cur_cnt / tc, 1e-06)),
+             10) AS psi
+FROM piv, tot
+"""
+    compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_histogram_drift_semantics(spark):
+    """Identical snapshots score ~0; a shifted snapshot crosses the
+    'shifted' rule-of-thumb threshold (0.25)."""
+    from pyspark_dist_explore_spark.operators.stats import histogram_drift
+
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    same = histogram_drift(c, c, "c_acctbal", bins=20)
+    psi_same = same.agg(F.sum("psi")).first()[0]
+    assert abs(psi_same) < 1e-9
+    shifted = c.select((F.col("c_acctbal") * 1.5 + 2000).alias("c_acctbal"))
+    moved = histogram_drift(c, shifted, "c_acctbal", bins=20)
+    psi_moved = moved.agg(F.sum("psi")).first()[0]
+    assert psi_moved > 0.25, f"shifted distribution must flag drift, psi={psi_moved}"
