@@ -93,6 +93,7 @@ from pyspark_dist_explore_spark.operators.textstats import (
     text_stats,
     tfidf,
     tfidf_doc_vectors,
+    unigram_logprob_scores,
     winnowing_fingerprints,
     word2vec_embeddings,
 )
@@ -159,6 +160,7 @@ __all__ = [
     "term_frequencies",
     "tfidf",
     "tfidf_doc_vectors",
+    "unigram_logprob_scores",
     "word2vec_embeddings",
     # multimodal
     "encode_bmp",

@@ -481,3 +481,70 @@ def doc_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    lm_counts: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style perplexity filtering with a corpus-trained UNIGRAM
+    LM: ``(doc_id, n_tok, mean_logprob, ppl)`` where ``mean_logprob``
+    is the mean token log-probability under a Laplace-smoothed unigram
+    model and ``ppl = exp(−mean_logprob)``.  Gibberish / boilerplate /
+    wrong-language docs score far from the corpus bulk — filter by
+    percentile, exactly how CCNet buckets head/middle/tail.
+
+    ``lm_counts=`` (a ``(term, cnt)`` frame) trains the model on a
+    REFERENCE corpus (e.g. a clean wiki snapshot) instead of ``df``
+    itself — the realistic shape; unseen terms get the standard
+    ``alpha / (N + alpha·V)`` mass.  Default trains on ``df`` (useful
+    for outlier-vs-own-corpus scoring).
+
+    Determinism at any parallelism: per-term log-probs are scaled to
+    1e-6 fixed point (BIGINT) before the per-doc sum — the float sum
+    of ``tf·logp`` would be partial-aggregation-order-dependent; the
+    scaled-integer sum is exact, so the final doubles are bit-identical
+    across engines and partitionings (same technique as
+    ``functions/agg.scaled_sum``; DuckDB twin pinned in pytest).
+
+    Scale shape: term frequencies (one shuffle, map-side partials) →
+    term-keyed join against the LM (vocab-sized — broadcast when small,
+    shuffle join otherwise; Spark's AQE picks) → one per-doc aggregate.
+    The LM totals (N, V) are a 1-row aggregate, broadcast.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (Laplace smoothing mass), got {alpha}")
+    tf = term_frequencies(df, text_col, id_col)
+    lm = lm_counts if lm_counts is not None else tf.groupBy("term").agg(
+        F.sum("tf").alias("cnt")
+    )
+    totals = lm.groupBy().agg(
+        F.sum("cnt").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    # ln((cnt + alpha) / (N + alpha*V)), OOV -> cnt = 0; scaled to exact
+    # 1e-6 fixed point BEFORE the order-dependent per-doc sum
+    smoothed = (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha)) / (
+        F.col("__n").cast("double") + F.lit(alpha) * F.col("__v").cast("double")
+    )
+    slogp = F.round(F.log(smoothed) * F.lit(1e6)).cast("bigint")
+    scored = (
+        tf.join(lm, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "tf", slogp.alias("__slogp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("__slogp")).alias("__ssum"),
+        )
+    )
+    mean_lp = (F.col("__ssum").cast("double") / F.lit(1e6)) / F.col("n_tok").cast("double")
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        F.round(mean_lp, 10).alias("mean_logprob"),
+        F.round(F.exp(-mean_lp), 6).alias("ppl"),
+    )

@@ -1835,3 +1835,70 @@ def test_histogram_drift_semantics(spark):
     moved = histogram_drift(c, shifted, "c_acctbal", bins=20)
     psi_moved = moved.agg(F.sum("psi")).first()[0]
     assert psi_moved > 0.25, f"shifted distribution must flag drift, psi={psi_moved}"
+
+
+# --------------------------------------------------------------------------
+# unigram LM perplexity scoring (textstats.unigram_logprob_scores)
+# --------------------------------------------------------------------------
+
+
+def test_unigram_logprob_matches_duckdb(spark):
+    """The full chain (tokenize -> self-trained Laplace unigram LM ->
+    scaled-bigint per-doc logprob sum -> mean/ppl) hash-matches DuckDB
+    — the fixed-point sum makes the float result partial-aggregation-
+    order-independent, so no tolerance games are needed."""
+    from pyspark_dist_explore_spark.operators.textstats import unigram_logprob_scores
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return unigram_logprob_scores(docs, "text", "doc_id")
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    oracle = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+lm AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM lm),
+scored AS (
+  SELECT tf.doc_id, sum(tf.tf) AS n_tok,
+         sum(tf.tf * CAST(round(ln((COALESCE(lm.cnt, 0) + 1.0) / (tot.n + 1.0 * tot.v)) * 1e6)
+                          AS BIGINT)) AS ssum
+  FROM tf LEFT JOIN lm ON tf.term = lm.term, tot
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_tok,
+       round((CAST(ssum AS DOUBLE) / 1e6) / CAST(n_tok AS DOUBLE), 10) AS mean_logprob,
+       round(exp(-((CAST(ssum AS DOUBLE) / 1e6) / CAST(n_tok AS DOUBLE))), 6) AS ppl
+FROM scored
+"""
+    compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_unigram_logprob_flags_gibberish(spark):
+    """Scored against a reference LM, a gibberish doc must have much
+    higher perplexity than in-distribution text; OOV smoothing keeps
+    every score finite."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        term_frequencies,
+        unigram_logprob_scores,
+    )
+
+    ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lm = term_frequencies(ref, "text", "doc_id").groupBy("term").agg(
+        F.sum("tf").alias("cnt")
+    )
+    common_text = ref.limit(1).first().text
+    probe = spark.createDataFrame(
+        [(1, common_text), (2, "zxqv qqj wvvx kjzq pzzt mmqx " * 10)],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in
+            unigram_logprob_scores(probe, "text", "doc_id", lm_counts=lm).collect()}
+    assert rows[2].ppl > 5 * rows[1].ppl, (rows[1].ppl, rows[2].ppl)
+    assert all(r.ppl == r.ppl and r.ppl != float("inf") for r in rows.values())
