@@ -197,6 +197,8 @@ def curate_documents(
     snapshot_dir: str | None = None,
     scrub: bool = False,
     max_dup_token_frac: float | None = None,
+    max_ppl: float | None = None,
+    ppl_lm_counts: DataFrame | None = None,
     decontaminate_against: DataFrame | None = None,
     decontam_ngram: int = 13,
     decontam_text_col: str | None = None,
@@ -237,6 +239,16 @@ def curate_documents(
     -token fraction exceeds the bound (boilerplate / word-salad filter);
     this one costs a token explode + per-doc aggregate + anti join on
     the already-filtered survivors, so it is opt-in.
+
+    ``max_ppl`` (opt-in) drops documents whose unigram-LM perplexity
+    exceeds the bound (:func:`operators.textstats
+    .unigram_logprob_scores` — the CCNet-style gibberish/boilerplate
+    filter).  ``ppl_lm_counts=`` scores against a reference-corpus LM
+    (a ``(term, cnt)`` frame — the realistic shape: train the LM on a
+    clean snapshot once, reuse per batch); default self-trains on the
+    already-filtered survivors.  Anti-join against violators, so
+    zero-token docs (which have no score row) pass through — same
+    contract as the repetition filter.
 
     ``decontaminate_against`` (opt-in) drops documents sharing any
     ``decontam_ngram``-token word n-gram with the given eval/benchmark
@@ -292,6 +304,17 @@ def curate_documents(
             F.col("dup_token_frac") > F.lit(float(max_dup_token_frac))
         )
         base = base.join(bad.select("doc_id"), "doc_id", "left_anti")
+    if max_ppl is not None:
+        from pyspark_dist_explore_spark.operators.textstats import (
+            unigram_logprob_scores,
+        )
+
+        bad_ppl = (
+            unigram_logprob_scores(base, "__text", "doc_id", lm_counts=ppl_lm_counts)
+            .where(F.col("ppl") > F.lit(float(max_ppl)))
+            .select("doc_id")
+        )
+        base = base.join(bad_ppl, "doc_id", "left_anti")
     if decontaminate_against is not None:
         from pyspark_dist_explore_spark.operators import decontam
 

@@ -436,3 +436,28 @@ def test_curate_pluggable_containment_pair_fn(spark):
     assert 0 in kept, "the short original (min id) survives"
     assert 2_000_000 not in kept, "the containing host is clustered with it and dropped"
     assert out.columns == ["doc_id", "lang_pred", "quality", "split"]
+
+
+def test_curate_ppl_filter_drops_gibberish(spark):
+    """max_ppl= with a reference LM drops a planted gibberish doc while
+    keeping in-distribution text; without the filter both survive."""
+    from pyspark_dist_explore_spark.operators.textstats import term_frequencies
+
+    docs = _docs(spark).limit(40)
+    lm = term_frequencies(docs, "text", "doc_id").groupBy("term").agg(
+        F.sum("tf").alias("cnt")
+    )
+    gib = spark.createDataFrame(
+        [(3_000_000, "zxqv qqj wvvx kjzq pzzt mmqx " * 20)], ["doc_id", "text"]
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("web")).withColumn(
+        "n_chars", F.length("text")
+    )
+    both = docs.unionByName(gib)
+    loose = {r.doc_id for r in curate_documents(
+        both, "text", "doc_id", min_quality=0.0).collect()}
+    assert 3_000_000 in loose
+    strict = {r.doc_id for r in curate_documents(
+        both, "text", "doc_id", min_quality=0.0,
+        max_ppl=500.0, ppl_lm_counts=lm).collect()}
+    assert 3_000_000 not in strict, "gibberish must exceed the ppl bound"
+    assert strict == loose - {3_000_000}, "only the gibberish doc is dropped"
