@@ -137,3 +137,45 @@ def test_bmp_codec_roundtrip_property(w, h, seed):
     # concatenated frames always split back on declared lengths
     frames = multimodal.split_bmp_frames(data + data + data)
     assert len(frames) == 3 and all(f == data for f in frames)
+
+
+# --------------------------------------------------------------------------
+# int8 quantization properties (X15): for ANY finite vectors, codes are
+# bounded, the pack round-trips, and dequantization error <= step/2
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_quantize_properties(spark, vecs):
+    from pyspark_dist_explore_spark.operators.similarity import (
+        dimension_minmax,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, embedding array<double>"
+    )
+    mm = dimension_minmax(df)
+    mm_rows = sorted(mm.collect(), key=lambda r: r.dim)
+    lo = np.array([r.lo for r in mm_rows])
+    hi = np.array([r.hi for r in mm_rows])
+    step = (hi - lo) / 255.0
+    for r in quantize_embeddings(df, mm).collect():
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert list(np.frombuffer(r.packed, dtype=np.uint8)) == r.codes
+        x = np.array(vecs[r.vec_id], dtype=np.float64)
+        xq = lo + np.array(r.codes, dtype=np.float64) * step
+        # degenerate dims (lo==hi, step 0) reconstruct lo exactly
+        tol = step / 2 + np.abs(x) * 1e-12 + 1e-12
+        assert np.all(np.abs(x - xq) <= tol), (x, xq, step)
