@@ -345,6 +345,16 @@ def main() -> None:
     print(json.dumps({"probe": "shuffle_shards", "t_1x": t1, "t_10x": t10,
                       "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- unigram perplexity scoring: 10× docs ------------------------------
+    # (TF shuffle + vocab join + per-doc agg — all hash-partitioned and
+    # map-side-combined, so growth must be ~linear; output exactly 10×)
+    from pyspark_dist_explore_spark.operators.textstats import unigram_logprob_scores
+
+    t1, n1 = timed(unigram_logprob_scores(docs, "text", "doc_id"))
+    t10, n10 = timed(unigram_logprob_scores(docs10, "text", "doc_id"))
+    print(json.dumps({"probe": "unigram_ppl", "t_1x": t1, "t_10x": t10,
+                      "docs_1x": n1, "docs_10x": n10, "ratio": round(t10 / t1, 2)}))
+
     # -- containment pairs: 10× docs, token-disjoint copies ----------------
     # (pairs flow ONLY through shared-fingerprint buckets + the max_df
     # boilerplate drop, so pair output must scale ~10× and time ~linearly)
