@@ -145,7 +145,9 @@ def histogram_drift(
     counts → dense zero-fill) applied to the pipeline question "did this
     crawl/quality-score/length distribution move since the last
     snapshot?".  Zero-count bins are clamped to ``eps`` before the log —
-    the standard PSI smoothing, and what keeps the expression total.
+    the standard PSI smoothing, and what keeps the expression total; an
+    entirely EMPTY snapshot clamps every ratio to ``eps`` (maximal
+    drift) instead of tripping ANSI division-by-zero.
 
     Scale: the same 2-scans-total shape as any multi-series histogram
     (stats job + count job, map-side partials, ≤ bins-row grid), so two
@@ -172,8 +174,16 @@ def histogram_drift(
     totals = pivoted.groupBy().agg(
         F.sum("ref_cnt").alias("__tr"), F.sum("cur_cnt").alias("__tc")
     )
-    p = F.greatest(F.col("ref_cnt") / F.col("__tr"), F.lit(eps))
-    q = F.greatest(F.col("cur_cnt") / F.col("__tc"), F.lit(eps))
+    # an EMPTY snapshot (total 0) is maximal drift, not a crash: its
+    # ratios all clamp to eps (ANSI division by zero would error)
+    p = F.greatest(
+        F.when(F.col("__tr") > 0, F.col("ref_cnt") / F.col("__tr")).otherwise(0.0),
+        F.lit(eps),
+    )
+    q = F.greatest(
+        F.when(F.col("__tc") > 0, F.col("cur_cnt") / F.col("__tc")).otherwise(0.0),
+        F.lit(eps),
+    )
     return (
         pivoted.crossJoin(F.broadcast(totals))
         .select(

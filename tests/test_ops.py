@@ -1902,3 +1902,15 @@ def test_unigram_logprob_flags_gibberish(spark):
             unigram_logprob_scores(probe, "text", "doc_id", lm_counts=lm).collect()}
     assert rows[2].ppl > 5 * rows[1].ppl, (rows[1].ppl, rows[2].ppl)
     assert all(r.ppl == r.ppl and r.ppl != float("inf") for r in rows.values())
+
+
+def test_histogram_drift_empty_snapshot_is_max_drift(spark):
+    """An empty current snapshot must score as (large, finite) drift —
+    every bin's q clamps to eps — not crash on ANSI division by zero."""
+    from pyspark_dist_explore_spark.operators.stats import histogram_drift
+
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    d = histogram_drift(c, c.where("1=0"), "c_acctbal", bins=10)
+    psi = d.agg(F.sum("psi")).first()[0]
+    assert psi == psi and psi != float("inf")
+    assert psi > 0.25, f"empty snapshot must flag drift, psi={psi}"
