@@ -84,6 +84,7 @@ from pyspark_dist_explore_spark.pipeline import (
 )
 from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
+    drop_repeated_lines,
     language_id,
     quality_score,
     repetition_signals,
@@ -156,6 +157,7 @@ __all__ = [
     "language_id",
     "scrub_text",
     "repetition_signals",
+    "drop_repeated_lines",
     "winnowing_fingerprints",
     "term_frequencies",
     "tfidf",

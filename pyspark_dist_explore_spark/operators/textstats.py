@@ -548,3 +548,74 @@ def unigram_logprob_scores(
         F.round(mean_lp, 10).alias("mean_logprob"),
         F.round(F.exp(-mean_lp), 6).alias("ppl"),
     )
+
+
+def drop_repeated_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """FineWeb-style LINE-level dedup: remove individual lines that
+    appear in ≥ ``min_df`` distinct documents (nav bars, cookie
+    banners, footers — boilerplate that survives document-level dedup
+    because every page's BODY differs).  Output: ``(doc_id, text,
+    n_lines_kept, n_lines_dropped)`` with ``text`` rebuilt from the
+    surviving lines in original order (empty string when everything
+    was boilerplate — the caller's quality/length filter then drops
+    the husk).
+
+    Lines are counted by their TRIMMED form (indentation shifts don't
+    hide a duplicate) but rebuilt verbatim; blank lines are never
+    counted as boilerplate (they'd match across every multi-paragraph
+    doc) and always survive.
+
+    Scale shape: explode lines (row-local) → doc-frequency hash
+    aggregate keyed by line (map-side partials — the count is
+    ``countDistinct(doc)`` so a line repeated WITHIN one doc is not
+    boilerplate) → broadcast-or-shuffle anti-join → one per-doc
+    rebuild aggregate.  Two shuffles total, both hash-keyed, no sort
+    of the corpus.
+    """
+    import re as _re
+
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (1 would drop every line), got {min_df}")
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
+    ).withColumn("key", F.trim(F.col("line")))
+    common = (
+        lines.where(F.col("key") != "")
+        .groupBy("key")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .where(F.col("line_df") >= min_df)
+        .select("key")
+    )
+    kept = lines.join(common, "key", "left_anti")
+    n_lines = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_all"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("__s"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(sep, F.transform("__s", lambda r: r["line"])).alias("text"),
+            "n_lines_kept",
+        )
+    )
+    return (
+        n_lines.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("__n_all") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_dropped"
+            ),
+        )
+    )

@@ -1914,3 +1914,83 @@ def test_histogram_drift_empty_snapshot_is_max_drift(spark):
     psi = d.agg(F.sum("psi")).first()[0]
     assert psi == psi and psi != float("inf")
     assert psi > 0.25, f"empty snapshot must flag drift, psi={psi}"
+
+
+# --------------------------------------------------------------------------
+# line-level dedup (textstats.drop_repeated_lines)
+# --------------------------------------------------------------------------
+
+
+def test_drop_repeated_lines_matches_duckdb(spark):
+    """Full-chain twin on synthetic multi-line docs: trimmed-line doc
+    frequency, boilerplate drop, ordered rebuild — hash-identical to a
+    hand-rolled DuckDB rendering."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.textstats import drop_repeated_lines
+
+    rows = [
+        (1, "unique first line\ncookie banner\nbody one\n\nfooter text"),
+        (2, "another article\n  cookie banner\nbody two\nfooter text"),
+        (3, "cookie banner\nfooter text"),
+        (4, "totally original\n\n\nmore original"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        map(tuple, drop_repeated_lines(docs, "text", "doc_id", min_df=2).collect())
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute("""
+WITH lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM docs
+),
+keyed AS (SELECT doc_id, pos, line, trim(line) AS key FROM lines),
+common AS (
+  SELECT key FROM keyed WHERE key <> ''
+  GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT k.* FROM keyed k ANTI JOIN common c ON k.key = c.key),
+n_all AS (SELECT doc_id, count(*) AS n_all FROM keyed GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT n_all.doc_id,
+       COALESCE(rebuilt.text, '') AS text,
+       CAST(COALESCE(n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(n_all - COALESCE(n_lines_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM n_all LEFT JOIN rebuilt USING (doc_id)
+""").fetchall()))
+    con.close()
+    assert got == want
+
+
+def test_drop_repeated_lines_semantics(spark):
+    """Boilerplate lines vanish from every doc, unique bodies survive in
+    order, blank lines are never treated as boilerplate, and an
+    all-boilerplate doc becomes an empty husk."""
+    from pyspark_dist_explore_spark.operators.textstats import drop_repeated_lines
+
+    rows = [
+        (1, "keep me\nshared footer\nalso mine"),
+        (2, "other body\nshared footer"),
+        (3, "shared footer"),
+        (4, "a\n\nb"),
+        (5, "c\n\nd"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           drop_repeated_lines(docs, "text", "doc_id", min_df=2).collect()}
+    assert out[1].text == "keep me\nalso mine"
+    assert out[1].n_lines_dropped == 1
+    assert out[3].text == "" and out[3].n_lines_kept == 0
+    assert out[4].text == "a\n\nb", "blank lines survive"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_df"):
+        drop_repeated_lines(docs, "text", "doc_id", min_df=1)
