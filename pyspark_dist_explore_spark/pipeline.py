@@ -196,6 +196,7 @@ def curate_documents(
     materialize: bool = False,
     snapshot_dir: str | None = None,
     scrub: bool = False,
+    drop_boilerplate_lines: int | None = None,
     max_dup_token_frac: float | None = None,
     max_ppl: float | None = None,
     ppl_lm_counts: DataFrame | None = None,
@@ -240,6 +241,14 @@ def curate_documents(
     this one costs a token explode + per-doc aggregate + anti join on
     the already-filtered survivors, so it is opt-in.
 
+    ``drop_boilerplate_lines=n`` (opt-in) runs FineWeb-style line-level
+    dedup BEFORE everything else (:func:`operators.textstats
+    .drop_repeated_lines` at ``min_df=n``): lines shared by ≥ n docs
+    (nav bars, footers) vanish from every doc, so quality scoring,
+    fingerprints, and near-dup detection see the cleaned text; a doc
+    that was all boilerplate becomes an empty husk and falls to the
+    quality bar.  Costs two extra corpus shuffles — opt-in.
+
     ``max_ppl`` (opt-in) drops documents whose unigram-LM perplexity
     exceeds the bound (:func:`operators.textstats
     .unigram_logprob_scores` — the CCNet-style gibberish/boilerplate
@@ -280,6 +289,19 @@ def curate_documents(
         SCRUB_PATTERNS,
         repetition_signals,
     )
+
+    if drop_boilerplate_lines is not None:
+        # corpus-wide line-level boilerplate removal FIRST, so quality
+        # scoring, fingerprints, and near-dup detection all see the
+        # cleaned text; a doc that was all boilerplate becomes an empty
+        # husk and falls to the quality bar like any other junk doc
+        from pyspark_dist_explore_spark.operators.textstats import (
+            drop_repeated_lines,
+        )
+
+        docs = drop_repeated_lines(
+            docs, text_col, id_col, min_df=drop_boilerplate_lines
+        ).select(F.col("doc_id").alias(id_col), F.col("text").alias(text_col))
 
     t = F.col(text_col)
     if scrub:

@@ -461,3 +461,26 @@ def test_curate_ppl_filter_drops_gibberish(spark):
         max_ppl=500.0, ppl_lm_counts=lm).collect()}
     assert 3_000_000 not in strict, "gibberish must exceed the ppl bound"
     assert strict == loose - {3_000_000}, "only the gibberish doc is dropped"
+
+
+def test_curate_boilerplate_line_stage(spark):
+    """drop_boilerplate_lines= cleans shared lines before scoring: the
+    all-boilerplate doc becomes an empty husk (quality floor 0.4, under
+    a 0.5 bar) and drops; docs with real bodies survive with their text
+    intact (their exact-dedup fingerprints now differ only by body)."""
+    body = " ".join(f"word{i} data{i % 7}" for i in range(30))
+    rows = [
+        (1, body + "\ncookie banner accept all\nsite footer links"),
+        (2, "different body entirely here with many plain words\n"
+            "cookie banner accept all\nsite footer links"),
+        (3, "cookie banner accept all\nsite footer links"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r.doc_id for r in curate_documents(
+        docs, "text", "doc_id", min_quality=0.5, drop_boilerplate_lines=2
+    ).collect()}
+    assert 1 in kept and 2 in kept
+    assert 3 not in kept, "all-boilerplate doc must become a husk and drop"
+    loose = {r.doc_id for r in curate_documents(
+        docs, "text", "doc_id", min_quality=0.5).collect()}
+    assert 3 in loose, "without the stage the boilerplate doc survives"
