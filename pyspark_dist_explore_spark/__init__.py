@@ -100,6 +100,7 @@ from pyspark_dist_explore_spark.operators.textstats import (
 )
 from pyspark_dist_explore_spark.streaming.histogram_stream import (
     stream_dedup,
+    stream_drift_scores,
     stream_enrich,
     stream_interval_join,
     stream_windowed_histogram,
@@ -191,6 +192,7 @@ __all__ = [
     "write_bucketed_table",
     # streaming
     "stream_windowed_histogram",
+    "stream_drift_scores",
     "stream_dedup",
     "stream_enrich",
     "stream_interval_join",

@@ -221,3 +221,76 @@ def stream_interval_join(
         & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return left.join(r, cond).drop(r[on])
+
+
+def stream_drift_scores(
+    win_hist: DataFrame,
+    ref_hist: DataFrame,
+    *,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-window distribution drift vs a static reference: one PSI row
+    per event-time window — ``(window_start, window_end, n_events,
+    psi)`` — from a windowed histogram (``stream_windowed_histogram``
+    output or its batch twin) and a reference ``(bucket, cnt)``
+    histogram built with the SAME bins/range (e.g. from last month's
+    batch profile via ``compute_histogram``).
+
+    Spark forbids a second streaming aggregation on an aggregated
+    stream, so this scorer is the ``foreachBatch`` stage of the
+    composition: ``stream_windowed_histogram(...)`` runs as the
+    streaming query, and each micro-batch (or the finalized sink
+    table) goes through this BATCH transform — windows are closed by
+    the watermark, so each window's PSI is computed exactly once on
+    its final counts.  PSI semantics identical to
+    :func:`operators.stats.histogram_drift` (eps clamp, empty side =
+    maximal drift).
+
+    Scale: the reference is ≤ bins rows (broadcast); the per-window
+    totals and PSI sums are hash aggregates over ≤ bins rows per
+    window.  Nothing here scans raw events — the histogram already
+    reduced them.
+    """
+    from pyspark.sql import Window
+
+    # union + conditional aggregate instead of joins: replicating the
+    # ≤ bins-row reference under every window and pivoting by source
+    # sidesteps Spark's self-join attribute ambiguity entirely (the
+    # windowed histogram appears exactly once in the plan)
+    ref = ref_hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    ref_tot = ref.groupBy().agg(F.sum("cnt").alias("__tr"))
+    cur = win_hist.select(
+        "window_start", "window_end", "bucket", "cnt", F.lit("cur").alias("src")
+    )
+    wins = win_hist.select("window_start", "window_end").distinct()
+    refw = wins.crossJoin(F.broadcast(ref)).select(
+        "window_start", "window_end", "bucket", "cnt", F.lit("ref").alias("src")
+    )
+    cells = (
+        cur.unionByName(refw)
+        .groupBy("window_start", "window_end", "bucket")
+        .agg(
+            F.sum(F.when(F.col("src") == "cur", F.col("cnt")).otherwise(0)).alias("cnt"),
+            F.sum(F.when(F.col("src") == "ref", F.col("cnt")).otherwise(0)).alias("ref_cnt"),
+        )
+    )
+    w = Window.partitionBy("window_start", "window_end")
+    cells = cells.withColumn("__tw", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(ref_tot)
+    )
+    p = F.greatest(
+        F.when(F.col("__tr") > 0, F.col("ref_cnt") / F.col("__tr")).otherwise(0.0),
+        F.lit(eps),
+    )
+    q = F.greatest(
+        F.when(F.col("__tw") > 0, F.col("cnt") / F.col("__tw")).otherwise(0.0),
+        F.lit(eps),
+    )
+    return (
+        cells.withColumn("__psi", (q - p) * F.log(q / p))
+        .groupBy("window_start", "window_end")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.round(F.sum("__psi"), 10).alias("psi"),
+        )
+    )

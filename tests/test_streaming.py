@@ -411,3 +411,55 @@ def test_interval_join_state_plateaus_under_watermark(spark, tmp_path):
     assert totals[-1] <= 4 * 2 * per_batch, totals
     assert totals[-1] < ingested / 2, totals
     assert max(totals[-2:]) <= max(totals[1:4]) + 2 * per_batch, totals
+
+
+def test_stream_drift_scores_end_to_end(spark, stream_dir):
+    """The streaming composition: windowed histogram stream (memory
+    sink, watermark-finalized) -> per-window PSI vs a static reference.
+    A window matching the reference distribution scores ~0; a window
+    concentrated in one bucket scores high."""
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_drift_scores,
+    )
+
+    # reference profile: uniform across buckets 0..4 (range 0-50, 5 bins)
+    ref = spark.createDataFrame(
+        [(b, 20) for b in range(5)], "bucket int, cnt bigint"
+    )
+    # window 10:00 mirrors the reference (one event per bucket);
+    # window 10:10 is all one bucket (max drift)
+    batch = [
+        (i, _ts(0, i), float(5 + 10 * i)) for i in range(5)
+    ] + [
+        (10 + i, _ts(12, i), 7.0) for i in range(8)
+    ]
+    _write_batch(spark, stream_dir, batch, 1)
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    hist = stream_windowed_histogram(
+        stream,
+        window_duration="10 minutes",
+        bins=5,
+        range=(0.0, 50.0),
+        watermark="5 minutes",
+    )
+    query = (
+        hist.writeStream.format("memory")
+        .queryName("drift_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # push the watermark past both windows so they finalize
+        _write_batch(spark, stream_dir, [(99, _ts(40), 25.0)], 2)
+        query.processAllAvailable()
+        scores = {
+            r.window_start.minute: r
+            for r in stream_drift_scores(spark.table("drift_sink"), ref).collect()
+        }
+    finally:
+        query.stop()
+    assert scores[0].n_events == 5
+    assert abs(scores[0].psi) < 1e-9, "uniform window matches the uniform reference"
+    assert scores[10].n_events == 8
+    assert scores[10].psi > 0.25, f"one-bucket window must flag drift: {scores[10].psi}"
