@@ -484,3 +484,45 @@ def test_curate_boilerplate_line_stage(spark):
     loose = {r.doc_id for r in curate_documents(
         docs, "text", "doc_id", min_quality=0.5).collect()}
     assert 3 in loose, "without the stage the boilerplate doc survives"
+
+
+def test_curate_all_stages_compose(spark):
+    """Every opt-in stage at once — scrub + boilerplate-line dedup +
+    repetition filter + perplexity filter + decontamination + token
+    budget + staged-containment pairs: stages must compose without
+    column/laziness conflicts, shrink monotonically vs the loose run,
+    and stay deterministic across invocations."""
+    from pyspark_dist_explore_spark.operators.textstats import term_frequencies
+    from pyspark_dist_explore_spark.pipeline import containment_pair_fn
+
+    docs = _docs(spark).limit(60)
+    lm = term_frequencies(docs, "text", "doc_id").groupBy("term").agg(
+        F.sum("tf").alias("cnt")
+    )
+    eval_set = docs.limit(3).select("text")
+    kwargs = dict(
+        min_quality=0.0,
+        scrub=True,
+        drop_boilerplate_lines=2,
+        max_dup_token_frac=0.9,
+        max_ppl=5000.0,
+        ppl_lm_counts=lm,
+        decontaminate_against=eval_set,
+        decontam_ngram=13,
+        token_budget=50_000,
+        pair_fn=containment_pair_fn(threshold=0.8, max_df=50),
+    )
+    out1 = curate_documents(docs, "text", "doc_id", **kwargs)
+    rows1 = sorted(map(tuple, out1.collect()))
+    assert rows1, "the everything-on pipeline must keep survivors"
+    assert out1.columns == ["doc_id", "lang_pred", "quality", "split"]
+    ids = [r[0] for r in rows1]
+    assert len(ids) == len(set(ids))
+    loose = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0,
+        pair_fn=containment_pair_fn(threshold=0.8, max_df=50),
+    ).count()
+    assert len(rows1) < loose, "the decontam stage alone must drop the planted overlap"
+    rows2 = sorted(map(tuple,
+        curate_documents(docs, "text", "doc_id", **kwargs).collect()))
+    assert rows1 == rows2, "fully deterministic: same corpus -> same keep-list"
