@@ -280,6 +280,11 @@ def shuffle_shards(
     the row_number over (shard, order-key) — so readers stream shard
     files in ``pos`` order and see a globally de-correlated sequence.
 
+    ``key_col`` must be UNIQUE per row: it is both the hash input and
+    the sort tiebreaker, so rows sharing a key get the same hash AND an
+    unordered tie — their relative ``pos`` assignment would be
+    nondeterministic.  Dedup first (or synthesize a unique key).
+
     Scale shape: ONE shuffle (the window's hash partition by shard) and
     a per-shard sort — never a global order-by, so no single-partition
     funnel; shard sizes are hash-balanced whatever the corpus size.

@@ -158,6 +158,8 @@ def histogram_drift(
     """
     from pyspark_dist_explore_spark.operators.histogram import compute_histogram_dense
 
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1) (the PSI zero-bin clamp), got {eps}")
     dense = compute_histogram_dense(
         [("ref", ref, col), ("cur", cur, cur_col or col)], bins=bins
     )

@@ -519,9 +519,12 @@ def unigram_logprob_scores(
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (Laplace smoothing mass), got {alpha}")
     tf = term_frequencies(df, text_col, id_col)
-    lm = lm_counts if lm_counts is not None else tf.groupBy("term").agg(
-        F.sum("tf").alias("cnt")
-    )
+    if lm_counts is not None:
+        # defensive re-aggregate: duplicate term rows in a caller-built
+        # LM would fan out the scoring join instead of summing
+        lm = lm_counts.groupBy("term").agg(F.sum("cnt").alias("cnt"))
+    else:
+        lm = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     totals = lm.groupBy().agg(
         F.sum("cnt").alias("__n"), F.count(F.lit(1)).alias("__v")
     )
@@ -585,7 +588,11 @@ def drop_repeated_lines(
         raise ValueError(f"min_df must be >= 2 (1 would drop every line), got {min_df}")
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
+        # NULL text coalesces to '' so the doc survives as a one-empty-
+        # line husk instead of silently vanishing from the output
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("pos", "line"),
     ).withColumn("key", F.trim(F.col("line")))
     common = (
         lines.where(F.col("key") != "")

@@ -253,6 +253,8 @@ def stream_drift_scores(
     """
     from pyspark.sql import Window
 
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1) (the PSI zero-bin clamp), got {eps}")
     # union + conditional aggregate instead of joins: replicating the
     # ≤ bins-row reference under every window and pivoting by source
     # sidesteps Spark's self-join attribute ambiguity entirely (the

@@ -1994,3 +1994,43 @@ def test_drop_repeated_lines_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="min_df"):
         drop_repeated_lines(docs, "text", "doc_id", min_df=1)
+
+
+def test_new_op_edge_guards(spark):
+    """Hardening pins: PSI eps bounds, NULL-text doc survives line
+    dedup as a husk, duplicate-term reference LM is re-aggregated not
+    fanned out."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.stats import histogram_drift
+    from pyspark_dist_explore_spark.operators.textstats import (
+        drop_repeated_lines,
+        unigram_logprob_scores,
+    )
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_drift_scores,
+    )
+
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    with _pytest.raises(ValueError, match="eps"):
+        histogram_drift(c, c, "c_acctbal", eps=0.0)
+    ref = spark.createDataFrame([(0, 1)], "bucket int, cnt bigint")
+    wh = spark.createDataFrame(
+        [], "window_start timestamp, window_end timestamp, bucket int, cnt bigint"
+    )
+    with _pytest.raises(ValueError, match="eps"):
+        stream_drift_scores(wh, ref, eps=2.0)
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real line")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in
+           drop_repeated_lines(docs, "text", "doc_id").collect()}
+    assert out[1].text == "" and out[1].n_lines_kept == 1, "NULL-text doc survives"
+
+    probe = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    dup_lm = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("b", 20)], "term string, cnt bigint"
+    )
+    r = unigram_logprob_scores(probe, "text", "doc_id", lm_counts=dup_lm).first()
+    assert r.n_tok == 3, "duplicate LM terms must aggregate, not fan the join out"
