@@ -72,6 +72,7 @@ from pyspark_dist_explore_spark.operators.stats import (
     describe_exact,
     histogram_approx,
     histogram_drift,
+    histogram_drift_by_group,
 )
 from pyspark_dist_explore_spark.sources.sinks import (
     write_bucketed_table,
@@ -152,6 +153,7 @@ __all__ = [
     "describe_exact",
     "histogram_approx",
     "histogram_drift",
+    "histogram_drift_by_group",
     "text_stats",
     "text_profile",
     "quality_score",

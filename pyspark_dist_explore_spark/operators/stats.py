@@ -197,3 +197,84 @@ def histogram_drift(
             F.round((p - q) * F.log(p / q), 10).alias("psi"),
         )
     )
+
+
+def histogram_drift_by_group(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    cur_col: str | None = None,
+    cur_group_col: str | None = None,
+    bins: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """WHICH groups drifted: per-group PSI between two snapshots —
+    ``(group, n_ref, n_cur, psi)``, one row per group present in either
+    side.  The per-corpus :func:`histogram_drift` says *that* the mix
+    moved; this says *where* (which source, which language, which
+    domain), which is what a curation run actually acts on.
+
+    Each group gets its own shared [min, max] across BOTH snapshots
+    (computed in ONE grouped aggregate — at most |groups| rows, keyed
+    by group, never a global sort) and its own fixed-width bins; PSI
+    arithmetic matches :func:`histogram_drift` exactly, including the
+    eps clamp and empty-side-means-max-drift semantics.  A group
+    present in only one snapshot therefore scores maximal drift rather
+    than disappearing.
+
+    Scale shape: union the two snapshots with a source tag (row-local)
+    → grouped min/max aggregate → join back keyed by group (hash join,
+    map-side combined counts) → per-(group, bucket, src) counts →
+    per-group PSI.  Two hash shuffles keyed by group; no collect, no
+    per-group jobs.
+    """
+    from pyspark_dist_explore_spark.functions.numeric import bucket_col, valid_value
+
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1) (the PSI zero-bin clamp), got {eps}")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    r = ref.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(col).cast("double").alias("v"),
+        F.lit("ref").alias("src"),
+    )
+    c = cur.select(
+        F.col(cur_group_col or group_col).cast("string").alias("group"),
+        F.col(cur_col or col).cast("double").alias("v"),
+        F.lit("cur").alias("src"),
+    )
+    u = r.unionByName(c).where(valid_value(F.col("v")))
+    mm = u.groupBy("group").agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+    bucketed = u.join(mm, "group").select(
+        "group",
+        "src",
+        bucket_col(F.col("v"), F.col("__lo"), F.col("__hi"), bins).alias("bucket"),
+    )
+    cells = bucketed.groupBy("group", "bucket").agg(
+        F.sum(F.when(F.col("src") == "ref", 1).otherwise(0)).alias("ref_cnt"),
+        F.sum(F.when(F.col("src") == "cur", 1).otherwise(0)).alias("cur_cnt"),
+    )
+    totals = cells.groupBy("group").agg(
+        F.sum("ref_cnt").alias("__tr"), F.sum("cur_cnt").alias("__tc")
+    )
+    joined = cells.join(totals, "group")
+    p = F.greatest(
+        F.when(F.col("__tr") > 0, F.col("ref_cnt") / F.col("__tr")).otherwise(0.0),
+        F.lit(eps),
+    )
+    q = F.greatest(
+        F.when(F.col("__tc") > 0, F.col("cur_cnt") / F.col("__tc")).otherwise(0.0),
+        F.lit(eps),
+    )
+    return (
+        joined.withColumn("__psi", (p - q) * F.log(p / q))
+        .groupBy("group")
+        .agg(
+            F.sum("ref_cnt").alias("n_ref"),
+            F.sum("cur_cnt").alias("n_cur"),
+            F.round(F.sum("__psi"), 10).alias("psi"),
+        )
+    )

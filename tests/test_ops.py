@@ -2034,3 +2034,75 @@ def test_new_op_edge_guards(spark):
     )
     r = unigram_logprob_scores(probe, "text", "doc_id", lm_counts=dup_lm).first()
     assert r.n_tok == 3, "duplicate LM terms must aggregate, not fan the join out"
+
+
+def test_histogram_drift_by_group_matches_duckdb(spark):
+    """Per-group drift (WHICH sources drifted): per-group shared-range
+    bins + per-group PSI hash-match the DuckDB twin on real testdata —
+    ref = whole corpus, cur = one source's docs, grouped by lang."""
+    from pyspark_dist_explore_spark.functions.numeric import bucket_sql
+    from pyspark_dist_explore_spark.operators.stats import histogram_drift_by_group
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return histogram_drift_by_group(
+            docs, docs.where("source IN ('src0', 'src1', 'src2')"), "n_chars", "lang", bins=8
+        )
+
+    bucket = bucket_sql("v", "__lo", "__hi", 8)
+    oracle = f"""
+WITH u AS (
+  SELECT CAST(lang AS VARCHAR) AS grp, CAST(n_chars AS DOUBLE) AS v, 'ref' AS src
+  FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+  UNION ALL
+  SELECT CAST(lang AS VARCHAR) AS grp, CAST(n_chars AS DOUBLE) AS v, 'cur' AS src
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    AND n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+),
+mm AS (SELECT grp, min(v) AS __lo, max(v) AS __hi FROM u GROUP BY grp),
+b AS (
+  SELECT u.grp, u.src, {bucket} AS bucket
+  FROM u JOIN mm ON u.grp = mm.grp
+),
+cells AS (
+  SELECT grp, bucket,
+         sum(CASE WHEN src = 'ref' THEN 1 ELSE 0 END) AS ref_cnt,
+         sum(CASE WHEN src = 'cur' THEN 1 ELSE 0 END) AS cur_cnt
+  FROM b GROUP BY grp, bucket
+),
+tot AS (SELECT grp, sum(ref_cnt) AS tr, sum(cur_cnt) AS tc FROM cells GROUP BY grp)
+SELECT cells.grp AS "group",
+       CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
+       CAST(sum(cur_cnt) AS BIGINT) AS n_cur,
+       round(sum(
+         (greatest(CASE WHEN tr > 0 THEN ref_cnt / tr ELSE 0.0 END, 1e-06)
+          - greatest(CASE WHEN tc > 0 THEN cur_cnt / tc ELSE 0.0 END, 1e-06))
+         * ln(greatest(CASE WHEN tr > 0 THEN ref_cnt / tr ELSE 0.0 END, 1e-06)
+              / greatest(CASE WHEN tc > 0 THEN cur_cnt / tc ELSE 0.0 END, 1e-06))
+       ), 10) AS psi
+FROM cells JOIN tot ON cells.grp = tot.grp
+GROUP BY cells.grp
+"""
+    compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_histogram_drift_by_group_semantics(spark):
+    """A group identical across snapshots scores ~0; a group present in
+    only one snapshot scores maximal (finite) drift."""
+    from pyspark_dist_explore_spark.operators.stats import histogram_drift_by_group
+
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(20)] + [("b", float(i)) for i in range(20)],
+        ["g", "v"],
+    )
+    cur = spark.createDataFrame(
+        [("a", float(i)) for i in range(20)] + [("c", 5.0)], ["g", "v"]
+    )
+    out = {r.group: r for r in
+           histogram_drift_by_group(ref, cur, "v", "g", bins=10).collect()}
+    assert abs(out["a"].psi) < 1e-9
+    assert out["b"].n_cur == 0 and out["b"].psi > 0.25
+    assert out["c"].n_ref == 0 and out["c"].psi > 0.25
+    assert all(r.psi == r.psi and r.psi != float("inf") for r in out.values())
