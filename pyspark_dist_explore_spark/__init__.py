@@ -20,6 +20,7 @@ from pyspark_dist_explore_spark.operators.histogram import (
     compute_histogram,
     compute_histogram_dense,
     compute_density,
+    compute_ecdf,
     compute_kde,
 )
 from pyspark_dist_explore_spark.operators.dedup import (
@@ -120,6 +121,7 @@ __all__ = [
     "compute_histogram_dense",
     "compute_density",
     "compute_kde",
+    "compute_ecdf",
     # reference-compatible surface
     "Histogram",
     "hist",

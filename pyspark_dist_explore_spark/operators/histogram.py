@@ -324,3 +324,70 @@ def compute_kde(
         .groupBy("series", "i", "x")
         .agg((F.sum(kernel * F.col("w")) / F.first("n")).alias("density"))
     )
+
+
+def compute_ecdf(
+    series: Sequence[Series] | DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    points: int = 100,
+) -> DataFrame:
+    """Empirical CDF sampled on an evenly spaced grid — the quantile
+    view of the reference's distribution-exploration core: per series,
+    ``(series, i, x, cdf)`` with ``cdf = P(v <= x)`` at ``points`` grid
+    values over the shared global [min, max] (last point exactly 1.0).
+
+    Same scale recipe as the KDE: reduce the corpus to a dense
+    ``points``-bucket histogram first (ONE count pass after the shared
+    min/max job), then the CDF is a cumulative window sum over ≤
+    ``points × series`` rows — driver-independent of corpus size, and
+    the cumsum sort touches only those tiny rows, never the data.
+    Bucket semantics make this exact at the grid points: bucket i holds
+    ``[lo + i·w, lo + (i+1)·w)`` (last closed), so the cumulative count
+    through bucket i IS ``count(v <= lo + (i+1)·w)`` up to the
+    open-boundary values, which a grid sampler attributes to the next
+    point — the DuckDB twin (a direct ``count(v <= x)`` per grid
+    point) hash-matches exactly (pinned in pytest).
+    """
+    from pyspark.sql.window import Window
+
+    if points < 2:
+        raise ValueError(f"points must be >= 2, got {points}")
+    series = _normalize(series, cols)
+    spec = HistogramSpec(bins=points, range=None)
+    sparse = _sparse_hist(series, spec)  # (series, bucket, cnt, lo, hi)
+    spark = sparse.sparkSession
+    labels = spark.createDataFrame([(lbl,) for lbl, _, _ in series], ["series"]).distinct()
+    grid = labels.crossJoin(spark.range(points).select(F.col("id").alias("bucket")))
+    dense = (
+        grid.join(sparse, ["series", "bucket"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        # lo/hi ride only on non-empty buckets — spread them per series
+        .withColumn("lo", F.max("lo").over(Window.partitionBy("series")))
+        .withColumn("hi", F.max("hi").over(Window.partitionBy("series")))
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("series")
+    return (
+        dense.withColumn("__cum", F.sum("cnt").over(w))
+        .withColumn("__n", F.sum("cnt").over(tot))
+        .select(
+            "series",
+            F.col("bucket").alias("i"),
+            F.round(
+                F.col("lo")
+                + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / F.lit(float(points)),
+                10,
+            ).alias("x"),
+            F.round(
+                F.when(F.col("__n") > 0, F.col("__cum") / F.col("__n")).otherwise(
+                    F.lit(0.0)
+                ),
+                10,
+            ).alias("cdf"),
+        )
+    )

@@ -184,3 +184,68 @@ def test_retired_histogram_oracles_still_green(spark):
     a = sorted(map(tuple, q_hist_dense_fill(spark, SF_SMOKE).collect()))
     b = sorted(map(tuple, q_hist_multi_series(spark, SF_SMOKE).collect()))
     assert a == b
+
+
+def test_compute_ecdf_matches_duckdb(spark):
+    """ECDF grid values hash-match a direct per-point count in DuckDB.
+    Bucket semantics make grid point x_i = lo + (i+1)·w carry
+    count(v < x_i) for interior points (half-open bins) and exactly 1.0
+    at the last (closed) point — the twin mirrors that, and the integer
+    column (p_size) exercises the on-boundary case that would expose a
+    <= / < mix-up."""
+    from pyspark_dist_explore_spark.operators.histogram import compute_ecdf
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        return compute_ecdf(
+            [("c_acctbal", c, "c_acctbal"), ("p_size", p, "p_size")], points=16
+        )
+
+    def one(series, table, col):
+        return f"""
+SELECT '{series}' AS series, CAST(g.i AS BIGINT) AS i,
+       round(s.lo + (g.i + 1) * (s.hi - s.lo) / 16.0, 10) AS x,
+       round(CASE WHEN n.n > 0 THEN (
+           SELECT count(*) FROM {table}
+           WHERE CAST({col} AS DOUBLE) >= s.lo
+             AND (CASE WHEN g.i = 15 THEN CAST({col} AS DOUBLE) <= s.hi
+                       ELSE CAST({col} AS DOUBLE) < s.lo + (g.i + 1) * (s.hi - s.lo) / 16.0 END)
+       ) * 1.0 / n.n ELSE 0.0 END, 10) AS cdf
+FROM (SELECT CAST(range AS BIGINT) AS i FROM range(16)) g,
+     shared_stats s,
+     (SELECT count(CAST({col} AS DOUBLE)) AS n FROM {table}
+      WHERE {col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE))) n
+"""
+
+    # the engine shares ONE global [min, max] across every series
+    # (reference add_data semantics) — the twin's stats CTE mirrors that
+    oracle = """
+WITH shared_stats AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM (
+    SELECT CAST(c_acctbal AS DOUBLE) AS v FROM customer
+    UNION ALL SELECT CAST(p_size AS DOUBLE) FROM part
+  ) WHERE v IS NOT NULL AND NOT isnan(v)
+)
+""" + one("c_acctbal", "customer", "c_acctbal") + " UNION ALL " + one(
+        "p_size", "part", "p_size"
+    )
+    compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_compute_ecdf_properties(spark):
+    """Monotone non-decreasing, ends at exactly 1.0, one row per grid
+    point per series."""
+    from pyspark_dist_explore_spark.operators.histogram import compute_ecdf
+
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    rows = sorted(
+        (r.series, r.i, r.cdf)
+        for r in compute_ecdf([("acct", c, "c_acctbal")], points=25).collect()
+    )
+    assert len(rows) == 25
+    cdfs = [c3 for _, _, c3 in rows]
+    assert all(b >= a for a, b in zip(cdfs, cdfs[1:]))
+    assert cdfs[-1] == 1.0
