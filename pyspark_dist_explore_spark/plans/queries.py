@@ -312,6 +312,23 @@ def q_hist_kde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("series", "i", "x", F.round("density", 10).alias("density"))
 
 
+_ECDF_ORACLE = """
+WITH ecdf_vals AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+),
+ecdf_stats AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM ecdf_vals)
+SELECT 'l_extendedprice' AS series, CAST(g.i AS BIGINT) AS i,
+       round(s.lo + (g.i + 1) * (s.hi - s.lo) / 50.0, 10) AS x,
+       round((SELECT count(*) FROM ecdf_vals
+              WHERE v >= s.lo
+                AND (CASE WHEN g.i = 49 THEN v <= s.hi
+                          ELSE v < s.lo + (g.i + 1) * (s.hi - s.lo) / 50.0 END))
+             * 1.0 / s.n, 10) AS cdf
+FROM (SELECT CAST(range AS BIGINT) AS i FROM range(50)) g, ecdf_stats s
+"""
+
+
 @register(
     "hist_density_kde",
     f"""
@@ -322,6 +339,9 @@ UNION ALL
 SELECT series, 'kde' AS kind, CAST(i AS BIGINT) AS i, x,
        CAST(NULL AS BIGINT) AS cnt, density
 FROM ({HIST_KDE_ORACLE})
+UNION ALL
+SELECT series, 'ecdf' AS kind, i, x, CAST(NULL AS BIGINT) AS cnt, cdf AS density
+FROM ({_ECDF_ORACLE})
 """,
 )
 def q_hist_density_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,7 +369,19 @@ def q_hist_density_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("cnt"),
         F.round("density", 10).alias("density"),
     )
-    return d.unionAll(k)
+    from pyspark_dist_explore_spark.operators.histogram import compute_ecdf
+
+    # R16 extension: 50-point ECDF of the same flagship column — the
+    # cdf value rides in the shared ``density`` slot (kind='ecdf')
+    e = compute_ecdf(_hist_sources(spark, sf_dir, _FLAGSHIP), points=50).select(
+        "series",
+        F.lit("ecdf").alias("kind"),
+        F.col("i").cast("bigint").alias("i"),
+        "x",
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.col("cdf").alias("density"),
+    )
+    return d.unionAll(k).unionAll(e)
 
 
 # -- register the extension query families (import side effect) ------------
