@@ -86,6 +86,7 @@ from pyspark_dist_explore_spark.pipeline import (
 )
 from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
+    corpus_profile,
     drop_repeated_lines,
     language_id,
     quality_score,
@@ -163,6 +164,7 @@ __all__ = [
     "scrub_text",
     "repetition_signals",
     "drop_repeated_lines",
+    "corpus_profile",
     "winnowing_fingerprints",
     "term_frequencies",
     "tfidf",

@@ -626,3 +626,72 @@ def drop_repeated_lines(
             ),
         )
     )
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """One-scan corpus EDA card, per group (source/lang/shard): the
+    first thing to run on a new crawl — ``(group, n_docs, n_empty,
+    total_tokens, avg_tokens, avg_quality, n_unique, dup_frac)``.
+
+    Everything row-local feeds ONE hash aggregate: normalized token
+    count, the engine's [0,1] quality score, and the md5 content
+    fingerprint (``dup_frac = 1 − distinct fingerprints / docs`` — the
+    exact-dup rate *within each group*; run :func:`dedup.exact_dedup`
+    to act on it).  ``group_col=None`` profiles the whole corpus as one
+    ``'ALL'`` row.  The quality mean goes through an exact 1e-6
+    fixed-point BIGINT sum (the score is already 6-dp-discretized), so
+    results are bit-identical at any parallelism — DuckDB twin pinned
+    in pytest.
+
+    Scale: one scan + one aggregate keyed by group; the only
+    cardinality-heavy piece is ``count_distinct(fingerprint)``, which
+    Spark executes as a partial-deduplicating expand — still one
+    shuffle, keyed by (group, fingerprint) at worst.
+    """
+    from pyspark_dist_explore_spark.operators.dedup import normalize_text
+
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    n_tok = F.when(norm == "", 0).otherwise(F.size(F.split(norm, " "))).cast("bigint")
+    _, _, quality = quality_ratio_exprs(t)
+    g = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+        if group_col is not None
+        else F.lit("ALL")
+    )
+    scored = df.select(
+        g.alias("group"),
+        n_tok.alias("__tok"),
+        F.round(quality * F.lit(1e6)).cast("bigint").alias("__q6"),
+        F.md5(norm).alias("__fp"),
+        (norm == "").cast("int").alias("__empty"),
+    )
+    agg = scored.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__empty").cast("bigint").alias("n_empty"),
+        F.sum("__tok").alias("total_tokens"),
+        F.sum("__q6").alias("__qsum"),
+        F.count_distinct("__fp").alias("n_unique"),
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "n_empty",
+        "total_tokens",
+        F.round(F.col("total_tokens").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_tokens"
+        ),
+        F.round(
+            F.col("__qsum").cast("double") / F.lit(1e6) / F.col("n_docs"), 6
+        ).alias("avg_quality"),
+        "n_unique",
+        F.round(
+            F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_frac"),
+    )

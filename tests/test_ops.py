@@ -2106,3 +2106,58 @@ def test_histogram_drift_by_group_semantics(spark):
     assert out["b"].n_cur == 0 and out["b"].psi > 0.25
     assert out["c"].n_ref == 0 and out["c"].psi > 0.25
     assert all(r.psi == r.psi and r.psi != float("inf") for r in out.values())
+
+
+def test_corpus_profile_matches_duckdb(spark):
+    """The one-scan corpus EDA card hash-matches DuckDB per source:
+    token counts, fixed-point quality mean, exact-dup fraction."""
+    from pyspark_dist_explore_spark.operators.textstats import corpus_profile
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return corpus_profile(docs, "text", "doc_id", group_col="source")
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    q = ("round(0.5 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+         " / greatest(CAST(length(text) AS DOUBLE), 1.0))"
+         " + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+         " / greatest(CAST(length(text) AS DOUBLE), 1.0))"
+         " + 0.2 * (CASE WHEN length(text) >= 20 AND length(text) <= 10000 THEN 1.0 ELSE 0.5 END), 6)")
+    oracle = f"""
+WITH scored AS (
+  SELECT COALESCE(CAST(source AS VARCHAR), '') AS "group",
+         CASE WHEN {norm} = '' THEN 0
+              ELSE len(string_split({norm}, ' ')) END AS tok,
+         CAST(round({q} * 1e6) AS BIGINT) AS q6,
+         md5({norm}) AS fp,
+         CASE WHEN {norm} = '' THEN 1 ELSE 0 END AS empty
+  FROM documents
+)
+SELECT "group",
+       count(*) AS n_docs,
+       CAST(sum(empty) AS BIGINT) AS n_empty,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       round(CAST(sum(tok) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       round(CAST(sum(q6) AS DOUBLE) / 1e6 / count(*), 6) AS avg_quality,
+       count(DISTINCT fp) AS n_unique,
+       round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_frac
+FROM scored GROUP BY "group"
+"""
+    compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_corpus_profile_semantics(spark):
+    """Whole-corpus mode, duplicate detection, empty docs."""
+    from pyspark_dist_explore_spark.operators.textstats import corpus_profile
+
+    docs = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "different"), (4, "")],
+        ["doc_id", "text"],
+    )
+    r = corpus_profile(docs, "text", "doc_id").first()
+    assert r.group == "ALL" and r.n_docs == 4
+    assert r.n_empty == 1
+    assert r.n_unique == 3  # dup pair collapses; '' counts as one fingerprint
+    assert abs(r.dup_frac - 0.25) < 1e-9
