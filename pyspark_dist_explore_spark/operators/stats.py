@@ -236,13 +236,17 @@ def histogram_drift_by_group(
         raise ValueError(f"eps must be in (0, 1) (the PSI zero-bin clamp), got {eps}")
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    # NULL group coalesces to '' — a plain equi-join on group would
+    # otherwise silently drop NULL-group rows at the minmax join
     r = ref.select(
-        F.col(group_col).cast("string").alias("group"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("group"),
         F.col(col).cast("double").alias("v"),
         F.lit("ref").alias("src"),
     )
     c = cur.select(
-        F.col(cur_group_col or group_col).cast("string").alias("group"),
+        F.coalesce(F.col(cur_group_col or group_col).cast("string"), F.lit("")).alias(
+            "group"
+        ),
         F.col(cur_col or col).cast("double").alias("v"),
         F.lit("cur").alias("src"),
     )

@@ -656,7 +656,10 @@ def corpus_profile(
     """
     from pyspark_dist_explore_spark.operators.dedup import normalize_text
 
-    t = F.col(text_col)
+    # NULL text profiles as an empty doc (counted in n_empty, one ''
+    # fingerprint) — without the coalesce its NULL token/quality/md5
+    # values would silently drop out of every aggregate but n_docs
+    t = F.coalesce(F.col(text_col), F.lit(""))
     norm = normalize_text(t)
     n_tok = F.when(norm == "", 0).otherwise(F.size(F.split(norm, " "))).cast("bigint")
     _, _, quality = quality_ratio_exprs(t)

@@ -2054,10 +2054,10 @@ def test_histogram_drift_by_group_matches_duckdb(spark):
     bucket = bucket_sql("v", "__lo", "__hi", 8)
     oracle = f"""
 WITH u AS (
-  SELECT CAST(lang AS VARCHAR) AS grp, CAST(n_chars AS DOUBLE) AS v, 'ref' AS src
+  SELECT COALESCE(CAST(lang AS VARCHAR), '') AS grp, CAST(n_chars AS DOUBLE) AS v, 'ref' AS src
   FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
   UNION ALL
-  SELECT CAST(lang AS VARCHAR) AS grp, CAST(n_chars AS DOUBLE) AS v, 'cur' AS src
+  SELECT COALESCE(CAST(lang AS VARCHAR), '') AS grp, CAST(n_chars AS DOUBLE) AS v, 'cur' AS src
   FROM documents WHERE source IN ('src0', 'src1', 'src2')
     AND n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
 ),
@@ -2119,7 +2119,7 @@ def test_corpus_profile_matches_duckdb(spark):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return corpus_profile(docs, "text", "doc_id", group_col="source")
 
-    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    norm = "trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))"
     q = ("round(0.5 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
          " / greatest(CAST(length(text) AS DOUBLE), 1.0))"
          " + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
@@ -2161,3 +2161,14 @@ def test_corpus_profile_semantics(spark):
     assert r.n_empty == 1
     assert r.n_unique == 3  # dup pair collapses; '' counts as one fingerprint
     assert abs(r.dup_frac - 0.25) < 1e-9
+
+
+def test_corpus_profile_null_text_counts_as_empty(spark):
+    from pyspark_dist_explore_spark.operators.textstats import corpus_profile
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real words here")], "doc_id bigint, text string"
+    )
+    r = corpus_profile(docs, "text", "doc_id").first()
+    assert r.n_docs == 2 and r.n_empty == 1
+    assert r.n_unique == 2  # '' fingerprint + the real doc
