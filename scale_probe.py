@@ -345,6 +345,43 @@ def main() -> None:
     print(json.dumps({"probe": "shuffle_shards", "t_1x": t1, "t_10x": t10,
                       "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- line-level dedup + corpus profile: 10× docs -----------------------
+    # (line-dedup: trimmed-line DF agg + anti-join + per-doc rebuild, all
+    # hash-keyed; profile: one scan + one group-keyed aggregate — both
+    # must grow ~linearly.  Docs get synthetic line breaks every ~12
+    # words; copy-prefixed tokens keep each copy's boilerplate disjoint)
+    from pyspark_dist_explore_spark.operators.textstats import (
+        corpus_profile,
+        drop_repeated_lines,
+    )
+
+    lined = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((?:\S+\s+){12})", "$1\n").alias("text"),
+        "source",
+    )
+    lined10 = reduce(
+        DataFrame.unionAll,
+        [
+            lined.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                F.concat(
+                    F.lit(f"x{i} "), F.regexp_replace(F.col("text"), " ", f" x{i}")
+                ).alias("text"),
+                "source",
+            )
+            for i in range(10)
+        ],
+    )
+    t1, n1 = timed(drop_repeated_lines(lined, "text", "doc_id", min_df=5))
+    t10, n10 = timed(drop_repeated_lines(lined10, "text", "doc_id", min_df=5))
+    print(json.dumps({"probe": "drop_repeated_lines", "t_1x": t1, "t_10x": t10,
+                      "docs_1x": n1, "docs_10x": n10, "ratio": round(t10 / t1, 2)}))
+    t1, n1 = timed(corpus_profile(lined, "text", "doc_id", group_col="source"))
+    t10, n10 = timed(corpus_profile(lined10, "text", "doc_id", group_col="source"))
+    print(json.dumps({"probe": "corpus_profile", "t_1x": t1, "t_10x": t10,
+                      "groups_1x": n1, "groups_10x": n10, "ratio": round(t10 / t1, 2)}))
+
     # -- unigram perplexity scoring: 10× docs ------------------------------
     # (TF shuffle + vocab join + per-doc agg — all hash-partitioned and
     # map-side-combined, so growth must be ~linear; output exactly 10×)
