@@ -649,10 +649,9 @@ def corpus_profile(
     results are bit-identical at any parallelism — DuckDB twin pinned
     in pytest.
 
-    Scale: one scan + one aggregate keyed by group; the only
-    cardinality-heavy piece is ``count_distinct(fingerprint)``, which
-    Spark executes as a partial-deduplicating expand — still one
-    shuffle, keyed by (group, fingerprint) at worst.
+    Scale: ONE scan, two exchanges (plan-pinned): the dedup shuffle
+    keyed by (group, fingerprint) — map-side partials collapse repeats
+    before it — then a ≤|groups|-row re-aggregate keyed by group.
     """
     from pyspark_dist_explore_spark.operators.dedup import normalize_text
 

@@ -371,3 +371,46 @@ def test_shuffle_shards_registered_no_global_sort(spark):
     plan = _plan(spark, "corpus_shuffle_shards")
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("hashpartitioning(shard") == 1, plan
+
+
+def test_corpus_profile_one_scan_two_exchanges(spark):
+    """The EDA card reads the corpus ONCE: a single parquet scan, the
+    (group, fingerprint) dedup shuffle with map-side partials, and the
+    tiny per-group re-aggregate — nothing else."""
+    from pyspark_dist_explore_spark.operators.textstats import corpus_profile
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = corpus_profile(docs, "text", "doc_id", group_col="source")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # count detail-section node lines "(n) Op" — the formatted tree
+    # repeats every node once in the tree and once in the details
+    scans = [l for l in plan.splitlines() if l.strip().startswith("(") and "Scan parquet" in l]
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith("Exchange")
+    ]
+    assert len(scans) == 1, plan
+    assert len(exchanges) == 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_drift_by_group_no_cartesian(spark):
+    """Per-group drift: group-keyed hash joins/aggregates only — no
+    cartesian, no range partitioning (global sort)."""
+    from pyspark_dist_explore_spark.operators.stats import histogram_drift_by_group
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = histogram_drift_by_group(
+        docs, docs.where("source = 'src0'"), "n_chars", "lang", bins=8
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower(), plan
