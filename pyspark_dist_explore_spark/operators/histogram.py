@@ -334,8 +334,11 @@ def compute_ecdf(
 ) -> DataFrame:
     """Empirical CDF sampled on an evenly spaced grid — the quantile
     view of the reference's distribution-exploration core: per series,
-    ``(series, i, x, cdf)`` with ``cdf = P(v <= x)`` at ``points`` grid
-    values over the shared global [min, max] (last point exactly 1.0).
+    ``(series, i, x, cdf)`` at ``points`` grid values over the shared
+    global [min, max].  Boundary semantics (strict at interior points):
+    ``cdf = P(v < x)`` for every grid point except the last — a value
+    exactly on a grid boundary is attributed to the NEXT point — and
+    ``cdf = P(v <= hi) = 1.0`` exactly at the final point.
 
     Same scale recipe as the KDE: reduce the corpus to a dense
     ``points``-bucket histogram first (ONE count pass after the shared

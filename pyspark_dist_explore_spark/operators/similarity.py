@@ -526,9 +526,13 @@ def quantize_embeddings(
     and 8× vs the double arrays Spark shuffles otherwise: at 100 TB of
     embeddings this is the difference between an ANN index that fits
     executor memory and one that spills.  Degenerate dims (lo == hi)
-    and NULL elements code to 0; values outside [lo, hi] saturate —
-    so coding NEW vectors against a SAVED minmax (the incremental
-    path: fit stats once, reuse per batch) is safe by construction.
+    and NULL elements code to 0; a row whose WHOLE embedding is NULL
+    keeps NULL ``codes``/``packed`` (the Arrow pack skips it via
+    ``na_action='ignore'`` instead of crashing — filter on
+    ``packed IS NOT NULL`` before indexing); values outside [lo, hi]
+    saturate — so coding NEW vectors against a SAVED minmax (the
+    incremental path: fit stats once, reuse per batch) is safe by
+    construction.
     Codes are deterministic ⇒ DuckDB-twin-checkable (pinned in
     tests/test_ops.py).
     """
@@ -572,8 +576,13 @@ def quantize_embeddings(
 
 @F.pandas_udf(BinaryType())  # DataType instance: no session needed at import
 def _pack_codes(codes: pd.Series) -> pd.Series:
-    """Arrow-batched byte pack: array<int> (0..255) → one byte per dim."""
-    return codes.map(lambda c: np.asarray(c, dtype=np.uint8).tobytes())
+    """Arrow-batched byte pack: array<int> (0..255) → one byte per dim.
+    NULL codes (a whole-NULL source embedding — F.transform(NULL) is
+    NULL) pass through as NULL bytes via ``na_action`` instead of
+    raising in ``np.asarray(None)``."""
+    return codes.map(
+        lambda c: np.asarray(c, dtype=np.uint8).tobytes(), na_action="ignore"
+    )
 
 
 def topk_quantized(

@@ -222,7 +222,11 @@ def histogram_drift_by_group(
     arithmetic matches :func:`histogram_drift` exactly, including the
     eps clamp and empty-side-means-max-drift semantics.  A group
     present in only one snapshot therefore scores maximal drift rather
-    than disappearing.
+    than disappearing.  ``n_ref``/``n_cur`` count VALID (non-NULL,
+    non-NaN) values; a group whose rows are all NULL/NaN on BOTH sides
+    still gets its row — ``(group, 0, 0, 0.0)`` — because presence is
+    taken before the validity filter, so a group that degraded to
+    all-NULL shows up as ``n_cur = 0`` instead of vanishing.
 
     Scale shape: union the two snapshots with a source tag (row-local)
     → grouped min/max aggregate → join back keyed by group (hash join,
@@ -250,7 +254,12 @@ def histogram_drift_by_group(
         F.col(cur_col or col).cast("double").alias("v"),
         F.lit("cur").alias("src"),
     )
-    u = r.unionByName(c).where(valid_value(F.col("v")))
+    u0 = r.unionByName(c)
+    # presence BEFORE the validity filter: a group whose values are all
+    # NULL/NaN in both snapshots must still emit a (group, 0, 0, 0.0)
+    # row instead of silently vanishing from the report
+    present = u0.select("group").distinct()
+    u = u0.where(valid_value(F.col("v")))
     mm = u.groupBy("group").agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
     bucketed = u.join(mm, "group").select(
         "group",
@@ -273,7 +282,7 @@ def histogram_drift_by_group(
         F.when(F.col("__tc") > 0, F.col("cur_cnt") / F.col("__tc")).otherwise(0.0),
         F.lit(eps),
     )
-    return (
+    scored = (
         joined.withColumn("__psi", (p - q) * F.log(p / q))
         .groupBy("group")
         .agg(
@@ -281,4 +290,10 @@ def histogram_drift_by_group(
             F.sum("cur_cnt").alias("n_cur"),
             F.round(F.sum("__psi"), 10).alias("psi"),
         )
+    )
+    return present.join(scored, "group", "left").select(
+        "group",
+        F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+        F.coalesce("psi", F.lit(0.0)).alias("psi"),
     )

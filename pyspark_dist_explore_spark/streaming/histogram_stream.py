@@ -257,14 +257,20 @@ def stream_drift_scores(
         raise ValueError(f"eps must be in (0, 1) (the PSI zero-bin clamp), got {eps}")
     # union + conditional aggregate instead of joins: replicating the
     # ≤ bins-row reference under every window and pivoting by source
-    # sidesteps Spark's self-join attribute ambiguity entirely (the
-    # windowed histogram appears exactly once in the plan)
+    # sidesteps Spark's self-join attribute ambiguity entirely.  The
+    # input feeds TWO branches (the cur cells and the window list), but
+    # both are built on the identical pre-aggregated subtree so the
+    # planner collapses them via exchange reuse — and in the intended
+    # foreachBatch composition the input is micro-batch-sized anyway.
     ref = ref_hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     ref_tot = ref.groupBy().agg(F.sum("cnt").alias("__tr"))
-    cur = win_hist.select(
+    cells_cur = win_hist.groupBy("window_start", "window_end", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    cur = cells_cur.select(
         "window_start", "window_end", "bucket", "cnt", F.lit("cur").alias("src")
     )
-    wins = win_hist.select("window_start", "window_end").distinct()
+    wins = cells_cur.select("window_start", "window_end").distinct()
     refw = wins.crossJoin(F.broadcast(ref)).select(
         "window_start", "window_end", "bucket", "cnt", F.lit("ref").alias("src")
     )

@@ -1744,6 +1744,26 @@ def test_quantize_saturates_new_vectors_against_saved_minmax(spark):
     assert list(np.frombuffer(rows[2].packed, dtype=np.uint8)) == [255, 0]
 
 
+def test_quantize_whole_null_embedding_yields_null_row(spark):
+    """A row whose ENTIRE embedding is NULL must come out with NULL
+    codes/packed (filterable), not crash the Arrow byte pack."""
+    from pyspark_dist_explore_spark.operators.similarity import (
+        dimension_minmax,
+        quantize_embeddings,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 10.0])], ["vec_id", "embedding"]
+    )
+    mm = dimension_minmax(base)
+    newv = spark.createDataFrame(
+        [(2, [0.5, 5.0]), (3, None)], "vec_id bigint, embedding array<double>"
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(newv, mm).collect()}
+    assert rows[2].packed is not None
+    assert rows[3].codes is None and rows[3].packed is None
+
+
 def test_containment_pairs_validates_params(spark):
     import pytest as _pytest
 
@@ -2053,7 +2073,15 @@ def test_histogram_drift_by_group_matches_duckdb(spark):
 
     bucket = bucket_sql("v", "__lo", "__hi", 8)
     oracle = f"""
-WITH u AS (
+WITH u0 AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '') AS grp, CAST(n_chars AS DOUBLE) AS v
+  FROM documents
+  UNION ALL
+  SELECT COALESCE(CAST(lang AS VARCHAR), '') AS grp, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+),
+present AS (SELECT DISTINCT grp FROM u0),
+u AS (
   SELECT COALESCE(CAST(lang AS VARCHAR), '') AS grp, CAST(n_chars AS DOUBLE) AS v, 'ref' AS src
   FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
   UNION ALL
@@ -2072,39 +2100,53 @@ cells AS (
          sum(CASE WHEN src = 'cur' THEN 1 ELSE 0 END) AS cur_cnt
   FROM b GROUP BY grp, bucket
 ),
-tot AS (SELECT grp, sum(ref_cnt) AS tr, sum(cur_cnt) AS tc FROM cells GROUP BY grp)
-SELECT cells.grp AS "group",
-       CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
-       CAST(sum(cur_cnt) AS BIGINT) AS n_cur,
-       round(sum(
-         (greatest(CASE WHEN tr > 0 THEN ref_cnt / tr ELSE 0.0 END, 1e-06)
-          - greatest(CASE WHEN tc > 0 THEN cur_cnt / tc ELSE 0.0 END, 1e-06))
-         * ln(greatest(CASE WHEN tr > 0 THEN ref_cnt / tr ELSE 0.0 END, 1e-06)
-              / greatest(CASE WHEN tc > 0 THEN cur_cnt / tc ELSE 0.0 END, 1e-06))
-       ), 10) AS psi
-FROM cells JOIN tot ON cells.grp = tot.grp
-GROUP BY cells.grp
+tot AS (SELECT grp, sum(ref_cnt) AS tr, sum(cur_cnt) AS tc FROM cells GROUP BY grp),
+scored AS (
+  SELECT cells.grp,
+         CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
+         CAST(sum(cur_cnt) AS BIGINT) AS n_cur,
+         round(sum(
+           (greatest(CASE WHEN tr > 0 THEN ref_cnt / tr ELSE 0.0 END, 1e-06)
+            - greatest(CASE WHEN tc > 0 THEN cur_cnt / tc ELSE 0.0 END, 1e-06))
+           * ln(greatest(CASE WHEN tr > 0 THEN ref_cnt / tr ELSE 0.0 END, 1e-06)
+                / greatest(CASE WHEN tc > 0 THEN cur_cnt / tc ELSE 0.0 END, 1e-06))
+         ), 10) AS psi
+  FROM cells JOIN tot ON cells.grp = tot.grp
+  GROUP BY cells.grp
+)
+SELECT present.grp AS "group",
+       COALESCE(n_ref, 0) AS n_ref,
+       COALESCE(n_cur, 0) AS n_cur,
+       COALESCE(psi, 0.0) AS psi
+FROM present LEFT JOIN scored ON present.grp = scored.grp
 """
     compare(spark, SF_SMOKE, build, oracle)
 
 
 def test_histogram_drift_by_group_semantics(spark):
     """A group identical across snapshots scores ~0; a group present in
-    only one snapshot scores maximal (finite) drift."""
+    only one snapshot scores maximal (finite) drift; a group whose
+    values are all NULL on BOTH sides still gets a (0, 0, 0.0) row
+    instead of vanishing."""
     from pyspark_dist_explore_spark.operators.stats import histogram_drift_by_group
 
     ref = spark.createDataFrame(
-        [("a", float(i)) for i in range(20)] + [("b", float(i)) for i in range(20)],
-        ["g", "v"],
+        [("a", float(i)) for i in range(20)]
+        + [("b", float(i)) for i in range(20)]
+        + [("dead", None)],
+        "g string, v double",
     )
     cur = spark.createDataFrame(
-        [("a", float(i)) for i in range(20)] + [("c", 5.0)], ["g", "v"]
+        [("a", float(i)) for i in range(20)] + [("c", 5.0), ("dead", None)],
+        "g string, v double",
     )
     out = {r.group: r for r in
            histogram_drift_by_group(ref, cur, "v", "g", bins=10).collect()}
     assert abs(out["a"].psi) < 1e-9
     assert out["b"].n_cur == 0 and out["b"].psi > 0.25
     assert out["c"].n_ref == 0 and out["c"].psi > 0.25
+    assert out["dead"].n_ref == 0 and out["dead"].n_cur == 0
+    assert out["dead"].psi == 0.0, "all-NULL group must appear, not vanish"
     assert all(r.psi == r.psi and r.psi != float("inf") for r in out.values())
 
 
