@@ -3,6 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": sf}.
 
+The stdout JSON line is kept COMPACT (separators without spaces, 3-dp
+values, no per-query spread/cold maps) so it stays parseable inside the
+driver's bounded stdout-tail capture; the full per-query detail
+(min/cold/spread per attempt) is written to BENCH_DETAIL.json next to
+this script.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 """
@@ -14,6 +20,9 @@ import os
 import re
 import sys
 import time
+
+ATTEMPTS = 3  # min-of-3 for EVERY query — shared-host noise otherwise
+# dominates round-over-round comparisons even for sub-second queries
 
 
 def main() -> None:
@@ -42,44 +51,50 @@ def main() -> None:
     # measure the plan, not session startup.
     REGISTRY["hist_lineitem_price"].build(spark, sf_dir).collect()
 
-    # min-of-N per query — shared-host load and JIT noise otherwise
-    # dominate round-over-round comparisons.  Cheap queries get 2 warm
-    # passes; queries whose cold pass exceeds EXPENSIVE_SEC get 3 so the
-    # numbers that decide the round verdict are the most stable ones.
-    # "spread" (max−min across attempts) makes run-to-run variance
-    # visible next to each timing instead of being folded into it.
-    EXPENSIVE_SEC = 1.5
     timings: dict[str, float] = {}
-    spread: dict[str, float] = {}
-    cold: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    cold_total = 0.0
     for name, spec in REGISTRY.items():
         dts: list[float] = []
-        attempts = 2
-        while len(dts) < attempts:
+        for i in range(ATTEMPTS):
             t0 = time.perf_counter()
             rows = spec.build(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            if not dts:
-                cold[name] = round(dt, 4)
-                if dt > EXPENSIVE_SEC:
-                    attempts = 3
-                if not rows:
-                    print(f"WARNING: {name} returned 0 rows", file=sys.stderr)
-            dts.append(dt)
-        timings[name] = round(min(dts), 4)
-        spread[name] = round(max(dts) - min(dts), 4)
+            dts.append(time.perf_counter() - t0)
+            if i == 0 and not rows:
+                print(f"WARNING: {name} returned 0 rows", file=sys.stderr)
+        timings[name] = round(min(dts), 3)
+        cold_total += dts[0]
+        detail[name] = {
+            "attempts": [round(d, 4) for d in dts],
+            "min": round(min(dts), 4),
+            "cold": round(dts[0], 4),
+            "spread": round(max(dts) - min(dts), 4),
+        }
+    spark.stop()
 
     out = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "spread": spread,
-        "cold_total": round(sum(cold.values()), 4),
+        "cold_total": round(cold_total, 3),
         "sf": sf,
     }
-    print(json.dumps(out))
-    spark.stop()
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
+            {"sf": sf, "cpus": cpus, "attempts": ATTEMPTS, "queries": detail},
+            fh,
+            indent=1,
+        )
+    # compact separators + 3-dp values: the whole line must survive the
+    # driver's 2000-char stdout tail to be machine-parsed
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: drop to aggregates only
+        out.pop("queries")
+        out["note"] = "per-query map in BENCH_DETAIL.json (line too long)"
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
