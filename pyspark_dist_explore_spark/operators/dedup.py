@@ -44,6 +44,99 @@ def tokens(col: Column) -> Column:
     return F.split(normalize_text(col), " ")
 
 
+#: C0 control characters (minus \t \n \r, which are whitespace the
+#: normalizer already handles) + DEL — the same class both engines strip
+CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+CONTROL_CHAR_SQL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def unicode_normalize_col(
+    col: Column,
+    *,
+    form: str = "NFC",
+    strip_control: bool = True,
+    accent_fold: bool = False,
+) -> Column:
+    """Unicode canonicalization BEFORE dedup normalization: ``form``
+    normalization (NFC by default — NFD-vs-NFC encodings of the same
+    string, e.g. "café", otherwise defeat exact AND near-dup dedup),
+    optional C0-control/DEL stripping, optional accent folding (NFD →
+    drop combining marks — the utf8proc ``strip_accents`` semantics, so
+    the DuckDB twin is ``strip_accents()``; ligatures like ``ﬁ`` are
+    NOT folded, matching DuckDB).
+
+    Spark has no builtin Unicode normalizer, so this is an Arrow-batched
+    ``pandas_udf`` over ``unicodedata`` — row-local, no shuffle, the
+    same 10-100× batch economics as every other Arrow stage here; NULL
+    text passes through as NULL.  Control stripping is a JVM ``regexp_replace``
+    (whole-stage codegen) applied AFTER the Python normalization.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be one of NFC/NFD/NFKC/NFKD, got {form!r}")
+    import pandas as pd  # noqa: F401 — signature type only
+
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _unorm(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        def one(x: str) -> str:
+            y = unicodedata.normalize(form, x)
+            if accent_fold:
+                y = "".join(
+                    ch
+                    for ch in unicodedata.normalize("NFD", y)
+                    if not unicodedata.combining(ch)
+                )
+                y = unicodedata.normalize(form, y)
+            return y
+
+        return s.map(one, na_action="ignore")
+
+    out = _unorm(col)
+    if strip_control:
+        out = F.regexp_replace(out, CONTROL_CHAR_RE, "")
+    return out
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    form: str = "NFC",
+    strip_control: bool = True,
+    accent_fold: bool = False,
+) -> DataFrame:
+    """Corpus-level Unicode canonicalization: ``(doc_id, text, changed)``
+    with ``text`` the normalized form and ``changed`` = 1 when the byte
+    form moved (the fraction of changed rows is the "how dirty is this
+    crawl" signal).  Run this BEFORE any dedup family — a multilingual
+    crawl mixes NFC and NFD encoders, and without it the two encodings
+    of one string land in different fingerprint buckets.
+
+    DuckDB twin (pinned in pytest and at the driver gate):
+    ``nfc_normalize()`` + the same control-char ``regexp_replace`` (+
+    ``strip_accents()`` when ``accent_fold``).
+    """
+    t = unicode_normalize_col(
+        F.col(text_col), form=form, strip_control=strip_control, accent_fold=accent_fold
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__orig"),
+        t.alias("text"),
+    )
+    return base.select(
+        "doc_id",
+        "text",
+        F.when(F.col("__orig").isNull(), F.lit(0))
+        .otherwise((F.col("text") != F.col("__orig")).cast("int"))
+        .alias("changed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # X1: exact dedup with deterministic survivor
 # --------------------------------------------------------------------------

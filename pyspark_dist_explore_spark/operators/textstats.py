@@ -553,6 +553,121 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    lm_unigrams: DataFrame | None = None,
+    lm_bigrams: DataFrame | None = None,
+    alpha: float = 1.0,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated BIGRAM-LM perplexity — the step from the crude
+    unigram stand-in toward KenLM-style CCNet scoring: ``(doc_id,
+    n_tok, mean_logprob, ppl)`` where each token is scored
+    ``p(w_i | w_{i-1}) = λ·c(w_{i-1}w_i)/c(w_{i-1}) + (1−λ)·p_uni(w_i)``
+    (first token and out-of-vocabulary contexts back off to the
+    ``(1−λ)``-weighted Laplace unigram term, so every score is finite)
+    and ``ppl = exp(−mean_logprob)``.  Word-salad with COMMON words in
+    impossible ORDER — which unigram perplexity cannot see — scores
+    far from the corpus bulk here (margin pinned in pytest).
+
+    ``lm_unigrams=`` ``(term, cnt)`` / ``lm_bigrams=`` ``(prev, term,
+    cnt)`` train on a REFERENCE corpus (pass both or neither); default
+    trains on ``df`` itself.
+
+    Determinism at any parallelism: the fixed-point trick of
+    :func:`unigram_logprob_scores` — per-token log-probs scale to 1e-6
+    BIGINT before the per-doc sum — plus the per-doc MEAN itself lives
+    on the 1e-6 grid (integer-rounded micro-logprob), so results are
+    bit-identical across engines and partitionings (DuckDB twin pinned
+    in pytest).
+
+    Scale shape: one posexplode + ``lag`` window keyed by (doc, idx)
+    — the SAME shuffle shape as the winnowing/minhash gram builds —
+    then term- and bigram-keyed LM joins (vocab-sized; AQE broadcasts
+    when small) and one per-doc aggregate.  Nothing quadratic; the
+    bigram LM is itself one hash aggregate with map-side partials.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (Laplace smoothing mass), got {alpha}")
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1) (interpolation weight), got {lam}")
+    if (lm_unigrams is None) != (lm_bigrams is None):
+        raise ValueError("pass BOTH lm_unigrams and lm_bigrams, or neither")
+    from pyspark.sql import Window
+
+    norm = normalize_text(F.col(text_col))
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(norm, " ")).alias("idx", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    pairs = toks.select("doc_id", "idx", "tok", F.lag("tok", 1).over(w).alias("prev"))
+    if lm_unigrams is not None:
+        uni = lm_unigrams.groupBy("term").agg(F.sum("cnt").alias("cnt"))
+        bi = lm_bigrams.groupBy("prev", "term").agg(F.sum("cnt").alias("bcnt"))
+    else:
+        uni = toks.groupBy(F.col("tok").alias("term")).agg(F.count(F.lit(1)).alias("cnt"))
+        bi = (
+            pairs.where(F.col("prev").isNotNull())
+            .groupBy(F.col("prev"), F.col("tok").alias("term"))
+            .agg(F.count(F.lit(1)).alias("bcnt"))
+        )
+    totals = uni.groupBy().agg(
+        F.sum("cnt").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    ctx = uni.select(F.col("term").alias("prev"), F.col("cnt").alias("ctx_cnt"))
+    scored_rows = (
+        pairs.join(uni.withColumnRenamed("term", "tok"), "tok", "left")
+        .join(ctx, "prev", "left")
+        .join(bi.withColumnRenamed("term", "tok"), ["prev", "tok"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    # identical arithmetic structure on the DuckDB twin: lam * (bcnt /
+    # ctx_cnt) + (1 - lam) * ((cnt + alpha) / (N + alpha * V));
+    # first-token / OOV-context rows drop the bigram term entirely
+    p_uni = (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha)) / (
+        F.col("__n").cast("double") + F.lit(alpha) * F.col("__v").cast("double")
+    )
+    p_bi = F.when(
+        F.col("prev").isNotNull() & (F.coalesce(F.col("ctx_cnt"), F.lit(0)) > 0),
+        F.lit(lam)
+        * (
+            F.coalesce(F.col("bcnt"), F.lit(0)).cast("double")
+            / F.col("ctx_cnt").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    p = p_bi + F.lit(1.0 - lam) * p_uni
+    slogp = F.round(F.log(p) * F.lit(1e6)).cast("bigint")
+    agg = (
+        scored_rows.select("doc_id", slogp.alias("__slogp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("__slogp").alias("__ssum"),
+        )
+    )
+    # mean on the exact 1e-6 grid: rounding the BIGINT micro-logprob
+    # mean (identical integer both engines) sidesteps the decimal-
+    # rounding-of-doubles knife edge that a round(x, 10) of the raw
+    # quotient hits on boundary values
+    mean_e6 = F.round(
+        F.col("__ssum").cast("double") / F.col("n_tok").cast("double")
+    ).cast("bigint")
+    mean_lp = mean_e6.cast("double") / F.lit(1e6)
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        mean_lp.alias("mean_logprob"),
+        F.round(F.exp(-mean_lp), 6).alias("ppl"),
+    )
+
+
 def drop_repeated_lines(
     df: DataFrame,
     text_col: str,

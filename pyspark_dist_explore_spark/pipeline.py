@@ -196,6 +196,7 @@ def curate_documents(
     materialize: bool = False,
     snapshot_dir: str | None = None,
     scrub: bool = False,
+    unicode_form: str | None = None,
     drop_boilerplate_lines: int | None = None,
     max_dup_token_frac: float | None = None,
     max_ppl: float | None = None,
@@ -231,6 +232,12 @@ def curate_documents(
     post-dedup corpus.  The write refuses a non-empty ``snapshot_dir``
     that lacks a ``_SUCCESS`` marker (i.e. anything that is not a
     previous snapshot) so a typo'd path can't silently delete data.
+
+    ``unicode_form="NFC"`` (opt-in) runs Unicode canonicalization
+    before every other stage (:func:`operators.dedup.normalize_unicode`
+    — NFC/NFKC fold + control-char strip), so NFD-vs-NFC byte variants
+    of the same text collapse into one dedup bucket instead of
+    surviving as "distinct" documents.
 
     ``scrub=True`` redacts PII-shaped spans (`textstats.scrub_text`
     patterns) BEFORE anything else, so quality scoring, fingerprinting,
@@ -289,6 +296,18 @@ def curate_documents(
         SCRUB_PATTERNS,
         repetition_signals,
     )
+
+    if unicode_form is not None:
+        # Unicode canonicalization FIRST (opt-in): a multilingual crawl
+        # mixes NFC and NFD encoders, and without the fold the two byte
+        # forms of one string defeat every fingerprint/near-dup stage
+        # below (operators.dedup.normalize_unicode; Arrow-batched,
+        # row-local, no shuffle)
+        from pyspark_dist_explore_spark.operators.dedup import normalize_unicode
+
+        docs = normalize_unicode(
+            docs, text_col, id_col, form=unicode_form
+        ).select(F.col("doc_id").alias(id_col), F.col("text").alias(text_col))
 
     if drop_boilerplate_lines is not None:
         # corpus-wide line-level boilerplate removal FIRST, so quality

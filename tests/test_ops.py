@@ -2214,3 +2214,226 @@ def test_corpus_profile_null_text_counts_as_empty(spark):
     r = corpus_profile(docs, "text", "doc_id").first()
     assert r.n_docs == 2 and r.n_empty == 1
     assert r.n_unique == 2  # '' fingerprint + the real doc
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization (dedup.normalize_unicode)
+# --------------------------------------------------------------------------
+
+
+def test_normalize_unicode_matches_duckdb(spark):
+    """NFC fold + control strip hash-matches DuckDB's nfc_normalize on
+    planted NFD/NFC/control-char rows; accent_fold matches
+    strip_accents."""
+    import unicodedata
+
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.dedup import normalize_unicode
+
+    rows = [
+        (1, unicodedata.normalize("NFC", "caf\u00e9 plain NFC")),
+        (2, unicodedata.normalize("NFD", "caf\u00e9 decomposed NFD")),
+        (3, "bell\x07 and\x1f del\x7f controls"),
+        (4, "\u212b angstrom sign"),  # NFC-normalizes to U+00C5
+        (5, None),
+        (6, "ascii only stays put"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        map(tuple, normalize_unicode(docs, "text", "doc_id").collect())
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute(r"""
+SELECT doc_id,
+       regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS text,
+       CASE WHEN text IS NULL THEN 0
+            WHEN regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') <> text
+            THEN 1 ELSE 0 END AS changed
+FROM docs
+""").fetchall()))
+    con.close()
+    assert got == want
+    # accent fold twin: strip_accents semantics (ligatures NOT folded)
+    folded = {
+        r.doc_id: r.text
+        for r in normalize_unicode(
+            docs.where("text IS NOT NULL"), "text", "doc_id", accent_fold=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame([r for r in rows if r[1] is not None],
+                                      columns=["doc_id", "text"]))
+    duck_folded = dict(con.execute(r"""
+SELECT doc_id,
+       regexp_replace(strip_accents(nfc_normalize(text)),
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
+FROM docs""").fetchall())
+    con.close()
+    assert folded == duck_folded
+    assert folded[1] == "cafe plain NFC"
+    assert unicodedata.normalize("NFC", "café") == "café"
+
+
+def test_normalize_unicode_collapses_nfd_vs_nfc_dedup(spark):
+    """The planted scenario from the gap report: NFC and NFD encodings
+    of the same string defeat fingerprint dedup UNTIL normalize_unicode
+    runs; afterwards they collapse to one survivor."""
+    import unicodedata
+
+    from pyspark_dist_explore_spark.operators.dedup import (
+        fingerprint_dedup,
+        normalize_unicode,
+    )
+
+    _nfc_lait = unicodedata.normalize("NFC", "caf\u00e9 au lait")
+    _nfd_lait = unicodedata.normalize("NFD", _nfc_lait)
+    assert _nfc_lait != _nfd_lait  # genuinely different byte forms
+
+    docs = spark.createDataFrame(
+        [(1, _nfc_lait), (2, _nfd_lait)], "doc_id bigint, text string"
+    )
+    raw_kept = fingerprint_dedup(docs, "text", "doc_id").count()
+    assert raw_kept == 2, "without unicode normalization the pair survives"
+    normed = normalize_unicode(docs, "text", "doc_id")
+    assert {r.changed for r in normed.collect()} == {0, 1}
+    assert fingerprint_dedup(normed, "text", "doc_id").count() == 1
+
+
+def test_normalize_unicode_validates_form(spark):
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.dedup import normalize_unicode
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="form"):
+        normalize_unicode(docs, "text", "doc_id", form="NFX")
+
+
+# --------------------------------------------------------------------------
+# bigram-LM perplexity (textstats.bigram_logprob_scores)
+# --------------------------------------------------------------------------
+
+
+def test_bigram_logprob_matches_duckdb(spark):
+    """The interpolated-bigram chain (lag-window pair build -> self-
+    trained LMs -> lam*p_ML + (1-lam)*Laplace-unigram -> scaled-bigint
+    per-doc sum) hash-matches DuckDB bit for bit."""
+    from pyspark_dist_explore_spark.operators.textstats import bigram_logprob_scores
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return bigram_logprob_scores(docs, "text", "doc_id")
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    oracle = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx, unnest(l) AS tok
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS l FROM documents) t
+),
+t2 AS (SELECT doc_id, idx, tok FROM toks WHERE tok <> ''),
+pairs AS (
+  SELECT doc_id, idx, tok, lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+  FROM t2
+),
+uni AS (SELECT tok AS term, count(*) AS cnt FROM t2 GROUP BY tok),
+bi AS (
+  SELECT prev, tok AS term, count(*) AS bcnt FROM pairs
+  WHERE prev IS NOT NULL GROUP BY prev, tok
+),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln(
+           (CASE WHEN p.prev IS NOT NULL AND COALESCE(cx.cnt, 0) > 0
+                 THEN 0.7 * (CAST(COALESCE(b.bcnt, 0) AS DOUBLE) / CAST(cx.cnt AS DOUBLE))
+                 ELSE 0.0 END)
+           + 0.30000000000000004 * ((CAST(COALESCE(u.cnt, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0 * tot.v))
+         ) * 1e6) AS BIGINT) AS slogp
+  FROM pairs p
+  LEFT JOIN uni u ON p.tok = u.term
+  LEFT JOIN uni cx ON p.prev = cx.term
+  LEFT JOIN bi b ON p.prev = b.prev AND p.tok = b.term, tot
+)
+SELECT doc_id, n_tok,
+       CAST(mean_e6 AS DOUBLE) / 1e6 AS mean_logprob,
+       round(exp(-(CAST(mean_e6 AS DOUBLE) / 1e6)), 6) AS ppl
+FROM (
+  SELECT doc_id, count(*) AS n_tok,
+         CAST(round(CAST(sum(slogp) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_e6
+  FROM scored GROUP BY doc_id
+)
+"""
+    compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_bigram_logprob_flags_word_salad(spark):
+    """Common words in impossible order: unigram ppl can't see it (the
+    salad is an exact PERMUTATION of the real doc, so its unigram
+    margin is exactly 1.0), the bigram LM must — by a wide margin."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    # reference corpus with REAL bigram structure (the parquet word-soup
+    # testdata has none — adjacency there is already near-random)
+    sent = "the quick brown fox jumps over the lazy dog"
+    ref = spark.createDataFrame(
+        [(i, sent + " and the dog sleeps") for i in range(30)]
+        + [(100 + i, "a cat sits on the mat near the door") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    real = sent
+    salad = " ".join(reversed(sent.split()))  # exact permutation
+    probe = spark.createDataFrame([(1, real), (2, salad)], ["doc_id", "text"])
+
+    from pyspark_dist_explore_spark.operators.textstats import term_frequencies
+
+    uni_lm = term_frequencies(ref, "text", "doc_id").groupBy("term").agg(
+        F.sum("tf").alias("cnt")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = ref.select(
+        F.col("doc_id"), F.posexplode(F.split(norm, " ")).alias("idx", "tok")
+    ).where(F.col("tok") != "")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    bi_lm = (
+        toks.select("doc_id", "idx", "tok", F.lag("tok", 1).over(w).alias("prev"))
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bi = {r.doc_id: r.ppl for r in bigram_logprob_scores(
+        probe, "text", "doc_id", lm_unigrams=uni_lm, lm_bigrams=bi_lm
+    ).collect()}
+    un = {r.doc_id: r.ppl for r in unigram_logprob_scores(
+        probe, "text", "doc_id", lm_counts=uni_lm
+    ).collect()}
+    uni_margin = un[2] / un[1]
+    bi_margin = bi[2] / bi[1]
+    assert abs(uni_margin - 1.0) < 1e-6, f"exact permutation: {uni_margin}"
+    assert bi_margin > 2.0, f"bigram must flag word salad, margin={bi_margin}"
+    assert all(p == p and p != float("inf") for p in bi.values())
+
+
+def test_bigram_logprob_validates_params(spark):
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.textstats import bigram_logprob_scores
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="lam"):
+        bigram_logprob_scores(docs, "text", "doc_id", lam=1.0)
+    with _pytest.raises(ValueError, match="alpha"):
+        bigram_logprob_scores(docs, "text", "doc_id", alpha=0.0)
+    with _pytest.raises(ValueError, match="BOTH"):
+        bigram_logprob_scores(docs, "text", "doc_id", lm_unigrams=docs)

@@ -526,3 +526,26 @@ def test_curate_all_stages_compose(spark):
     rows2 = sorted(map(tuple,
         curate_documents(docs, "text", "doc_id", **kwargs).collect()))
     assert rows1 == rows2, "fully deterministic: same corpus -> same keep-list"
+
+
+def test_curate_unicode_stage_collapses_nfd_variants(spark):
+    """unicode_form='NFC': the NFD byte-variant of an NFC doc must dedup
+    away inside the pipeline instead of surviving as distinct."""
+    import unicodedata
+
+    from pyspark_dist_explore_spark.pipeline import curate_documents
+
+    nfc = "The quick brown fox jumps over the lazy café dog again."
+    nfd = unicodedata.normalize("NFD", nfc)
+    assert nfc != nfd
+    docs = spark.createDataFrame(
+        [(1, nfc), (2, nfd), (3, "A completely different document body here.")],
+        "doc_id bigint, text string",
+    )
+    without = curate_documents(docs, "text", "doc_id", min_quality=0.0)
+    assert without.count() == 3, "byte variants defeat dedup without the fold"
+    with_fold = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, unicode_form="NFC"
+    )
+    rows = {r.doc_id for r in with_fold.collect()}
+    assert rows == {1, 3}, f"NFD variant must collapse to the min-id survivor: {rows}"
