@@ -260,28 +260,23 @@ def chunk_ids(chunks: DataFrame) -> DataFrame:
     )
 
 
-def chunk_pack_sql(
+def _chunk_base_ctes(
     table: str,
     id_col: str,
     *,
     chunk_max_tokens: int,
     overlap: int,
-    max_tokens: int,
     buckets: int,
     norm_text_expr: str,
 ) -> str:
-    """DuckDB rendering of the composed ``chunk_documents`` →
-    ``chunk_ids`` → ``pack_sequences(mode='cumsum')`` chain — the full
-    training-batch shaping pipeline (stride-window chunking, doc-major
-    chunk ids, md5 bucket shard, exclusive window cumsum, floor-division
-    packs) as ONE hash-checkable query."""
+    """Shared CTE prefix (tokenize → chunk → chunk ids → md5 bucket)
+    used by both DuckDB pack renderers."""
     stride = chunk_max_tokens - overlap
     bucket = (
         f"(CAST(('0x' || substr(md5(CAST(chunk_id AS VARCHAR)), 1, 4)) AS BIGINT)"
         f" % {buckets})"
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT {id_col} AS doc_id,
          CASE WHEN {norm_text_expr} = '' THEN CAST([] AS VARCHAR[])
               ELSE string_split({norm_text_expr}, ' ') END AS toks
@@ -304,14 +299,115 @@ base AS (
 ),
 bucketed AS (
   SELECT chunk_id, n_tokens, CAST({bucket} AS INT) AS bucket FROM base
-)
-SELECT chunk_id, n_tokens, bucket,
-       bucket * {_PACK_STRIDE} + CAST(floor(
+)"""
+
+
+_CUMSUM_SELECT = """SELECT chunk_id, n_tokens, bucket,
+       bucket * {stride} + CAST(floor(
          COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY chunk_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          / {max_tokens}.0) AS BIGINT) AS pack_id,
        CAST(n_tokens > {max_tokens} AS INT) AS oversize
-FROM bucketed
+FROM bucketed"""
+
+
+def chunk_pack_sql(
+    table: str,
+    id_col: str,
+    *,
+    chunk_max_tokens: int,
+    overlap: int,
+    max_tokens: int,
+    buckets: int,
+    norm_text_expr: str,
+) -> str:
+    """DuckDB rendering of the composed ``chunk_documents`` →
+    ``chunk_ids`` → ``pack_sequences(mode='cumsum')`` chain — the full
+    training-batch shaping pipeline (stride-window chunking, doc-major
+    chunk ids, md5 bucket shard, exclusive window cumsum, floor-division
+    packs) as ONE hash-checkable query."""
+    prefix = _chunk_base_ctes(
+        table,
+        id_col,
+        chunk_max_tokens=chunk_max_tokens,
+        overlap=overlap,
+        buckets=buckets,
+        norm_text_expr=norm_text_expr,
+    )
+    sel = _CUMSUM_SELECT.format(stride=_PACK_STRIDE, max_tokens=max_tokens)
+    return f"\nWITH {prefix}\n{sel}\n"
+
+
+def _greedy_ctes_sql(max_tokens: int) -> str:
+    """Recursive-CTE rendering of the per-bucket first-fit loop: the
+    recursion carries the SAME (open-pack index, open-pack fill) state
+    the Python loop does, one recursion step per row within each
+    bucket (all buckets advance in lockstep).  ``emit_pid`` is the
+    pack the ROW lands in; (pid, cur) is the state AFTER the row."""
+    m = max_tokens
+    return f"""nb AS (
+  SELECT chunk_id, n_tokens, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY chunk_id) AS rn
+  FROM bucketed
+),
+g AS (
+  SELECT bucket, rn, chunk_id, n_tokens,
+         0 AS emit_pid,
+         CASE WHEN n_tokens > {m} THEN 1 ELSE 0 END AS pid,
+         CASE WHEN n_tokens > {m} THEN 0 ELSE n_tokens END AS cur
+  FROM nb WHERE rn = 1
+  UNION ALL
+  SELECT b.bucket, b.rn, b.chunk_id, b.n_tokens,
+         CASE WHEN b.n_tokens > {m} THEN g.pid + CASE WHEN g.cur > 0 THEN 1 ELSE 0 END
+              WHEN g.cur + b.n_tokens > {m} THEN g.pid + 1
+              ELSE g.pid END AS emit_pid,
+         CASE WHEN b.n_tokens > {m} THEN g.pid + CASE WHEN g.cur > 0 THEN 1 ELSE 0 END + 1
+              WHEN g.cur + b.n_tokens > {m} THEN g.pid + 1
+              ELSE g.pid END AS pid,
+         CASE WHEN b.n_tokens > {m} THEN 0
+              WHEN g.cur + b.n_tokens > {m} THEN b.n_tokens
+              ELSE g.cur + b.n_tokens END AS cur
+  FROM g JOIN nb b ON b.bucket = g.bucket AND b.rn = g.rn + 1
+),
+greedy_out AS (
+  SELECT chunk_id, n_tokens, bucket,
+         bucket * {_PACK_STRIDE} + emit_pid AS pack_id,
+         CAST(n_tokens > {m} AS INT) AS oversize
+  FROM g
+)"""
+
+
+def chunk_pack_modes_sql(
+    table: str,
+    id_col: str,
+    *,
+    chunk_max_tokens: int,
+    overlap: int,
+    max_tokens: int,
+    buckets: int,
+    norm_text_expr: str,
+) -> str:
+    """DuckDB rendering of the chunk chain packed under BOTH modes,
+    mode-tagged and unioned: cumsum (window SQL) and greedy (the
+    strictly-≤-budget first-fit, rendered as a per-bucket recursive
+    CTE carrying the identical loop state) — so the mode real training
+    dumps use is hash-checked at the driver gate, not just in pytest."""
+    prefix = _chunk_base_ctes(
+        table,
+        id_col,
+        chunk_max_tokens=chunk_max_tokens,
+        overlap=overlap,
+        buckets=buckets,
+        norm_text_expr=norm_text_expr,
+    )
+    cumsum = _CUMSUM_SELECT.format(stride=_PACK_STRIDE, max_tokens=max_tokens)
+    greedy = _greedy_ctes_sql(max_tokens)
+    return f"""
+WITH RECURSIVE {prefix},
+{greedy}
+SELECT 'cumsum' AS mode, * FROM ({cumsum})
+UNION ALL
+SELECT 'greedy' AS mode, chunk_id, n_tokens, bucket, pack_id, oversize FROM greedy_out
 """
 
 

@@ -81,6 +81,28 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def text_profile_lang(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """:func:`text_profile` ∪ :func:`language_id` in ONE row-local
+    projection over ONE scan (merged registration, round 6): ``(doc_id,
+    n_chars, n_tokens, n_bpe_tokens, n_punct, avg_token_len,
+    alpha_ratio, punct_ratio, quality, score_<lang>…, lang_pred)``.
+    Every column is a pure expression, so the merge costs nothing at
+    any corpus size — it is strictly cheaper than the join the two
+    separate outputs would need."""
+    t = F.col(text_col)
+    alpha_ratio, punct_ratio, score = quality_ratio_exprs(t)
+    scores = lang_score_exprs(t)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *_stats_exprs(t),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        score.alias("quality"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        lang_pred_expr(t).alias("lang_pred"),
+    )
+
+
 def quality_ratio_exprs(t: Column) -> tuple[Column, Column, Column]:
     """(alpha_ratio, punct_ratio, quality) as row-local expressions —
     importable so pipelines can score inline on an existing scan instead

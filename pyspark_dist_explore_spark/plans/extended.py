@@ -170,13 +170,14 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "grouping_sets_priority",
-    """
+#: deregistered round 6 (merged into ``grouping_analytics``); original
+#: stays callable, oracle pinned in tests/test_ops.py
+GROUPING_SETS_ORACLE = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
 FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-""",
-)
+"""
+
+
 def q_grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL surface (temp view + spark.sql)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")

@@ -467,13 +467,14 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(docs, "doc_id", shards=8, salt="epoch0")
 
 
-@register(
-    "dataset_hash_split",
-    f"""
+#: deregistered round 6 (merged into ``sampling_splits``); originals
+#: stay callable, oracles pinned in tests/test_ops.py
+HASH_SPLIT_ORACLE = f"""
 SELECT {hash_split_sql('doc_id')} AS split, count(*) AS cnt
 FROM documents GROUP BY 1
-""",
-)
+"""
+
+
 def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-keyed train/val/test split — same row, same
     split, every run, every engine (no RNG, no shuffle)."""
@@ -483,15 +484,13 @@ def q_dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STRAT_FRACS = {"en": 0.5, "de": 0.5, "es": 0.5, "zh": 1.0, "fr": 1.0}
 
-
-@register(
-    "stratified_sample_langs",
-    f"""
+STRATIFIED_LANGS_ORACLE = f"""
 SELECT lang, count(*) AS cnt FROM documents
 WHERE {stratified_sample_hash_sql('lang', 'doc_id', _STRAT_FRACS)}
 GROUP BY lang
-""",
-)
+"""
+
+
 def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified rebalance: downsample dominant languages with the
     DETERMINISTIC md5-bucket sampler — the kept set (not just its size)
@@ -504,6 +503,41 @@ def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "sampling_splits",
+    f"""
+SELECT 'hash_split' AS kind, {hash_split_sql('doc_id')} AS key, count(*) AS cnt
+FROM documents GROUP BY 1, 2
+UNION ALL
+SELECT 'strat_lang' AS kind, lang AS key, count(*) AS cnt FROM documents
+WHERE {stratified_sample_hash_sql('lang', 'doc_id', _STRAT_FRACS)}
+GROUP BY 1, 2
+""",
+)
+def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling surface in one slot (merged round 6 from
+    ``dataset_hash_split`` + ``stratified_sample_langs``, freeing a
+    slot for the drift/profile promotions): the md5-keyed train/val/
+    test split counts and the stratified per-language downsample
+    counts, tagged and unioned.  Both halves stay fully hash-checked
+    (the kept SET is deterministic, not just its size); the standalone
+    builders remain callable with their oracles pinned in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    splits = (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("hash_split").alias("kind"), F.col("split").alias("key"), "cnt")
+    )
+    strat = (
+        stratified_sample_hash(docs, "lang", _STRAT_FRACS, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("strat_lang").alias("kind"), F.col("lang").alias("key"), "cnt")
+    )
+    return splits.unionByName(strat)
 
 
 #: per-source token budgets for the mixture query: a partial keep
@@ -736,6 +770,7 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pyspark_dist_explore_spark.operators.packing import (  # noqa: E402
     chunk_documents,
     chunk_ids,
+    chunk_pack_modes_sql,
     chunk_pack_sql,
     pack_sequences,
 )
@@ -747,7 +782,7 @@ _PACK_MAX = 512
 
 @register(
     "pack_sequences",
-    chunk_pack_sql(
+    chunk_pack_modes_sql(
         "documents",
         "doc_id",
         chunk_max_tokens=_CHUNK_MAX,
@@ -761,28 +796,44 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch shaping end-to-end: stride-window CHUNKING
     (``chunk_documents``: ≤128-token windows, 16-token overlap — pure
     row-local tokenize → slice → posexplode, no shuffle) → doc-major
-    bigint chunk ids → sequence PACKING in cumsum mode
-    (``pack_sequences``: md5-bucket shard → per-bucket exclusive running
-    token count → floor-division pack ids — pure window SQL, ONE
-    exchange, plan-pinned in tests/test_plans.py).  The DuckDB twin
+    bigint chunk ids → sequence PACKING under BOTH modes (round 6):
+    cumsum (md5-bucket shard → per-bucket exclusive running token count
+    → floor-division pack ids — pure window SQL, ONE exchange,
+    plan-pinned in tests/test_plans.py) AND greedy (the strict ≤-budget
+    first-fit real training dumps use — ``applyInPandas`` over (id,
+    count) pairs only), mode-tagged and unioned.  The DuckDB twin
     renders the identical chunk arithmetic, bucket hash, window frame,
-    and stride, so chunk boundaries AND pack assignment are hash-checked
-    end-to-end.  The strictly-bounded ``mode='greedy'`` packing variant
-    stays pytest-pinned (its first-fit loop is not SQL-expressible);
-    plain no-chunk packing keeps its own DuckDB-parity pytest
+    and — via a recursive CTE carrying the same first-fit loop state —
+    the greedy assignment, so chunk boundaries and BOTH pack
+    assignments are hash-checked end-to-end.  Plain no-chunk packing
+    keeps its own DuckDB-parity pytest
     (tests/test_ops.py::test_pack_sequences_cumsum_matches_duckdb)."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(
         docs, "text", "doc_id", max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
     )
-    packed = pack_sequences(
-        chunk_ids(chunks),
-        "chunk_id",
-        token_count_col="n_tokens",
-        max_tokens=_PACK_MAX,
-        buckets=32,
-    )
-    return packed.withColumnRenamed("doc_id", "chunk_id")
+    ids = chunk_ids(chunks)
+    out = []
+    for mode in ("cumsum", "greedy"):
+        packed = pack_sequences(
+            ids,
+            "chunk_id",
+            token_count_col="n_tokens",
+            max_tokens=_PACK_MAX,
+            buckets=32,
+            mode=mode,
+        )
+        out.append(
+            packed.withColumnRenamed("doc_id", "chunk_id").select(
+                F.lit(mode).alias("mode"),
+                "chunk_id",
+                "n_tokens",
+                "bucket",
+                "pack_id",
+                "oversize",
+            )
+        )
+    return out[0].unionByName(out[1])
 
 
 # --------------------------------------------------------------------------
@@ -802,9 +853,9 @@ _UNIT = (
 _UNIT_CTE = f"u AS (SELECT vec_id, {_UNIT.format(v='ve')} AS uv FROM v)"
 
 
-@register(
-    "vector_topk_exact",
-    f"""
+#: deregistered round 6 (merged into ``vector_exact_search``);
+#: originals stay callable, oracles pinned in tests/test_ops.py
+VECTOR_TOPK_ORACLE = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
 {_UNIT_CTE},
 q AS (SELECT vec_id AS query_id, uv AS qv FROM u WHERE vec_id < 5),
@@ -817,8 +868,9 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
-""",
-)
+"""
+
+
 def q_vector_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 5."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -830,22 +882,75 @@ def q_vector_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS_THRESHOLD = 0.45
 
-
-@register(
-    "vector_neardup_pairs",
-    f"""
+VECTOR_PAIRS_ORACLE = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
 {_UNIT_CTE}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.uv, b.uv), 6) AS cos_sim
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.uv, b.uv), 6) >= {_COS_THRESHOLD}
-""",
-)
+"""
+
+
 def q_vector_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_pairs(emb, threshold=_COS_THRESHOLD)
+
+
+@register(
+    "vector_exact_search",
+    f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+{_UNIT_CTE},
+q AS (SELECT vec_id AS query_id, uv AS qv FROM u WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, u.vec_id, round(list_dot_product(qv, uv), 6) AS cos_sim
+  FROM u, q WHERE u.vec_id <> q.query_id
+)
+SELECT 'topk' AS kind, query_id AS id_a, vec_id AS id_b,
+       CAST(rank AS INT) AS rank, cos_sim
+FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+UNION ALL
+SELECT 'pairs' AS kind, a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(NULL AS INT) AS rank,
+       round(list_dot_product(a.uv, b.uv), 6) AS cos_sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.uv, b.uv), 6) >= {_COS_THRESHOLD}
+""",
+)
+def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact (ground-truth) similarity-search surface in one slot
+    (merged round 6 from ``vector_topk_exact`` + ``vector_neardup_pairs``,
+    freeing a slot for the quantization promotion): broadcast-Q
+    brute-force cosine top-5 and the all-pairs near-dup list at the
+    0.45 threshold, schema-aligned ``(kind, id_a, id_b, rank, cos_sim)``
+    and unioned.  Both remain the exact baselines the ANN/LSH paths are
+    recall-pinned against; standalone builders stay callable with their
+    oracles pinned in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = similarity.exact_topk(emb, queries, k=5, query_id_col="query_id").select(
+        F.lit("topk").alias("kind"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("rank").cast("int").alias("rank"),
+        "cos_sim",
+    )
+    pairs = similarity.cosine_neardup_pairs(emb, threshold=_COS_THRESHOLD).select(
+        F.lit("pairs").alias("kind"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("int").alias("rank"),
+        "cos_sim",
+    )
+    return topk.unionByName(pairs)
 
 
 def _winnowing_oracle(k: int, window: int) -> str:
@@ -967,19 +1072,26 @@ def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vector_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both ANN scale paths for similarity search in one tagged result:
 
-    - ``ivf``: seeded-KMeans inverted centroid lists (fit on a hash
-      sample), n_probe probing, exact re-rank inside probed lists;
+    - ``ivf``: the PACKED int8 serving path (round 6 — the form users
+      would actually run at 100 TB: quantize to 1 byte/dim, hash-sample
+      KMeans fit on dequantized samples, n_probe probing, Arrow
+      packed-dot re-rank; vectors stay packed through every shuffle);
     - ``lsh``: deterministic random-hyperplane buckets, exact re-rank
       inside the query's bucket.
 
     Same (query_id, rank, vec_id, cos_sim) shape per method — recall
-    floors and the full-probe==exact invariant are pytest-pinned.
+    floors, full-probe==packed-scan, and the float-IVF variant
+    (``similarity.ivf_topk``, still callable) are pytest-pinned.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ivf = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    mm = similarity.dimension_minmax(emb, vec_col="embedding")
+    quant = similarity.quantize_embeddings(emb, mm, id_col="vec_id", vec_col="embedding")
+    ivf = similarity.ivf_topk_packed(
+        quant, mm, queries, k=5, n_centroids=16, n_probe=4
+    )
     lsh = similarity.ann_lsh_topk(emb, queries, k=5, n_planes=4)
     return ivf.select(F.lit("ivf").alias("method"), "*").unionAll(
         lsh.select(F.lit("lsh").alias("method"), "*")
@@ -1061,32 +1173,49 @@ def q_word2vec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "text_stats",
-    f"""
-WITH n AS (SELECT doc_id, text, {_NORM.format(c='text')} AS norm FROM documents)
-SELECT doc_id,
-       CAST(len(text) AS BIGINT) AS n_chars,
-       CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, {sql_str_lit(textstats.TOKEN_RE)})) AS BIGINT) AS n_bpe_tokens,
-       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
-       round(CAST(len(replace(norm, ' ', '')) AS DOUBLE)
-             / greatest(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END, 1), 6)
-         AS avg_token_len,
-       round({_alpha_ratio_sql('text')}, 6) AS alpha_ratio,
-       round({_punct_ratio_sql('text')}, 6) AS punct_ratio,
-       {_quality_sql('text')} AS quality
-FROM n
-""",
+def _text_stats_merged_oracle() -> str:
+    langs = sorted(textstats.LANG_MARKERS)
+    score_exprs = _lang_score_sql()
+    return f"""
+WITH n AS (
+  SELECT doc_id, text, {_NORM.format(c='text')} AS norm,
+         concat(' ', {_NORM.format(c='text')}, ' ') AS p
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, {sql_str_lit(textstats.TOKEN_RE)})) AS BIGINT) AS n_bpe_tokens,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+         round(CAST(len(replace(norm, ' ', '')) AS DOUBLE)
+               / greatest(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END, 1), 6)
+           AS avg_token_len,
+         round({_alpha_ratio_sql('text')}, 6) AS alpha_ratio,
+         round({_punct_ratio_sql('text')}, 6) AS punct_ratio,
+         {_quality_sql('text')} AS quality,
+         {", ".join(f"{score_exprs[lang]} AS score_{lang}" for lang in langs)}
+  FROM n
 )
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, n_punct, avg_token_len,
+       alpha_ratio, punct_ratio, quality,
+       {", ".join(f"score_{lang}" for lang in langs)},
+       {_lang_pred_case_sql()} AS lang_pred
+FROM scored
+"""
+
+
+@register("text_stats", _text_stats_merged_oracle())
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document stats AND quality signals in one row-local projection
-    (merged round 4 — both halves are pure expressions over the same
-    scan, so one registry slot carries both; the freed slot registers
-    ``text_scrub_repetition``).  Columns: chars/token counts/avg token
-    length + alpha/punct ratios + the [0,1] quality score."""
+    """Per-document stats, quality signals AND language ID in one
+    row-local projection (stats∪quality merged round 4; the lang-ID
+    columns folded in round 6, freeing ``text_lang_id``'s slot for the
+    drift/profile promotions — all three halves are pure expressions
+    over the same scan).  Columns: chars/token counts/avg token length
+    + alpha/punct ratios + the [0,1] quality score + per-language
+    marker scores + deterministic-argmax ``lang_pred``."""
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.text_profile(docs, "text", "doc_id")
+    return textstats.text_profile_lang(docs, "text", "doc_id")
 
 
 #: deregistered round 4 — its three columns are a strict subset of the
@@ -1152,27 +1281,65 @@ rep AS (
          round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
          round(CAST(top_bg AS DOUBLE) / total_bg, 6) AS top_bigram_frac
   FROM tok_stats ts LEFT JOIN bg_stats USING (doc_id)
+),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS line
+  FROM documents
+),
+keyed AS (SELECT doc_id, pos, line, trim(line) AS key FROM lines),
+common AS (
+  SELECT key FROM keyed WHERE key <> ''
+  GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT k.* FROM keyed k ANTI JOIN common c ON k.key = c.key),
+n_all AS (SELECT doc_id, count(*) AS n_all FROM keyed GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+),
+ld AS (
+  SELECT n_all.doc_id,
+         md5(COALESCE(rebuilt.text, '')) AS line_dedup_hash,
+         CAST(COALESCE(n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+         CAST(n_all - COALESCE(n_lines_kept, 0) AS BIGINT) AS n_lines_dropped
+  FROM n_all LEFT JOIN rebuilt USING (doc_id)
 )
 SELECT s.doc_id, n_email, n_url, n_phone, scrub_hash,
-       n_tokens, dup_token_frac, top_bigram_frac
+       n_tokens, dup_token_frac, top_bigram_frac,
+       ld.line_dedup_hash, ld.n_lines_kept, ld.n_lines_dropped
 FROM s JOIN rep ON s.doc_id = rep.doc_id
+JOIN ld ON s.doc_id = ld.doc_id
 """
 
 
 @register("text_scrub_repetition", _scrub_repetition_oracle())
 def q_text_scrub_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-4 curation signals in one doc-level result: PII-style
-    scrubbing (email/URL/phone counts + md5 of the redacted text, so the
+    """Curation signals in one doc-level result: PII-style scrubbing
+    (email/URL/phone counts + md5 of the redacted text, so the
     TRANSFORMATION is verified, not just the counts) joined with
     Gopher-style repetition measures (dup-token fraction, top-bigram
-    fraction).  Both halves are the real pre-training filters a corpus
-    pipeline runs before quality scoring."""
+    fraction) — and, since round 6, the X19 FineWeb-style line-level
+    dedup columns (md5 of the rebuilt text + kept/dropped counts at
+    ``sep=' '``/``min_df=2``, so the doc-frequency → anti-join →
+    ordered-rebuild chain is hash-checked at the driver gate; the
+    newline-separator form stays twin-pinned in pytest).  All three are
+    the real pre-training filters a corpus pipeline runs before
+    quality scoring."""
     docs = load_table(spark, sf_dir, "documents")
     scrub = textstats.scrub_text(docs, "text", "doc_id").select(
         "doc_id", "n_email", "n_url", "n_phone", F.md5("scrubbed").alias("scrub_hash")
     )
     rep = textstats.repetition_signals(docs, "text", "doc_id")
-    return scrub.join(rep, "doc_id")
+    ld = textstats.drop_repeated_lines(docs, "text", "doc_id", min_df=2, sep=" ").select(
+        "doc_id",
+        F.md5("text").alias("line_dedup_hash"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+    return scrub.join(rep, "doc_id").join(ld, "doc_id")
 
 
 def _lang_id_oracle() -> str:
@@ -1192,7 +1359,12 @@ FROM scored
 """
 
 
-@register("text_lang_id", _lang_id_oracle())
+#: deregistered round 6 — the lang columns now ride inside the merged
+#: ``text_stats`` projection (same scan); still callable, oracle pinned
+#: in tests/test_ops.py
+TEXT_LANG_ID_ORACLE = _lang_id_oracle()
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID with deterministic argmax."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1264,3 +1436,246 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = multimodal.attach_binary_payload(docs, "text", "doc_id")
     return multimodal.extract_features(payload)
+
+
+# --------------------------------------------------------------------------
+# Round-6 promotions: the pytest-twin families earn driver-gate rows
+# (X15 quantization codes, X17 per-group drift, X18 perplexity incl. the
+# bigram upgrade, X19 line-level dedup rides text_scrub_repetition,
+# X20 corpus profile, plus the new Unicode normalization operator).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_profile",
+    f"""
+WITH scored AS (
+  SELECT COALESCE(CAST(source AS VARCHAR), '') AS "group",
+         CASE WHEN {_NORM.format(c="COALESCE(text, '')")} = '' THEN 0
+              ELSE len(string_split({_NORM.format(c="COALESCE(text, '')")}, ' ')) END AS tok,
+         CAST(round({_quality_sql("COALESCE(text, '')")} * 1e6) AS BIGINT) AS q6,
+         md5({_NORM.format(c="COALESCE(text, '')")}) AS fp,
+         CASE WHEN {_NORM.format(c="COALESCE(text, '')")} = '' THEN 1 ELSE 0 END AS empty
+  FROM documents
+)
+SELECT "group",
+       count(*) AS n_docs,
+       CAST(sum(empty) AS BIGINT) AS n_empty,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       round(CAST(sum(tok) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       round(CAST(sum(q6) AS DOUBLE) / 1e6 / count(*), 6) AS avg_quality,
+       count(DISTINCT fp) AS n_unique,
+       round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_frac
+FROM scored GROUP BY "group"
+""",
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20 at the driver gate (promoted round 6): the one-scan corpus
+    EDA card per source — docs/empties/token totals, the 1e-6
+    fixed-point quality mean, and the exact-dup fraction from md5
+    content fingerprints.  ONE scan, two exchanges (plan-pinned in
+    tests/test_plans.py); NULL text profiles as an empty doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.corpus_profile(docs, "text", "doc_id", group_col="source")
+
+
+def _drift_groups_oracle() -> str:
+    from pyspark_dist_explore_spark.functions.numeric import bucket_sql
+
+    bucket = bucket_sql("v", "__lo", "__hi", 8)
+    return f"""
+WITH u0 AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '') AS grp, CAST(n_chars AS DOUBLE) AS v
+  FROM documents
+  UNION ALL
+  SELECT COALESCE(CAST(lang AS VARCHAR), '') AS grp, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+),
+present AS (SELECT DISTINCT grp FROM u0),
+u AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '') AS grp, CAST(n_chars AS DOUBLE) AS v, 'ref' AS src
+  FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+  UNION ALL
+  SELECT COALESCE(CAST(lang AS VARCHAR), '') AS grp, CAST(n_chars AS DOUBLE) AS v, 'cur' AS src
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    AND n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+),
+mm AS (SELECT grp, min(v) AS __lo, max(v) AS __hi FROM u GROUP BY grp),
+b AS (
+  SELECT u.grp, u.src, {bucket} AS bucket
+  FROM u JOIN mm ON u.grp = mm.grp
+),
+cells AS (
+  SELECT grp, bucket,
+         sum(CASE WHEN src = 'ref' THEN 1 ELSE 0 END) AS ref_cnt,
+         sum(CASE WHEN src = 'cur' THEN 1 ELSE 0 END) AS cur_cnt
+  FROM b GROUP BY grp, bucket
+),
+tot AS (SELECT grp, sum(ref_cnt) AS tr, sum(cur_cnt) AS tc FROM cells GROUP BY grp),
+scored AS (
+  SELECT cells.grp,
+         CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
+         CAST(sum(cur_cnt) AS BIGINT) AS n_cur,
+         round(sum(
+           (greatest(CASE WHEN tr > 0 THEN ref_cnt / tr ELSE 0.0 END, 1e-06)
+            - greatest(CASE WHEN tc > 0 THEN cur_cnt / tc ELSE 0.0 END, 1e-06))
+           * ln(greatest(CASE WHEN tr > 0 THEN ref_cnt / tr ELSE 0.0 END, 1e-06)
+                / greatest(CASE WHEN tc > 0 THEN cur_cnt / tc ELSE 0.0 END, 1e-06))
+         ), 10) AS psi
+  FROM cells JOIN tot ON cells.grp = tot.grp
+  GROUP BY cells.grp
+)
+SELECT present.grp AS "group",
+       COALESCE(n_ref, 0) AS n_ref,
+       COALESCE(n_cur, 0) AS n_cur,
+       COALESCE(psi, 0.0) AS psi
+FROM present LEFT JOIN scored ON present.grp = scored.grp
+"""
+
+
+@register("histogram_drift_groups", _drift_groups_oracle())
+def q_histogram_drift_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 at the driver gate (promoted round 6): WHICH groups drifted —
+    per-language PSI between the whole corpus and the src0-2 slice
+    (per-group shared-range bins, eps-clamped ratios, presence taken
+    before the validity filter so all-NULL groups still report).  The
+    per-corpus bucket-level form (``stats.histogram_drift``) shares the
+    identical PSI arithmetic and stays twin-pinned in pytest; the
+    streaming per-window scorer reuses it micro-batch-side."""
+    from pyspark_dist_explore_spark.operators import stats as stats_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.where(F.col("source").isin("src0", "src1", "src2"))
+    return stats_ops.histogram_drift_by_group(docs, cur, "n_chars", "lang", bins=8)
+
+
+def _perplexity_oracle() -> str:
+    norm = _NORM.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx, unnest(l) AS tok
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS l FROM documents) t
+),
+t2 AS (SELECT doc_id, idx, tok FROM toks WHERE tok <> ''),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+uni AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni),
+uscored AS (
+  SELECT tf.doc_id, sum(tf.tf) AS n_tok,
+         sum(tf.tf * CAST(round(ln((COALESCE(uni.cnt, 0) + 1.0) / (tot.n + 1.0 * tot.v)) * 1e6)
+                          AS BIGINT)) AS ssum
+  FROM tf LEFT JOIN uni ON tf.term = uni.term, tot
+  GROUP BY tf.doc_id
+),
+u AS (
+  SELECT doc_id, n_tok,
+         round((CAST(ssum AS DOUBLE) / 1e6) / CAST(n_tok AS DOUBLE), 10) AS uni_mean_logprob,
+         round(exp(-((CAST(ssum AS DOUBLE) / 1e6) / CAST(n_tok AS DOUBLE))), 6) AS uni_ppl
+  FROM uscored
+),
+pairs AS (
+  SELECT doc_id, idx, tok, lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+  FROM t2
+),
+bi AS (
+  SELECT prev, tok AS term, count(*) AS bcnt FROM pairs
+  WHERE prev IS NOT NULL GROUP BY prev, tok
+),
+bscored AS (
+  SELECT p.doc_id,
+         CAST(round(ln(
+           (CASE WHEN p.prev IS NOT NULL AND COALESCE(cx.cnt, 0) > 0
+                 THEN 0.7 * (CAST(COALESCE(b.bcnt, 0) AS DOUBLE) / CAST(cx.cnt AS DOUBLE))
+                 ELSE 0.0 END)
+           + 0.30000000000000004 * ((CAST(COALESCE(un.cnt, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0 * tot.v))
+         ) * 1e6) AS BIGINT) AS slogp
+  FROM pairs p
+  LEFT JOIN uni un ON p.tok = un.term
+  LEFT JOIN uni cx ON p.prev = cx.term
+  LEFT JOIN bi b ON p.prev = b.prev AND p.tok = b.term, tot
+),
+bg AS (
+  SELECT doc_id,
+         CAST(round(CAST(sum(slogp) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_e6
+  FROM bscored GROUP BY doc_id
+)
+SELECT u.doc_id, u.n_tok, u.uni_mean_logprob, u.uni_ppl,
+       CAST(bg.mean_e6 AS DOUBLE) / 1e6 AS bi_mean_logprob,
+       round(exp(-(CAST(bg.mean_e6 AS DOUBLE) / 1e6)), 6) AS bi_ppl
+FROM u JOIN bg ON u.doc_id = bg.doc_id
+"""
+
+
+@register("text_perplexity", _perplexity_oracle())
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18 at the driver gate (promoted + upgraded round 6): per-doc
+    perplexity under BOTH self-trained LMs — the Laplace unigram
+    (CCNet-bucket stand-in) and the interpolated bigram (word-order
+    aware) — joined on doc_id.  Every log-prob goes through the 1e-6
+    fixed-point BIGINT sum, so the whole result is hash-exact at any
+    parallelism on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = textstats.unigram_logprob_scores(docs, "text", "doc_id").select(
+        "doc_id",
+        "n_tok",
+        F.col("mean_logprob").alias("uni_mean_logprob"),
+        F.col("ppl").alias("uni_ppl"),
+    )
+    bi = textstats.bigram_logprob_scores(docs, "text", "doc_id").select(
+        "doc_id",
+        F.col("mean_logprob").alias("bi_mean_logprob"),
+        F.col("ppl").alias("bi_ppl"),
+    )
+    return uni.join(bi, "doc_id")
+
+
+@register(
+    "embedding_quantize",
+    f"""
+WITH codes AS ({similarity.quantize_codes_sql("SELECT vec_id, embedding FROM embeddings")})
+SELECT vec_id, array_to_string(codes, ',') AS codes_csv,
+       CAST(len(codes) AS INT) AS n_dims
+FROM codes
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 at the driver gate (promoted round 6): the affine int8
+    quantization codes for every vector — minmax fit, scale, half-up
+    round — rendered as a csv string so the driver hash-checks every
+    position of every vector.  The packed BINARY form is a pure byte
+    re-encode of these codes (round-trip + error-bound + recall pinned
+    in pytest); the packed IVF serving path is benchmarked via
+    ``vector_ann_topk``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mm = similarity.dimension_minmax(emb, vec_col="embedding")
+    coded = similarity.quantize_embeddings(emb, mm, id_col="vec_id", vec_col="embedding")
+    return coded.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes_csv"),
+        F.size("codes").cast("int").alias("n_dims"),
+    )
+
+
+@register(
+    "text_normalize_unicode",
+    r"""
+SELECT doc_id,
+       md5(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS norm_hash,
+       CASE WHEN text IS NULL THEN 0
+            WHEN regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') <> text
+            THEN 1 ELSE 0 END AS changed
+FROM documents
+""",
+)
+def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization at the driver gate (new round 6): NFC
+    fold + C0-control strip over every document, hash-checked against
+    DuckDB's ``nfc_normalize`` (md5 of the normalized bytes + the
+    changed flag).  The accent-fold variant and the planted NFD-vs-NFC
+    dedup collapse are pinned in pytest; ``curate_documents`` exposes
+    the stage as ``unicode_form=``."""
+    docs = load_table(spark, sf_dir, "documents")
+    normed = dedup.normalize_unicode(docs, "text", "doc_id")
+    return normed.select(
+        "doc_id", F.md5("text").alias("norm_hash"), "changed"
+    )

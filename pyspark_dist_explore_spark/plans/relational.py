@@ -71,24 +71,43 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_top_orders",
     f"""
-SELECT o.o_orderkey,
-       {scaled_sum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
-       o.o_orderdate
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-GROUP BY o.o_orderkey, o.o_orderdate
-ORDER BY revenue DESC, o_orderkey ASC
-LIMIT 10
+WITH top AS (
+  SELECT o.o_orderkey,
+         {scaled_sum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+         o.o_orderdate
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY o.o_orderkey, o.o_orderdate
+  ORDER BY revenue DESC, o_orderkey ASC
+  LIMIT 10
+),
+m AS (
+  SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+         CAST(date_part('month', o_orderdate) AS INT) AS o_month,
+         count(*) AS n_orders_month,
+         count(DISTINCT o_custkey) AS n_customers_month
+  FROM orders GROUP BY 1, 2
+)
+SELECT top.o_orderkey, top.revenue, top.o_orderdate,
+       m.o_year, m.o_month, m.n_orders_month, m.n_customers_month
+FROM top JOIN m
+  ON CAST(date_part('year', top.o_orderdate) AS INT) = m.o_year
+ AND CAST(date_part('month', top.o_orderdate) AS INT) = m.o_month
 """,
 )
 def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join (customer side broadcast), agg, deterministic top-10."""
+    """3-way join (customer side broadcast), agg, deterministic top-10 —
+    ENRICHED (merged round 6, freeing ``date_funcs_orders``'s slot) with
+    each winning order's calendar-month aggregate from the full orders
+    table: year/month extraction + count-distinct, the date-function
+    surface the standalone query covered, now oracle-checked through a
+    broadcast join against the ≤ |months|-row stats frame."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    top = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
@@ -100,6 +119,20 @@ def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
         .select("o_orderkey", "revenue", "o_orderdate")
+    )
+    months = o.groupBy(
+        F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders_month"),
+        F.countDistinct("o_custkey").alias("n_customers_month"),
+    )
+    return top.join(
+        F.broadcast(months),
+        (F.year(top.o_orderdate) == months.o_year)
+        & (F.month(top.o_orderdate) == months.o_month),
+    ).select(
+        "o_orderkey", "revenue", "o_orderdate",
+        "o_year", "o_month", "n_orders_month", "n_customers_month",
     )
 
 
@@ -219,9 +252,9 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "rollup_cube_status",
-    f"""
+#: deregistered round 6 (merged into ``grouping_analytics``); original
+#: stays callable, oracle pinned in tests/test_ops.py
+ROLLUP_CUBE_ORACLE = f"""
 SELECT 'rollup' AS grouping_kind, l_returnflag, l_linestatus, count(*) AS cnt,
        {scaled_sum_sql('l_quantity')} AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -229,8 +262,9 @@ UNION ALL
 SELECT 'cube' AS grouping_kind, l_returnflag, l_linestatus, count(*) AS cnt,
        {scaled_sum_sql('l_quantity')} AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-""",
-)
+"""
+
+
 def q_rollup_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP and CUBE over the same dimensions, tagged and unioned:
     sub-total/grand-total rows with NULL markers (rollup) plus the full
@@ -248,6 +282,61 @@ def q_rollup_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("cube").alias("grouping_kind"), "l_returnflag", "l_linestatus", "cnt", "sum_qty"
     )
     return rollup.unionAll(cube)
+
+
+@register(
+    "grouping_analytics",
+    f"""
+SELECT 'rollup' AS grouping_kind, l_returnflag AS dim1, l_linestatus AS dim2,
+       count(*) AS cnt, {scaled_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS grouping_kind, l_returnflag AS dim1, l_linestatus AS dim2,
+       count(*) AS cnt, {scaled_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'sets' AS grouping_kind, o_orderstatus AS dim1, o_orderpriority AS dim2,
+       count(*) AS cnt, CAST(NULL AS DOUBLE) AS sum_qty
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole multi-grouping aggregation surface in one slot (merged
+    round 6 from ``rollup_cube_status`` + ``grouping_sets_priority``):
+    ROLLUP and CUBE over lineitem plus explicit GROUPING SETS over
+    orders via the SQL surface, schema-aligned ``(grouping_kind, dim1,
+    dim2, cnt, sum_qty)`` and unioned.  Each branch stays a single
+    expand+aggregate pass with map-side partials; the standalone
+    builders remain callable with their oracles pinned in pytest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        scaled_sum(F.col("l_quantity")).alias("sum_qty"),
+    ]
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(*aggs).select(
+        F.lit("rollup").alias("grouping_kind"),
+        F.col("l_returnflag").alias("dim1"),
+        F.col("l_linestatus").alias("dim2"),
+        "cnt",
+        "sum_qty",
+    )
+    cube = li.cube("l_returnflag", "l_linestatus").agg(*aggs).select(
+        F.lit("cube").alias("grouping_kind"),
+        F.col("l_returnflag").alias("dim1"),
+        F.col("l_linestatus").alias("dim2"),
+        "cnt",
+        "sum_qty",
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ga")
+    sets = spark.sql(
+        """
+        SELECT 'sets' AS grouping_kind, o_orderstatus AS dim1,
+               o_orderpriority AS dim2, count(*) AS cnt,
+               CAST(NULL AS DOUBLE) AS sum_qty
+        FROM orders_ga GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+    return rollup.unionByName(cube).unionByName(sets)
 
 
 # --------------------------------------------------------------------------
@@ -490,17 +579,19 @@ def q_scalar_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "date_funcs_orders",
-    """
+#: deregistered round 6 — the month stats now ride inside the merged
+#: ``q3_top_orders`` (same orders scan feeds both halves); still
+#: callable, oracle pinned in tests/test_ops.py
+DATE_FUNCS_ORACLE = """
 SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
        CAST(date_part('month', o_orderdate) AS INT) AS o_month,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers
 FROM orders
 GROUP BY 1, 2
-""",
-)
+"""
+
+
 def q_date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-part extraction + distinct aggregation by month."""
     o = load_table(spark, sf_dir, "orders")

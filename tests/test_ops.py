@@ -2437,3 +2437,71 @@ def test_bigram_logprob_validates_params(spark):
         bigram_logprob_scores(docs, "text", "doc_id", alpha=0.0)
     with _pytest.raises(ValueError, match="BOTH"):
         bigram_logprob_scores(docs, "text", "doc_id", lm_unigrams=docs)
+
+
+def test_deregistered_round6_text_queries_match_duckdb(spark):
+    """text_lang_id (folded into text_stats) and date_funcs_orders
+    (folded into q3_top_orders) stay callable, oracles pinned here."""
+    from pyspark_dist_explore_spark.plans.llm_ops import (
+        TEXT_LANG_ID_ORACLE,
+        q_text_lang_id,
+    )
+    from pyspark_dist_explore_spark.plans.relational import (
+        DATE_FUNCS_ORACLE,
+        q_date_funcs_orders,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    compare(spark, SF_SMOKE, q_text_lang_id, TEXT_LANG_ID_ORACLE)
+    compare(spark, SF_SMOKE, q_date_funcs_orders, DATE_FUNCS_ORACLE)
+
+
+def test_deregistered_round6_sampling_queries_match_duckdb(spark):
+    """dataset_hash_split + stratified_sample_langs were merged into
+    sampling_splits; originals stay callable, oracles pinned here."""
+    from pyspark_dist_explore_spark.plans.llm_ops import (
+        HASH_SPLIT_ORACLE,
+        STRATIFIED_LANGS_ORACLE,
+        q_dataset_hash_split,
+        q_stratified_sample_langs,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    compare(spark, SF_SMOKE, q_dataset_hash_split, HASH_SPLIT_ORACLE)
+    compare(spark, SF_SMOKE, q_stratified_sample_langs, STRATIFIED_LANGS_ORACLE)
+
+
+def test_deregistered_round6_grouping_queries_match_duckdb(spark):
+    """rollup_cube_status + grouping_sets_priority were merged into
+    grouping_analytics; originals stay callable, oracles pinned here."""
+    from pyspark_dist_explore_spark.plans.extended import (
+        GROUPING_SETS_ORACLE,
+        q_grouping_sets_priority,
+    )
+    from pyspark_dist_explore_spark.plans.relational import (
+        ROLLUP_CUBE_ORACLE,
+        q_rollup_cube_status,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    compare(spark, SF_SMOKE, q_rollup_cube_status, ROLLUP_CUBE_ORACLE)
+    compare(spark, SF_SMOKE, q_grouping_sets_priority, GROUPING_SETS_ORACLE)
+
+
+def test_deregistered_round6_vector_queries_match_duckdb(spark):
+    """vector_topk_exact + vector_neardup_pairs were merged into
+    vector_exact_search; originals stay callable, oracles pinned here."""
+    from pyspark_dist_explore_spark.plans.llm_ops import (
+        VECTOR_PAIRS_ORACLE,
+        VECTOR_TOPK_ORACLE,
+        q_vector_neardup_pairs,
+        q_vector_topk_exact,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    compare(spark, SF_SMOKE, q_vector_topk_exact, VECTOR_TOPK_ORACLE)
+    compare(spark, SF_SMOKE, q_vector_neardup_pairs, VECTOR_PAIRS_ORACLE)

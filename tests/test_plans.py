@@ -87,8 +87,15 @@ def test_simhash_partial_aggregation(spark):
 
 def test_blocked_cosine_single_group_shuffle(spark):
     """The blocked matmul shuffles once by block-pair key into the Arrow
-    group map; no per-pair join appears in the plan."""
-    plan = _plan(spark, "vector_neardup_pairs")
+    group map; no per-pair join appears in the plan.  (The builder was
+    merged into vector_exact_search round 6 — pin the standalone plan.)"""
+    from pyspark_dist_explore_spark.plans.llm_ops import q_vector_neardup_pairs
+
+    df = q_vector_neardup_pairs(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "FlatMapGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
 
