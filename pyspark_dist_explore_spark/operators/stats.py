@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -228,11 +228,22 @@ def histogram_drift_by_group(
     taken before the validity filter, so a group that degraded to
     all-NULL shows up as ``n_cur = 0`` instead of vanishing.
 
-    Scale shape: union the two snapshots with a source tag (row-local)
-    → grouped min/max aggregate → join back keyed by group (hash join,
-    map-side combined counts) → per-(group, bucket, src) counts →
-    per-group PSI.  Two hash shuffles keyed by group; no collect, no
-    per-group jobs.
+    Scale shape — exactly TWO passes over the corpus (the lazy-DAG
+    trap of deriving presence/minmax/totals from the same frame would
+    otherwise re-scan it per reference; plan-pinned in
+    tests/test_plans.py):
+
+    1. stats pass: one grouped aggregate over the tagged union — per
+       group, min/max over VALID values (NULL when the group has none).
+       ≤ |groups| rows; also the presence list.
+    2. bucket pass: re-scan, join the stats frame keyed by group (AQE
+       broadcasts when small), bucket valid rows — INVALID rows keep a
+       NULL bucket so they carry group presence through the same
+       aggregate — then one (group, bucket) count aggregate.
+
+    Everything after is ≤ |groups|·(bins+1) rows: per-group totals via
+    a window over the cells, PSI arithmetic, final per-group sum.  No
+    collect, no per-group jobs, no extra corpus scans.
     """
     from pyspark_dist_explore_spark.functions.numeric import bucket_col, valid_value
 
@@ -255,25 +266,37 @@ def histogram_drift_by_group(
         F.lit("cur").alias("src"),
     )
     u0 = r.unionByName(c)
-    # presence BEFORE the validity filter: a group whose values are all
-    # NULL/NaN in both snapshots must still emit a (group, 0, 0, 0.0)
-    # row instead of silently vanishing from the report
-    present = u0.select("group").distinct()
-    u = u0.where(valid_value(F.col("v")))
-    mm = u.groupBy("group").agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
-    bucketed = u.join(mm, "group").select(
+    valid = valid_value(F.col("v"))
+    # pass 1: per-group stats over valid values; the row itself is the
+    # presence record (a group whose values are all NULL/NaN in both
+    # snapshots keeps NULL lo/hi and still reports (0, 0, 0.0))
+    stats = u0.groupBy("group").agg(
+        F.min(F.when(valid, F.col("v"))).alias("__lo"),
+        F.max(F.when(valid, F.col("v"))).alias("__hi"),
+    )
+    # pass 2: bucket valid rows; invalid rows keep bucket NULL so group
+    # presence rides the same (group, bucket) aggregate
+    bucketed = u0.join(stats, "group").select(
         "group",
         "src",
-        bucket_col(F.col("v"), F.col("__lo"), F.col("__hi"), bins).alias("bucket"),
+        F.when(
+            valid & F.col("__lo").isNotNull(),
+            bucket_col(F.col("v"), F.col("__lo"), F.col("__hi"), bins),
+        ).alias("bucket"),
     )
     cells = bucketed.groupBy("group", "bucket").agg(
         F.sum(F.when(F.col("src") == "ref", 1).otherwise(0)).alias("ref_cnt"),
         F.sum(F.when(F.col("src") == "cur", 1).otherwise(0)).alias("cur_cnt"),
     )
-    totals = cells.groupBy("group").agg(
-        F.sum("ref_cnt").alias("__tr"), F.sum("cur_cnt").alias("__tc")
+    # per-group totals over the ≤ |groups|·(bins+1)-row cells frame — a
+    # window, not a join, so the cells subtree is computed once
+    vcell = F.col("bucket").isNotNull()
+    w = Window.partitionBy("group")
+    cells = cells.withColumn(
+        "__tr", F.sum(F.when(vcell, F.col("ref_cnt")).otherwise(0)).over(w)
+    ).withColumn(
+        "__tc", F.sum(F.when(vcell, F.col("cur_cnt")).otherwise(0)).over(w)
     )
-    joined = cells.join(totals, "group")
     p = F.greatest(
         F.when(F.col("__tr") > 0, F.col("ref_cnt") / F.col("__tr")).otherwise(0.0),
         F.lit(eps),
@@ -282,18 +305,17 @@ def histogram_drift_by_group(
         F.when(F.col("__tc") > 0, F.col("cur_cnt") / F.col("__tc")).otherwise(0.0),
         F.lit(eps),
     )
-    scored = (
-        joined.withColumn("__psi", (p - q) * F.log(p / q))
+    psi_term = F.when(vcell, (p - q) * F.log(p / q)).otherwise(F.lit(0.0))
+    return (
+        cells.withColumn("__psi", psi_term)
         .groupBy("group")
         .agg(
-            F.sum("ref_cnt").alias("n_ref"),
-            F.sum("cur_cnt").alias("n_cur"),
+            F.sum(F.when(vcell, F.col("ref_cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.sum(F.when(vcell, F.col("cur_cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_cur"),
             F.round(F.sum("__psi"), 10).alias("psi"),
         )
-    )
-    return present.join(scored, "group", "left").select(
-        "group",
-        F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
-        F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
-        F.coalesce("psi", F.lit(0.0)).alias("psi"),
     )

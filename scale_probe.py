@@ -457,6 +457,65 @@ def main() -> None:
                       "bytes_per_vec_f32": 4 * dim,
                       "ratio": round(t10 / t1, 2)}))
 
+    # -- bigram-LM perplexity: 10× docs, disjoint token spaces -------------
+    # (the lag-window pair build shares the (doc_id, idx) shuffle shape
+    # with winnowing; the LM joins are vocab-keyed — the 10× corpus has
+    # a 10× vocab by construction, so ~linear is the pass bar)
+    from pyspark_dist_explore_spark.operators.textstats import bigram_logprob_scores
+
+    t1, n1 = timed(bigram_logprob_scores(docs, "text", "doc_id"))
+    t10, n10 = timed(bigram_logprob_scores(docs10, "text", "doc_id"))
+    print(json.dumps({"probe": "bigram_ppl", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
+
+    # -- unicode normalization: 10× docs -----------------------------------
+    # (pure row-local Arrow batch work — must be ~linear, no shuffle)
+    t1, n1 = timed(dedup.normalize_unicode(docs, "text", "doc_id"))
+    t10, n10 = timed(dedup.normalize_unicode(docs10, "text", "doc_id"))
+    print(json.dumps({"probe": "normalize_unicode", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
+
+    # -- 100× composed probe (opt-in: SPARK_GRAFT_PROBE_100X=1) ------------
+    # curate_documents → shuffle_shards end-to-end at 1×/10×/100× of the
+    # sf0.1 documents corpus (500k docs at 100×) — turns the 10× linearity
+    # claim into a two-decade curve for the full training-dump path.
+    if os.environ.get("SPARK_GRAFT_PROBE_100X") == "1":
+        from pyspark_dist_explore_spark.operators.sampling import shuffle_shards
+
+        def copies(n: int) -> DataFrame:
+            return reduce(
+                DataFrame.unionAll,
+                [
+                    docs.select(
+                        (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                        F.concat(
+                            F.lit(f"x{i} "),
+                            F.regexp_replace(F.col("text"), " ", f" x{i}"),
+                        ).alias("text"),
+                    )
+                    for i in range(n)
+                ],
+            )
+
+        def run_e2e(d: DataFrame) -> tuple[float, int]:
+            t0 = time.perf_counter()
+            kept = curate_documents(
+                d, "text", "doc_id", min_quality=0.0,
+                pair_fn=minhash_pair_fn(threshold=0.8), materialize=True,
+            )
+            n = shuffle_shards(kept, "doc_id", shards=32, salt="probe").count()
+            return round(time.perf_counter() - t0, 3), n
+
+        t1, n1 = run_e2e(docs)
+        t10, n10 = run_e2e(copies(10))
+        t100, n100 = run_e2e(copies(100))
+        print(json.dumps({
+            "probe": "curate_shards_100x", "t_1x": t1, "t_10x": t10,
+            "t_100x": t100, "rows_1x": n1, "rows_10x": n10, "rows_100x": n100,
+            "ratio_10x": round(t10 / t1, 2), "ratio_100x": round(t100 / t1, 2),
+            "decade2_ratio": round(t100 / t10, 2),
+        }))
+
     spark.stop()
 
 

@@ -407,7 +407,11 @@ def test_corpus_profile_one_scan_two_exchanges(spark):
 
 def test_histogram_drift_by_group_no_cartesian(spark):
     """Per-group drift: group-keyed hash joins/aggregates only — no
-    cartesian, no range partitioning (global sort)."""
+    cartesian, no range partitioning (global sort) — and exactly TWO
+    passes over each input frame (stats pass + bucket pass; with ref
+    and cur both scanning documents that is 4 parquet scans).  Deriving
+    presence/minmax/totals lazily from one frame would re-scan the
+    corpus per reference — this pin catches that regression."""
     from pyspark_dist_explore_spark.operators.stats import histogram_drift_by_group
     from pyspark_dist_explore_spark.sources.tables import load_table
 
@@ -421,3 +425,8 @@ def test_histogram_drift_by_group_no_cartesian(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan.lower(), plan
+    scans = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    ]
+    assert len(scans) <= 4, f"expected <=4 scans (2 per input frame): {len(scans)}"
