@@ -512,6 +512,7 @@ def unigram_logprob_scores(
     *,
     lm_counts: DataFrame | None = None,
     alpha: float = 1.0,
+    tf_rows: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity filtering with a corpus-trained UNIGRAM
     LM: ``(doc_id, n_tok, mean_logprob, ppl)`` where ``mean_logprob``
@@ -540,7 +541,17 @@ def unigram_logprob_scores(
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (Laplace smoothing mass), got {alpha}")
-    tf = term_frequencies(df, text_col, id_col)
+    if tf_rows is not None:
+        # staged input (the containment fp_rows= pattern): a caller who
+        # already materialized (doc_id, term, tf) — e.g. a checkpointed
+        # token frame shared with the bigram scorer — skips the second
+        # tokenize scan; plan shape change only, results identical
+        missing = {"doc_id", "term", "tf"} - set(tf_rows.columns)
+        if missing:
+            raise ValueError(f"tf_rows missing column(s): {sorted(missing)}")
+        tf = tf_rows
+    else:
+        tf = term_frequencies(df, text_col, id_col)
     if lm_counts is not None:
         # defensive re-aggregate: duplicate term rows in a caller-built
         # LM would fan out the scoring join instead of summing
@@ -584,6 +595,7 @@ def bigram_logprob_scores(
     lm_bigrams: DataFrame | None = None,
     alpha: float = 1.0,
     lam: float = 0.7,
+    pairs_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Interpolated BIGRAM-LM perplexity — the step from the crude
     unigram stand-in toward KenLM-style CCNet scoring: ``(doc_id,
@@ -618,18 +630,31 @@ def bigram_logprob_scores(
         raise ValueError(f"lam must be in (0, 1) (interpolation weight), got {lam}")
     if (lm_unigrams is None) != (lm_bigrams is None):
         raise ValueError("pass BOTH lm_unigrams and lm_bigrams, or neither")
-    from pyspark.sql import Window
+    if pairs_rows is not None:
+        # staged input (the containment fp_rows= pattern): a caller who
+        # already materialized the lag-window pair frame — e.g. a
+        # checkpointed token frame shared with the unigram scorer —
+        # skips the tokenize scan + window; results identical
+        missing = {"doc_id", "idx", "tok", "prev"} - set(pairs_rows.columns)
+        if missing:
+            raise ValueError(f"pairs_rows missing column(s): {sorted(missing)}")
+        toks = pairs_rows.select("doc_id", "idx", "tok")
+        pairs = pairs_rows
+    else:
+        from pyspark.sql import Window
 
-    norm = normalize_text(F.col(text_col))
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(norm, " ")).alias("idx", "tok"),
+        norm = normalize_text(F.col(text_col))
+        toks = (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.posexplode(F.split(norm, " ")).alias("idx", "tok"),
+            )
+            .where(F.col("tok") != "")
         )
-        .where(F.col("tok") != "")
-    )
-    w = Window.partitionBy("doc_id").orderBy("idx")
-    pairs = toks.select("doc_id", "idx", "tok", F.lag("tok", 1).over(w).alias("prev"))
+        w = Window.partitionBy("doc_id").orderBy("idx")
+        pairs = toks.select(
+            "doc_id", "idx", "tok", F.lag("tok", 1).over(w).alias("prev")
+        )
     if lm_unigrams is not None:
         uni = lm_unigrams.groupBy("term").agg(F.sum("cnt").alias("cnt"))
         bi = lm_bigrams.groupBy("prev", "term").agg(F.sum("cnt").alias("bcnt"))
@@ -715,9 +740,12 @@ def drop_repeated_lines(
     Scale shape: explode lines (row-local) → doc-frequency hash
     aggregate keyed by line (map-side partials — the count is
     ``countDistinct(doc)`` so a line repeated WITHIN one doc is not
-    boilerplate) → broadcast-or-shuffle anti-join → one per-doc
-    rebuild aggregate.  Two shuffles total, both hash-keyed, no sort
-    of the corpus.
+    boilerplate) → boilerplate-flag left join back → ONE per-doc
+    conditional rebuild aggregate (kept-line rebuild, kept count, and
+    total count in the same pass — the exploded frame is referenced
+    exactly twice, the structural minimum, and an all-boilerplate doc
+    keeps its husk row without a separate presence join).  Two hash
+    shuffles total, no sort of the corpus.
     """
     import re as _re
 
@@ -736,32 +764,24 @@ def drop_repeated_lines(
         .groupBy("key")
         .agg(F.count_distinct("doc_id").alias("line_df"))
         .where(F.col("line_df") >= min_df)
-        .select("key")
+        .select("key", F.lit(1).alias("__bp"))
     )
-    kept = lines.join(common, "key", "left_anti")
-    n_lines = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_all"))
-    rebuilt = (
-        kept.groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("__s"),
-            F.count(F.lit(1)).alias("n_lines_kept"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(sep, F.transform("__s", lambda r: r["line"])).alias("text"),
-            "n_lines_kept",
-        )
+    flagged = lines.join(common, "key", "left")
+    keep = F.col("__bp").isNull()
+    rebuilt = flagged.groupBy("doc_id").agg(
+        # collect_list skips NULLs, so boilerplate rows drop out of the
+        # rebuild while still counting toward the per-doc total
+        F.array_sort(
+            F.collect_list(F.when(keep, F.struct("pos", "line")))
+        ).alias("__s"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_lines_kept"),
+        F.count(F.lit(1)).alias("__n_all"),
     )
-    return (
-        n_lines.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-            (F.col("__n_all") - F.coalesce("n_lines_kept", F.lit(0))).alias(
-                "n_lines_dropped"
-            ),
-        )
+    return rebuilt.select(
+        "doc_id",
+        F.concat_ws(sep, F.transform("__s", lambda r: r["line"])).alias("text"),
+        "n_lines_kept",
+        (F.col("__n_all") - F.col("n_lines_kept")).alias("n_lines_dropped"),
     )
 
 

@@ -1613,15 +1613,40 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CCNet-bucket stand-in) and the interpolated bigram (word-order
     aware) — joined on doc_id.  Every log-prob goes through the 1e-6
     fixed-point BIGINT sum, so the whole result is hash-exact at any
-    parallelism on both engines."""
+    parallelism on both engines.
+
+    Plan shape: the tokenize + lag-window pair frame is built ONCE and
+    localCheckpoint-ed (the same eager-at-build staging pattern as
+    ``neardup_clusters``/``neardup_containment`` — documented: this
+    makes ``queries()['text_perplexity']`` non-lazy); both scorers take
+    it via their staged inputs (``tf_rows=`` / ``pairs_rows=``), so the
+    corpus is scanned once instead of eight times across the lazily
+    re-derived LM subtrees."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    uni = textstats.unigram_logprob_scores(docs, "text", "doc_id").select(
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = docs.select(
+        F.col("doc_id"), F.posexplode(F.split(norm, " ")).alias("idx", "tok")
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    pairs = toks.select(
+        "doc_id", "idx", "tok", F.lag("tok", 1).over(w).alias("prev")
+    ).localCheckpoint()
+    tf = pairs.groupBy("doc_id", F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    uni = textstats.unigram_logprob_scores(
+        docs, "text", "doc_id", tf_rows=tf
+    ).select(
         "doc_id",
         "n_tok",
         F.col("mean_logprob").alias("uni_mean_logprob"),
         F.col("ppl").alias("uni_ppl"),
     )
-    bi = textstats.bigram_logprob_scores(docs, "text", "doc_id").select(
+    bi = textstats.bigram_logprob_scores(
+        docs, "text", "doc_id", pairs_rows=pairs
+    ).select(
         "doc_id",
         F.col("mean_logprob").alias("bi_mean_logprob"),
         F.col("ppl").alias("bi_ppl"),

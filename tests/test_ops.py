@@ -2505,3 +2505,43 @@ def test_deregistered_round6_vector_queries_match_duckdb(spark):
 
     compare(spark, SF_SMOKE, q_vector_topk_exact, VECTOR_TOPK_ORACLE)
     compare(spark, SF_SMOKE, q_vector_neardup_pairs, VECTOR_PAIRS_ORACLE)
+
+
+def test_perplexity_staged_inputs_match_lazy(spark):
+    """tf_rows=/pairs_rows= staging is an execution-shape change only:
+    staged and lazy scorers agree row for row; wrong-schema staged
+    frames fail fast."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = docs.select(
+        F.col("doc_id"), F.posexplode(F.split(norm, " ")).alias("idx", "tok")
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    pairs = toks.select(
+        "doc_id", "idx", "tok", F.lag("tok", 1).over(w).alias("prev")
+    ).localCheckpoint()
+    tf = pairs.groupBy("doc_id", F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    lazy_u = sorted(map(tuple, unigram_logprob_scores(docs, "text", "doc_id").collect()))
+    staged_u = sorted(map(tuple, unigram_logprob_scores(
+        docs, "text", "doc_id", tf_rows=tf).collect()))
+    assert lazy_u == staged_u
+    lazy_b = sorted(map(tuple, bigram_logprob_scores(docs, "text", "doc_id").collect()))
+    staged_b = sorted(map(tuple, bigram_logprob_scores(
+        docs, "text", "doc_id", pairs_rows=pairs).collect()))
+    assert lazy_b == staged_b
+    with _pytest.raises(ValueError, match="tf_rows missing"):
+        unigram_logprob_scores(docs, "text", "doc_id",
+                               tf_rows=tf.withColumnRenamed("tf", "cnt"))
+    with _pytest.raises(ValueError, match="pairs_rows missing"):
+        bigram_logprob_scores(docs, "text", "doc_id",
+                              pairs_rows=pairs.drop("prev"))
