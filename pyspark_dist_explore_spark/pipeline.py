@@ -201,6 +201,7 @@ def curate_documents(
     max_dup_token_frac: float | None = None,
     max_ppl: float | None = None,
     ppl_lm_counts: DataFrame | None = None,
+    ppl_model: str = "unigram",
     decontaminate_against: DataFrame | None = None,
     decontam_ngram: int = 13,
     decontam_text_col: str | None = None,
@@ -264,7 +265,11 @@ def curate_documents(
     clean snapshot once, reuse per batch); default self-trains on the
     already-filtered survivors.  Anti-join against violators, so
     zero-token docs (which have no score row) pass through — same
-    contract as the repetition filter.
+    contract as the repetition filter.  ``ppl_model="bigram"`` swaps in
+    the word-order-aware interpolated bigram scorer
+    (:func:`operators.textstats.bigram_logprob_scores`, self-trained)
+    — it additionally flags word salad built from common words, which
+    unigram perplexity cannot see.
 
     ``decontaminate_against`` (opt-in) drops documents sharing any
     ``decontam_ngram``-token word n-gram with the given eval/benchmark
@@ -347,14 +352,30 @@ def curate_documents(
         base = base.join(bad.select("doc_id"), "doc_id", "left_anti")
     if max_ppl is not None:
         from pyspark_dist_explore_spark.operators.textstats import (
+            bigram_logprob_scores,
             unigram_logprob_scores,
         )
 
-        bad_ppl = (
-            unigram_logprob_scores(base, "__text", "doc_id", lm_counts=ppl_lm_counts)
-            .where(F.col("ppl") > F.lit(float(max_ppl)))
-            .select("doc_id")
-        )
+        if ppl_model == "unigram":
+            scores = unigram_logprob_scores(
+                base, "__text", "doc_id", lm_counts=ppl_lm_counts
+            )
+        elif ppl_model == "bigram":
+            # word-order-aware scoring: flags salad with common words in
+            # impossible order, which the unigram scorer cannot see.
+            # Self-trained only here — a reference bigram LM needs two
+            # frames; call bigram_logprob_scores directly for that shape.
+            if ppl_lm_counts is not None:
+                raise ValueError(
+                    "ppl_model='bigram' self-trains; pass reference LMs via "
+                    "bigram_logprob_scores(lm_unigrams=, lm_bigrams=) directly"
+                )
+            scores = bigram_logprob_scores(base, "__text", "doc_id")
+        else:
+            raise ValueError(
+                f"ppl_model must be 'unigram' or 'bigram', got {ppl_model!r}"
+            )
+        bad_ppl = scores.where(F.col("ppl") > F.lit(float(max_ppl))).select("doc_id")
         base = base.join(bad_ppl, "doc_id", "left_anti")
     if decontaminate_against is not None:
         from pyspark_dist_explore_spark.operators import decontam

@@ -549,3 +549,46 @@ def test_curate_unicode_stage_collapses_nfd_variants(spark):
     )
     rows = {r.doc_id for r in with_fold.collect()}
     assert rows == {1, 3}, f"NFD variant must collapse to the min-id survivor: {rows}"
+
+
+def test_curate_bigram_ppl_flags_word_salad(spark):
+    """ppl_model='bigram': a word-salad doc (common words, impossible
+    order) is dropped while the unigram scorer at the same bound keeps
+    it; param validation fails fast."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.pipeline import curate_documents
+
+    sent = "the quick brown fox jumps over the lazy dog and the dog sleeps"
+    corpus = [(i, sent) for i in range(30)]
+    salad_id = 999
+    salad = " ".join(reversed(sent.split()))
+    docs = spark.createDataFrame(corpus + [(salad_id, salad)], ["doc_id", "text"])
+
+    # the salad is an exact permutation, so its token SET is identical —
+    # disable the Jaccard pair stage or near-dup clustering removes it
+    # before either perplexity filter gets a say
+    def no_pairs(d):
+        from pyspark.sql import functions as F
+        return d.select(
+            F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        ).where("1 = 0")
+
+    uni_kept = {r.doc_id for r in curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, max_ppl=12.0,
+        pair_fn=no_pairs,
+    ).collect()}
+    bi_kept = {r.doc_id for r in curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, max_ppl=12.0,
+        ppl_model="bigram", pair_fn=no_pairs,
+    ).collect()}
+    assert salad_id in uni_kept, "unigram cannot see word order"
+    assert salad_id not in bi_kept, "bigram must drop the salad doc"
+    assert bi_kept, "in-distribution docs survive"
+
+    with _pytest.raises(ValueError, match="ppl_model"):
+        curate_documents(docs, "text", "doc_id", max_ppl=10.0, ppl_model="trigram")
+    lm = spark.createDataFrame([("the", 10)], ["term", "cnt"])
+    with _pytest.raises(ValueError, match="self-trains"):
+        curate_documents(docs, "text", "doc_id", max_ppl=10.0,
+                         ppl_model="bigram", ppl_lm_counts=lm)
