@@ -255,50 +255,49 @@ def stream_drift_scores(
 
     if not 0.0 < eps < 1.0:
         raise ValueError(f"eps must be in (0, 1) (the PSI zero-bin clamp), got {eps}")
-    # union + conditional aggregate instead of joins: replicating the
-    # ≤ bins-row reference under every window and pivoting by source
-    # sidesteps Spark's self-join attribute ambiguity entirely.  The
-    # input feeds TWO branches (the cur cells and the window list), but
-    # both are built on the identical pre-aggregated subtree so the
-    # planner collapses them via exchange reuse — and in the intended
-    # foreachBatch composition the input is micro-batch-sized anyway.
+    # One pass over the windowed histogram — no window-list cross-join,
+    # no self-join, no second reference to the input.  The PSI sum
+    # splits algebraically: every reference bucket ABSENT from a window
+    # contributes the q = eps clamp term, which depends only on the
+    # reference, so Σ over all ref buckets of that term is a per-
+    # reference CONSTANT (C, one broadcast row); each bucket PRESENT in
+    # the window then contributes its actual term minus the absent-case
+    # term it replaced.  psi(win) = C + Σ_present (term(p, q) −
+    # term(p, eps)) — identical value, one scan.
     ref = ref_hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     ref_tot = ref.groupBy().agg(F.sum("cnt").alias("__tr"))
-    cells_cur = win_hist.groupBy("window_start", "window_end", "bucket").agg(
-        F.sum("cnt").alias("cnt")
-    )
-    cur = cells_cur.select(
-        "window_start", "window_end", "bucket", "cnt", F.lit("cur").alias("src")
-    )
-    wins = cells_cur.select("window_start", "window_end").distinct()
-    refw = wins.crossJoin(F.broadcast(ref)).select(
-        "window_start", "window_end", "bucket", "cnt", F.lit("ref").alias("src")
-    )
-    cells = (
-        cur.unionByName(refw)
-        .groupBy("window_start", "window_end", "bucket")
-        .agg(
-            F.sum(F.when(F.col("src") == "cur", F.col("cnt")).otherwise(0)).alias("cnt"),
-            F.sum(F.when(F.col("src") == "ref", F.col("cnt")).otherwise(0)).alias("ref_cnt"),
-        )
-    )
-    w = Window.partitionBy("window_start", "window_end")
-    cells = cells.withColumn("__tw", F.sum("cnt").over(w)).crossJoin(
-        F.broadcast(ref_tot)
-    )
-    p = F.greatest(
-        F.when(F.col("__tr") > 0, F.col("ref_cnt") / F.col("__tr")).otherwise(0.0),
+    p_ref = F.greatest(
+        F.when(F.col("__tr") > 0, F.col("cnt") / F.col("__tr")).otherwise(0.0),
         F.lit(eps),
     )
+    refp = ref.crossJoin(F.broadcast(ref_tot)).select(
+        "bucket", p_ref.alias("__p")
+    )
+    # (q−p)·ln(q/p) is symmetric in (p, q); with q = eps the absent-
+    # bucket term is (p − eps)·ln(p / eps)
+    missing_term = (F.col("__p") - F.lit(eps)) * F.log(F.col("__p") / F.lit(eps))
+    const = refp.groupBy().agg(F.sum(missing_term).alias("__c"))
+    cells = win_hist.groupBy("window_start", "window_end", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w = Window.partitionBy("window_start", "window_end")
+    joined = (
+        cells.withColumn("__tw", F.sum("cnt").over(w))
+        .join(F.broadcast(refp), "bucket", "left")
+        .crossJoin(F.broadcast(const))
+    )
+    # cur-only buckets: p clamps to eps and their absent-case term is 0
+    p = F.coalesce(F.col("__p"), F.lit(eps))
     q = F.greatest(
         F.when(F.col("__tw") > 0, F.col("cnt") / F.col("__tw")).otherwise(0.0),
         F.lit(eps),
     )
+    term = (q - p) * F.log(q / p) - (p - F.lit(eps)) * F.log(p / F.lit(eps))
     return (
-        cells.withColumn("__psi", (q - p) * F.log(q / p))
+        joined.withColumn("__psi", term)
         .groupBy("window_start", "window_end")
         .agg(
             F.sum("cnt").alias("n_events"),
-            F.round(F.sum("__psi"), 10).alias("psi"),
+            F.round(F.first("__c") + F.sum("__psi"), 10).alias("psi"),
         )
     )

@@ -463,3 +463,86 @@ def test_stream_drift_scores_end_to_end(spark, stream_dir):
     assert abs(scores[0].psi) < 1e-9, "uniform window matches the uniform reference"
     assert scores[10].n_events == 8
     assert scores[10].psi > 0.25, f"one-bucket window must flag drift: {scores[10].psi}"
+
+
+def test_stream_drift_scores_exact_vs_bruteforce(spark):
+    """The constant-plus-correction PSI factoring (one pass over the
+    windowed histogram, no window×reference replication) must equal the
+    direct per-(window, bucket-union) sum exactly — mirror window,
+    skewed window with a bucket the reference lacks, and a window
+    missing most reference buckets."""
+    import collections
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_drift_scores,
+    )
+
+    eps = 1e-6
+    ref_rows = [(0, 10), (1, 30), (2, 60)]
+    win_rows = [
+        ("A", 0, 1), ("A", 1, 3), ("A", 2, 6),   # mirrors the reference
+        ("B", 0, 5), ("B", 5, 5),                # skew + novel bucket 5
+        ("C", 2, 7),                             # most ref buckets absent
+    ]
+    ref = spark.createDataFrame(ref_rows, "bucket int, cnt bigint")
+    win = spark.createDataFrame(
+        [(w, w, b, c) for w, b, c in win_rows],
+        "window_start string, window_end string, bucket int, cnt bigint",
+    )
+    got = {r.window_start: (r.n_events, r.psi)
+           for r in stream_drift_scores(win, ref).collect()}
+
+    refd = dict(ref_rows)
+    tr = sum(refd.values())
+    wins = collections.defaultdict(dict)
+    for w, b, c in win_rows:
+        wins[w][b] = c
+    for w, d in wins.items():
+        tw = sum(d.values())
+        psi = 0.0
+        for b in set(refd) | set(d):
+            p = max(refd.get(b, 0) / tr, eps)
+            q = max(d.get(b, 0) / tw, eps)
+            psi += (q - p) * math.log(q / p)
+        assert got[w][0] == tw
+        assert abs(got[w][1] - psi) < 5e-10, (w, got[w][1], psi)
+    assert got["A"][1] == 0.0
+
+
+def test_stream_drift_single_input_reference(spark):
+    """The windowed-histogram input must appear exactly ONCE in the
+    physical plan — the old shape replicated the reference under a
+    window list derived from a second reference to the input."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_drift_scores,
+    )
+
+    ref = spark.range(10).select(
+        F.col("id").cast("int").alias("bucket"), F.lit(10).alias("cnt")
+    )
+    win = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("window_start"),
+        (F.col("id") % 4).cast("string").alias("window_end"),
+        (F.col("id") % 10).cast("int").alias("bucket"),
+        F.lit(5).alias("cnt"),
+    )
+    out = stream_drift_scores(win, ref)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the win side ranges over 100 rows, the ref side over 10 — count
+    # detail-section argument lines carrying the win-side range
+    win_ranges = [
+        l for l in plan.splitlines()
+        if "Arguments: Range (0, 100" in l
+    ]
+    assert len(win_ranges) == 1, plan
