@@ -292,6 +292,7 @@ def kmeans_centroids(
     fit_sample_mod: int | None = None,
     seed: int = 7,
     max_iter: int = 5,
+    max_fit_rows: int | None = 1 << 18,
 ) -> DataFrame:
     """Unit-normalized Spark ML KMeans centers as (cent_id, cv) rows.
 
@@ -312,10 +313,26 @@ def kmeans_centroids(
     it is the part that must not see all rows.  Falls back to the full
     corpus when the sample is too thin to seed ``n_centroids`` clusters
     (< 8 rows per centroid).  The assignment/probe plans are unchanged.
+
+    ``max_fit_rows`` (default 2^18 ≈ 262k, FAISS-ballpark) bounds the
+    fit ABSOLUTELY: a ratio sample alone still grows with the corpus —
+    1/4 of 100 TB is 25 TB through an iterative ML fit.  When the
+    (sampled) fit source exceeds the cap, it is thinned with a SECOND,
+    independent hash (``xxhash64(id, 'fitcap')``) to ~``max_fit_rows``
+    expected rows — deterministic (no RNG, same rows every run), one
+    extra count job at index-build time, never applied below the cap.
+    ``None`` disables the cap.  Requires ``id_col``.
     """
+    import math
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    need = 8 * n_centroids
+    if max_fit_rows is not None and max_fit_rows < need:
+        raise ValueError(
+            f"max_fit_rows must be >= 8 * n_centroids = {need}, got {max_fit_rows}"
+        )
     fit_src = vectors
     if fit_sample_mod is not None and fit_sample_mod > 1:
         if id_col is None:
@@ -325,9 +342,17 @@ def kmeans_centroids(
         )
         # thin-sample guard: limit().count() short-circuits the scan as
         # soon as enough rows are found (a bare count() scans everything)
-        need = 8 * n_centroids
         if sample.limit(need).count() >= need:
             fit_src = sample
+    if max_fit_rows is not None and id_col is not None:
+        n_fit = fit_src.count()
+        if n_fit > max_fit_rows:
+            deepen = math.ceil(n_fit / max_fit_rows)
+            capped = fit_src.where(
+                F.pmod(F.xxhash64(F.col(id_col), F.lit("fitcap")), F.lit(deepen)) == 0
+            )
+            if capped.limit(need).count() >= need:
+                fit_src = capped
 
     train = fit_src.select(array_to_vector(F.col(vec_col)).alias("features")).persist()
     try:
@@ -356,6 +381,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     fit_sample_mod: int | None = 4,
+    max_fit_rows: int | None = 1 << 18,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -366,14 +392,19 @@ def ivf_topk(
     Centroids come from seeded Spark ML KMeans fit on a deterministic
     hash-sample of ~1/``fit_sample_mod`` of the corpus (the 100 TB
     shape — the iterative fit is the only corpus-scanning loop in IVF;
-    see :func:`kmeans_centroids`; ``None`` fits on everything).  At
-    scale each query scans ~``n_probe/n_centroids`` of the corpus
+    see :func:`kmeans_centroids`; ``None`` fits on everything), capped
+    ABSOLUTELY at ``max_fit_rows`` (the ratio alone would still grow
+    with the corpus).  At scale each query scans ~``n_probe/n_centroids`` of the corpus
     instead of all of it, and the inverted lists are the shuffle key.
     """
     v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
     cents = F.broadcast(
         kmeans_centroids(
-            v, n_centroids, id_col="vec_id", fit_sample_mod=fit_sample_mod
+            v,
+            n_centroids,
+            id_col="vec_id",
+            fit_sample_mod=fit_sample_mod,
+            max_fit_rows=max_fit_rows,
         )
     )
     # nearest-centroid assignment as max_by aggregation: map-side partial
@@ -639,6 +670,7 @@ def ivf_topk_packed(
     n_centroids: int = 16,
     n_probe: int = 4,
     fit_sample_mod: int | None = 4,
+    max_fit_rows: int | None = 1 << 18,
     bits: int = 8,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
@@ -677,7 +709,11 @@ def ivf_topk_packed(
     )
     cents = F.broadcast(
         kmeans_centroids(
-            fit_src, n_centroids, id_col="vec_id", fit_sample_mod=fit_sample_mod
+            fit_src,
+            n_centroids,
+            id_col="vec_id",
+            fit_sample_mod=fit_sample_mod,
+            max_fit_rows=max_fit_rows,
         )
     )
     # nearest-centroid assignment over packed codes: same map-side

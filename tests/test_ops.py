@@ -2545,3 +2545,35 @@ def test_perplexity_staged_inputs_match_lazy(spark):
     with _pytest.raises(ValueError, match="pairs_rows missing"):
         bigram_logprob_scores(docs, "text", "doc_id",
                               pairs_rows=pairs.drop("prev"))
+
+
+def test_kmeans_fit_absolute_cap(spark):
+    """max_fit_rows bounds the KMeans fit ABSOLUTELY (a ratio sample
+    alone still grows with the corpus): capping changes only which rows
+    the fit sees — centroid count, determinism, and downstream IVF
+    recall floors hold — and an under-need cap fails fast."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = emb.selectExpr("vec_id", "embedding as vv")
+    capped = similarity.kmeans_centroids(
+        v, 8, id_col="vec_id", max_fit_rows=64
+    ).collect()
+    assert len(capped) == 8
+    again = similarity.kmeans_centroids(
+        v, 8, id_col="vec_id", max_fit_rows=64
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, again)), "deterministic"
+    with _pytest.raises(ValueError, match="max_fit_rows"):
+        similarity.kmeans_centroids(v, 8, id_col="vec_id", max_fit_rows=10)
+
+    queries = emb.where("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    ivf = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8, max_fit_rows=64
+    )
+    exact = similarity.exact_topk(emb, queries, k=5)
+    got = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    truth = {(r.query_id, r.vec_id) for r in exact.collect()}
+    assert got == truth, "full-probe IVF == exact must hold under the fit cap"
