@@ -577,11 +577,18 @@ def unigram_logprob_scores(
             F.sum(F.col("tf") * F.col("__slogp")).alias("__ssum"),
         )
     )
-    mean_lp = (F.col("__ssum").cast("double") / F.lit(1e6)) / F.col("n_tok").cast("double")
+    # mean on the exact 1e-6 grid (same rationale as the bigram scorer):
+    # round(x, 10) of the raw quotient hits engine-dependent decimal-
+    # rounding knife edges on boundary values; integer-rounding the
+    # micro-logprob mean is identical on both engines
+    mean_e6 = F.round(
+        F.col("__ssum").cast("double") / F.col("n_tok").cast("double")
+    ).cast("bigint")
+    mean_lp = mean_e6.cast("double") / F.lit(1e6)
     return scored.select(
         "doc_id",
         "n_tok",
-        F.round(mean_lp, 10).alias("mean_logprob"),
+        mean_lp.alias("mean_logprob"),
         F.round(F.exp(-mean_lp), 6).alias("ppl"),
     )
 

@@ -1569,9 +1569,13 @@ uscored AS (
 ),
 u AS (
   SELECT doc_id, n_tok,
-         round((CAST(ssum AS DOUBLE) / 1e6) / CAST(n_tok AS DOUBLE), 10) AS uni_mean_logprob,
-         round(exp(-((CAST(ssum AS DOUBLE) / 1e6) / CAST(n_tok AS DOUBLE))), 6) AS uni_ppl
-  FROM uscored
+         CAST(umean_e6 AS DOUBLE) / 1e6 AS uni_mean_logprob,
+         round(exp(-(CAST(umean_e6 AS DOUBLE) / 1e6)), 6) AS uni_ppl
+  FROM (
+    SELECT doc_id, n_tok,
+           CAST(round(CAST(ssum AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS BIGINT) AS umean_e6
+    FROM uscored
+  )
 ),
 pairs AS (
   SELECT doc_id, idx, tok, lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS prev

@@ -1893,9 +1893,13 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, n_tok,
-       round((CAST(ssum AS DOUBLE) / 1e6) / CAST(n_tok AS DOUBLE), 10) AS mean_logprob,
-       round(exp(-((CAST(ssum AS DOUBLE) / 1e6) / CAST(n_tok AS DOUBLE))), 6) AS ppl
-FROM scored
+       CAST(umean_e6 AS DOUBLE) / 1e6 AS mean_logprob,
+       round(exp(-(CAST(umean_e6 AS DOUBLE) / 1e6)), 6) AS ppl
+FROM (
+  SELECT doc_id, n_tok,
+         CAST(round(CAST(ssum AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS BIGINT) AS umean_e6
+  FROM scored
+)
 """
     compare(spark, SF_SMOKE, build, oracle)
 
@@ -2577,3 +2581,49 @@ def test_kmeans_fit_absolute_cap(spark):
     got = {(r.query_id, r.vec_id) for r in ivf.collect()}
     truth = {(r.query_id, r.vec_id) for r in exact.collect()}
     assert got == truth, "full-probe IVF == exact must hold under the fit cap"
+
+
+def test_normalize_unicode_properties_batch(spark):
+    """Batched property pins for unicode normalization over a spread of
+    adversarial strings (one Spark job, Python unicodedata reference):
+    idempotence, NFC/NFD input convergence, and control-char absence."""
+    import re
+    import unicodedata
+
+    from pyspark_dist_explore_spark.operators.dedup import normalize_unicode
+
+    seeds = [
+        "plain ascii",
+        "café",
+        "Ωμέγα and ångström Å",
+        "한국어 text mixed", "русский текст",
+        "áêï",          # combining marks on ascii
+        "ÅΩﬁ",             # angstrom sign, ohm sign, fi ligature
+        "ctrl\x00\x01\x1f\x7fchars",
+        "tabs\tand\nnewlines\rsurvive",
+        "",
+        "́leading combining",
+    ]
+    rows = []
+    rid = 0
+    for s in seeds:
+        for form in ("NFC", "NFD"):
+            rows.append((rid, unicodedata.normalize(form, s) if s else s))
+            rid += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.text
+           for r in normalize_unicode(docs, "text", "doc_id").collect()}
+
+    ctrl = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+
+    def ref(x: str) -> str:
+        return ctrl.sub("", unicodedata.normalize("NFC", x))
+
+    for rid, text in rows:
+        assert got[rid] == ref(text), (rid, text)
+        assert not ctrl.search(got[rid])
+        # idempotence: normalizing the output changes nothing
+        assert ref(got[rid]) == got[rid]
+    # NFC and NFD encodings of the same seed converge
+    for i in range(0, len(rows), 2):
+        assert got[rows[i][0]] == got[rows[i + 1][0]], rows[i]
