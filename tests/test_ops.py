@@ -2627,3 +2627,65 @@ def test_normalize_unicode_properties_batch(spark):
     # NFC and NFD encodings of the same seed converge
     for i in range(0, len(rows), 2):
         assert got[rows[i][0]] == got[rows[i + 1][0]], rows[i]
+
+
+def test_operators_handle_empty_corpus(spark):
+    """An EMPTY corpus must yield empty (or empty-profile) results, not
+    ANSI division errors or crashes — pinned across the text/dedup/
+    packing/sampling families."""
+    from pyspark_dist_explore_spark.operators import dedup, similarity
+    from pyspark_dist_explore_spark.operators.packing import pack_sequences
+    from pyspark_dist_explore_spark.operators.sampling import shuffle_shards
+    from pyspark_dist_explore_spark.operators.stats import histogram_drift_by_group
+    from pyspark_dist_explore_spark.operators.textstats import (
+        bigram_logprob_scores,
+        corpus_profile,
+        drop_repeated_lines,
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string, g string")
+    assert corpus_profile(docs, "text", "doc_id").count() == 0
+    assert drop_repeated_lines(docs, "text", "doc_id").count() == 0
+    assert unigram_logprob_scores(docs, "text", "doc_id").count() == 0
+    assert bigram_logprob_scores(docs, "text", "doc_id").count() == 0
+    assert dedup.normalize_unicode(docs, "text", "doc_id").count() == 0
+    assert dedup.minhash_neardup(docs, "text", "doc_id", threshold=0.8).count() == 0
+    assert pack_sequences(docs, "doc_id", text_col="text").count() == 0
+    assert shuffle_shards(docs, "doc_id", shards=4, salt="e").count() == 0
+    assert histogram_drift_by_group(docs, docs, "doc_id", "g").count() == 0
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert similarity.dimension_minmax(emb).count() == 0
+
+
+def test_pipeline_pathological_duplicate_skew(spark):
+    """5 000 byte-identical docs + a handful of distinct ones: exact
+    dedup must collapse the skew BEFORE pair generation (the pipeline's
+    stage order is the quadratic-blowup guard — a naive pair join over
+    the raw corpus would score C(5000, 2) pairs in one bucket), and the
+    output keeps exactly one survivor of the clone army."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.pipeline import curate_documents, minhash_pair_fn
+
+    clones = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document body repeated verbatim many times over").alias(
+            "text"
+        ),
+    )
+    distinct = spark.createDataFrame(
+        [
+            (100000, "a completely different first article body here"),
+            (100001, "and another unrelated second piece of writing"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curate_documents(
+        clones.unionByName(distinct), "text", "doc_id",
+        min_quality=0.0, pair_fn=minhash_pair_fn(),
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 0 in kept, "min-id clone survives"
+    assert kept & {100000, 100001} == {100000, 100001}
+    assert len(kept & set(range(1, 5000))) == 0, "4 999 clones must vanish"
