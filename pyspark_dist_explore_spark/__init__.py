@@ -57,9 +57,11 @@ from pyspark_dist_explore_spark.operators.multimodal import (
 )
 from pyspark_dist_explore_spark.operators.decontam import (
     contaminated_ids,
+    contamination_report,
     decontaminate,
     decontaminate_winnow,
 )
+from pyspark_dist_explore_spark.operators.dedup import normalize_unicode
 from pyspark_dist_explore_spark.operators.packing import chunk_documents, pack_sequences
 from pyspark_dist_explore_spark.operators.sampling import (
     hash_split,
@@ -86,7 +88,9 @@ from pyspark_dist_explore_spark.pipeline import (
 )
 from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
+    bigram_logprob_scores,
     corpus_profile,
+    dedup_lines_within_doc,
     drop_repeated_lines,
     language_id,
     quality_score,
@@ -164,7 +168,9 @@ __all__ = [
     "scrub_text",
     "repetition_signals",
     "drop_repeated_lines",
+    "dedup_lines_within_doc",
     "corpus_profile",
+    "bigram_logprob_scores",
     "winnowing_fingerprints",
     "term_frequencies",
     "tfidf",
@@ -188,6 +194,8 @@ __all__ = [
     "pack_sequences",
     "chunk_documents",
     "contaminated_ids",
+    "normalize_unicode",
+    "contamination_report",
     "select_by_token_budget",
     "select_by_token_budget_stratified",
     "shuffle_shards",

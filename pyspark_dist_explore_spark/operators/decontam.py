@@ -184,3 +184,47 @@ def contaminated_ids(
     if broadcast_eval:
         ev = F.broadcast(ev)
     return grams.join(ev, "sh").select("doc_id").distinct()
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram_n: int = 13,
+    eval_id_col: str,
+    eval_text_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """WHICH eval items leaked into WHICH training docs — the audit
+    companion to :func:`contaminated_ids`: ``(doc_id, eval_id,
+    n_shared_grams)``, one row per (training doc, eval item) pair that
+    shares at least one ``ngram_n``-token word n-gram.
+
+    ``contaminated_ids`` answers "what do I drop"; this answers the
+    follow-up a benchmark owner asks — "which of MY items are burned,
+    and how badly" (``n_shared_grams`` ranks verbatim inclusion above a
+    single overlapping idiom).  Group by ``eval_id`` for the per-item
+    burn list; a benchmark item with no row is clean.
+
+    Scale shape: identical to the probe path — training grams built
+    row-locally and map-side probed against the (benchmark-sized,
+    broadcast by default) eval gram table, which here keeps its
+    ``eval_id`` instead of collapsing to a DISTINCT set; the only
+    aggregate is the ≤ |flagged pairs|-row count.  The training side
+    still never shuffles.
+    """
+    grams = shingle_rows(train, text_col, id_col, ngram_n)
+    # shingle_rows is already per-doc DISTINCT, so n_shared_grams counts
+    # DISTINCT shared grams — repeats inside either text don't inflate it
+    ev = shingle_rows(
+        eval_df, eval_text_col or text_col, eval_id_col, ngram_n
+    ).select(F.col("doc_id").alias("eval_id"), "sh")
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        grams.join(ev, "sh")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

@@ -792,6 +792,57 @@ def drop_repeated_lines(
     )
 
 
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style INTRA-document repetition removal: within each doc,
+    keep only the FIRST occurrence of every (trimmed) line — the
+    complement of :func:`drop_repeated_lines`, which removes lines
+    repeated ACROSS docs.  Catches the other boilerplate axis: a page
+    that repeats its own header/nav/promo block ten times keeps one
+    copy.  Output: ``(doc_id, text, n_lines_kept, n_lines_dropped)``
+    with surviving lines in original order; blank lines are never
+    deduplicated (paragraph structure survives); NULL text coalesces to
+    one empty line like the cross-doc operator.
+
+    Scale shape: explode (row-local) → first-occurrence flag via a
+    ``row_number`` window keyed by (doc, trimmed line) → ONE per-doc
+    conditional rebuild aggregate.  Everything is keyed by doc (or doc
+    + line), so the operator is a per-doc shuffle+sort with no global
+    state at all — embarrassingly parallel at any corpus size.
+    """
+    import re as _re
+
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("pos", "line"),
+    ).withColumn("key", F.trim(F.col("line")))
+    w = Window.partitionBy("doc_id", "key").orderBy("pos")
+    flagged = lines.withColumn("__occ", F.row_number().over(w))
+    keep = (F.col("key") == "") | (F.col("__occ") == 1)
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.when(keep, F.struct("pos", "line")))
+        ).alias("__s"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_lines_kept"),
+        F.count(F.lit(1)).alias("__n_all"),
+    )
+    return rebuilt.select(
+        "doc_id",
+        F.concat_ws(sep, F.transform("__s", lambda r: r["line"])).alias("text"),
+        "n_lines_kept",
+        (F.col("__n_all") - F.col("n_lines_kept")).alias("n_lines_dropped"),
+    )
+
+
 def corpus_profile(
     df: DataFrame,
     text_col: str,

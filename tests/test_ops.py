@@ -2689,3 +2689,86 @@ def test_pipeline_pathological_duplicate_skew(spark):
     assert 0 in kept, "min-id clone survives"
     assert kept & {100000, 100001} == {100000, 100001}
     assert len(kept & set(range(1, 5000))) == 0, "4 999 clones must vanish"
+
+
+def test_dedup_lines_within_doc_matches_duckdb(spark):
+    """Intra-doc first-occurrence line dedup hash-matches a hand-rolled
+    DuckDB twin (row_number over (doc, trimmed line) by position)."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.textstats import dedup_lines_within_doc
+
+    rows = [
+        (1, "promo block\nbody one\npromo block\nbody two\npromo block"),
+        (2, "a\n\nb\n\na\n  a"),        # blanks survive; indented dup drops
+        (3, "only original content"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(map(tuple,
+                     dedup_lines_within_doc(docs, "text", "doc_id").collect()))
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.execute("""
+WITH lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(COALESCE(text, ''), chr(10)), 1) - 1 AS pos,
+         unnest(string_split(COALESCE(text, ''), chr(10))) AS line
+  FROM docs
+),
+keyed AS (
+  SELECT doc_id, pos, line, trim(line) AS key,
+         row_number() OVER (PARTITION BY doc_id, trim(line) ORDER BY pos) AS occ
+  FROM lines
+),
+kept AS (SELECT * FROM keyed WHERE key = '' OR occ = 1)
+SELECT k.doc_id,
+       COALESCE(string_agg(kp.line, chr(10) ORDER BY kp.pos), '') AS text,
+       CAST(count(kp.pos) AS BIGINT) AS n_lines_kept,
+       CAST(count(*) - count(kp.pos) AS BIGINT) AS n_lines_dropped
+FROM keyed k LEFT JOIN kept kp ON k.doc_id = kp.doc_id AND k.pos = kp.pos
+GROUP BY k.doc_id
+""").fetchall()))
+    con.close()
+    assert got == want
+    out = {r.doc_id: r for r in
+           dedup_lines_within_doc(docs, "text", "doc_id").collect()}
+    assert out[1].text == "promo block\nbody one\nbody two"
+    assert out[1].n_lines_dropped == 2
+    assert out[2].text == "a\n\nb\n", f"blanks survive, dup 'a' forms drop: {out[2].text!r}"
+    assert out[4].text == "" and out[4].n_lines_kept == 1
+
+
+def test_contamination_report_attributes_eval_items(spark):
+    """The audit view: which eval items leaked into which training docs,
+    ranked by distinct shared n-grams — consistent with contaminated_ids
+    and zero rows for clean benchmarks."""
+    from pyspark_dist_explore_spark.operators.decontam import (
+        contaminated_ids,
+        contamination_report,
+    )
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro text {phrase} closing words here"),
+            (2, "completely unrelated training document body"),
+            (3, f"{phrase} and then {phrase} again padded out"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, phrase), (200, "spotless benchmark item nothing shared")],
+        ["eval_id", "text"],
+    )
+    rep = contamination_report(
+        train, eval_df, "text", "doc_id", ngram_n=8, eval_id_col="eval_id"
+    )
+    rows = {(r.doc_id, r.eval_id): r.n_shared_grams for r in rep.collect()}
+    assert set(rows) == {(1, 100), (3, 100)}, rows
+    assert rows[(1, 100)] == 1  # the phrase is exactly one 8-gram
+    assert rows[(3, 100)] == 1  # repeats don't inflate the DISTINCT count
+    flagged = {r.doc_id for r in contaminated_ids(
+        train, eval_df, "text", "doc_id", ngram_n=8).collect()}
+    assert flagged == {1, 3}, "report and drop-list must agree"
