@@ -198,6 +198,7 @@ def curate_documents(
     scrub: bool = False,
     unicode_form: str | None = None,
     drop_boilerplate_lines: int | None = None,
+    dedup_doc_lines: bool = False,
     max_dup_token_frac: float | None = None,
     max_ppl: float | None = None,
     ppl_lm_counts: DataFrame | None = None,
@@ -256,6 +257,10 @@ def curate_documents(
     fingerprints, and near-dup detection see the cleaned text; a doc
     that was all boilerplate becomes an empty husk and falls to the
     quality bar.  Costs two extra corpus shuffles — opt-in.
+    ``dedup_doc_lines=True`` additionally removes INTRA-doc repetition
+    (:func:`operators.textstats.dedup_lines_within_doc` — first
+    occurrence of each trimmed line per doc, the Gopher in-page axis);
+    it runs after the cross-doc stage, costs one per-doc shuffle.
 
     ``max_ppl`` (opt-in) drops documents whose unigram-LM perplexity
     exceeds the bound (:func:`operators.textstats
@@ -326,6 +331,19 @@ def curate_documents(
         docs = drop_repeated_lines(
             docs, text_col, id_col, min_df=drop_boilerplate_lines
         ).select(F.col("doc_id").alias(id_col), F.col("text").alias(text_col))
+
+    if dedup_doc_lines:
+        # Gopher-style INTRA-doc repetition removal (first occurrence of
+        # each trimmed line per doc) — runs after the cross-doc stage so
+        # a nav block that is both self-repeated and corpus-common is
+        # fully gone either way
+        from pyspark_dist_explore_spark.operators.textstats import (
+            dedup_lines_within_doc,
+        )
+
+        docs = dedup_lines_within_doc(docs, text_col, id_col).select(
+            F.col("doc_id").alias(id_col), F.col("text").alias(text_col)
+        )
 
     t = F.col(text_col)
     if scrub:

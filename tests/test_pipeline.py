@@ -592,3 +592,37 @@ def test_curate_bigram_ppl_flags_word_salad(spark):
     with _pytest.raises(ValueError, match="self-trains"):
         curate_documents(docs, "text", "doc_id", max_ppl=10.0,
                          ppl_model="bigram", ppl_lm_counts=lm)
+
+
+def test_curate_intra_doc_line_stage(spark):
+    """dedup_doc_lines=True: a doc whose body is one promo block
+    repeated 20 times collapses to one copy BEFORE fingerprinting, so
+    it dedups against the single-copy doc instead of surviving as
+    'different' content."""
+    from pyspark_dist_explore_spark.pipeline import curate_documents
+
+    block = "subscribe now for the best deals around"
+    docs = spark.createDataFrame(
+        [
+            (1, block),
+            (2, "\n".join([block] * 20)),
+            (3, "an unrelated piece of perfectly ordinary writing"),
+        ],
+        ["doc_id", "text"],
+    )
+    # disable the pair stage: the repeated page shares doc 1's token SET
+    # so Jaccard clustering would catch it anyway — the pin here is that
+    # the line stage makes it EXACT-dedup-able (byte-identical text)
+    def no_pairs(d):
+        from pyspark.sql import functions as F
+        return d.select(
+            F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        ).where("1 = 0")
+
+    plain = {r.doc_id for r in curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, pair_fn=no_pairs).collect()}
+    assert plain == {1, 2, 3}, "without the stage the repeated page survives"
+    folded = {r.doc_id for r in curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, dedup_doc_lines=True,
+        pair_fn=no_pairs).collect()}
+    assert folded == {1, 3}, f"self-repeated page must collapse into doc 1: {folded}"
