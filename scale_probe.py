@@ -468,6 +468,15 @@ def main() -> None:
     print(json.dumps({"probe": "bigram_ppl", "t_1x": t1, "t_10x": t10,
                       "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- intra-doc line dedup: 10× docs ------------------------------------
+    # (per-doc keys only — a per-doc shuffle+sort, must be ~linear)
+    from pyspark_dist_explore_spark.operators.textstats import dedup_lines_within_doc
+
+    t1, n1 = timed(dedup_lines_within_doc(docs, "text", "doc_id", sep=" "))
+    t10, n10 = timed(dedup_lines_within_doc(docs10, "text", "doc_id", sep=" "))
+    print(json.dumps({"probe": "dedup_lines_within_doc", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
+
     # -- unicode normalization: 10× docs -----------------------------------
     # (pure row-local Arrow batch work — must be ~linear, no shuffle)
     t1, n1 = timed(dedup.normalize_unicode(docs, "text", "doc_id"))
