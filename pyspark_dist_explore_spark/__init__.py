@@ -80,6 +80,7 @@ from pyspark_dist_explore_spark.operators.stats import (
 from pyspark_dist_explore_spark.sources.sinks import (
     write_bucketed_table,
     write_partitioned,
+    write_training_shards,
 )
 from pyspark_dist_explore_spark.pipeline import (
     containment_pair_fn,
@@ -203,6 +204,7 @@ __all__ = [
     "decontaminate_winnow",
     # sinks / physical layout
     "write_partitioned",
+    "write_training_shards",
     "write_bucketed_table",
     # streaming
     "stream_windowed_histogram",

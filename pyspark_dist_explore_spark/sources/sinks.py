@@ -90,3 +90,44 @@ def read_partition_pruned(
     exists so the read side of the layout contract has a named, tested
     entry point)."""
     return spark.read.format(fmt).load(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    key_col: str,
+    path: str,
+    *,
+    shards: int,
+    salt: str = "shuffle",
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """The training DUMP in one call: deterministic global shuffle +
+    sharding (:func:`operators.sampling.shuffle_shards`) landed as a
+    hive layout ``path/shard=N/part-*.parquet`` with rows stored in
+    ``pos`` order inside each shard — so a reader streaming shard files
+    front-to-back sees the globally de-correlated, reproducible
+    sequence trainers expect, without any read-time sort.
+
+    Layout mechanics: repartition by ``shard`` (one task → one file per
+    shard directory, no small-files explosion) then
+    ``sortWithinPartitions(shard, pos)`` so the in-file row order IS
+    the training order (parquet preserves write order).  Same salt →
+    byte-identical dump; a new salt is an independent epoch.  One
+    shuffle + one per-shard sort total — the write-side twin of the
+    registered ``corpus_shuffle_shards`` query.
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.sampling import shuffle_shards
+
+    sharded = shuffle_shards(df, key_col, shards=shards, salt=salt)
+    writer = (
+        sharded.repartition(shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -69,3 +69,31 @@ def test_micros_schema_does_not_mutate_session_conf(spark):
 def test_unknown_table_raises(spark):
     with pytest.raises(KeyError):
         load_table(spark, SF_SMOKE, "nope")
+
+
+def test_write_training_shards_round_trip(spark, tmp_path):
+    """The one-call training dump: hive shard dirs, every row present
+    exactly once, in-file row order == pos order (no read-time sort
+    needed), and the same salt reproduces a byte-identical layout."""
+    import os
+
+    from pyspark_dist_explore_spark.operators.sampling import shuffle_shards
+    from pyspark_dist_explore_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = str(tmp_path / "dump")
+    write_training_shards(docs, "doc_id", out, shards=4, salt="epoch0")
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    expected = shuffle_shards(docs, "doc_id", shards=4, salt="epoch0")
+    assert sorted(map(tuple, back.select("doc_id", "shard", "pos").collect())) == \
+        sorted(map(tuple, expected.select("doc_id", "shard", "pos").collect()))
+    # in-file order IS pos order: read one shard dir WITHOUT sorting
+    one = spark.read.parquet(out + "/shard=0").select("pos").collect()
+    poses = [r.pos for r in one]
+    assert poses == sorted(poses), "rows must be stored in training order"
