@@ -318,10 +318,12 @@ def kmeans_centroids(
     fit ABSOLUTELY: a ratio sample alone still grows with the corpus —
     1/4 of 100 TB is 25 TB through an iterative ML fit.  When the
     (sampled) fit source exceeds the cap, it is thinned with a SECOND,
-    independent hash (``xxhash64(id, 'fitcap')``) to ~``max_fit_rows``
-    expected rows — deterministic (no RNG, same rows every run), one
-    extra count job at index-build time, never applied below the cap.
-    ``None`` disables the cap.  Requires ``id_col``.
+    independent hash (``xxhash64(id, 'fitcap')``, falling back to
+    hashing the vector itself when no ``id_col`` exists — the cap never
+    silently no-ops) to ~``max_fit_rows`` expected rows — deterministic
+    (no RNG, same rows every run); a bounded ``limit(cap+1)`` probe
+    short-circuits the common under-cap case so the exact count job
+    runs only when the cap actually engages.  ``None`` disables it.
     """
     import math
 
@@ -344,12 +346,19 @@ def kmeans_centroids(
         # soon as enough rows are found (a bare count() scans everything)
         if sample.limit(need).count() >= need:
             fit_src = sample
-    if max_fit_rows is not None and id_col is not None:
-        n_fit = fit_src.count()
-        if n_fit > max_fit_rows:
+    if max_fit_rows is not None:
+        # the cap key falls back to hashing the VECTOR itself when no id
+        # column exists — the cap must hold absolutely either way, never
+        # silently no-op
+        cap_key = F.col(id_col) if id_col is not None else F.col(vec_col)
+        # bounded probe first: the common under-cap case short-circuits
+        # like the thin-sample guard; the exact count runs only when the
+        # cap might actually engage
+        if fit_src.limit(max_fit_rows + 1).count() > max_fit_rows:
+            n_fit = fit_src.count()
             deepen = math.ceil(n_fit / max_fit_rows)
             capped = fit_src.where(
-                F.pmod(F.xxhash64(F.col(id_col), F.lit("fitcap")), F.lit(deepen)) == 0
+                F.pmod(F.xxhash64(cap_key, F.lit("fitcap")), F.lit(deepen)) == 0
             )
             if capped.limit(need).count() >= need:
                 fit_src = capped

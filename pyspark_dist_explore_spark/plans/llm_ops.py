@@ -1629,7 +1629,9 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    # the staged frames MUST tokenize exactly like the scorers' lazy
+    # paths — reuse the shared normalizer instead of hand-copying it
+    norm = dedup.normalize_text(F.col("text"))
     toks = docs.select(
         F.col("doc_id"), F.posexplode(F.split(norm, " ")).alias("idx", "tok")
     ).where(F.col("tok") != "")

@@ -109,13 +109,16 @@ def write_training_shards(
     front-to-back sees the globally de-correlated, reproducible
     sequence trainers expect, without any read-time sort.
 
-    Layout mechanics: repartition by ``shard`` (one task → one file per
-    shard directory, no small-files explosion) then
-    ``sortWithinPartitions(shard, pos)`` so the in-file row order IS
-    the training order (parquet preserves write order).  Same salt →
-    byte-identical dump; a new salt is an independent epoch.  One
-    shuffle + one per-shard sort total — the write-side twin of the
-    registered ``corpus_shuffle_shards`` query.
+    Layout mechanics: hash-repartition by ``shard`` co-locates each
+    shard WHOLLY in one task, so every shard directory gets exactly one
+    file (no small-files explosion); hash collisions mean a task may
+    carry more than one shard, so write parallelism is approximately —
+    not exactly — ``shards``-way (with thousands of shards the
+    imbalance washes out).  ``sortWithinPartitions(shard, pos)`` makes
+    the in-file row order the training order (parquet preserves write
+    order).  Same salt → byte-identical dump; a new salt is an
+    independent epoch.  One shuffle + one per-shard sort total — the
+    write-side twin of the registered ``corpus_shuffle_shards`` query.
     """
     from pyspark.sql import functions as F
 

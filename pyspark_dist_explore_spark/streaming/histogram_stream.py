@@ -298,6 +298,11 @@ def stream_drift_scores(
         .groupBy("window_start", "window_end")
         .agg(
             F.sum("cnt").alias("n_events"),
-            F.round(F.first("__c") + F.sum("__psi"), 10).alias("psi"),
+            # an EMPTY reference sums its constant to NULL — coalesce to
+            # 0 so every p clamps to eps and psi stays finite, exactly
+            # the pre-factoring union behavior
+            F.round(
+                F.coalesce(F.first("__c"), F.lit(0.0)) + F.sum("__psi"), 10
+            ).alias("psi"),
         )
     )

@@ -2523,8 +2523,10 @@ def test_perplexity_staged_inputs_match_lazy(spark):
         unigram_logprob_scores,
     )
 
+    from pyspark_dist_explore_spark.operators.dedup import normalize_text
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = normalize_text(F.col("text"))
     toks = docs.select(
         F.col("doc_id"), F.posexplode(F.split(norm, " ")).alias("idx", "tok")
     ).where(F.col("tok") != "")

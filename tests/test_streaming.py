@@ -546,3 +546,24 @@ def test_stream_drift_single_input_reference(spark):
         if "Arguments: Range (0, 100" in l
     ]
     assert len(win_ranges) == 1, plan
+
+
+def test_stream_drift_empty_reference_is_finite(spark):
+    """An EMPTY reference histogram must yield finite (large) psi — the
+    factored constant coalesces to 0 and every p clamps to eps — not
+    NULL rows that silently disable downstream alerts."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_drift_scores,
+    )
+
+    ref = spark.createDataFrame([], "bucket int, cnt bigint")
+    win = spark.createDataFrame(
+        [("w", "w", i, 10) for i in range(5)],
+        "window_start string, window_end string, bucket int, cnt bigint",
+    )
+    row = stream_drift_scores(win, ref).first()
+    assert row.psi is not None
+    assert row.psi == row.psi and row.psi != float("inf")
+    assert row.psi > 0.25, f"no reference mass = maximal drift, got {row.psi}"
