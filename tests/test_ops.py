@@ -2774,3 +2774,56 @@ def test_contamination_report_attributes_eval_items(spark):
     flagged = {r.doc_id for r in contaminated_ids(
         train, eval_df, "text", "doc_id", ngram_n=8).collect()}
     assert flagged == {1, 3}, "report and drop-list must agree"
+
+
+def test_pack_greedy_matches_python_reference_random_cases(spark):
+    """Randomized cross-check: Spark's greedy (applyInPandas first-fit)
+    equals a local Python reference on adversarial token-count mixes —
+    oversize runs, exact-budget fits, zeros, and boundary straddles."""
+    import random
+
+    from pyspark_dist_explore_spark.operators.packing import (
+        _PACK_STRIDE,
+        pack_sequences,
+    )
+
+    rng = random.Random(20260814)
+    max_tokens = 100
+    cases = []
+    for case in range(6):
+        n = rng.randint(1, 60)
+        counts = [
+            rng.choice([0, 1, rng.randint(2, 99), 100, rng.randint(101, 250)])
+            for _ in range(n)
+        ]
+        cases.append(counts)
+    cases.append([100] * 5 + [250, 250] + [0] * 3)   # exact fits + oversize run
+    cases.append([99, 1, 99, 1, 2])                   # boundary straddles
+
+    for counts in cases:
+        rows = [(i, c) for i, c in enumerate(counts)]
+        df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+        got = {
+            r.doc_id: (r.pack_id, r.oversize)
+            for r in pack_sequences(
+                df, "doc_id", token_count_col="n_tokens",
+                max_tokens=max_tokens, buckets=1, mode="greedy",
+            ).collect()
+        }
+        # Python reference: first-fit in doc_id order (single bucket 0)
+        pid, cur = 0, 0
+        want = {}
+        for i, c in rows:
+            if c > max_tokens:
+                if cur > 0:
+                    pid += 1
+                want[i] = (0 * _PACK_STRIDE + pid, 1)
+                pid += 1
+                cur = 0
+            else:
+                if cur + c > max_tokens:
+                    pid += 1
+                    cur = 0
+                want[i] = (0 * _PACK_STRIDE + pid, 0)
+                cur += c
+        assert got == want, (counts, got, want)
