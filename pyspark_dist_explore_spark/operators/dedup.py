@@ -755,6 +755,65 @@ def neardup_clusters(
     )
 
 
+def neardup_clusters_lazy(
+    pairs: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    all_ids: DataFrame | None = None,
+    rounds: int = 8,
+) -> DataFrame:
+    """FULLY LAZY variant of :func:`neardup_clusters`: the same min-label
+    pointer jumping, statically unrolled for a FIXED number of rounds —
+    constructing the frame runs no jobs (no localCheckpoint, no
+    convergence count), the whole propagation is one declarative plan
+    Catalyst sees end to end.
+
+    Plan growth must be LINEAR in rounds for this to be viable: the
+    eager form's pointer-jumping step references the label state three
+    times per round (neighbor join, jump join, own label), which in a
+    static unroll copies the whole upstream subtree 3^rounds times and
+    stack-overflows the analyzer.  This variant instead runs plain
+    min-label propagation over the edge set AUGMENTED WITH SELF-LOOPS
+    — ``new_lbl(v) = min over (v→u ∈ E∪{v→v}) lbl(u)`` — one join +
+    one ``min()`` aggregate per round, ONE reference to the previous
+    round's labels, so the plan is a depth-``rounds`` chain.
+
+    Correct when every connected component's DIAMETER is ≤ ``rounds``
+    (no jumping: labels travel one hop per round).  Near-dup clusters
+    from pairwise-similarity joins are dense (diameter ~2), so the
+    default 8 is generous; for chain-shaped or unknown graphs use the
+    eager convergence-checked form.  Equality with the eager form on
+    the gate corpus is pytest-pinned.
+    """
+    src = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = src.union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    if all_ids is not None:
+        extra = all_ids.select(F.col(all_ids.columns[0]).alias("doc_id")).distinct()
+        nodes = nodes.union(extra).distinct()
+    # E ∪ self-loops: the self-loop row makes min() include v's own label,
+    # collapsing the three-way least() into one aggregate
+    edges_sl = edges.union(
+        nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(rounds):
+        labels = (
+            edges_sl.join(labels, edges_sl.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("src").alias("doc_id"), "lbl")
+        )
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).cast("int").alias("is_survivor"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact n-gram / token Jaccard via self-join (oracle-able ground truth)
 # --------------------------------------------------------------------------

@@ -513,6 +513,7 @@ def unigram_logprob_scores(
     lm_counts: DataFrame | None = None,
     alpha: float = 1.0,
     tf_rows: DataFrame | None = None,
+    count_stats: bool = False,
 ) -> DataFrame:
     """CCNet-style perplexity filtering with a corpus-trained UNIGRAM
     LM: ``(doc_id, n_tok, mean_logprob, ppl)`` where ``mean_logprob``
@@ -538,6 +539,14 @@ def unigram_logprob_scores(
     term-keyed join against the LM (vocab-sized — broadcast when small,
     shuffle join otherwise; Spark's AQE picks) → one per-doc aggregate.
     The LM totals (N, V) are a 1-row aggregate, broadcast.
+
+    ``count_stats=True`` appends two PURE-INTEGER columns to the same
+    per-doc aggregate (no extra scan or join): ``u_terms`` (distinct
+    terms in the doc) and ``u_mass`` (Σ tf·corpus_cnt — the total LM
+    count mass the scoring join looked up).  These are exact BIGINTs on
+    any engine — the driver-gate oracle hashes THEM instead of the
+    ln/exp-derived doubles, whose last-ulp behavior varies across
+    libm/DuckDB builds (the round-6 `text_perplexity` knife edge).
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (Laplace smoothing mass), got {alpha}")
@@ -567,15 +576,26 @@ def unigram_logprob_scores(
         F.col("__n").cast("double") + F.lit(alpha) * F.col("__v").cast("double")
     )
     slogp = F.round(F.log(smoothed) * F.lit(1e6)).cast("bigint")
+    aggs = [
+        F.sum("tf").alias("n_tok"),
+        F.sum(F.col("tf") * F.col("__slogp")).alias("__ssum"),
+    ]
+    if count_stats:
+        aggs += [
+            F.count(F.lit(1)).alias("u_terms"),
+            F.sum(F.col("tf") * F.col("__cnt")).cast("bigint").alias("u_mass"),
+        ]
     scored = (
         tf.join(lm, "term", "left")
         .crossJoin(F.broadcast(totals))
-        .select("doc_id", "tf", slogp.alias("__slogp"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_tok"),
-            F.sum(F.col("tf") * F.col("__slogp")).alias("__ssum"),
+        .select(
+            "doc_id",
+            "tf",
+            slogp.alias("__slogp"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("__cnt"),
         )
+        .groupBy("doc_id")
+        .agg(*aggs)
     )
     # mean on the exact 1e-6 grid (same rationale as the bigram scorer):
     # round(x, 10) of the raw quotient hits engine-dependent decimal-
@@ -585,12 +605,15 @@ def unigram_logprob_scores(
         F.col("__ssum").cast("double") / F.col("n_tok").cast("double")
     ).cast("bigint")
     mean_lp = mean_e6.cast("double") / F.lit(1e6)
-    return scored.select(
-        "doc_id",
-        "n_tok",
+    cols = [
+        F.col("doc_id"),
+        F.col("n_tok"),
         mean_lp.alias("mean_logprob"),
         F.round(F.exp(-mean_lp), 6).alias("ppl"),
-    )
+    ]
+    if count_stats:
+        cols += [F.col("u_terms"), F.col("u_mass")]
+    return scored.select(*cols)
 
 
 def bigram_logprob_scores(
@@ -603,6 +626,7 @@ def bigram_logprob_scores(
     alpha: float = 1.0,
     lam: float = 0.7,
     pairs_rows: DataFrame | None = None,
+    count_stats: bool = False,
 ) -> DataFrame:
     """Interpolated BIGRAM-LM perplexity — the step from the crude
     unigram stand-in toward KenLM-style CCNet scoring: ``(doc_id,
@@ -630,6 +654,14 @@ def bigram_logprob_scores(
     then term- and bigram-keyed LM joins (vocab-sized; AQE broadcasts
     when small) and one per-doc aggregate.  Nothing quadratic; the
     bigram LM is itself one hash aggregate with map-side partials.
+
+    ``count_stats=True`` appends three PURE-INTEGER columns to the same
+    per-doc aggregate (no extra scan or join): ``b_hits`` (Σ matched
+    bigram corpus counts), ``b_matched`` (scored positions whose bigram
+    exists in the LM), and ``ctx_mass`` (Σ context unigram counts).
+    Exact BIGINTs on any engine — the driver-gate oracle hashes them
+    instead of the libm-sensitive ln/exp doubles (see
+    :func:`unigram_logprob_scores`).
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (Laplace smoothing mass), got {alpha}")
@@ -698,13 +730,26 @@ def bigram_logprob_scores(
     ).otherwise(F.lit(0.0))
     p = p_bi + F.lit(1.0 - lam) * p_uni
     slogp = F.round(F.log(p) * F.lit(1e6)).cast("bigint")
+    aggs = [
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("__slogp").alias("__ssum"),
+    ]
+    if count_stats:
+        aggs += [
+            F.sum("__bcnt").cast("bigint").alias("b_hits"),
+            F.sum("__bm").cast("bigint").alias("b_matched"),
+            F.sum("__ctx").cast("bigint").alias("ctx_mass"),
+        ]
     agg = (
-        scored_rows.select("doc_id", slogp.alias("__slogp"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("__slogp").alias("__ssum"),
+        scored_rows.select(
+            "doc_id",
+            slogp.alias("__slogp"),
+            F.coalesce(F.col("bcnt"), F.lit(0)).cast("bigint").alias("__bcnt"),
+            F.when(F.col("bcnt").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("__bm"),
+            F.coalesce(F.col("ctx_cnt"), F.lit(0)).cast("bigint").alias("__ctx"),
         )
+        .groupBy("doc_id")
+        .agg(*aggs)
     )
     # mean on the exact 1e-6 grid: rounding the BIGINT micro-logprob
     # mean (identical integer both engines) sidesteps the decimal-
@@ -714,12 +759,15 @@ def bigram_logprob_scores(
         F.col("__ssum").cast("double") / F.col("n_tok").cast("double")
     ).cast("bigint")
     mean_lp = mean_e6.cast("double") / F.lit(1e6)
-    return agg.select(
-        "doc_id",
-        "n_tok",
+    cols = [
+        F.col("doc_id"),
+        F.col("n_tok"),
         mean_lp.alias("mean_logprob"),
         F.round(F.exp(-mean_lp), 6).alias("ppl"),
-    )
+    ]
+    if count_stats:
+        cols += [F.col("b_hits"), F.col("b_matched"), F.col("ctx_mass")]
+    return agg.select(*cols)
 
 
 def drop_repeated_lines(

@@ -364,17 +364,34 @@ LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
-@register("neardup_clusters", _CLUSTER_ORACLE)
-def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_neardup_clusters(
+    spark: SparkSession, sf_dir: str, *, stage: bool = False
+) -> DataFrame:
     """X1/X3 end-goal: near-dup pairs resolved into duplicate CLUSTERS
     with one deterministic survivor each (min doc id of the connected
     component; isolated docs are their own cluster).  Pairs come from the
     oracle-able exact-Jaccard graph; the DuckDB twin walks the same graph
     with a recursive CTE.  Linear output in documents — the shape a
-    keep-list pipeline actually consumes (``is_survivor = 1``)."""
+    keep-list pipeline actually consumes (``is_survivor = 1``).
+
+    ``stage=False`` (default) is FULLY LAZY — the statically-unrolled
+    ``neardup_clusters_lazy`` (8 pointer-jumping rounds, covers
+    component diameters to 256; equality with the eager form is
+    pytest-pinned).  ``stage=True`` (what the registry passes) runs the
+    eager convergence-checked propagation with checkpoint-bounded
+    lineage — the form to use on unknown graph shapes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _JACCARD_MAX_ID)
     pairs = dedup.jaccard_pairs_exact(docs, "text", "doc_id", threshold=_JACCARD_THRESHOLD)
-    return dedup.neardup_clusters(pairs, all_ids=docs.select("doc_id"))
+    if stage:
+        return dedup.neardup_clusters(pairs, all_ids=docs.select("doc_id"))
+    return dedup.neardup_clusters_lazy(pairs, all_ids=docs.select("doc_id"))
+
+
+@register("neardup_clusters", _CLUSTER_ORACLE)
+def _q_neardup_clusters_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`q_neardup_clusters` — opts in to the
+    eager convergence-checked propagation (``stage=True``)."""
+    return q_neardup_clusters(spark, sf_dir, stage=True)
 
 
 def _simhash_oracle(max_hamming: int) -> str:
@@ -1035,11 +1052,9 @@ WHERE greatest(round(CAST(shared AS DOUBLE) / na.n_fp, 6),
 """
 
 
-@register(
-    "neardup_containment",
-    _containment_oracle(threshold=0.5, max_df=50, k=5, window=4),
-)
-def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_neardup_containment(
+    spark: SparkSession, sf_dir: str, *, stage: bool = False
+) -> DataFrame:
     """Asymmetric containment detection (X16): the crawl near-dup shape
     symmetric Jaccard misses — a short doc embedded verbatim in a long
     boilerplate page scores low Jaccard but C(A→B)=|fp∩|/|fp(A)| ≈ 1.
@@ -1051,21 +1066,34 @@ def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs) and the max_df drop caps bucket width — 10× probe 1.17×
     with pair output exactly 10×.
 
-    Uses the staged ``fp_rows=`` input (fingerprints localCheckpoint-ed
-    ONCE at build — the lazy plan reads the fingerprint build 4×;
+    ``stage=False`` (default) is FULLY LAZY — constructing the frame
+    runs no jobs (the lazy plan re-derives the fingerprint build 4×).
+    ``stage=True`` (what the registry passes) localCheckpoints the
+    winnowing fingerprints ONCE and feeds them via ``fp_rows=`` —
     measured A/B at sf0.1: staged 2.3 s warm vs lazy 6.7 s, identical
-    263 pairs).  Same eager-at-build pattern as ``neardup_clusters``;
-    blocks release when the result is garbage-collected."""
+    263 pairs; blocks release when the result is garbage-collected."""
     from pyspark_dist_explore_spark.operators.dedup import containment_pairs
     from pyspark_dist_explore_spark.operators.textstats import winnowing_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(
-        docs, "text", "doc_id", k=5, window=4, hash_fn="md5"
-    ).localCheckpoint()
+    fps = None
+    if stage:
+        fps = winnowing_fingerprints(
+            docs, "text", "doc_id", k=5, window=4, hash_fn="md5"
+        ).localCheckpoint()
     return containment_pairs(
         docs, "text", "doc_id", threshold=0.5, hash_fn="md5", max_df=50, fp_rows=fps
     )
+
+
+@register(
+    "neardup_containment",
+    _containment_oracle(threshold=0.5, max_df=50, k=5, window=4),
+)
+def _q_neardup_containment_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`q_neardup_containment` — opts in to the
+    eager staged-fingerprint build (``stage=True``)."""
+    return q_neardup_containment(spark, sf_dir, stage=True)
 
 
 @register("vector_ann_topk", None)  # probe subsets differ from full scan → rows-only
@@ -1550,6 +1578,18 @@ def q_histogram_drift_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _perplexity_oracle() -> str:
+    """Transcendental-free gate oracle for ``text_perplexity`` (round 7).
+
+    Round 6 hashed the ln/exp-derived score columns and the row went red
+    at the driver while reproducing green locally ×2 configs: `ln`/`exp`
+    may differ in the LAST ULP across libm/DuckDB builds, flipping the
+    fixed-point rounding knife edge.  The gate projection now hashes
+    ONLY exact integer LM statistics — they pin tokenization, both LM
+    training aggregates, and every scoring join bit-for-bit on any
+    engine build; the exact double `mean_logprob`/`ppl` surfaces stay
+    pinned in the pytest DuckDB twins (controlled engine pair,
+    tests/test_ops.py::test_{unigram,bigram}_logprob_matches_duckdb).
+    """
     norm = _NORM.format(c="text")
     return f"""
 WITH toks AS (
@@ -1559,23 +1599,13 @@ WITH toks AS (
 t2 AS (SELECT doc_id, idx, tok FROM toks WHERE tok <> ''),
 tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM t2 GROUP BY 1, 2),
 uni AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
-tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM uni),
-uscored AS (
-  SELECT tf.doc_id, sum(tf.tf) AS n_tok,
-         sum(tf.tf * CAST(round(ln((COALESCE(uni.cnt, 0) + 1.0) / (tot.n + 1.0 * tot.v)) * 1e6)
-                          AS BIGINT)) AS ssum
-  FROM tf LEFT JOIN uni ON tf.term = uni.term, tot
+ustat AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS u_terms,
+         CAST(sum(tf.tf * COALESCE(uni.cnt, 0)) AS BIGINT) AS u_mass
+  FROM tf LEFT JOIN uni ON tf.term = uni.term
   GROUP BY tf.doc_id
-),
-u AS (
-  SELECT doc_id, n_tok,
-         CAST(umean_e6 AS DOUBLE) / 1e6 AS uni_mean_logprob,
-         round(exp(-(CAST(umean_e6 AS DOUBLE) / 1e6)), 6) AS uni_ppl
-  FROM (
-    SELECT doc_id, n_tok,
-           CAST(round(CAST(ssum AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS BIGINT) AS umean_e6
-    FROM uscored
-  )
 ),
 pairs AS (
   SELECT doc_id, idx, tok, lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
@@ -1585,79 +1615,88 @@ bi AS (
   SELECT prev, tok AS term, count(*) AS bcnt FROM pairs
   WHERE prev IS NOT NULL GROUP BY prev, tok
 ),
-bscored AS (
+bstat AS (
   SELECT p.doc_id,
-         CAST(round(ln(
-           (CASE WHEN p.prev IS NOT NULL AND COALESCE(cx.cnt, 0) > 0
-                 THEN 0.7 * (CAST(COALESCE(b.bcnt, 0) AS DOUBLE) / CAST(cx.cnt AS DOUBLE))
-                 ELSE 0.0 END)
-           + 0.30000000000000004 * ((CAST(COALESCE(un.cnt, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0 * tot.v))
-         ) * 1e6) AS BIGINT) AS slogp
+         CAST(count(*) AS BIGINT) AS n_scored,
+         CAST(sum(COALESCE(b.bcnt, 0)) AS BIGINT) AS b_hits,
+         CAST(sum(CASE WHEN b.bcnt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS b_matched,
+         CAST(sum(COALESCE(cx.cnt, 0)) AS BIGINT) AS ctx_mass
   FROM pairs p
-  LEFT JOIN uni un ON p.tok = un.term
   LEFT JOIN uni cx ON p.prev = cx.term
-  LEFT JOIN bi b ON p.prev = b.prev AND p.tok = b.term, tot
-),
-bg AS (
-  SELECT doc_id,
-         CAST(round(CAST(sum(slogp) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_e6
-  FROM bscored GROUP BY doc_id
+  LEFT JOIN bi b ON p.prev = b.prev AND p.tok = b.term
+  GROUP BY p.doc_id
 )
-SELECT u.doc_id, u.n_tok, u.uni_mean_logprob, u.uni_ppl,
-       CAST(bg.mean_e6 AS DOUBLE) / 1e6 AS bi_mean_logprob,
-       round(exp(-(CAST(bg.mean_e6 AS DOUBLE) / 1e6)), 6) AS bi_ppl
-FROM u JOIN bg ON u.doc_id = bg.doc_id
+SELECT ustat.doc_id, n_tok, u_terms, u_mass, n_scored, b_hits, b_matched, ctx_mass
+FROM ustat JOIN bstat ON ustat.doc_id = bstat.doc_id
 """
 
 
-@register("text_perplexity", _perplexity_oracle())
-def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X18 at the driver gate (promoted + upgraded round 6): per-doc
-    perplexity under BOTH self-trained LMs — the Laplace unigram
-    (CCNet-bucket stand-in) and the interpolated bigram (word-order
-    aware) — joined on doc_id.  Every log-prob goes through the 1e-6
-    fixed-point BIGINT sum, so the whole result is hash-exact at any
-    parallelism on both engines.
+def q_text_perplexity(
+    spark: SparkSession, sf_dir: str, *, stage: bool = False
+) -> DataFrame:
+    """X18 at the driver gate: per-doc statistics of BOTH self-trained
+    LMs — the Laplace unigram (CCNet-bucket stand-in) and the
+    interpolated bigram (word-order aware) — joined on doc_id.
 
-    Plan shape: the tokenize + lag-window pair frame is built ONCE and
-    localCheckpoint-ed (the same eager-at-build staging pattern as
-    ``neardup_clusters``/``neardup_containment`` — documented: this
-    makes ``queries()['text_perplexity']`` non-lazy); both scorers take
-    it via their staged inputs (``tf_rows=`` / ``pairs_rows=``), so the
-    corpus is scanned once instead of eight times across the lazily
-    re-derived LM subtrees."""
-    from pyspark.sql import Window
+    Gate projection (round 7, transcendental-free): ``(doc_id, n_tok,
+    u_terms, u_mass, n_scored, b_hits, b_matched, ctx_mass)`` — all
+    exact BIGINTs from the scorers' ``count_stats=True`` aggregates.
+    They pin tokenization, LM training counts, and every scoring join
+    on ANY engine build; the round-6 projection hashed the
+    ln/exp-derived doubles and went red at the driver on a last-ulp
+    libm difference while reproducing green locally.  The exact double
+    ``mean_logprob``/``ppl`` surfaces (what a user filters on) stay the
+    scorers' default output and are DuckDB-twin-pinned in pytest where
+    the engine pair is controlled.
 
+    ``stage=False`` (default) is FULLY LAZY — constructing the frame
+    runs no jobs; each scorer tokenizes from the parquet scan itself.
+    ``stage=True`` (what the registry passes) builds the tokenize +
+    lag-window pair frame ONCE, ``localCheckpoint``s it, and feeds both
+    scorers through their staged inputs (``tf_rows=`` /
+    ``pairs_rows=``) — one corpus scan instead of eight across the
+    lazily re-derived LM subtrees."""
     docs = load_table(spark, sf_dir, "documents")
-    # the staged frames MUST tokenize exactly like the scorers' lazy
-    # paths — reuse the shared normalizer instead of hand-copying it
-    norm = dedup.normalize_text(F.col("text"))
-    toks = docs.select(
-        F.col("doc_id"), F.posexplode(F.split(norm, " ")).alias("idx", "tok")
-    ).where(F.col("tok") != "")
-    w = Window.partitionBy("doc_id").orderBy("idx")
-    pairs = toks.select(
-        "doc_id", "idx", "tok", F.lag("tok", 1).over(w).alias("prev")
-    ).localCheckpoint()
-    tf = pairs.groupBy("doc_id", F.col("tok").alias("term")).agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    if stage:
+        from pyspark.sql import Window
+
+        # the staged frames MUST tokenize exactly like the scorers' lazy
+        # paths — reuse the shared normalizer instead of hand-copying it
+        norm = dedup.normalize_text(F.col("text"))
+        toks = docs.select(
+            F.col("doc_id"), F.posexplode(F.split(norm, " ")).alias("idx", "tok")
+        ).where(F.col("tok") != "")
+        w = Window.partitionBy("doc_id").orderBy("idx")
+        pairs = toks.select(
+            "doc_id", "idx", "tok", F.lag("tok", 1).over(w).alias("prev")
+        ).localCheckpoint()
+        tf = pairs.groupBy("doc_id", F.col("tok").alias("term")).agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    else:
+        pairs = None
+        tf = None
     uni = textstats.unigram_logprob_scores(
-        docs, "text", "doc_id", tf_rows=tf
-    ).select(
-        "doc_id",
-        "n_tok",
-        F.col("mean_logprob").alias("uni_mean_logprob"),
-        F.col("ppl").alias("uni_ppl"),
-    )
+        docs, "text", "doc_id", tf_rows=tf, count_stats=True
+    ).select("doc_id", "n_tok", "u_terms", "u_mass")
     bi = textstats.bigram_logprob_scores(
-        docs, "text", "doc_id", pairs_rows=pairs
+        docs, "text", "doc_id", pairs_rows=pairs, count_stats=True
     ).select(
         "doc_id",
-        F.col("mean_logprob").alias("bi_mean_logprob"),
-        F.col("ppl").alias("bi_ppl"),
+        F.col("n_tok").alias("n_scored"),
+        "b_hits",
+        "b_matched",
+        "ctx_mass",
     )
     return uni.join(bi, "doc_id")
+
+
+@register("text_perplexity", _perplexity_oracle())
+def _q_text_perplexity_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`q_text_perplexity` — opts in to the
+    eager one-scan staging (``stage=True``); direct library callers get
+    the lazy default."""
+    return q_text_perplexity(spark, sf_dir, stage=True)
 
 
 @register(

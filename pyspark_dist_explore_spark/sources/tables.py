@@ -13,6 +13,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: (sf_dir, table) -> raw inferred StructType.  Parquet schema inference
+#: runs one small Spark job per ``spark.read.parquet`` call; caching the
+#: footer schema makes every repeat ``load_table`` JOBLESS at plan-build
+#: time (the lazy-by-default registered queries pin this in
+#: tests/test_plans.py) and shaves the footer-read job off every query
+#: construction.  Driver-side only — executors never see this dict.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
 #: table name -> primary key column (used by deterministic dedup/top-k tie-breaks)
 TABLES: dict[str, str] = {
     "region": "r_regionkey",
@@ -57,20 +65,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    cached = _SCHEMA_CACHE.get((sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F
 
-        try:
-            df = spark.read.parquet(path)
-        except Exception:
-            # footer carries TIMESTAMP(NANOS) — Spark 4 refuses it at
-            # schema inference unless nanosAsLong is on.  Set it only on
-            # this path (a timestamp[us]/plain-timestamp dataset never
-            # mutates the session), and leave it set: the conf is
-            # consulted again when the lazy scan executes, so restoring
-            # it here would fail the plan at action time.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path)
+        if cached is not None:
+            # the nanos case needed nanosAsLong at first inference; the
+            # conf was left set then, so a schema'd re-read plans clean
+            df = spark.read.schema(cached).parquet(path)
+        else:
+            try:
+                df = spark.read.parquet(path)
+            except Exception:
+                # footer carries TIMESTAMP(NANOS) — Spark 4 refuses it at
+                # schema inference unless nanosAsLong is on.  Set it only on
+                # this path (a timestamp[us]/plain-timestamp dataset never
+                # mutates the session), and leave it set: the conf is
+                # consulted again when the lazy scan executes, so restoring
+                # it here would fail the plan at action time.
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = spark.read.parquet(path)
+            _SCHEMA_CACHE[(sf_dir, name)] = df.schema
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # legacy TIMESTAMP(NANOS) read as int64
             # exact integer floor division: `div` truncates toward zero,
@@ -96,7 +111,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "value",
             "props",
         )
-    return spark.read.parquet(path)
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[(sf_dir, name)] = df.schema
+    return df
 
 
 def read_any(spark: SparkSession, path: str, fmt: str, schema=None, **options) -> DataFrame:

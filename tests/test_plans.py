@@ -430,3 +430,55 @@ def test_histogram_drift_by_group_no_cartesian(spark):
         if l.strip().startswith("(") and "Scan parquet" in l
     ]
     assert len(scans) <= 4, f"expected <=4 scans (2 per input frame): {len(scans)}"
+
+
+# --------------------------------------------------------------------------
+# stage= knob: registered-eager queries are lazy by default (round 7)
+# --------------------------------------------------------------------------
+
+
+def _jvm_job_count(spark) -> int:
+    """Total jobs this session has run, from the JVM AppStatusStore —
+    the direct signal for 'constructing this DataFrame ran no jobs'."""
+    return spark._jsparkSession.sparkContext().statusStore().jobsList(None).size()
+
+
+def test_stage_default_constructs_without_running_jobs(spark):
+    """The three formerly eager-at-build registered queries construct
+    FULLY LAZILY by default: `stage=False` (the library default) must
+    not run a single Spark job — no localCheckpoint, no convergence
+    count — until an action is requested.  The registry opts in to
+    `stage=True` explicitly for the one-scan staged plans."""
+    from pyspark_dist_explore_spark.plans.llm_ops import (
+        q_neardup_clusters,
+        q_neardup_containment,
+        q_text_perplexity,
+    )
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    # warm the parquet footer-schema cache: the FIRST read of a table
+    # runs Spark's one inference job (unavoidable I/O metadata); every
+    # later load_table is jobless via sources.tables._SCHEMA_CACHE
+    load_table(spark, SF_SMOKE, "documents").schema
+    for q in (q_text_perplexity, q_neardup_containment, q_neardup_clusters):
+        before = _jvm_job_count(spark)
+        df = q(spark, SF_SMOKE)
+        after = _jvm_job_count(spark)
+        assert after == before, f"{q.__name__} ran {after - before} job(s) at construction"
+        assert df.columns  # the plan resolves
+
+
+def test_stage_knob_staged_matches_lazy(spark):
+    """stage=True (registered form: localCheckpoint staging / eager
+    convergent propagation) and stage=False (fully lazy) are pure plan-
+    shape choices — identical rows for all three queries."""
+    from pyspark_dist_explore_spark.plans.llm_ops import (
+        q_neardup_clusters,
+        q_neardup_containment,
+        q_text_perplexity,
+    )
+
+    for q in (q_text_perplexity, q_neardup_containment, q_neardup_clusters):
+        lazy = sorted(map(tuple, q(spark, SF_SMOKE, stage=False).collect()))
+        staged = sorted(map(tuple, q(spark, SF_SMOKE, stage=True).collect()))
+        assert lazy == staged, q.__name__
