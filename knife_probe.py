@@ -1,0 +1,177 @@
+"""Knife-edge audit probe for transcendental-derived oracle columns.
+
+The driver gate hash-compares Spark vs DuckDB after ``round(x, n)``.  For
+columns where x is exact integer/rational IEEE-754 arithmetic, both
+engines produce bit-identical doubles and the round can never diverge.
+For columns derived through ``ln``/``exp``/``pow`` (NOT correctly-rounded
+under IEEE-754 — unlike ``sqrt``), a different libm/DuckDB build can
+shift x by a few ulps; the hash then flips iff some row's x sits within
+that perturbation of a rounding HALF-BOUNDARY (k + 0.5) · 10^-n.
+
+This probe computes, per fragile column at the gate scale (sf0.01), the
+minimum over all rows of the distance to the nearest half-boundary,
+expressed in ulps of x.  A margin of 10^3+ ulps means a build would have
+to mis-round ln/exp by thousands of ulps to flip the hash — far past any
+real libm spread (observed spreads are ≤ ~2 ulps).  Results are recorded
+in ORACLES.md.
+
+Usage:  python knife_probe.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+
+from pyspark_dist_explore_spark.sources.tables import TABLES
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def con_for(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("SET TimeZone = 'UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def margin_report(name: str, values: np.ndarray, decimals: int) -> dict:
+    """Min distance of values from the nearest round-half boundary of the
+    10^-decimals grid, in absolute units and in ulps of the value."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[np.isfinite(v)]
+    g = 10.0 ** decimals
+    t = v * g
+    frac = t - np.floor(t)
+    dist_units = np.abs(frac - 0.5)  # in 10^-decimals units
+    value_dist = dist_units / g
+    ulp = np.spacing(np.abs(v) + np.where(v == 0, 1e-300, 0))
+    margins = value_dist / ulp
+    i = int(np.argmin(margins))
+    return {
+        "column": name,
+        "rows": int(v.size),
+        "decimals": decimals,
+        "min_margin_ulps": float(margins[i]),
+        "worst_value": float(v[i]),
+        "min_dist_units": float(dist_units[i]),
+    }
+
+
+def fetch(con, sql: str) -> np.ndarray:
+    return np.array([r[0] for r in con.execute(sql).fetchall()], dtype=np.float64)
+
+
+def main() -> None:
+    con = con_for(SF_DIR)
+    reports = []
+
+    # 1. scalar_unpivot_part.price_ln = round(ln(p_retailprice), 6)
+    reports.append(
+        margin_report(
+            "scalar_unpivot_part.price_ln",
+            fetch(con, "SELECT ln(p_retailprice) FROM part"),
+            6,
+        )
+    )
+
+    # 2. text_tfidf.tfidf = round(tf * (ln((N+1)/(df+1)) + 1), 6)
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    reports.append(
+        margin_report(
+            "text_tfidf.tfidf",
+            fetch(
+                con,
+                f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term)
+SELECT tf.tf * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0) AS v
+FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+""",
+            ),
+            6,
+        )
+    )
+
+    # 3. histogram_drift_groups.psi = round(sum((p-q)*ln(p/q)), 10), and the
+    #    same arithmetic backs the per-corpus drift + streaming scorer
+    from pyspark_dist_explore_spark.functions.numeric import bucket_sql
+
+    bucket = bucket_sql("v", "__lo", "__hi", 8)
+    reports.append(
+        margin_report(
+            "histogram_drift_groups.psi",
+            fetch(
+                con,
+                f"""
+WITH u AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '') AS grp, CAST(n_chars AS DOUBLE) AS v, 'ref' AS src
+  FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+  UNION ALL
+  SELECT COALESCE(CAST(lang AS VARCHAR), '') AS grp, CAST(n_chars AS DOUBLE) AS v, 'cur' AS src
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    AND n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+),
+mm AS (SELECT grp, min(v) AS __lo, max(v) AS __hi FROM u GROUP BY grp),
+b AS (SELECT u.grp, u.src, {bucket} AS bucket FROM u JOIN mm ON u.grp = mm.grp),
+cells AS (
+  SELECT grp, bucket,
+         sum(CASE WHEN src = 'ref' THEN 1 ELSE 0 END) AS ref_cnt,
+         sum(CASE WHEN src = 'cur' THEN 1 ELSE 0 END) AS cur_cnt
+  FROM b GROUP BY grp, bucket
+),
+tot AS (SELECT grp, sum(ref_cnt) AS tr, sum(cur_cnt) AS tc FROM cells GROUP BY grp)
+SELECT sum(
+    (greatest(CASE WHEN tr > 0 THEN ref_cnt / tr ELSE 0.0 END, 1e-06)
+     - greatest(CASE WHEN tc > 0 THEN cur_cnt / tc ELSE 0.0 END, 1e-06))
+    * ln(greatest(CASE WHEN tr > 0 THEN ref_cnt / tr ELSE 0.0 END, 1e-06)
+         / greatest(CASE WHEN tc > 0 THEN cur_cnt / tc ELSE 0.0 END, 1e-06))
+  ) AS v
+FROM cells JOIN tot ON cells.grp = tot.grp
+GROUP BY cells.grp
+""",
+            ),
+            10,
+        )
+    )
+
+    # 4. hist_density_kde kde rows: round(<gaussian mixture>, 10) — exp() in
+    #    every term, pow() in the bandwidth
+    from pyspark_dist_explore_spark.plans.queries import HIST_KDE_ORACLE
+    import re
+
+    unrounded = re.sub(
+        r"round\((sum.*any_value\(n\)), 10\)", r"\1", HIST_KDE_ORACLE, flags=re.S
+    )
+    assert "round" not in unrounded, "regex failed to strip the KDE round"
+    kde_rows = con.execute(unrounded).fetchall()
+    reports.append(
+        margin_report(
+            "hist_density_kde.density(kde)",
+            np.array([r[3] for r in kde_rows], dtype=np.float64),
+            10,
+        )
+    )
+
+    con.close()
+    for r in reports:
+        print(
+            f"{r['column']:42s} rows={r['rows']:6d} grid=1e-{r['decimals']}"
+            f"  min_margin={r['min_margin_ulps']:.3e} ulps"
+            f"  (worst value {r['worst_value']!r})"
+        )
+
+
+if __name__ == "__main__":
+    main()
