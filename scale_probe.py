@@ -144,7 +144,36 @@ def main() -> None:
     print(json.dumps({"probe": "pipeline_curate", "t_1x": t1, "t_10x": t10,
                       "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- duplicate-SKEW dedup: one hot key = 10% of all rows ---------------
+    # (the r6 pytest pins correctness under skew; this probe adds the wall
+    # curve: AQE must split the hot hash-agg partition so 10× skewed data
+    # costs ~linear time, not a straggler-dominated cliff.  The min-struct
+    # survivor is a partial aggregate, so the hot key's 60k/600k rows
+    # combine map-side before the exchange — the probe verifies that holds.)
+    hot = F.when(F.rand(7) < 0.1, F.lit(1)).otherwise(F.col("l_orderkey"))
+    li_skew = li.withColumn("l_orderkey", hot)
+    li_skew10 = li10.withColumn("l_orderkey", hot)
+    t1, n1 = timed(dedup.exact_dedup(li_skew, ["l_orderkey"], ties))
+    t10, n10 = timed(dedup.exact_dedup(li_skew10, ["l_orderkey"], ties))
+    print(json.dumps({"probe": "dedup_exact_hotkey10pct", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
+
+    # -- fingerprint dedup under text skew: one text = 10% of docs ---------
+    # (same hot-key story one level up: 10% of documents share ONE byte-
+    # identical text → one md5 fingerprint owns 10% of the corpus)
+    hot_text = F.when(F.rand(11) < 0.1, F.lit("the same boilerplate page")).otherwise(
+        F.col("text")
+    )
+    t1, n1 = timed(dedup.fingerprint_dedup(docs.withColumn("text", hot_text),
+                                           "text", "doc_id"))
+    t10, n10 = timed(dedup.fingerprint_dedup(docs10.withColumn("text", hot_text),
+                                             "text", "doc_id"))
+    print(json.dumps({"probe": "fingerprint_dedup_hottext10pct", "t_1x": t1,
+                      "t_10x": t10, "rows_1x": n1, "rows_10x": n10,
+                      "ratio": round(t10 / t1, 2)}))
+
     # -- simhash near-dup: 10× docs, disjoint token spaces -----------------
+    # (probe below reuses docs/docs10 built for the minhash candidates)
     # (same copy-prefixed construction: each copy keeps its internal
     # near-dup structure, chunk buckets stay disjoint across copies)
     t1, n1 = timed(dedup.simhash_neardup(docs, "text", "doc_id", max_hamming=3))
@@ -521,6 +550,43 @@ def main() -> None:
         print(json.dumps({
             "probe": "curate_shards_100x", "t_1x": t1, "t_10x": t10,
             "t_100x": t100, "rows_1x": n1, "rows_10x": n10, "rows_100x": n100,
+            "ratio_10x": round(t10 / t1, 2), "ratio_100x": round(t100 / t1, 2),
+            "decade2_ratio": round(t100 / t10, 2),
+        }))
+
+        # -- simhash 100×: the banded-hamming join's second decade ---------
+        # (token-disjoint copies → chunk buckets stay disjoint; pair output
+        # must be exactly linear and wall sub-linear-per-row, proving the
+        # 4×15-bit chunk banding caps bucket width at 500k docs too)
+        def run_simhash(d: DataFrame) -> tuple[float, int]:
+            return timed(dedup.simhash_neardup(d, "text", "doc_id", max_hamming=3))
+
+        t1, n1 = run_simhash(docs)
+        t10, n10 = run_simhash(copies(10))
+        t100, n100 = run_simhash(copies(100))
+        print(json.dumps({
+            "probe": "simhash_100x", "t_1x": t1, "t_10x": t10, "t_100x": t100,
+            "pairs_1x": n1, "pairs_10x": n10, "pairs_100x": n100,
+            "ratio_10x": round(t10 / t1, 2), "ratio_100x": round(t100 / t1, 2),
+            "decade2_ratio": round(t100 / t10, 2),
+        }))
+
+        # -- containment 100×: the shared-fingerprint bucket join's second
+        # decade (max_df boilerplate drop is the quadratic-term cap; pair
+        # output must stay exactly linear across both decades)
+        from pyspark_dist_explore_spark.operators.dedup import containment_pairs
+
+        def run_containment(d: DataFrame) -> tuple[float, int]:
+            return timed(
+                containment_pairs(d, "text", "doc_id", threshold=0.5, max_df=100)
+            )
+
+        t1, n1 = run_containment(docs)
+        t10, n10 = run_containment(copies(10))
+        t100, n100 = run_containment(copies(100))
+        print(json.dumps({
+            "probe": "containment_100x", "t_1x": t1, "t_10x": t10, "t_100x": t100,
+            "pairs_1x": n1, "pairs_10x": n10, "pairs_100x": n100,
             "ratio_10x": round(t10 / t1, 2), "ratio_100x": round(t100 / t1, 2),
             "decade2_ratio": round(t100 / t10, 2),
         }))
