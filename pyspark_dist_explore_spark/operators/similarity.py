@@ -123,6 +123,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
@@ -136,6 +137,12 @@ def cosine_neardup_pairs(
     This is the shape that scales: on a cluster, raise ``n_blocks`` until
     a block fits executor memory; groups shuffle by block-pair key.
 
+    ``partition_col=`` restricts pairs to rows sharing that column's
+    value (the group key becomes (partition, block-pair)): the
+    sub-quadratic shape :func:`semantic_dedup` needs — all-pairs WITHIN
+    a centroid bucket, never across buckets — while the block tiling
+    still caps each matmul when a partition is skewed.
+
     For sub-quadratic pruning use :func:`ann_lsh_neardup_pairs`.
     """
     import pandas as pd
@@ -148,10 +155,12 @@ def cosine_neardup_pairs(
     # output id type follows the input id column (not hardcoded int64)
     id_type = vectors.schema[id_col].dataType
 
+    part_cols = [F.col(partition_col).alias("part")] if partition_col else []
     v = vectors.select(
         F.col(id_col).alias("id"),
         _unit(F.col(vec_col)).alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+        *part_cols,
     )
     # replicate each vector into every block-pair group its block joins
     pair_key = F.explode(
@@ -173,8 +182,9 @@ def cosine_neardup_pairs(
             ]
         )
     )
-    rep = v.select("id", "v", "blk", pair_key.alias("p")).select(
-        "id", "v", "blk", F.col("p.pk").alias("pk"), F.col("p.side").alias("side")
+    keep = ["id", "v", "blk"] + (["part"] if partition_col else [])
+    rep = v.select(*keep, pair_key.alias("p")).select(
+        *keep, F.col("p.pk").alias("pk"), F.col("p.side").alias("side")
     )
 
     out_schema = _ST(
@@ -183,7 +193,8 @@ def cosine_neardup_pairs(
     thr = float(threshold)
 
     def score_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        lo_blk, hi_blk = divmod(int(key[0]), n_blocks)
+        # with partition_col the group key is (part, pk): pk is LAST
+        lo_blk, hi_blk = divmod(int(key[-1]), n_blocks)
         left = pdf[pdf["blk"] == lo_blk]
         right = pdf[pdf["blk"] == hi_blk]
         if len(left) == 0 or len(right) == 0:
@@ -209,7 +220,8 @@ def cosine_neardup_pairs(
             {"id_a": id_a, "id_b": id_b, "cos_sim": np.round(s, 6)}
         )
 
-    return rep.groupBy("pk").applyInPandas(score_block, schema=out_schema)
+    group_keys = (["part"] if partition_col else []) + ["pk"]
+    return rep.groupBy(*group_keys).applyInPandas(score_block, schema=out_schema)
 
 
 # --------------------------------------------------------------------------
@@ -488,6 +500,99 @@ def ann_lsh_neardup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_mod: int | None = 4,
+    max_fit_rows: int | None = 1 << 18,
+    resolve_rounds: int = 8,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a capped KMeans
+    fit, compute exact pairwise cosine ONLY within each cluster, and
+    resolve the ≥ ``threshold`` pairs into duplicate groups with one
+    deterministic survivor each.  Output: ``(id_col, cluster_id,
+    is_survivor)`` — the same keep-list shape as
+    :func:`~pyspark_dist_explore_spark.operators.dedup.neardup_clusters`
+    (``is_survivor = 1`` selects the kept corpus).
+
+    This is the dedup that lexical methods (MinHash/SimHash/winnowing)
+    cannot do: paraphrases, translations, and templated rewrites share
+    no shingles but sit next to each other in embedding space.  It is
+    approximate BY DESIGN (the paper's construction): pairs whose
+    members fall in different KMeans cells are never scored — raising
+    ``n_centroids`` trades recall for tractability.
+
+    Scale shape: the fit is absolutely capped (``max_fit_rows``,
+    hash-sampled — the only iterative corpus scan, see
+    :func:`kmeans_centroids`); assignment is one broadcast crossJoin
+    collapsed by map-side ``max_by`` partials (N rows shuffle once, by
+    centroid); within-cell scoring reuses :func:`cosine_neardup_pairs`'s
+    blocked Arrow matmul with ``partition_col='cent_id'``, so a skewed
+    cell is still tiled into ``n_blocks``² bounded matmuls; resolution
+    is the lazily-composed
+    :func:`~pyspark_dist_explore_spark.operators.dedup.neardup_clusters_lazy`
+    (semantic-dup groups are cliques in practice — diameter ~1).  At
+    100 TB: raise ``n_centroids`` until N/n_centroids × dim bytes fits
+    an executor, exactly the paper's operating recipe.
+
+    Construction is EAGER (the KMeans fit runs jobs at build, like every
+    ML-fit operator here); everything downstream of the fit is lazy.
+    """
+    from pyspark_dist_explore_spark.operators.dedup import neardup_clusters_lazy
+
+    v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
+    cents = F.broadcast(
+        kmeans_centroids(
+            v,
+            n_centroids,
+            id_col="vec_id",
+            fit_sample_mod=fit_sample_mod,
+            max_fit_rows=max_fit_rows,
+        )
+    )
+    # nearest-centroid assignment, map-side max_by partials (IVF pattern)
+    assigned = (
+        v.crossJoin(cents)
+        .select(
+            "vec_id", "vv", "cent_id", _dot_arrow(F.col("vv"), F.col("cv")).alias("sim")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cent_id", "vv"),
+                F.struct(F.col("sim"), (-F.col("cent_id")).alias("neg_cent")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.vv").alias("embedding"),
+            F.col("best.cent_id").alias("cent_id"),
+        )
+    )
+    pairs = cosine_neardup_pairs(
+        assigned,
+        threshold=threshold,
+        id_col="vec_id",
+        vec_col="embedding",
+        n_blocks=n_blocks,
+        partition_col="cent_id",
+    )
+    return neardup_clusters_lazy(
+        pairs,
+        a_col="id_a",
+        b_col="id_b",
+        all_ids=vectors.select(id_col),
+        rounds=resolve_rounds,
+    ).withColumnRenamed("doc_id", id_col)
+
 
 # --------------------------------------------------------------------------
 # Scalar (int8) embedding quantization — the 100 TB memory/IO lever

@@ -2827,3 +2827,145 @@ def test_pack_greedy_matches_python_reference_random_cases(spark):
                 want[i] = (0 * _PACK_STRIDE + pid, 0)
                 cur += c
         assert got == want, (counts, got, want)
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (similarity.semantic_dedup — SemDeDup composition)
+# --------------------------------------------------------------------------
+
+
+def test_cosine_pairs_partitioned_constant_matches_unpartitioned(spark):
+    """partition_col with a constant value must be a pure plan-shape
+    change: identical pair set to the unpartitioned blocked matmul."""
+    from pyspark_dist_explore_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = sorted(
+        map(tuple, cosine_neardup_pairs(emb, threshold=0.3, n_blocks=4).collect())
+    )
+    part = sorted(
+        map(
+            tuple,
+            cosine_neardup_pairs(
+                emb.withColumn("grp", F.lit(0)),
+                threshold=0.3,
+                n_blocks=4,
+                partition_col="grp",
+            ).collect(),
+        )
+    )
+    assert base == part
+    assert len(base) > 0  # the corpus must actually exercise the matmul
+
+
+def test_cosine_pairs_partitioned_never_crosses_partitions(spark):
+    """Two identical copies of the same vectors in different partitions:
+    cross-partition cosine is 1.0 everywhere, yet NO cross-partition
+    pair may be emitted — pairs flow only within a partition value."""
+    from pyspark_dist_explore_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(20)
+    )
+    two = emb.withColumn("grp", F.lit(0)).unionAll(
+        emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding").withColumn(
+            "grp", F.lit(1)
+        )
+    )
+    pairs = cosine_neardup_pairs(
+        two, threshold=0.999, n_blocks=2, partition_col="grp"
+    ).collect()
+    for r in pairs:
+        assert (r.id_a < 1000) == (r.id_b < 1000), f"cross-partition pair {r}"
+
+
+def test_semantic_dedup_collapses_planted_duplicates(spark):
+    """Two well-separated semantic groups, each with near-identical
+    members (cos > 0.999 within, < 0.5 across): every group collapses
+    to ONE survivor; singletons survive as their own clusters."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=16)
+    b = rng.normal(size=16)
+    b -= (a @ b) / (a @ a) * a  # orthogonalize
+    rows = []
+    for i in range(4):  # group A: ids 0..3, tiny perturbations of a
+        rows.append((i, [float(x) for x in a + 1e-3 * rng.normal(size=16)]))
+    for i in range(3):  # group B: ids 10..12
+        rows.append((10 + i, [float(x) for x in b + 1e-3 * rng.normal(size=16)]))
+    rows.append((20, [float(x) for x in a - b]))  # singleton, far from both
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            emb, threshold=0.99, n_centroids=2, n_blocks=2,
+            fit_sample_mod=None, max_fit_rows=None,
+        ).collect()
+    }
+    assert len(out) == 8
+    # group A collapses to min-id survivor 0
+    assert all(out[i].cluster_id == 0 for i in range(4)), out
+    assert [out[i].is_survivor for i in range(4)] == [1, 0, 0, 0]
+    # group B collapses to survivor 10
+    assert all(out[10 + i].cluster_id == 10 for i in range(3)), out
+    assert [out[10 + i].is_survivor for i in range(3)] == [1, 0, 0]
+    # the singleton survives alone
+    assert out[20].cluster_id == 20 and out[20].is_survivor == 1
+
+
+def test_semantic_dedup_pairs_match_within_cell_bruteforce(spark):
+    """The within-cell pair scoring is EXACT: for each KMeans cell, the
+    emitted ≥-threshold pairs must equal a numpy brute-force over that
+    cell's members (the approximation is the cell boundary, nothing
+    else)."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        kmeans_centroids,
+        _dot_arrow,
+        _unit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    v = emb.select(F.col("vec_id"), _unit(F.col("embedding")).alias("vv"))
+    cents = kmeans_centroids(
+        v, 4, vec_col="vv", id_col="vec_id", fit_sample_mod=None, max_fit_rows=None
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", "vv", "cent_id", _dot_arrow(F.col("vv"), F.col("cv")).alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max_by(F.struct("cent_id", "vv"),
+                      F.struct(F.col("sim"), (-F.col("cent_id")).alias("neg_cent"))).alias("best"))
+        .select("vec_id", F.col("best.vv").alias("embedding"), F.col("best.cent_id").alias("cent_id"))
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(
+            assigned, threshold=0.3, n_blocks=3, partition_col="cent_id"
+        ).collect()
+    }
+    local = assigned.collect()
+    by_cell = {}
+    for r in local:
+        by_cell.setdefault(r.cent_id, []).append((r.vec_id, np.array(r.embedding)))
+    want = set()
+    for members in by_cell.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                ia, va = members[i]
+                ib, vb = members[j]
+                if np.round(va @ vb, 6) >= 0.3:
+                    want.add((min(ia, ib), max(ia, ib)))
+    assert got == want
+    assert len(want) > 0  # the cells must actually contain pairs
