@@ -435,6 +435,61 @@ def main() -> None:
     print(json.dumps({"probe": "containment_pairs", "t_1x": t1, "t_10x": t10,
                       "pairs_1x": n1, "pairs_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- semantic dedup: 10× vectors with planted twins -------------------
+    # (X22: capped KMeans fit + within-cell blocked matmul + lazy cluster
+    # resolve.  Construction: rotated distractor copies (non-verbatim,
+    # mutually dissimilar) + ONE ~0.999-cosine twin per vector at ids
+    # +10M.  At threshold 0.95 random pairs never match, so survivors
+    # must equal ~the pre-twin count at BOTH scales (twin collapse is
+    # exact; the few extras are twins split across a cell boundary — the
+    # paper's documented approximation) and wall must stay bounded by
+    # the fit cap + n_blocks² tiling)
+    from pyspark_dist_explore_spark.operators.similarity import semantic_dedup
+
+    def with_twins(d: DataFrame) -> DataFrame:
+        # deterministic ~±1e-3 per-coordinate perturbation (hash-derived)
+        twin = d.select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2001)) - F.lit(1000))
+                / F.lit(1_000_000.0),
+            ).alias("embedding"),
+        )
+        return d.unionAll(twin)
+
+    def run_semdedup(d: DataFrame) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        n = (
+            semantic_dedup(d, threshold=0.95, n_centroids=16, n_blocks=4)
+            .where(F.col("is_survivor") == 1)
+            .count()
+        )
+        return round(time.perf_counter() - t0, 3), n
+
+    emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dim0 = len(emb1.first().embedding)
+    emb10r = reduce(
+        DataFrame.unionAll,
+        [
+            emb1.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", i + 1, dim0 - i), F.slice("embedding", 1, i)
+                ).alias("embedding"),
+            )
+            for i in range(10)
+        ],
+    )
+    base1, base10 = emb1.count(), emb10r.count()
+    t1, n1 = run_semdedup(with_twins(emb1))
+    t10, n10 = run_semdedup(with_twins(emb10r))
+    print(json.dumps({"probe": "semantic_dedup_twins", "t_1x": t1, "t_10x": t10,
+                      "survivors_1x": n1, "survivors_10x": n10,
+                      "base_1x": base1, "base_10x": base10,
+                      "ratio": round(t10 / t1, 2)}))
+
     # -- int8-quantized top-k scan: 10× vectors, recall vs exact -----------
     # (the memory lever: the scan side is packed bytes, 1 B/dim; the probe
     # records the byte shrink alongside time AND recall@5 so the 4× memory
