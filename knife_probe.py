@@ -164,6 +164,32 @@ GROUP BY cells.grp
         )
     )
 
+    # 5. vector cos_sim @6 (vector_exact_search / semantic_dedup assignment):
+    #    dot products of unit vectors are ±*/÷/sqrt only — IEEE-determined
+    #    per ACCUMULATION ORDER, but numpy (pairwise/BLAS) and DuckDB
+    #    (sequential) may accumulate differently, so treat like class C
+    #    and measure the boundary margin of every pairwise cosine
+    unit = (
+        "CASE WHEN sqrt(list_dot_product(ve, ve)) > 0 "
+        "THEN list_transform(ve, x -> x / sqrt(list_dot_product(ve, ve))) "
+        "ELSE list_transform(ve, x -> 0.0) END"
+    )
+    reports.append(
+        margin_report(
+            "vector_exact_search.cos_sim(all-pairs)",
+            fetch(
+                con,
+                f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+u AS (SELECT vec_id, {unit} AS uv FROM v)
+SELECT list_dot_product(a.uv, b.uv) AS v
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+""",
+            ),
+            6,
+        )
+    )
+
     con.close()
     for r in reports:
         print(

@@ -513,6 +513,8 @@ def semantic_dedup(
     fit_sample_mod: int | None = 4,
     max_fit_rows: int | None = 1 << 18,
     resolve_rounds: int = 8,
+    centroids: DataFrame | None = None,
+    assign_round: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with a capped KMeans
@@ -545,25 +547,41 @@ def semantic_dedup(
 
     Construction is EAGER (the KMeans fit runs jobs at build, like every
     ML-fit operator here); everything downstream of the fit is lazy.
+
+    ``centroids=`` (a ``(cent_id, cv)`` frame, cv unit-normalized)
+    skips the KMeans fit entirely: caller-provided cells make the whole
+    operator DETERMINISTIC and fully lazy — the form the driver-gate
+    oracle checks (fixed centroids are SQL-expressible; an ML fit is
+    not) and the form a production pipeline uses to keep cell
+    assignments stable across incremental runs.  ``assign_round=``
+    rounds the assignment dot products to that many decimals before the
+    argmax (with the cent_id tie-break) — the oracle twin rounds
+    identically, so the argmax compares the same grid on both engines.
     """
     from pyspark_dist_explore_spark.operators.dedup import neardup_clusters_lazy
 
     v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
-    cents = F.broadcast(
-        kmeans_centroids(
-            v,
-            n_centroids,
-            id_col="vec_id",
-            fit_sample_mod=fit_sample_mod,
-            max_fit_rows=max_fit_rows,
+    if centroids is not None:
+        cents = F.broadcast(
+            centroids.select("cent_id", F.col("cv").cast("array<double>").alias("cv"))
         )
-    )
+    else:
+        cents = F.broadcast(
+            kmeans_centroids(
+                v,
+                n_centroids,
+                id_col="vec_id",
+                fit_sample_mod=fit_sample_mod,
+                max_fit_rows=max_fit_rows,
+            )
+        )
+    sim = _dot_arrow(F.col("vv"), F.col("cv"))
+    if assign_round is not None:
+        sim = F.round(sim, assign_round)
     # nearest-centroid assignment, map-side max_by partials (IVF pattern)
     assigned = (
         v.crossJoin(cents)
-        .select(
-            "vec_id", "vv", "cent_id", _dot_arrow(F.col("vv"), F.col("cv")).alias("sim")
-        )
+        .select("vec_id", "vv", "cent_id", sim.alias("sim"))
         .groupBy("vec_id")
         .agg(
             F.max_by(

@@ -915,16 +915,51 @@ def q_vector_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(emb, threshold=_COS_THRESHOLD)
 
 
+#: fixed semantic-dedup cells for the oracle-checked variant: the unit
+#: embeddings of vec_id < _SEMDEDUP_CELLS act as centroids — data-derived
+#: yet fully deterministic, so both engines compute identical assignments
+_SEMDEDUP_CELLS = 4
+
+
 @register(
     "vector_exact_search",
     f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
 {_UNIT_CTE},
 q AS (SELECT vec_id AS query_id, uv AS qv FROM u WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, u.vec_id, round(list_dot_product(qv, uv), 6) AS cos_sim
   FROM u, q WHERE u.vec_id <> q.query_id
-)
+),
+sd_cents AS (SELECT vec_id AS cent_id, uv AS cv FROM u WHERE vec_id < {_SEMDEDUP_CELLS}),
+sd_asg AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT u.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY round(list_dot_product(u.uv, c.cv), 6) DESC, c.cent_id ASC
+           ) AS rn
+    FROM u, sd_cents c
+  ) WHERE rn = 1
+),
+sd_pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM (SELECT u.vec_id, u.uv, sd_asg.cent_id FROM u JOIN sd_asg USING (vec_id)) a
+  JOIN (SELECT u.vec_id, u.uv, sd_asg.cent_id FROM u JOIN sd_asg USING (vec_id)) b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.uv, b.uv), 6) >= {_COS_THRESHOLD}
+),
+sd_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM sd_pairs
+  UNION
+  SELECT doc_b, doc_a FROM sd_pairs
+),
+sd_walk(node, lbl) AS (
+  SELECT src, src FROM sd_edges
+  UNION
+  SELECT e.dst, w.lbl FROM sd_walk w JOIN sd_edges e ON e.src = w.node
+),
+sd_comp AS (SELECT node, min(lbl) AS cluster_id FROM sd_walk GROUP BY node)
 SELECT 'topk' AS kind, query_id AS id_a, vec_id AS id_b,
        CAST(rank AS INT) AS rank, cos_sim
 FROM (
@@ -938,17 +973,29 @@ SELECT 'pairs' AS kind, a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.uv, b.uv), 6) AS cos_sim
 FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.uv, b.uv), 6) >= {_COS_THRESHOLD}
+UNION ALL
+SELECT 'semdedup' AS kind, v.vec_id AS id_a,
+       COALESCE(sd_comp.cluster_id, v.vec_id) AS id_b,
+       CAST(CASE WHEN COALESCE(sd_comp.cluster_id, v.vec_id) = v.vec_id
+                 THEN 1 ELSE 0 END AS INT) AS rank,
+       CAST(NULL AS DOUBLE) AS cos_sim
+FROM v LEFT JOIN sd_comp ON v.vec_id = sd_comp.node
 """,
 )
 def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact (ground-truth) similarity-search surface in one slot
-    (merged round 6 from ``vector_topk_exact`` + ``vector_neardup_pairs``,
-    freeing a slot for the quantization promotion): broadcast-Q
-    brute-force cosine top-5 and the all-pairs near-dup list at the
-    0.45 threshold, schema-aligned ``(kind, id_a, id_b, rank, cos_sim)``
-    and unioned.  Both remain the exact baselines the ANN/LSH paths are
-    recall-pinned against; standalone builders stay callable with their
-    oracles pinned in pytest."""
+    (merged round 6 from ``vector_topk_exact`` + ``vector_neardup_pairs``;
+    round 7 adds the DETERMINISTIC ``semantic_dedup`` variant): broadcast-Q
+    brute-force cosine top-5, the all-pairs near-dup list at the 0.45
+    threshold, and SemDeDup with FIXED centroids (the unit embeddings of
+    vec_id < 4 — fit-free, so the whole cell-assign → within-cell pairs →
+    survivor-resolution chain is DuckDB-hash-checked; the KMeans-fit form
+    is the library default, pytest-pinned).  Schema-aligned
+    ``(kind, id_a, id_b, rank, cos_sim)`` and unioned — for semdedup rows
+    id_b carries cluster_id and rank carries is_survivor.  The exact
+    baselines remain what the ANN/LSH paths are recall-pinned against;
+    standalone builders stay callable with their oracles pinned in
+    pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -967,7 +1014,24 @@ def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("rank"),
         "cos_sim",
     )
-    return topk.unionByName(pairs)
+    cents = emb.where(F.col("vec_id") < _SEMDEDUP_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        similarity._unit(F.col("embedding")).alias("cv"),
+    )
+    semdedup = similarity.semantic_dedup(
+        emb,
+        threshold=_COS_THRESHOLD,
+        n_blocks=2,
+        centroids=cents,
+        assign_round=6,
+    ).select(
+        F.lit("semdedup").alias("kind"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.col("is_survivor").cast("int").alias("rank"),
+        F.lit(None).cast("double").alias("cos_sim"),
+    )
+    return topk.unionByName(pairs).unionByName(semdedup)
 
 
 def _winnowing_oracle(k: int, window: int) -> str:
