@@ -557,9 +557,52 @@ def semantic_dedup(
     rounds the assignment dot products to that many decimals before the
     argmax (with the cent_id tie-break) — the oracle twin rounds
     identically, so the argmax compares the same grid on both engines.
+
+    The pair stage alone is :func:`semantic_pairs` (what
+    ``pipeline.semantic_pair_fn`` plugs into ``curate_documents``).
     """
     from pyspark_dist_explore_spark.operators.dedup import neardup_clusters_lazy
 
+    pairs = semantic_pairs(
+        vectors,
+        threshold=threshold,
+        n_centroids=n_centroids,
+        n_blocks=n_blocks,
+        id_col=id_col,
+        vec_col=vec_col,
+        fit_sample_mod=fit_sample_mod,
+        max_fit_rows=max_fit_rows,
+        centroids=centroids,
+        assign_round=assign_round,
+    )
+    return neardup_clusters_lazy(
+        pairs,
+        a_col="id_a",
+        b_col="id_b",
+        all_ids=vectors.select(id_col),
+        rounds=resolve_rounds,
+    ).withColumnRenamed("doc_id", id_col)
+
+
+def semantic_pairs(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_mod: int | None = 4,
+    max_fit_rows: int | None = 1 << 18,
+    centroids: DataFrame | None = None,
+    assign_round: int | None = None,
+) -> DataFrame:
+    """The pair stage of :func:`semantic_dedup`: KMeans (or fixed) cell
+    assignment → exact blocked-matmul cosine pairs WITHIN each cell,
+    ``(id_a, id_b, cos_sim)`` with ``id_a < id_b`` and ``cos_sim ≥
+    threshold``.  See :func:`semantic_dedup` for semantics and the 100 TB
+    shape; this form exists so the pipeline's cluster-resolution stage
+    can consume semantic pairs like any other ``pair_fn`` output."""
     v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
     if centroids is not None:
         cents = F.broadcast(
@@ -595,7 +638,7 @@ def semantic_dedup(
             F.col("best.cent_id").alias("cent_id"),
         )
     )
-    pairs = cosine_neardup_pairs(
+    return cosine_neardup_pairs(
         assigned,
         threshold=threshold,
         id_col="vec_id",
@@ -603,13 +646,6 @@ def semantic_dedup(
         n_blocks=n_blocks,
         partition_col="cent_id",
     )
-    return neardup_clusters_lazy(
-        pairs,
-        a_col="id_a",
-        b_col="id_b",
-        all_ids=vectors.select(id_col),
-        rounds=resolve_rounds,
-    ).withColumnRenamed("doc_id", id_col)
 
 
 # --------------------------------------------------------------------------

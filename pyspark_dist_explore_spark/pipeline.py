@@ -144,6 +144,52 @@ def containment_pair_fn(
     return fn
 
 
+def semantic_pair_fn(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> PairFn:
+    """Ready-made SEMANTIC ``pair_fn`` for :func:`curate_documents` —
+    SemDeDup cluster removal by embedding similarity instead of lexical
+    overlap: paraphrases and translations share no shingles, so the
+    MinHash/containment paths cannot pair them; their embeddings can.
+
+    ``embeddings`` is a ``(id_col, vec_col)`` frame keyed by the SAME
+    ids as the documents' ``doc_id`` (the caller owns that mapping —
+    typically the corpus embedding table).  The generator inner-joins
+    the deduped survivors to their vectors (docs with no embedding emit
+    no pairs and therefore survive untouched), assigns KMeans cells
+    (capped fit — or fixed ``centroids=`` for deterministic incremental
+    runs), and emits within-cell ≥ ``threshold`` cosine pairs via the
+    blocked matmul (:func:`operators.similarity.semantic_pairs`).
+    Combine with a lexical path by unioning pair frames in a custom
+    ``pair_fn`` — the cluster-resolution stage is signal-agnostic.
+    """
+    from pyspark_dist_explore_spark.operators.similarity import semantic_pairs
+
+    def fn(kept: DataFrame) -> DataFrame:
+        emb = embeddings.select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__emb")
+        )
+        joined = kept.select("doc_id").join(emb, "doc_id")
+        return semantic_pairs(
+            joined,
+            threshold=threshold,
+            n_centroids=n_centroids,
+            n_blocks=n_blocks,
+            id_col="doc_id",
+            vec_col="__emb",
+            centroids=centroids,
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+
+    return fn
+
+
 def _check_snapshot_dir_overwritable(spark, snapshot_dir: str) -> None:
     """Refuse to ``mode("overwrite")`` a non-empty directory that does not
     look like a previous snapshot (no ``_SUCCESS`` marker): a typo'd

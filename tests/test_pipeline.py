@@ -626,3 +626,46 @@ def test_curate_intra_doc_line_stage(spark):
         docs, "text", "doc_id", min_quality=0.0, dedup_doc_lines=True,
         pair_fn=no_pairs).collect()}
     assert folded == {1, 3}, f"self-repeated page must collapse into doc 1: {folded}"
+
+
+def test_curate_with_semantic_pair_fn_collapses_paraphrases(spark):
+    """SemDeDup in the pipeline: two docs with DISJOINT vocabulary
+    (every lexical pair_fn scores them 0) but near-identical embeddings
+    collapse to one survivor; a doc with no embedding row emits no
+    pairs and survives untouched."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.pipeline import curate_documents, semantic_pair_fn
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "un rapido zorro marron salta sobre el perro perezoso junto al rio"),
+            (3, "completely unrelated text about spark query planning and shuffles"),
+            (4, "another independent document with its own topic entirely unique"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=16)
+    c = rng.normal(size=16)
+    c -= (a @ c) / (a @ a) * a
+    emb = spark.createDataFrame(
+        [
+            (1, [float(x) for x in a]),
+            (2, [float(x) for x in a + 1e-3 * rng.normal(size=16)]),  # paraphrase of 1
+            (3, [float(x) for x in c]),
+            # doc 4 has NO embedding row
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    kept = curate_documents(
+        docs,
+        "text",
+        "doc_id",
+        min_quality=0.0,
+        pair_fn=semantic_pair_fn(emb, threshold=0.99, n_centroids=2),
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    # doc 2 (the embedding-paraphrase of 1) is the ONLY drop
+    assert ids == [1, 3, 4], ids
