@@ -790,10 +790,11 @@ def neardup_clusters_lazy(
     edges = src.union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     ).distinct()
+    # propagate over PAIR ENDPOINTS only: an isolated node's label never
+    # moves, so dragging all_ids through every round would multiply the
+    # per-round join by corpus size for no information — isolated docs
+    # join in ONCE at the end as their own single-member clusters
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    if all_ids is not None:
-        extra = all_ids.select(F.col(all_ids.columns[0]).alias("doc_id")).distinct()
-        nodes = nodes.union(extra).distinct()
     # E ∪ self-loops: the self-loop row makes min() include v's own label,
     # collapsing the three-way least() into one aggregate
     edges_sl = edges.union(
@@ -806,6 +807,11 @@ def neardup_clusters_lazy(
             .groupBy("src")
             .agg(F.min("lbl").alias("lbl"))
             .select(F.col("src").alias("doc_id"), "lbl")
+        )
+    if all_ids is not None:
+        every = all_ids.select(F.col(all_ids.columns[0]).alias("doc_id")).distinct()
+        labels = every.join(labels, "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("lbl"), F.col("doc_id")).alias("lbl")
         )
     return labels.select(
         "doc_id",

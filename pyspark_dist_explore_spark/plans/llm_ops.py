@@ -1024,6 +1024,9 @@ def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_blocks=2,
         centroids=cents,
         assign_round=6,
+        stage=True,  # checkpoint pairs once: the lazy propagation would
+        # re-execute the blocked matmul per round (measured 7.5-9 s vs
+        # ~2 s at sf0.1); same registry opt-in pattern as text_perplexity
     ).select(
         F.lit("semdedup").alias("kind"),
         F.col("vec_id").alias("id_a"),
