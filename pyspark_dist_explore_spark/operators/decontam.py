@@ -228,3 +228,91 @@ def contamination_report(
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def semantic_contaminated_ids(
+    train_embeddings: DataFrame,
+    eval_embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    max_eval_rows: int = 1 << 18,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag training documents whose embedding
+    sits within ``threshold`` cosine of ANY eval item's embedding — the
+    leakage n-gram matching cannot see (paraphrased or translated test
+    items share no 13-gram with their source, but land next to it in
+    embedding space).  Output: one row per contaminated training doc,
+    ``(doc_id, eval_id, cos_sim)`` — its best-matching eval item and the
+    rounded cosine (ties broken toward the smaller eval id).
+
+    Scale shape: the eval side is benchmark-sized BY DEFINITION — it is
+    unit-normalized Spark-side, bounded by ``max_eval_rows`` (a hard
+    error, never silent truncation), collected once, and broadcast to
+    executors as one numpy matrix; the training corpus then streams
+    through ``mapInPandas`` — each Arrow batch is ONE BLAS matmul
+    against the eval matrix, no join, no shuffle, no pair
+    materialization.  The training side is scanned exactly once however
+    large it is; memory per executor is eval_rows × dim × 8 bytes.
+    """
+    from pyspark_dist_explore_spark.operators.similarity import _unit
+
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    eid = eval_id_col or id_col
+    evec = eval_vec_col or vec_col
+    ev = eval_embeddings.select(
+        F.col(eid).alias("eval_id"), _unit(F.col(evec)).alias("uv")
+    ).orderBy("eval_id")
+    rows = ev.limit(max_eval_rows + 1).collect()
+    if len(rows) > max_eval_rows:
+        raise ValueError(
+            f"eval_embeddings exceeds max_eval_rows={max_eval_rows}; semantic "
+            "decontamination broadcasts the eval matrix — an eval side this "
+            "large is not benchmark-shaped (raise the cap explicitly if it "
+            "truly fits executor memory)"
+        )
+    if not rows:
+        spark = train_embeddings.sparkSession
+        return spark.createDataFrame(
+            [], f"doc_id {train_embeddings.schema[id_col].dataType.simpleString()}, "
+                f"eval_id {eval_embeddings.schema[eid].dataType.simpleString()}, "
+                "cos_sim double",
+        )
+    eval_ids = np.array([r.eval_id for r in rows])
+    B = np.stack([np.asarray(r.uv, dtype=np.float64) for r in rows])
+    bc = train_embeddings.sparkSession.sparkContext.broadcast((eval_ids, B))
+    thr = float(threshold)
+
+    id_type = train_embeddings.schema[id_col].dataType.simpleString()
+    eval_id_type = eval_embeddings.schema[eid].dataType.simpleString()
+    out_schema = f"doc_id {id_type}, eval_id {eval_id_type}, cos_sim double"
+
+    def probe(batches):
+        ids_eval, mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["__uv"].to_numpy())
+            sims = A @ mat.T
+            j = sims.argmax(axis=1)  # first (= smallest eval id) max wins
+            best = np.round(sims[np.arange(len(j)), j], 6)
+            keep = best >= thr
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"].to_numpy()[keep],
+                    "eval_id": ids_eval[j[keep]],
+                    "cos_sim": best[keep],
+                }
+            )
+
+    src = train_embeddings.select(
+        F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("__uv")
+    )
+    return src.mapInPandas(probe, schema=out_schema)

@@ -253,6 +253,8 @@ def curate_documents(
     decontam_ngram: int = 13,
     decontam_text_col: str | None = None,
     decontam_method: str = "ngram",
+    decontam_embeddings: DataFrame | None = None,
+    decontam_cos_threshold: float = 0.95,
     token_budget: int | None = None,
     token_budgets: dict[str, int] | None = None,
 ) -> DataFrame:
@@ -331,6 +333,13 @@ def curate_documents(
     (:func:`operators.decontam.contaminated_ids`).  When ``scrub=True``
     the TRAINING side is compared post-scrub; scrub the eval frame
     yourself if its text carries the same PII spans.
+    ``decontam_method="embedding"`` swaps the lexical probe for SEMANTIC
+    matching: ``decontaminate_against`` is then an eval EMBEDDING frame
+    and ``decontam_embeddings`` maps this corpus's ids to vectors (both
+    ``(vec_id, embedding)``); a doc within ``decontam_cos_threshold``
+    cosine of any eval item drops
+    (:func:`operators.decontam.semantic_contaminated_ids` — catches the
+    paraphrased/translated test items n-grams cannot).
     ``decontam_method="winnow"`` swaps the exact n-gram probe for
     winnowing fingerprints (:func:`operators.decontam.
     decontaminate_winnow` with ``k=5``, ``window=decontam_ngram-4``, so
@@ -473,9 +482,34 @@ def curate_documents(
                 .where(F.col("contaminated") == 1)
                 .select("doc_id")
             )
+        elif decontam_method == "embedding":
+            # SEMANTIC leakage: decontaminate_against is an EVAL EMBEDDING
+            # frame (vec_id, embedding) and decontam_embeddings maps this
+            # corpus's doc ids to their embeddings (same (vec_id,
+            # embedding) shape) — paraphrased/translated test items share
+            # no n-gram with their source but sit next to it in embedding
+            # space; docs with no embedding row emit no flag
+            if decontam_embeddings is None:
+                raise ValueError(
+                    "decontam_method='embedding' needs decontam_embeddings= "
+                    "(the corpus-side (vec_id, embedding) frame)"
+                )
+            emb = decontam_embeddings.select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            )
+            train_emb = base.select("doc_id").join(emb, "doc_id")
+            flagged = decontam.semantic_contaminated_ids(
+                train_emb,
+                decontaminate_against,
+                threshold=decontam_cos_threshold,
+                id_col="doc_id",
+                vec_col="embedding",
+                eval_id_col="vec_id",
+            ).select("doc_id")
         else:
             raise ValueError(
-                f"decontam_method must be 'ngram' or 'winnow', got {decontam_method!r}"
+                f"decontam_method must be 'ngram', 'winnow', or 'embedding', "
+                f"got {decontam_method!r}"
             )
         base = base.join(flagged, "doc_id", "left_anti")
 

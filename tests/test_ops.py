@@ -2969,3 +2969,85 @@ def test_semantic_dedup_pairs_match_within_cell_bruteforce(spark):
                     want.add((min(ia, ib), max(ia, ib)))
     assert got == want
     assert len(want) > 0  # the cells must actually contain pairs
+
+
+# --------------------------------------------------------------------------
+# semantic decontamination (decontam.semantic_contaminated_ids)
+# --------------------------------------------------------------------------
+
+
+def test_semantic_contaminated_ids_flags_paraphrase_embedding(spark):
+    """A train doc whose embedding is a near-copy of an eval item flags
+    with THAT eval id; dissimilar train docs pass; empty eval flags
+    nothing; an eval side over the cap is a hard error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.decontam import semantic_contaminated_ids
+
+    rng = np.random.default_rng(11)
+    e0 = rng.normal(size=16)
+    e1 = rng.normal(size=16)
+    e1 -= (e0 @ e1) / (e0 @ e0) * e0
+    train = spark.createDataFrame(
+        [
+            (1, [float(x) for x in e0 + 1e-3 * rng.normal(size=16)]),  # ~ eval 100
+            (2, [float(x) for x in e1]),                                # ~ eval 101
+            (3, [float(x) for x in e0 - e1]),                           # far from both
+        ],
+        "doc_id bigint, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [float(x) for x in e0]), (101, [float(x) for x in e1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r.doc_id: (r.eval_id, r.cos_sim)
+        for r in semantic_contaminated_ids(
+            train, ev, threshold=0.99, eval_id_col="vec_id"
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1][0] == 100 and got[1][1] >= 0.99
+    assert got[2][0] == 101 and got[2][1] == 1.0
+
+    empty_ev = ev.where("vec_id < 0")
+    assert semantic_contaminated_ids(
+        train, empty_ev, threshold=0.9, eval_id_col="vec_id"
+    ).count() == 0
+
+    with _pytest.raises(ValueError, match="max_eval_rows"):
+        semantic_contaminated_ids(
+            train, ev, threshold=0.9, eval_id_col="vec_id", max_eval_rows=1
+        )
+
+
+def test_semantic_contaminated_ids_matches_bruteforce(spark):
+    """Flag set == numpy brute-force max-cosine over the same corpora
+    (testdata embeddings as train, first 10 vectors as the eval side,
+    threshold low enough that real matches exist)."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators.decontam import semantic_contaminated_ids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ev = emb.where("vec_id < 10")
+    got = {
+        r.doc_id: r.eval_id
+        for r in semantic_contaminated_ids(
+            emb, ev, threshold=0.3, id_col="vec_id", eval_id_col="vec_id"
+        ).collect()
+    }
+    rows = emb.collect()
+    V = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    U = {k: v / np.linalg.norm(v) for k, v in V.items()}
+    want = {}
+    for tid, tv in U.items():
+        sims = {eid: float(np.round(tv @ U[eid], 6)) for eid in range(10)}
+        best = max(sims.values())
+        if best >= 0.3:
+            want[tid] = min(e for e, s in sims.items() if s == best)
+    assert got == want
+    assert len(want) >= 10  # the probe must actually flag something

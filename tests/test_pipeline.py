@@ -669,3 +669,50 @@ def test_curate_with_semantic_pair_fn_collapses_paraphrases(spark):
     ids = sorted(r.doc_id for r in kept.collect())
     # doc 2 (the embedding-paraphrase of 1) is the ONLY drop
     assert ids == [1, 3, 4], ids
+
+
+def test_curate_embedding_decontamination_drops_semantic_leak(spark):
+    """decontam_method='embedding': a train doc that PARAPHRASES an eval
+    item (zero shared n-grams, near-identical embedding) is dropped;
+    lexically-different-AND-semantically-different docs survive; a doc
+    with no embedding row cannot be flagged."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.pipeline import curate_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "el gato se sienta en la alfombra cada manana temprano"),
+            (2, "spark shuffles hash partitions across the cluster executors"),
+            (3, "a totally unrelated third document with unique words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rng = np.random.default_rng(13)
+    e_eval = rng.normal(size=16)
+    far1 = rng.normal(size=16)
+    far1 -= (e_eval @ far1) / (e_eval @ e_eval) * e_eval
+    corpus_emb = spark.createDataFrame(
+        [
+            (1, [float(x) for x in e_eval + 1e-3 * rng.normal(size=16)]),
+            (2, [float(x) for x in far1]),
+            # doc 3: no embedding row
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    eval_emb = spark.createDataFrame(
+        [(900, [float(x) for x in e_eval])],
+        "vec_id bigint, embedding array<double>",
+    )
+    kept = curate_documents(
+        docs,
+        "text",
+        "doc_id",
+        min_quality=0.0,
+        decontaminate_against=eval_emb,
+        decontam_method="embedding",
+        decontam_embeddings=corpus_emb,
+        decontam_cos_threshold=0.99,
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [2, 3], ids

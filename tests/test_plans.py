@@ -482,3 +482,36 @@ def test_stage_knob_staged_matches_lazy(spark):
         lazy = sorted(map(tuple, q(spark, SF_SMOKE, stage=False).collect()))
         staged = sorted(map(tuple, q(spark, SF_SMOKE, stage=True).collect()))
         assert lazy == staged, q.__name__
+
+
+def test_semantic_pairs_plan_shape(spark):
+    """X22 scale pins: the centroid grid is a BROADCAST nested-loop (never
+    a cartesian of data × data), the assignment argmax collapses with
+    map-side partial_max_by BEFORE the exchange, the only Python
+    crossing is the blocked-matmul applyInPandas (no row-at-a-time
+    BatchEvalPython anywhere), and the whole chain reads the embedding
+    source at most twice (vector side + centroid side)."""
+    from pyspark_dist_explore_spark.operators.similarity import _unit, semantic_pairs
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), _unit(F.col("embedding")).alias("cv")
+    )
+    out = semantic_pairs(
+        emb, threshold=0.45, n_blocks=2, centroids=cents, assign_round=6
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max_by" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    scans = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    ]
+    assert len(scans) <= 2, f"expected <=2 embedding scans, got {len(scans)}"
