@@ -270,7 +270,10 @@ def semantic_contaminated_ids(
     ev = eval_embeddings.select(
         F.col(eid).alias("eval_id"), _unit(F.col(evec)).alias("uv")
     ).orderBy("eval_id")
-    rows = ev.limit(max_eval_rows + 1).collect()
+    # the eval matrix is benchmark-sized and hard-capped at max_eval_rows
+    # (loud error above the cap) — it must reach the driver to broadcast
+    # as one numpy matrix
+    rows = ev.limit(max_eval_rows + 1).collect()  # bounded-collect: ≤ max_eval_rows+1 rows by construction
     if len(rows) > max_eval_rows:
         raise ValueError(
             f"eval_embeddings exceeds max_eval_rows={max_eval_rows}; semantic "
