@@ -29,3 +29,47 @@ ROWS_ONLY = [name for name, spec in REGISTRY.items() if spec.oracle is None]
 def test_rows_only_queries_run(spark, name):
     df = REGISTRY[name].build(spark, SF_SMOKE)
     assert df.count() > 0
+
+
+def test_transcendental_oracle_allowlist():
+    """ORACLES.md promotion rule, enforced: only the four audited class-C
+    queries may carry ln/exp/pow in their oracle SQL (margins measured in
+    knife_probe.py).  A new transcendental column must be measured and
+    added there BEFORE it can register — otherwise it lands in the same
+    cross-build knife-edge class that turned text_perplexity red in
+    round 6."""
+    import re
+
+    ALLOWED = {
+        "hist_density_kde",          # KDE gaussian: exp + pow bandwidth
+        "text_tfidf",                # idf ln
+        "histogram_drift_groups",    # PSI ln
+        "scalar_unpivot_part",       # price_ln
+    }
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle or name in ALLOWED:
+            continue
+        sql = spec.oracle.lower()
+        for fn in ("ln(", "exp(", "pow("):
+            if fn in sql:
+                offenders.append((name, fn))
+    assert not offenders, (
+        f"unaudited transcendental in oracle SQL: {offenders} — measure the "
+        "rounding-boundary margin with knife_probe.py and extend ORACLES.md "
+        "before registering"
+    )
+
+
+def test_text_perplexity_gate_projection_is_integer_only(spark):
+    """The round-7 fix, pinned: every hashed column of the registered
+    text_perplexity projection is an exact integer type — no double can
+    reappear at this gate without failing here first."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    df = REGISTRY["text_perplexity"].build(spark, SF_SMOKE)
+    for f in df.schema.fields:
+        assert isinstance(f.dataType, (IntegerType, LongType)), (
+            f"{f.name}: {f.dataType} — the gate projection must stay "
+            "transcendental-free (ORACLES.md)"
+        )
