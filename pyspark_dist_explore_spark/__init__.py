@@ -86,6 +86,14 @@ from pyspark_dist_explore_spark.pipeline import (
     containment_pair_fn,
     curate_documents,
     minhash_pair_fn,
+    semantic_pair_fn,
+)
+from pyspark_dist_explore_spark.operators.similarity import (
+    semantic_dedup,
+    semantic_pairs,
+)
+from pyspark_dist_explore_spark.operators.decontam import (
+    semantic_contaminated_ids,
 )
 from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
@@ -145,6 +153,10 @@ __all__ = [
     "minhash_neardup",
     "minhash_pair_fn",
     "containment_pair_fn",
+    "semantic_pair_fn",
+    "semantic_dedup",
+    "semantic_pairs",
+    "semantic_contaminated_ids",
     "neardup_clusters",
     "shingle_rows",
     "simhash_neardup",
