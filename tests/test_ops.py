@@ -3051,3 +3051,48 @@ def test_semantic_contaminated_ids_matches_bruteforce(spark):
             want[tid] = min(e for e, s in sims.items() if s == best)
     assert got == want
     assert len(want) >= 10  # the probe must actually flag something
+
+
+def test_cosine_pairs_invariant_to_block_count(spark):
+    """n_blocks is a pure execution-tiling knob: the emitted pair set
+    must be identical at 1, 2, and 5 blocks (each pair is scored in
+    exactly one block-pair group whatever the tiling)."""
+    from pyspark_dist_explore_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sets = [
+        sorted(map(tuple, cosine_neardup_pairs(emb, threshold=0.3, n_blocks=b).collect()))
+        for b in (1, 2, 5)
+    ]
+    assert sets[0] == sets[1] == sets[2]
+    assert len(sets[0]) > 0
+
+
+def test_neardup_clusters_lazy_chain_boundary(spark):
+    """The documented correctness boundary of the lazy resolver: a path
+    graph of diameter D resolves exactly when rounds >= D and matches
+    the eager convergent form; below D the propagation is incomplete by
+    construction (this is WHY unknown graph shapes use the eager form)."""
+    from pyspark_dist_explore_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_clusters_lazy,
+    )
+
+    # path 0-1-2-...-9: diameter 9
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a bigint, doc_b bigint"
+    )
+    full = sorted(
+        map(tuple, neardup_clusters_lazy(pairs, rounds=9).collect())
+    )
+    eager = sorted(map(tuple, neardup_clusters(pairs).collect()))
+    assert full == eager
+    assert all(cluster == 0 for _, cluster, _ in full)
+    # under-provisioned rounds: node 9 has NOT yet received label 0
+    partial = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters_lazy(pairs, rounds=3).collect()
+    }
+    assert partial[9] != 0
