@@ -247,7 +247,11 @@ def semantic_contaminated_ids(
     items share no 13-gram with their source, but land next to it in
     embedding space).  Output: one row per contaminated training doc,
     ``(doc_id, eval_id, cos_sim)`` — its best-matching eval item and the
-    rounded cosine (ties broken toward the smaller eval id).
+    cosine.  Similarities are ROUNDED to 6 decimals BEFORE the argmax
+    and ties break toward the smaller eval id — exactly the semantics a
+    SQL twin spells as ``min(eval_id) WHERE rounded_sim = max`` (the
+    driver-gate oracle relies on this; an unrounded argmax would pick a
+    build-dependent winner between @6-tied eval items).
 
     Scale shape: the eval side is benchmark-sized BY DEFINITION — it is
     unit-normalized Spark-side, bounded by ``max_eval_rows`` (a hard
@@ -303,9 +307,9 @@ def semantic_contaminated_ids(
             if len(pdf) == 0:
                 continue
             A = np.stack(pdf["__uv"].to_numpy())
-            sims = A @ mat.T
+            sims = np.round(A @ mat.T, 6)  # round BEFORE argmax: @6 ties
             j = sims.argmax(axis=1)  # first (= smallest eval id) max wins
-            best = np.round(sims[np.arange(len(j)), j], 6)
+            best = sims[np.arange(len(j)), j]
             keep = best >= thr
             yield pd.DataFrame(
                 {

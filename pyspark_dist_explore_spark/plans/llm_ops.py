@@ -33,6 +33,18 @@ from pyspark_dist_explore_spark.sources.tables import load_table
 #: DuckDB rendering of dedup.normalize_text
 _NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 
+# Unit-normalize then dot — the SAME arithmetic shape as the Spark side
+# (similarity._unit + dot of unit vectors), so hash parity does not rely
+# on round(...,6) absorbing a different operation order.  Zero-norm
+# vectors normalize to all-zeros (cosine 0 vs everything), mirroring the
+# Spark guard and avoiding DuckDB's divide-by-zero.  Defined up here:
+# both the decontamination and similarity oracle builders render it.
+_UNIT = (
+    "CASE WHEN sqrt(list_dot_product({v}, {v})) > 0 "
+    "THEN list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v}))) "
+    "ELSE list_transform({v}, x -> 0.0) END"
+)
+
 
 # -- shared oracle fragments (one rendering, reused by the standalone
 # -- queries AND the composed pipeline_curate oracle, so they can't drift)
@@ -754,30 +766,90 @@ hits AS (
   SELECT doc_id, count(*) AS n_eval_grams
   FROM tgrams JOIN egrams USING (sh) GROUP BY doc_id
 )
-SELECT d.doc_id,
-       COALESCE(h.n_eval_grams, CAST(0 AS BIGINT)) AS n_eval_grams,
-       CAST(COALESCE(h.n_eval_grams, 0) > 0 AS INT) AS contaminated
+SELECT 'ngram' AS method, d.doc_id,
+       COALESCE(h.n_eval_grams, CAST(0 AS BIGINT)) AS matched,
+       CAST(COALESCE(h.n_eval_grams, 0) > 0 AS INT) AS flagged,
+       CAST(NULL AS DOUBLE) AS score
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0) d
 LEFT JOIN hits h USING (doc_id)
+UNION ALL
+SELECT 'semantic' AS method, pick.doc_id,
+       CAST(pick.eval_id AS BIGINT) AS matched,
+       CAST(1 AS INT) AS flagged,
+       pick.score
+FROM (
+  WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+  u AS (SELECT vec_id, {_UNIT.format(v='ve')} AS uv FROM v),
+  tr AS (SELECT * FROM u WHERE vec_id % 10 <> 0),
+  evu AS (SELECT * FROM u WHERE vec_id % 10 = 0),
+  sims AS (
+    SELECT tr.vec_id AS doc_id, evu.vec_id AS eval_id,
+           round(list_dot_product(tr.uv, evu.uv), 6) AS s
+    FROM tr, evu
+  ),
+  best AS (SELECT doc_id, max(s) AS score FROM sims GROUP BY doc_id)
+  SELECT sims.doc_id, min(sims.eval_id) AS eval_id, best.score
+  FROM sims JOIN best ON sims.doc_id = best.doc_id AND sims.s = best.score
+  WHERE best.score >= {{sem_thr}}
+  GROUP BY sims.doc_id, best.score
+) pick
 """
 
 
-@register("decontaminate_eval", _decontam_oracle(_DECONTAM_NGRAM))
+_SEM_DECONTAM_THRESHOLD = 0.35  # flags 61/450 at sf0.01 — discriminating
+
+
+@register(
+    "decontaminate_eval",
+    _decontam_oracle(_DECONTAM_NGRAM).replace(
+        "{sem_thr}", repr(_SEM_DECONTAM_THRESHOLD)
+    ),
+)
 def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-set decontamination: per training document, count the
-    distinct 13-token word n-grams it shares with the held-out "eval"
-    slice (doc_id % 10 == 0 stands in for a benchmark table) and flag
-    any overlap — the leakage guard every pretraining pipeline runs
-    before the corpus ships.  Execution: gram build on the training
-    side, broadcast distinct gram set of the (benchmark-sized) eval
-    side, map-side hash-join probe, one doc_id-keyed count aggregate.
-    """
+    """Eval-set decontamination, BOTH probes in one tagged result
+    (semantic section merged round 7):
+
+    - ``method='ngram'``: per training document, the count of distinct
+      13-token word n-grams shared with the held-out "eval" slice
+      (doc_id % 10 == 0 stands in for a benchmark table) — the exact
+      leakage guard every pretraining pipeline runs.  Broadcast
+      distinct eval grams, map-side probe, one doc_id-keyed aggregate.
+    - ``method='semantic'``: embedding-space leakage the n-grams cannot
+      see — training vectors within cosine ≥ 0.35 of any eval-slice
+      vector (vec_id % 10 == 0), flagged with the best-matching eval id
+      (@6-rounded sims, min-id tie-break — the SQL-mirrorable argmax).
+      Broadcast eval matrix, mapInPandas BLAS probe, zero shuffle.
+
+    Shared schema ``(method, doc_id, matched, flagged, score)``: ngram
+    rows carry the gram count in ``matched``; semantic rows carry the
+    eval id.  The whole union is DuckDB-hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 10 != 0)
     ev = docs.where(F.col("doc_id") % 10 == 0)
-    return decontam.decontaminate(
+    ngram = decontam.decontaminate(
         train, ev, "text", "doc_id", ngram_n=_DECONTAM_NGRAM
+    ).select(
+        F.lit("ngram").alias("method"),
+        "doc_id",
+        F.col("n_eval_grams").alias("matched"),
+        F.col("contaminated").alias("flagged"),
+        F.lit(None).cast("double").alias("score"),
     )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = decontam.semantic_contaminated_ids(
+        emb.where(F.col("vec_id") % 10 != 0),
+        emb.where(F.col("vec_id") % 10 == 0),
+        threshold=_SEM_DECONTAM_THRESHOLD,
+        id_col="vec_id",
+        eval_id_col="vec_id",
+    ).select(
+        F.lit("semantic").alias("method"),
+        "doc_id",
+        F.col("eval_id").cast("bigint").alias("matched"),
+        F.lit(1).alias("flagged"),
+        F.col("cos_sim").alias("score"),
+    )
+    return ngram.unionByName(sem)
 
 
 # --------------------------------------------------------------------------
@@ -857,16 +929,6 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X4: similarity search over embeddings
 # --------------------------------------------------------------------------
 
-# Unit-normalize then dot — the SAME arithmetic shape as the Spark side
-# (similarity._unit + dot of unit vectors), so hash parity does not rely
-# on round(...,6) absorbing a different operation order.  Zero-norm
-# vectors normalize to all-zeros (cosine 0 vs everything), mirroring the
-# Spark guard and avoiding DuckDB's divide-by-zero.
-_UNIT = (
-    "CASE WHEN sqrt(list_dot_product({v}, {v})) > 0 "
-    "THEN list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v}))) "
-    "ELSE list_transform({v}, x -> 0.0) END"
-)
 _UNIT_CTE = f"u AS (SELECT vec_id, {_UNIT.format(v='ve')} AS uv FROM v)"
 
 
