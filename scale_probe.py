@@ -435,6 +435,48 @@ def main() -> None:
     print(json.dumps({"probe": "containment_pairs", "t_1x": t1, "t_10x": t10,
                       "pairs_1x": n1, "pairs_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- semantic decontamination: 10× training vectors, FIXED eval -------
+    # (the realistic shape again: the benchmark side is constant while
+    # training data grows; the probe is a broadcast-matrix mapInPandas
+    # scan, so time must be ~linear-in-scan and the flag count over the
+    # original vectors invariant)
+    from pyspark_dist_explore_spark.operators.decontam import (
+        semantic_contaminated_ids,
+    )
+
+    emb_sd = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim_sd = len(emb_sd.first().embedding)
+    ev_sd = emb_sd.where(F.col("vec_id") % 10 == 0)
+    tr1 = emb_sd.where(F.col("vec_id") % 10 != 0)
+    tr10 = reduce(
+        DataFrame.unionAll,
+        [tr1]
+        + [
+            tr1.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", i + 1, dim_sd - i), F.slice("embedding", 1, i)
+                ).alias("embedding"),
+            )
+            for i in range(1, 10)
+        ],
+    )
+
+    def run_semdecontam(d: DataFrame) -> tuple[float, int]:
+        return timed(
+            semantic_contaminated_ids(
+                d, ev_sd, threshold=0.35, id_col="vec_id", eval_id_col="vec_id"
+            )
+        )
+
+    t1, n1 = run_semdecontam(tr1)
+    t10, n10 = run_semdecontam(tr10)
+    print(json.dumps({"probe": "semantic_decontam", "t_1x": t1, "t_10x": t10,
+                      "flagged_1x": n1, "flagged_10x": n10,
+                      "ratio": round(t10 / t1, 2)}))
+
     # -- semantic dedup: 10× vectors with planted twins -------------------
     # (X22: capped KMeans fit + within-cell blocked matmul + lazy cluster
     # resolve.  Construction: rotated distractor copies (non-verbatim,
