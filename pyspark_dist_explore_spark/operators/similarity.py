@@ -614,8 +614,16 @@ def semantic_pairs(
     threshold``.  See :func:`semantic_dedup` for semantics and the 100 TB
     shape; this form exists so the pipeline's cluster-resolution stage
     can consume semantic pairs like any other ``pair_fn`` output."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
     if centroids is not None:
+        missing = {"cent_id", "cv"} - set(centroids.columns)
+        if missing:
+            raise ValueError(
+                f"centroids frame missing column(s): {sorted(missing)} "
+                "(expected (cent_id, cv) with cv unit-normalized)"
+            )
         cents = F.broadcast(
             centroids.select("cent_id", F.col("cv").cast("array<double>").alias("cv"))
         )

@@ -3096,3 +3096,20 @@ def test_neardup_clusters_lazy_chain_boundary(spark):
         for r in neardup_clusters_lazy(pairs, rounds=3).collect()
     }
     assert partial[9] != 0
+
+
+def test_semantic_pairs_validates_inputs(spark):
+    """Bad centroids frame and out-of-range threshold fail loudly at
+    build, not with a downstream analyzer error."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.similarity import semantic_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bad_cents = emb.limit(2)  # wrong columns entirely
+    with _pytest.raises(ValueError, match="cent_id"):
+        semantic_pairs(emb, centroids=bad_cents)
+    with _pytest.raises(ValueError, match="threshold"):
+        semantic_pairs(emb, threshold=1.5)
