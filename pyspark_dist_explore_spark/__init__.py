@@ -87,6 +87,7 @@ from pyspark_dist_explore_spark.pipeline import (
     curate_documents,
     minhash_pair_fn,
     semantic_pair_fn,
+    union_pair_fns,
 )
 from pyspark_dist_explore_spark.operators.similarity import (
     semantic_dedup,
@@ -154,6 +155,7 @@ __all__ = [
     "minhash_pair_fn",
     "containment_pair_fn",
     "semantic_pair_fn",
+    "union_pair_fns",
     "semantic_dedup",
     "semantic_pairs",
     "semantic_contaminated_ids",

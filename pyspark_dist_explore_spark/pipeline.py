@@ -190,6 +190,28 @@ def semantic_pair_fn(
     return fn
 
 
+def union_pair_fns(*fns: PairFn) -> PairFn:
+    """Combine several ``pair_fn`` signals into one: the cluster stage
+    resolves the UNION of all generators' edges, so e.g. a lexical
+    MinHash pair and a SemDeDup embedding pair both pull their endpoints
+    into the same duplicate cluster — a doc is removed if ANY signal
+    links it to a kept survivor.  Each generator sees the same deduped
+    frame; duplicate edges are dropped before resolution (labels are a
+    min-aggregate, so duplicates would be harmless — dropping them just
+    shrinks the per-round join).
+    """
+    if not fns:
+        raise ValueError("union_pair_fns needs at least one pair_fn")
+
+    def fn(kept: DataFrame) -> DataFrame:
+        from functools import reduce
+
+        frames = [f(kept).select("doc_a", "doc_b") for f in fns]
+        return reduce(DataFrame.unionByName, frames).distinct()
+
+    return fn
+
+
 def _check_snapshot_dir_overwritable(spark, snapshot_dir: str) -> None:
     """Refuse to ``mode("overwrite")`` a non-empty directory that does not
     look like a previous snapshot (no ``_SUCCESS`` marker): a typo'd

@@ -716,3 +716,59 @@ def test_curate_embedding_decontamination_drops_semantic_leak(spark):
     )
     ids = sorted(r.doc_id for r in kept.collect())
     assert ids == [2, 3], ids
+
+
+def test_union_pair_fns_combines_lexical_and_semantic_signals(spark):
+    """One doc pair is a verbatim lexical copy (no embeddings), another
+    is an embedding-paraphrase (disjoint vocabulary): with the UNION of
+    the exact-Jaccard and semantic generators BOTH collapse; with either
+    signal alone only its own pair would."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators.dedup import jaccard_pairs_exact
+    from pyspark_dist_explore_spark.pipeline import (
+        curate_documents,
+        semantic_pair_fn,
+        union_pair_fns,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # lexical NEAR-dup of 1 (one token differs — survives the
+            # exact-fingerprint stage, so removal must come from the pairs)
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "uno dos tres cuatro cinco seis siete ocho"),
+            (4, "one two three four five six seven eight"),        # paraphrase of 3
+            (5, "entirely different content that stands alone here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rng = np.random.default_rng(17)
+    a = rng.normal(size=16)
+    b = rng.normal(size=16)
+    b -= (a @ b) / (a @ a) * a
+    emb = spark.createDataFrame(
+        [
+            (3, [float(x) for x in a]),
+            (4, [float(x) for x in a + 1e-3 * rng.normal(size=16)]),
+            (5, [float(x) for x in b]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+
+    def lexical(kept):
+        return jaccard_pairs_exact(kept, "__text", "doc_id", threshold=0.7)
+
+    kept = curate_documents(
+        docs,
+        "text",
+        "doc_id",
+        min_quality=0.0,
+        pair_fn=union_pair_fns(
+            lexical, semantic_pair_fn(emb, threshold=0.99, n_centroids=2)
+        ),
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    # 2 collapses into 1 (lexical), 4 into 3 (semantic), 5 survives
+    assert ids == [1, 3, 5], ids
