@@ -229,16 +229,29 @@ def cosine_neardup_pairs(
 # --------------------------------------------------------------------------
 
 
-def _plane_sign(plane: int, dim_idx: Column) -> Column:
-    """±1.0 pseudo-random weight for (plane, dim) — from xxhash64 parity,
-    no RNG state, reproducible everywhere.  Hashes the two values
-    directly (multi-arg xxhash64) rather than building a string per
-    (plane, element) — ~20% off the whole bucketing pass."""
-    h = F.xxhash64(F.lit(plane), dim_idx)
-    return F.when(h.bitwiseAND(F.lit(1)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _plane_sign(plane: int, dim_idx: Column, hash_fn: str = "xxhash64") -> Column:
+    """±1.0 pseudo-random weight for (plane, dim) — hash parity, no RNG
+    state, reproducible everywhere.
+
+    ``xxhash64`` (default) hashes the two values directly (multi-arg
+    xxhash64) rather than building a string per (plane, element) — ~20%
+    off the whole bucketing pass.  ``md5`` derives the sign from the
+    first hex digit of ``md5('{plane}:{dim}')`` — slower, but DuckDB
+    reproduces it bit-for-bit (``('0x'||substr(md5(...),1,1))::INT``),
+    so the ENTIRE LSH pipeline gains a hash oracle — the same
+    md5-variant move as the MinHash/SimHash families (round 4)."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(plane), dim_idx)
+        return F.when(h.bitwiseAND(F.lit(1)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    if hash_fn == "md5":
+        d = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(plane), dim_idx)), 1, 1), 16, 10
+        ).cast("int")
+        return F.when(d % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+def lsh_bucket(vec: Column, n_planes: int = 8, *, hash_fn: str = "xxhash64") -> Column:
     """Random-hyperplane signature: bit p = sign(Σ_i w(p,i)·x_i) ≥ 0."""
     out = F.lit(0).cast("bigint")
     for p in range(n_planes):
@@ -246,7 +259,7 @@ def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x * _plane_sign(p, i),
+                lambda x, i: x * _plane_sign(p, i, hash_fn),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -255,6 +268,26 @@ def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
             F.lit(0).cast("bigint")
         )
     return out
+
+
+def lsh_bucket_sql(vec_expr: str, n_planes: int, *, dialect_note: str = "duckdb") -> str:
+    """DuckDB rendering of :func:`lsh_bucket` with ``hash_fn='md5'`` —
+    ONE definition of the plane-sign and projection arithmetic for both
+    engines (the `functions/numeric.bucket_sql` pattern): sequential
+    ``list_dot_product`` against a ±1 list built from the identical
+    md5-parity rule, ``>= 0`` sign, same power-of-two bit packing."""
+    terms = []
+    for p in range(n_planes):
+        sign = (
+            f"CASE WHEN CAST(('0x' || substr(md5(CAST({p} AS VARCHAR) || ':' || "
+            f"CAST(i AS VARCHAR)), 1, 1)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        )
+        proj = (
+            f"list_dot_product({vec_expr}, "
+            f"list_transform(range(len({vec_expr})), i -> {sign}))"
+        )
+        terms.append(f"CASE WHEN {proj} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return " + ".join(terms)
 
 
 def ann_lsh_topk(
@@ -266,18 +299,22 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: probe only the query's LSH bucket, exact re-rank.
 
     Recall < 1 by construction (bucket-boundary misses); at scale each
-    probe touches ~N/2^n_planes vectors instead of N.
+    probe touches ~N/2^n_planes vectors instead of N.  ``hash_fn='md5'``
+    derives the hyperplanes from md5 parity — DuckDB-reproducible
+    (:func:`lsh_bucket_sql`), so the registered variant is
+    hash-oracle-checked end to end; xxhash64 stays the faster default.
     """
     v = vectors.select(
         F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv")
-    ).withColumn("bucket", lsh_bucket(F.col("vv"), n_planes))
+    ).withColumn("bucket", lsh_bucket(F.col("vv"), n_planes, hash_fn=hash_fn))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes))
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, hash_fn=hash_fn))
     scored = (
         v.join(F.broadcast(q), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))

@@ -1021,7 +1021,13 @@ sd_walk(node, lbl) AS (
   UNION
   SELECT e.dst, w.lbl FROM sd_walk w JOIN sd_edges e ON e.src = w.node
 ),
-sd_comp AS (SELECT node, min(lbl) AS cluster_id FROM sd_walk GROUP BY node)
+sd_comp AS (SELECT node, min(lbl) AS cluster_id FROM sd_walk GROUP BY node),
+lshb AS (SELECT vec_id, uv, {similarity.lsh_bucket_sql('uv', 4)} AS bucket FROM u),
+lshq AS (SELECT vec_id AS query_id, uv AS qv, bucket FROM lshb WHERE vec_id < 5),
+lsh_scored AS (
+  SELECT q.query_id, b.vec_id, round(list_dot_product(q.qv, b.uv), 6) AS cos_sim
+  FROM lshb b JOIN lshq q USING (bucket) WHERE b.vec_id <> q.query_id
+)
 SELECT 'topk' AS kind, query_id AS id_a, vec_id AS id_b,
        CAST(rank AS INT) AS rank, cos_sim
 FROM (
@@ -1042,22 +1048,34 @@ SELECT 'semdedup' AS kind, v.vec_id AS id_a,
                  THEN 1 ELSE 0 END AS INT) AS rank,
        CAST(NULL AS DOUBLE) AS cos_sim
 FROM v LEFT JOIN sd_comp ON v.vec_id = sd_comp.node
+UNION ALL
+SELECT 'lsh' AS kind, query_id AS id_a, vec_id AS id_b,
+       CAST(rank AS INT) AS rank, cos_sim
+FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM lsh_scored
+) WHERE rank <= 5
 """,
 )
 def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact (ground-truth) similarity-search surface in one slot
     (merged round 6 from ``vector_topk_exact`` + ``vector_neardup_pairs``;
-    round 7 adds the DETERMINISTIC ``semantic_dedup`` variant): broadcast-Q
-    brute-force cosine top-5, the all-pairs near-dup list at the 0.45
-    threshold, and SemDeDup with FIXED centroids (the unit embeddings of
-    vec_id < 4 — fit-free, so the whole cell-assign → within-cell pairs →
-    survivor-resolution chain is DuckDB-hash-checked; the KMeans-fit form
-    is the library default, pytest-pinned).  Schema-aligned
-    ``(kind, id_a, id_b, rank, cos_sim)`` and unioned — for semdedup rows
-    id_b carries cluster_id and rank carries is_survivor.  The exact
-    baselines remain what the ANN/LSH paths are recall-pinned against;
-    standalone builders stay callable with their oracles pinned in
-    pytest."""
+    round 7 adds the DETERMINISTIC ``semantic_dedup`` variant AND the
+    md5-plane LSH ANN): broadcast-Q brute-force cosine top-5, the
+    all-pairs near-dup list at the 0.45 threshold, SemDeDup with FIXED
+    centroids (the unit embeddings of vec_id < 4 — fit-free, so the
+    whole cell-assign → within-cell pairs → survivor-resolution chain is
+    DuckDB-hash-checked; the KMeans-fit form is the library default,
+    pytest-pinned), and ``kind='lsh'``: the random-hyperplane ANN with
+    ``hash_fn='md5'`` planes — bucketing, probe, and exact re-rank all
+    hash-checked (the same md5-variant move as MinHash/SimHash; xxhash64
+    stays the library default and runs in ``vector_ann_topk``).
+    Schema-aligned ``(kind, id_a, id_b, rank, cos_sim)`` and unioned —
+    for semdedup rows id_b carries cluster_id and rank carries
+    is_survivor.  The exact baselines remain what the ANN/LSH paths are
+    recall-pinned against; standalone builders stay callable with their
+    oracles pinned in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1074,6 +1092,15 @@ def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         F.lit(None).cast("int").alias("rank"),
+        "cos_sim",
+    )
+    lsh = similarity.ann_lsh_topk(
+        emb, queries, k=5, n_planes=4, hash_fn="md5"
+    ).select(
+        F.lit("lsh").alias("kind"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("rank").cast("int").alias("rank"),
         "cos_sim",
     )
     cents = emb.where(F.col("vec_id") < _SEMDEDUP_CELLS).select(
@@ -1096,7 +1123,7 @@ def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_survivor").cast("int").alias("rank"),
         F.lit(None).cast("double").alias("cos_sim"),
     )
-    return topk.unionByName(pairs).unionByName(semdedup)
+    return topk.unionByName(pairs).unionByName(semdedup).unionByName(lsh)
 
 
 def _winnowing_oracle(k: int, window: int) -> str:

@@ -3113,3 +3113,59 @@ def test_semantic_pairs_validates_inputs(spark):
         semantic_pairs(emb, centroids=bad_cents)
     with _pytest.raises(ValueError, match="threshold"):
         semantic_pairs(emb, threshold=1.5)
+
+
+def test_lsh_bucket_md5_matches_duckdb(spark):
+    """The md5-plane LSH signature is bit-identical across engines:
+    every vector's 4-plane bucket matches DuckDB's rendering of the
+    same plane-sign + projection arithmetic (lsh_bucket_sql — one
+    definition, two dialects).  This is what lets the registered 'lsh'
+    section of vector_exact_search be hash-checked end to end."""
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        lsh_bucket,
+        lsh_bucket_sql,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return emb.select(
+            "vec_id",
+            lsh_bucket(_unit(F.col("embedding")), 4, hash_fn="md5").alias("bucket"),
+        )
+
+    unit = (
+        "CASE WHEN sqrt(list_dot_product(ve, ve)) > 0 "
+        "THEN list_transform(ve, x -> x / sqrt(list_dot_product(ve, ve))) "
+        "ELSE list_transform(ve, x -> 0.0) END"
+    )
+    oracle = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+u AS (SELECT vec_id, {unit} AS uv FROM v)
+SELECT vec_id, {lsh_bucket_sql('uv', 4)} AS bucket FROM u
+"""
+    compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_lsh_md5_variant_same_shape_as_default(spark):
+    """hash_fn is a bucketing choice, not a semantics change: both
+    variants return (query_id, rank, vec_id, cos_sim) with ranks
+    1..k' per query and every cos_sim exact within the probed bucket."""
+    from pyspark_dist_explore_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for fn in ("xxhash64", "md5"):
+        rows = ann_lsh_topk(emb, queries, k=5, n_planes=4, hash_fn=fn).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), (fn, q, ranks)
+        assert len(rows) > 0, fn
