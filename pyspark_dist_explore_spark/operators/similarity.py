@@ -519,11 +519,14 @@ def ann_lsh_neardup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs pruned by shared LSH bucket, exact cosine verify."""
+    """Near-dup pairs pruned by shared LSH bucket, exact cosine verify.
+    ``hash_fn='md5'`` gives the DuckDB-reproducible plane variant (see
+    :func:`ann_lsh_topk`)."""
     v = vectors.select(
         F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes))
+    ).withColumn("bucket", lsh_bucket(F.col("v"), n_planes, hash_fn=hash_fn))
     a = v.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = v.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
