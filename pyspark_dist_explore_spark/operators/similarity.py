@@ -251,19 +251,49 @@ def _plane_sign(plane: int, dim_idx: Column, hash_fn: str = "xxhash64") -> Colum
     raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, *, hash_fn: str = "xxhash64") -> Column:
-    """Random-hyperplane signature: bit p = sign(Σ_i w(p,i)·x_i) ≥ 0."""
+def _md5_sign_value(plane: int, i: int) -> float:
+    """Driver-side rendering of the md5 plane-sign rule — hashlib md5 of
+    the same ``'{plane}:{i}'`` string, first hex digit parity.  DuckDB's
+    ``md5()`` recomputes the identical digest in the oracle, so the
+    derivation itself stays cross-engine-checked even though executors
+    only ever see the finished ±1 literals."""
+    import hashlib
+
+    d = hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[0]
+    return 1.0 if int(d, 16) % 2 == 0 else -1.0
+
+
+def lsh_bucket(
+    vec: Column, n_planes: int = 8, *, hash_fn: str = "xxhash64", dim: int | None = None
+) -> Column:
+    """Random-hyperplane signature: bit p = sign(Σ_i w(p,i)·x_i) ≥ 0.
+
+    ``dim=`` (with ``hash_fn='md5'``) inlines the ±1 plane vectors as
+    ARRAY LITERALS computed once on the driver: the generic path
+    re-derives the same n_planes×dim signs per ROW inside an interpreted
+    HOF (md5 + hex-conv per element — measured ~2× the whole bucketing
+    pass), which is pure waste since the signs depend only on (plane,
+    dim).  At 100 TB the literal form is the only sane one; pass the
+    embedding dimension explicitly."""
     out = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x * _plane_sign(p, i, hash_fn),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        if hash_fn == "md5" and dim is not None:
+            signs = F.array(*[F.lit(_md5_sign_value(p, i)) for i in range(dim)])
+            proj = F.aggregate(
+                F.zip_with(vec, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        else:
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda x, i: x * _plane_sign(p, i, hash_fn),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         out = out + F.when(proj >= 0, F.lit(1 << p).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
@@ -300,6 +330,7 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     hash_fn: str = "xxhash64",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's LSH bucket, exact re-rank.
 
@@ -308,13 +339,15 @@ def ann_lsh_topk(
     derives the hyperplanes from md5 parity — DuckDB-reproducible
     (:func:`lsh_bucket_sql`), so the registered variant is
     hash-oracle-checked end to end; xxhash64 stays the faster default.
+    ``dim=`` inlines the md5 plane vectors as driver-computed literals
+    (see :func:`lsh_bucket`).
     """
     v = vectors.select(
         F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv")
-    ).withColumn("bucket", lsh_bucket(F.col("vv"), n_planes, hash_fn=hash_fn))
+    ).withColumn("bucket", lsh_bucket(F.col("vv"), n_planes, hash_fn=hash_fn, dim=dim))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, hash_fn=hash_fn))
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, hash_fn=hash_fn, dim=dim))
     scored = (
         v.join(F.broadcast(q), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))

@@ -1094,8 +1094,11 @@ def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("rank"),
         "cos_sim",
     )
+    # dim from one driver-side row fetch: the md5 plane vectors inline as
+    # literals (256 signs computed once, not per row — see lsh_bucket)
+    lsh_dim = len(emb.select("embedding").first()[0])
     lsh = similarity.ann_lsh_topk(
-        emb, queries, k=5, n_planes=4, hash_fn="md5"
+        emb, queries, k=5, n_planes=4, hash_fn="md5", dim=lsh_dim
     ).select(
         F.lit("lsh").alias("kind"),
         F.col("query_id").alias("id_a"),
