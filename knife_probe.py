@@ -190,6 +190,43 @@ FROM u a JOIN u b ON a.vec_id < b.vec_id
         )
     )
 
+    # 6. vector_exact_search lsh section: the bucket BIT is sign(projection)
+    #    — a flip needs a projection within accumulation-drift of 0, so the
+    #    relevant margin is min |proj| in ulps of the projection magnitude
+    from pyspark_dist_explore_spark.operators.similarity import lsh_bucket_sql  # noqa: F401
+
+    projs = []
+    for p in range(4):
+        sign = (
+            f"CASE WHEN CAST(('0x' || substr(md5(CAST({p} AS VARCHAR) || ':' || "
+            f"CAST(i AS VARCHAR)), 1, 1)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        )
+        projs.append(
+            f"SELECT list_dot_product(uv, list_transform(range(len(uv)), i -> {sign})) AS v "
+            f"FROM u"
+        )
+    proj_vals = fetch(
+        con,
+        f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+u AS (SELECT vec_id, {unit} AS uv FROM v)
+{" UNION ALL ".join(projs)}
+""",
+    )
+    pv = np.abs(proj_vals)
+    ulp = np.spacing(np.abs(proj_vals))
+    i = int(np.argmin(pv / ulp))
+    reports.append(
+        {
+            "column": "vector_exact_search.lsh bucket sign(projection)",
+            "rows": int(pv.size),
+            "decimals": 0,
+            "min_margin_ulps": float((pv / ulp)[i]),
+            "worst_value": float(proj_vals[i]),
+            "min_dist_units": float(pv[i]),
+        }
+    )
+
     con.close()
     for r in reports:
         print(
