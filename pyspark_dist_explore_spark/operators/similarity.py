@@ -124,6 +124,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     n_blocks: int = 8,
     partition_col: str | None = None,
+    assume_unit: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
@@ -143,6 +144,15 @@ def cosine_neardup_pairs(
     a centroid bucket, never across buckets — while the block tiling
     still caps each matmul when a partition is skewed.
 
+    ``assume_unit=True`` declares the input vectors ALREADY
+    unit-normalized and skips the `_unit` pass: callers that normalized
+    upstream (e.g. :func:`semantic_pairs`, whose assignment stage needs
+    the unit vectors anyway) would otherwise pay a second divide by a
+    ~1.0-but-inexact norm — perturbing last-ulp bits vs an oracle that
+    normalized exactly once, so hash parity would lean on round(...,6)
+    absorbing the wobble instead of the two engines sharing the same
+    arithmetic shape.
+
     For sub-quadratic pruning use :func:`ann_lsh_neardup_pairs`.
     """
     import pandas as pd
@@ -156,9 +166,12 @@ def cosine_neardup_pairs(
     id_type = vectors.schema[id_col].dataType
 
     part_cols = [F.col(partition_col).alias("part")] if partition_col else []
+    unit_vec = (
+        _as_double(F.col(vec_col)) if assume_unit else _unit(F.col(vec_col))
+    )
     v = vectors.select(
         F.col(id_col).alias("id"),
-        _unit(F.col(vec_col)).alias("v"),
+        unit_vec.alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
         *part_cols,
     )
@@ -274,7 +287,31 @@ def lsh_bucket(
     HOF (md5 + hex-conv per element — measured ~2× the whole bucketing
     pass), which is pure waste since the signs depend only on (plane,
     dim).  At 100 TB the literal form is the only sane one; pass the
-    embedding dimension explicitly."""
+    embedding dimension explicitly.
+
+    The literal path VALIDATES each row's vector length against ``dim``
+    and raises at execution time on a mismatch: ``zip_with`` would
+    otherwise pad the shorter side with NULLs, the projection would go
+    NULL, and every plane bit would silently resolve to 0 — a wrong
+    bucket with no error (and a divergence from the DuckDB twin, which
+    builds its sign list from the ACTUAL vector length)."""
+    if hash_fn == "md5" and dim is not None:
+        # assert_true returns NULL when the predicate holds (making the
+        # when() branch take `vec` unchanged) and raises the message at
+        # execution time when it does not — the standard loud-guard shape
+        # for inside an expression tree
+        vec = F.when(
+            F.assert_true(
+                F.size(vec) == F.lit(dim),
+                F.format_string(
+                    "lsh_bucket: vector length %s != dim=%s (literal md5 "
+                    "planes are rendered for exactly dim elements)",
+                    F.size(vec).cast("string"),
+                    F.lit(str(dim)),
+                ),
+            ).isNull(),
+            vec,
+        )
     out = F.lit(0).cast("bigint")
     for p in range(n_planes):
         if hash_fn == "md5" and dim is not None:
@@ -743,6 +780,10 @@ def semantic_pairs(
         vec_col="embedding",
         n_blocks=n_blocks,
         partition_col="cent_id",
+        # `best.vv` is already unit-normalized (the assignment stage
+        # needed the unit vectors); re-normalizing would perturb last-ulp
+        # bits vs the single-normalized oracle uv
+        assume_unit=True,
     )
 
 

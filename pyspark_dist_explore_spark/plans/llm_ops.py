@@ -387,11 +387,15 @@ def q_neardup_clusters(
     keep-list pipeline actually consumes (``is_survivor = 1``).
 
     ``stage=False`` (default) is FULLY LAZY — the statically-unrolled
-    ``neardup_clusters_lazy`` (8 pointer-jumping rounds, covers
-    component diameters to 256; equality with the eager form is
-    pytest-pinned).  ``stage=True`` (what the registry passes) runs the
-    eager convergence-checked propagation with checkpoint-bounded
-    lineage — the form to use on unknown graph shapes."""
+    ``neardup_clusters_lazy`` (8 ONE-HOP propagation rounds: labels
+    travel one hop per round, so it is correct only for component
+    diameters ≤ 8 — generous for the dense clusters similarity joins
+    produce, and equality with the eager form on this graph is
+    pytest-pinned).  For chain-shaped or unknown graph shapes use
+    ``stage=True`` (what the registry passes): the eager
+    convergence-CHECKED pointer-jumping propagation with
+    checkpoint-bounded lineage, which warns rather than silently
+    splitting deep components."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _JACCARD_MAX_ID)
     pairs = dedup.jaccard_pairs_exact(docs, "text", "doc_id", threshold=_JACCARD_THRESHOLD)
     if stage:

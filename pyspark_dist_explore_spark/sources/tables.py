@@ -13,13 +13,18 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: (sf_dir, table) -> raw inferred StructType.  Parquet schema inference
-#: runs one small Spark job per ``spark.read.parquet`` call; caching the
-#: footer schema makes every repeat ``load_table`` JOBLESS at plan-build
-#: time (the lazy-by-default registered queries pin this in
-#: tests/test_plans.py) and shaves the footer-read job off every query
-#: construction.  Driver-side only — executors never see this dict.
-_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+#: (session id, sf_dir, table, file mtime_ns) -> raw inferred StructType.
+#: Parquet schema inference runs one small Spark job per
+#: ``spark.read.parquet`` call; caching the footer schema makes every
+#: repeat ``load_table`` JOBLESS at plan-build time (the lazy-by-default
+#: registered queries pin this in tests/test_plans.py) and shaves the
+#: footer-read job off every query construction.  Driver-side only —
+#: executors never see this dict.  The key carries ``id(spark)`` (session
+#: confs like nanosAsLong are PER-SESSION — a new session in the same
+#: process must go through first-inference so its conf gets set) and the
+#: parquet file's mtime (regenerated testdata at the same path must not
+#: be read with a stale schema).
+_SCHEMA_CACHE: dict[tuple[int, str, str, int], object] = {}
 
 #: table name -> primary key column (used by deterministic dedup/top-k tie-breaks)
 TABLES: dict[str, str] = {
@@ -65,13 +70,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    cached = _SCHEMA_CACHE.get((sf_dir, name))
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1  # let the Spark reader raise its own (clearer) error
+    key = (id(spark), sf_dir, name, mtime)
+    cached = _SCHEMA_CACHE.get(key)
     if name == "events":
         from pyspark.sql import functions as F
 
         if cached is not None:
-            # the nanos case needed nanosAsLong at first inference; the
-            # conf was left set then, so a schema'd re-read plans clean
+            # the nanos case needed nanosAsLong at first inference and the
+            # conf is per-session; the session-scoped cache key means this
+            # session already set it, but re-assert here (costs nothing)
+            # so the lazy scan can never fail at action time on a conf
+            # some caller unset between builds
+            if any(f.name == "ts" and f.dataType.simpleString() == "bigint"
+                   for f in cached.fields):
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.schema(cached).parquet(path)
         else:
             try:
@@ -85,7 +101,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # it here would fail the plan at action time.
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 df = spark.read.parquet(path)
-            _SCHEMA_CACHE[(sf_dir, name)] = df.schema
+            _SCHEMA_CACHE[key] = df.schema
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # legacy TIMESTAMP(NANOS) read as int64
             # exact integer floor division: `div` truncates toward zero,
@@ -114,7 +130,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return spark.read.schema(cached).parquet(path)
     df = spark.read.parquet(path)
-    _SCHEMA_CACHE[(sf_dir, name)] = df.schema
+    _SCHEMA_CACHE[key] = df.schema
     return df
 
 

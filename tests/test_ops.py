@@ -3169,3 +3169,39 @@ def test_lsh_md5_variant_same_shape_as_default(spark):
         for q, ranks in by_q.items():
             assert sorted(ranks) == list(range(1, len(ranks) + 1)), (fn, q, ranks)
         assert len(rows) > 0, fn
+
+
+def test_lsh_bucket_literal_planes_validate_dim(spark):
+    """The literal md5-plane path raises LOUDLY on a vector whose length
+    differs from ``dim=`` — zip_with would otherwise NULL-pad, the
+    projection would go NULL, and every plane bit would silently resolve
+    to 0 (wrong bucket, no error, oracle divergence)."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.similarity import lsh_bucket
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, v array<double>")
+    ok = df.select(lsh_bucket(F.col("v"), 2, hash_fn="md5", dim=3).alias("b")).collect()
+    assert len(ok) == 1
+    with _pytest.raises(Exception, match="vector length 3 != dim=4"):
+        df.select(lsh_bucket(F.col("v"), 2, hash_fn="md5", dim=4).alias("b")).collect()
+
+
+def test_cosine_pairs_assume_unit_matches_default(spark):
+    """``assume_unit=True`` on pre-normalized input returns the same pair
+    set as the default re-normalizing path (single vs double
+    normalization agree after the round(...,6) output contract) — the
+    flag exists so single-normalized arithmetic matches the oracle's
+    bit pattern, not to change results."""
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    unit = emb.select("vec_id", _unit(F.col("embedding")).alias("embedding"))
+    base = cosine_neardup_pairs(emb, threshold=0.45, n_blocks=2)
+    fast = cosine_neardup_pairs(unit, threshold=0.45, n_blocks=2, assume_unit=True)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, fast.collect()))

@@ -97,3 +97,38 @@ def test_write_training_shards_round_trip(spark, tmp_path):
     one = spark.read.parquet(out + "/shard=0").select("pos").collect()
     poses = [r.pos for r in one]
     assert poses == sorted(poses), "rows must be stored in training order"
+
+
+def test_schema_cache_invalidates_on_regenerated_file(spark, tmp_path):
+    """Regenerating the parquet at the SAME path must not be read with a
+    stale cached schema: the cache key carries the file mtime."""
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "events.parquet")
+    _write_events_nanos(path, [1_000, 2_000])
+    assert {r["ts_ns"] for r in load_table(spark, sf_dir, "events").collect()} == {
+        1_000,
+        2_000,
+    }
+    # regenerate with different contents (and bump mtime explicitly —
+    # two writes can land in the same mtime tick on coarse filesystems)
+    _write_events_nanos(path, [5_000, 6_000, 7_000])
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+    got = {r["ts_ns"] for r in load_table(spark, sf_dir, "events").collect()}
+    assert got == {5_000, 6_000, 7_000}
+
+
+def test_cached_nanos_branch_reasserts_conf(spark, tmp_path):
+    """The cached-schema events branch must re-set nanosAsLong: the conf
+    is per-session and consulted at SCAN time, so a caller unsetting it
+    between builds would otherwise fail the lazy read at action time."""
+    sf_dir = str(tmp_path)
+    _write_events_nanos(os.path.join(sf_dir, "events.parquet"), [1_000, 2_000])
+    load_table(spark, sf_dir, "events").collect()  # populates the cache
+    try:
+        spark.conf.unset(NANOS_CONF)
+    except Exception:
+        pass
+    # cached branch: must succeed because load_table re-asserts the conf
+    assert load_table(spark, sf_dir, "events").count() == 2
+    assert spark.conf.get(NANOS_CONF) == "true"
