@@ -227,6 +227,64 @@ u AS (SELECT vec_id, {unit} AS uv FROM v)
         }
     )
 
+    # 7. vector_ann_topk ivf_packed section (round 8): the float 'ivf'
+    #    section is class B (sequential fold both engines → identical
+    #    bits), but the packed side computes its dots with an Arrow
+    #    einsum (pairwise accumulation) vs DuckDB's sequential
+    #    list_dot_product — class-C-like accumulation spread.  Two
+    #    round-6 grids gate hashes: the assignment sims (argmax over
+    #    cents) and the re-rank cos_sim.  Measure both over their FULL
+    #    candidate sets (every vec×cent, every query×vec — supersets of
+    #    what the query actually ranks, so the margins are conservative).
+    from pyspark_dist_explore_spark.plans.llm_ops import (
+        _IVF_CELLS,
+        _IVF_QUERIES,
+    )
+    from pyspark_dist_explore_spark.operators.similarity import quantize_codes_sql
+
+    dq_ctes = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+u AS (SELECT vec_id, {unit} AS uv FROM v),
+cents AS (SELECT vec_id AS cent_id, uv AS cv FROM u WHERE vec_id < {_IVF_CELLS}),
+q AS (SELECT vec_id AS query_id, uv AS qv FROM u WHERE vec_id < {_IVF_QUERIES}),
+codes AS ({quantize_codes_sql("SELECT vec_id, embedding FROM embeddings")}),
+ex AS (SELECT generate_subscripts(ve, 1) AS d, unnest(ve) AS x FROM v),
+mmtab AS (SELECT d, min(x) AS lo, max(x) AS hi FROM ex GROUP BY d),
+mml AS (SELECT list(lo ORDER BY d) AS los FROM mmtab),
+mmh AS (SELECT list(hi ORDER BY d) AS his FROM mmtab),
+dq AS (
+  SELECT c.vec_id,
+         list_transform(list_zip(c.codes, range(1, len(c.codes) + 1)),
+           p -> mml.los[p[2]] + CAST(p[1] AS DOUBLE)
+                * (mmh.his[p[2]] - mml.los[p[2]]) / 255.0) AS xv
+  FROM codes c, mml, mmh
+),
+du AS (SELECT vec_id, {unit.replace('ve', 'xv')} AS uv FROM dq)
+"""
+    reports.append(
+        margin_report(
+            "vector_ann_topk.ivf_packed assignment sim",
+            fetch(
+                con,
+                dq_ctes
+                + "SELECT list_dot_product(d.uv, c.cv) AS v FROM du d, cents c",
+            ),
+            6,
+        )
+    )
+    reports.append(
+        margin_report(
+            "vector_ann_topk.ivf_packed cos_sim",
+            fetch(
+                con,
+                dq_ctes
+                + "SELECT list_dot_product(q.qv, d.uv) AS v FROM du d, q "
+                "WHERE d.vec_id <> q.query_id",
+            ),
+            6,
+        )
+    )
+
     con.close()
     for r in reports:
         print(

@@ -513,6 +513,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+    assign_round: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize into inverted lists, probe the
     ``n_probe`` nearest lists, exact re-rank inside them.
@@ -524,24 +526,66 @@ def ivf_topk(
     ABSOLUTELY at ``max_fit_rows`` (the ratio alone would still grow
     with the corpus).  At scale each query scans ~``n_probe/n_centroids`` of the corpus
     instead of all of it, and the inverted lists are the shuffle key.
+
+    ``centroids=`` (a ``(cent_id, cv)`` frame, cv unit-normalized)
+    skips the KMeans fit entirely — the same deterministic-form move as
+    :func:`semantic_pairs`: caller-provided cells make the whole
+    assignment → probe-selection → re-rank chain fully lazy AND
+    SQL-expressible, which is what lets the registered
+    ``vector_ann_topk`` query be DuckDB-hash-checked (an ML fit is
+    not).  In this form every dot product is the sequential JVM fold
+    (:func:`dot` — left-to-right like DuckDB's ``list_dot_product``, so
+    both engines share the very bits, not just rounded values) instead
+    of the Arrow einsum, and ``assign_round=`` rounds the assignment
+    AND probe-selection similarities to that many decimals before their
+    argmax / top-``n_probe`` windows — the oracle twin rounds
+    identically, so both engines rank the same grid.  A production
+    pipeline uses the same form to keep list assignments stable across
+    incremental index builds.
     """
     v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
-    cents = F.broadcast(
-        kmeans_centroids(
-            v,
-            n_centroids,
-            id_col="vec_id",
-            fit_sample_mod=fit_sample_mod,
-            max_fit_rows=max_fit_rows,
+    if centroids is not None:
+        missing = {"cent_id", "cv"} - set(centroids.columns)
+        if missing:
+            raise ValueError(
+                f"centroids frame missing column(s): {sorted(missing)} "
+                "(expected (cent_id, cv) with cv unit-normalized)"
+            )
+        cents = F.broadcast(
+            centroids.select("cent_id", F.col("cv").cast("array<double>").alias("cv"))
         )
-    )
+
+        def _sim(a: Column, b: Column) -> Column:
+            s = dot(a, b)
+            return F.round(s, assign_round) if assign_round is not None else s
+
+        def _rerank(a: Column, b: Column) -> Column:
+            return F.round(dot(a, b), 6)
+
+    else:
+        cents = F.broadcast(
+            kmeans_centroids(
+                v,
+                n_centroids,
+                id_col="vec_id",
+                fit_sample_mod=fit_sample_mod,
+                max_fit_rows=max_fit_rows,
+            )
+        )
+
+        def _sim(a: Column, b: Column) -> Column:
+            return _dot_arrow(a, b)
+
+        def _rerank(a: Column, b: Column) -> Column:
+            return F.round(_dot_arrow(a, b), 6)
+
     # nearest-centroid assignment as max_by aggregation: map-side partial
     # aggregation collapses the n_centroids× replicated crossJoin output
     # back to N rows BEFORE the shuffle (a row_number window here would
     # shuffle the full replicated corpus just to pick each vector's max)
     assigned = (
         v.crossJoin(cents)
-        .select("vec_id", "vv", "cent_id", _dot_arrow(F.col("vv"), F.col("cv")).alias("sim"))
+        .select("vec_id", "vv", "cent_id", _sim(F.col("vv"), F.col("cv")).alias("sim"))
         .groupBy("vec_id")
         .agg(
             F.max_by(
@@ -559,7 +603,7 @@ def ivf_topk(
     )
     probes = (
         q.crossJoin(cents)
-        .select("query_id", "qv", "cent_id", _dot_arrow(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "qv", "cent_id", _sim(F.col("qv"), F.col("cv")).alias("sim"))
         .withColumn("rn", F.row_number().over(w_probe))
         .where(F.col("rn") <= n_probe)
         .select("query_id", "qv", "cent_id")
@@ -570,7 +614,7 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot_arrow(F.col("qv"), F.col("vv")), 6).alias("cos_sim"),
+            _rerank(F.col("qv"), F.col("vv")).alias("cos_sim"),
         )
         .distinct()  # a (query, vec) pair can meet in several probed lists
     )
@@ -981,6 +1025,8 @@ def ivf_topk_packed(
     bits: int = 8,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    assign_round: int | None = None,
 ) -> DataFrame:
     """IVF ANN over PACKED int8 codes — the composed 100 TB path:
     bucketed candidate generation (scan ~n_probe/n_centroids of the
@@ -993,10 +1039,22 @@ def ivf_topk_packed(
     (~1/``fit_sample_mod``) row-locally in the JVM.  With
     ``n_probe == n_centroids`` the result is exactly
     :func:`topk_quantized` (every list scanned) — pinned in pytest.
+
+    ``centroids=`` (``(cent_id, cv)``, cv unit-normalized) skips the
+    KMeans fit — the deterministic form (see :func:`ivf_topk`).  Unlike
+    the float form this KEEPS the packed Arrow arithmetic (that IS the
+    serving path being checked); determinism needs only fixed cells.
+    ``assign_round=`` rounds assignment and probe-selection sims before
+    their argmax / top-``n_probe`` windows so an oracle twin computing
+    the same dequantized values by a different summation order ranks
+    the same grid (the re-rank output is round-6 by contract already).
     """
     arrs = _minmax_row(minmax)
     _dot_packed = _make_dot_packed(bits)
     levels = float((1 << bits) - 1)
+
+    def _asim(c: Column) -> Column:
+        return F.round(c, assign_round) if assign_round is not None else c
 
     # fit-side dequantization (sample only): codes -> lo + c*(hi-lo)/levels,
     # a row-local JVM transform — no Python, no shuffle
@@ -1011,18 +1069,29 @@ def ivf_topk_packed(
             / F.lit(levels),
         )
 
-    fit_src = quantized.crossJoin(F.broadcast(arrs)).select(
-        "vec_id", _unit(_dequant(F.col("codes"))).alias("vv")
-    )
-    cents = F.broadcast(
-        kmeans_centroids(
-            fit_src,
-            n_centroids,
-            id_col="vec_id",
-            fit_sample_mod=fit_sample_mod,
-            max_fit_rows=max_fit_rows,
+    if centroids is not None:
+        missing = {"cent_id", "cv"} - set(centroids.columns)
+        if missing:
+            raise ValueError(
+                f"centroids frame missing column(s): {sorted(missing)} "
+                "(expected (cent_id, cv) with cv unit-normalized)"
+            )
+        cents = F.broadcast(
+            centroids.select("cent_id", F.col("cv").cast("array<double>").alias("cv"))
         )
-    )
+    else:
+        fit_src = quantized.crossJoin(F.broadcast(arrs)).select(
+            "vec_id", _unit(_dequant(F.col("codes"))).alias("vv")
+        )
+        cents = F.broadcast(
+            kmeans_centroids(
+                fit_src,
+                n_centroids,
+                id_col="vec_id",
+                fit_sample_mod=fit_sample_mod,
+                max_fit_rows=max_fit_rows,
+            )
+        )
     # nearest-centroid assignment over packed codes: same map-side
     # max_by collapse as ivf_topk, but the corpus column is 1 byte/dim
     assigned = (
@@ -1033,7 +1102,9 @@ def ivf_topk_packed(
             "vec_id",
             "packed",
             "cent_id",
-            _dot_packed(F.col("packed"), F.col("cv"), F.col("los"), F.col("his")).alias("sim"),
+            _asim(
+                _dot_packed(F.col("packed"), F.col("cv"), F.col("los"), F.col("his"))
+            ).alias("sim"),
         )
         .groupBy("vec_id")
         .agg(
@@ -1054,7 +1125,19 @@ def ivf_topk_packed(
     )
     probes = (
         q.crossJoin(cents)
-        .select("query_id", "qv", "cent_id", _dot_arrow(F.col("qv"), F.col("cv")).alias("sim"))
+        .select(
+            "query_id",
+            "qv",
+            "cent_id",
+            # sequential fold in the deterministic form (same bits as the
+            # oracle's list_dot_product — queries are float-side, so this
+            # costs nothing at Q×K rows); Arrow einsum otherwise
+            _asim(
+                dot(F.col("qv"), F.col("cv"))
+                if centroids is not None
+                else _dot_arrow(F.col("qv"), F.col("cv"))
+            ).alias("sim"),
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .where(F.col("rn") <= n_probe)
         .select("query_id", "qv", "cent_id")

@@ -1259,33 +1259,130 @@ def _q_neardup_containment_staged(spark: SparkSession, sf_dir: str) -> DataFrame
     return q_neardup_containment(spark, sf_dir, stage=True)
 
 
-@register("vector_ann_topk", None)  # probe subsets differ from full scan → rows-only
+#: fixed IVF cells for the oracle-checked deterministic form — the unit
+#: embeddings of vec_id < _IVF_CELLS act as centroids (the exact move
+#: that made SemDeDup's assignment hash-checkable, applied to IVF's
+#: nearest-centroid assignment + n_probe cell selection + re-rank)
+_IVF_CELLS = 16
+_IVF_PROBE = 4
+_IVF_QUERIES = 20
+
+
+def _ivf_oracle() -> str:
+    """DuckDB twin of the registered ``vector_ann_topk``: the fixed-cell
+    IVF chain twice — once over the float unit vectors (``method='ivf'``,
+    sequential-fold dots share the very BITS with Spark's JVM fold) and
+    once over the int8-dequantized vectors (``method='ivf_packed'``: the
+    codes CTE is the proven ``quantize_codes_sql`` twin, dequantization
+    ``lo + c*(hi-lo)/255`` is bit-exact on both engines, and the
+    normalize/dot wobble vs the Arrow einsum is absorbed by the round-6
+    grids BEFORE every argmax — margins measured in knife_probe.py)."""
+    codes_sql = similarity.quantize_codes_sql("SELECT vec_id, embedding FROM embeddings")
+    ranked = (
+        "SELECT query_id, vec_id, cos_sim, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM {src}"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+{_UNIT_CTE},
+q AS (SELECT vec_id AS query_id, uv AS qv FROM u WHERE vec_id < {_IVF_QUERIES}),
+cents AS (SELECT vec_id AS cent_id, uv AS cv FROM u WHERE vec_id < {_IVF_CELLS}),
+probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.query_id, q.qv, c.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, c.cv), 6) DESC, c.cent_id ASC) AS rn
+    FROM q, cents c
+  ) WHERE rn <= {_IVF_PROBE}
+),
+asg AS (
+  SELECT vec_id, uv, cent_id FROM (
+    SELECT u.vec_id, u.uv, c.cent_id,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY round(list_dot_product(u.uv, c.cv), 6) DESC, c.cent_id ASC) AS rn
+    FROM u, cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT DISTINCT p.query_id, a.vec_id,
+         round(list_dot_product(p.qv, a.uv), 6) AS cos_sim
+  FROM asg a JOIN probes p USING (cent_id)
+  WHERE a.vec_id <> p.query_id
+),
+codes AS ({codes_sql}),
+ex AS (SELECT generate_subscripts(ve, 1) AS d, unnest(ve) AS x FROM v),
+mmtab AS (SELECT d, min(x) AS lo, max(x) AS hi FROM ex GROUP BY d),
+mml AS (SELECT list(lo ORDER BY d) AS los FROM mmtab),
+mmh AS (SELECT list(hi ORDER BY d) AS his FROM mmtab),
+dq AS (
+  SELECT c.vec_id,
+         list_transform(list_zip(c.codes, range(1, len(c.codes) + 1)),
+           p -> mml.los[p[2]] + CAST(p[1] AS DOUBLE)
+                * (mmh.his[p[2]] - mml.los[p[2]]) / 255.0) AS xv
+  FROM codes c, mml, mmh
+),
+du AS (SELECT vec_id, {_UNIT.format(v='xv')} AS uv FROM dq),
+pasg AS (
+  SELECT vec_id, uv, cent_id FROM (
+    SELECT d.vec_id, d.uv, c.cent_id,
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY round(list_dot_product(d.uv, c.cv), 6) DESC, c.cent_id ASC) AS rn
+    FROM du d, cents c
+  ) WHERE rn = 1
+),
+pscored AS (
+  SELECT DISTINCT p.query_id, a.vec_id,
+         round(list_dot_product(p.qv, a.uv), 6) AS cos_sim
+  FROM pasg a JOIN probes p USING (cent_id)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT 'ivf' AS method, query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
+FROM ({ranked.format(src='scored')}) WHERE rank <= 5
+UNION ALL
+SELECT 'ivf_packed' AS method, query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
+FROM ({ranked.format(src='pscored')}) WHERE rank <= 5
+"""
+
+
+@register("vector_ann_topk", _ivf_oracle())
 def q_vector_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN scale paths for similarity search in one tagged result:
+    """The IVF ANN scale paths, PROMOTED from rows-only to a hash-checked
+    oracle (round 8) via fixed centroids — the exact pattern that made
+    SemDeDup and md5-plane LSH checkable in round 7:
 
-    - ``ivf``: the PACKED int8 serving path (round 6 — the form users
-      would actually run at 100 TB: quantize to 1 byte/dim, hash-sample
-      KMeans fit on dequantized samples, n_probe probing, Arrow
-      packed-dot re-rank; vectors stay packed through every shuffle);
-    - ``lsh``: deterministic random-hyperplane buckets, exact re-rank
-      inside the query's bucket.
+    - ``ivf``: float IVF with caller-fixed cells (the unit embeddings of
+      vec_id < 16) and round-6 assignment/probe grids — assignment,
+      n_probe cell selection, and exact re-rank ALL hash-checked (the
+      sequential-fold dots share bits with DuckDB's list_dot_product);
+    - ``ivf_packed``: the PACKED int8 serving path (the form users run
+      at 100 TB: 1 byte/dim through every shuffle, Arrow packed-dot) on
+      the same fixed cells — the oracle dequantizes the proven
+      quantization codes and walks the identical chain.
 
-    Same (query_id, rank, vec_id, cos_sim) shape per method — recall
-    floors, full-probe==packed-scan, and the float-IVF variant
-    (``similarity.ivf_topk``, still callable) are pytest-pinned.
+    The KMeans-fit forms (``similarity.ivf_topk`` /
+    ``ivf_topk_packed`` without ``centroids=``) and the xxhash64 LSH
+    path stay callable, pytest-pinned (recall floors,
+    full-probe==packed-scan, float-vs-packed agreement); the md5-plane
+    LSH ANN is hash-checked inside ``vector_exact_search``.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 20).select(
+    queries = emb.where(F.col("vec_id") < _IVF_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = emb.where(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        similarity._unit(F.col("embedding")).alias("cv"),
+    )
+    ivf = similarity.ivf_topk(
+        emb, queries, k=5, n_probe=_IVF_PROBE, centroids=cents, assign_round=6
     )
     mm = similarity.dimension_minmax(emb, vec_col="embedding")
     quant = similarity.quantize_embeddings(emb, mm, id_col="vec_id", vec_col="embedding")
-    ivf = similarity.ivf_topk_packed(
-        quant, mm, queries, k=5, n_centroids=16, n_probe=4
+    packed = similarity.ivf_topk_packed(
+        quant, mm, queries, k=5, n_probe=_IVF_PROBE, centroids=cents, assign_round=6
     )
-    lsh = similarity.ann_lsh_topk(emb, queries, k=5, n_planes=4)
     return ivf.select(F.lit("ivf").alias("method"), "*").unionAll(
-        lsh.select(F.lit("lsh").alias("method"), "*")
+        packed.select(F.lit("ivf_packed").alias("method"), "*")
     )
 
 

@@ -3205,3 +3205,101 @@ def test_cosine_pairs_assume_unit_matches_default(spark):
     base = cosine_neardup_pairs(emb, threshold=0.45, n_blocks=2)
     fast = cosine_neardup_pairs(unit, threshold=0.45, n_blocks=2, assume_unit=True)
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_ivf_fixed_centroids_full_probe_equals_exact(spark):
+    """The deterministic fixed-centroid IVF form (what the registered
+    vector_ann_topk hash-checks) degrades to brute force when every cell
+    is probed: n_probe == n_cells means scored == the full corpus, so
+    the result must equal exact_topk row for row (the sequential-fold
+    re-rank and the Arrow-einsum re-rank agree at the round-6 output
+    contract)."""
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        exact_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), _unit(F.col("embedding")).alias("cv")
+    )
+    full = ivf_topk(
+        emb, q, k=5, n_probe=8, centroids=cents, assign_round=6
+    ).collect()
+    exact = exact_topk(emb, q, k=5).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
+
+
+def test_ivf_fixed_centroids_validate_inputs(spark):
+    """Bad centroids frames fail loudly at build on both IVF forms."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        dimension_minmax,
+        ivf_topk,
+        ivf_topk_packed,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    bad = emb.limit(2)  # wrong columns entirely
+    with _pytest.raises(ValueError, match="cent_id"):
+        ivf_topk(emb, q, centroids=bad)
+    mm = dimension_minmax(emb)
+    quant = quantize_embeddings(emb, mm)
+    with _pytest.raises(ValueError, match="cent_id"):
+        ivf_topk_packed(quant, mm, q, centroids=bad)
+
+
+def test_ivf_packed_fixed_centroids_same_cells_as_float(spark):
+    """With the same fixed cells and round-6 grids, the packed form's
+    PROBE SELECTION matches the float form's (query-side arithmetic is
+    identical — float qv vs float cv); corpus-side assignments may
+    differ only where int8 quantization moved a vector across a cell
+    boundary, so spot-check agreement is high but not required to be
+    total.  What IS required: both forms return well-formed per-query
+    rankings over the same query set."""
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        dimension_minmax,
+        ivf_topk,
+        ivf_topk_packed,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), _unit(F.col("embedding")).alias("cv")
+    )
+    mm = dimension_minmax(emb)
+    quant = quantize_embeddings(emb, mm)
+    f = ivf_topk(emb, q, k=5, n_probe=2, centroids=cents, assign_round=6).collect()
+    p = ivf_topk_packed(
+        quant, mm, q, k=5, n_probe=2, centroids=cents, assign_round=6
+    ).collect()
+    for rows in (f, p):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        assert set(by_q) == {0, 1, 2, 3, 4}
+        for qid, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), (qid, ranks)
+    # quantization at 8 bits rarely moves a vector across a cell
+    # boundary: demand substantial overlap between the two top-5 sets
+    fs = {(r.query_id, r.vec_id) for r in f}
+    ps = {(r.query_id, r.vec_id) for r in p}
+    assert len(fs & ps) / len(fs) >= 0.6, (fs, ps)
