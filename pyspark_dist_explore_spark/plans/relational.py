@@ -714,52 +714,164 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d_long.unionAll(p_long)
 
 
-@register("approx_sketches", None)  # sketch-based (HLL / KLL / histogram_numeric) → rows-only
-def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X7: the one-scan sketch family in a single long-format result —
-    ``histogram_numeric`` (data-adaptive bin centers), HLL
-    ``approx_count_distinct`` and KLL ``percentile_approx`` per group.
-    Sketches differ from DuckDB's by algorithm → rows-only here; pytest
-    bounds each against its exact counterpart (test_ops sketch bounds).
+#: HLL acceptance band: approx_count_distinct's rsd parameter is the
+#: RELATIVE STANDARD DEVIATION of the estimate, not a hard bound — 3σ
+#: gives a band the deterministic sketch clears with huge headroom on
+#: any fixed dataset (verified at sf0.001/0.01/0.1)
+_HLL_RSD = 0.05
+_HLL_BAND = 3 * _HLL_RSD
+#: percentile_approx(accuracy) guarantees rank error <= 1/accuracy — a
+#: HARD deterministic bound (Greenwald-Khanna family), checked exactly
+_KLL_ACCURACY = 10000
+_APPROX_BINS = 20
 
-    Long format ``(sketch, key, metric, value)`` so the three sketches
-    union into one frame.
-    """
+_SKETCH_BOUND_ORACLE = """
+SELECT 'hll' AS sketch, l_returnflag AS key, 'distinct_parts' AS metric,
+       CAST(count(DISTINCT l_partkey) AS DOUBLE) AS value,
+       CAST(1 AS INT) AS within_bound
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'kll', l_returnflag, 'median_quantity',
+       round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6), CAST(1 AS INT)
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'hist_numeric', 'all', 'rows', CAST(count(*) AS DOUBLE), CAST(1 AS INT)
+FROM lineitem
+UNION ALL
+SELECT 'hist_numeric', 'all', 'price_min',
+       CAST(min(l_extendedprice) AS DOUBLE), CAST(1 AS INT) FROM lineitem
+UNION ALL
+SELECT 'hist_numeric', 'all', 'price_max',
+       CAST(max(l_extendedprice) AS DOUBLE), CAST(1 AS INT) FROM lineitem
+UNION ALL
+SELECT 'hist_numeric', 'all', 'n_buckets', 20.0, CAST(1 AS INT)
+"""
+
+
+@register("approx_sketches", _SKETCH_BOUND_ORACLE)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 sketches, PROMOTED from rows-only to a bound-check oracle
+    (round 8): sketch estimates can never hash-match a different
+    engine's sketch, but their published error bounds CAN be
+    driver-checked — every hashed ``value`` is an EXACT statistic both
+    engines compute identically, and ``within_bound`` folds the sketch
+    into the hash as a 0/1 verdict the oracle expects to be 1.  If any
+    sketch ever lands outside its bound, the Spark side emits 0 and the
+    driver's value-hash catches it.
+
+    - ``hll`` rows: value = exact ``count(DISTINCT l_partkey)`` per
+      flag; within_bound ⇔ ``approx_count_distinct`` (rsd 0.05) is
+      within 3·rsd of it.
+    - ``kll`` rows: value = exact interpolated median of l_quantity;
+      within_bound ⇔ ``percentile_approx``'s result has exact rank
+      within the HARD ``1/accuracy`` Greenwald-Khanna guarantee.
+    - ``hist_numeric`` rows: value ∈ {exact row count, exact price
+      min/max, the bins parameter}; within_bound ⇔ the sketch's
+      weights sum back to the row count, its bucket count is within
+      [1, bins], and every data-adaptive center lies inside
+      [min, max].
+
+    Two scans of lineitem by design (sketch pass + exact/rank pass —
+    verification needs the exact counterpart regardless); all joined
+    frames are ≤ groups rows and broadcast.  The raw sketch SHAPES stay
+    pytest-pinned (test_ops sketch bounds)."""
     li = load_table(spark, sf_dir, "lineitem")
-    # ONE histogram_numeric execution unpivoted to long format — two
-    # separate builds would scan lineitem twice AND could emit center and
-    # weight rows from two different sketches (merge-order-dependent)
-    h = (
-        histogram_approx(li, "l_extendedprice", bins=20)
-        .unpivot(
-            ids=["bucket"],
-            values=["center", "weight"],
-            variableColumnName="metric",
-            valueColumnName="value",
+    qty = F.col("l_quantity").cast("double")
+    eps = 1.0 / _KLL_ACCURACY
+
+    sk = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", _HLL_RSD).alias("approx_parts"),
+        F.percentile_approx(
+            "l_quantity", F.lit(0.5), F.lit(_KLL_ACCURACY)
+        ).cast("double").alias("approx_median"),
+    )
+    # exact counterpart + the approx median's exact rank in ONE pass
+    # (the sketch row is broadcast back onto the scan)
+    chk = (
+        li.join(F.broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("exact_median"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((qty < F.col("approx_median")).cast("long")).alias("lt"),
+            F.sum((qty <= F.col("approx_median")).cast("long")).alias("le"),
+            F.first("approx_parts").alias("approx_parts"),
+        )
+    )
+    hll = chk.select(
+        F.lit("hll").alias("sketch"),
+        F.col("l_returnflag").alias("key"),
+        F.lit("distinct_parts").alias("metric"),
+        F.col("exact_parts").cast("double").alias("value"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.lit(_HLL_BAND) * F.col("exact_parts")
+        ).cast("int").alias("within_bound"),
+    )
+    kll = chk.select(
+        F.lit("kll").alias("sketch"),
+        F.col("l_returnflag").alias("key"),
+        F.lit("median_quantity").alias("metric"),
+        F.col("exact_median").alias("value"),
+        (
+            (F.col("lt") / F.col("n") <= F.lit(0.5) + F.lit(eps))
+            & (F.col("le") / F.col("n") >= F.lit(0.5) - F.lit(eps))
+        ).cast("int").alias("within_bound"),
+    )
+    # histogram_numeric: collapse the sketch to its invariants, check
+    # them against the exact scan stats (both frames are 1 row)
+    h = histogram_approx(li, "l_extendedprice", bins=_APPROX_BINS)
+    hs = h.groupBy().agg(
+        F.sum("weight").alias("w_sum"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min("center").alias("c_min"),
+        F.max("center").alias("c_max"),
+    )
+    tot = li.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("l_extendedprice").cast("double")).alias("p_min"),
+        F.max(F.col("l_extendedprice").cast("double")).alias("p_max"),
+    )
+    hchk = hs.crossJoin(F.broadcast(tot))
+    hist_rows = (
+        hchk.select(
+            F.lit("rows").alias("metric"),
+            F.col("n").cast("double").alias("value"),
+            (F.abs(F.col("w_sum") - F.col("n")) < F.lit(0.5)).cast("int").alias("within_bound"),
+        )
+        .unionAll(
+            hchk.select(
+                F.lit("price_min").alias("metric"),
+                F.col("p_min").alias("value"),
+                (F.col("c_min") >= F.col("p_min")).cast("int").alias("within_bound"),
+            )
+        )
+        .unionAll(
+            hchk.select(
+                F.lit("price_max").alias("metric"),
+                F.col("p_max").alias("value"),
+                (F.col("c_max") <= F.col("p_max")).cast("int").alias("within_bound"),
+            )
+        )
+        .unionAll(
+            hchk.select(
+                F.lit("n_buckets").alias("metric"),
+                F.lit(float(_APPROX_BINS)).alias("value"),
+                (
+                    (F.col("n_buckets") >= 1) & (F.col("n_buckets") <= _APPROX_BINS)
+                ).cast("int").alias("within_bound"),
+            )
         )
         .select(
             F.lit("hist_numeric").alias("sketch"),
-            F.col("bucket").cast("string").alias("key"),
+            F.lit("all").alias("key"),
             "metric",
-            F.col("value").cast("double").alias("value"),
+            "value",
+            "within_bound",
         )
     )
-    s = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median"),
-    )
-    stats_long = s.unpivot(
-        ids=["l_returnflag"],
-        values=["approx_parts", "approx_median"],
-        variableColumnName="metric",
-        valueColumnName="value",
-    ).select(
-        F.lit("group_stats").alias("sketch"),
-        F.col("l_returnflag").alias("key"),
-        "metric",
-        F.col("value").cast("double").alias("value"),
-    )
-    return h.unionAll(stats_long)
+    return hll.unionAll(kll).unionAll(hist_rows)
 
 
 # --------------------------------------------------------------------------

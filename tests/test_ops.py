@@ -3303,3 +3303,46 @@ def test_ivf_packed_fixed_centroids_same_cells_as_float(spark):
     fs = {(r.query_id, r.vec_id) for r in f}
     ps = {(r.query_id, r.vec_id) for r in p}
     assert len(fs & ps) / len(fs) >= 0.6, (fs, ps)
+
+
+def test_semantic_pairs_cell_budget_guard(spark):
+    """max_cell_rows: a cell larger than the budget fails LOUDLY at
+    execution time (naming the cell and the n_centroids recipe) instead
+    of silently going quadratic; a generous budget and None both pass."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        semantic_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # ONE centroid -> every vector lands in the same cell (the degenerate
+    # collapse the guard exists for)
+    cents = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("cent_id"), _unit(F.col("embedding")).alias("cv")
+    )
+    with _pytest.raises(Exception, match="max_partition_rows=10"):
+        semantic_pairs(
+            emb, threshold=0.45, n_blocks=2, centroids=cents, max_cell_rows=10
+        ).collect()
+    ok = semantic_pairs(
+        emb, threshold=0.45, n_blocks=2, centroids=cents, max_cell_rows=None
+    ).count()
+    big = semantic_pairs(
+        emb, threshold=0.45, n_blocks=2, centroids=cents, max_cell_rows=1 << 20
+    ).count()
+    assert ok == big
+
+
+def test_cosine_pairs_partition_budget_requires_partition_col(spark):
+    from pyspark_dist_explore_spark.operators.similarity import cosine_neardup_pairs
+    import pytest as _pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    with _pytest.raises(ValueError, match="requires partition_col"):
+        cosine_neardup_pairs(emb, max_partition_rows=10)
