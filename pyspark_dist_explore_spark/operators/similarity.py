@@ -125,6 +125,7 @@ def cosine_neardup_pairs(
     n_blocks: int = 8,
     partition_col: str | None = None,
     assume_unit: bool = False,
+    max_partition_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
@@ -143,6 +144,16 @@ def cosine_neardup_pairs(
     sub-quadratic shape :func:`semantic_dedup` needs — all-pairs WITHIN
     a centroid bucket, never across buckets — while the block tiling
     still caps each matmul when a partition is skewed.
+
+    ``max_partition_rows=`` (with ``partition_col``) is the quadratic
+    WORK guard the tiling cannot be: tiling bounds each matmul's
+    MEMORY, but a partition of S rows still costs O(S²) dots however
+    it is tiled.  When set, partition sizes ride along as one extra
+    aggregated column (≤ #partitions rows, broadcast back — no extra
+    scan of the vectors) and any block whose partition exceeds the
+    budget raises a loud ValueError at execution time naming the
+    partition and the fix, instead of silently grinding through a
+    quadratic cell.
 
     ``assume_unit=True`` declares the input vectors ALREADY
     unit-normalized and skips the `_unit` pass: callers that normalized
@@ -195,10 +206,16 @@ def cosine_neardup_pairs(
             ]
         )
     )
+    if max_partition_rows is not None and partition_col is None:
+        raise ValueError("max_partition_rows requires partition_col")
     keep = ["id", "v", "blk"] + (["part"] if partition_col else [])
     rep = v.select(*keep, pair_key.alias("p")).select(
         *keep, F.col("p.pk").alias("pk"), F.col("p.side").alias("side")
     )
+    if max_partition_rows is not None:
+        sizes = v.groupBy("part").agg(F.count(F.lit(1)).alias("part_n"))
+        rep = rep.join(F.broadcast(sizes), "part")
+        keep = keep + ["part_n"]
 
     out_schema = _ST(
         [_SF("id_a", id_type), _SF("id_b", id_type), _SF("cos_sim", _D())]
@@ -206,6 +223,16 @@ def cosine_neardup_pairs(
     thr = float(threshold)
 
     def score_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_partition_rows is not None and len(pdf):
+            part_n = int(pdf["part_n"].iloc[0])
+            if part_n > max_partition_rows:
+                raise ValueError(
+                    f"cosine_neardup_pairs: partition {key[0]!r} holds "
+                    f"{part_n} rows > max_partition_rows={max_partition_rows}"
+                    " — a degenerate clustering went quadratic in one cell;"
+                    " raise n_centroids (SemDeDup's own recipe) or the"
+                    " budget"
+                )
         # with partition_col the group key is (part, pk): pk is LAST
         lo_blk, hi_blk = divmod(int(key[-1]), n_blocks)
         left = pdf[pdf["blk"] == lo_blk]
@@ -670,6 +697,7 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     assign_round: int | None = None,
     stage: bool = False,
+    max_cell_rows: int | None = 1 << 20,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with a capped KMeans
@@ -716,6 +744,10 @@ def semantic_dedup(
     The pair stage alone is :func:`semantic_pairs` (what
     ``pipeline.semantic_pair_fn`` plugs into ``curate_documents``).
 
+    ``max_cell_rows`` (default 2²⁰) hard-bounds the quadratic work any
+    single cell may cost — see :func:`semantic_pairs`, which enforces
+    it; a degenerate fit errors loudly instead of grinding.
+
     ``stage=True`` ``localCheckpoint``s the pair frame before the
     cluster resolution (the repo-wide staging pattern): the lazy
     ``resolve_rounds``-round propagation references the edge list every
@@ -737,6 +769,7 @@ def semantic_dedup(
         max_fit_rows=max_fit_rows,
         centroids=centroids,
         assign_round=assign_round,
+        max_cell_rows=max_cell_rows,
     )
     if stage:
         pairs = pairs.localCheckpoint()
@@ -761,13 +794,25 @@ def semantic_pairs(
     max_fit_rows: int | None = 1 << 18,
     centroids: DataFrame | None = None,
     assign_round: int | None = None,
+    max_cell_rows: int | None = 1 << 20,
 ) -> DataFrame:
     """The pair stage of :func:`semantic_dedup`: KMeans (or fixed) cell
     assignment → exact blocked-matmul cosine pairs WITHIN each cell,
     ``(id_a, id_b, cos_sim)`` with ``id_a < id_b`` and ``cos_sim ≥
     threshold``.  See :func:`semantic_dedup` for semantics and the 100 TB
     shape; this form exists so the pipeline's cluster-resolution stage
-    can consume semantic pairs like any other ``pair_fn`` output."""
+    can consume semantic pairs like any other ``pair_fn`` output.
+
+    ``max_cell_rows`` (default 2²⁰ ≈ 1M) hard-bounds the quadratic WORK
+    a single cell may cost: the block tiling bounds each matmul's
+    memory, but a cell of S rows still pays O(S²) dots however tiled —
+    a degenerate KMeans fit that collapses the corpus into one cell
+    would otherwise grind silently.  Above the budget the pair stage
+    raises a loud execution-time error naming the cell and the fix
+    (raise ``n_centroids`` — the paper's own scaling recipe).  The
+    default permits ~5·10¹¹ dots per worst-case cell before erroring —
+    past any sane per-cell budget but far below silent-weeks territory;
+    ``None`` disables."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
@@ -828,6 +873,7 @@ def semantic_pairs(
         # needed the unit vectors); re-normalizing would perturb last-ulp
         # bits vs the single-normalized oracle uv
         assume_unit=True,
+        max_partition_rows=max_cell_rows,
     )
 
 

@@ -532,6 +532,37 @@ def main() -> None:
                       "base_1x": base1, "base_10x": base10,
                       "ratio": round(t10 / t1, 2)}))
 
+    # -- skewed-cell pair stage: one cell = 50% of vectors ----------------
+    # (the max_cell_rows guard's companion measurement: the block tiling
+    # bounds each matmul's MEMORY under skew, and this probe records the
+    # WALL cost of a 50%-collapsed cell vs a balanced 16-cell split at
+    # the same N.  Expected ~4× work: balanced does 16·(N/16)²/2 ≈ N²/32
+    # dots, skewed (N/2)²/2 + 15·(N/30)²/2 ≈ N²/8.  The guard turns the
+    # silent version of this cliff into a loud error at scale.)
+    from pyspark_dist_explore_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    def run_pairs(d: DataFrame, part_expr) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        n = cosine_neardup_pairs(
+            d.withColumn("cell", part_expr),
+            threshold=0.95,
+            n_blocks=4,
+            partition_col="cell",
+        ).count()
+        return round(time.perf_counter() - t0, 3), n
+
+    balanced = F.pmod(F.col("vec_id"), F.lit(16))
+    skewed = F.when(F.pmod(F.col("vec_id"), F.lit(2)) == 0, F.lit(0)).otherwise(
+        F.pmod(F.col("vec_id"), F.lit(16))
+    )
+    tb, nb = run_pairs(with_twins(emb10r), balanced)
+    ts, ns = run_pairs(with_twins(emb10r), skewed)
+    print(json.dumps({"probe": "skewed_cell_pairs", "t_balanced": tb,
+                      "t_skewed_50pct": ts, "pairs_balanced": nb,
+                      "pairs_skewed": ns, "ratio": round(ts / tb, 2)}))
+
     # -- int8-quantized top-k scan: 10× vectors, recall vs exact -----------
     # (the memory lever: the scan side is packed bytes, 1 B/dim; the probe
     # records the byte shrink alongside time AND recall@5 so the 4× memory
