@@ -148,12 +148,17 @@ def cosine_neardup_pairs(
     ``max_partition_rows=`` (with ``partition_col``) is the quadratic
     WORK guard the tiling cannot be: tiling bounds each matmul's
     MEMORY, but a partition of S rows still costs O(S²) dots however
-    it is tiled.  When set, partition sizes ride along as one extra
-    aggregated column (≤ #partitions rows, broadcast back — no extra
-    scan of the vectors) and any block whose partition exceeds the
-    budget raises a loud ValueError at execution time naming the
-    partition and the fix, instead of silently grinding through a
-    quadratic cell.
+    it is tiled.  Enforcement is per BLOCK inside the existing Arrow
+    groups — zero extra scans (counting partitions exactly would
+    re-execute the whole upstream subtree, e.g. a second full
+    assignment pass at 100 TB): a partition of S rows hash-splits into
+    ``n_blocks`` blocks of ~S/n_blocks, so any block exceeding
+    ``2·budget/n_blocks`` means its partition is, with overwhelming
+    probability, past the budget — the group raises a loud ValueError
+    naming the partition and the fix instead of silently grinding.  A
+    partition marginally over budget (< ~2×) may slip through; this is
+    a work guard against orders-of-magnitude blowups, not an exact
+    row-count contract.
 
     ``assume_unit=True`` declares the input vectors ALREADY
     unit-normalized and skips the `_unit` pass: callers that normalized
@@ -208,14 +213,17 @@ def cosine_neardup_pairs(
     )
     if max_partition_rows is not None and partition_col is None:
         raise ValueError("max_partition_rows requires partition_col")
+    # per-block budget with 2× slack for hash imbalance (see docstring);
+    # floor of 16 keeps tiny explicit budgets from tripping on noise
+    block_budget = (
+        max(2 * max_partition_rows // n_blocks, 16)
+        if max_partition_rows is not None
+        else None
+    )
     keep = ["id", "v", "blk"] + (["part"] if partition_col else [])
     rep = v.select(*keep, pair_key.alias("p")).select(
         *keep, F.col("p.pk").alias("pk"), F.col("p.side").alias("side")
     )
-    if max_partition_rows is not None:
-        sizes = v.groupBy("part").agg(F.count(F.lit(1)).alias("part_n"))
-        rep = rep.join(F.broadcast(sizes), "part")
-        keep = keep + ["part_n"]
 
     out_schema = _ST(
         [_SF("id_a", id_type), _SF("id_b", id_type), _SF("cos_sim", _D())]
@@ -223,15 +231,17 @@ def cosine_neardup_pairs(
     thr = float(threshold)
 
     def score_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        if max_partition_rows is not None and len(pdf):
-            part_n = int(pdf["part_n"].iloc[0])
-            if part_n > max_partition_rows:
+        if block_budget is not None:
+            n_here = int((pdf["side"] == 0).sum())
+            m_here = len(pdf) - n_here
+            if max(n_here, m_here) > block_budget:
+                est = max(n_here, m_here) * n_blocks
                 raise ValueError(
-                    f"cosine_neardup_pairs: partition {key[0]!r} holds "
-                    f"{part_n} rows > max_partition_rows={max_partition_rows}"
+                    f"cosine_neardup_pairs: partition {key[0]!r} holds a "
+                    f"block of {max(n_here, m_here)} rows (~{est}-row "
+                    f"partition) past max_partition_rows={max_partition_rows}"
                     " — a degenerate clustering went quadratic in one cell;"
-                    " raise n_centroids (SemDeDup's own recipe) or the"
-                    " budget"
+                    " raise n_centroids (SemDeDup's own recipe) or the budget"
                 )
         # with partition_col the group key is (part, pk): pk is LAST
         lo_blk, hi_blk = divmod(int(key[-1]), n_blocks)
@@ -809,7 +819,12 @@ def semantic_pairs(
     a degenerate KMeans fit that collapses the corpus into one cell
     would otherwise grind silently.  Above the budget the pair stage
     raises a loud execution-time error naming the cell and the fix
-    (raise ``n_centroids`` — the paper's own scaling recipe).  The
+    (raise ``n_centroids`` — the paper's own scaling recipe);
+    enforcement is per hash-block inside the existing Arrow groups
+    (zero extra corpus scans — see
+    :func:`cosine_neardup_pairs`'s ``max_partition_rows``), so a cell
+    marginally over budget (< ~2×) may slip through: it is a guard
+    against orders-of-magnitude blowups, not an exact contract.  The
     default permits ~5·10¹¹ dots per worst-case cell before erroring —
     past any sane per-cell budget but far below silent-weeks territory;
     ``None`` disables."""

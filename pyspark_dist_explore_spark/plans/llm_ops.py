@@ -1406,38 +1406,40 @@ _MEDIA_FIXTURE_DIR = _os.path.join(
 _MEDIA_FIXTURE_IDS = 100
 
 
-@register("multimodal_pipeline", None)  # Python-side decode → rows-only
+@register("multimodal_pipeline", None)  # decoded-CONTENT columns → rows-only
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full multimodal feature pipeline in one query, per doc_id:
+    """The multimodal decode pipeline's CONTENT-derived columns, per
+    doc_id — the genuinely non-SQL-expressible residue (round 8 shrank
+    this query: every deterministic feature — payload sizes, resize
+    dims, frame counts, sample rates, durations — moved into
+    ``multimodal_features``'s hash-checked image_meta/audio_meta
+    sections; what remains here requires running the codecs over
+    decoded arrays):
 
-    - **image**: deterministic BMP payloads decoded by the pure-stdlib
-      codec, nearest-neighbor resized map-side (``pixels_hash`` over the
-      RESIZED RGB bytes);
-    - **video**: 1→N frame-sample fan-out, counted back per doc;
+    - **image**: BMP decode → nearest-neighbor 8×8 resize →
+      ``pixels_hash`` (md5 of the RESIZED RGB bytes);
     - **audio**: real FILE ingestion — WAV files on disk read through
       ``spark.read.format("binaryFile")`` (the way a production media
-      bucket arrives), RIFF-decoded, 2× decimated, duration/RMS/peak.
+      bucket arrives), RIFF-decoded, 2× decimated → ``rms``/``peak``
+      over the sample array.
 
-    Payload bytes never cross a shuffle (all three branches extract
+    Payload bytes never cross a shuffle (both branches extract
     map-side; only small feature frames join on doc_id).
     """
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < _MEDIA_FIXTURE_IDS
     )
     payload = multimodal.attach_image_payload(docs, "doc_id")
-    resized = multimodal.resize_images(payload, width=8, height=8, decoder=multimodal.decode_bmp)
-    frames = (
-        multimodal.sample_frames(payload)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_frames"))
-    )
+    resized = multimodal.resize_images(
+        payload, width=8, height=8, decoder=multimodal.decode_bmp
+    ).select("doc_id", "pixels_hash")
     fixture = multimodal.write_media_fixture(
         _MEDIA_FIXTURE_DIR, range(_MEDIA_FIXTURE_IDS), kind="wav"
     )
     audio = multimodal.audio_features(
         multimodal.read_binary_media(spark, fixture + "/*.wav"), every_n=2
-    ).select("doc_id", "sample_rate", "duration_s", "rms", "peak")
-    return resized.join(frames, "doc_id").join(audio, "doc_id")
+    ).select("doc_id", "rms", "peak")
+    return resized.join(audio, "doc_id")
 
 
 @register("word2vec_topk", None)  # iterative ML fit → rows-only
@@ -1705,25 +1707,100 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: expected image payload size, computed from FIRST PRINCIPLES at
+#: registration (not read back from the codec under test): 3 concatenated
+#: 24-bit BMPs of the 16×12 default — the oracle literal the Spark side's
+#: REAL generated payload size must hash-match
+_IMG_W, _IMG_H, _IMG_FRAMES = 16, 12, 3
+_IMG_ROW_BYTES = (_IMG_W * 3 + 3) & ~3  # 4-byte-aligned BMP row stride
+_IMG_PAYLOAD_BYTES = (54 + _IMG_H * _IMG_ROW_BYTES) * _IMG_FRAMES
+_RESIZE_W = _RESIZE_H = 8
+#: audio expectations for the 4000-sample / 8000 Hz fixture decimated 2×
+_AUD_N, _AUD_RATE, _AUD_STEP = 4000, 8000, 2
+_AUD_DECIMATED = -(-_AUD_N // _AUD_STEP)  # ceil: samples[::step] length
+_AUD_META = f"{_AUD_RATE // _AUD_STEP}:{int(_AUD_N / _AUD_RATE * 1000)}"
+_IMG_META = f"{_RESIZE_W}:{_RESIZE_H}:{_IMG_FRAMES}"
+
+
 @register(
     "multimodal_features",
-    """
+    f"""
 SELECT doc_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        md5(text) AS content_hash,
        'text' AS modality
 FROM documents
+UNION ALL
+SELECT doc_id, CAST({_IMG_PAYLOAD_BYTES} AS BIGINT), '{_IMG_META}', 'image_meta'
+FROM documents
+UNION ALL
+SELECT doc_id, CAST({_AUD_DECIMATED} AS BIGINT), '{_AUD_META}', 'audio_meta'
+FROM documents
 """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing: encode → mapInPandas (Arrow) feature extract.
+    """Binary-column plumbing AND the deterministic half of the decode
+    pipeline, all hash-checked (round 8 — shrinks the rows-only surface
+    of ``multimodal_pipeline`` to genuinely codec-only columns):
 
-    The md5-over-bytes in Python must equal DuckDB's md5 over the same
-    UTF-8 bytes — verifying the batch shape carries payloads intact.
-    """
+    - ``text`` rows: encode → mapInPandas (Arrow) feature extract; the
+      md5-over-bytes in Python must equal DuckDB's md5 over the same
+      UTF-8 bytes — the batch shape carries payloads intact.
+    - ``image_meta`` rows: the REAL BMP pipeline runs (generate 3-frame
+      clips → decode → 8×8 resize → frame-sample fan-out) and emits its
+      deterministic outputs — payload byte size, resize dims, counted
+      frames — which must hash-match first-principles literals the
+      oracle computes from the BMP format spec (54-byte header +
+      4-aligned row stride), NOT from the codec under test.
+    - ``audio_meta`` rows: the REAL WAV decode runs (RIFF parse → 2×
+      decimate) and its sample_rate / decimated sample count /
+      duration must match the fixture arithmetic (8000 Hz, 4000
+      samples → '4000:500' and ⌈4000/2⌉).
+
+    A broken codec (wrong stride, off-by-one decimation, header
+    misparse) flips the value hash at the driver gate; only
+    content-derived values (pixel/rms/peak hashes of decoded arrays)
+    stay rows-only in ``multimodal_pipeline``."""
     docs = load_table(spark, sf_dir, "documents")
     payload = multimodal.attach_binary_payload(docs, "text", "doc_id")
-    return multimodal.extract_features(payload)
+    text_rows = multimodal.extract_features(payload)
+
+    img = multimodal.attach_image_payload(
+        docs, "doc_id", width=_IMG_W, height=_IMG_H, n_frames=_IMG_FRAMES
+    )
+    resized = multimodal.resize_images(
+        img, width=_RESIZE_W, height=_RESIZE_H, decoder=multimodal.decode_bmp
+    )
+    nframes = (
+        multimodal.sample_frames(img)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    img_meta = (
+        img.select("doc_id", F.col("meta.size").alias("n_bytes"))
+        .join(resized.select("doc_id", "width", "height"), "doc_id")
+        .join(nframes, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+            F.concat_ws(":", "width", "height", "n_frames").alias("content_hash"),
+            F.lit("image_meta").alias("modality"),
+        )
+    )
+    aud = multimodal.attach_audio_payload(
+        docs, "doc_id", n_samples=_AUD_N, sample_rate=_AUD_RATE
+    )
+    audio_meta = multimodal.audio_features(aud, every_n=_AUD_STEP).select(
+        "doc_id",
+        F.col("n_samples").cast("bigint").alias("n_bytes"),
+        F.concat_ws(
+            ":",
+            F.col("sample_rate"),
+            (F.col("duration_s") * 1000).cast("bigint"),
+        ).alias("content_hash"),
+        F.lit("audio_meta").alias("modality"),
+    )
+    return text_rows.unionByName(img_meta).unionByName(audio_meta)
 
 
 # --------------------------------------------------------------------------

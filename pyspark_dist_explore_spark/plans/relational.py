@@ -799,26 +799,18 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("approx_parts").alias("approx_parts"),
         )
     )
-    hll = chk.select(
-        F.lit("hll").alias("sketch"),
-        F.col("l_returnflag").alias("key"),
-        F.lit("distinct_parts").alias("metric"),
-        F.col("exact_parts").cast("double").alias("value"),
-        (
-            F.abs(F.col("approx_parts") - F.col("exact_parts"))
-            <= F.lit(_HLL_BAND) * F.col("exact_parts")
-        ).cast("int").alias("within_bound"),
-    )
-    kll = chk.select(
-        F.lit("kll").alias("sketch"),
-        F.col("l_returnflag").alias("key"),
-        F.lit("median_quantity").alias("metric"),
-        F.col("exact_median").alias("value"),
-        (
-            (F.col("lt") / F.col("n") <= F.lit(0.5) + F.lit(eps))
-            & (F.col("le") / F.col("n") >= F.lit(0.5) - F.lit(eps))
-        ).cast("int").alias("within_bound"),
-    )
+    # ONE reference to chk — stack() unpivots both sketch verdicts from
+    # the same subtree (separate selects unioned would re-execute the
+    # join+agg per leg; the ≤4-scan plan pin holds this)
+    group_long = chk.selectExpr(
+        "l_returnflag AS key",
+        f"""stack(2,
+           'hll', 'distinct_parts', CAST(exact_parts AS DOUBLE),
+             CAST(abs(approx_parts - exact_parts) <= {_HLL_BAND} * exact_parts AS INT),
+           'kll', 'median_quantity', exact_median,
+             CAST(lt / n <= 0.5 + {eps} AND le / n >= 0.5 - {eps} AS INT)
+        ) AS (sketch, metric, value, within_bound)""",
+    ).select("sketch", "key", "metric", "value", "within_bound")
     # histogram_numeric: collapse the sketch to its invariants, check
     # them against the exact scan stats (both frames are 1 row)
     h = histogram_approx(li, "l_extendedprice", bins=_APPROX_BINS)
@@ -834,44 +826,23 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("l_extendedprice").cast("double")).alias("p_max"),
     )
     hchk = hs.crossJoin(F.broadcast(tot))
-    hist_rows = (
-        hchk.select(
-            F.lit("rows").alias("metric"),
-            F.col("n").cast("double").alias("value"),
-            (F.abs(F.col("w_sum") - F.col("n")) < F.lit(0.5)).cast("int").alias("within_bound"),
-        )
-        .unionAll(
-            hchk.select(
-                F.lit("price_min").alias("metric"),
-                F.col("p_min").alias("value"),
-                (F.col("c_min") >= F.col("p_min")).cast("int").alias("within_bound"),
-            )
-        )
-        .unionAll(
-            hchk.select(
-                F.lit("price_max").alias("metric"),
-                F.col("p_max").alias("value"),
-                (F.col("c_max") <= F.col("p_max")).cast("int").alias("within_bound"),
-            )
-        )
-        .unionAll(
-            hchk.select(
-                F.lit("n_buckets").alias("metric"),
-                F.lit(float(_APPROX_BINS)).alias("value"),
-                (
-                    (F.col("n_buckets") >= 1) & (F.col("n_buckets") <= _APPROX_BINS)
-                ).cast("int").alias("within_bound"),
-            )
-        )
-        .select(
-            F.lit("hist_numeric").alias("sketch"),
-            F.lit("all").alias("key"),
-            "metric",
-            "value",
-            "within_bound",
-        )
+    # same single-reference stack() move for the four histogram checks
+    hist_rows = hchk.selectExpr(
+        f"""stack(4,
+          'rows', CAST(n AS DOUBLE), CAST(abs(w_sum - n) < 0.5 AS INT),
+          'price_min', p_min, CAST(c_min >= p_min AS INT),
+          'price_max', p_max, CAST(c_max <= p_max AS INT),
+          'n_buckets', CAST({_APPROX_BINS} AS DOUBLE),
+            CAST(n_buckets >= 1 AND n_buckets <= {_APPROX_BINS} AS INT)
+        ) AS (metric, value, within_bound)""",
+    ).select(
+        F.lit("hist_numeric").alias("sketch"),
+        F.lit("all").alias("key"),
+        "metric",
+        "value",
+        "within_bound",
     )
-    return hll.unionAll(kll).unionAll(hist_rows)
+    return group_long.unionAll(hist_rows)
 
 
 # --------------------------------------------------------------------------

@@ -719,6 +719,55 @@ def main() -> None:
             "decade2_ratio": round(t100 / t10, 2),
         }))
 
+        # -- winnowing 100×: the lead-window gram build + sliding window-min
+        # through the second decade; fingerprint output must stay exactly
+        # linear (per-doc windows, no cross-doc term anywhere)
+        def run_winnow(d: DataFrame) -> tuple[float, int]:
+            return timed(winnowing_fingerprints(d, "text", "doc_id"))
+
+        t1, n1 = run_winnow(docs)
+        t10, n10 = run_winnow(copies(10))
+        t100, n100 = run_winnow(copies(100))
+        print(json.dumps({
+            "probe": "winnowing_100x", "t_1x": t1, "t_10x": t10, "t_100x": t100,
+            "fps_1x": n1, "fps_10x": n10, "fps_100x": n100,
+            "ratio_10x": round(t10 / t1, 2), "ratio_100x": round(t100 / t1, 2),
+            "decade2_ratio": round(t100 / t10, 2),
+        }))
+
+        # -- line-level dedup 100×: the cross-doc boilerplate drop's second
+        # decade (copy-prefixed tokens keep each copy's boilerplate lines
+        # disjoint, so the ≥min_df line sets — and therefore the rebuild
+        # work — scale exactly with the corpus)
+        def lined_copies(n: int) -> DataFrame:
+            return reduce(
+                DataFrame.unionAll,
+                [
+                    lined.select(
+                        (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                        F.concat(
+                            F.lit(f"x{i} "),
+                            F.regexp_replace(F.col("text"), " ", f" x{i}"),
+                        ).alias("text"),
+                        "source",
+                    )
+                    for i in range(n)
+                ],
+            )
+
+        def run_lines(d: DataFrame) -> tuple[float, int]:
+            return timed(drop_repeated_lines(d, "text", "doc_id", min_df=5))
+
+        t1, n1 = run_lines(lined)
+        t10, n10 = run_lines(lined_copies(10))
+        t100, n100 = run_lines(lined_copies(100))
+        print(json.dumps({
+            "probe": "line_dedup_100x", "t_1x": t1, "t_10x": t10, "t_100x": t100,
+            "docs_1x": n1, "docs_10x": n10, "docs_100x": n100,
+            "ratio_10x": round(t10 / t1, 2), "ratio_100x": round(t100 / t1, 2),
+            "decade2_ratio": round(t100 / t10, 2),
+        }))
+
     spark.stop()
 
 

@@ -3346,3 +3346,27 @@ def test_cosine_pairs_partition_budget_requires_partition_col(spark):
     )
     with _pytest.raises(ValueError, match="requires partition_col"):
         cosine_neardup_pairs(emb, max_partition_rows=10)
+
+
+def test_word2vec_same_config_repeatable(spark):
+    """The seeded Word2Vec fit is bit-stable for a FIXED (partitioning ×
+    shuffle-partitions) config: two fits in the same session produce
+    identical vectors.  (It is NOT stable ACROSS partitionings — audited
+    at sf0.1 in round 8, documented in COVERAGE.md X5f: seed fixes
+    per-partition RNG streams, training aggregation follows the layout —
+    which is why word2vec_topk is rows-only and why reproducible
+    pipelines pin their partitioning or persist the model.)"""
+    from pyspark_dist_explore_spark.operators.textstats import word2vec_embeddings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = sorted(
+        (r.doc_id, tuple(round(x, 12) for x in r.vec))
+        for r in word2vec_embeddings(docs, "text", "doc_id").collect()
+    )
+    b = sorted(
+        (r.doc_id, tuple(round(x, 12) for x in r.vec))
+        for r in word2vec_embeddings(docs, "text", "doc_id").collect()
+    )
+    assert a == b
