@@ -132,3 +132,36 @@ def test_cached_nanos_branch_reasserts_conf(spark, tmp_path):
     # cached branch: must succeed because load_table re-asserts the conf
     assert load_table(spark, sf_dir, "events").count() == 2
     assert spark.conf.get(NANOS_CONF) == "true"
+
+
+def test_embedding_dim_cached_per_mtime(spark, tmp_path):
+    """embedding_dim fetches one row ONCE per (path, mtime) and serves
+    later plan builds jobless; regenerating the file invalidates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_dist_explore_spark.sources.tables import embedding_dim
+
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def write(dim: int) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1], pa.int64()),
+                    "embedding": pa.array(
+                        [[0.5] * dim, [0.25] * dim], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            path,
+        )
+
+    write(4)
+    assert embedding_dim(spark, sf_dir) == 4
+    assert embedding_dim(spark, sf_dir) == 4  # cached path
+    write(6)
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+    assert embedding_dim(spark, sf_dir) == 6
