@@ -1,10 +1,18 @@
-"""Streaming-shaped query registrations (batch twins of X8).
+"""Streaming-shaped query registrations (X8).
 
-The driver's oracle harness collects a batch DataFrame, so the entries
-here run the streaming plans in batch mode — the plan shape (window
-expression, bucket expression, session gap logic) is identical to what
-``readStream`` executes; tests/test_streaming.py proves the streaming
-execution path itself (micro-batches, watermark, late-data drop).
+The driver's oracle harness collects a batch DataFrame.  Since round 8
+the registered ``events_stream_hist`` runs the REAL Structured
+Streaming engine against it (``readStream`` file source →
+``availableNow`` trigger → memory sink, complete output mode — the
+final state of a complete-mode aggregation over a finite source equals
+the batch aggregate, so the DuckDB oracle hash-checks actual streaming
+execution).  The other entries remain batch twins: their plan shape
+(window expression, session gap logic, interval condition) is identical
+to what ``readStream`` executes, but append-mode semantics (watermark
+never closing the tail windows of a finite source) make their streaming
+results differ from batch by construction — those paths stay
+pytest-pinned in tests/test_streaming.py (micro-batches, watermark,
+late-data drop, state plateaus).
 """
 
 from __future__ import annotations
@@ -14,7 +22,7 @@ from pyspark.sql import functions as F
 
 from pyspark_dist_explore_spark.functions.numeric import bucket_sql
 from pyspark_dist_explore_spark.plans.queries import register
-from pyspark_dist_explore_spark.sources.tables import load_table
+from pyspark_dist_explore_spark.sources.tables import load_events_stream, load_table
 from pyspark_dist_explore_spark.streaming.histogram_stream import (
     stream_interval_join,
     stream_windowed_histogram,
@@ -24,33 +32,71 @@ _BINS = 10
 _LO, _HI = 0.0, 500.0
 
 
-@register(
-    "events_stream_hist",
-    f"""
+_STREAM_HIST_ORACLE = f"""
 SELECT CAST(floor(epoch(ts) / 21600.0) AS BIGINT) * 21600 AS window_start,
        {bucket_sql('value', repr(_LO), repr(_HI), _BINS)} AS bucket,
        count(*) AS cnt
 FROM events
 WHERE value IS NOT NULL AND NOT isnan(value) AND value >= {_LO!r} AND value <= {_HI!r}
 GROUP BY 1, 2
-""",
-)
-def q_events_stream_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X8: the streaming windowed histogram plan, batch-executed.
+"""
 
-    6-hour tumbling windows, fixed range [0, 500] (streams can't take a
-    global min/max pre-pass), same bucket expression as the batch
-    histogram.  window_start emitted as epoch seconds (tz-free).
-    """
-    e = load_table(spark, sf_dir, "events")
+#: memory-sink table name for the registered streaming execution — fixed
+#: (restarting a stopped query under the same name replaces the table,
+#: so repeat builds in one session do not accumulate sinks)
+_STREAM_HIST_SINK = "pyspark_dist_explore_events_stream_hist_sink"
+
+
+def q_events_stream_hist(
+    spark: SparkSession, sf_dir: str, *, streaming: bool = False
+) -> DataFrame:
+    """X8: the streaming windowed histogram — 6-hour tumbling windows,
+    fixed range [0, 500] (streams can't take a global min/max pre-pass),
+    same bucket expression as the batch histogram; ``window_start``
+    emitted as epoch seconds (tz-free).
+
+    ``streaming=True`` (the REGISTERED form, round-8 promotion) executes
+    the REAL Structured Streaming engine: ``readStream`` over the same
+    parquet bytes (:func:`load_events_stream`), ``availableNow``
+    trigger, complete-output memory sink, blocking until the source is
+    drained.  A complete-mode aggregation's final state over a finite
+    source equals the batch aggregate, so the driver's DuckDB oracle now
+    hash-checks actual micro-batch execution — watermark wiring, state
+    store and all — not just the shared plan shape.  Default False keeps
+    the lazy batch twin (identical plan, job-free construction)."""
+    if streaming:
+        e = load_events_stream(spark, sf_dir)
+    else:
+        e = load_table(spark, sf_dir, "events")
     out = stream_windowed_histogram(
         e, window_duration="6 hours", bins=_BINS, range=(_LO, _HI)
     )
-    return out.select(
+    out = out.select(
         F.col("window_start").cast("double").cast("bigint").alias("window_start"),
         "bucket",
         "cnt",
     )
+    if not streaming:
+        return out
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_STREAM_HIST_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(_STREAM_HIST_SINK)
+
+
+@register("events_stream_hist", _STREAM_HIST_ORACLE)
+def _q_events_stream_hist_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`q_events_stream_hist` — executes the
+    real Structured Streaming path (``streaming=True``)."""
+    return q_events_stream_hist(spark, sf_dir, streaming=True)
 
 
 @register(

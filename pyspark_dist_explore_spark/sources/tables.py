@@ -102,36 +102,74 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 df = spark.read.parquet(path)
             _SCHEMA_CACHE[key] = df.schema
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":  # legacy TIMESTAMP(NANOS) read as int64
-            # exact integer floor division: `div` truncates toward zero,
-            # so compensate when a NEGATIVE ts has a remainder (Spark %
-            # follows the dividend's sign); a double-based floor() would
-            # lose precision past 2^53 nanos (~104 days)
-            micros = F.expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
-            ts_ns = F.col("ts")
-        elif ts_type == "timestamp_ntz":
-            micros = F.expr(
-                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-            )
-            ts_ns = micros * F.lit(1000)
-        else:  # plain TIMESTAMP (isAdjustedToUTC / NTZ inference off)
-            micros = F.unix_micros(F.col("ts"))
-            ts_ns = micros * F.lit(1000)
-        return df.select(
-            "event_id",
-            F.timestamp_micros(micros).alias("ts"),
-            ts_ns.cast("bigint").alias("ts_ns"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
-        )
+        return _normalize_events(df)
     if cached is not None:
         return spark.read.schema(cached).parquet(path)
     df = spark.read.parquet(path)
     _SCHEMA_CACHE[key] = df.schema
     return df
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """The three-physical-schema ts normalization (see :func:`load_table`),
+    shared by the batch loader and :func:`load_events_stream` — one
+    definition, so the streaming contract cannot drift from the batch
+    one."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # legacy TIMESTAMP(NANOS) read as int64
+        # exact integer floor division: `div` truncates toward zero,
+        # so compensate when a NEGATIVE ts has a remainder (Spark %
+        # follows the dividend's sign); a double-based floor() would
+        # lose precision past 2^53 nanos (~104 days)
+        micros = F.expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
+        ts_ns = F.col("ts")
+    elif ts_type == "timestamp_ntz":
+        micros = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        ts_ns = micros * F.lit(1000)
+    else:  # plain TIMESTAMP (isAdjustedToUTC / NTZ inference off)
+        micros = F.unix_micros(F.col("ts"))
+        ts_ns = micros * F.lit(1000)
+    return df.select(
+        "event_id",
+        F.timestamp_micros(micros).alias("ts"),
+        ts_ns.cast("bigint").alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` twin of ``load_table(spark, sf_dir, 'events')``:
+    the SAME parquet bytes through Spark's file streaming source with
+    the SAME ts normalization — so a registered query can execute the
+    actual Structured Streaming engine against the driver testdata and
+    still hash-match a batch-SQL oracle.
+
+    The batch loader runs first purely for its side effects (footer
+    schema cached, nanosAsLong conf set when the footer demands it);
+    the stream then reuses that raw schema — file streaming sources
+    require an explicit schema anyway."""
+    batch = load_table(spark, sf_dir, "events")  # cache + conf side effects
+    path = os.path.join(sf_dir, "events.parquet")
+    mtime = os.stat(path).st_mtime_ns
+    raw_schema = _SCHEMA_CACHE.get((id(spark), sf_dir, "events", mtime))
+    if raw_schema is None:  # pragma: no cover — load_table always caches
+        raw_schema = batch.schema
+    # the file streaming source requires a DIRECTORY basePath; scope the
+    # listing to the one events file with pathGlobFilter (the other
+    # tables in sf_dir are never listed into the stream)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize_events(stream)
 
 
 #: (sf_dir, mtime_ns) -> embedding dimension.  Process-global like the

@@ -165,3 +165,47 @@ def test_embedding_dim_cached_per_mtime(spark, tmp_path):
     st = os.stat(path)
     os.utime(path, ns=(st.st_atime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
     assert embedding_dim(spark, sf_dir) == 6
+
+
+def test_load_events_stream_matches_batch(spark, tmp_path):
+    """load_events_stream (the readStream twin) must deliver the SAME
+    normalized rows as load_table — including on the legacy
+    TIMESTAMP(NANOS) physical schema, where the stream needs the raw
+    int64 footer schema + nanosAsLong conf the batch loader cached."""
+    from pyspark_dist_explore_spark.sources.tables import load_events_stream
+
+    sf_dir = str(tmp_path)
+    nanos = [-1_001, 0, 1_000, 1_700_000_000_123_456_789]
+    _write_events_nanos(os.path.join(sf_dir, "events.parquet"), nanos)
+    batch = {tuple(r) for r in load_table(spark, sf_dir, "events").collect()}
+    stream = load_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stream_loader_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table("t_stream_loader_sink").collect()}
+    assert got == batch
+
+
+def test_events_stream_hist_streaming_equals_batch(spark):
+    """The registered events_stream_hist (real Structured Streaming:
+    availableNow -> complete-mode memory sink) returns exactly the batch
+    twin's rows — the property that lets the driver's DuckDB oracle
+    hash-check actual micro-batch execution."""
+    from pyspark_dist_explore_spark.plans.streaming_q import q_events_stream_hist
+
+    batch = {
+        tuple(r) for r in q_events_stream_hist(spark, SF_SMOKE, streaming=False).collect()
+    }
+    streamed = {
+        tuple(r) for r in q_events_stream_hist(spark, SF_SMOKE, streaming=True).collect()
+    }
+    assert streamed == batch and len(batch) > 0
