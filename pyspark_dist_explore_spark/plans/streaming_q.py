@@ -1,16 +1,16 @@
 """Streaming-shaped query registrations (X8).
 
 The driver's oracle harness collects a batch DataFrame.  Since round 8
-the registered ``events_stream_hist`` runs the REAL Structured
-Streaming engine against it (``readStream`` file source →
-``availableNow`` trigger → memory sink, complete output mode — the
-final state of a complete-mode aggregation over a finite source equals
-the batch aggregate, so the DuckDB oracle hash-checks actual streaming
-execution).  The other entries remain batch twins: their plan shape
-(window expression, session gap logic, interval condition) is identical
-to what ``readStream`` executes, but append-mode semantics (watermark
-never closing the tail windows of a finite source) make their streaming
-results differ from batch by construction — those paths stay
+the registered ``events_stream_hist`` AND ``events_session_window`` run
+the REAL Structured Streaming engine against it (``readStream`` file
+source → ``availableNow`` trigger → memory sink, complete output mode —
+the final state of a complete-mode aggregation over a finite source
+equals the batch aggregate, so the DuckDB oracles hash-check actual
+streaming execution, tumbling-window state and merging session state
+included).  ``events_interval_join`` remains a batch twin: stream-stream
+joins are append-only (no complete mode), and append-mode watermarks
+never close the tail windows of a finite source, so its streaming
+result differs from batch by construction — that path stays
 pytest-pinned in tests/test_streaming.py (micro-batches, watermark,
 late-data drop, state plateaus).
 """
@@ -128,15 +128,15 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_session_window",
-    """
+_SESSION_GAP_S = 1800
+
+_SESSION_ORACLE = f"""
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
 ),
 flagged AS (
   SELECT user_id, sec,
-         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > {_SESSION_GAP_S}
               THEN 1 ELSE 0 END AS new_session
   FROM e
 ),
@@ -148,16 +148,69 @@ sessions AS (
 )
 SELECT user_id, min(sec) AS session_start, max(sec) AS session_last, count(*) AS n_events
 FROM sessions GROUP BY user_id, session_id
-""",
-)
-def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+_SESSION_SINK = "pyspark_dist_explore_events_session_window_sink"
+
+
+def q_events_session_window(
+    spark: SparkSession, sf_dir: str, *, streaming: bool = False
+) -> DataFrame:
     """Session windows (30-min gap) per user — ``session_window`` is the
     Structured Streaming primitive; the DuckDB oracle is the classic
     gaps-and-islands rewrite of the same semantics.
 
     Second-granularity epochs on both sides (sub-second event spacing
-    within one user never straddles the 30-min gap test).
-    """
+    within one user never straddles the 30-min gap test).  The gap test
+    is ``> gap``, matching the streaming engine's tie behavior measured
+    on real data: an event arriving EXACTLY ``gap`` seconds after the
+    last one MERGES into the session (``session_window``'s merge test
+    treats the window end inclusively) — the sf0.1 corpus contains
+    exactly one such tie, and ``>= gap`` would split it where the
+    engine does not, flipping the row count.
+
+    ``streaming=True`` (the REGISTERED form, round-8 promotion like
+    ``events_stream_hist``) executes the REAL streaming engine:
+    ``readStream`` → ``groupBy(session_window(...))`` (merging session
+    state store) → complete-mode memory sink drained with
+    ``availableNow`` — a complete-mode session aggregation's final
+    state over a finite source equals the batch result, so the oracle
+    hash-checks actual streaming session merging.  ``session_last`` is
+    recovered as ``window.end − gap`` (the window end IS last + gap)."""
+    if streaming:
+        stream = load_events_stream(spark, sf_dir).select(
+            "user_id",
+            F.timestamp_micros(
+                F.expr("ts_ns div 1000000000") * F.lit(1_000_000)
+            ).alias("tsec"),
+        )
+        agg = (
+            stream.groupBy(
+                "user_id",
+                F.session_window("tsec", f"{_SESSION_GAP_S} seconds").alias("w"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.expr("unix_micros(w.start) div 1000000").alias("session_start"),
+                (
+                    F.expr("unix_micros(w.end) div 1000000") - F.lit(_SESSION_GAP_S)
+                ).alias("session_last"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_SESSION_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(_SESSION_SINK)
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr("ts_ns div 1000000000").alias("sec")
     )
@@ -167,7 +220,7 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("sec")
             - F.lag("sec").over(Window.partitionBy("user_id").orderBy("sec"))
-            > 1800,
+            > _SESSION_GAP_S,
             1,
         )
         .otherwise(0)
@@ -189,3 +242,10 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sec").alias("session_last"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("session_id")
+
+
+@register("events_session_window", _SESSION_ORACLE)
+def _q_events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`q_events_session_window` — executes the
+    real streaming session-window engine (``streaming=True``)."""
+    return q_events_session_window(spark, sf_dir, streaming=True)

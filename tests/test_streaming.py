@@ -684,3 +684,62 @@ def test_interval_join_state_plateaus_at_10x_rate(spark, tmp_path):
     assert totals[-1] <= 4 * 2 * per_batch, totals
     assert totals[-1] < ingested / 2, totals
     assert max(totals[-2:]) <= max(totals[1:4]) + 2 * per_batch, totals
+
+
+def test_events_session_window_streaming_equals_batch(spark):
+    """The registered events_session_window (real streaming
+    session_window: merging state store, complete mode, availableNow)
+    returns exactly the batch gaps-and-islands rows — including tie
+    semantics: an event exactly gap seconds after the last MERGES
+    (engine-measured; `>` in the batch/oracle gap test, not `>=`)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.plans.streaming_q import (
+        _SESSION_GAP_S,
+        q_events_session_window,
+    )
+    from tests.conftest import SF_SMOKE
+
+    batch = {
+        tuple(r)
+        for r in q_events_session_window(spark, SF_SMOKE, streaming=False).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in q_events_session_window(spark, SF_SMOKE, streaming=True).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+    # tie pin on a planted corpus: events at t0 and t0+gap exactly must
+    # land in ONE session on both paths
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        base = 1_700_000_000
+        ts = [base, base + _SESSION_GAP_S, base + 3 * _SESSION_GAP_S]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(3), pa.int64()),
+                    "ts": pa.array(
+                        [t * 1_000_000 for t in ts], pa.timestamp("us", tz="UTC")
+                    ),
+                    "user_id": pa.array([7] * 3, pa.int64()),
+                    "event_type": pa.array(["view"] * 3, pa.string()),
+                    "value": pa.array([1.0] * 3, pa.float64()),
+                    "props": pa.array(["{}"] * 3, pa.string()),
+                }
+            ),
+            os.path.join(d, "events.parquet"),
+        )
+        b = sorted(
+            tuple(r) for r in q_events_session_window(spark, d, streaming=False).collect()
+        )
+        s = sorted(
+            tuple(r) for r in q_events_session_window(spark, d, streaming=True).collect()
+        )
+        assert b == s
+        # two sessions: {t0, t0+gap} merged, {t0+3gap} alone
+        assert [row[3] for row in b] == [2, 1]
