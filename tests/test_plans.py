@@ -522,3 +522,34 @@ def test_semantic_pairs_plan_shape(spark):
         if l.strip().startswith("(") and "Scan parquet" in l
     ]
     assert len(scans) <= 2, f"expected <=2 embedding scans, got {len(scans)}"
+
+
+def test_ivf_fixed_plan_shape(spark):
+    """Round-8 IVF promotion scale pins on the registered query's float
+    branch: the fixed-centroid grid is a BROADCAST nested-loop (never a
+    data × data cartesian), the assignment argmax collapses map-side
+    (partial_max_by before the exchange), probes broadcast into the
+    probe join, and no row-at-a-time Python appears anywhere in the
+    float section (the packed branch's Arrow UDF is ArrowEvalPython, by
+    design)."""
+    from pyspark_dist_explore_spark.operators.similarity import _unit, ivf_topk
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), _unit(F.col("embedding")).alias("cv")
+    )
+    out = ivf_topk(emb, q, k=5, n_probe=2, centroids=cents, assign_round=6)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max_by" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # re-rank join on cent_id: the probe side must broadcast
+    assert "BroadcastHashJoin" in plan
