@@ -891,6 +891,169 @@ def dedup_lines_within_doc(
     )
 
 
+def span_grams(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """``(doc_id, start, gh)`` — every k-token window of the normalized
+    token stream, hashed.  The staged input of
+    :func:`drop_duplicate_spans` (pass it back via ``gram_rows=`` after
+    persisting/landing it, exactly like ``dedup.shingle_rows``): the
+    gram frame is consumed twice (duplicate detection + occurrence
+    probe), so at corpus scale the caller materializes it once.
+
+    Entirely row-local: the window enumeration is an array
+    ``transform`` over ``sequence(0, n−k)`` with a ``slice`` per start —
+    no explode-then-window shuffle, no sort; docs shorter than ``k``
+    tokens contribute nothing (``sequence`` would count DOWN for a
+    negative span, hence the guard filter).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (1 would flag every repeated token), got {k}")
+    l = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    toks = df.select(F.col(id_col).alias("doc_id"), l.alias("l"))
+    gh = F.transform(
+        F.sequence(F.lit(0), F.size("l") - k),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("l", i + F.lit(1), F.lit(k)))),
+    )
+    return (
+        toks.where(F.size("l") >= k)
+        .select("doc_id", F.posexplode(gh).alias("start", "gh"))
+    )
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    min_count: int = 2,
+    gram_rows: DataFrame | None = None,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN removal (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), at k-token-gram granularity: any ``k``-token
+    window of the normalized token stream that occurs ≥ ``min_count``
+    times ACROSS THE WHOLE CORPUS (other docs or the same doc) is a
+    duplicated span, and every token covered by any duplicated span is
+    removed from every occurrence — the span-level complement of
+    doc-level dedup (quotes, licence blocks, syndicated paragraphs
+    survive doc dedup because the surrounding page differs) and of
+    line-level dedup (a duplicated span need not align to lines).
+
+    Output: ``(doc_id, text, n_tok_kept, n_tok_dropped, n_dup_spans)``
+    — ``text`` rebuilt from the surviving tokens of the NORMALIZED
+    stream in original order ('' when everything was duplicated — the
+    caller's length filter drops the husk), ``n_dup_spans`` = number of
+    duplicated window starts in the doc.  Docs with < ``k`` tokens are
+    never touched.  Like the paper, ALL occurrences are removed (the
+    canonical copy is gone too); keep-one semantics is doc-level
+    dedup's job.
+
+    Scale shape: grams are built row-local (see :func:`span_grams`) —
+    no shuffle until the duplicate-detection hash aggregate on the gram
+    hash (map-side partial counts); occurrence probe is a semi-join of
+    the gram frame against the (much smaller) duplicated-gram set;
+    covered positions explode only ``k ×`` the DUPLICATED occurrences
+    (output-proportional, not corpus-proportional); the rebuild is ONE
+    per-doc conditional aggregate over the token frame left-joined with
+    the covered set.  Nothing sorts the corpus; everything keys on the
+    gram hash or the doc id.  The gram frame is referenced twice —
+    stage it via ``gram_rows=`` at scale.
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2 (1 would drop every span), got {min_count}")
+    grams = gram_rows if gram_rows is not None else span_grams(df, text_col, id_col, k)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("gh")
+    )
+    occ = grams.join(dup, "gh", "leftsemi")
+    spans = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_spans"))
+    cov = (
+        occ.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias("pos"),
+        )
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("pos", "tok"),
+    )
+    flagged = tok.join(cov, ["doc_id", "pos"], "left")
+    keep = F.col("__dup").isNull()
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.when(keep, F.struct("pos", "tok")))
+        ).alias("__s"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_tok_kept"),
+        F.count(F.lit(1)).alias("__n_all"),
+    )
+    return rebuilt.join(spans, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(" ", F.transform("__s", lambda r: r["tok"])).alias("text"),
+        "n_tok_kept",
+        (F.col("__n_all") - F.col("n_tok_kept")).alias("n_tok_dropped"),
+        F.coalesce(F.col("__n_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+    )
+
+
+def drop_duplicate_spans_sql(src: str, k: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of :func:`drop_duplicate_spans` — identical hash
+    grams (md5 over the space-joined k-token slice of the SAME
+    normalized stream), identical duplicate rule, identical rebuild —
+    so the whole chain (gram build → corpus-wide duplicate detection →
+    coverage → ordered rebuild) is hash-checkable.  ``src`` must yield
+    ``(doc_id, text)``.  Returns the full per-doc result with the
+    rebuilt text under ``span_text`` plus the count columns.
+    """
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    return f"""
+WITH sd_src AS ({src}),
+sd_toklist AS (
+  SELECT doc_id, string_split({norm}, ' ') AS l FROM sd_src
+),
+sd_grams AS (
+  SELECT doc_id, g.i AS start,
+         md5(array_to_string(l[g.i + 1 : g.i + {k}], ' ')) AS gh
+  FROM sd_toklist, LATERAL (SELECT unnest(range(len(l) - {k} + 1)) AS i) g
+  WHERE len(l) >= {k}
+),
+sd_dup AS (SELECT gh FROM sd_grams GROUP BY gh HAVING count(*) >= {min_count}),
+sd_occ AS (SELECT doc_id, start FROM sd_grams SEMI JOIN sd_dup USING (gh)),
+sd_spans AS (SELECT doc_id, count(*) AS n_dup_spans FROM sd_occ GROUP BY doc_id),
+sd_cov AS (
+  SELECT DISTINCT doc_id, start + u.i AS pos
+  FROM sd_occ, LATERAL (SELECT unnest(range({k})) AS i) u
+),
+sd_tok AS (
+  SELECT doc_id,
+         generate_subscripts(l, 1) - 1 AS pos,
+         unnest(l) AS tok
+  FROM sd_toklist
+),
+sd_flag AS (
+  SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS dropme
+  FROM sd_tok t LEFT JOIN sd_cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+),
+sd_reb AS (
+  SELECT doc_id,
+         COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT dropme), '') AS span_text,
+         CAST(count(*) FILTER (WHERE NOT dropme) AS BIGINT) AS n_tok_kept,
+         count(*) AS n_all
+  FROM sd_flag GROUP BY doc_id
+)
+SELECT r.doc_id, r.span_text, r.n_tok_kept,
+       CAST(r.n_all - r.n_tok_kept AS BIGINT) AS n_tok_dropped,
+       CAST(COALESCE(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+FROM sd_reb r LEFT JOIN sd_spans s USING (doc_id)
+"""
+
+
 def corpus_profile(
     df: DataFrame,
     text_col: str,

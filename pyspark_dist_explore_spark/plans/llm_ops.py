@@ -1598,12 +1598,22 @@ ld AS (
          CAST(COALESCE(n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
          CAST(n_all - COALESCE(n_lines_kept, 0) AS BIGINT) AS n_lines_dropped
   FROM n_all LEFT JOIN rebuilt USING (doc_id)
+),
+sd AS (
+  SELECT doc_id, md5(span_text) AS span_dedup_hash,
+         n_tok_kept AS n_span_tok_kept,
+         n_tok_dropped AS n_span_tok_dropped,
+         n_dup_spans
+  FROM ({textstats.drop_duplicate_spans_sql("SELECT doc_id, text FROM documents", k=8, min_count=2)})
 )
 SELECT s.doc_id, n_email, n_url, n_phone, scrub_hash,
        n_tokens, dup_token_frac, top_bigram_frac,
-       ld.line_dedup_hash, ld.n_lines_kept, ld.n_lines_dropped
+       ld.line_dedup_hash, ld.n_lines_kept, ld.n_lines_dropped,
+       sd.span_dedup_hash, sd.n_span_tok_kept, sd.n_span_tok_dropped,
+       sd.n_dup_spans
 FROM s JOIN rep ON s.doc_id = rep.doc_id
 JOIN ld ON s.doc_id = ld.doc_id
+JOIN sd ON s.doc_id = sd.doc_id
 """
 
 
@@ -1613,13 +1623,18 @@ def q_text_scrub_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (email/URL/phone counts + md5 of the redacted text, so the
     TRANSFORMATION is verified, not just the counts) joined with
     Gopher-style repetition measures (dup-token fraction, top-bigram
-    fraction) — and, since round 6, the X19 FineWeb-style line-level
-    dedup columns (md5 of the rebuilt text + kept/dropped counts at
+    fraction) — since round 6, the X19 FineWeb-style line-level dedup
+    columns (md5 of the rebuilt text + kept/dropped counts at
     ``sep=' '``/``min_df=2``, so the doc-frequency → anti-join →
     ordered-rebuild chain is hash-checked at the driver gate; the
-    newline-separator form stays twin-pinned in pytest).  All three are
-    the real pre-training filters a corpus pipeline runs before
-    quality scoring."""
+    newline-separator form stays twin-pinned in pytest) — and, since
+    round 8, the X23 ExactSubstr-style duplicate-SPAN removal columns
+    (``k=8``-token grams duplicated ≥2× corpus-wide, every covered
+    token removed: md5 of the span-deduped rebuild + kept/dropped token
+    counts + duplicated-window count, so the gram build → corpus-wide
+    duplicate detection → coverage → ordered-rebuild chain is
+    hash-checked end-to-end).  All four are the real pre-training
+    filters a corpus pipeline runs before quality scoring."""
     docs = load_table(spark, sf_dir, "documents")
     scrub = textstats.scrub_text(docs, "text", "doc_id").select(
         "doc_id", "n_email", "n_url", "n_phone", F.md5("scrubbed").alias("scrub_hash")
@@ -1631,7 +1646,14 @@ def q_text_scrub_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines_kept",
         "n_lines_dropped",
     )
-    return scrub.join(rep, "doc_id").join(ld, "doc_id")
+    sd = textstats.drop_duplicate_spans(docs, "text", "doc_id", k=8, min_count=2).select(
+        "doc_id",
+        F.md5("text").alias("span_dedup_hash"),
+        F.col("n_tok_kept").alias("n_span_tok_kept"),
+        F.col("n_tok_dropped").alias("n_span_tok_dropped"),
+        "n_dup_spans",
+    )
+    return scrub.join(rep, "doc_id").join(ld, "doc_id").join(sd, "doc_id")
 
 
 def _lang_id_oracle() -> str:

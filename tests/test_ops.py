@@ -2020,6 +2020,105 @@ def test_drop_repeated_lines_semantics(spark):
         drop_repeated_lines(docs, "text", "doc_id", min_df=1)
 
 
+# --------------------------------------------------------------------------
+# duplicate-span removal (textstats.drop_duplicate_spans, X23)
+# --------------------------------------------------------------------------
+
+
+def test_drop_duplicate_spans_matches_duckdb(spark):
+    """Full-chain twin on the real corpus: k-gram build, corpus-wide
+    duplicate detection, coverage explode, ordered token rebuild — all
+    columns (including the rebuilt text) identical to the DuckDB
+    rendering at sf0.001."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        drop_duplicate_spans,
+        drop_duplicate_spans_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        map(tuple, drop_duplicate_spans(docs, "text", "doc_id", k=8).collect())
+    )
+    con = duckdb.connect()
+    sql = drop_duplicate_spans_sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')",
+        k=8,
+        min_count=2,
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    con.close()
+    assert got == want
+    assert any(r[3] > 0 for r in got), "corpus must exercise actual span drops"
+
+
+def test_drop_duplicate_spans_semantics(spark):
+    """A span shared across docs vanishes from BOTH occurrences (the
+    paper's remove-all rule); an INTRA-doc repeated phrase is dropped
+    from both positions; docs shorter than k are never touched; empty
+    docs survive as husks; parameter guards raise."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.textstats import drop_duplicate_spans
+
+    span = "the quick brown fox jumps over the lazy dog ran"  # 10 tokens
+    p8 = "red orange yellow green blue indigo violet ultraviolet"  # 8 tokens
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"one two three {span}"),
+        (3, f"{p8} x {p8}"),
+        (4, "short doc only"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in drop_duplicate_spans(docs, "text", "doc_id", k=8).collect()
+    }
+    # 10-token shared span → 3 duplicated 8-gram starts, all 10 tokens covered
+    assert out[1].text == "alpha beta gamma delta"
+    assert out[1].n_tok_dropped == 10 and out[1].n_dup_spans == 3
+    assert out[2].text == "one two three"
+    assert out[2].n_tok_dropped == 10 and out[2].n_dup_spans == 3
+    # intra-doc repeat: both copies go, the separator survives
+    assert out[3].text == "x"
+    assert out[3].n_tok_kept == 1 and out[3].n_dup_spans == 2
+    # short and empty docs untouched
+    assert out[4].text == "short doc only" and out[4].n_tok_dropped == 0
+    assert out[5].text == "" and out[5].n_tok_dropped == 0 and out[5].n_dup_spans == 0
+    with _pytest.raises(ValueError, match="min_count"):
+        drop_duplicate_spans(docs, "text", "doc_id", min_count=1)
+    with _pytest.raises(ValueError, match="k must"):
+        drop_duplicate_spans(docs, "text", "doc_id", k=1)
+
+
+def test_drop_duplicate_spans_staged_gram_rows(spark):
+    """``gram_rows=`` (the staged two-consumer gram frame, the form a
+    100 TB run materializes once) is result-identical to the lazy
+    default."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        drop_duplicate_spans,
+        span_grams,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lazy = sorted(
+        map(tuple, drop_duplicate_spans(docs, "text", "doc_id", k=8).collect())
+    )
+    staged_grams = span_grams(docs, "text", "doc_id", k=8).localCheckpoint()
+    staged = sorted(
+        map(
+            tuple,
+            drop_duplicate_spans(
+                docs, "text", "doc_id", k=8, gram_rows=staged_grams
+            ).collect(),
+        )
+    )
+    assert lazy == staged
+
+
 def test_new_op_edge_guards(spark):
     """Hardening pins: PSI eps bounds, NULL-text doc survives line
     dedup as a husk, duplicate-term reference LM is re-aggregated not
