@@ -400,3 +400,99 @@ def stratified_sample_hash_sql(
     if not whens:
         return "FALSE"
     return "CASE " + " ".join(whens) + " ELSE FALSE END"
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    *,
+    coeff: float,
+    tau: float = 0.5,
+    salt: str = "temp0",
+) -> DataFrame:
+    """Temperature-based mixture resampling: keep each row of group ``g``
+    with probability ``min(1, coeff · n_g^(tau−1))``, so the EXPECTED
+    kept count per group is ``coeff · n_g^tau`` — the classic
+    temperature flattening of a skewed source/language mix (multilingual
+    pretraining recipes à la mBERT/XLM-R: dominant groups are
+    downsampled toward ``n^tau``, small groups kept whole; ``tau=1``
+    keeps the natural mix, ``tau→0`` approaches uniform).
+
+    Selection is the same md5-bucket scheme as the other deterministic
+    samplers (65536 buckets over ``md5(salt:key)``): the kept SET is
+    identical on every run, engine, and partitioning — a new ``salt``
+    is an independent re-draw.  The per-group threshold is
+    ``floor(rate·65536)`` computed from the group counts, and for the
+    default ``tau=0.5`` the whole float chain (``CAST → sqrt → ÷ →
+    least → ×2^16 → floor``) is IEEE-correctly-rounded step by step, so
+    Spark and DuckDB (:func:`temperature_resample_sql`) produce
+    bit-identical thresholds — no transcendental, hash-oracle-safe.
+    Other ``tau`` values go through ``pow`` (exactness not guaranteed
+    cross-engine; library-checked only, keep them out of hash oracles).
+
+    Scale shape: ONE tiny group-count aggregate (map-side partials, ≤
+    #groups rows), thresholds broadcast back, then a pure row-local
+    keep predicate — no corpus shuffle, no RNG, whole-stage codegen.
+    NULL groups are dropped (no mixture weight is defined for them);
+    NULL keys hash as '' like the stratified sampler.
+    """
+    if not coeff > 0:
+        raise ValueError(f"coeff must be > 0, got {coeff}")
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    n = F.col("__n").cast("double")
+    if tau == 0.5:
+        rate = F.lit(float(coeff)) / F.sqrt(n)
+    else:
+        rate = F.lit(float(coeff)) * F.pow(n, F.lit(tau - 1.0))
+    thr = F.floor(F.least(F.lit(1.0), rate) * F.lit(65536.0)).cast("bigint")
+    rates = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(group_col, thr.alias("__thr"))
+    )
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(salt), F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+            )
+        ),
+        1,
+        4,
+    )
+    keep = (F.col("__thr") >= 65536) | (h < F.format_string("%04x", F.col("__thr")))
+    return df.join(F.broadcast(rates), group_col).where(keep).drop("__thr")
+
+
+def temperature_resample_sql(
+    src: str,
+    group_col: str,
+    key_col: str,
+    *,
+    coeff: float,
+    salt: str = "temp0",
+) -> str:
+    """DuckDB twin of :func:`temperature_resample` at ``tau=0.5`` (the
+    only tau whose float chain is exact cross-engine — sqrt and divide
+    are IEEE correctly-rounded, ×65536 is a power-of-two scale, floor
+    is exact; ``pow`` is NOT on the audited-transcendental allowlist).
+    ``src`` must yield the sampled relation; returns a full SELECT of
+    the kept rows.
+    """
+    if not coeff > 0:
+        raise ValueError(f"coeff must be > 0, got {coeff}")
+    h = (
+        f"substr(md5(concat({sql_str_lit(salt)}, ':', "
+        f"COALESCE(CAST({key_col} AS VARCHAR), ''))), 1, 4)"
+    )
+    return f"""
+SELECT d.*
+FROM ({src}) d
+JOIN (
+  SELECT {group_col},
+         CAST(floor(least(1.0, {float(coeff)!r} / sqrt(CAST(count(*) AS DOUBLE))) * 65536.0) AS BIGINT) AS __thr
+  FROM ({src}) GROUP BY {group_col}
+) r USING ({group_col})
+WHERE r.__thr >= 65536 OR {h} < printf('%04x', r.__thr)
+"""

@@ -473,6 +473,8 @@ from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
     shuffle_shards_sql,
     stratified_sample_hash,
     stratified_sample_hash_sql,
+    temperature_resample,
+    temperature_resample_sql,
 )
 from pyspark_dist_explore_spark.pipeline import curate_documents  # noqa: E402
 
@@ -538,6 +540,13 @@ def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: X24 temperature-resample coefficient for the registered section:
+#: rate_g = min(1, 4/√n_g) downsamples EVERY language at every test SF
+#: (en hardest), so the flattening is non-trivial at the gate; the
+#: keep-all branch (tiny group) is pinned in pytest.
+_TEMP_COEFF = 4.0
+
+
 @register(
     "sampling_splits",
     f"""
@@ -547,16 +556,25 @@ UNION ALL
 SELECT 'strat_lang' AS kind, lang AS key, count(*) AS cnt FROM documents
 WHERE {stratified_sample_hash_sql('lang', 'doc_id', _STRAT_FRACS)}
 GROUP BY 1, 2
+UNION ALL
+SELECT 'temp_resample' AS kind, lang AS key, count(*) AS cnt
+FROM ({temperature_resample_sql("SELECT doc_id, lang FROM documents", "lang", "doc_id", coeff=_TEMP_COEFF)})
+GROUP BY 1, 2
 """,
 )
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling surface in one slot (merged round 6 from
     ``dataset_hash_split`` + ``stratified_sample_langs``, freeing a
     slot for the drift/profile promotions): the md5-keyed train/val/
-    test split counts and the stratified per-language downsample
-    counts, tagged and unioned.  Both halves stay fully hash-checked
-    (the kept SET is deterministic, not just its size); the standalone
-    builders remain callable with their oracles pinned in pytest."""
+    test split counts, the stratified per-language downsample counts,
+    and — since round 8 — the X24 TEMPERATURE-resample counts
+    (``min(1, coeff·n^(τ−1))`` keep rates at τ=0.5: the multilingual
+    mixture-flattening recipe, thresholds derived from the group counts
+    through an exact sqrt chain so the kept set hash-checks
+    cross-engine), tagged and unioned.  All three stay fully
+    hash-checked (the kept SET is deterministic, not just its size);
+    the standalone builders remain callable with their oracles pinned
+    in pytest."""
     docs = load_table(spark, sf_dir, "documents")
     splits = (
         hash_split(docs, "doc_id")
@@ -570,7 +588,15 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.lit("strat_lang").alias("kind"), F.col("lang").alias("key"), "cnt")
     )
-    return splits.unionByName(strat)
+    temp = (
+        temperature_resample(
+            docs.select("doc_id", "lang"), "lang", "doc_id", coeff=_TEMP_COEFF
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("temp_resample").alias("kind"), F.col("lang").alias("key"), "cnt")
+    )
+    return splits.unionByName(strat).unionByName(temp)
 
 
 #: per-source token budgets for the mixture query: a partial keep

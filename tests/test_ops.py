@@ -1019,6 +1019,87 @@ def test_stratified_sample_hash_bad_fraction(spark):
         stratified_sample_hash(df, "s", {"a": 1.5}, "id")
 
 
+def test_temperature_resample_flattens_and_matches_duckdb(spark):
+    """X24: expected kept counts track coeff·√n per group (temperature
+    τ=0.5 flattening — the dominant group is downsampled hardest, a
+    tiny group survives whole), the kept SET is run-stable and
+    bit-identical to the DuckDB twin, and a new salt re-draws."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.sampling import (
+        temperature_resample,
+        temperature_resample_sql,
+    )
+
+    # groups: big 20000, mid 2000, tiny 50 (tiny → keep-all branch)
+    df = spark.range(0, 22050).select(
+        F.col("id"),
+        F.when(F.col("id") < 20000, "big")
+        .when(F.col("id") < 22000, "mid")
+        .otherwise("tiny")
+        .alias("g"),
+    )
+    out1 = {r["id"] for r in temperature_resample(df, "g", "id", coeff=20.0).collect()}
+    out2 = {r["id"] for r in temperature_resample(df, "g", "id", coeff=20.0).collect()}
+    assert out1 == out2, "the kept SET is deterministic"
+    by_g = {"big": 0, "mid": 0, "tiny": 0}
+    for i in out1:
+        by_g["big" if i < 20000 else "mid" if i < 22000 else "tiny"] += 1
+    assert by_g["tiny"] == 50, "rate ≥ 1 keeps the whole group"
+    # expected = coeff·√n: big 20·141.4≈2828, mid 20·44.7≈894
+    assert abs(by_g["big"] - 2828) < 2828 * 0.1
+    assert abs(by_g["mid"] - 894) < 894 * 0.15
+    # flattening: natural ratio 10:1 compresses toward √10 ≈ 3.2:1
+    assert 2.5 < by_g["big"] / by_g["mid"] < 4.0
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"id": range(22050)}).assign(
+        g=lambda d: ["big" if i < 20000 else "mid" if i < 22000 else "tiny"
+                     for i in d["id"]]))
+    want = {r[0] for r in con.execute(
+        "SELECT id FROM ("
+        + temperature_resample_sql("SELECT id, g FROM t", "g", "id", coeff=20.0)
+        + ")").fetchall()}
+    con.close()
+    assert out1 == want, "kept set bit-identical to the DuckDB twin"
+
+    resalt = {r["id"] for r in
+              temperature_resample(df, "g", "id", coeff=20.0, salt="temp1").collect()}
+    assert resalt != out1, "a new salt is an independent re-draw"
+
+
+def test_temperature_resample_tau_and_guards(spark):
+    """τ=1 keeps the natural mix at a flat rate (general-τ pow path),
+    NULL groups are dropped, and parameter guards raise."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.sampling import temperature_resample
+
+    df = spark.range(0, 3000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 < 2, "x").otherwise("y").alias("g"),
+    )
+    # τ=1: rate = coeff·n^0 = coeff for every group → natural proportions
+    kept = temperature_resample(df, "g", "id", coeff=0.5, tau=1.0).collect()
+    by_g = {"x": 0, "y": 0}
+    for r in kept:
+        by_g[r["g"]] += 1
+    assert abs(by_g["x"] / 2000 - 0.5) < 0.06
+    assert abs(by_g["y"] / 1000 - 0.5) < 0.08
+
+    withnull = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None)], "id bigint, g string"
+    )
+    got = temperature_resample(withnull, "g", "id", coeff=10.0).collect()
+    assert {r["id"] for r in got} == {1, 2}, "NULL groups have no mixture weight"
+
+    with _pytest.raises(ValueError, match="coeff"):
+        temperature_resample(df, "g", "id", coeff=0.0)
+    with _pytest.raises(ValueError, match="tau"):
+        temperature_resample(df, "g", "id", coeff=1.0, tau=1.5)
+
+
 def test_zero_vector_scores_zero_not_crash(spark):
     v = spark.createDataFrame(
         [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],

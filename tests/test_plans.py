@@ -553,3 +553,43 @@ def test_ivf_fixed_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # re-rank join on cent_id: the probe side must broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_resample_broadcast_thresholds_no_corpus_shuffle(spark):
+    """X24 scale pins: the per-group threshold frame joins back via
+    BROADCAST (the corpus side never shuffles for the keep predicate),
+    the group-count aggregate combines map-side (partial_count), and
+    the keep predicate is pure codegen — no Python evaluation."""
+    from pyspark_dist_explore_spark.operators.sampling import temperature_resample
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    out = temperature_resample(docs, "lang", "doc_id", coeff=4.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_dedup_no_window_in_gram_build(spark):
+    """X23 scale pins: the k-gram build is row-local array work (no
+    Window exchange/sort feeding the gram frame — the plan's only sorts
+    belong to aggregate/join machinery), duplicate detection combines
+    map-side (partial_count), and no Python evaluation appears."""
+    from pyspark_dist_explore_spark.operators.textstats import drop_duplicate_spans
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    out = drop_duplicate_spans(docs, "text", "doc_id", k=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, "gram build must not window-shuffle the token stream"
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
