@@ -1123,3 +1123,96 @@ def corpus_profile(
             F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 6
         ).alias("dup_frac"),
     )
+
+
+def vocabulary(df: DataFrame, text_col: str, *, size: int) -> DataFrame:
+    """Vocabulary induction: the top-``size`` token types of the
+    normalized whitespace stream by corpus frequency, ties broken
+    lexicographically — ``(tok, cnt)``, the deterministic unigram-vocab
+    step of a tokenizer-training / coverage-analysis pipeline (the
+    tie-break makes the vocab a pure function of the corpus, so it is
+    reproducible across engines and partitionings).
+
+    Scale shape: one token explode feeds a type-count hash aggregate
+    (map-side partials — the aggregate output is TYPE-sized, not
+    corpus-sized), then ``orderBy(cnt desc, tok).limit(size)`` compiles
+    to ``TakeOrderedAndProject`` — a per-partition top-``size`` heap
+    merged on the driver, never a full sort of the type table.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    toks = df.select(F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"))
+    counts = (
+        toks.where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(size)
+
+
+def oov_stats(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    vocab: DataFrame,
+    *,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Out-of-vocabulary coverage per group: ``(group, in_vocab_tokens,
+    oov_tokens)`` — how much of each source/language the ``vocab``
+    (from :func:`vocabulary`, or any ``(tok, …)`` reference frame such
+    as a tokenizer's real vocab) actually covers.  The canonical
+    pre-tokenizer-sizing question ("what OOV rate does a V-type vocab
+    leave per language?"), and pure integer output — hash-oracle-safe.
+
+    Scale shape: token explode (row-local) → BROADCAST left join with
+    the vocab (V rows — driver-small by construction) → one per-group
+    count aggregate with map-side partials.  No corpus shuffle except
+    the final ≤|groups|-row aggregate.  Groups whose docs have zero
+    tokens produce no row (left-join the caller's group list and
+    coalesce to 0).
+    """
+    toks = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("group"),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
+    ).where(F.col("tok") != "")
+    v = F.broadcast(vocab.select("tok").distinct().withColumn("__v", F.lit(1)))
+    flagged = toks.join(v, "tok", "left")
+    hit = F.col("__v").isNotNull()
+    return flagged.groupBy("group").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(f"{out_prefix}in_vocab_tokens"),
+        F.sum(F.when(hit, 0).otherwise(1)).cast("bigint").alias(f"{out_prefix}oov_tokens"),
+    )
+
+
+def vocabulary_oov_sql(src: str, group_col: str, size: int) -> str:
+    """DuckDB twin of :func:`vocabulary` + :func:`oov_stats` over one
+    relation: same normalized token stream, same (cnt DESC, tok ASC)
+    top-``size`` vocab, same per-group integer coverage counts.
+    ``src`` must yield ``({group_col}, text)``.
+    """
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    return f"""
+WITH vo_src AS ({src}),
+vo_toks AS (
+  SELECT COALESCE(CAST({group_col} AS VARCHAR), '') AS "group",
+         unnest(string_split({norm}, ' ')) AS tok
+  FROM vo_src
+),
+vo_t AS (SELECT "group", tok FROM vo_toks WHERE tok <> ''),
+vo_vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM vo_t GROUP BY tok
+  ) ORDER BY cnt DESC, tok ASC LIMIT {size}
+),
+vo_out AS (
+  SELECT t."group",
+         CAST(count(*) FILTER (WHERE v.tok IS NOT NULL) AS BIGINT) AS in_vocab_tokens,
+         CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS oov_tokens
+  FROM vo_t t LEFT JOIN vo_vocab v ON t.tok = v.tok
+  GROUP BY t."group"
+)
+SELECT * FROM vo_out
+"""

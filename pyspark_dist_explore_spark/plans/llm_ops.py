@@ -1879,6 +1879,12 @@ def _q_multimodal_features_staged(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------------------------------------
 
 
+#: X25 vocab size for the registered OOV section: the synthetic corpus
+#: has ~31 token types, so 16 leaves a real OOV tail at every SF while
+#: still exercising the (cnt DESC, tok ASC) tie-broken top-V induction.
+_VOCAB_SIZE = 16
+
+
 @register(
     "corpus_profile",
     f"""
@@ -1890,7 +1896,8 @@ WITH scored AS (
          md5({_NORM.format(c="COALESCE(text, '')")}) AS fp,
          CASE WHEN {_NORM.format(c="COALESCE(text, '')")} = '' THEN 1 ELSE 0 END AS empty
   FROM documents
-)
+),
+prof AS (
 SELECT "group",
        count(*) AS n_docs,
        CAST(sum(empty) AS BIGINT) AS n_empty,
@@ -1900,16 +1907,34 @@ SELECT "group",
        count(DISTINCT fp) AS n_unique,
        round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_frac
 FROM scored GROUP BY "group"
+),
+vo AS ({textstats.vocabulary_oov_sql("SELECT source, text FROM documents", "source", _VOCAB_SIZE)})
+SELECT prof.*,
+       CAST(COALESCE(vo.in_vocab_tokens, 0) AS BIGINT) AS in_vocab_tokens,
+       CAST(COALESCE(vo.oov_tokens, 0) AS BIGINT) AS oov_tokens
+FROM prof LEFT JOIN vo ON prof."group" = vo."group"
 """,
 )
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X20 at the driver gate (promoted round 6): the one-scan corpus
     EDA card per source — docs/empties/token totals, the 1e-6
     fixed-point quality mean, and the exact-dup fraction from md5
-    content fingerprints.  ONE scan, two exchanges (plan-pinned in
-    tests/test_plans.py); NULL text profiles as an empty doc."""
+    content fingerprints (ONE scan, two exchanges, plan-pinned in
+    tests/test_plans.py; NULL text profiles as an empty doc) — joined,
+    since round 8, with the X25 VOCABULARY-COVERAGE card: the top-16
+    tie-broken induced vocab's per-source in-vocab/OOV token counts
+    (pure integers, the pre-tokenizer-sizing signal), vocab induced via
+    ``TakeOrderedAndProject`` over the type-count aggregate and
+    broadcast into the coverage join."""
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.corpus_profile(docs, "text", "doc_id", group_col="source")
+    prof = textstats.corpus_profile(docs, "text", "doc_id", group_col="source")
+    vocab = textstats.vocabulary(docs, "text", size=_VOCAB_SIZE)
+    oov = textstats.oov_stats(docs, "text", "source", vocab)
+    return prof.join(oov, "group", "left").select(
+        prof["*"],
+        F.coalesce(F.col("in_vocab_tokens"), F.lit(0)).cast("bigint").alias("in_vocab_tokens"),
+        F.coalesce(F.col("oov_tokens"), F.lit(0)).cast("bigint").alias("oov_tokens"),
+    )
 
 
 def _drift_groups_oracle() -> str:

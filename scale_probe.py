@@ -411,6 +411,17 @@ def main() -> None:
     print(json.dumps({"probe": "corpus_profile", "t_1x": t1, "t_10x": t10,
                       "groups_1x": n1, "groups_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- span dedup (X23): gram build + corpus-wide dup aggregate + rebuild.
+    # Copy-prefixed tokens keep each copy's duplicated spans disjoint, so
+    # the duplicated-gram table, coverage explode, and rebuild all scale
+    # exactly with the corpus — output docs must be exactly linear.
+    from pyspark_dist_explore_spark.operators.textstats import drop_duplicate_spans
+
+    t1, n1 = timed(drop_duplicate_spans(docs, "text", "doc_id", k=8))
+    t10, n10 = timed(drop_duplicate_spans(docs10, "text", "doc_id", k=8))
+    print(json.dumps({"probe": "span_dedup", "t_1x": t1, "t_10x": t10,
+                      "docs_1x": n1, "docs_10x": n10, "ratio": round(t10 / t1, 2)}))
+
     # -- unigram perplexity scoring: 10× docs ------------------------------
     # (TF shuffle + vocab join + per-doc agg — all hash-partitioned and
     # map-side-combined, so growth must be ~linear; output exactly 10×)
@@ -763,6 +774,27 @@ def main() -> None:
         t100, n100 = run_lines(lined_copies(100))
         print(json.dumps({
             "probe": "line_dedup_100x", "t_1x": t1, "t_10x": t10, "t_100x": t100,
+            "docs_1x": n1, "docs_10x": n10, "docs_100x": n100,
+            "ratio_10x": round(t10 / t1, 2), "ratio_100x": round(t100 / t1, 2),
+            "decade2_ratio": round(t100 / t10, 2),
+        }))
+
+        # -- span dedup 100×: the k-gram duplicate aggregate + coverage
+        # explode + rebuild through the second decade (token-disjoint
+        # copies keep duplicated spans within-copy, so the dup-gram table
+        # and the rebuild both grow exactly with the corpus)
+        from pyspark_dist_explore_spark.operators.textstats import (
+            drop_duplicate_spans as _dds,
+        )
+
+        def run_spans(d: DataFrame) -> tuple[float, int]:
+            return timed(_dds(d, "text", "doc_id", k=8))
+
+        t1, n1 = run_spans(docs)
+        t10, n10 = run_spans(copies(10))
+        t100, n100 = run_spans(copies(100))
+        print(json.dumps({
+            "probe": "span_dedup_100x", "t_1x": t1, "t_10x": t10, "t_100x": t100,
             "docs_1x": n1, "docs_10x": n10, "docs_100x": n100,
             "ratio_10x": round(t10 / t1, 2), "ratio_100x": round(t100 / t1, 2),
             "decade2_ratio": round(t100 / t10, 2),

@@ -2102,6 +2102,70 @@ def test_drop_repeated_lines_semantics(spark):
 
 
 # --------------------------------------------------------------------------
+# vocabulary induction + OOV coverage (textstats.vocabulary/oov_stats, X25)
+# --------------------------------------------------------------------------
+
+
+def test_vocabulary_topv_tie_break_deterministic(spark):
+    """The induced vocab is a pure function of the corpus: boundary ties
+    resolve lexicographically (cnt DESC, tok ASC), so the same corpus
+    yields the same V types on every run and engine."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.textstats import vocabulary
+
+    # counts: a=3, then b=c=d=2 tied at the V=2 boundary, e=1
+    docs = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "c c d d e")], ["doc_id", "text"]
+    )
+    v = [(r["tok"], r["cnt"]) for r in vocabulary(docs, "text", size=2).collect()]
+    assert v == [("a", 3), ("b", 2)], "tie at the boundary goes to the first token"
+    v3 = {r["tok"] for r in vocabulary(docs, "text", size=3).collect()}
+    assert v3 == {"a", "b", "c"}
+    with _pytest.raises(ValueError, match="size"):
+        vocabulary(docs, "text", size=0)
+
+
+def test_oov_stats_matches_duckdb_and_reference_vocab(spark):
+    """Per-group integer coverage counts match the DuckDB twin on the
+    real corpus; a supplied REFERENCE vocab (the tokenizer-coverage use
+    case) is honored instead of inducing one; NULL groups coalesce."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        oov_stats,
+        vocabulary,
+        vocabulary_oov_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = vocabulary(docs, "text", size=16)
+    got = sorted(
+        map(tuple, oov_stats(docs, "text", "source", vocab).collect())
+    )
+    con = duckdb.connect()
+    sql = vocabulary_oov_sql(
+        "SELECT source, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')",
+        "source",
+        16,
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    con.close()
+    assert got == want
+    assert any(r[2] > 0 for r in got), "V=16 must leave a real OOV tail"
+
+    ref = spark.createDataFrame([("alpha",), ("beta",)], ["tok"])
+    probe = spark.createDataFrame(
+        [(1, "alpha beta gamma", None), (2, "alpha alpha", "g1")],
+        "doc_id bigint, text string, grp string",
+    )
+    out = {r["group"]: r for r in oov_stats(probe, "text", "grp", ref).collect()}
+    assert out[""]["in_vocab_tokens"] == 2 and out[""]["oov_tokens"] == 1
+    assert out["g1"]["in_vocab_tokens"] == 2 and out["g1"]["oov_tokens"] == 0
+
+
+# --------------------------------------------------------------------------
 # duplicate-span removal (textstats.drop_duplicate_spans, X23)
 # --------------------------------------------------------------------------
 
