@@ -496,3 +496,87 @@ JOIN (
 ) r USING ({group_col})
 WHERE r.__thr >= 65536 OR {h} < printf('%04x', r.__thr)
 """
+
+
+def stratified_take_exact(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    targets: dict[str, int],
+    *,
+    salt: str = "take0",
+) -> DataFrame:
+    """EXACT-count deterministic stratified selection: keep precisely
+    ``min(target_s, n_s)`` rows per stratum — the companion to
+    :func:`stratified_sample_hash`, whose Bernoulli keep-rates land
+    only *around* ``frac·n``.  The real-world shape is "take exactly
+    10k docs per language, reproducibly": rows are ranked within each
+    stratum by ``md5(salt:key)`` (a content-hash order — no RNG, no
+    data-order dependence) and the first ``target_s`` win.  Same
+    corpus, same salt → the same SET on every run, engine, and
+    partitioning; a new salt is an independent re-draw.  Strata missing
+    from ``targets`` are dropped, like the Bernoulli sampler.
+
+    Ties: md5 collisions across DIFFERENT keys are cryptographically
+    negligible, but the rank breaks ties on the key itself anyway, so
+    the selection is total-order-deterministic even under equal hashes
+    (and under duplicate keys).
+
+    Scale shape: ONE hash-partition window per stratum (rank within
+    ``stratum`` ordered by the hash — the same single-exchange shape as
+    ``shuffle_shards``, never a global sort) followed by a row-local
+    rank filter.  A stratum's rows must fit the usual window-per-key
+    memory envelope; targets are literals, so the filter folds into the
+    window projection.
+    """
+    for name, target in targets.items():
+        if target < 0:
+            raise ValueError(f"targets must be >= 0, got {name}={target}")
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(salt), F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+        )
+    )
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key_col).cast("string"))
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    cap = None
+    for name, target in targets.items():
+        cond = F.col("__rk") <= F.lit(int(target))
+        cased = F.when(F.col(stratum_col) == name, cond)
+        cap = cased if cap is None else cap.when(F.col(stratum_col) == name, cond)
+    if cap is None:
+        return df.where(F.lit(False))
+    return ranked.where(cap.otherwise(F.lit(False))).drop("__rk")
+
+
+def stratified_take_exact_sql(
+    src: str,
+    stratum_col: str,
+    key_col: str,
+    targets: dict[str, int],
+    *,
+    salt: str = "take0",
+) -> str:
+    """DuckDB twin of :func:`stratified_take_exact` — identical hash
+    order, identical per-stratum caps; ``src`` must yield the sampled
+    relation.  Returns a SELECT of the kept rows (without the rank)."""
+    h = (
+        f"md5(concat({sql_str_lit(salt)}, ':', "
+        f"COALESCE(CAST({key_col} AS VARCHAR), '')))"
+    )
+    whens = " ".join(
+        f"WHEN {stratum_col} = {sql_str_lit(name)} THEN __rk <= {int(target)}"
+        for name, target in targets.items()
+    )
+    if not whens:
+        return f"SELECT * FROM ({src}) WHERE FALSE"
+    return f"""
+SELECT * EXCLUDE (__rk) FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {stratum_col}
+    ORDER BY {h}, CAST({key_col} AS VARCHAR)
+  ) AS __rk
+  FROM ({src})
+)
+WHERE CASE {whens} ELSE FALSE END
+"""

@@ -473,6 +473,8 @@ from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
     shuffle_shards_sql,
     stratified_sample_hash,
     stratified_sample_hash_sql,
+    stratified_take_exact,
+    stratified_take_exact_sql,
     temperature_resample,
     temperature_resample_sql,
 )
@@ -546,6 +548,11 @@ def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: keep-all branch (tiny group) is pinned in pytest.
 _TEMP_COEFF = 4.0
 
+#: X26 exact-take targets: en capped hard, es capped, zh keep-all
+#: (target > n at every SF), de zero, fr unlisted → dropped — the five
+#: behaviors an exact-count mixture recipe exercises.
+_TAKE_TARGETS = {"en": 120, "es": 50, "zh": 100_000, "de": 0}
+
 
 @register(
     "sampling_splits",
@@ -559,6 +566,12 @@ GROUP BY 1, 2
 UNION ALL
 SELECT 'temp_resample' AS kind, lang AS key, count(*) AS cnt
 FROM ({temperature_resample_sql("SELECT doc_id, lang FROM documents", "lang", "doc_id", coeff=_TEMP_COEFF)})
+GROUP BY 1, 2
+UNION ALL
+SELECT 'strat_exact' AS kind,
+       concat(lang, '#', CAST(doc_id % 7 AS VARCHAR)) AS key,
+       count(*) AS cnt
+FROM ({stratified_take_exact_sql("SELECT doc_id, lang FROM documents", "lang", "doc_id", _TAKE_TARGETS)})
 GROUP BY 1, 2
 """,
 )
@@ -596,7 +609,23 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.lit("temp_resample").alias("kind"), F.col("lang").alias("key"), "cnt")
     )
-    return splits.unionByName(strat).unionByName(temp)
+    # X26: counts alone would be vacuous for an exact-count take (both
+    # engines trivially keep min(target, n) rows) — sub-bucketing the
+    # kept rows by doc_id % 7 makes the hashed section SET-sensitive:
+    # a single swapped selection almost surely shifts an id-class count.
+    take = (
+        stratified_take_exact(
+            docs.select("doc_id", "lang"), "lang", "doc_id", _TAKE_TARGETS
+        )
+        .groupBy(
+            F.concat(
+                F.col("lang"), F.lit("#"), (F.col("doc_id") % 7).cast("string")
+            ).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("strat_exact").alias("kind"), "key", "cnt")
+    )
+    return splits.unionByName(strat).unionByName(temp).unionByName(take)
 
 
 #: per-source token budgets for the mixture query: a partial keep

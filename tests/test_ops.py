@@ -1069,6 +1069,68 @@ def test_temperature_resample_flattens_and_matches_duckdb(spark):
     assert resalt != out1, "a new salt is an independent re-draw"
 
 
+def test_stratified_take_exact_counts_and_twin(spark):
+    """X26: exactly min(target, n) rows per stratum — a hard cap, not a
+    Bernoulli expectation; the kept SET is run-stable, bit-identical to
+    the DuckDB twin, re-drawn under a new salt, and unlisted/zero
+    strata drop entirely."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.sampling import (
+        stratified_take_exact,
+        stratified_take_exact_sql,
+    )
+
+    targets = {"en": 120, "es": 50, "zh": 100_000, "de": 0}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in stratified_take_exact(docs, "lang", "doc_id", targets).collect()
+    )
+    by_lang: dict[str, int] = {}
+    for _, lang in got:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert by_lang["en"] == 120 and by_lang["es"] == 50, "exact caps"
+    assert by_lang["zh"] == 74, "target > n keeps the whole stratum"
+    assert "de" not in by_lang and "fr" not in by_lang, "zero/unlisted drop"
+
+    again = sorted(
+        (r["doc_id"], r["lang"])
+        for r in stratified_take_exact(docs, "lang", "doc_id", targets).collect()
+    )
+    assert got == again, "the kept SET is deterministic"
+
+    con = duckdb.connect()
+    sql = stratified_take_exact_sql(
+        "SELECT doc_id, lang FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')",
+        "lang",
+        "doc_id",
+        targets,
+    )
+    want = sorted(
+        map(tuple, con.execute("SELECT doc_id, lang FROM (" + sql + ")").fetchall())
+    )
+    con.close()
+    assert got == want, "kept set bit-identical to the DuckDB twin"
+
+    resalt = sorted(
+        (r["doc_id"], r["lang"])
+        for r in stratified_take_exact(
+            docs, "lang", "doc_id", targets, salt="take1"
+        ).collect()
+    )
+    assert resalt != got and len(resalt) == len(got), "new salt, same counts"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="targets"):
+        stratified_take_exact(docs, "lang", "doc_id", {"en": -1})
+    assert stratified_take_exact(docs, "lang", "doc_id", {}).count() == 0
+
+
 def test_temperature_resample_tau_and_guards(spark):
     """τ=1 keeps the natural mix at a flat rate (general-τ pow path),
     NULL groups are dropped, and parameter guards raise."""

@@ -593,3 +593,26 @@ def test_span_dedup_no_window_in_gram_build(spark):
     assert "partial_count" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_stratified_take_exact_single_exchange_no_global_sort(spark):
+    """X26 scale pins: the per-stratum rank is ONE hash-partition window
+    (same single-exchange shape as shuffle_shards) — a per-partition
+    sort under the window, never a global range sort of the corpus."""
+    from pyspark_dist_explore_spark.operators.sampling import stratified_take_exact
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    out = stratified_take_exact(docs, "lang", "doc_id", {"en": 10, "zh": 5})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    n_exchange = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}\n{plan}"
+    assert "rangepartitioning" not in plan.lower(), "no global sort"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
