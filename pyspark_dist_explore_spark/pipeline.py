@@ -267,6 +267,9 @@ def curate_documents(
     unicode_form: str | None = None,
     drop_boilerplate_lines: int | None = None,
     dedup_doc_lines: bool = False,
+    span_dedup_k: int | None = None,
+    temperature_coeff: float | None = None,
+    take_targets: dict[str, int] | None = None,
     max_dup_token_frac: float | None = None,
     max_ppl: float | None = None,
     ppl_lm_counts: DataFrame | None = None,
@@ -371,6 +374,25 @@ def curate_documents(
     sharing only a shorter (≥ 5-token) passage, which for a leakage
     guard errs in the safe direction.
 
+    ``span_dedup_k=k`` (opt-in) runs ExactSubstr-style duplicate-SPAN
+    removal (:func:`operators.textstats.drop_duplicate_spans`) after
+    the line-dedup stages and before scoring: any ``k``-token window
+    duplicated corpus-wide vanishes from every occurrence, so quality
+    scoring, fingerprints, and near-dup detection see span-cleaned
+    text; a doc that was one big duplicated quote becomes an empty husk
+    and falls to the quality bar.  Costs the gram aggregate + rebuild
+    shuffles — opt-in.
+
+    ``temperature_coeff`` / ``take_targets`` (opt-in, mutually
+    exclusive) are the MIXTURE controls, applied to the post-dedup
+    survivors keyed by ``lang_pred`` and BEFORE any token budget:
+    ``temperature_coeff=c`` keeps each language at rate
+    ``min(1, c/√n)`` (:func:`operators.sampling.temperature_resample`,
+    τ=0.5 — expected counts ∝ √n, the multilingual flattening recipe);
+    ``take_targets={lang: n}`` keeps EXACTLY ``min(n, available)`` docs
+    per language in content-hash order (:func:`operators.sampling
+    .stratified_take_exact` — languages missing from the dict drop).
+
     ``token_budget`` (opt-in) caps the SURVIVING corpus at a total
     token budget, best quality first (`sampling.select_by_token_budget`
     on the post-dedup survivors — whitespace token counts computed
@@ -419,6 +441,19 @@ def curate_documents(
         )
 
         docs = dedup_lines_within_doc(docs, text_col, id_col).select(
+            F.col("doc_id").alias(id_col), F.col("text").alias(text_col)
+        )
+
+    if span_dedup_k is not None:
+        # ExactSubstr-style duplicated-span removal LAST of the
+        # text-rewriting stages (a span that line dedup already removed
+        # costs nothing here); every downstream signal sees the
+        # span-cleaned text
+        from pyspark_dist_explore_spark.operators.textstats import (
+            drop_duplicate_spans,
+        )
+
+        docs = drop_duplicate_spans(docs, text_col, id_col, k=span_dedup_k).select(
             F.col("doc_id").alias(id_col), F.col("text").alias(text_col)
         )
 
@@ -554,6 +589,24 @@ def curate_documents(
     survivors = clusters.where(F.col("is_survivor") == 1).select("doc_id")
 
     out = kept.join(survivors, "doc_id")
+    if temperature_coeff is not None and take_targets is not None:
+        raise ValueError("pass temperature_coeff OR take_targets, not both")
+    if temperature_coeff is not None:
+        # mixture flattening BEFORE any token budget: reweight the
+        # language mix first, then budget best-quality within it
+        from pyspark_dist_explore_spark.operators.sampling import (
+            temperature_resample,
+        )
+
+        out = temperature_resample(
+            out, "lang_pred", "doc_id", coeff=temperature_coeff
+        )
+    if take_targets is not None:
+        from pyspark_dist_explore_spark.operators.sampling import (
+            stratified_take_exact,
+        )
+
+        out = stratified_take_exact(out, "lang_pred", "doc_id", take_targets)
     if token_budget is not None and token_budgets is not None:
         raise ValueError("pass token_budget OR token_budgets, not both")
     if token_budget is not None or token_budgets is not None:

@@ -772,3 +772,69 @@ def test_union_pair_fns_combines_lexical_and_semantic_signals(spark):
     ids = sorted(r.doc_id for r in kept.collect())
     # 2 collapses into 1 (lexical), 4 into 3 (semantic), 5 survives
     assert ids == [1, 3, 5], ids
+
+
+def test_curate_span_dedup_stage(spark):
+    """span_dedup_k= scrubs corpus-duplicated spans before scoring: the
+    doc that is ONE big duplicated quote becomes an empty husk and
+    drops; the doc that merely cites the quote survives with its own
+    body; without the stage the quote-only doc passes the bar."""
+    quote = " ".join(f"quoted{i} passage{i % 5}" for i in range(12))
+    body = " ".join(f"original{i} writing{i % 7}" for i in range(30))
+    rows = [
+        (1, f"{body} {quote}"),
+        (2, quote),
+        (3, " ".join(f"other{i} page{i % 3}" for i in range(25))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r.doc_id for r in curate_documents(
+        docs, "text", "doc_id", min_quality=0.5, span_dedup_k=8
+    ).collect()}
+    assert 1 in kept and 3 in kept
+    assert 2 not in kept, "the all-duplicated doc must husk out"
+    loose = {r.doc_id for r in curate_documents(
+        docs, "text", "doc_id", min_quality=0.5).collect()}
+    assert 2 in loose, "without the stage the quote-only doc survives"
+
+
+def test_curate_mixture_controls(spark):
+    """temperature_coeff= flattens the post-dedup language mix toward
+    sqrt-counts; take_targets= caps languages exactly (missing
+    languages drop); the two are mutually exclusive."""
+    import pytest as _pytest
+
+    docs = _docs(spark)
+    base = curate_documents(docs, "text", "doc_id", min_quality=0.0)
+    by_lang = {r["lang_pred"]: r["cnt"] for r in
+               base.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+    temp = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, temperature_coeff=3.0
+    )
+    t_by_lang = {r["lang_pred"]: r["cnt"] for r in
+                 temp.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for lang, n in t_by_lang.items():
+        assert n <= by_lang[lang], "resampling never adds rows"
+    # the dominant language is downsampled hardest: its kept FRACTION
+    # must be strictly below a small language's kept fraction
+    big = max(by_lang, key=by_lang.get)
+    small = min(by_lang, key=by_lang.get)
+    if by_lang[big] > 2 * by_lang[small]:
+        assert (t_by_lang.get(big, 0) / by_lang[big]
+                < t_by_lang.get(small, 0) / by_lang[small] + 1e-9)
+
+    take = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0,
+        take_targets={big: 5, small: 100_000},
+    )
+    k_by_lang = {r["lang_pred"]: r["cnt"] for r in
+                 take.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert k_by_lang[big] == 5, "exact cap"
+    assert k_by_lang[small] == by_lang[small], "target > n keeps all"
+    assert set(k_by_lang) == {big, small}, "unlisted languages drop"
+
+    with _pytest.raises(ValueError, match="temperature_coeff OR take_targets"):
+        curate_documents(
+            docs, "text", "doc_id",
+            temperature_coeff=1.0, take_targets={"en": 1},
+        )
