@@ -537,6 +537,10 @@ def stratified_take_exact(
             ":", F.lit(salt), F.coalesce(F.col(key_col).cast("string"), F.lit(""))
         )
     )
+    # unlisted strata drop anyway — filter them BEFORE the window so the
+    # rank shuffle carries only rows that can survive (row_number within
+    # a stratum is unaffected: window partitions are independent)
+    df = df.where(F.col(stratum_col).isin([n for n, t in targets.items() if t > 0]))
     w = Window.partitionBy(stratum_col).orderBy(h, F.col(key_col).cast("string"))
     ranked = df.withColumn("__rk", F.row_number().over(w))
     cap = None
@@ -570,6 +574,9 @@ def stratified_take_exact_sql(
     )
     if not whens:
         return f"SELECT * FROM ({src}) WHERE FALSE"
+    live = ", ".join(
+        sql_str_lit(name) for name, target in targets.items() if target > 0
+    ) or "NULL"
     return f"""
 SELECT * EXCLUDE (__rk) FROM (
   SELECT *, row_number() OVER (
@@ -577,6 +584,7 @@ SELECT * EXCLUDE (__rk) FROM (
     ORDER BY {h}, CAST({key_col} AS VARCHAR)
   ) AS __rk
   FROM ({src})
+  WHERE {stratum_col} IN ({live})
 )
 WHERE CASE {whens} ELSE FALSE END
 """
