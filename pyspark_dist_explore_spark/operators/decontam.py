@@ -174,13 +174,66 @@ def contaminated_ids(
     ngram_n: int = 13,
     eval_text_col: str | None = None,
     broadcast_eval: bool = True,
+    bloom_bits: int | None = None,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Just the flagged ids (one ``doc_id`` column) — the anti-join input
     :func:`pipeline.curate_documents` consumes.  Skips the keep-side
     left join of :func:`decontaminate`, so the plan is gram build →
-    broadcast probe → distinct ids."""
+    broadcast probe → distinct ids.
+
+    ``bloom_bits=N`` is the HUGE-EVAL scale path (an eval suite too big
+    to broadcast as an in-memory gram set): the distinct eval grams
+    build a Bloom bitmap (:func:`operators.dedup.build_fp_bloom` —
+    distributed ``bit_or``, ``N``/8 bytes on the driver) that is
+    broadcast into an Arrow-batched membership test over the TRAINING
+    gram stream; only bloom-HIT grams (true contamination + false
+    positives, rate ≈ (1-e^(-hashes·n/N))^hashes) proceed to the exact
+    verify semi-join against the eval gram set, so the trillion-gram
+    training side never shuffles and the eval side shuffles once
+    instead of broadcasting whole.  False positives are weeded by the
+    verify join — the result EXACTLY equals the plain path.
+    ``broadcast_eval`` is ignored under ``bloom_bits`` (the premise is
+    the eval set does not broadcast).
+    """
     grams = shingle_rows(train, text_col, id_col, ngram_n)
     ev = eval_gram_set(eval_df, eval_text_col or text_col, ngram_n=ngram_n)
+    if bloom_bits is not None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from pyspark_dist_explore_spark.operators.dedup import (
+            _fp_km_hashes,
+            build_fp_bloom,
+        )
+
+        # sh is the raw gram string — hash it to the md5-hex form the
+        # Kirsch–Mitzenmacher position derivation expects, on BOTH sides
+        arr = build_fp_bloom(
+            ev.select(F.md5("sh").alias("sh")), "sh",
+            bits=bloom_bits, hashes=bloom_hashes,
+        )
+        bits, hashes = bloom_bits, bloom_hashes
+
+        @pandas_udf("boolean")
+        def _maybe_hit(h1, h2):
+            import numpy as np
+
+            a1 = h1.to_numpy(dtype=np.int64)
+            a2 = h2.to_numpy(dtype=np.int64)
+            hit = np.ones(len(a1), dtype=bool)
+            for i in range(hashes):
+                p = (a1 + i * a2) % bits
+                w = p >> 6
+                b = (p & 63).astype(np.uint64)
+                hit &= ((arr[w] >> b) & np.uint64(1)).astype(bool)
+            return pd.Series(hit)
+
+        h1, h2 = _fp_km_hashes(F.md5(F.col("sh")))
+        cand = grams.withColumn("__maybe", _maybe_hit(h1, h2)).where(
+            F.col("__maybe")
+        )
+        return cand.join(ev, "sh", "leftsemi").select("doc_id").distinct()
     if broadcast_eval:
         ev = F.broadcast(ev)
     return grams.join(ev, "sh").select("doc_id").distinct()

@@ -278,6 +278,7 @@ def curate_documents(
     decontam_ngram: int = 13,
     decontam_text_col: str | None = None,
     decontam_method: str = "ngram",
+    decontam_bloom_bits: int | None = None,
     decontam_embeddings: DataFrame | None = None,
     decontam_cos_threshold: float = 0.95,
     token_budget: int | None = None,
@@ -365,6 +366,11 @@ def curate_documents(
     cosine of any eval item drops
     (:func:`operators.decontam.semantic_contaminated_ids` — catches the
     paraphrased/translated test items n-grams cannot).
+    ``decontam_bloom_bits=N`` (ngram method only) opts into the
+    huge-eval scale path: a Bloom bitmap of the eval grams prefilters
+    the training gram stream Arrow-side and only bloom hits reach the
+    exact verify semi-join — identical result, and the training grams
+    never shuffle (:func:`operators.decontam.contaminated_ids`).
     ``decontam_method="winnow"`` swaps the exact n-gram probe for
     winnowing fingerprints (:func:`operators.decontam.
     decontaminate_winnow` with ``k=5``, ``window=decontam_ngram-4``, so
@@ -511,6 +517,9 @@ def curate_documents(
         from pyspark_dist_explore_spark.operators import decontam
 
         if decontam_method == "ngram":
+            # decontam_bloom_bits=N opts into the huge-eval scale path
+            # (Bloom prefilter over the training gram stream + exact
+            # verify — result identical to the plain probe)
             flagged = decontam.contaminated_ids(
                 base,
                 decontaminate_against,
@@ -518,6 +527,7 @@ def curate_documents(
                 "doc_id",
                 ngram_n=decontam_ngram,
                 eval_text_col=decontam_text_col or text_col,
+                bloom_bits=decontam_bloom_bits,
             )
         elif decontam_method == "winnow":
             k = 5

@@ -838,3 +838,31 @@ def test_curate_mixture_controls(spark):
             docs, "text", "doc_id",
             temperature_coeff=1.0, take_targets={"en": 1},
         )
+
+
+def test_contaminated_ids_bloom_path_exact(spark):
+    """bloom_bits= (the huge-eval scale path) returns EXACTLY the plain
+    path's flag set — at a sane size, AND at a pathologically tiny
+    bitmap (bits=64 → near-certain false positives) where the verify
+    semi-join must weed every FP; invalid sizes propagate the builder's
+    guard."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.decontam import contaminated_ids
+
+    docs = _docs(spark).limit(200)
+    # eval slice: every 10th doc's text → real planted overlap
+    eval_df = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    plain = {r["doc_id"] for r in
+             contaminated_ids(docs, eval_df, "text", "doc_id", ngram_n=13).collect()}
+    assert plain, "planted overlap must flag documents"
+    bloom = {r["doc_id"] for r in
+             contaminated_ids(docs, eval_df, "text", "doc_id", ngram_n=13,
+                              bloom_bits=1 << 16).collect()}
+    assert bloom == plain, "bloom path must equal the plain path exactly"
+    tiny = {r["doc_id"] for r in
+            contaminated_ids(docs, eval_df, "text", "doc_id", ngram_n=13,
+                             bloom_bits=64, bloom_hashes=2).collect()}
+    assert tiny == plain, "false positives must be weeded by the verify join"
+    with _pytest.raises(ValueError, match="bits"):
+        contaminated_ids(docs, eval_df, "text", "doc_id", bloom_bits=100)
