@@ -3676,3 +3676,61 @@ def test_word2vec_same_config_repeatable(spark):
         for r in word2vec_embeddings(docs, "text", "doc_id").collect()
     )
     assert a == b
+
+
+def test_span_dedup_matches_python_spec_property(spark):
+    """Property pin for X23: distributed execution == a pure-Python
+    rendering of the spec (k-gram duplicate detection over the
+    normalized stream, remove-all coverage, ordered rebuild) on
+    arbitrary small corpora over a tiny alphabet (collisions forced)."""
+    import re as _re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_dist_explore_spark.operators.textstats import drop_duplicate_spans
+
+    def spec(texts: list[str], k: int):
+        toks = {
+            i: _re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+            for i, t in enumerate(texts)
+        }
+        counts: dict[tuple, int] = {}
+        for l in toks.values():
+            if len(l) >= k:
+                for s in range(len(l) - k + 1):
+                    g = tuple(l[s : s + k])
+                    counts[g] = counts.get(g, 0) + 1
+        out = {}
+        for i, l in toks.items():
+            covered = set()
+            n_spans = 0
+            if len(l) >= k:
+                for s in range(len(l) - k + 1):
+                    if counts[tuple(l[s : s + k])] >= 2:
+                        n_spans += 1
+                        covered.update(range(s, s + k))
+            keep = [t for p, t in enumerate(l) if p not in covered]
+            out[i] = (" ".join(keep), len(keep), len(l) - len(keep), n_spans)
+        return out
+
+    token = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=st.lists(doc, min_size=1, max_size=6), k=st.integers(2, 4))
+    def inner(texts, k):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_tok_kept"], r["n_tok_dropped"], r["n_dup_spans"])
+            for r in drop_duplicate_spans(df, "text", "doc_id", k=k).collect()
+        }
+        assert got == spec(texts, k)
+
+    inner()
