@@ -327,6 +327,58 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    shingle_rows: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``(doc_id, band, band_hash)`` — the LSH banding frame, exposed as
+    its own builder so a deployment can compute it ONCE over the corpus
+    snapshot, land it to parquet next to the signature table, and probe
+    new batches against it forever after
+    (:func:`incremental_minhash_neardup`) without re-minhashing a byte
+    of the snapshot.  :func:`minhash_candidates` composes on top of it
+    (self-join) — identical keys, so snapshot artifacts and the batch
+    pipeline can never drift apart.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        shingle_rows=shingle_rows,
+        hash_fn=hash_fn,
+    )
+
+    def band_key(b: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        return F.xxhash64(joined) if hash_fn == "xxhash64" else joined
+
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("band_hash"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.band_hash")
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str,
@@ -351,36 +403,16 @@ def minhash_candidates(
     (a few dozen bytes per band row; the 8-byte compaction stays the
     default because at 100 TB the band join's shuffle payload matters).
     """
-    if num_hashes % bands:
-        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
+    banded = minhash_band_rows(
         df,
         text_col,
         id_col,
         num_hashes=num_hashes,
+        bands=bands,
         shingle_n=shingle_n,
         shingle_rows=shingle_rows,
         hash_fn=hash_fn,
     )
-
-    def band_key(b: int) -> Column:
-        joined = F.concat_ws(
-            ",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        return F.xxhash64(joined) if hash_fn == "xxhash64" else joined
-
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(b).alias("band_hash"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("doc_id", "bh.band", "bh.band_hash")
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -460,6 +492,104 @@ def minhash_neardup(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_minhash_neardup(
+    new_df: DataFrame,
+    snapshot_bands: DataFrame,
+    snapshot_sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """NEAR-dup the incremental way: flag new-batch docs whose content
+    near-duplicates something already in a corpus SNAPSHOT, touching
+    only the snapshot's precomputed LSH artifacts — never its text.
+    The daily-crawl shape at 100 TB: the snapshot's band rows
+    (:func:`minhash_band_rows`) and signature table
+    (:func:`minhash_signatures`) were landed to parquet when the corpus
+    was built; each new batch re-minhashes ONLY ITSELF.  (The exact-dup
+    companion is :func:`incremental_dedup`; this catches the
+    re-crawled page with a new timestamp footer that exact
+    fingerprints miss.)
+
+    Verification uses the SIGNATURE-estimated Jaccard (fraction of
+    agreeing MinHash components, the standard estimator — unbiased,
+    stderr ≈ 1/√num_hashes): the snapshot's shingles are gone, its
+    signatures are what it stored.  Same ``hash_fn``/params MUST be
+    used on both sides — band keys and signature components are only
+    comparable within one scheme.
+
+    Output: ``(doc_id, snapshot_id, est_jaccard)`` — one row per
+    (new doc, snapshot doc) pair sharing ≥1 band with estimated
+    Jaccard ≥ ``threshold``.  Anti-join ``new_df`` on ``doc_id``
+    against it to keep only genuinely-novel content.
+
+    Scale shape: the new batch's band rows and signatures are
+    BROADCAST (batch-sized — the premise of incremental processing);
+    the snapshot band table is probed with a broadcast hash join and
+    the snapshot signature table with a broadcast semi-join + final
+    broadcast pair join — the snapshot side NEVER shuffles, never
+    sorts, and is read exactly twice (bands, then the candidate slice
+    of signatures).  Per-pair signature agreement is a row-local
+    integer sum over ``num_hashes`` column comparisons.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    batch_bands = minhash_band_rows(
+        new_df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, hash_fn=hash_fn,
+    )
+    batch_sigs = minhash_signatures(
+        new_df, text_col, id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, hash_fn=hash_fn,
+    )
+    # candidate pairs: snapshot rows sharing a band with any batch row —
+    # batch side broadcast, snapshot side streamed
+    snap = snapshot_bands.select(
+        F.col("doc_id").alias("snapshot_id"), "band", "band_hash"
+    )
+    cand = (
+        snap.join(
+            F.broadcast(batch_bands.select("doc_id", "band", "band_hash")),
+            ["band", "band_hash"],
+        )
+        .select("doc_id", "snapshot_id")
+        .distinct()
+    )
+    # candidate snapshot signatures: broadcast-semi probe, then the
+    # (small) candidate pair frame broadcast-joins both signature sides
+    snap_sigs = snapshot_sigs.withColumnRenamed("doc_id", "snapshot_id").join(
+        F.broadcast(cand.select("snapshot_id").distinct()), "snapshot_id", "leftsemi"
+    )
+    b = batch_sigs.select(
+        "doc_id", *[F.col(f"h{i}").alias(f"__bh{i}") for i in range(num_hashes)]
+    )
+    agree = sum_cols_int(
+        [
+            (F.col(f"h{i}") == F.col(f"__bh{i}")).cast("int")
+            for i in range(num_hashes)
+        ]
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        snap_sigs.join(F.broadcast(cand), "snapshot_id")
+        .join(F.broadcast(b), "doc_id")
+        .select("doc_id", "snapshot_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def sum_cols_int(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -3734,3 +3734,92 @@ def test_span_dedup_matches_python_spec_property(spark):
         assert got == spec(texts, k)
 
     inner()
+
+
+# --------------------------------------------------------------------------
+# incremental near-dup vs a corpus snapshot (dedup.incremental_minhash_neardup)
+# --------------------------------------------------------------------------
+
+
+def test_incremental_minhash_neardup_semantics_and_equivalence(spark):
+    """A new batch probes a snapshot's PRECOMPUTED band+signature
+    artifacts: the re-crawled page (exact copy and shingle-level
+    near-copy) is flagged against its snapshot source, novel content is
+    not — and the result equals the from-scratch reference (full-corpus
+    banding restricted to batch×snapshot pairs, signature-estimated
+    Jaccard) exactly, since both run the same scheme."""
+    from pyspark_dist_explore_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_band_rows,
+        minhash_candidates,
+        minhash_signatures,
+    )
+
+    snapshot = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = {r["doc_id"]: r["text"] for r in snapshot.limit(3).collect()}
+    ids = sorted(src)
+    batch = spark.createDataFrame(
+        [
+            (1_000_001, src[ids[0]]),                          # exact re-crawl
+            (1_000_002, src[ids[1]] + " tiny new footer"),     # near-copy
+            (1_000_003, " ".join(f"novel{i} content{i}" for i in range(40))),
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(num_hashes=32, bands=8, shingle_n=3, hash_fn="xxhash64")
+    snap_bands = minhash_band_rows(snapshot, "text", "doc_id", **kw)
+    snap_sigs = minhash_signatures(
+        snapshot, "text", "doc_id", num_hashes=32, shingle_n=3, hash_fn="xxhash64"
+    )
+    got = incremental_minhash_neardup(
+        batch, snap_bands, snap_sigs, "text", "doc_id", threshold=0.5, **kw
+    )
+    rows = {(r["doc_id"], r["snapshot_id"]): r["est_jaccard"] for r in got.collect()}
+    assert (1_000_001, ids[0]) in rows and rows[(1_000_001, ids[0])] == 1.0
+    assert any(d == 1_000_002 and s == ids[1] for d, s in rows)
+    assert not any(d == 1_000_003 for d, s in rows), "novel content must not flag"
+
+    # from-scratch reference over the union, restricted to batch×snapshot
+    union = snapshot.unionByName(batch)
+    pairs = minhash_candidates(union, "text", "doc_id", **kw)
+    u_sigs = minhash_signatures(
+        union, "text", "doc_id", num_hashes=32, shingle_n=3, hash_fn="xxhash64"
+    )
+    from pyspark.sql import functions as FF
+
+    cross = pairs.where(
+        (FF.col("doc_b") >= 1_000_000) & (FF.col("doc_a") < 1_000_000)
+    )
+    a = u_sigs.select(
+        FF.col("doc_id").alias("doc_a"),
+        *[FF.col(f"h{i}").alias(f"__a{i}") for i in range(32)],
+    )
+    bb = u_sigs.select(
+        FF.col("doc_id").alias("doc_b"),
+        *[FF.col(f"h{i}").alias(f"__b{i}") for i in range(32)],
+    )
+    agree = None
+    for i in range(32):
+        t = (FF.col(f"__a{i}") == FF.col(f"__b{i}")).cast("int")
+        agree = t if agree is None else agree + t
+    ref = (
+        cross.join(a, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            FF.col("doc_b").alias("doc_id"),
+            FF.col("doc_a").alias("snapshot_id"),
+            (agree.cast("double") / FF.lit(32.0)).alias("est_jaccard"),
+        )
+        .where(FF.col("est_jaccard") >= 0.5)
+    )
+    want = {(r["doc_id"], r["snapshot_id"]): r["est_jaccard"] for r in ref.collect()}
+    assert rows == want, "incremental path must equal the from-scratch reference"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        incremental_minhash_neardup(
+            batch, snap_bands, snap_sigs, "text", "doc_id", threshold=0.0, **kw
+        )

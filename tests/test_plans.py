@@ -616,3 +616,35 @@ def test_stratified_take_exact_single_exchange_no_global_sort(spark):
     assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}\n{plan}"
     assert "rangepartitioning" not in plan.lower(), "no global sort"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_minhash_snapshot_never_shuffles(spark):
+    """X27 scale pins: the snapshot's band and signature artifacts are
+    probed with BROADCAST joins only (the batch side broadcasts) — no
+    sort-merge join, no cartesian, and the only exchanges in the plan
+    belong to the BATCH's own signature aggregation (batch-sized by
+    premise), never to a snapshot-side repartition."""
+    from pyspark_dist_explore_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_band_rows,
+        minhash_signatures,
+    )
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    snapshot = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    batch = snapshot.where(F.col("doc_id") < 10)
+    kw = dict(num_hashes=32, bands=8, shingle_n=3, hash_fn="xxhash64")
+    bands_df = minhash_band_rows(snapshot, "text", "doc_id", **kw)
+    sigs_df = minhash_signatures(
+        snapshot, "text", "doc_id", num_hashes=32, shingle_n=3, hash_fn="xxhash64"
+    )
+    out = incremental_minhash_neardup(
+        batch, bands_df, sigs_df, "text", "doc_id", threshold=0.5, **kw
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, "bands probe + semi + pair joins"
