@@ -1260,3 +1260,85 @@ FROM v,
      (SELECT list(lo ORDER BY dim) AS los FROM mm) mml,
      (SELECT list(hi ORDER BY dim) AS his FROM mm) mmh
 """
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    *,
+    weight_col: str | None = None,
+    normalize: bool = False,
+) -> DataFrame:
+    """Pool chunk/token-level vectors into one vector per ``group`` —
+    the standard chunk→document aggregation between
+    :func:`packing.chunk_documents`-style splitting and every
+    similarity/dedup/decontam consumer here (a doc embedded as N chunk
+    vectors needs ONE vector to enter SemDeDup, ANN, or semantic
+    decontamination).  ``weight_col`` (e.g. chunk token counts) makes
+    it a weighted mean; ``normalize=True`` L2-normalizes the pooled
+    vector (what cosine consumers want).
+
+    Output: ``(group_col, embedding, n_pooled)``.  NULL vectors are
+    skipped (they contribute to neither sum nor count); a group with
+    only NULL vectors produces no row.  Mixed dims raise at execution
+    (zip semantics would silently truncate — refuse instead).
+
+    Scale shape: ``posexplode`` the vectors (row-local) → ONE hash
+    aggregate keyed by ``(group, position)`` with map-side partial
+    sums → per-group ordered re-assembly via ``array_sort(collect_list
+    (struct(pos, val)))`` — the same two-exchange shape as every other
+    pooled aggregate here; no window over the corpus, no driver
+    materialization, dims-bounded rows into the final collect_list.
+    The per-position mean divides ONCE at the end (sum/weight), so the
+    result is independent of row order up to float addition — round
+    the output (or compare @6dp) when hashing across engines.
+    """
+    vec = _as_double(F.col(vec_col))
+    w = F.col(weight_col).cast("double") if weight_col is not None else F.lit(1.0)
+    exploded = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(group_col).alias("group"),
+            w.alias("__w"),
+            F.size(vec).alias("__dim"),
+            F.posexplode(vec).alias("pos", "val"),
+        )
+    )
+    agg = exploded.groupBy("group", "pos").agg(
+        F.sum(F.col("val") * F.col("__w")).alias("__sv"),
+        F.sum("__w").alias("__sw"),
+        F.count_distinct("__dim").alias("__ndim"),
+        # every vector contributes one row per position, so the count at
+        # any single position IS the pooled-vector count
+        F.count(F.lit(1)).alias("__nrows"),
+    )
+    checked = agg.select(
+        "group",
+        "pos",
+        F.when(
+            F.col("__ndim") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("mean_pool_embeddings: mixed vector dims in group "),
+                    F.col("group").cast("string"),
+                )
+            ),
+        ).otherwise(F.col("__sv") / F.col("__sw")).alias("val"),
+        F.col("__nrows").alias("__n"),
+    )
+    pooled = checked.groupBy("group").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("__s"),
+        F.max("__n").cast("bigint").alias("n_pooled"),
+    )
+    vec_out = F.transform("__s", lambda r: r["val"])
+    if normalize:
+        nrm = F.sqrt(F.aggregate(vec_out, F.lit(0.0), lambda a, x: a + x * x))
+        vec_out = F.when(nrm > 0, F.transform(vec_out, lambda x: x / nrm)).otherwise(
+            vec_out
+        )
+    return pooled.select(
+        F.col("group").alias(group_col),
+        vec_out.alias("embedding"),
+        "n_pooled",
+    )

@@ -3823,3 +3823,90 @@ def test_incremental_minhash_neardup_semantics_and_equivalence(spark):
         incremental_minhash_neardup(
             batch, snap_bands, snap_sigs, "text", "doc_id", threshold=0.0, **kw
         )
+
+
+# --------------------------------------------------------------------------
+# chunk→doc embedding pooling (similarity.mean_pool_embeddings, X28)
+# --------------------------------------------------------------------------
+
+
+def test_mean_pool_embeddings_matches_numpy_and_duckdb(spark):
+    """Pooled vectors equal the numpy weighted mean @6dp on the real
+    embeddings table (groups of ~50 vectors), and the DuckDB unnest
+    twin agrees on the same grid."""
+    import duckdb
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators.similarity import mean_pool_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        (F.col("vec_id") % 10).alias("g"),
+        "vec_id",
+        "embedding",
+    )
+    out = {
+        r["g"]: (r["embedding"], r["n_pooled"])
+        for r in mean_pool_embeddings(
+            emb, "g", "embedding", weight_col="vec_id"
+        ).collect()
+    }
+    rows = emb.collect()
+    by_g: dict[int, list] = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append((r["vec_id"], np.array(r["embedding"], dtype=np.float64)))
+    for g, members in by_g.items():
+        w = np.array([m[0] for m in members], dtype=np.float64)
+        mat = np.stack([m[1] for m in members])
+        want = (mat * w[:, None]).sum(axis=0) / w.sum()
+        got_vec, got_n = out[g]
+        assert got_n == len(members)
+        assert np.allclose(np.array(got_vec), want, atol=5e-7)
+
+    con = duckdb.connect()
+    duck = con.execute("""
+WITH e AS (
+  SELECT vec_id % 10 AS g, CAST(vec_id AS DOUBLE) AS w,
+         unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')
+)
+SELECT g, pos, round(sum(CAST(val AS DOUBLE) * w) / sum(w), 6) AS val
+FROM e GROUP BY g, pos
+""").fetchall()
+    con.close()
+    for g, pos, val in duck:
+        assert round(out[g][0][pos], 6) == val
+
+
+def test_mean_pool_embeddings_semantics(spark):
+    """normalize=True yields unit vectors; NULL vectors are skipped;
+    mixed dims raise at execution instead of silently truncating."""
+    import math
+
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.similarity import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 0.0]),
+            (1, [0.0, 4.0]),
+            (1, None),
+            (2, [1.0, 1.0]),
+        ],
+        "g int, embedding array<double>",
+    )
+    out = {r["g"]: r for r in
+           mean_pool_embeddings(df, "g", "embedding", normalize=True).collect()}
+    assert out[1]["n_pooled"] == 2, "NULL vector skipped"
+    nrm = math.sqrt(sum(x * x for x in out[1]["embedding"]))
+    assert abs(nrm - 1.0) < 1e-12
+    # direction = (1.5, 2.0) normalized
+    assert abs(out[1]["embedding"][0] - 0.6) < 1e-12
+    assert abs(out[1]["embedding"][1] - 0.8) < 1e-12
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], "g int, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="mixed vector dims"):
+        mean_pool_embeddings(mixed, "g", "embedding").collect()
