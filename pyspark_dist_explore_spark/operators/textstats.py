@@ -927,6 +927,7 @@ def drop_duplicate_spans(
     k: int = 8,
     min_count: int = 2,
     gram_rows: DataFrame | None = None,
+    rebuild: str = "normalized",
 ) -> DataFrame:
     """ExactSubstr-style duplicate-SPAN removal (Lee et al.,
     "Deduplicating Training Data Makes Language Models Better",
@@ -940,13 +941,22 @@ def drop_duplicate_spans(
     line-level dedup (a duplicated span need not align to lines).
 
     Output: ``(doc_id, text, n_tok_kept, n_tok_dropped, n_dup_spans)``
-    — ``text`` rebuilt from the surviving tokens of the NORMALIZED
-    stream in original order ('' when everything was duplicated — the
-    caller's length filter drops the husk), ``n_dup_spans`` = number of
-    duplicated window starts in the doc.  Docs with < ``k`` tokens are
-    never touched.  Like the paper, ALL occurrences are removed (the
-    canonical copy is gone too); keep-one semantics is doc-level
-    dedup's job.
+    — ``text`` rebuilt from the surviving tokens in original order (''
+    when everything was duplicated — the caller's length filter drops
+    the husk), ``n_dup_spans`` = number of duplicated window starts in
+    the doc.  Docs with < ``k`` tokens are never touched.  Like the
+    paper, ALL occurrences are removed (the canonical copy is gone
+    too); keep-one semantics is doc-level dedup's job.
+
+    ``rebuild``: ``'normalized'`` (default, the hash-oracle form)
+    rebuilds from the lowercased/whitespace-collapsed token stream;
+    ``'original'`` rebuilds from the ORIGINAL-case tokens — duplicate
+    DETECTION still runs on the normalized grams (case variants of a
+    span still collapse), but the surviving text keeps its casing.
+    The two streams align position-for-position because normalization
+    only lowercases and collapses whitespace, never splits or merges
+    tokens.  (Exact inter-token whitespace is not preserved either
+    way — tokens rejoin with single spaces.)
 
     Scale shape: grams are built row-local (see :func:`span_grams`) —
     no shuffle until the duplicate-detection hash aggregate on the gram
@@ -961,6 +971,8 @@ def drop_duplicate_spans(
     """
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2 (1 would drop every span), got {min_count}")
+    if rebuild not in ("normalized", "original"):
+        raise ValueError(f"rebuild must be 'normalized' or 'original', got {rebuild!r}")
     grams = gram_rows if gram_rows is not None else span_grams(df, text_col, id_col, k)
     dup = (
         grams.groupBy("gh")
@@ -978,9 +990,20 @@ def drop_duplicate_spans(
         .distinct()
         .withColumn("__dup", F.lit(1))
     )
+    if rebuild == "original":
+        # whitespace-collapse WITHOUT lowercasing: aligns 1:1 with the
+        # normalized stream's positions (only case differs per token)
+        stream = F.split(
+            F.trim(
+                F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")
+            ),
+            " ",
+        )
+    else:
+        stream = tokens(F.coalesce(F.col(text_col), F.lit("")))
     tok = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("pos", "tok"),
+        F.posexplode(stream).alias("pos", "tok"),
     )
     flagged = tok.join(cov, ["doc_id", "pos"], "left")
     keep = F.col("__dup").isNull()

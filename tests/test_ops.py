@@ -3910,3 +3910,33 @@ def test_mean_pool_embeddings_semantics(spark):
     )
     with _pytest.raises(Exception, match="mixed vector dims"):
         mean_pool_embeddings(mixed, "g", "embedding").collect()
+
+
+def test_drop_duplicate_spans_original_case_rebuild(spark):
+    """rebuild='original': detection still collapses case variants of a
+    span (normalized grams), but survivors keep their casing; counts
+    and coverage are identical to the normalized form."""
+    from pyspark_dist_explore_spark.operators.textstats import drop_duplicate_spans
+
+    span = "The Quick Brown Fox Jumps Over The Lazy Dog"  # 9 tokens
+    rows = [
+        (1, f"Alpha Beta {span} Gamma"),
+        (2, f"One Two {span.lower()} Three"),  # case variant still collapses
+        (3, "Unique Original Casing Here Stays Put"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in drop_duplicate_spans(
+        docs, "text", "doc_id", k=8, rebuild="original").collect()}
+    assert out[1].text == "Alpha Beta Gamma", "casing preserved in survivors"
+    assert out[2].text == "One Two Three"
+    assert out[1].n_tok_dropped == 9 and out[2].n_tok_dropped == 9
+    assert out[3].text == "Unique Original Casing Here Stays Put"
+    norm = {r.doc_id: r for r in drop_duplicate_spans(
+        docs, "text", "doc_id", k=8).collect()}
+    for d in (1, 2, 3):
+        assert (norm[d].n_tok_kept, norm[d].n_tok_dropped, norm[d].n_dup_spans) == (
+            out[d].n_tok_kept, out[d].n_tok_dropped, out[d].n_dup_spans
+        ), "counts identical across rebuild modes"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rebuild"):
+        drop_duplicate_spans(docs, "text", "doc_id", rebuild="verbatim")
