@@ -134,3 +134,73 @@ def write_training_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def write_neardup_snapshot(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    mode: str = "overwrite",
+) -> None:
+    """Land the near-dup SNAPSHOT ARTIFACTS for a corpus — the one-time
+    build that lets every future crawl batch run
+    :func:`operators.dedup.incremental_minhash_neardup` without ever
+    re-minhashing the corpus: ``path/bands/`` (``doc_id, band,
+    band_hash``, partitioned by ``band`` so a batch probe prunes to the
+    band directories it actually hits) and ``path/sigs/`` (the
+    signature table).  Parameters are recorded in ``path/_params.json``
+    and VERIFIED at load time — probing with a different scheme would
+    silently match nothing, which is exactly the drift the check
+    refuses.
+    """
+    import json
+
+    from pyspark_dist_explore_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_signatures,
+    )
+
+    kw = dict(num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, hash_fn=hash_fn)
+    minhash_band_rows(docs, text_col, id_col, **kw).write.mode(mode).partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+    minhash_signatures(
+        docs, text_col, id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n, hash_fn=hash_fn,
+    ).write.mode(mode).parquet(f"{path}/sigs")
+    # params sidecar: tiny JSON, driver-local write
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_params.json", "w") as fh:
+        json.dump(kw, fh)
+
+
+def load_neardup_snapshot(spark, path: str, *, expect: dict | None = None):
+    """Load ``(bands_df, sigs_df, params)`` written by
+    :func:`write_neardup_snapshot`.  ``expect``: the scheme the caller
+    is about to probe with (``num_hashes``/``bands``/``shingle_n``/
+    ``hash_fn``) — raises on mismatch instead of silently matching
+    nothing."""
+    import json
+
+    with open(f"{path}/_params.json") as fh:
+        params = json.load(fh)
+    if expect is not None:
+        diffs = {k: (params.get(k), v) for k, v in expect.items() if params.get(k) != v}
+        if diffs:
+            raise ValueError(
+                f"snapshot at {path} was built with a different scheme: {diffs} "
+                "(stored, expected) — probing would silently match nothing"
+            )
+    return (
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/sigs"),
+        params,
+    )

@@ -209,3 +209,49 @@ def test_events_stream_hist_streaming_equals_batch(spark):
         tuple(r) for r in q_events_stream_hist(spark, SF_SMOKE, streaming=True).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_neardup_snapshot_round_trip(spark, tmp_path):
+    """write_neardup_snapshot lands bands (partitioned by band) + sigs +
+    a params sidecar; load verifies the probing scheme and the loaded
+    artifacts drive incremental_minhash_neardup to the same result as
+    freshly-built frames; a scheme mismatch refuses loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_band_rows,
+        minhash_signatures,
+    )
+    from pyspark_dist_explore_spark.sources.sinks import (
+        load_neardup_snapshot,
+        write_neardup_snapshot,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).where(F.col("doc_id") < 100)
+    path = str(tmp_path / "snap")
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, hash_fn="xxhash64")
+    write_neardup_snapshot(docs, "text", "doc_id", path, **kw)
+
+    bands_df, sigs_df, params = load_neardup_snapshot(spark, path, expect=kw)
+    assert params == kw
+    assert set(bands_df.columns) == {"doc_id", "band", "band_hash"}
+
+    batch = docs.limit(5).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    from_loaded = sorted(map(tuple, incremental_minhash_neardup(
+        batch, bands_df, sigs_df, "text", "doc_id", threshold=0.9, **kw
+    ).collect()))
+    fresh_bands = minhash_band_rows(docs, "text", "doc_id", **kw)
+    fresh_sigs = minhash_signatures(
+        docs, "text", "doc_id", num_hashes=16, shingle_n=3, hash_fn="xxhash64"
+    )
+    from_fresh = sorted(map(tuple, incremental_minhash_neardup(
+        batch, fresh_bands, fresh_sigs, "text", "doc_id", threshold=0.9, **kw
+    ).collect()))
+    assert from_loaded == from_fresh and from_loaded, "exact batch docs must flag"
+
+    with _pytest.raises(ValueError, match="different scheme"):
+        load_neardup_snapshot(spark, path, expect=dict(kw, num_hashes=32))
