@@ -81,14 +81,21 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def text_profile_lang(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def text_profile_lang(
+    df: DataFrame, text_col: str, id_col: str, *, classifier: bool = False
+) -> DataFrame:
     """:func:`text_profile` ∪ :func:`language_id` in ONE row-local
     projection over ONE scan (merged registration, round 6): ``(doc_id,
     n_chars, n_tokens, n_bpe_tokens, n_punct, avg_token_len,
     alpha_ratio, punct_ratio, quality, score_<lang>…, lang_pred)``.
     Every column is a pure expression, so the merge costs nothing at
     any corpus size — it is strictly cheaper than the join the two
-    separate outputs would need."""
+    separate outputs would need.
+
+    ``classifier=True`` (round 8, X29) appends the hashed n-gram
+    linear-classifier gate columns ``(n_cls_grams, cls_logit_num,
+    cls_keep)`` — :func:`classifier_exprs` with its defaults — still
+    one scan, still zero shuffle."""
     t = F.col(text_col)
     alpha_ratio, punct_ratio, score = quality_ratio_exprs(t)
     scores = lang_score_exprs(t)
@@ -100,6 +107,7 @@ def text_profile_lang(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         score.alias("quality"),
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
         lang_pred_expr(t).alias("lang_pred"),
+        *(classifier_exprs(t) if classifier else []),
     )
 
 
@@ -1238,4 +1246,227 @@ vo_out AS (
   GROUP BY t."group"
 )
 SELECT * FROM vo_out
+"""
+
+
+# --------------------------------------------------------------------------
+# X29: fastText-style hashed n-gram linear classifier gate (the
+# model-based quality filter of CCNet / DCLM-style pipelines: a linear
+# model over hashed word uni+bigram features, scored per document and
+# thresholded).  Spark runs the whole thing as ONE row-local projection
+# — gram build, bucket hash, weight lookup, and the logit sum are array
+# expressions inside whole-stage codegen, so the filter costs a scan
+# and nothing else at any corpus size (no explode, no join, no
+# shuffle).
+# --------------------------------------------------------------------------
+
+#: Knuth multiplicative mixer — turns a bucket id into a pseudo-random
+#: deterministic integer weight.  bucket < 2^20 and MIX < 2^32, so the
+#: product stays < 2^52: exact BIGINT arithmetic on BOTH engines.
+CLS_MIX = 2654435761
+
+
+def _cls_gram_col(t: Column, *, bigrams: bool) -> Column:
+    """Unigram (+ bigram) grams of the normalized token stream as ONE
+    array column — row-local, no explode."""
+    toks = F.filter(tokens(F.coalesce(t, F.lit(""))), lambda x: x != "")
+    if not bigrams:
+        return toks
+    n = F.size(toks)
+    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bi)
+
+
+def _cls_weight_expr(gram: Column, *, n_buckets: int, weight_scale: int) -> Column:
+    """Deterministic integer weight of one gram: md5 → bucket →
+    multiplicative-mixer weight in [-weight_scale/2, weight_scale/2).
+    Every step is exact BIGINT math rendered identically in the DuckDB
+    twin (:func:`classifier_sql`), so the gate columns are class-A
+    integers — no float, no rounding, no knife edge."""
+    h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+    b = h % F.lit(n_buckets)
+    return (b * F.lit(CLS_MIX)) % F.lit(weight_scale) - F.lit(weight_scale // 2)
+
+
+def classifier_exprs(
+    t: Column,
+    *,
+    n_buckets: int = 1 << 20,
+    weight_scale: int = 1 << 16,
+    bigrams: bool = True,
+    threshold: tuple[int, int] = (0, 1),
+) -> list[Column]:
+    """The three inline-weight classifier gate columns as row-local
+    expressions — importable so a profile projection (or a pipeline
+    scoring stage) can append the gate to an EXISTING scan instead of
+    paying a second one.  Aliased ``(n_cls_grams, cls_logit_num,
+    cls_keep)``; the repeated sub-expressions collapse under codegen
+    common-subexpression elimination."""
+    num, den = threshold
+    grams = _cls_gram_col(t, bigrams=bigrams)
+    ws = F.transform(
+        grams,
+        lambda g: _cls_weight_expr(g, n_buckets=n_buckets, weight_scale=weight_scale),
+    )
+    logit = F.aggregate(ws, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    n_grams = F.size(grams).cast("bigint")
+    keep = ((n_grams > 0) & (logit * F.lit(den) >= F.lit(num) * n_grams)).cast("int")
+    return [
+        n_grams.alias("n_cls_grams"),
+        logit.alias("cls_logit_num"),
+        keep.alias("cls_keep"),
+    ]
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_buckets: int = 1 << 20,
+    weight_scale: int = 1 << 16,
+    bigrams: bool = True,
+    threshold: tuple[int, int] = (0, 1),
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Hashed n-gram linear classifier score + keep/drop gate per
+    document: ``(doc_id, n_cls_grams, cls_logit_num, cls_keep)``.
+
+    The fastText construction (Joulin et al. 2016, arXiv:1607.01759)
+    as production data pipelines use it for model-based quality
+    filtering (CCNet, DCLM): features are word unigrams + bigrams
+    hashed into ``n_buckets``; the document score is the mean bucket
+    weight; keep iff score ≥ threshold.  All gate columns are exact
+    integers: ``cls_logit_num`` is the BIGINT **sum** of integer
+    weights and the gate compares ``cls_logit_num·den ≥ num·n_grams``
+    (``threshold=(num, den)`` as a rational over the integer weight
+    grid) — the mean never materializes as a float, so cross-engine
+    hash parity is structural (ORACLES.md class A).
+
+    ``weights=None`` derives the per-bucket weight deterministically
+    from the bucket id (md5 bucket → Knuth multiplicative mixer →
+    ``[-weight_scale/2, weight_scale/2)``) — a reproducible STAND-IN
+    for offline-trained weights with the true serving shape: the score
+    is a pure row-local expression, zero shuffle, zero join, one scan.
+    ``weights=`` (a ``(bucket BIGINT, weight BIGINT)`` frame, e.g. an
+    offline logistic-regression fit exported to a table) serves real
+    models: grams explode once, the weight table joins BROADCAST
+    (≤ n_buckets rows — fastText's own table is ~2²⁰ ints), and one
+    map-side-combined sum per doc restores the row shape; unmatched
+    buckets weigh 0, docs with no grams keep ``(0, 0, 0)``.
+
+    Scale: the inline form is embarrassingly parallel (the filter a
+    1000-executor cluster applies while the corpus streams through the
+    scan); the weights form shuffles only doc-count rows once.  Empty /
+    NULL docs never pass the gate (``n_grams = 0 → cls_keep = 0``).
+    """
+    if n_buckets < 1 or weight_scale < 2 or weight_scale % 2:
+        raise ValueError(
+            f"need n_buckets >= 1 and even weight_scale >= 2, got {n_buckets}, {weight_scale}"
+        )
+    num, den = threshold
+    if den < 1:
+        raise ValueError(f"threshold denominator must be >= 1, got {den}")
+    t = F.col(text_col)
+    if weights is None:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            *classifier_exprs(
+                t,
+                n_buckets=n_buckets,
+                weight_scale=weight_scale,
+                bigrams=bigrams,
+                threshold=threshold,
+            ),
+        )
+    else:
+        grams = _cls_gram_col(t, bigrams=bigrams)
+        missing = {"bucket", "weight"} - set(weights.columns)
+        if missing:
+            raise ValueError(f"weights frame missing column(s): {sorted(missing)}")
+        h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
+        exploded = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(grams).alias("gram"),  # outer: keep empty docs
+        ).select("doc_id", (h % F.lit(n_buckets)).alias("bucket"), "gram")
+        joined = exploded.join(
+            F.broadcast(weights.select("bucket", F.col("weight").cast("bigint").alias("weight"))),
+            "bucket",
+            "left",
+        )
+        scored = joined.groupBy("doc_id").agg(
+            F.count(F.col("gram")).cast("bigint").alias("n_cls_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("gram").isNotNull(), F.coalesce(F.col("weight"), F.lit(0)))),
+                F.lit(0),
+            ).cast("bigint").alias("cls_logit_num"),
+        )
+    return scored.select(
+        "doc_id",
+        "n_cls_grams",
+        "cls_logit_num",
+        (
+            (F.col("n_cls_grams") > 0)
+            & (F.col("cls_logit_num") * F.lit(den) >= F.lit(num) * F.col("n_cls_grams"))
+        )
+        .cast("int")
+        .alias("cls_keep"),
+    )
+
+
+def classifier_sql(
+    src: str,
+    *,
+    n_buckets: int = 1 << 20,
+    weight_scale: int = 1 << 16,
+    bigrams: bool = True,
+    threshold: tuple[int, int] = (0, 1),
+) -> str:
+    """DuckDB twin of the inline-weight :func:`classifier_score`: same
+    normalized token stream, same uni+bigram list, same md5-bucket →
+    mixer-weight BIGINT chain, same rational-threshold gate.  ``src``
+    must yield ``(doc_id, text)``.  Every hashed column is an exact
+    integer — the two engines share the very bits by construction."""
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    num, den = threshold
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    half = weight_scale // 2
+    w = (
+        f"((('0x' || substr(md5(g), 1, 15))::BIGINT % {n_buckets}) * {CLS_MIX}) "
+        f"% {weight_scale} - {half}"
+    )
+    bi = (
+        f"CASE WHEN len(l) >= 2 THEN list_transform(generate_series(1, len(l) - 1), "
+        f"i -> l[i] || ' ' || l[i + 1]) ELSE []::VARCHAR[] END"
+    )
+    gram_expr = f"list_concat(l, {bi})" if bigrams else "l"
+    return f"""
+WITH cls_src AS ({src}),
+cls_t AS (
+  SELECT doc_id,
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS l
+  FROM cls_src
+),
+cls_g AS (SELECT doc_id, {gram_expr} AS grams FROM cls_t),
+cls_s AS (
+  SELECT doc_id,
+         CAST(len(grams) AS BIGINT) AS n_cls_grams,
+         CAST(COALESCE(list_sum(list_transform(grams, g -> {w})), 0) AS BIGINT)
+           AS cls_logit_num
+  FROM cls_g
+)
+SELECT doc_id, n_cls_grams, cls_logit_num,
+       CASE WHEN n_cls_grams > 0 AND cls_logit_num * {den} >= {num} * n_cls_grams
+            THEN 1 ELSE 0 END AS cls_keep
+FROM cls_s
 """

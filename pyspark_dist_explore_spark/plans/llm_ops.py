@@ -1544,11 +1544,15 @@ scored AS (
          {", ".join(f"{score_exprs[lang]} AS score_{lang}" for lang in langs)}
   FROM n
 )
-SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, n_punct, avg_token_len,
+SELECT s.doc_id, n_chars, n_tokens, n_bpe_tokens, n_punct, avg_token_len,
        alpha_ratio, punct_ratio, quality,
        {", ".join(f"score_{lang}" for lang in langs)},
-       {_lang_pred_case_sql()} AS lang_pred
-FROM scored
+       {_lang_pred_case_sql()} AS lang_pred,
+       c.n_cls_grams, c.cls_logit_num, c.cls_keep
+FROM scored s
+JOIN (
+{textstats.classifier_sql("SELECT doc_id, text FROM documents")}
+) c ON s.doc_id = c.doc_id
 """
 
 
@@ -1560,9 +1564,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift/profile promotions — all three halves are pure expressions
     over the same scan).  Columns: chars/token counts/avg token length
     + alpha/punct ratios + the [0,1] quality score + per-language
-    marker scores + deterministic-argmax ``lang_pred``."""
+    marker scores + deterministic-argmax ``lang_pred`` + (round 8,
+    X29) the hashed n-gram linear-classifier gate ``(n_cls_grams,
+    cls_logit_num, cls_keep)`` — fastText-shaped model-based quality
+    filtering, all-integer at the gate (ORACLES.md class A), still one
+    scan / zero shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.text_profile_lang(docs, "text", "doc_id")
+    return textstats.text_profile_lang(docs, "text", "doc_id", classifier=True)
 
 
 #: deregistered round 4 — its three columns are a strict subset of the

@@ -3940,3 +3940,137 @@ def test_drop_duplicate_spans_original_case_rebuild(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="rebuild"):
         drop_duplicate_spans(docs, "text", "doc_id", rebuild="verbatim")
+
+
+# --------------------------------------------------------------------------
+# X29: hashed n-gram linear classifier gate (fastText-shaped quality filter)
+# --------------------------------------------------------------------------
+
+
+def test_classifier_score_matches_duckdb(spark):
+    """Inline-weight classifier vs the DuckDB twin on real testdata —
+    every gate column is exact BIGINT, so this is bit equality."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        classifier_score,
+        classifier_sql,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return classifier_score(docs, "text", "doc_id", threshold=(3, 7))
+
+    compare(
+        spark,
+        SF_SMOKE,
+        build,
+        classifier_sql("SELECT doc_id, text FROM documents", threshold=(3, 7)),
+    )
+
+
+def test_classifier_weight_chain_bits(spark):
+    """Pin the md5 → bucket → mixer-weight integer chain against a pure
+    Python recompute for a known gram — the cross-engine contract in
+    one assert."""
+    import hashlib
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        CLS_MIX,
+        classifier_score,
+    )
+
+    B, S = 1 << 20, 1 << 16
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    r = classifier_score(df, "text", "doc_id", n_buckets=B, weight_scale=S).first()
+    h = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+    w = (h % B) * CLS_MIX % S - S // 2
+    assert (r.n_cls_grams, r.cls_logit_num) == (1, w)
+    assert r.cls_keep == int(w >= 0)
+
+
+def test_classifier_semantics(spark):
+    """Planted-doc semantics: gram counts, empty/NULL gate, bigram
+    toggle, threshold monotonicity, weights-frame == inline when the
+    table encodes the same mixer."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        CLS_MIX,
+        classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The  QUICK brown fox jumps"),
+            (2, "one"),
+            (3, ""),
+            (4, None),
+            (5, "a b c a b c a b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in classifier_score(docs, "text", "doc_id").collect()}
+    # uni + bi grams of n tokens = 2n - 1
+    assert out[1].n_cls_grams == 2 * 5 - 1
+    assert out[2].n_cls_grams == 1
+    assert (out[3].n_cls_grams, out[3].cls_logit_num, out[3].cls_keep) == (0, 0, 0)
+    assert (out[4].n_cls_grams, out[4].cls_logit_num, out[4].cls_keep) == (0, 0, 0)
+    uni = {
+        r.doc_id: r
+        for r in classifier_score(docs, "text", "doc_id", bigrams=False).collect()
+    }
+    assert uni[1].n_cls_grams == 5 and uni[5].n_cls_grams == 9
+
+    # monotonicity: raising the threshold can only shrink the kept set
+    kept = {}
+    for num in (-1000, 0, 1000):
+        res = classifier_score(docs, "text", "doc_id", threshold=(num, 1)).collect()
+        kept[num] = {r.doc_id for r in res if r.cls_keep}
+    assert kept[1000] <= kept[0] <= kept[-1000]
+
+    # weights-frame form: a table holding the mixer weight for EVERY
+    # bucket must reproduce the inline form exactly
+    B, S = 1 << 10, 1 << 8
+    wtab = spark.range(B).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") * F.lit(CLS_MIX) % F.lit(S) - F.lit(S // 2)).alias("weight"),
+    )
+    inline = classifier_score(docs, "text", "doc_id", n_buckets=B, weight_scale=S)
+    tabled = classifier_score(
+        docs, "text", "doc_id", n_buckets=B, weight_scale=S, weights=wtab
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, tabled.collect()))
+
+    # unmatched buckets weigh 0: an empty weight table scores every doc 0
+    empty_w = wtab.where("bucket < 0")
+    zeroed = classifier_score(docs, "text", "doc_id", weights=empty_w).collect()
+    assert all(r.cls_logit_num == 0 for r in zeroed)
+    assert {r.doc_id for r in zeroed if r.cls_keep} == {1, 2, 5}  # n>0 and 0 >= 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weight_scale"):
+        classifier_score(docs, "text", "doc_id", weight_scale=3)
+    with _pytest.raises(ValueError, match="denominator"):
+        classifier_score(docs, "text", "doc_id", threshold=(0, 0))
+    with _pytest.raises(ValueError, match="missing column"):
+        classifier_score(docs, "text", "doc_id", weights=docs)
+
+
+def test_classifier_inline_plan_no_exchange(spark):
+    """The inline-weight gate is ONE row-local projection: no Exchange,
+    no Python, in the physical plan — the 100 TB contract (the filter
+    rides the scan)."""
+    from pyspark_dist_explore_spark.operators.textstats import classifier_score
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        classifier_score(docs, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
