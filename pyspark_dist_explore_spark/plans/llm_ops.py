@@ -2177,27 +2177,84 @@ def _q_text_perplexity_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize",
     f"""
 WITH codes AS ({similarity.quantize_codes_sql("SELECT vec_id, embedding FROM embeddings")})
-SELECT vec_id, array_to_string(codes, ',') AS codes_csv,
+SELECT 'codes' AS section, vec_id, array_to_string(codes, ',') AS codes_csv,
        CAST(len(codes) AS INT) AS n_dims
 FROM codes
+UNION ALL
+SELECT 'pooled' AS section, label AS vec_id, codes_csv, n_dims
+FROM (
+  WITH pexp AS (
+    SELECT CAST(label AS BIGINT) AS label,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS x
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+  ),
+  pagg AS (
+    SELECT label, pos, sum(x) AS sv, count(*) AS n
+    FROM pexp GROUP BY label, pos
+  )
+  SELECT label,
+         string_agg(CAST(CAST(round(sv / n) AS BIGINT) AS VARCHAR), ','
+                    ORDER BY pos) AS codes_csv,
+         CAST(max(n) AS INT) AS n_dims
+  FROM pagg GROUP BY label
+) pooled
 """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X15 at the driver gate (promoted round 6): the affine int8
-    quantization codes for every vector — minmax fit, scale, half-up
-    round — rendered as a csv string so the driver hash-checks every
-    position of every vector.  The packed BINARY form is a pure byte
-    re-encode of these codes (round-trip + error-bound + recall pinned
-    in pytest); the packed IVF serving path is benchmarked via
-    ``vector_ann_topk``."""
+    """X15 + X28 at the driver gate, two tagged sections over ONE
+    embeddings scan:
+
+    - ``section='codes'`` (promoted round 6): the affine int8
+      quantization codes for every vector — minmax fit, scale, half-up
+      round — rendered as a csv string so the driver hash-checks every
+      position of every vector.  The packed BINARY form is a pure byte
+      re-encode of these codes (round-trip + error-bound + recall
+      pinned in pytest); the packed IVF serving path is benchmarked via
+      ``vector_ann_topk``.
+    - ``section='pooled'`` (X28, registered late round 8): the REAL
+      :func:`similarity.mean_pool_embeddings` path (posexplode → one
+      (group,pos) map-side-combined aggregate → ordered re-assembly)
+      pooling each ``label`` group's vectors into one mean vector.  The
+      gate form discretizes inputs to the 1e-6 grid FIRST
+      (``round(x·10⁶)`` — exact integers in doubles), so every
+      per-position sum is exact and order-independent at any
+      parallelism, and the pooled mean (one IEEE division of identical
+      operands) rounds to an integer csv identically on both engines —
+      the same fixed-point discipline as ``corpus_profile``'s
+      avg_quality (ORACLES.md).  ``vec_id`` carries the label;
+      ``n_dims`` carries n_pooled.  The true float-mean + normalize
+      forms stay pytest-pinned (numpy + DuckDB twins @6dp).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     mm = similarity.dimension_minmax(emb, vec_col="embedding")
     coded = similarity.quantize_embeddings(emb, mm, id_col="vec_id", vec_col="embedding")
-    return coded.select(
+    codes = coded.select(
+        F.lit("codes").alias("section"),
         "vec_id",
         F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes_csv"),
         F.size("codes").cast("int").alias("n_dims"),
     )
+    emb6 = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1e6)),
+        ).alias("embedding"),
+    )
+    pooled = similarity.mean_pool_embeddings(emb6, "label").select(
+        F.lit("pooled").alias("section"),
+        F.col("label").alias("vec_id"),
+        F.array_join(
+            F.transform(
+                "embedding", lambda x: F.round(x).cast("bigint").cast("string")
+            ),
+            ",",
+        ).alias("codes_csv"),
+        F.col("n_pooled").cast("int").alias("n_dims"),
+    )
+    return codes.unionByName(pooled)
 
 
 @register(

@@ -4074,3 +4074,39 @@ def test_classifier_inline_plan_no_exchange(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pooled_gate_section_partition_invariant(spark):
+    """The registered ``embedding_quantize`` 'pooled' section's
+    fixed-point discipline, proven: discretizing to round(x*1e6)
+    integers BEFORE the pooling sums makes the hashed csv identical at
+    any parallelism (float-sum order cannot matter when every addend is
+    an exact integer in a double)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.similarity import mean_pool_embeddings
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+    def build(src):
+        e6 = src.select(
+            F.col("label").cast("bigint").alias("label"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * F.lit(1e6)),
+            ).alias("embedding"),
+        )
+        pooled = mean_pool_embeddings(e6, "label")
+        return sorted(
+            (
+                r.label,
+                ",".join(str(int(round(v))) for v in r.embedding),
+                r.n_pooled,
+            )
+            for r in pooled.collect()
+        )
+
+    one = build(emb.repartition(1))
+    many = build(emb.repartition(13, "vec_id"))
+    assert one == many
