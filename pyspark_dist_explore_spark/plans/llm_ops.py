@@ -247,14 +247,28 @@ def q_neardup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(
-    threshold: float, num_hashes: int, bands: int, shingle_n: int
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    incremental_mod: int | None = None,
 ) -> str:
     """DuckDB twin of minhash_neardup(hash_fn='md5'), stage for stage:
     3-gram shingle build (zip-unnest + lead window, short-doc single
     gram, DISTINCT), Kirsch–Mitzenmacher double hashing (h_i = h1 + i·h2
     from one md5 digest — values < 2^54, overflow-free in both engines),
     ``num_hashes`` MIN aggregates, raw-string band keys, the band-bucket
-    self-join, and the exact shingle-Jaccard verify."""
+    self-join, and the exact shingle-Jaccard verify.
+
+    ``incremental_mod=m`` (late round 8, X27) appends the
+    ``'incremental'`` section: the snapshot slice (doc_id % m ≠ 0) is
+    probed by the batch slice (doc_id % m = 0) through shared bands,
+    verified by the SIGNATURE-estimated Jaccard (the fraction of
+    agreeing MinHash components — what :func:`dedup.
+    incremental_minhash_neardup` computes when the snapshot's shingles
+    are gone and only its landed artifacts remain).  ``agree/k`` is an
+    exact dyadic rational (k a power of two), so the section is
+    knife-edge-free by construction."""
     rows_per_band = num_hashes // bands
     norm = _NORM.format(c="text")
     leads = ", ".join(f"lead(tok, {j}) OVER w" for j in range(1, shingle_n))
@@ -267,6 +281,28 @@ def _minhash_oracle(
         for b in range(bands)
     )
     jac = "round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)"
+    section_full = ""
+    inc_union = ""
+    if incremental_mod is not None:
+        m = incremental_mod
+        agree = " + ".join(
+            f"CASE WHEN sgb.h{i} = sgs.h{i} THEN 1 ELSE 0 END"
+            for i in range(num_hashes)
+        )
+        section_full = "'full' AS section, "
+        inc_union = f"""
+UNION ALL
+SELECT 'incremental' AS section, c.batch_id AS doc_a, c.snap_id AS doc_b,
+       CAST(({agree}) AS DOUBLE) / {num_hashes} AS jaccard
+FROM (
+  SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS snap_id
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id % {m} <> 0 AND b.doc_id % {m} = 0
+) c
+JOIN sig sgb ON sgb.doc_id = c.batch_id
+JOIN sig sgs ON sgs.doc_id = c.snap_id
+WHERE CAST(({agree}) AS DOUBLE) / {num_hashes} >= {threshold}"""
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx, unnest(l) AS tok
@@ -303,15 +339,16 @@ inter AS (
   JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, {jac} AS jaccard
+SELECT {section_full}doc_a, doc_b, {jac} AS jaccard
 FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE {jac} >= {threshold}
+{inc_union}
 """
 
 
-@register("neardup_minhash_lsh", _minhash_oracle(0.8, 32, 8, 3))
+@register("neardup_minhash_lsh", _minhash_oracle(0.8, 32, 8, 3, incremental_mod=5))
 def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup over the WHOLE corpus, no id cap: 3-gram
     shingles → 32 hashes → 8 bands → bucket join → exact shingle-Jaccard
@@ -329,12 +366,41 @@ def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingling, signature mins, banding, bucket join, Jaccard verify —
     is hash-oracle-checked.  xxhash64 stays the library default (k
     independent native hashes + 8-byte compacted band keys).
+
+    Late round 8: the ``'incremental'`` section (X27) runs the REAL
+    :func:`dedup.incremental_minhash_neardup` probe — snapshot slice
+    (doc_id % 5 ≠ 0) supplies the band + signature artifacts, the batch
+    slice (doc_id % 5 = 0) broadcasts against them, and each candidate
+    pair is verified by the signature-estimated Jaccard (agree/32, an
+    exact dyadic rational → knife-edge-free).  At the gate the
+    artifacts are built in-query from the same scheme; production
+    loads them from parquet via :func:`sources.sinks.
+    load_neardup_snapshot` (round-trip + incremental==from-scratch
+    equality pinned in pytest).
     """
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_neardup(
+    full = dedup.minhash_neardup(
         docs, "text", "doc_id", threshold=0.8, num_hashes=32, bands=8, shingle_n=3,
         hash_fn="md5",
+    ).select(F.lit("full").alias("section"), "doc_a", "doc_b", "jaccard")
+    snap = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    snap_bands = dedup.minhash_band_rows(
+        snap, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, hash_fn="md5"
     )
+    snap_sigs = dedup.minhash_signatures(
+        snap, "text", "doc_id", num_hashes=32, shingle_n=3, hash_fn="md5"
+    )
+    inc = dedup.incremental_minhash_neardup(
+        batch, snap_bands, snap_sigs, "text", "doc_id",
+        threshold=0.8, num_hashes=32, bands=8, shingle_n=3, hash_fn="md5",
+    ).select(
+        F.lit("incremental").alias("section"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("snapshot_id").alias("doc_b"),
+        F.col("est_jaccard").alias("jaccard"),
+    )
+    return full.unionByName(inc)
 
 
 _CLUSTER_ORACLE = f"""
