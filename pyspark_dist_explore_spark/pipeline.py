@@ -257,6 +257,8 @@ def curate_documents(
     id_col: str = "doc_id",
     *,
     min_quality: float = 0.6,
+    classifier_threshold: tuple[int, int] | None = None,
+    classifier_weights: DataFrame | None = None,
     allowed_langs: Sequence[str] | None = None,
     pair_fn: PairFn | None = None,
     jaccard_threshold: float = 0.9,
@@ -314,6 +316,17 @@ def curate_documents(
     — NFC/NFKC fold + control-char strip), so NFD-vs-NFC byte variants
     of the same text collapse into one dedup bucket instead of
     surviving as "distinct" documents.
+
+    ``classifier_threshold=(num, den)`` (opt-in) adds the MODEL-based
+    quality gate after the heuristic one (X29,
+    :func:`operators.textstats.classifier_score` — the fastText-shaped
+    hashed n-gram linear filter CCNet/DCLM pipelines run): keep iff the
+    document's integer logit sum clears ``num/den`` per gram.  With the
+    default inline weights it is a pure predicate on the SAME scan
+    (zero cost at any scale); ``classifier_weights=`` serves an
+    offline-trained ``(bucket, weight)`` table via the broadcast-join
+    form plus one semi-join.  Like ``min_quality`` it sees the
+    post-scrub text.
 
     ``scrub=True`` redacts PII-shaped spans (`textstats.scrub_text`
     patterns) BEFORE anything else, so quality scoring, fingerprinting,
@@ -474,6 +487,35 @@ def curate_documents(
         quality.alias("quality"),
         lang_pred_expr(t).alias("lang_pred"),
     ).where(F.col("quality") >= F.lit(min_quality))
+    if classifier_threshold is not None:
+        # model-based quality gate (X29): the fastText-shaped hashed
+        # n-gram linear classifier, thresholded as a rational over the
+        # integer weight grid.  Inline weights ride the SAME projection
+        # (zero extra scans/shuffles); an offline-trained weights table
+        # scores via the broadcast-join form + one semi-join
+        from pyspark_dist_explore_spark.operators.textstats import (
+            classifier_exprs,
+            classifier_score,
+        )
+
+        if classifier_weights is None:
+            keep = classifier_exprs(
+                F.col("__text"), threshold=classifier_threshold
+            )[2]
+            base = base.where(keep == 1)
+        else:
+            scored = classifier_score(
+                base,
+                "__text",
+                "doc_id",
+                threshold=classifier_threshold,
+                weights=classifier_weights,
+            )
+            base = base.join(
+                scored.where(F.col("cls_keep") == 1).select("doc_id"),
+                "doc_id",
+                "leftsemi",
+            )
     if allowed_langs is not None:
         base = base.where(F.col("lang_pred").isin(list(allowed_langs)))
     if max_dup_token_frac is not None:

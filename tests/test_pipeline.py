@@ -866,3 +866,60 @@ def test_contaminated_ids_bloom_path_exact(spark):
     assert tiny == plain, "false positives must be weeded by the verify join"
     with _pytest.raises(ValueError, match="bits"):
         contaminated_ids(docs, eval_df, "text", "doc_id", bloom_bits=100)
+
+def test_curate_classifier_gate(spark):
+    """classifier_threshold= adds the X29 model-based quality gate
+    BEFORE dedup: every survivor passed the gate, the inline and
+    weights-table forms agree exactly when the table encodes the same
+    mixer over the default grid, and a sky-high threshold empties the
+    corpus.  (Gated-set equality vs base∩keep does NOT hold — removing
+    docs changes dedup survivor election, same as any earlier filter.)"""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        CLS_MIX,
+        classifier_score,
+    )
+
+    docs = _docs(spark)
+    base_n = curate_documents(docs, "text", "doc_id", min_quality=0.0).count()
+    gated = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, classifier_threshold=(0, 1)
+    )
+    gated_ids = {r.doc_id for r in gated.collect()}
+    keep = {
+        r.doc_id
+        for r in classifier_score(docs, "text", "doc_id").collect()
+        if r.cls_keep
+    }
+    assert gated_ids <= keep, "every survivor must have passed the gate"
+    assert 0 < len(gated_ids) < base_n, "the gate must strictly shrink survivors"
+
+    # weights-table path through the pipeline == inline path when the
+    # table encodes the identical mixer over the DEFAULT grid (the
+    # pipeline runs classifier defaults: n_buckets=2^20, scale=2^16)
+    B, S = 1 << 20, 1 << 16
+    wtab = spark.range(B).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") * F.lit(CLS_MIX) % F.lit(S) - F.lit(S // 2)).alias("weight"),
+    )
+    tabled = curate_documents(
+        docs,
+        "text",
+        "doc_id",
+        min_quality=0.0,
+        classifier_threshold=(0, 1),
+        classifier_weights=wtab,
+    )
+    assert {r.doc_id for r in tabled.collect()} == gated_ids
+
+    assert (
+        curate_documents(
+            docs,
+            "text",
+            "doc_id",
+            min_quality=0.0,
+            classifier_threshold=(10**9, 1),
+        ).count()
+        == 0
+    )
