@@ -107,7 +107,10 @@ def text_profile_lang(
         score.alias("quality"),
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
         lang_pred_expr(t).alias("lang_pred"),
-        *(classifier_exprs(t) if classifier else []),
+        # md5 is the oracle-checkable classifier variant (the DuckDB
+        # twin renders the same digest chain); xxhash64 stays the
+        # library default for direct classifier_score callers
+        *(classifier_exprs(t, hash_fn="md5") if classifier else []),
     )
 
 
@@ -1286,14 +1289,31 @@ def _cls_gram_col(t: Column, *, bigrams: bool) -> Column:
     return F.concat(toks, bi)
 
 
-def _cls_weight_expr(gram: Column, *, n_buckets: int, weight_scale: int) -> Column:
-    """Deterministic integer weight of one gram: md5 → bucket →
+def _cls_bucket_expr(gram: Column, *, n_buckets: int, hash_fn: str) -> Column:
+    """Feature bucket of one gram.  ``xxhash64`` (default) is the fast
+    native path (``pmod`` keeps the signed hash non-negative);
+    ``md5`` derives the bucket from the hex digest exactly as the
+    DuckDB twin does (``('0x'||substr(md5,1,15))::BIGINT % B``) — the
+    oracle-checkable variant, same convention as the MinHash/SimHash
+    families."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(gram), F.lit(n_buckets))
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+        return h % F.lit(n_buckets)
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def _cls_weight_expr(
+    gram: Column, *, n_buckets: int, weight_scale: int, hash_fn: str
+) -> Column:
+    """Deterministic integer weight of one gram: bucket →
     multiplicative-mixer weight in [-weight_scale/2, weight_scale/2).
-    Every step is exact BIGINT math rendered identically in the DuckDB
-    twin (:func:`classifier_sql`), so the gate columns are class-A
-    integers — no float, no rounding, no knife edge."""
-    h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
-    b = h % F.lit(n_buckets)
+    Every step is exact BIGINT math; with ``hash_fn='md5'`` the chain
+    is rendered identically in the DuckDB twin (:func:`classifier_sql`),
+    so the gate columns are class-A integers — no float, no rounding,
+    no knife edge."""
+    b = _cls_bucket_expr(gram, n_buckets=n_buckets, hash_fn=hash_fn)
     return (b * F.lit(CLS_MIX)) % F.lit(weight_scale) - F.lit(weight_scale // 2)
 
 
@@ -1304,18 +1324,24 @@ def classifier_exprs(
     weight_scale: int = 1 << 16,
     bigrams: bool = True,
     threshold: tuple[int, int] = (0, 1),
+    hash_fn: str = "xxhash64",
 ) -> list[Column]:
     """The three inline-weight classifier gate columns as row-local
     expressions — importable so a profile projection (or a pipeline
     scoring stage) can append the gate to an EXISTING scan instead of
     paying a second one.  Aliased ``(n_cls_grams, cls_logit_num,
     cls_keep)``; the repeated sub-expressions collapse under codegen
-    common-subexpression elimination."""
+    common-subexpression elimination.  ``hash_fn='xxhash64'`` (default)
+    is the fast native path (~2× cheaper per gram at probe scale);
+    ``'md5'`` is the DuckDB-reproducible variant the registered gate
+    uses — the usual fast-default / oracle-variant split."""
     num, den = threshold
     grams = _cls_gram_col(t, bigrams=bigrams)
     ws = F.transform(
         grams,
-        lambda g: _cls_weight_expr(g, n_buckets=n_buckets, weight_scale=weight_scale),
+        lambda g: _cls_weight_expr(
+            g, n_buckets=n_buckets, weight_scale=weight_scale, hash_fn=hash_fn
+        ),
     )
     logit = F.aggregate(ws, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     n_grams = F.size(grams).cast("bigint")
@@ -1337,6 +1363,7 @@ def classifier_score(
     bigrams: bool = True,
     threshold: tuple[int, int] = (0, 1),
     weights: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Hashed n-gram linear classifier score + keep/drop gate per
     document: ``(doc_id, n_cls_grams, cls_logit_num, cls_keep)``.
@@ -1357,6 +1384,10 @@ def classifier_score(
     ``[-weight_scale/2, weight_scale/2)``) — a reproducible STAND-IN
     for offline-trained weights with the true serving shape: the score
     is a pure row-local expression, zero shuffle, zero join, one scan.
+    ``hash_fn`` picks the bucket hash: ``'xxhash64'`` (default, fast
+    native) or ``'md5'`` (DuckDB-reproducible — what the registered
+    ``text_stats`` gate and :func:`classifier_sql` use; a weights table
+    must be built under the same ``hash_fn`` it is served with).
     ``weights=`` (a ``(bucket BIGINT, weight BIGINT)`` frame, e.g. an
     offline logistic-regression fit exported to a table) serves real
     models: grams explode once, the weight table joins BROADCAST
@@ -1386,6 +1417,7 @@ def classifier_score(
                 weight_scale=weight_scale,
                 bigrams=bigrams,
                 threshold=threshold,
+                hash_fn=hash_fn,
             ),
         )
     else:
@@ -1393,11 +1425,11 @@ def classifier_score(
         missing = {"bucket", "weight"} - set(weights.columns)
         if missing:
             raise ValueError(f"weights frame missing column(s): {sorted(missing)}")
-        h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
+        b = _cls_bucket_expr(F.col("gram"), n_buckets=n_buckets, hash_fn=hash_fn)
         exploded = df.select(
             F.col(id_col).alias("doc_id"),
             F.explode_outer(grams).alias("gram"),  # outer: keep empty docs
-        ).select("doc_id", (h % F.lit(n_buckets)).alias("bucket"), "gram")
+        ).select("doc_id", b.alias("bucket"), "gram")
         joined = exploded.join(
             F.broadcast(weights.select("bucket", F.col("weight").cast("bigint").alias("weight"))),
             "bucket",
@@ -1431,7 +1463,8 @@ def classifier_sql(
     bigrams: bool = True,
     threshold: tuple[int, int] = (0, 1),
 ) -> str:
-    """DuckDB twin of the inline-weight :func:`classifier_score`: same
+    """DuckDB twin of the inline-weight :func:`classifier_score`
+    (``hash_fn='md5'`` form): same
     normalized token stream, same uni+bigram list, same md5-bucket →
     mixer-weight BIGINT chain, same rational-threshold gate.  ``src``
     must yield ``(doc_id, text)``.  Every hashed column is an exact

@@ -422,6 +422,16 @@ def main() -> None:
     print(json.dumps({"probe": "span_dedup", "t_1x": t1, "t_10x": t10,
                       "docs_1x": n1, "docs_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- classifier gate (X29): 10× docs -----------------------------------
+    # (pure row-local projection — the wall should track the scan almost
+    # exactly; there is no shuffle/join/explode to go super-linear)
+    from pyspark_dist_explore_spark.operators.textstats import classifier_score
+
+    t1, n1 = timed(classifier_score(docs, "text", "doc_id"))
+    t10, n10 = timed(classifier_score(docs10, "text", "doc_id"))
+    print(json.dumps({"probe": "classifier_gate", "t_1x": t1, "t_10x": t10,
+                      "docs_1x": n1, "docs_10x": n10, "ratio": round(t10 / t1, 2)}))
+
     # -- unigram perplexity scoring: 10× docs ------------------------------
     # (TF shuffle + vocab join + per-doc agg — all hash-partitioned and
     # map-side-combined, so growth must be ~linear; output exactly 10×)

@@ -3959,7 +3959,7 @@ def test_classifier_score_matches_duckdb(spark):
 
     def build(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return classifier_score(docs, "text", "doc_id", threshold=(3, 7))
+        return classifier_score(docs, "text", "doc_id", threshold=(3, 7), hash_fn="md5")
 
     compare(
         spark,
@@ -3982,7 +3982,9 @@ def test_classifier_weight_chain_bits(spark):
 
     B, S = 1 << 20, 1 << 16
     df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
-    r = classifier_score(df, "text", "doc_id", n_buckets=B, weight_scale=S).first()
+    r = classifier_score(
+        df, "text", "doc_id", n_buckets=B, weight_scale=S, hash_fn="md5"
+    ).first()
     h = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
     w = (h % B) * CLS_MIX % S - S // 2
     assert (r.n_cls_grams, r.cls_logit_num) == (1, w)
