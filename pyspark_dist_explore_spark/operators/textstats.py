@@ -99,7 +99,7 @@ def text_profile_lang(
     t = F.col(text_col)
     alpha_ratio, punct_ratio, score = quality_ratio_exprs(t)
     scores = lang_score_exprs(t)
-    return df.select(
+    cols = [
         F.col(id_col).alias("doc_id"),
         *_stats_exprs(t),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -107,10 +107,21 @@ def text_profile_lang(
         score.alias("quality"),
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
         lang_pred_expr(t).alias("lang_pred"),
-        # md5 is the oracle-checkable classifier variant (the DuckDB
-        # twin renders the same digest chain); xxhash64 stays the
-        # library default for direct classifier_score callers
-        *(classifier_exprs(t, hash_fn="md5") if classifier else []),
+    ]
+    if not classifier:
+        return df.select(*cols)
+    # md5 is the oracle-checkable classifier variant (the DuckDB twin
+    # renders the same digest chain); xxhash64 stays the library default
+    # for direct classifier_score callers.  The gate rides the SAME
+    # scan as staged projections (gram build + weight fold each
+    # evaluated once per row — see _gate_from_grams).
+    staged = df.select(*cols, _cls_gram_col(t, bigrams=True).alias("__cls_grams"))
+    return _gate_from_grams(
+        staged,
+        n_buckets=1 << 20,
+        weight_scale=1 << 16,
+        threshold=(0, 1),
+        hash_fn="md5",
     )
 
 
@@ -1276,14 +1287,18 @@ def _cls_gram_col(t: Column, *, bigrams: bool) -> Column:
     if not bigrams:
         return toks
     n = F.size(toks)
-    # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs
+    # zip_with over two slices, NOT element_at(toks, i) inside a
+    # transform lambda: an outer expression captured in a lambda body is
+    # RE-EVALUATED per element, so the element_at form re-runs the full
+    # normalize+split+filter chain O(n) times per doc — O(n²) regex work
+    # (measured ~18 s for 5 000 sf0.1 docs vs ~1.5 s for this form).
+    # slice/zip_with arguments evaluate once per ROW.
     bi = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(1)),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
-            ),
+        F.zip_with(
+            F.slice(toks, 1, n - F.lit(1)),
+            F.slice(toks, 2, n - F.lit(1)),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(toks, bi)
@@ -1327,14 +1342,20 @@ def classifier_exprs(
     hash_fn: str = "xxhash64",
 ) -> list[Column]:
     """The three inline-weight classifier gate columns as row-local
-    expressions — importable so a profile projection (or a pipeline
-    scoring stage) can append the gate to an EXISTING scan instead of
-    paying a second one.  Aliased ``(n_cls_grams, cls_logit_num,
-    cls_keep)``; the repeated sub-expressions collapse under codegen
-    common-subexpression elimination.  ``hash_fn='xxhash64'`` (default)
-    is the fast native path (~2× cheaper per gram at probe scale);
-    ``'md5'`` is the DuckDB-reproducible variant the registered gate
-    uses — the usual fast-default / oracle-variant split."""
+    expressions — importable so a filter predicate (or any single-column
+    consumer) can ride an EXISTING scan.  Aliased ``(n_cls_grams,
+    cls_logit_num, cls_keep)``.
+
+    COST CAVEAT: higher-order functions are CodegenFallback, so codegen
+    subexpression elimination does NOT dedupe the gram/fold chain across
+    these columns — selecting all three in one projection evaluates the
+    chain up to 4×.  Use :func:`with_classifier_gate` (staged
+    projections, chain evaluated once per row) when appending all three
+    columns; use this form only for a single expression (e.g. the
+    pipeline's ``where(keep == 1)``, one evaluation per row).
+
+    ``hash_fn='xxhash64'`` (default) is the fast native path; ``'md5'``
+    is the DuckDB-reproducible variant the registered gate uses."""
     num, den = threshold
     grams = _cls_gram_col(t, bigrams=bigrams)
     ws = F.transform(
@@ -1351,6 +1372,67 @@ def classifier_exprs(
         logit.alias("cls_logit_num"),
         keep.alias("cls_keep"),
     ]
+
+
+def _gate_from_grams(
+    staged: DataFrame,
+    *,
+    n_buckets: int,
+    weight_scale: int,
+    threshold: tuple[int, int],
+    hash_fn: str,
+    gram_col: str = "__cls_grams",
+) -> DataFrame:
+    """Stages 2+3 of the gate over a frame that already carries the gram
+    array as ``gram_col``: (size, weight-fold) in one projection, keep
+    derived from the NAMED logit column in the next, gram column
+    dropped.  Chained projections instead of one wide one because
+    ``CollapseProject`` keeps a non-cheap alias that is referenced more
+    than once in its own Project, so the gram build and the fold each
+    evaluate ONCE per row — the single-projection form re-evaluates the
+    fold for ``cls_keep`` and the gram chain for every consumer (HOFs
+    are CodegenFallback: no codegen subexpression elimination)."""
+    num, den = threshold
+    ws = F.transform(
+        F.col(gram_col),
+        lambda g: _cls_weight_expr(
+            g, n_buckets=n_buckets, weight_scale=weight_scale, hash_fn=hash_fn
+        ),
+    )
+    scored = staged.select(
+        "*",
+        F.size(gram_col).cast("bigint").alias("n_cls_grams"),
+        F.aggregate(ws, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "cls_logit_num"
+        ),
+    ).drop(gram_col)
+    n_g, logit = F.col("n_cls_grams"), F.col("cls_logit_num")
+    keep = ((n_g > 0) & (logit * F.lit(den) >= F.lit(num) * n_g)).cast("int")
+    return scored.select("*", keep.alias("cls_keep"))
+
+
+def with_classifier_gate(
+    df: DataFrame,
+    t: Column,
+    *,
+    n_buckets: int = 1 << 20,
+    weight_scale: int = 1 << 16,
+    bigrams: bool = True,
+    threshold: tuple[int, int] = (0, 1),
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Append the gate columns ``(n_cls_grams, cls_logit_num,
+    cls_keep)`` to ``df`` via staged projections — the once-per-row
+    evaluation form (see :func:`_gate_from_grams`).  ``t`` is the text
+    expression, evaluated against ``df``'s columns."""
+    staged = df.select("*", _cls_gram_col(t, bigrams=bigrams).alias("__cls_grams"))
+    return _gate_from_grams(
+        staged,
+        n_buckets=n_buckets,
+        weight_scale=weight_scale,
+        threshold=threshold,
+        hash_fn=hash_fn,
+    )
 
 
 def classifier_score(
@@ -1409,16 +1491,19 @@ def classifier_score(
         raise ValueError(f"threshold denominator must be >= 1, got {den}")
     t = F.col(text_col)
     if weights is None:
-        return df.select(
+        # staged projections (not one wide classifier_exprs select):
+        # gram build + weight fold evaluate once per row, see
+        # _gate_from_grams
+        staged = df.select(
             F.col(id_col).alias("doc_id"),
-            *classifier_exprs(
-                t,
-                n_buckets=n_buckets,
-                weight_scale=weight_scale,
-                bigrams=bigrams,
-                threshold=threshold,
-                hash_fn=hash_fn,
-            ),
+            _cls_gram_col(t, bigrams=bigrams).alias("__cls_grams"),
+        )
+        return _gate_from_grams(
+            staged,
+            n_buckets=n_buckets,
+            weight_scale=weight_scale,
+            threshold=threshold,
+            hash_fn=hash_fn,
         )
     else:
         grams = _cls_gram_col(t, bigrams=bigrams)
