@@ -194,10 +194,19 @@ def shingles(col: Column, n: int = 3) -> Column:
     ``transform``+``slice`` here re-slices the token array once per gram
     (O(tokens·n) array work inside one projection)."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+
+    # let-bind the token array via a single-element transform: an OUTER
+    # computed expression captured in a lambda body is re-evaluated per
+    # element (the normalize+split chain would run once per gram —
+    # O(tokens²)); a lambda VARIABLE is a bound value, read per element
+    # for free.  ``toks`` sits in argument position → once per row.
+    def _grams(ts: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n)))
+        )
+
+    return F.element_at(F.transform(F.array(toks), _grams), 1)
 
 
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3) -> DataFrame:

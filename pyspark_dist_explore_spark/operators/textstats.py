@@ -1286,22 +1286,28 @@ def _cls_gram_col(t: Column, *, bigrams: bool) -> Column:
     toks = F.filter(tokens(F.coalesce(t, F.lit(""))), lambda x: x != "")
     if not bigrams:
         return toks
-    n = F.size(toks)
+
     # zip_with over two slices, NOT element_at(toks, i) inside a
     # transform lambda: an outer expression captured in a lambda body is
     # RE-EVALUATED per element, so the element_at form re-runs the full
     # normalize+split+filter chain O(n) times per doc — O(n²) regex work
     # (measured ~18 s for 5 000 sf0.1 docs vs ~1.5 s for this form).
-    # slice/zip_with arguments evaluate once per ROW.
-    bi = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - F.lit(1)),
-            F.slice(toks, 2, n - F.lit(1)),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bi)
+    # The single-element transform let-binds the token array so the
+    # chain runs ONCE per row instead of once per reference (concat,
+    # size, two slices — a lambda variable is a bound value).
+    def _grams(ts: Column) -> Column:
+        n = F.size(ts)
+        bi = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(ts, 1, n - F.lit(1)),
+                F.slice(ts, 2, n - F.lit(1)),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(ts, bi)
+
+    return F.element_at(F.transform(F.array(toks), _grams), 1)
 
 
 def _cls_bucket_expr(gram: Column, *, n_buckets: int, hash_fn: str) -> Column:
