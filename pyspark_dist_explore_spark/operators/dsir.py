@@ -1,0 +1,291 @@
+"""DSIR — Data Selection via Importance Resampling (SURVEY.md §2.2 X30).
+
+Xie et al. 2023 (arXiv:2302.03169): select raw-corpus documents whose
+hashed n-gram feature distribution looks like a TARGET corpus (the
+"make my crawl look like wiki+books" recipe behind many production
+pretraining mixtures).  Construction, exactly the paper's:
+
+1. features: word unigrams + bigrams hashed into ``n_buckets`` —
+   the classifier gate's bucket chain
+   (:func:`~pyspark_dist_explore_spark.operators.textstats._cls_bucket_expr`)
+   reused verbatim, so the md5 variant is DuckDB-reproducible;
+2. a bag-of-buckets model per corpus: bucket count tables (≤ B rows
+   each, one map-side-combined aggregate per corpus);
+3. per-document importance weight
+   ``log w(x) = Σ_g [log p̂_target(b_g) − log p̂_raw(b_g)]`` with
+   Laplace smoothing ``p̂(b) = (cnt_b + α) / (N + α·B)``;
+4. selection: top-``n`` by weight (deterministic rank; the paper
+   adds Gumbel noise for a soft sample — a salted-hash perturbation
+   slot is left to the caller via the score frame).
+
+Determinism: per-BUCKET log-ratios are scaled to 1e-6 fixed point
+(BIGINT) before the per-doc sum — the float sum would be
+partial-aggregation-order-dependent; the integer sum is exact at any
+parallelism (the perplexity scorers' technique,
+``textstats.unigram_logprob_scores``).  The driver-gate oracle hashes
+only the PURE-INTEGER count statistics (``count_stats=True``):
+``ln`` last-ulp behavior varies across libm/DuckDB builds (the round-6
+`text_perplexity` lesson, ORACLES.md class C), while the count columns
+pin tokenization, hashing, and both corpus count tables bit-for-bit on
+any engine.  Exact double weights + the top-n selection are pinned in
+the pytest DuckDB twins where the engine pair is controlled.
+
+Scale shape (100 TB): gram explode → TWO ≤B-row count aggregates
+(map-side partials; B ~ 2¹²–2²⁰ — driver-trivial, broadcast) → the
+raw-corpus gram stream joins both broadcast tables and collapses to
+per-doc rows with one partial-aggregated groupBy — ONE corpus-sized
+shuffle of per-doc partial rows, no sort; selection is
+``TakeOrderedAndProject`` (per-partition heaps), never a global sort.
+The target corpus is by definition small (a quality sample); the raw
+corpus is scanned once (twice when it must also train the raw counts —
+pass ``raw_counts=`` from a previous materialization to make it once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+from pyspark_dist_explore_spark.operators.textstats import (
+    _cls_bucket_expr,
+    _cls_gram_col,
+)
+
+
+def dsir_gram_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bigrams: bool = True,
+) -> DataFrame:
+    """``(doc_id, gram)`` — one row per word uni(+bi)gram occurrence of
+    the normalized token stream.  Row-local build (array transform, no
+    window shuffle) then a plain explode; docs with zero grams emit no
+    rows (explode of an empty array)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_cls_gram_col(F.col(text_col), bigrams=bigrams)).alias("gram"),
+    )
+
+
+def dsir_bucket_counts(
+    gram_rows: DataFrame,
+    *,
+    n_buckets: int = 1 << 12,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hashed-gram bag-of-buckets model of one corpus: ``(bucket, cnt)``,
+    ≤ ``n_buckets`` rows however large the corpus (ONE map-side-combined
+    aggregate).  ``hash_fn='md5'`` is the DuckDB-reproducible chain."""
+    return (
+        gram_rows.select(
+            _cls_bucket_expr(
+                F.col("gram"), n_buckets=n_buckets, hash_fn=hash_fn
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _log_e6(cnt: Column, total: Column, alpha: float, n_buckets: int) -> Column:
+    """``round(1e6 · ln((cnt + α) / (N + α·B)))`` as BIGINT — the exact
+    fixed-point grid both the Spark sum and the pytest twin share."""
+    p = (F.coalesce(cnt, F.lit(0)).cast("double") + F.lit(alpha)) / (
+        total.cast("double") + F.lit(alpha) * F.lit(float(n_buckets))
+    )
+    return F.round(F.log(p) * F.lit(1e6)).cast("bigint")
+
+
+def dsir_scores(
+    raw: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    target: DataFrame | None = None,
+    n_buckets: int = 1 << 12,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+    hash_fn: str = "xxhash64",
+    count_stats: bool = False,
+    gram_rows: DataFrame | None = None,
+    target_gram_rows: DataFrame | None = None,
+    raw_counts: DataFrame | None = None,
+    target_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance weights of the RAW corpus against a
+    TARGET corpus: ``(doc_id, n_ds_grams, ds_logw_e6, ds_logw)`` where
+    ``ds_logw = Σ_g [ln p̂_t(b_g) − ln p̂_r(b_g)]`` (1e-6 fixed-point
+    exact; ``ds_logw_e6`` is the BIGINT grid value, ``ds_logw`` the
+    double view).  Docs with zero grams emit no rows — a doc with no
+    features has no importance weight (select on them upstream).
+
+    ``gram_rows=`` / ``target_gram_rows=`` are staged ``(doc_id, gram)``
+    inputs (the ``tf_rows=`` pattern) for callers who already
+    materialized the gram stream — e.g. the registered query shares the
+    perplexity scorers' checkpointed token+pair frame.  ``raw_counts=``
+    / ``target_counts=`` short-circuit the corpus count aggregates
+    (e.g. a landed model from a previous build).
+
+    ``count_stats=True`` appends PURE-INTEGER columns to the same
+    per-doc aggregate (no extra scan): ``ds_t_mass`` (Σ target bucket
+    counts the scoring join looked up), ``ds_t_hits`` (grams whose
+    bucket exists in the target table), ``ds_r_mass`` (Σ raw bucket
+    counts) — the class-A driver-gate projection.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (Laplace smoothing mass), got {alpha}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if gram_rows is None:
+        if raw is None:
+            raise ValueError("need raw= frame or staged gram_rows=")
+        gram_rows = dsir_gram_rows(raw, text_col, id_col, bigrams=bigrams)
+    if target_counts is None:
+        if target_gram_rows is None:
+            if target is None:
+                raise ValueError(
+                    "need target= frame, target_gram_rows=, or target_counts="
+                )
+            target_gram_rows = dsir_gram_rows(
+                target, text_col, id_col, bigrams=bigrams
+            )
+        target_counts = dsir_bucket_counts(
+            target_gram_rows, n_buckets=n_buckets, hash_fn=hash_fn
+        )
+    if raw_counts is None:
+        raw_counts = dsir_bucket_counts(
+            gram_rows, n_buckets=n_buckets, hash_fn=hash_fn
+        )
+    t_tot = target_counts.groupBy().agg(F.sum("cnt").alias("__nt"))
+    r_tot = raw_counts.groupBy().agg(F.sum("cnt").alias("__nr"))
+    lam = _log_e6(F.col("__tcnt"), F.col("__nt"), alpha, n_buckets) - _log_e6(
+        F.col("__rcnt"), F.col("__nr"), alpha, n_buckets
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_ds_grams"),
+        F.sum(F.col("__lam")).cast("bigint").alias("ds_logw_e6"),
+    ]
+    if count_stats:
+        aggs += [
+            F.sum(F.coalesce(F.col("__tcnt"), F.lit(0))).cast("bigint").alias("ds_t_mass"),
+            F.sum(F.when(F.col("__tcnt").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ds_t_hits"),
+            F.sum(F.coalesce(F.col("__rcnt"), F.lit(0))).cast("bigint").alias("ds_r_mass"),
+        ]
+    bucket = _cls_bucket_expr(F.col("gram"), n_buckets=n_buckets, hash_fn=hash_fn)
+    scored = (
+        gram_rows.select("doc_id", bucket.alias("bucket"))
+        .join(
+            F.broadcast(
+                target_counts.select("bucket", F.col("cnt").alias("__tcnt"))
+            ),
+            "bucket",
+            "left",
+        )
+        .join(
+            F.broadcast(raw_counts.select("bucket", F.col("cnt").alias("__rcnt"))),
+            "bucket",
+            "left",
+        )
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select("doc_id", "__tcnt", "__rcnt", lam.alias("__lam"))
+        .groupBy("doc_id")
+        .agg(*aggs)
+    )
+    cols = [
+        F.col("doc_id"),
+        F.col("n_ds_grams"),
+        F.col("ds_logw_e6"),
+        (F.col("ds_logw_e6").cast("double") / F.lit(1e6)).alias("ds_logw"),
+    ]
+    if count_stats:
+        cols += [F.col("ds_t_mass"), F.col("ds_t_hits"), F.col("ds_r_mass")]
+    return scored.select(*cols)
+
+
+def dsir_topk(scored: DataFrame, n_keep: int) -> DataFrame:
+    """The resampling step, deterministic form: keep the ``n_keep``
+    highest-weight docs (ties broken on doc_id — a total order, so the
+    selection is a pure function of the corpora).  ``orderBy + limit``
+    plans as ``TakeOrderedAndProject`` — per-partition heaps of
+    ``n_keep`` rows, never a global sort (the vocabulary-induction
+    pattern).  The paper's Gumbel-noise soft sample is the same top-k
+    over ``ds_logw + g_i`` — add a salted perturbation column to the
+    score frame and rank on that to get it."""
+    if n_keep < 1:
+        raise ValueError(f"n_keep must be >= 1, got {n_keep}")
+    return scored.orderBy(
+        F.col("ds_logw_e6").desc(), F.col("doc_id").asc()
+    ).limit(n_keep)
+
+
+def dsir_sql(
+    raw_src: str,
+    target_src: str,
+    *,
+    n_buckets: int = 1 << 12,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+    count_stats: bool = False,
+) -> str:
+    """DuckDB twin of :func:`dsir_scores` (``hash_fn='md5'`` form):
+    same normalized token stream, same uni+bigram list, same md5-bucket
+    chain, same 1e-6 fixed-point log-ratio sum.  ``raw_src`` /
+    ``target_src`` must yield ``(doc_id, text)``.  The count columns are
+    exact integers on any build; the ``ds_logw*`` columns share the grid
+    only on a controlled engine pair (pytest scope — ORACLES.md class C).
+    """
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    bi = (
+        "CASE WHEN len(l) >= 2 THEN list_transform(generate_series(1, len(l) - 1), "
+        "i -> l[i] || ' ' || l[i + 1]) ELSE []::VARCHAR[] END"
+    )
+    gram_expr = f"list_concat(l, {bi})" if bigrams else "l"
+    b = f"('0x' || substr(md5(gram), 1, 15))::BIGINT % {n_buckets}"
+    aB = f"{alpha!r} * {n_buckets}"
+    lam = (
+        f"CAST(round(1e6 * ln((COALESCE(t.cnt, 0) + {alpha!r}) / (nt + {aB}))) AS BIGINT)"
+        f" - CAST(round(1e6 * ln((COALESCE(r.cnt, 0) + {alpha!r}) / (nr + {aB}))) AS BIGINT)"
+    )
+    stat_cols = (
+        """,
+         CAST(sum(COALESCE(t.cnt, 0)) AS BIGINT) AS ds_t_mass,
+         CAST(sum(CASE WHEN t.cnt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ds_t_hits,
+         CAST(sum(COALESCE(r.cnt, 0)) AS BIGINT) AS ds_r_mass"""
+        if count_stats
+        else ""
+    )
+    return f"""
+WITH raw_src AS ({raw_src}),
+tgt_src AS ({target_src}),
+raw_g AS (
+  SELECT doc_id, unnest({gram_expr}) AS gram
+  FROM (SELECT doc_id, list_filter(string_split({norm}, ' '), x -> x <> '') AS l
+        FROM raw_src) z
+),
+tgt_g AS (
+  SELECT doc_id, unnest({gram_expr}) AS gram
+  FROM (SELECT doc_id, list_filter(string_split({norm}, ' '), x -> x <> '') AS l
+        FROM tgt_src) z
+),
+raw_b AS (SELECT doc_id, {b} AS bucket FROM raw_g),
+tgt_b AS (SELECT doc_id, {b} AS bucket FROM tgt_g),
+rcnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM raw_b GROUP BY bucket),
+tcnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM tgt_b GROUP BY bucket),
+tots AS (SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM rcnt) AS nr,
+                (SELECT CAST(sum(cnt) AS DOUBLE) FROM tcnt) AS nt)
+SELECT raw_b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ds_grams,
+       CAST(sum({lam}) AS BIGINT) AS ds_logw_e6,
+       CAST(sum({lam}) AS BIGINT) / 1e6 AS ds_logw{stat_cols}
+FROM raw_b
+LEFT JOIN tcnt t USING (bucket)
+LEFT JOIN rcnt r USING (bucket)
+CROSS JOIN tots
+GROUP BY raw_b.doc_id
+"""

@@ -2117,6 +2117,11 @@ def q_histogram_drift_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_ops.histogram_drift_by_group(docs, cur, "n_chars", "lang", bins=8)
 
 
+#: DSIR feature-space size for the gate section (the paper operates at
+#: 10⁴-ish hashed buckets; 2¹² keeps the count tables driver-trivial)
+_DSIR_BUCKETS = 1 << 12
+
+
 def _perplexity_oracle() -> str:
     """Transcendental-free gate oracle for ``text_perplexity`` (round 7).
 
@@ -2129,8 +2134,18 @@ def _perplexity_oracle() -> str:
     engine build; the exact double `mean_logprob`/`ppl` surfaces stay
     pinned in the pytest DuckDB twins (controlled engine pair,
     tests/test_ops.py::test_{unigram,bigram}_logprob_matches_duckdb).
+
+    Round 8 merges the DSIR section (X30, operators/dsir.py): per-doc
+    hashed uni+bigram bucket statistics against a target slice
+    (doc_id % 10 = 0 — the semantic-decontam eval-slice convention) and
+    the raw corpus — ``ds_grams``/``ds_t_mass``/``ds_t_hits``/
+    ``ds_r_mass`` are exact BIGINTs that pin the gram build, the md5
+    bucket chain, and BOTH corpus count tables on any engine build; the
+    ln-derived importance weights (class C) stay in the pytest twins
+    (tests/test_ops.py::test_dsir_*).
     """
     norm = _NORM.format(c="text")
+    b = f"('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_BUCKETS}"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx, unnest(l) AS tok
@@ -2165,9 +2180,32 @@ bstat AS (
   LEFT JOIN uni cx ON p.prev = cx.term
   LEFT JOIN bi b ON p.prev = b.prev AND p.tok = b.term
   GROUP BY p.doc_id
+),
+ds_g AS (
+  SELECT doc_id, tok AS g FROM t2
+  UNION ALL
+  SELECT doc_id, prev || ' ' || tok AS g FROM pairs WHERE prev IS NOT NULL
+),
+ds_b AS (SELECT doc_id, {b} AS bucket FROM ds_g),
+ds_t AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM ds_b
+         WHERE doc_id % 10 = 0 GROUP BY bucket),
+ds_r AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM ds_b GROUP BY bucket),
+dstat AS (
+  SELECT ds_b.doc_id,
+         CAST(count(*) AS BIGINT) AS ds_grams,
+         CAST(sum(COALESCE(t.cnt, 0)) AS BIGINT) AS ds_t_mass,
+         CAST(sum(CASE WHEN t.cnt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ds_t_hits,
+         CAST(sum(r.cnt) AS BIGINT) AS ds_r_mass
+  FROM ds_b
+  LEFT JOIN ds_t t USING (bucket)
+  JOIN ds_r r USING (bucket)
+  GROUP BY ds_b.doc_id
 )
-SELECT ustat.doc_id, n_tok, u_terms, u_mass, n_scored, b_hits, b_matched, ctx_mass
-FROM ustat JOIN bstat ON ustat.doc_id = bstat.doc_id
+SELECT ustat.doc_id, n_tok, u_terms, u_mass, n_scored, b_hits, b_matched, ctx_mass,
+       ds_grams, ds_t_mass, ds_t_hits, ds_r_mass
+FROM ustat
+JOIN bstat ON ustat.doc_id = bstat.doc_id
+JOIN dstat ON ustat.doc_id = dstat.doc_id
 """
 
 
@@ -2195,7 +2233,15 @@ def q_text_perplexity(
     lag-window pair frame ONCE, ``localCheckpoint``s it, and feeds both
     scorers through their staged inputs (``tf_rows=`` /
     ``pairs_rows=``) — one corpus scan instead of eight across the
-    lazily re-derived LM subtrees."""
+    lazily re-derived LM subtrees.
+
+    The DSIR section (round 8) shares that SAME frame: its uni+bigram
+    gram stream is exactly the pair rows (``tok`` / ``prev || ' ' ||
+    tok``), so the importance-statistics columns cost two ≤4096-row
+    bucket aggregates and one per-doc partial-aggregated groupBy — no
+    extra tokenize scan."""
+    from pyspark_dist_explore_spark.operators.dsir import dsir_scores
+
     docs = load_table(spark, sf_dir, "documents")
     if stage:
         from pyspark.sql import Window
@@ -2213,9 +2259,20 @@ def q_text_perplexity(
         tf = pairs.groupBy("doc_id", F.col("tok").alias("term")).agg(
             F.count(F.lit(1)).alias("tf")
         )
+        # DSIR gram stream from the checkpointed pairs: every token is a
+        # unigram row; adjacent pairs are the bigram rows — identical
+        # strings to dsir_gram_rows' row-local build
+        gram_rows = pairs.select("doc_id", F.col("tok").alias("gram")).unionByName(
+            pairs.where(F.col("prev").isNotNull()).select(
+                "doc_id", F.concat_ws(" ", "prev", "tok").alias("gram")
+            )
+        )
     else:
+        from pyspark_dist_explore_spark.operators.dsir import dsir_gram_rows
+
         pairs = None
         tf = None
+        gram_rows = dsir_gram_rows(docs, "text", "doc_id")
     uni = textstats.unigram_logprob_scores(
         docs, "text", "doc_id", tf_rows=tf, count_stats=True
     ).select("doc_id", "n_tok", "u_terms", "u_mass")
@@ -2228,7 +2285,24 @@ def q_text_perplexity(
         "b_matched",
         "ctx_mass",
     )
-    return uni.join(bi, "doc_id")
+    # X30 DSIR gate columns: target = the doc_id % 10 = 0 slice of the
+    # same corpus (the semantic-decontam eval-slice convention), raw =
+    # everything; only the class-A integer count statistics reach the
+    # gate — the ln-derived weights stay pytest-pinned
+    ds = dsir_scores(
+        gram_rows=gram_rows,
+        target_gram_rows=gram_rows.where(F.col("doc_id") % 10 == 0),
+        n_buckets=_DSIR_BUCKETS,
+        hash_fn="md5",
+        count_stats=True,
+    ).select(
+        "doc_id",
+        F.col("n_ds_grams").alias("ds_grams"),
+        "ds_t_mass",
+        "ds_t_hits",
+        "ds_r_mass",
+    )
+    return uni.join(bi, "doc_id").join(ds, "doc_id")
 
 
 @register("text_perplexity", _perplexity_oracle())
