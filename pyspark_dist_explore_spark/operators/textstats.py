@@ -82,7 +82,12 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def text_profile_lang(
-    df: DataFrame, text_col: str, id_col: str, *, classifier: bool = False
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    classifier: bool = False,
+    gopher: dict | None = None,
 ) -> DataFrame:
     """:func:`text_profile` ∪ :func:`language_id` in ONE row-local
     projection over ONE scan (merged registration, round 6): ``(doc_id,
@@ -95,7 +100,13 @@ def text_profile_lang(
     ``classifier=True`` (round 8, X29) appends the hashed n-gram
     linear-classifier gate columns ``(n_cls_grams, cls_logit_num,
     cls_keep)`` — :func:`classifier_exprs` with its defaults — still
-    one scan, still zero shuffle."""
+    one scan, still zero shuffle.
+
+    ``gopher=`` (round 8, X31 — a kwargs dict for
+    :func:`gopher_keep_expr`'s exposed knobs, ``{}`` for the paper's
+    defaults) appends the Gopher rule-set signals + gate
+    (``gq_*``, :func:`gopher_quality_gate`) — same scan, the token and
+    line arrays staged once like the classifier grams."""
     t = F.col(text_col)
     alpha_ratio, punct_ratio, score = quality_ratio_exprs(t)
     scores = lang_score_exprs(t)
@@ -108,21 +119,235 @@ def text_profile_lang(
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
         lang_pred_expr(t).alias("lang_pred"),
     ]
-    if not classifier:
+    if not classifier and gopher is None:
         return df.select(*cols)
     # md5 is the oracle-checkable classifier variant (the DuckDB twin
     # renders the same digest chain); xxhash64 stays the library default
-    # for direct classifier_score callers.  The gate rides the SAME
-    # scan as staged projections (gram build + weight fold each
-    # evaluated once per row — see _gate_from_grams).
-    staged = df.select(*cols, _cls_gram_col(t, bigrams=True).alias("__cls_grams"))
-    return _gate_from_grams(
-        staged,
-        n_buckets=1 << 20,
-        weight_scale=1 << 16,
-        threshold=(0, 1),
-        hash_fn="md5",
+    # for direct classifier_score callers.  Both gates ride the SAME
+    # scan as staged projections (gram/token/line arrays each built once
+    # per row — see _gate_from_grams).
+    staged_cols = list(cols)
+    if gopher is not None:
+        staged_cols += [
+            F.filter(tokens(F.coalesce(t, F.lit(""))), lambda x: x != "").alias(
+                "__gq_toks"
+            ),
+            F.split(F.coalesce(t, F.lit("")), "\n").alias("__gq_lines"),
+            t.alias("__gq_raw"),
+        ]
+    if classifier:
+        staged_cols.append(_cls_gram_col(t, bigrams=True).alias("__cls_grams"))
+    staged = df.select(*staged_cols)
+    if gopher is not None:
+        staged = staged.select(
+            "*",
+            *gopher_signal_exprs(
+                F.col("__gq_toks"), F.col("__gq_lines"), F.col("__gq_raw")
+            ),
+        ).drop("__gq_toks", "__gq_lines", "__gq_raw")
+        staged = staged.select("*", gopher_keep_expr(**gopher).alias("gq_keep"))
+    if classifier:
+        staged = _gate_from_grams(
+            staged,
+            n_buckets=1 << 20,
+            weight_scale=1 << 16,
+            threshold=(0, 1),
+            hash_fn="md5",
+        )
+    return staged
+
+
+#: Gopher rule 7's stop-word list, verbatim (Rae et al. 2021, A1.1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signal_exprs(toks: Column, lines: Column, t: Column) -> list[Column]:
+    """The per-document INTEGER signals behind the Gopher/MassiveText
+    quality rules (Rae et al. 2021, arXiv:2112.11446 appendix A1.1),
+    aliased ``gq_*`` — all BIGINT counts over a STAGED token array /
+    line array (pass bound lambda variables or staged columns: HOFs are
+    CodegenFallback, so an unstaged ``tokens(t)`` here would re-run the
+    normalize+split chain once per consumer — the X29 lesson).
+
+    ``toks`` = non-empty tokens of the normalized text; ``lines`` =
+    raw-text lines (``split('\\n')``); ``t`` = the raw text (symbol
+    counting wants original bytes).
+    """
+    return [
+        F.size(toks).cast("bigint").alias("gq_n_words"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("gq_word_chars"),
+        F.regexp_count(F.coalesce(t, F.lit("")), F.lit(r"#|\.\.\.|…"))
+        .cast("bigint")
+        .alias("gq_n_sym"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("gq_n_alpha_words"),
+        sum_cols(
+            [F.array_contains(toks, sw).cast("bigint") for sw in GOPHER_STOPWORDS]
+        ).alias("gq_n_stop"),
+        F.size(lines).cast("bigint").alias("gq_n_lines"),
+        F.size(F.filter(lines, lambda x: F.ltrim(x).rlike(r"^[-*•]")))
+        .cast("bigint")
+        .alias("gq_bullet_lines"),
+        F.size(F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$")))
+        .cast("bigint")
+        .alias("gq_ellipsis_lines"),
+    ]
+
+
+def gopher_keep_expr(
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_word_len: tuple[int, int] = (3, 10),
+    max_symbol_ratio: tuple[int, int] = (1, 10),
+    max_bullet_ratio: tuple[int, int] = (9, 10),
+    max_ellipsis_ratio: tuple[int, int] = (3, 10),
+    min_alpha_ratio: tuple[int, int] = (4, 5),
+    min_stop_words: int = 2,
+) -> Column:
+    """The Gopher keep gate over the ``gq_*`` signal columns — every
+    rule an INTEGER-rational comparison (cross-multiplied, no division,
+    no float: ORACLES.md class A by construction).  Defaults are the
+    paper's published bounds; ratios are ``(num, den)`` rationals.
+    Rules (A1.1): word count in [min, max]; mean word length in
+    [lo, hi]; symbol-to-word ratio ≤ num/den (``#``/ellipsis); bullet-
+    started lines < 90%; ellipsis-ended lines < 30%; ≥ 80% of words
+    contain an alphabetic char; ≥ 2 distinct stop words."""
+    lo_wl, hi_wl = mean_word_len
+    sym_n, sym_d = max_symbol_ratio
+    bul_n, bul_d = max_bullet_ratio
+    ell_n, ell_d = max_ellipsis_ratio
+    al_n, al_d = min_alpha_ratio
+    w = F.col("gq_n_words")
+    return (
+        (w >= min_words)
+        & (w <= max_words)
+        & (F.lit(lo_wl) * w <= F.col("gq_word_chars"))
+        & (F.col("gq_word_chars") <= F.lit(hi_wl) * w)
+        & (F.lit(sym_d) * F.col("gq_n_sym") <= F.lit(sym_n) * w)
+        & (F.lit(bul_d) * F.col("gq_bullet_lines") < F.lit(bul_n) * F.col("gq_n_lines"))
+        & (
+            F.lit(ell_d) * F.col("gq_ellipsis_lines")
+            < F.lit(ell_n) * F.col("gq_n_lines")
+        )
+        & (F.lit(al_d) * F.col("gq_n_alpha_words") >= F.lit(al_n) * w)
+        & (F.col("gq_n_stop") >= min_stop_words)
+    ).cast("int")
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """X31: the canonical Gopher/MassiveText rule-set quality filter
+    (Rae et al. 2021, arXiv:2112.11446 A1.1) as ONE row-local staged
+    projection: ``(doc_id, gq_n_words, gq_word_chars, gq_n_sym,
+    gq_n_alpha_words, gq_n_stop, gq_n_lines, gq_bullet_lines,
+    gq_ellipsis_lines, gq_keep)``.
+
+    Every signal is an exact BIGINT count and the gate cross-multiplies
+    the paper's ratio rules into integer comparisons — the mean word
+    length, symbol ratio, bullet/ellipsis line fractions and alpha-word
+    fraction never materialize as floats, so cross-engine hash parity
+    is structural (class A), the same construction as the X29
+    classifier gate.  Zero shuffle, zero join, zero Python at any
+    corpus size — the filter a 1000-executor cluster applies while the
+    corpus streams through the scan.
+
+    ``min_words``/``max_words``/``min_stop_words`` are exposed because
+    they are corpus-length-scale knobs (the paper's 50/100k assume web
+    pages); the ratio rules keep the published constants.
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        # coalesce BEFORE tokenizing (size(NULL array) is -1, not 0);
+        # filter the empty token an empty/whitespace doc splits to —
+        # the twin's list_filter(x <> '') does the same
+        F.filter(tokens(F.coalesce(t, F.lit(""))), lambda x: x != "").alias(
+            "__gq_toks"
+        ),
+        F.split(F.coalesce(t, F.lit("")), "\n").alias("__gq_lines"),
+        t.alias("__gq_raw"),
     )
+    sig = staged.select(
+        "doc_id",
+        *gopher_signal_exprs(
+            F.col("__gq_toks"), F.col("__gq_lines"), F.col("__gq_raw")
+        ),
+    )
+    return sig.select(
+        "*",
+        gopher_keep_expr(
+            min_words=min_words, max_words=max_words, min_stop_words=min_stop_words
+        ).alias("gq_keep"),
+    )
+
+
+def gopher_sql(
+    src: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_words: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality_gate`: same normalized token
+    list, same line split, same integer cross-multiplied rules.  ``src``
+    must yield ``(doc_id, text)``.  Every column is an exact integer —
+    both engines share the very bits by construction."""
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    stop_sum = " + ".join(
+        f"CASE WHEN list_contains(l, '{sw}') THEN 1 ELSE 0 END"
+        for sw in GOPHER_STOPWORDS
+    )
+    return f"""
+WITH gq_src AS ({src}),
+gq_t AS (
+  SELECT doc_id,
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS l,
+         string_split(COALESCE(text, ''), chr(10)) AS ls,
+         COALESCE(text, '') AS raw
+  FROM gq_src
+),
+gq_s AS (
+  SELECT doc_id,
+         CAST(len(l) AS BIGINT) AS gq_n_words,
+         CAST(COALESCE(list_sum(list_transform(l, x -> len(x))), 0) AS BIGINT)
+           AS gq_word_chars,
+         CAST(len(regexp_extract_all(raw, '#|\\.\\.\\.|…')) AS BIGINT) AS gq_n_sym,
+         CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+           AS gq_n_alpha_words,
+         CAST({stop_sum} AS BIGINT) AS gq_n_stop,
+         CAST(len(ls) AS BIGINT) AS gq_n_lines,
+         CAST(len(list_filter(ls, x -> regexp_matches(ltrim(x), '^[-*•]')))
+              AS BIGINT) AS gq_bullet_lines,
+         CAST(len(list_filter(ls, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+              AS BIGINT) AS gq_ellipsis_lines
+  FROM gq_t
+)
+SELECT doc_id, gq_n_words, gq_word_chars, gq_n_sym, gq_n_alpha_words, gq_n_stop,
+       gq_n_lines, gq_bullet_lines, gq_ellipsis_lines,
+       CASE WHEN gq_n_words >= {min_words} AND gq_n_words <= {max_words}
+             AND 3 * gq_n_words <= gq_word_chars
+             AND gq_word_chars <= 10 * gq_n_words
+             AND 10 * gq_n_sym <= 1 * gq_n_words
+             AND 10 * gq_bullet_lines < 9 * gq_n_lines
+             AND 10 * gq_ellipsis_lines < 3 * gq_n_lines
+             AND 5 * gq_n_alpha_words >= 4 * gq_n_words
+             AND gq_n_stop >= {min_stop_words}
+            THEN 1 ELSE 0 END AS gq_keep
+FROM gq_s
+"""
 
 
 def quality_ratio_exprs(t: Column) -> tuple[Column, Column, Column]:

@@ -259,6 +259,7 @@ def curate_documents(
     min_quality: float = 0.6,
     classifier_threshold: tuple[int, int] | None = None,
     classifier_weights: DataFrame | None = None,
+    gopher_rules: dict | None = None,
     allowed_langs: Sequence[str] | None = None,
     pair_fn: PairFn | None = None,
     jaccard_threshold: float = 0.9,
@@ -327,6 +328,16 @@ def curate_documents(
     offline-trained ``(bucket, weight)`` table via the broadcast-join
     form plus one semi-join.  Like ``min_quality`` it sees the
     post-scrub text.
+
+    ``gopher_rules={...}`` (opt-in) adds the RULE-based Gopher/
+    MassiveText quality gate (X31,
+    :func:`operators.textstats.gopher_quality_gate` — Rae et al. 2021
+    A1.1): word-count bounds, mean word length, symbol/bullet/ellipsis
+    ratios, alpha-word fraction, stop-word rule — every rule an integer
+    cross-multiplied comparison evaluated as a row-local predicate on
+    the same scan (``{}`` = the paper's published bounds; the dict
+    passes :func:`gopher_keep_expr`'s knobs).  Sees the post-scrub
+    text, like every quality gate here.
 
     ``scrub=True`` redacts PII-shaped spans (`textstats.scrub_text`
     patterns) BEFORE anything else, so quality scoring, fingerprinting,
@@ -516,6 +527,32 @@ def curate_documents(
                 "doc_id",
                 "leftsemi",
             )
+    if gopher_rules is not None:
+        # rule-based quality gate (X31): the Gopher/MassiveText rule
+        # set as integer cross-multiplied comparisons, riding the same
+        # staged-projection shape as the classifier — row-local filter,
+        # zero joins/shuffles; the kwargs dict exposes the
+        # corpus-length-scale knobs ({} = the paper's published bounds)
+        from pyspark_dist_explore_spark.operators.dedup import tokens as _toks
+        from pyspark_dist_explore_spark.operators.textstats import (
+            gopher_keep_expr,
+            gopher_signal_exprs,
+        )
+
+        keep_cols = base.columns
+        gt = F.col("__text")
+        staged = base.select(
+            "*",
+            F.filter(_toks(F.coalesce(gt, F.lit(""))), lambda x: x != "").alias(
+                "__gq_toks"
+            ),
+            F.split(F.coalesce(gt, F.lit("")), "\n").alias("__gq_lines"),
+        )
+        sig = staged.select(
+            "*",
+            *gopher_signal_exprs(F.col("__gq_toks"), F.col("__gq_lines"), gt),
+        )
+        base = sig.where(gopher_keep_expr(**gopher_rules) == 1).select(*keep_cols)
     if allowed_langs is not None:
         base = base.where(F.col("lang_pred").isin(list(allowed_langs)))
     if max_dup_token_frac is not None:

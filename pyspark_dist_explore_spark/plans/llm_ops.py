@@ -1586,6 +1586,17 @@ def q_word2vec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: X31 Gopher gate bounds at the registry: the paper's 50-word floor and
+#: 2-stopword rule assume web pages; the synthetic corpus is ~30 short
+#: tokens/doc with a spark-ish vocabulary carrying ONE stopword type, so
+#: the published bounds keep nothing (a vacuous gate hash).  20/1 keeps
+#: the gate mixed — 367 kept / 133 dropped at sf0.01 with TWO distinct
+#: rules firing (word-count floor 43, stopword rule 118).  The ratio
+#: rules stay the published constants; the operator defaults stay 50/2.
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MIN_STOP = 1
+
+
 def _text_stats_merged_oracle() -> str:
     langs = sorted(textstats.LANG_MARKERS)
     score_exprs = _lang_score_sql()
@@ -1614,11 +1625,17 @@ SELECT s.doc_id, n_chars, n_tokens, n_bpe_tokens, n_punct, avg_token_len,
        alpha_ratio, punct_ratio, quality,
        {", ".join(f"score_{lang}" for lang in langs)},
        {_lang_pred_case_sql()} AS lang_pred,
+       g.gq_n_words, g.gq_word_chars, g.gq_n_sym, g.gq_n_alpha_words,
+       g.gq_n_stop, g.gq_n_lines, g.gq_bullet_lines, g.gq_ellipsis_lines,
+       g.gq_keep,
        c.n_cls_grams, c.cls_logit_num, c.cls_keep
 FROM scored s
 JOIN (
 {textstats.classifier_sql("SELECT doc_id, text FROM documents")}
 ) c ON s.doc_id = c.doc_id
+JOIN (
+{textstats.gopher_sql("SELECT doc_id, text FROM documents", min_words=_GOPHER_MIN_WORDS, min_stop_words=_GOPHER_MIN_STOP)}
+) g ON s.doc_id = g.doc_id
 """
 
 
@@ -1633,10 +1650,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker scores + deterministic-argmax ``lang_pred`` + (round 8,
     X29) the hashed n-gram linear-classifier gate ``(n_cls_grams,
     cls_logit_num, cls_keep)`` — fastText-shaped model-based quality
-    filtering, all-integer at the gate (ORACLES.md class A), still one
-    scan / zero shuffle."""
+    filtering, all-integer at the gate (ORACLES.md class A) + (round 8,
+    X31) the Gopher/MassiveText rule-set signals and gate (``gq_*``,
+    Rae et al. 2021 A1.1) — every rule an integer cross-multiplied
+    comparison, class A by construction — still one scan / zero
+    shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.text_profile_lang(docs, "text", "doc_id", classifier=True)
+    return textstats.text_profile_lang(
+        docs,
+        "text",
+        "doc_id",
+        classifier=True,
+        gopher={"min_words": _GOPHER_MIN_WORDS, "min_stop_words": _GOPHER_MIN_STOP},
+    )
 
 
 #: deregistered round 4 — its three columns are a strict subset of the

@@ -4112,3 +4112,135 @@ def test_pooled_gate_section_partition_invariant(spark):
     one = build(emb.repartition(1))
     many = build(emb.repartition(13, "vec_id"))
     assert one == many
+
+
+# --------------------------------------------------------------------------
+# X31: Gopher/MassiveText rule-set quality gate (Rae et al. 2021, A1.1)
+# --------------------------------------------------------------------------
+
+
+def test_gopher_gate_matches_duckdb(spark):
+    """Full twin on real testdata at the registered bounds — every gq_*
+    column is an exact integer, so the equality is bit-for-bit."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        gopher_quality_gate,
+        gopher_sql,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in gopher_quality_gate(
+            docs, "text", "doc_id", min_words=20, min_stop_words=1
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            gopher_sql(
+                "SELECT doc_id, text FROM documents", min_words=20, min_stop_words=1
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_gopher_gate_rule_semantics(spark):
+    """Each published rule fires on a planted violator and ONLY that
+    rule's signal explains the drop; a clean doc passes."""
+    from pyspark_dist_explore_spark.operators.textstats import gopher_quality_gate
+
+    clean = "the quick brown fox and that dog have fun with all of them just fine"
+    rows = [
+        (1, clean),  # passes at min_words=5
+        (2, None),  # null -> zero words
+        (3, "- a\n- b\n- c"),  # 100% bullet lines
+        (4, "so tired...\nreally...\nvery...\nyes"),  # 75% ellipsis lines
+        (5, "the of and " + "# " * 40),  # symbol ratio >> 0.1
+        (6, "1 2 3 4 5 6 7 8 9 10 the of"),  # <80% alpha words
+        (7, "internationalization " * 8 + "the of"),  # mean word len > 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_gate(
+            df, "text", "doc_id", min_words=5, min_stop_words=1
+        ).collect()
+    }
+    assert out[1]["gq_keep"] == 1
+    assert out[2]["gq_keep"] == 0 and out[2]["gq_n_words"] == 0
+    assert out[3]["gq_keep"] == 0 and out[3]["gq_bullet_lines"] == 3
+    assert out[4]["gq_keep"] == 0 and out[4]["gq_ellipsis_lines"] == 3
+    assert out[5]["gq_keep"] == 0 and out[5]["gq_n_sym"] == 40
+    assert out[6]["gq_keep"] == 0 and 5 * out[6]["gq_n_alpha_words"] < 4 * out[6]["gq_n_words"]
+    assert out[7]["gq_keep"] == 0 and out[7]["gq_word_chars"] > 10 * out[7]["gq_n_words"]
+
+
+def test_gopher_stopword_rule_counts_types_not_tokens(spark):
+    """Rule 7 counts DISTINCT stop-word types present (the paper's
+    'contains at least 2 of'), not occurrences: 'the the the' is one."""
+    from pyspark_dist_explore_spark.operators.textstats import gopher_quality_gate
+
+    df = spark.createDataFrame(
+        [(1, "the the the the aaa bbb"), (2, "the of aaa bbb")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["gq_n_stop"]
+        for r in gopher_quality_gate(df, "text", "doc_id").collect()
+    }
+    assert out == {1: 1, 2: 2}
+
+
+def test_gopher_gate_plan_no_exchange(spark):
+    """Like the X29 classifier: one row-local staged projection — no
+    Exchange, no Python in the physical plan (the filter rides the
+    scan at any corpus size)."""
+    from pyspark_dist_explore_spark.operators.textstats import gopher_quality_gate
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        gopher_quality_gate(docs, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_merged_profile_equals_standalone(spark):
+    """text_profile_lang(gopher=...) rides one scan but must emit the
+    exact same gq_* values as the standalone gate."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        gopher_quality_gate,
+        text_profile_lang,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    gq_cols = [
+        "gq_n_words", "gq_word_chars", "gq_n_sym", "gq_n_alpha_words",
+        "gq_n_stop", "gq_n_lines", "gq_bullet_lines", "gq_ellipsis_lines",
+        "gq_keep",
+    ]
+    merged = {
+        r["doc_id"]: tuple(r[c] for c in gq_cols)
+        for r in text_profile_lang(
+            docs, "text", "doc_id", gopher={"min_words": 20}
+        ).collect()
+    }
+    alone = {
+        r["doc_id"]: tuple(r[c] for c in gq_cols)
+        for r in gopher_quality_gate(docs, "text", "doc_id", min_words=20).collect()
+    }
+    assert merged == alone

