@@ -662,6 +662,25 @@ def main() -> None:
     print(json.dumps({"probe": "normalize_unicode", "t_1x": t1, "t_10x": t10,
                       "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- DSIR importance scores: 10× raw corpus, FIXED target --------------
+    # (the realistic shape: the target/quality sample is constant while
+    # the raw crawl grows; count tables are ≤B rows at any scale, the
+    # scoring stream is one gram scan + broadcast joins + per-doc
+    # partials — wall must be ~linear, score rows exactly 10×)
+    from pyspark_dist_explore_spark.operators.dsir import dsir_scores, dsir_topk
+
+    ds_tgt = docs.where(F.col("doc_id") % 10 == 0)
+
+    def run_dsir(d: DataFrame) -> tuple[float, int]:
+        return timed(
+            dsir_topk(dsir_scores(d, "text", "doc_id", target=ds_tgt), 500)
+        )
+
+    t1, n1 = run_dsir(docs)
+    t10, n10 = run_dsir(docs10)
+    print(json.dumps({"probe": "dsir_topk", "t_1x": t1, "t_10x": t10,
+                      "kept_1x": n1, "kept_10x": n10, "ratio": round(t10 / t1, 2)}))
+
     # -- 100× composed probe (opt-in: SPARK_GRAFT_PROBE_100X=1) ------------
     # curate_documents → shuffle_shards end-to-end at 1×/10×/100× of the
     # sf0.1 documents corpus (500k docs at 100×) — turns the 10× linearity
