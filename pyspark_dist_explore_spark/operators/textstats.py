@@ -737,6 +737,201 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def gopher_repetition_battery(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """X32: the FULL Gopher/MassiveText repetition battery (Rae et al.
+    2021, arXiv:2112.11446 A1.1) — the n-gram half of the repetition
+    rules that :func:`repetition_signals` (dup-token / top-bigram) and
+    the line measures only sample:
+
+    - for n ∈ ``top_ns``: ``top_char_frac`` — characters covered by ALL
+      occurrences of the single most frequent word n-gram, over the
+      doc's total word characters (the paper thresholds n = 2, 3, 4 at
+      0.20 / 0.18 / 0.16);
+    - for n ∈ ``dup_ns``: ``dup_char_frac`` — characters covered by the
+      REPEATED occurrences (count − 1 per distinct gram) of all
+      duplicated n-grams (the common reproduction of the paper's
+      "fraction of characters inside duplicate n-grams" — Dolma / NeMo
+      Curator count the excess occurrences so a unique text scores 0;
+      thresholds n = 5…10 at 0.15 → 0.10).
+
+    Output is LONG format, one row per ``(doc_id, n)`` with the doc's
+    token count ≥ n: ``(doc_id, n, top_gram, top_cnt, top_chars,
+    dup_excess_chars, word_chars, top_char_frac, dup_char_frac)`` —
+    integer numerators carried alongside the @6-rounded fractions, so
+    every decision-bearing value has an exact-integer audit twin.  The
+    top gram tie-breaks to the lexicographically SMALLEST among the
+    most frequent (``min_by`` over ``(−cnt, gram)`` — a total order, so
+    the pick is a pure function of the corpus).
+
+    Execution: one token explode → ONE ``lead``-chain window pass
+    builds every requested gram size simultaneously (max(n)−1 lead
+    columns over the same (doc, idx) sort — winnowing's ordering) →
+    the gram columns unpivot to ``(doc_id, n, gram)`` (≤ |ns| rows per
+    position — the honest cost of the full battery; the paper's
+    pipeline pays the same) → ONE (doc_id, n, gram) count aggregate
+    (map-side partials) → per-(doc, n) reduction.  Gram character
+    length is ``length(gram) − (n−1)`` (separator spaces excluded).
+    No pairwise surface anywhere: a hot gram collapses map-side.
+    """
+    from pyspark.sql import Window
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    if not ns or ns[0] < 2:
+        raise ValueError(f"gram sizes must be >= 2, got top={top_ns} dup={dup_ns}")
+    max_n = ns[-1]
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda x: x != "")
+        ).alias("idx", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    n_tok = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    lead_cols = [F.lead("tok", k).over(w).alias(f"__l{k}") for k in range(1, max_n)]
+    grammed = toks.select("doc_id", "idx", "tok", n_tok.alias("__n_tok"), *lead_cols)
+    # stack the requested gram sizes: gram_n exists when idx ≤ n_tok − n
+    stack_exprs = []
+    for n in ns:
+        parts = ["tok"] + [f"__l{k}" for k in range(1, n)]
+        gram = F.concat_ws(" ", *[F.col(p) for p in parts])
+        stack_exprs.append(
+            F.when(F.col("idx") <= F.col("__n_tok") - F.lit(n), gram).alias(f"__g{n}")
+        )
+    staged = grammed.select("doc_id", *stack_exprs)
+    long = staged.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            F.col(f"__g{n}").isNotNull(),
+                            F.struct(F.lit(n).alias("n"), F.col(f"__g{n}").alias("gram")),
+                        )
+                        for n in ns
+                    ]
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = long.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    gchars = F.length(F.col("gram")) - (F.col("n") - F.lit(1))
+    per_dn = counts.groupBy("doc_id", "n").agg(
+        F.min_by(
+            F.struct(F.col("gram"), F.col("cnt"), gchars.alias("gc")),
+            F.struct((-F.col("cnt")).alias("neg"), F.col("gram")),
+        ).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, (F.col("cnt") - 1) * gchars).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dup_excess_chars"),
+    )
+    word_chars = toks.groupBy("doc_id").agg(
+        F.sum(F.length("tok")).cast("bigint").alias("word_chars")
+    )
+    top_chars = (F.col("top.cnt") * F.col("top.gc")).cast("bigint")
+    return (
+        per_dn.join(word_chars, "doc_id")
+        .select(
+            "doc_id",
+            "n",
+            F.col("top.gram").alias("top_gram"),
+            F.col("top.cnt").alias("top_cnt"),
+            top_chars.alias("top_chars"),
+            "dup_excess_chars",
+            "word_chars",
+            F.round(top_chars.cast("double") / F.col("word_chars"), 6).alias(
+                "top_char_frac"
+            ),
+            F.round(
+                F.col("dup_excess_chars").cast("double") / F.col("word_chars"), 6
+            ).alias("dup_char_frac"),
+        )
+    )
+
+
+def gopher_repetition_sql(
+    src: str,
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> str:
+    """DuckDB twin of :func:`gopher_repetition_battery`: same normalized
+    tokens, same lead-chain grams, same min-by tie-break, same integer
+    numerators.  ``src`` must yield ``(doc_id, text)``."""
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    max_n = ns[-1]
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    lead_cols = ", ".join(
+        f"lead(tok, {k}) OVER (PARTITION BY doc_id ORDER BY idx) AS l{k}"
+        for k in range(1, max_n)
+    )
+    gram_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {n} AS n, "
+        + (" || ' ' || ".join(["tok"] + [f"l{k}" for k in range(1, n)]))
+        + f" AS gram FROM led WHERE idx <= n_tok - {n}"
+        for n in ns
+    )
+    return f"""
+WITH rb_t AS (
+  SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx, unnest(l) AS tok
+  FROM (SELECT doc_id,
+               list_filter(string_split({norm}, ' '), x -> x <> '') AS l
+        FROM ({src}) z) t
+),
+led AS (
+  SELECT doc_id, idx, tok,
+         count(*) OVER (PARTITION BY doc_id) AS n_tok,
+         {lead_cols}
+  FROM rb_t
+),
+grams AS ({gram_rows}),
+cnts AS (
+  SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt,
+         len(gram) - (n - 1) AS gc
+  FROM grams GROUP BY doc_id, n, gram
+),
+tops AS (
+  SELECT doc_id, n, gram AS top_gram, cnt AS top_cnt,
+         CAST(cnt * gc AS BIGINT) AS top_chars
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                     ORDER BY cnt DESC, gram ASC) AS rn
+        FROM cnts) r
+  WHERE rn = 1
+),
+dups AS (
+  SELECT doc_id, n,
+         CAST(sum(CASE WHEN cnt >= 2 THEN (cnt - 1) * gc ELSE 0 END) AS BIGINT)
+           AS dup_excess_chars
+  FROM cnts GROUP BY doc_id, n
+),
+wc AS (
+  SELECT doc_id, CAST(sum(len(tok)) AS BIGINT) AS word_chars
+  FROM rb_t GROUP BY doc_id
+)
+SELECT tops.doc_id, tops.n, top_gram, top_cnt, top_chars, dup_excess_chars,
+       word_chars,
+       round(top_chars / word_chars, 6) AS top_char_frac,
+       round(dup_excess_chars / word_chars, 6) AS dup_char_frac
+FROM tops
+JOIN dups ON tops.doc_id = dups.doc_id AND tops.n = dups.n
+JOIN wc ON tops.doc_id = wc.doc_id
+"""
+
+
 def doc_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprint (md5 of normalized text) + duplicate-group stats."""
     return (

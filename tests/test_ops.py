@@ -4244,3 +4244,99 @@ def test_gopher_merged_profile_equals_standalone(spark):
         for r in gopher_quality_gate(docs, "text", "doc_id", min_words=20).collect()
     }
     assert merged == alone
+
+
+# --------------------------------------------------------------------------
+# X32: full Gopher repetition battery (top/dup n-gram char fractions)
+# --------------------------------------------------------------------------
+
+
+def test_repetition_battery_matches_duckdb(spark):
+    """Full long-format twin on real testdata — integer numerators are
+    bit-exact, fractions share the @6 grid."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        gopher_repetition_battery,
+        gopher_repetition_sql,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in gopher_repetition_battery(docs, "text", "doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            gopher_repetition_sql("SELECT doc_id, text FROM documents")
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_repetition_battery_semantics(spark):
+    """Planted docs: a repeated phrase dominates top/dup fractions at
+    n=2 but scores 0 at n=5 (its 5-gram windows are all distinct); a
+    fully unique doc scores 0 everywhere; short docs emit rows only for
+    n ≤ token count."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        gopher_repetition_battery,
+    )
+
+    rows = [
+        (1, "alpha beta alpha beta alpha beta gamma"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["n"]): r.asDict()
+        for r in gopher_repetition_battery(
+            df, "text", "doc_id", top_ns=(2,), dup_ns=(5,)
+        ).collect()
+    }
+    # doc 1: 'alpha beta' x3 covers 27 of 32 word chars
+    assert got[(1, 2)]["top_gram"] == "alpha beta"
+    assert got[(1, 2)]["top_cnt"] == 3
+    assert got[(1, 2)]["top_chars"] == 27 and got[(1, 2)]["word_chars"] == 32
+    assert got[(1, 2)]["top_char_frac"] == got[(1, 2)]["dup_char_frac"] == 0.84375
+    assert got[(1, 5)]["dup_char_frac"] == 0.0  # 5-gram windows all distinct
+    assert got[(2, 2)]["dup_char_frac"] == 0.0 and got[(2, 2)]["top_cnt"] == 1
+    # doc 3 has 2 tokens: a bigram row exists, no 5-gram row
+    assert (3, 2) in got and (3, 5) not in got
+
+
+def test_repetition_battery_tiebreak_lexicographic(spark):
+    """Two grams at the same max count: the LEXICOGRAPHICALLY smallest
+    wins — the pick is a pure function of the corpus, not of partition
+    order."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        gopher_repetition_battery,
+    )
+
+    # 'zz yy' and 'aa bb' both appear twice (other bigrams once)
+    df = spark.createDataFrame(
+        [(1, "zz yy zz yy qq aa bb aa bb")], "doc_id bigint, text string"
+    )
+    out = gopher_repetition_battery(
+        df, "text", "doc_id", top_ns=(2,), dup_ns=()
+    ).collect()
+    row = {r["n"]: r for r in out}[2]
+    assert row["top_cnt"] == 2 and row["top_gram"] == "aa bb"
+
+
+def test_repetition_battery_validation(spark):
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        gopher_repetition_battery,
+    )
+
+    with _pytest.raises(ValueError, match="gram sizes"):
+        gopher_repetition_battery(None, "text", "doc_id", top_ns=(1,), dup_ns=())
