@@ -1212,6 +1212,92 @@ def bigram_logprob_scores(
     return agg.select(*cols)
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    *,
+    group_col: str | None = None,
+    score_col: str = "ppl",
+    id_col: str = "doc_id",
+    cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """X33: CCNet-style head/middle/tail bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359) over a perplexity-scored frame (the output of
+    :func:`unigram_logprob_scores` / :func:`bigram_logprob_scores`):
+    append ``ppl_bucket`` ∈ {0 … len(cuts)} — 0 is the HEAD (lowest
+    perplexity / most fluent), the last bucket the TAIL — per
+    ``group_col`` (CCNet buckets per language) or globally.
+
+    Scale shape: bucket thresholds are EXACT percentiles of the score
+    via ONE ≤groups-row aggregate (``F.percentile`` — map-side partial
+    digests, never a global sort), broadcast back, bucket = a row-local
+    CASE.  This is the threshold form CCNet itself deploys (thresholds
+    computed once on a sample, applied as constants to the stream); the
+    whole corpus is never ordered.
+
+    Boundary semantics: ``bucket = #{cut thresholds t with score > t}``
+    — a doc exactly ON a threshold lands in the LOWER bucket (closed
+    left).  With default cuts the buckets are the paper's tertiles.
+    Deterministic given the scored frame: Spark's exact ``percentile``
+    is order-independent, and the CASE is pure.  (The scores themselves
+    are ln-derived doubles — class C, which is why this operator is
+    pytest-twin-pinned rather than gate-registered; DuckDB's
+    ``quantile_cont`` matches ``F.percentile``'s linear interpolation,
+    the `summary_stats` precedent.)
+    """
+    if not cuts or any(not 0.0 < c < 1.0 for c in cuts) or list(cuts) != sorted(
+        set(cuts)
+    ):
+        raise ValueError(
+            f"cuts must be strictly increasing fractions in (0, 1), got {cuts}"
+        )
+    s = F.col(score_col)
+    if group_col is None:
+        th = scored.groupBy().agg(
+            F.percentile(s, F.lit(list(cuts))).alias("__th")
+        )
+        joined = scored.crossJoin(F.broadcast(th))
+    else:
+        th = scored.groupBy(group_col).agg(
+            F.percentile(s, F.lit(list(cuts))).alias("__th")
+        )
+        joined = scored.join(F.broadcast(th), group_col)
+    bucket = sum_cols(
+        [
+            (s > F.element_at(F.col("__th"), i + 1)).cast("int")
+            for i in range(len(cuts))
+        ]
+    )
+    return joined.select(*scored.columns, bucket.alias("ppl_bucket"))
+
+
+def perplexity_buckets_sql(
+    src: str,
+    *,
+    group_col: str | None = None,
+    score_col: str = "ppl",
+    cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+) -> str:
+    """DuckDB twin of :func:`perplexity_buckets`: ``quantile_cont``
+    thresholds (same linear interpolation as Spark's exact
+    ``percentile``), same closed-left bucket CASE.  ``src`` must yield
+    the scored frame."""
+    grp = group_col if group_col is not None else "1"
+    cut_list = ", ".join(repr(c) for c in cuts)
+    bucket = " + ".join(
+        f"CASE WHEN {score_col} > th[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(len(cuts))
+    )
+    return f"""
+WITH pb_src AS ({src}),
+pb_th AS (
+  SELECT {grp} AS g, quantile_cont({score_col}, [{cut_list}]) AS th
+  FROM pb_src GROUP BY 1
+)
+SELECT pb_src.*, CAST({bucket} AS INT) AS ppl_bucket
+FROM pb_src JOIN pb_th ON {grp} = pb_th.g
+"""
+
+
 def drop_repeated_lines(
     df: DataFrame,
     text_col: str,

@@ -4340,3 +4340,99 @@ def test_repetition_battery_validation(spark):
 
     with _pytest.raises(ValueError, match="gram sizes"):
         gopher_repetition_battery(None, "text", "doc_id", top_ns=(1,), dup_ns=())
+
+
+# --------------------------------------------------------------------------
+# X33: CCNet head/middle/tail perplexity bucketing
+# --------------------------------------------------------------------------
+
+
+def test_perplexity_buckets_match_duckdb(spark):
+    """Per-lang tertiles over the unigram scorer's output: the SAME
+    scored rows bucketed by both engines agree exactly (quantile_cont
+    == F.percentile linear interpolation, the summary_stats precedent)."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        perplexity_buckets,
+        perplexity_buckets_sql,
+        unigram_logprob_scores,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    scored = unigram_logprob_scores(docs, "text", "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    got = sorted(
+        (r["doc_id"], r["ppl_bucket"])
+        for r in perplexity_buckets(scored, group_col="lang").collect()
+    )
+    rows = [(r["doc_id"], r["lang"], float(r["ppl"])) for r in scored.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(doc_id BIGINT, lang VARCHAR, ppl DOUBLE)")
+    con.executemany("INSERT INTO s VALUES (?,?,?)", rows)
+    want = sorted(
+        (r[0], r[-1])
+        for r in con.execute(
+            perplexity_buckets_sql("SELECT doc_id, lang, ppl FROM s", group_col="lang")
+        ).fetchall()
+    )
+    assert got == want and len(got) == 500
+    # tertiles are near-balanced within each group union
+    from collections import Counter
+
+    sizes = Counter(b for _, b in got)
+    assert set(sizes) == {0, 1, 2}
+    assert max(sizes.values()) - min(sizes.values()) < 20
+
+
+def test_perplexity_buckets_semantics(spark):
+    """Head = LOWEST perplexity; a doc exactly on a threshold lands in
+    the lower bucket (closed left); validation rejects bad cuts."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.textstats import perplexity_buckets
+
+    # scores 1..6 -> tertile thresholds ~2.67/4.33: buckets 0,0,1,1,2,2
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 7)], "doc_id bigint, ppl double"
+    )
+    got = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2}
+    # exact threshold: cuts=(0.5,) over 1,2,3 -> median 2.0; the doc
+    # scoring exactly 2.0 lands in the LOWER bucket (closed left)
+    df2 = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "doc_id bigint, ppl double"
+    )
+    got2 = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df2, cuts=(0.5,)).collect()
+    }
+    assert got2 == {1: 0, 2: 0, 3: 1}
+    with _pytest.raises(ValueError, match="cuts"):
+        perplexity_buckets(df, cuts=(0.0,))
+    with _pytest.raises(ValueError, match="cuts"):
+        perplexity_buckets(df, cuts=(0.5, 0.3))
+
+
+def test_perplexity_buckets_plan_no_global_sort(spark):
+    """The threshold form: one tiny percentile aggregate broadcast back,
+    bucket a row-local CASE — the corpus is never globally ordered."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        perplexity_buckets,
+        unigram_logprob_scores,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    scored = unigram_logprob_scores(docs, "text", "doc_id")
+    plan = (
+        perplexity_buckets(scored)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" not in plan
+    assert "rangepartitioning" not in plan.lower()  # no global sort exchange
+    assert "Broadcast" in plan
