@@ -204,3 +204,68 @@ def load_neardup_snapshot(spark, path: str, *, expect: dict | None = None):
         spark.read.parquet(f"{path}/sigs"),
         params,
     )
+
+
+def write_dsir_model(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    *,
+    n_buckets: int = 1 << 12,
+    bigrams: bool = True,
+    hash_fn: str = "xxhash64",
+    mode: str = "overwrite",
+) -> None:
+    """Land a DSIR bag-of-buckets MODEL for a corpus (X30,
+    ``operators/dsir.py``) — the one-time count-table build that lets
+    every future selection run score against this corpus without
+    re-scanning it: ``path/counts/`` is the ≤ ``n_buckets``-row
+    ``(bucket, cnt)`` table (driver-trivial parquet however large the
+    corpus).  The featurization scheme is recorded in
+    ``path/_params.json`` and VERIFIED at load — scoring with counts
+    built under a different gram/bucket scheme would be silently
+    meaningless, which is exactly the drift the check refuses.
+
+    The production shape: land the model for the big raw crawl once,
+    land one per candidate target mix, then every
+    :func:`~pyspark_dist_explore_spark.operators.dsir.dsir_scores` run
+    passes ``raw_counts=``/``target_counts=`` from
+    :func:`load_dsir_model` and scans ONLY the stream being scored.
+    """
+    import json
+    import os
+
+    from pyspark_dist_explore_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_gram_rows,
+    )
+
+    kw = dict(n_buckets=n_buckets, bigrams=bigrams, hash_fn=hash_fn)
+    dsir_bucket_counts(
+        dsir_gram_rows(corpus, text_col, id_col, bigrams=bigrams),
+        n_buckets=n_buckets,
+        hash_fn=hash_fn,
+    ).write.mode(mode).parquet(f"{path}/counts")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_params.json", "w") as fh:
+        json.dump(kw, fh)
+
+
+def load_dsir_model(spark, path: str, *, expect: dict | None = None):
+    """Load ``(counts_df, params)`` written by :func:`write_dsir_model`.
+    ``expect``: the scheme the caller is about to score with
+    (``n_buckets``/``bigrams``/``hash_fn``) — raises on mismatch
+    instead of silently mis-scoring."""
+    import json
+
+    with open(f"{path}/_params.json") as fh:
+        params = json.load(fh)
+    if expect is not None:
+        diffs = {k: (params.get(k), v) for k, v in expect.items() if params.get(k) != v}
+        if diffs:
+            raise ValueError(
+                f"DSIR model at {path} was built with a different scheme: {diffs} "
+                "(stored, expected) — scoring against it would be meaningless"
+            )
+    return spark.read.parquet(f"{path}/counts"), params

@@ -161,3 +161,50 @@ def test_dsir_topk_plans_take_ordered(spark):
     plan = dsir_topk(scored, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
     assert "SortMergeJoin" not in plan  # count tables broadcast
+
+
+def test_dsir_model_artifacts_round_trip(spark, tmp_path):
+    """Landed count tables == fresh frames, scoring from loaded
+    artifacts == scoring from scratch, and a scheme mismatch refuses
+    loudly at load."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.dsir import dsir_bucket_counts
+    from pyspark_dist_explore_spark.sources.sinks import (
+        load_dsir_model,
+        write_dsir_model,
+    )
+
+    raw, tgt = _split_docs(spark)
+    p_raw, p_tgt = str(tmp_path / "raw"), str(tmp_path / "tgt")
+    write_dsir_model(raw, "text", "doc_id", p_raw, n_buckets=512, hash_fn="md5")
+    write_dsir_model(tgt, "text", "doc_id", p_tgt, n_buckets=512, hash_fn="md5")
+    rc, params = load_dsir_model(
+        spark, p_raw, expect={"n_buckets": 512, "hash_fn": "md5"}
+    )
+    tc, _ = load_dsir_model(spark, p_tgt)
+    fresh = {
+        (r["bucket"], r["cnt"])
+        for r in dsir_bucket_counts(
+            dsir_gram_rows(raw, "text", "doc_id"), n_buckets=512, hash_fn="md5"
+        ).collect()
+    }
+    assert {(r["bucket"], r["cnt"]) for r in rc.collect()} == fresh
+
+    from_artifacts = sorted(
+        tuple(r)
+        for r in dsir_scores(
+            raw, "text", "doc_id",
+            raw_counts=rc, target_counts=tc, n_buckets=512, hash_fn="md5",
+        ).collect()
+    )
+    from_scratch = sorted(
+        tuple(r)
+        for r in dsir_scores(
+            raw, "text", "doc_id", target=tgt, n_buckets=512, hash_fn="md5"
+        ).collect()
+    )
+    assert from_artifacts == from_scratch
+
+    with _pytest.raises(ValueError, match="different scheme"):
+        load_dsir_model(spark, p_raw, expect={"n_buckets": 4096})
