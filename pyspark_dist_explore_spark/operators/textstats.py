@@ -135,10 +135,20 @@ def text_profile_lang(
             F.split(F.coalesce(t, F.lit("")), "\n").alias("__gq_lines"),
             t.alias("__gq_raw"),
         ]
-    if classifier:
+    if classifier and gopher is None:
         staged_cols.append(_cls_gram_col(t, bigrams=True).alias("__cls_grams"))
     staged = df.select(*staged_cols)
     if gopher is not None:
+        if classifier:
+            # derive the classifier grams from the STAGED token array —
+            # the tokenize chain (the heaviest per-row regex work here)
+            # runs once per row instead of once per gate
+            staged = staged.select(
+                "*",
+                _cls_grams_from_tokens(F.col("__gq_toks"), bigrams=True).alias(
+                    "__cls_grams"
+                ),
+            )
         staged = staged.select(
             "*",
             *gopher_signal_exprs(
@@ -1790,6 +1800,14 @@ def _cls_gram_col(t: Column, *, bigrams: bool) -> Column:
     """Unigram (+ bigram) grams of the normalized token stream as ONE
     array column — row-local, no explode."""
     toks = F.filter(tokens(F.coalesce(t, F.lit(""))), lambda x: x != "")
+    return _cls_grams_from_tokens(toks, bigrams=bigrams)
+
+
+def _cls_grams_from_tokens(toks: Column, *, bigrams: bool) -> Column:
+    """The gram list from an ALREADY-BUILT non-empty token array — lets
+    a consumer that staged the tokens for other columns (e.g. the X31
+    Gopher signals) derive the classifier grams without re-running the
+    normalize+split+filter chain."""
     if not bigrams:
         return toks
 
