@@ -394,6 +394,105 @@ def lsh_bucket_sql(vec_expr: str, n_planes: int, *, dialect_note: str = "duckdb"
     return " + ".join(terms)
 
 
+def random_projection(
+    vectors: DataFrame,
+    *,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
+    dim: int | None = None,
+    scale: bool = True,
+    out_col: str = "rp",
+) -> DataFrame:
+    """X34: Johnson–Lindenstrauss dimensionality reduction with ±1
+    Rademacher planes (Achlioptas 2003, "Database-friendly random
+    projections", JCSS 66(4)): ``rp[p] = (1/√out_dim)·Σ_i w(p,i)·x_i``
+    with ``w ∈ {±1}`` derived from the SAME deterministic plane-sign
+    rule as :func:`lsh_bucket` — the LSH signature is exactly the SIGN
+    of this projection, so the two share planes and a corpus can land
+    both from one pass.  Pairwise dot products (hence cosines on
+    re-normalized outputs) are preserved in expectation with variance
+    1/out_dim — the standard 100 TB pre-reduction before ANN/
+    clustering: shrink 64-dim floats to 8 dims, bucket/cluster there,
+    re-rank survivors on the originals.
+
+    ``hash_fn='md5'`` + ``dim=`` inlines the plane vectors as driver
+    literals (DuckDB-reproducible: :func:`random_projection_sql`), with
+    the same execution-time length guard as :func:`lsh_bucket`;
+    ``scale=False`` skips the 1/√out_dim factor (the RAW signed sums —
+    what the discretized gate form hashes: over 1e-6-grid integer
+    inputs they are exact integers in doubles, order-independent at any
+    parallelism).  Pure row-local projection — zero shuffle, zero
+    Python, whatever the corpus size.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    vec = _as_double(F.col(vec_col))
+    if hash_fn == "md5" and dim is not None:
+        vec = F.when(
+            F.assert_true(
+                F.size(vec) == F.lit(dim),
+                F.format_string(
+                    "random_projection: vector length %s != dim=%s (literal "
+                    "md5 planes are rendered for exactly dim elements)",
+                    F.size(vec).cast("string"),
+                    F.lit(str(dim)),
+                ),
+            ).isNull(),
+            vec,
+        )
+    projs = []
+    for p in range(out_dim):
+        if hash_fn == "md5" and dim is not None:
+            signs = F.array(*[F.lit(_md5_sign_value(p, i)) for i in range(dim)])
+            proj = F.aggregate(
+                F.zip_with(vec, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        else:
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda x, i: x * _plane_sign(p, i, hash_fn),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        if scale:
+            proj = proj / F.lit(float(out_dim) ** 0.5)
+        projs.append(proj)
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.array(*projs).alias(out_col)
+    )
+
+
+def random_projection_sql(
+    vec_expr: str, out_dim: int, *, scale: bool = True
+) -> str:
+    """DuckDB rendering of :func:`random_projection` with
+    ``hash_fn='md5'`` — ONE definition of the plane-sign and projection
+    arithmetic for both engines (the :func:`lsh_bucket_sql` pattern):
+    sequential ``list_dot_product`` against the identical md5-parity ±1
+    list.  Returns a list expression."""
+    terms = []
+    for p in range(out_dim):
+        sign = (
+            f"CASE WHEN CAST(('0x' || substr(md5(CAST({p} AS VARCHAR) || ':' || "
+            f"CAST(i AS VARCHAR)), 1, 1)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        )
+        proj = (
+            f"list_dot_product({vec_expr}, "
+            f"list_transform(range(len({vec_expr})), i -> {sign}))"
+        )
+        if scale:
+            proj = f"({proj}) / sqrt({out_dim})"
+        terms.append(proj)
+    return "[" + ", ".join(terms) + "]"
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

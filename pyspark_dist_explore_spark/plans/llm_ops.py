@@ -2366,6 +2366,16 @@ FROM (
          CAST(max(n) AS INT) AS n_dims
   FROM pagg GROUP BY label
 ) pooled
+UNION ALL
+SELECT 'rp' AS section, vec_id,
+       array_to_string(list_transform(
+         {similarity.random_projection_sql(
+             "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000))",
+             8,
+             scale=False,
+         )}, x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS codes_csv,
+       CAST(8 AS INT) AS n_dims
+FROM embeddings
 """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2420,7 +2430,31 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes_csv"),
         F.col("n_pooled").cast("int").alias("n_dims"),
     )
-    return codes.unionByName(pooled)
+    # section='rp' (X34, round 8): JL random projection over the SAME
+    # 1e-6-discretized inputs — the ±1-signed sums are exact integers in
+    # doubles (|sum| ≤ 64·~2e6 ≪ 2⁵³), so the fold is order-independent
+    # and bit-identical cross-engine (class A via the pooled-section
+    # discipline); the true float form (scale=1/√8) stays pytest-pinned
+    emb6_v = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1e6)),
+        ).alias("embedding"),
+    )
+    dim = embedding_dim(spark, sf_dir)
+    rp = similarity.random_projection(
+        emb6_v, out_dim=8, hash_fn="md5", dim=dim, scale=False
+    ).select(
+        F.lit("rp").alias("section"),
+        "vec_id",
+        F.array_join(
+            F.transform("rp", lambda x: F.round(x).cast("bigint").cast("string")),
+            ",",
+        ).alias("codes_csv"),
+        F.lit(8).cast("int").alias("n_dims"),
+    )
+    return codes.unionByName(pooled).unionByName(rp)
 
 
 @register(

@@ -4436,3 +4436,143 @@ def test_perplexity_buckets_plan_no_global_sort(spark):
     assert "TakeOrderedAndProject" not in plan
     assert "rangepartitioning" not in plan.lower()  # no global sort exchange
     assert "Broadcast" in plan
+
+
+# --------------------------------------------------------------------------
+# X34: Johnson-Lindenstrauss random projection (Rademacher planes)
+# --------------------------------------------------------------------------
+
+
+def test_random_projection_matches_duckdb(spark):
+    """Float form @6 AND the discretized integer form bit-exact vs the
+    DuckDB twin — one plane-sign definition rendered to both engines."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        random_projection,
+        random_projection_sql,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    got = {
+        r["vec_id"]: [round(x, 6) for x in r["rp"]]
+        for r in random_projection(emb, out_dim=8, hash_fn="md5", dim=dim).collect()
+    }
+    want = {
+        r[0]: [round(x, 6) for x in r[1]]
+        for r in con.execute(
+            "SELECT vec_id, "
+            + random_projection_sql("CAST(embedding AS DOUBLE[])", 8)
+            + " FROM embeddings"
+        ).fetchall()
+    }
+    assert got == want and len(got) == 500
+
+    emb6 = emb.selectExpr(
+        "vec_id",
+        "transform(cast(embedding as array<double>), x -> round(x * 1e6)) AS embedding",
+    )
+    goti = {
+        r["vec_id"]: [int(x) for x in r["rp"]]
+        for r in random_projection(
+            emb6, out_dim=8, hash_fn="md5", dim=dim, scale=False
+        ).collect()
+    }
+    wanti = {
+        r[0]: [int(x) for x in r[1]]
+        for r in con.execute(
+            "SELECT vec_id, "
+            + random_projection_sql(
+                "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000))",
+                8,
+                scale=False,
+            )
+            + " FROM embeddings"
+        ).fetchall()
+    }
+    assert goti == wanti
+
+
+def test_random_projection_shares_lsh_planes(spark):
+    """The LSH signature IS the sign of this projection: bit p of
+    lsh_bucket == (rp[p] >= 0) for the md5 planes — one corpus pass can
+    land both artifacts."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        lsh_bucket,
+        random_projection,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(50)
+    dim = len(emb.first()["embedding"])
+    unit = emb.select("vec_id", _unit(F.col("embedding")).alias("embedding"))
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in unit.select(
+            "vec_id", lsh_bucket(F.col("embedding"), 8, hash_fn="md5", dim=dim).alias("b")
+        ).collect()
+    }
+    rps = {
+        r["vec_id"]: r["rp"]
+        for r in random_projection(unit, out_dim=8, hash_fn="md5", dim=dim).collect()
+    }
+    for vid, b in buckets.items():
+        for p in range(8):
+            assert ((b >> p) & 1) == (1 if rps[vid][p] >= 0 else 0), (vid, p)
+
+
+def test_random_projection_preserves_planted_similarity(spark):
+    """JL sanity: an exact duplicate projects identically (cos 1), and a
+    scaled copy keeps cosine 1; the projection is linear so this is
+    structural, not statistical."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators.similarity import random_projection
+
+    base = [float(np.sin(i)) for i in range(16)]
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate
+        (3, [2.0 * x for x in base]),  # scaled copy
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r["vec_id"]: np.array(r["rp"])
+        for r in random_projection(df, out_dim=4, hash_fn="md5", dim=16).collect()
+    }
+    assert np.allclose(got[1], got[2])
+    assert np.allclose(2.0 * got[1], got[3])
+
+
+def test_random_projection_guards_and_plan(spark):
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="out_dim"):
+        random_projection(df, out_dim=0)
+    # literal-plane dim mismatch raises at execution
+    bad = random_projection(df, out_dim=2, hash_fn="md5", dim=8)
+    with _pytest.raises(Exception, match="vector length"):
+        bad.collect()
+    plan = (
+        random_projection(df, out_dim=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
