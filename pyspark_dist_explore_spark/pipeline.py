@@ -286,6 +286,10 @@ def curate_documents(
     decontam_cos_threshold: float = 0.95,
     token_budget: int | None = None,
     token_budgets: dict[str, int] | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_n_keep: int | None = None,
+    dsir_n_buckets: int = 1 << 12,
+    dsir_text_col: str | None = None,
 ) -> DataFrame:
     """Curate a document corpus into a training keep-list.
 
@@ -328,6 +332,14 @@ def curate_documents(
     offline-trained ``(bucket, weight)`` table via the broadcast-join
     form plus one semi-join.  Like ``min_quality`` it sees the
     post-scrub text.
+
+    ``dsir_target=`` + ``dsir_n_keep=`` (opt-in) run X30 DSIR data
+    SELECTION on the deduped survivor pool — keep the ``n_keep``
+    documents whose hashed-n-gram distribution best matches the target
+    corpus (a ``(id_col, text_col)`` frame; ``dsir_text_col=``
+    overrides its text column).  Selection happens after dedup and
+    before the mixture stages (the DSIR/DCLM ordering), and the kept
+    id set broadcasts back — no extra corpus shuffle.
 
     ``gopher_rules={...}`` (opt-in) adds the RULE-based Gopher/
     MassiveText quality gate (X31,
@@ -678,6 +690,33 @@ def curate_documents(
     survivors = clusters.where(F.col("is_survivor") == 1).select("doc_id")
 
     out = kept.join(survivors, "doc_id")
+    if (dsir_target is None) != (dsir_n_keep is None):
+        raise ValueError("dsir_target= and dsir_n_keep= go together")
+    if dsir_target is not None:
+        # X30 data SELECTION on the deduped survivor pool (the DSIR/DCLM
+        # ordering: clean + dedup first, then keep the n docs most like
+        # the target mix); the kept id set is n_keep rows → broadcast
+        # semi back onto the corpus, no extra shuffle of the big side
+        from pyspark_dist_explore_spark.operators.dsir import (
+            dsir_scores,
+            dsir_topk,
+        )
+
+        tgt = dsir_target
+        if (dsir_text_col or text_col) != "__text":
+            tgt = dsir_target.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(dsir_text_col or text_col).alias("__text"),
+            )
+        scored = dsir_scores(
+            out.select("doc_id", "__text"),
+            "__text",
+            "doc_id",
+            target=tgt,
+            n_buckets=dsir_n_buckets,
+        )
+        keep_ids = dsir_topk(scored, dsir_n_keep).select("doc_id")
+        out = out.join(F.broadcast(keep_ids), "doc_id", "leftsemi")
     if temperature_coeff is not None and take_targets is not None:
         raise ValueError("pass temperature_coeff OR take_targets, not both")
     if temperature_coeff is not None:

@@ -964,3 +964,31 @@ def test_curate_gopher_gate(spark):
     # counts of the gated vs ungated SCORING stage (pre-dedup both)
     plan_g = gated._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan_g and "ArrowEvalPython" not in plan_g
+
+
+def test_curate_dsir_selection(spark):
+    """dsir_target= + dsir_n_keep= keep exactly n_keep survivors, and
+    they are the survivors whose vocabulary matches the target (the
+    planted target-speak docs win); knob validation."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    target_speak = "spark table join scan filter shuffle sort merge batch"
+    other_speak = "zebra quark nebula plasma violet anchovy umbrella xylophone"
+    rows = [(i, target_speak + f" tag{i}") for i in range(1, 6)] + [
+        (i, other_speak + f" tag{i}") for i in range(6, 11)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    tgt = spark.createDataFrame(
+        [(100 + i, target_speak) for i in range(3)], "doc_id bigint, text string"
+    )
+    out = curate_documents(
+        docs, "text", "doc_id",
+        min_quality=0.0, dsir_target=tgt, dsir_n_keep=4,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert len(kept) == 4
+    assert kept <= {1, 2, 3, 4, 5}, kept  # only target-speak docs survive
+
+    with _pytest.raises(ValueError, match="go together"):
+        curate_documents(docs, "text", "doc_id", dsir_target=tgt)
