@@ -493,6 +493,81 @@ def random_projection_sql(
     return "[" + ", ".join(terms) + "]"
 
 
+def rp_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    out_dim: int = 8,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    hash_fn: str = "xxhash64",
+    dim: int | None = None,
+) -> DataFrame:
+    """Two-stage ANN via JL pre-reduction: score every candidate on its
+    ``out_dim``-dim :func:`random_projection` (a dim/out_dim-times
+    cheaper scoring pass), keep ``k·overfetch`` per query, re-rank the
+    survivors EXACTLY on the original vectors — the classic
+    retrieve-then-rerank shape (approximate BY the projection's JL
+    variance, recall improves with ``out_dim``/``overfetch``).
+
+    Scale shape: both projections are row-local; the coarse pass is the
+    only corpus-wide scoring and runs on out_dim-dim arrays; the exact
+    re-rank touches ``queries × k·overfetch`` rows via a broadcast semi
+    of the survivor ids.  Unlike the LSH-bucket path nothing is pruned
+    to zero by unlucky bucketing — every candidate is scored (cheaply),
+    so recall degrades gracefully instead of cliffing.
+    """
+    if overfetch < 1:
+        raise ValueError(f"overfetch must be >= 1, got {overfetch}")
+    v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
+    )
+    v_rp = random_projection(
+        v, out_dim=out_dim, id_col="vec_id", vec_col="vv", hash_fn=hash_fn, dim=dim
+    )
+    q_rp = random_projection(
+        q, out_dim=out_dim, id_col="query_id", vec_col="qv", hash_fn=hash_fn, dim=dim
+    ).withColumnRenamed("vec_id", "query_id")
+    coarse = (
+        v_rp.crossJoin(F.broadcast(q_rp.select("query_id", F.col("rp").alias("qrp"))))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            dot(F.col("rp"), F.col("qrp")).alias("rp_sim"),
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("rp_sim").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        coarse.withColumn("rn", F.row_number().over(w_c))
+        .where(F.col("rn") <= k * overfetch)
+        .select("query_id", "vec_id")
+    )
+    rerank = (
+        survivors.join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot_arrow(F.col("qv"), F.col("vv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -4576,3 +4576,48 @@ def test_random_projection_guards_and_plan(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rp_topk_recall_and_planted(spark):
+    """Two-stage retrieve-then-rerank: recall floors on the worst-case
+    (near-random) corpus, monotone in out_dim x overfetch, and a planted
+    near-duplicate is ALWAYS retrieved (cos≈1 survives the projection —
+    JL variance 1/out_dim cannot bury it in the noise floor)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.similarity import exact_topk, rp_topk
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qs = emb.where("vec_id < 10").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"]) for r in exact_topk(emb, qs, k=5).collect()}
+
+    def recall(od, ov):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in rp_topk(emb, qs, k=5, out_dim=od, overfetch=ov).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    lo, hi = recall(8, 4), recall(32, 8)
+    assert hi >= 0.5, hi          # competitive with the IVF floor on this corpus
+    assert hi > lo                # more sketch + more overfetch -> more recall
+
+    # planted twin: vec 9000 := vec 0 + tiny noise must be hit #1 for query 0
+    rng = np.random.default_rng(7)
+    base = np.array(emb.where("vec_id = 0").first()["embedding"], dtype=float)
+    twin = (base + rng.normal(0, 0.01, len(base))).tolist()
+    planted = emb.unionByName(
+        spark.createDataFrame(
+            [(9000, twin, 0)], emb.schema
+        )
+    )
+    got = rp_topk(planted, qs, k=5, out_dim=8, overfetch=4).collect()
+    top_for_q0 = [r["vec_id"] for r in got if r["query_id"] == 0 and r["rank"] == 1]
+    assert top_for_q0 == [9000]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overfetch"):
+        rp_topk(emb, qs, overfetch=0)
