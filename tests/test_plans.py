@@ -648,3 +648,16 @@ def test_incremental_minhash_snapshot_never_shuffles(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3, "bands probe + semi + pair joins"
+
+
+def test_text_perplexity_staged_plan_rides_checkpoint(spark):
+    """The registered (staged) form — now carrying the X30 DSIR section —
+    reads ZERO parquet scans in its final plan: both LM scorers AND the
+    DSIR gram/count subtrees consume the one checkpointed pair frame,
+    and no Python stage appears anywhere."""
+    from pyspark_dist_explore_spark.plans.llm_ops import q_text_perplexity
+
+    df = q_text_perplexity(spark, SF_SMOKE, stage=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
