@@ -193,6 +193,94 @@ def compute_histogram_dense(
     )
 
 
+def compute_equidepth_histogram(
+    series: Sequence[Series] | DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    buckets: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram (the quantile complement of the reference's
+    fixed-WIDTH R7/R8 core): per series, ``buckets`` bins holding
+    ~equal row counts — ``(series, bucket, bin_lo, bin_hi, cnt)`` with
+    boundaries at the exact percentiles ``i/buckets``.  The form every
+    skew question wants ("where does the mass actually sit?") and what
+    fixed-width bins hide when one outlier stretches the range.
+
+    Scale shape: ONE per-series exact-percentile aggregate
+    (``F.percentile`` over the ``buckets+1``-point grid — map-side
+    partial digests, never a global sort; ≤ series rows out), broadcast
+    back, bucket = the count of interior boundaries strictly below the
+    value (closed left, like :func:`perplexity_buckets` — a value ON a
+    boundary lands in the lower bucket; the last bucket is closed on
+    both ends by construction).  Duplicate-heavy columns yield FEWER
+    than ``buckets`` distinct buckets (coincident boundaries collapse —
+    equi-depth's honest answer, not an error).  DuckDB twin:
+    ``quantile_cont`` shares Spark's linear interpolation (the
+    `summary_stats` precedent), pinned in pytest.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    series = _normalize(series, cols)
+    data = _union_series(series)
+    grid = [i / buckets for i in range(buckets + 1)]
+    th = data.groupBy("series").agg(
+        F.percentile(F.col("v"), F.lit(grid)).alias("__th")
+    )
+    joined = data.join(F.broadcast(th), "series")
+    # interior boundaries only (grid[1..buckets-1]): below the first
+    # interior boundary -> bucket 0, above all -> bucket buckets-1
+    bucket = reduce(
+        lambda a, b: a + b,
+        [
+            (F.col("v") > F.element_at(F.col("__th"), i + 1)).cast("int")
+            for i in range(1, buckets)
+        ],
+        F.lit(0),
+    )
+    binned = joined.select("series", bucket.alias("bucket"), "__th")
+    return (
+        binned.groupBy("series", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("__th").alias("__th"))
+        .select(
+            "series",
+            "bucket",
+            F.element_at(F.col("__th"), F.col("bucket") + 1).alias("bin_lo"),
+            F.element_at(F.col("__th"), F.col("bucket") + 2).alias("bin_hi"),
+            "cnt",
+        )
+    )
+
+
+def equidepth_histogram_sql(src: str, *, buckets: int = 10) -> str:
+    """DuckDB twin of :func:`compute_equidepth_histogram` — same
+    ``quantile_cont`` grid, same closed-left interior-boundary bucket
+    sum.  ``src`` must yield ``(series, v)`` with nulls already valid
+    (the caller spells the same WHERE as the engine's ``valid_value``).
+    """
+    grid = ", ".join(repr(i / buckets) for i in range(buckets + 1))
+    bucket = " + ".join(
+        f"CASE WHEN v > th[{i + 1}] THEN 1 ELSE 0 END" for i in range(1, buckets)
+    )
+    bucket = bucket or "0"
+    return f"""
+WITH ed_src AS ({src}),
+ed_th AS (
+  SELECT series, quantile_cont(v, [{grid}]) AS th
+  FROM ed_src GROUP BY series
+),
+ed_b AS (
+  SELECT ed_src.series, CAST({bucket} AS INT) AS bucket, th
+  FROM ed_src JOIN ed_th ON ed_src.series = ed_th.series
+)
+SELECT series, bucket,
+       th[bucket + 1] AS bin_lo,
+       th[bucket + 2] AS bin_hi,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM ed_b
+GROUP BY series, bucket, th
+"""
+
+
 def compute_density(
     series: Sequence[Series] | DataFrame,
     cols: Sequence[str] | None = None,

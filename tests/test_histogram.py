@@ -249,3 +249,97 @@ def test_compute_ecdf_properties(spark):
     cdfs = [c3 for _, _, c3 in rows]
     assert all(b >= a for a, b in zip(cdfs, cdfs[1:]))
     assert cdfs[-1] == 1.0
+
+
+def test_equidepth_histogram_matches_duckdb(spark):
+    """Equi-depth bins vs the DuckDB quantile_cont twin: same grid, same
+    closed-left bucket sum, same boundaries, same counts."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.histogram import (
+        compute_equidepth_histogram,
+        equidepth_histogram_sql,
+    )
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = sorted(
+        (r["series"], r["bucket"], round(r["bin_lo"], 9), round(r["bin_hi"], 9), r["cnt"])
+        for r in compute_equidepth_histogram(
+            [("price", li, "l_extendedprice"), ("qty", li, "l_quantity")],
+            buckets=8,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    )
+    src = (
+        "SELECT 'price' AS series, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem"
+        " WHERE l_extendedprice IS NOT NULL AND NOT isnan(CAST(l_extendedprice AS DOUBLE))"
+        " UNION ALL "
+        "SELECT 'qty' AS series, CAST(l_quantity AS DOUBLE) AS v FROM lineitem"
+        " WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))"
+    )
+    want = sorted(
+        (r[0], r[1], round(r[2], 9), round(r[3], 9), r[4])
+        for r in con.execute(equidepth_histogram_sql(src, buckets=8)).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_equidepth_histogram_semantics(spark):
+    """Near-equal bucket counts on a spread column; a value exactly ON a
+    boundary lands in the LOWER bucket; duplicate-heavy columns collapse
+    coincident boundaries into fewer buckets; validation."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.histogram import (
+        compute_equidepth_histogram,
+    )
+
+    # 1..100 into 4 buckets -> 25 rows each
+    df = spark.range(1, 101).selectExpr("cast(id as double) AS x")
+    out = {
+        r["bucket"]: r["cnt"]
+        for r in compute_equidepth_histogram([("x", df, "x")], buckets=4).collect()
+    }
+    assert out == {0: 25, 1: 25, 2: 25, 3: 25}
+
+    # exact-boundary: 1,2,3,4 buckets=2 -> median 2.5; value 2.5 absent,
+    # use 1,2,2,3: median 2.0 -> the 2.0 rows land LOW
+    df2 = spark.createDataFrame([(1.0,), (2.0,), (2.0,), (3.0,)], "x double")
+    out2 = {
+        r["bucket"]: r["cnt"]
+        for r in compute_equidepth_histogram([("x", df2, "x")], buckets=2).collect()
+    }
+    assert out2 == {0: 3, 1: 1}
+
+    # constant column: every boundary coincides -> ONE bucket holds all
+    df3 = spark.createDataFrame([(7.0,)] * 10, "x double")
+    out3 = compute_equidepth_histogram([("x", df3, "x")], buckets=4).collect()
+    assert len(out3) == 1 and out3[0]["cnt"] == 10
+
+    with _pytest.raises(ValueError, match="buckets"):
+        compute_equidepth_histogram([("x", df3, "x")], buckets=0)
+
+
+def test_equidepth_histogram_plan_no_global_sort(spark):
+    """One tiny percentile aggregate broadcast back; the corpus is never
+    globally ordered (no range partitioning, no TakeOrdered)."""
+    from pyspark_dist_explore_spark.operators.histogram import (
+        compute_equidepth_histogram,
+    )
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    plan = (
+        compute_equidepth_histogram([("p", li, "l_extendedprice")], buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower()
+    assert "TakeOrderedAndProject" not in plan
+    assert "Broadcast" in plan
