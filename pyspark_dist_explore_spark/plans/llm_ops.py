@@ -2315,6 +2315,11 @@ def q_text_perplexity(
     # same corpus (the semantic-decontam eval-slice convention), raw =
     # everything; only the class-A integer count statistics reach the
     # gate — the ln-derived weights stay pytest-pinned
+    # (A combined-aggregate form — both count tables from ONE conditional
+    # aggregate, localCheckpoint'd — was A/B-measured SLOWER at sf0.1
+    # (1.0–1.3 s vs 0.6–0.8 s): the eager checkpoint action costs more
+    # than the lazy second aggregate it saves when the stream is an
+    # already-checkpointed local frame.  Keep the lazy twin-aggregate.)
     ds = dsir_scores(
         gram_rows=gram_rows,
         target_gram_rows=gram_rows.where(F.col("doc_id") % 10 == 0),
