@@ -743,3 +743,75 @@ def test_events_session_window_streaming_equals_batch(spark):
         assert b == s
         # two sessions: {t0, t0+gap} merged, {t0+3gap} alone
         assert [row[3] for row in b] == [2, 1]
+
+
+def test_quality_gates_run_on_streams(spark, tmp_path):
+    """The X29 classifier and X31 Gopher gates are stateless row-local
+    projections, so they run UNCHANGED inside Structured Streaming —
+    micro-batch output equals the batch gate over the same files (the
+    streaming ingest form of the curation front door)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        classifier_exprs,
+        gopher_quality_gate,
+        gopher_signal_exprs,
+        gopher_keep_expr,
+    )
+    from pyspark_dist_explore_spark.operators.dedup import tokens
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    doc_dir = str(tmp_path / "docs")
+    rows = [
+        (1, "the quick brown fox and that dog have fun with all of them"),
+        (2, "zz"),
+        (3, "- a\n- b\n- c"),
+        (4, "one two three the of and that be to with have all good words"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(doc_dir)
+
+    def gate(df):
+        staged = df.select(
+            "*",
+            F.filter(
+                tokens(F.coalesce(F.col("text"), F.lit(""))), lambda x: x != ""
+            ).alias("__t"),
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n").alias("__l"),
+        )
+        sig = staged.select(
+            "doc_id",
+            *gopher_signal_exprs(F.col("__t"), F.col("__l"), F.col("text")),
+            classifier_exprs(F.col("text"))[2],
+        )
+        return sig.select(
+            "doc_id",
+            "cls_keep",
+            gopher_keep_expr(min_words=5, min_stop_words=1).alias("gq_keep"),
+        )
+
+    stream = spark.readStream.schema(schema).parquet(doc_dir)
+    q = (
+        gate(stream)
+        .writeStream.format("memory")
+        .queryName("gate_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            r["doc_id"]: (r["cls_keep"], r["gq_keep"])
+            for r in spark.table("gate_sink").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["doc_id"]: (r["cls_keep"], r["gq_keep"])
+        for r in gate(spark.read.schema(schema).parquet(doc_dir)).collect()
+    }
+    assert streamed == batch and len(streamed) == 4
+    # sanity: the gates discriminate (doc 1 passes gopher, doc 2/3 fail)
+    assert batch[1][1] == 1 and batch[2][1] == 0 and batch[3][1] == 0
