@@ -269,3 +269,38 @@ def load_dsir_model(spark, path: str, *, expect: dict | None = None):
                 "(stored, expected) — scoring against it would be meaningless"
             )
     return spark.read.parquet(f"{path}/counts"), params
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    partitions: int | None = None,
+) -> None:
+    """Land a corpus as JSONL — the LLM-corpus interchange format (one
+    JSON object per line; what tokenizer trainers, external curation
+    tools, and most public datasets speak).  ``compression='gzip'``
+    (default) trades CPU for the ~4× text-compression win that usually
+    decides 100 TB storage bills; ``partitions=`` coalesces the write
+    (JSONL consumers often want few large shards — note ``coalesce``
+    caps write parallelism at that number)."""
+    w = df.coalesce(partitions) if partitions is not None else df
+    writer = w.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_jsonl(spark, path: str, *, schema=None) -> DataFrame:
+    """Read a JSONL corpus.  PASS ``schema=`` IN PRODUCTION: without it
+    Spark runs a full inference scan over every byte before the real
+    job starts — at 100 TB that is a second pass you did not order.
+    Fields absent from a line arrive NULL; extra fields are dropped
+    when a schema is given (the standard Spark JSON semantics).
+    Compressed shards (.gz etc.) are detected by extension."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -255,3 +255,40 @@ def test_neardup_snapshot_round_trip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="different scheme"):
         load_neardup_snapshot(spark, path, expect=dict(kw, num_hashes=32))
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    """JSONL corpus interchange: write gzip'd lines, read back with an
+    explicit schema — unicode text, NULL text, and nested-quote content
+    survive byte-exactly; missing fields arrive NULL."""
+    import json
+    import gzip
+    import glob
+
+    from pyspark_dist_explore_spark.sources.sinks import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'he said "hi"\tand left', "en"),
+        (2, "héllo wörld — naïve façade", "de"),
+        (3, None, "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    path = str(tmp_path / "corpus")
+    write_jsonl(df, path, partitions=1)
+    back = read_jsonl(spark, path, schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    # the landed artifact is real gzip'd JSONL another tool can read
+    shards = glob.glob(f"{path}/part-*.json.gz")
+    assert len(shards) == 1
+    with gzip.open(shards[0], "rt") as fh:
+        objs = [json.loads(line) for line in fh]
+    assert {o["doc_id"] for o in objs} == {1, 2, 3}
+    assert next(o for o in objs if o["doc_id"] == 2)["text"].startswith("héllo")
+
+    # schema'd read of lines MISSING a field -> NULL, no inference scan
+    extra = str(tmp_path / "extra.jsonl")
+    with open(extra, "w") as fh:
+        fh.write(json.dumps({"doc_id": 9}) + "\n")
+    got = read_jsonl(spark, extra, schema=df.schema).collect()
+    assert [tuple(r) for r in got] == [(9, None, None)]
