@@ -208,3 +208,16 @@ def test_dsir_model_artifacts_round_trip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="different scheme"):
         load_dsir_model(spark, p_raw, expect={"n_buckets": 4096})
+
+
+def test_dsir_scores_partition_invariant(spark):
+    """The 1e-6 fixed-point grid makes the per-doc log-weight sum exact
+    integer arithmetic — identical at ANY parallelism (the determinism
+    claim, proven): repartition(1) == repartition(13, doc_id)."""
+    raw, tgt = _split_docs(spark)
+    def run(d):
+        return sorted(
+            map(tuple, dsir_scores(d, "text", "doc_id", target=tgt,
+                                   n_buckets=512, count_stats=True).collect())
+        )
+    assert run(raw.repartition(1)) == run(raw.repartition(13, "doc_id"))

@@ -4621,3 +4621,62 @@ def test_rp_topk_recall_and_planted(spark):
 
     with _pytest.raises(ValueError, match="overfetch"):
         rp_topk(emb, qs, overfetch=0)
+
+
+def test_gopher_gate_matches_python_reference(spark):
+    """Property-style pin: the integer rule gate agrees with a direct
+    pure-Python implementation of the published rules over a planted
+    grid of docs sweeping every rule boundary."""
+    import re
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_quality_gate,
+    )
+
+    def py_gate(text, min_words=5, min_stop=1):
+        if text is None:
+            text = ""
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+        lines = text.split("\n")
+        n = len(toks)
+        wc = sum(len(t) for t in toks)
+        sym = len(re.findall(r"#|\.\.\.|…", text))
+        alpha = sum(1 for t in toks if re.search(r"[a-z]", t))
+        stop = sum(1 for s in GOPHER_STOPWORDS if s in toks)
+        bl = sum(1 for l in lines if re.match(r"^[-*•]", l.lstrip()))
+        el = sum(1 for l in lines if re.search(r"(\.\.\.|…)$", l.rstrip()))
+        nl = len(lines)
+        return int(
+            min_words <= n <= 100_000
+            and 3 * n <= wc <= 10 * n
+            and 10 * sym <= n
+            and 10 * bl < 9 * nl
+            and 10 * el < 3 * nl
+            and 5 * alpha >= 4 * n
+            and stop >= min_stop
+        )
+
+    texts = [
+        None, "", "   ",
+        "the quick brown fox and that dog have fun with all of them",
+        "aa bb cc dd ee",                          # all short words
+        "the of and " + "# " * 20,                  # symbols
+        "- x\n- y\nplain line of the day",          # bullets below 90%
+        "- x\n- y\n- z",                            # bullets at 100%
+        "wait...\nmore...\nok the end",             # ellipsis 2/3
+        "the supercalifragilistic expialidocious " * 4,
+        "1 2 3 4 5 6 7 the of and",
+        "mixed the of content with words and 12 34 #",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["gq_keep"]
+        for r in gopher_quality_gate(
+            df, "text", "doc_id", min_words=5, min_stop_words=1
+        ).collect()
+    }
+    want = {i: py_gate(t) for i, t in enumerate(texts)}
+    assert got == want
