@@ -681,6 +681,59 @@ def main() -> None:
     print(json.dumps({"probe": "dsir_topk", "t_1x": t1, "t_10x": t10,
                       "kept_1x": n1, "kept_10x": n10, "ratio": round(t10 / t1, 2)}))
 
+    # -- rp_topk: 10× vectors (sign-flip-rotated id-remapped copies),
+    # FIXED queries — the coarse pass is the only corpus-wide scoring
+    # and runs on out_dim-dim sketches, so wall must be ~linear and the
+    # output exactly k·|queries| at any scale
+    from pyspark_dist_explore_spark.operators.similarity import rp_topk
+
+    emb_rp = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rp_copies = []
+    for i in range(10):
+        s = 1.0 if i % 2 == 0 else -1.0
+        rp_copies.append(
+            emb_rp.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                F.transform("embedding", lambda x: x * F.lit(s)).alias("embedding"),
+            )
+        )
+    emb_rp10 = reduce(DataFrame.unionAll, rp_copies)
+    qs_rp = emb_rp.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t1, n1 = timed(rp_topk(emb_rp, qs_rp, k=5, out_dim=16, overfetch=4))
+    t10, n10 = timed(rp_topk(emb_rp10, qs_rp, k=5, out_dim=16, overfetch=4))
+    print(json.dumps({"probe": "rp_topk", "t_1x": t1, "t_10x": t10,
+                      "rows_1x": n1, "rows_10x": n10, "ratio": round(t10 / t1, 2)}))
+
+    # -- equi-depth histogram: 10× rows, output stays `buckets` rows --------
+    from pyspark_dist_explore_spark.operators.histogram import (
+        compute_equidepth_histogram,
+    )
+
+    li_ed = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li_ed10 = reduce(
+        DataFrame.unionAll,
+        [
+            li_ed.select(
+                (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias("l_orderkey"),
+                "l_extendedprice",
+            )
+            for i in range(10)
+        ],
+    )
+    t1, n1 = timed(
+        compute_equidepth_histogram([("p", li_ed, "l_extendedprice")], buckets=16)
+    )
+    t10, n10 = timed(
+        compute_equidepth_histogram([("p", li_ed10, "l_extendedprice")], buckets=16)
+    )
+    print(json.dumps({"probe": "equidepth_hist", "t_1x": t1, "t_10x": t10,
+                      "buckets_1x": n1, "buckets_10x": n10,
+                      "ratio": round(t10 / t1, 2)}))
+
     # -- 100× composed probe (opt-in: SPARK_GRAFT_PROBE_100X=1) ------------
     # curate_documents → shuffle_shards end-to-end at 1×/10×/100× of the
     # sf0.1 documents corpus (500k docs at 100×) — turns the 10× linearity
