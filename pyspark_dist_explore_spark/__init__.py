@@ -78,9 +78,43 @@ from pyspark_dist_explore_spark.operators.stats import (
     histogram_drift_by_group,
 )
 from pyspark_dist_explore_spark.sources.sinks import (
+    load_dsir_model,
+    load_neardup_snapshot,
+    read_jsonl,
     write_bucketed_table,
+    write_dsir_model,
+    write_jsonl,
+    write_neardup_snapshot,
     write_partitioned,
     write_training_shards,
+)
+from pyspark_dist_explore_spark.operators.dsir import (
+    dsir_bucket_counts,
+    dsir_scores,
+    dsir_topk,
+)
+from pyspark_dist_explore_spark.operators.dedup import incremental_minhash_neardup
+from pyspark_dist_explore_spark.operators.histogram import (
+    compute_equidepth_histogram,
+)
+from pyspark_dist_explore_spark.operators.sampling import (
+    stratified_take_exact,
+    temperature_resample,
+)
+from pyspark_dist_explore_spark.operators.similarity import (
+    mean_pool_embeddings,
+    random_projection,
+    rp_topk,
+)
+from pyspark_dist_explore_spark.operators.textstats import (
+    classifier_score,
+    drop_duplicate_spans,
+    gopher_quality_gate,
+    gopher_repetition_battery,
+    oov_stats,
+    perplexity_buckets,
+    vocabulary,
+    with_classifier_gate,
 )
 from pyspark_dist_explore_spark.pipeline import (
     containment_pair_fn,
@@ -216,10 +250,35 @@ __all__ = [
     "shuffle_shards",
     "decontaminate",
     "decontaminate_winnow",
+    # round-8c additions
+    "dsir_scores",
+    "dsir_topk",
+    "dsir_bucket_counts",
+    "gopher_quality_gate",
+    "gopher_repetition_battery",
+    "perplexity_buckets",
+    "classifier_score",
+    "with_classifier_gate",
+    "random_projection",
+    "rp_topk",
+    "mean_pool_embeddings",
+    "compute_equidepth_histogram",
+    "drop_duplicate_spans",
+    "vocabulary",
+    "oov_stats",
+    "temperature_resample",
+    "stratified_take_exact",
+    "incremental_minhash_neardup",
     # sinks / physical layout
     "write_partitioned",
     "write_training_shards",
     "write_bucketed_table",
+    "write_jsonl",
+    "read_jsonl",
+    "write_dsir_model",
+    "load_dsir_model",
+    "write_neardup_snapshot",
+    "load_neardup_snapshot",
     # streaming
     "stream_windowed_histogram",
     "stream_drift_scores",
