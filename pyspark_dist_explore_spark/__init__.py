@@ -93,7 +93,10 @@ from pyspark_dist_explore_spark.operators.dsir import (
     dsir_scores,
     dsir_topk,
 )
-from pyspark_dist_explore_spark.operators.dedup import incremental_minhash_neardup
+from pyspark_dist_explore_spark.operators.dedup import (
+    corpus_overlap,
+    incremental_minhash_neardup,
+)
 from pyspark_dist_explore_spark.operators.histogram import (
     compute_equidepth_histogram,
 )
@@ -269,6 +272,7 @@ __all__ = [
     "temperature_resample",
     "stratified_take_exact",
     "incremental_minhash_neardup",
+    "corpus_overlap",
     # sinks / physical layout
     "write_partitioned",
     "write_training_shards",

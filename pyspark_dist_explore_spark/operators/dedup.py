@@ -1223,3 +1223,94 @@ def containment_pairs(
         )
         .where(F.greatest("containment_a", "containment_b") >= threshold)
     )
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X36: cross-corpus EXACT-content overlap audit — ONE summary row
+    answering "how much of corpus A already exists in corpus B?"
+    before a merge/dedup/decontamination decision: ``(n_a, n_b,
+    n_fp_a, n_fp_b, n_fp_common, a_docs_in_b, b_docs_in_a,
+    fp_jaccard)`` where fps are md5 fingerprints of the normalized text
+    (the :func:`fingerprint_dedup` form) — n_fp_* count DISTINCT
+    contents, a_docs_in_b counts A's DOCUMENT rows whose content
+    appears anywhere in B (duplicates included: the number of rows a
+    cross-corpus dedup would drop from A).
+
+    Scale shape: fingerprints are row-local; each side collapses to a
+    DISTINCT ``(fp, doc count)`` table via one map-side-combined
+    aggregate (exact duplicates collapse BEFORE the shuffle — the table
+    is content-sized, not row-sized); the two tables full-outer join on
+    fp and ONE final single-row aggregate produces every statistic.  No
+    text crosses the join.  The near-dup companion is
+    :func:`incremental_minhash_neardup` over B's landed artifacts —
+    this is the exact-content census.
+    """
+    def fps(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.md5(normalize_text(F.col(text_col))).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("docs"))
+        )
+
+    fa = fps(a).select("fp", F.col("docs").alias("docs_a"))
+    fb = fps(b).select("fp", F.col("docs").alias("docs_b"))
+    j = fa.join(fb, "fp", "full_outer")
+    in_a = F.col("docs_a").isNotNull()
+    in_b = F.col("docs_b").isNotNull()
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("docs_a"), F.lit(0))).cast("bigint").alias("n_a"),
+        F.sum(F.coalesce(F.col("docs_b"), F.lit(0))).cast("bigint").alias("n_b"),
+        F.sum(in_a.cast("int")).cast("bigint").alias("n_fp_a"),
+        F.sum(in_b.cast("int")).cast("bigint").alias("n_fp_b"),
+        F.sum((in_a & in_b).cast("int")).cast("bigint").alias("n_fp_common"),
+        F.sum(F.when(in_a & in_b, F.col("docs_a")).otherwise(0))
+        .cast("bigint")
+        .alias("a_docs_in_b"),
+        F.sum(F.when(in_a & in_b, F.col("docs_b")).otherwise(0))
+        .cast("bigint")
+        .alias("b_docs_in_a"),
+    )
+    return agg.select(
+        "*",
+        F.round(
+            F.col("n_fp_common").cast("double")
+            / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("n_fp_common")),
+            6,
+        ).alias("fp_jaccard"),
+    )
+
+
+def corpus_overlap_sql(a_src: str, b_src: str) -> str:
+    """DuckDB twin of :func:`corpus_overlap` — same normalized-md5
+    fingerprints, same full-outer census.  ``a_src``/``b_src`` must
+    yield ``(doc_id, text)``."""
+    norm = NORMALIZE_SQL.format(c="text")
+    return f"""
+WITH fa AS (
+  SELECT md5({norm}) AS fp, CAST(count(*) AS BIGINT) AS docs_a
+  FROM ({a_src}) GROUP BY 1
+),
+fb AS (
+  SELECT md5({norm}) AS fp, CAST(count(*) AS BIGINT) AS docs_b
+  FROM ({b_src}) GROUP BY 1
+),
+j AS (SELECT * FROM fa FULL OUTER JOIN fb USING (fp))
+SELECT CAST(sum(COALESCE(docs_a, 0)) AS BIGINT) AS n_a,
+       CAST(sum(COALESCE(docs_b, 0)) AS BIGINT) AS n_b,
+       CAST(sum(CASE WHEN docs_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_a,
+       CAST(sum(CASE WHEN docs_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_b,
+       CAST(sum(CASE WHEN docs_a IS NOT NULL AND docs_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_common,
+       CAST(sum(CASE WHEN docs_a IS NOT NULL AND docs_b IS NOT NULL THEN docs_a ELSE 0 END) AS BIGINT) AS a_docs_in_b,
+       CAST(sum(CASE WHEN docs_a IS NOT NULL AND docs_b IS NOT NULL THEN docs_b ELSE 0 END) AS BIGINT) AS b_docs_in_a,
+       round(CAST(sum(CASE WHEN docs_a IS NOT NULL AND docs_b IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / (sum(CASE WHEN docs_a IS NOT NULL THEN 1 ELSE 0 END)
+                + sum(CASE WHEN docs_b IS NOT NULL THEN 1 ELSE 0 END)
+                - sum(CASE WHEN docs_a IS NOT NULL AND docs_b IS NOT NULL THEN 1 ELSE 0 END)), 6)
+         AS fp_jaccard
+FROM j
+"""

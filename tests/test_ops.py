@@ -4680,3 +4680,66 @@ def test_gopher_gate_matches_python_reference(spark):
     }
     want = {i: py_gate(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# X36: cross-corpus exact-content overlap audit
+# --------------------------------------------------------------------------
+
+
+def test_corpus_overlap_matches_duckdb(spark):
+    """One-row census vs the DuckDB twin on two overlapping slices of
+    real testdata (every column, incl. the rational fp_jaccard)."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.dedup import (
+        corpus_overlap,
+        corpus_overlap_sql,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = docs.where("doc_id < 300").select("doc_id", "text")
+    b = docs.where("doc_id >= 200").select("doc_id", "text")
+    got = tuple(corpus_overlap(a, b).collect()[0])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = con.execute(
+        corpus_overlap_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 300",
+            "SELECT doc_id, text FROM documents WHERE doc_id >= 200",
+        )
+    ).fetchall()[0]
+    assert got == tuple(want)
+    # sanity: the shared 200-299 slice forces overlap
+    assert got[4] > 0 and got[5] >= 100
+
+
+def test_corpus_overlap_semantics(spark):
+    """Planted: duplicate rows count as DOCS in a_docs_in_b but once in
+    the fp censuses; disjoint corpora score zero overlap; whitespace/
+    case variants of one content collapse to one fingerprint."""
+    from pyspark_dist_explore_spark.operators.dedup import corpus_overlap
+
+    a = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "only in a")],
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(10, "HELLO   world"), (11, "only in b"), (12, "only in b")],
+        "doc_id bigint, text string",
+    )
+    r = corpus_overlap(a, b).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert (r["n_fp_a"], r["n_fp_b"]) == (2, 2)  # case/space variants collapse
+    assert r["n_fp_common"] == 1
+    assert r["a_docs_in_b"] == 2 and r["b_docs_in_a"] == 1
+    assert r["fp_jaccard"] == round(1 / 3, 6)
+
+    disjoint = corpus_overlap(
+        a, spark.createDataFrame([(9, "zzz")], "doc_id bigint, text string")
+    ).collect()[0]
+    assert disjoint["n_fp_common"] == 0 and disjoint["fp_jaccard"] == 0.0
