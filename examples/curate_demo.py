@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""End-to-end curation demo over the sf0.001 testdata: JSONL ingest →
+quality gates (heuristic + Gopher rules + hashed-gram classifier) →
+scrub → exact + near-dup dedup → DSIR target-match selection → split →
+training shards.  Run: python examples/curate_demo.py
+
+Every stage here is ONE lazy DataFrame plan until the final writes —
+the same code shape a 1000-executor cluster runs; only the session
+conf changes (see pyspark_dist_explore_spark.session.recommended_conf).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import SparkSession, functions as F
+
+from pyspark_dist_explore_spark import (
+    corpus_overlap,
+    corpus_profile,
+    curate_documents,
+    read_jsonl,
+    write_jsonl,
+    write_training_shards,
+)
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("curate-demo")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="curate_demo_")
+
+    # 1. a corpus arrives as JSONL (the interchange format) ---------------
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    write_jsonl(docs, f"{work}/raw_corpus", partitions=1)
+    corpus = read_jsonl(spark, f"{work}/raw_corpus", schema=docs.schema)
+    print("ingested:", corpus.count(), "docs")
+
+    # 2. first-look EDA card ----------------------------------------------
+    corpus_profile(corpus, "text", "doc_id", group_col="source").show(6)
+
+    # 3. the composed keep-list pipeline ----------------------------------
+    target = corpus.where("lang = 'en'").select("doc_id", "text")
+    kept = curate_documents(
+        corpus,
+        "text",
+        "doc_id",
+        min_quality=0.85,
+        gopher_rules={"min_words": 20, "min_stop_words": 1},
+        classifier_threshold=(0, 1),
+        scrub=True,
+        dsir_target=target,
+        dsir_n_keep=150,
+        split_fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    kept.groupBy("split").count().show()
+
+    # 4. audit: how much of the kept set overlaps the raw corpus (all of
+    # it, by construction — the census proves the plumbing) ---------------
+    kept_text = kept.join(corpus.select("doc_id", "text"), "doc_id")
+    corpus_overlap(kept_text, corpus).show(truncate=False)
+
+    # 5. land deterministic training shards -------------------------------
+    train = kept.where("split = 'train'").join(
+        corpus.select("doc_id", "text"), "doc_id"
+    )
+    write_training_shards(train, "doc_id", f"{work}/shards", shards=4, salt="epoch0")
+    back = spark.read.parquet(f"{work}/shards")
+    print("landed:", back.count(), "training rows in", f"{work}/shards")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
