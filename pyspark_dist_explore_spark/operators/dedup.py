@@ -515,6 +515,7 @@ def incremental_minhash_neardup(
     bands: int = 8,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-dup the incremental way: flag new-batch docs whose content
     near-duplicates something already in a corpus SNAPSHOT, touching
@@ -550,13 +551,19 @@ def incremental_minhash_neardup(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # shingle_rows= (the minhash_signatures staging pattern): a staged
+    # (doc_id, sh) frame for the BATCH side — the band and signature
+    # builders below both consume it, so a caller sharing one staged
+    # shingle frame across sections tokenizes the batch text once
     batch_bands = minhash_band_rows(
         new_df, text_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, hash_fn=hash_fn,
+        shingle_rows=shingle_rows,
     )
     batch_sigs = minhash_signatures(
         new_df, text_col, id_col,
         num_hashes=num_hashes, shingle_n=shingle_n, hash_fn=hash_fn,
+        shingle_rows=shingle_rows,
     )
     # candidate pairs: snapshot rows sharing a band with any batch row —
     # batch side broadcast, snapshot side streamed

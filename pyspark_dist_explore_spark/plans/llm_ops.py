@@ -379,6 +379,13 @@ def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality pinned in pytest).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # (A staged-shingle form — ONE localCheckpoint'd shingle frame fed
+    # to all four minhash consumers — was A/B-measured a WASH at sf0.1
+    # local[32]: staged 5.75/6.04 s vs lazy 5.64/6.19 s warm.  The
+    # bucket join + Jaccard verify dominate this query, not the text
+    # scans, and the checkpoint write costs what the re-scans cost.
+    # Keep the lazy form; `shingle_rows=` stays available on every
+    # builder for deployments whose corpus scan IS the bottleneck.)
     full = dedup.minhash_neardup(
         docs, "text", "doc_id", threshold=0.8, num_hashes=32, bands=8, shingle_n=3,
         hash_fn="md5",
