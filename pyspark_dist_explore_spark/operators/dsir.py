@@ -35,7 +35,9 @@ Scale shape (100 TB): gram explode → TWO ≤B-row count aggregates
 raw-corpus gram stream joins both broadcast tables and collapses to
 per-doc rows with one partial-aggregated groupBy — ONE corpus-sized
 shuffle of per-doc partial rows, no sort; selection is
-``TakeOrderedAndProject`` (per-partition heaps), never a global sort.
+``TakeOrderedAndProject`` (per-partition heaps) for head-sized keeps
+and the :func:`topk_by_rank` range-partition rank (no driver funnel)
+for production-sized ones.
 The target corpus is by definition small (a quality sample); the raw
 corpus is scanned once (twice when it must also train the raw counts —
 pass ``raw_counts=`` from a previous materialization to make it once).
@@ -43,7 +45,7 @@ pass ``raw_counts=`` from a previous materialization to make it once).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
@@ -208,20 +210,80 @@ def dsir_scores(
     return scored.select(*cols)
 
 
+#: above this n_keep, :func:`dsir_topk` switches to the distributed
+#: rank path — TakeOrderedAndProject funnels the result through the
+#: driver, which is the right plan for heads but not for the
+#: millions-of-docs selections DSIR runs in production
+DSIR_TOPK_DRIVER_MAX = 100_000
+
+
 def dsir_topk(scored: DataFrame, n_keep: int) -> DataFrame:
     """The resampling step, deterministic form: keep the ``n_keep``
     highest-weight docs (ties broken on doc_id — a total order, so the
-    selection is a pure function of the corpora).  ``orderBy + limit``
-    plans as ``TakeOrderedAndProject`` — per-partition heaps of
-    ``n_keep`` rows, never a global sort (the vocabulary-induction
-    pattern).  The paper's Gumbel-noise soft sample is the same top-k
-    over ``ds_logw + g_i`` — add a salted perturbation column to the
-    score frame and rank on that to get it."""
+    selection is a pure function of the corpora, independent of
+    partitioning).  Two plans behind one contract:
+
+    - ``n_keep ≤ DSIR_TOPK_DRIVER_MAX``: ``orderBy + limit`` plans as
+      ``TakeOrderedAndProject`` — per-partition heaps, a driver merge
+      of ≤ n_keep rows.  Right for head-sized selections.
+    - larger ``n_keep``: :func:`topk_by_rank` — range-partition on the
+      selection order, per-partition offsets from a ≤ P-row count
+      collect, keep global-rank < n_keep.  The result set never
+      funnels through the driver, so production-scale selections
+      (millions of docs out of 100 TB) stay executor-side.
+
+    The paper's Gumbel-noise soft sample is the same top-k over
+    ``ds_logw + g_i`` — add a salted perturbation column to the score
+    frame and rank on that to get it."""
     if n_keep < 1:
         raise ValueError(f"n_keep must be >= 1, got {n_keep}")
-    return scored.orderBy(
-        F.col("ds_logw_e6").desc(), F.col("doc_id").asc()
-    ).limit(n_keep)
+    if n_keep <= DSIR_TOPK_DRIVER_MAX:
+        return scored.orderBy(
+            F.col("ds_logw_e6").desc(), F.col("doc_id").asc()
+        ).limit(n_keep)
+    return topk_by_rank(
+        scored, n_keep, [F.col("ds_logw_e6").desc(), F.col("doc_id").asc()]
+    )
+
+
+def topk_by_rank(df: DataFrame, n_keep: int, order: list[Column]) -> DataFrame:
+    """Exact distributed top-``n_keep`` under a TOTAL order without a
+    driver funnel: range-partition the frame on the order columns, count
+    rows per partition (ONE ≤ P-row collect — partition metadata, never
+    data), turn the counts into cumulative offsets, and keep rows whose
+    ``offset + local_rank ≤ n_keep``.  Partitions entirely inside the
+    keep region pass their rows through with only a local sort; only
+    the single boundary partition ranks against a cutoff.  The kept SET
+    is a pure function of the data (total order ⇒ partition boundaries
+    cannot change membership).  One range-exchange — the same shuffle a
+    global sort pays — and the output stays distributed, which is the
+    difference from ``TakeOrderedAndProject`` at production ``n_keep``.
+    """
+    parts = df.repartitionByRange(*order)
+    with_pid = parts.withColumn("__pid", F.spark_partition_id())
+    # P rows of partition metadata — driver-trivial at any data size
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off bigint"
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        with_pid.join(off_df, "__pid")
+        .where(F.col("__off") < F.lit(n_keep))  # prune whole partitions early
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__off") + F.col("__rk") <= F.lit(n_keep))
+        .drop("__pid", "__off", "__rk")
+    )
 
 
 def dsir_sql(

@@ -565,9 +565,10 @@ def rp_topk(
                 .head(m)
             )
 
-    pruned = coarse.mapInPandas(
-        _prune, schema="query_id bigint, vec_id bigint, rp_sim double"
-    )
+    # _prune preserves columns, so the output schema IS coarse.schema —
+    # deriving it (instead of a hardcoded bigint DDL) keeps string/any
+    # caller-supplied id types working through the Arrow conversion
+    pruned = coarse.mapInPandas(_prune, schema=coarse.schema)
     w_c = Window.partitionBy("query_id").orderBy(
         F.col("rp_sim").desc(), F.col("vec_id").asc()
     )

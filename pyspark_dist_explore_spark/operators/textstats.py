@@ -188,9 +188,14 @@ def gopher_signal_exprs(toks: Column, lines: Column, t: Column) -> list[Column]:
         F.aggregate(
             F.transform(toks, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("gq_word_chars"),
-        F.regexp_count(F.coalesce(t, F.lit("")), F.lit(r"#|\.\.\.|…"))
+        # hash-symbol and ellipsis counts SEPARATELY — A1.1 thresholds
+        # each ratio on its own (a doc with 0.06 of each is kept)
+        F.regexp_count(F.coalesce(t, F.lit("")), F.lit(r"#"))
         .cast("bigint")
-        .alias("gq_n_sym"),
+        .alias("gq_n_hash"),
+        F.regexp_count(F.coalesce(t, F.lit("")), F.lit(r"\.\.\.|…"))
+        .cast("bigint")
+        .alias("gq_n_ellipsis"),
         F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
         .cast("bigint")
         .alias("gq_n_alpha_words"),
@@ -223,9 +228,12 @@ def gopher_keep_expr(
     no float: ORACLES.md class A by construction).  Defaults are the
     paper's published bounds; ratios are ``(num, den)`` rationals.
     Rules (A1.1): word count in [min, max]; mean word length in
-    [lo, hi]; symbol-to-word ratio ≤ num/den (``#``/ellipsis); bullet-
-    started lines < 90%; ellipsis-ended lines < 30%; ≥ 80% of words
-    contain an alphabetic char; ≥ 2 distinct stop words."""
+    [lo, hi]; hash-symbol-to-word ratio ≤ num/den AND ellipsis-to-word
+    ratio ≤ num/den (each thresholded SEPARATELY, as the paper states
+    them); bullet-started lines ≤ 90%; ellipsis-ended lines ≤ 30%
+    (closed bounds — the paper drops only documents with MORE than
+    those fractions); ≥ 80% of words contain an alphabetic char; ≥ 2
+    distinct stop words."""
     lo_wl, hi_wl = mean_word_len
     sym_n, sym_d = max_symbol_ratio
     bul_n, bul_d = max_bullet_ratio
@@ -237,11 +245,15 @@ def gopher_keep_expr(
         & (w <= max_words)
         & (F.lit(lo_wl) * w <= F.col("gq_word_chars"))
         & (F.col("gq_word_chars") <= F.lit(hi_wl) * w)
-        & (F.lit(sym_d) * F.col("gq_n_sym") <= F.lit(sym_n) * w)
-        & (F.lit(bul_d) * F.col("gq_bullet_lines") < F.lit(bul_n) * F.col("gq_n_lines"))
+        & (F.lit(sym_d) * F.col("gq_n_hash") <= F.lit(sym_n) * w)
+        & (F.lit(sym_d) * F.col("gq_n_ellipsis") <= F.lit(sym_n) * w)
+        & (
+            F.lit(bul_d) * F.col("gq_bullet_lines")
+            <= F.lit(bul_n) * F.col("gq_n_lines")
+        )
         & (
             F.lit(ell_d) * F.col("gq_ellipsis_lines")
-            < F.lit(ell_n) * F.col("gq_n_lines")
+            <= F.lit(ell_n) * F.col("gq_n_lines")
         )
         & (F.lit(al_d) * F.col("gq_n_alpha_words") >= F.lit(al_n) * w)
         & (F.col("gq_n_stop") >= min_stop_words)
@@ -259,9 +271,9 @@ def gopher_quality_gate(
 ) -> DataFrame:
     """X31: the canonical Gopher/MassiveText rule-set quality filter
     (Rae et al. 2021, arXiv:2112.11446 A1.1) as ONE row-local staged
-    projection: ``(doc_id, gq_n_words, gq_word_chars, gq_n_sym,
-    gq_n_alpha_words, gq_n_stop, gq_n_lines, gq_bullet_lines,
-    gq_ellipsis_lines, gq_keep)``.
+    projection: ``(doc_id, gq_n_words, gq_word_chars, gq_n_hash,
+    gq_n_ellipsis, gq_n_alpha_words, gq_n_stop, gq_n_lines,
+    gq_bullet_lines, gq_ellipsis_lines, gq_keep)``.
 
     Every signal is an exact BIGINT count and the gate cross-multiplies
     the paper's ratio rules into integer comparisons — the mean word
@@ -334,7 +346,8 @@ gq_s AS (
          CAST(len(l) AS BIGINT) AS gq_n_words,
          CAST(COALESCE(list_sum(list_transform(l, x -> len(x))), 0) AS BIGINT)
            AS gq_word_chars,
-         CAST(len(regexp_extract_all(raw, '#|\\.\\.\\.|…')) AS BIGINT) AS gq_n_sym,
+         CAST(len(regexp_extract_all(raw, '#')) AS BIGINT) AS gq_n_hash,
+         CAST(len(regexp_extract_all(raw, '\\.\\.\\.|…')) AS BIGINT) AS gq_n_ellipsis,
          CAST(len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
            AS gq_n_alpha_words,
          CAST({stop_sum} AS BIGINT) AS gq_n_stop,
@@ -345,14 +358,16 @@ gq_s AS (
               AS BIGINT) AS gq_ellipsis_lines
   FROM gq_t
 )
-SELECT doc_id, gq_n_words, gq_word_chars, gq_n_sym, gq_n_alpha_words, gq_n_stop,
+SELECT doc_id, gq_n_words, gq_word_chars, gq_n_hash, gq_n_ellipsis,
+       gq_n_alpha_words, gq_n_stop,
        gq_n_lines, gq_bullet_lines, gq_ellipsis_lines,
        CASE WHEN gq_n_words >= {min_words} AND gq_n_words <= {max_words}
              AND 3 * gq_n_words <= gq_word_chars
              AND gq_word_chars <= 10 * gq_n_words
-             AND 10 * gq_n_sym <= 1 * gq_n_words
-             AND 10 * gq_bullet_lines < 9 * gq_n_lines
-             AND 10 * gq_ellipsis_lines < 3 * gq_n_lines
+             AND 10 * gq_n_hash <= 1 * gq_n_words
+             AND 10 * gq_n_ellipsis <= 1 * gq_n_words
+             AND 10 * gq_bullet_lines <= 9 * gq_n_lines
+             AND 10 * gq_ellipsis_lines <= 3 * gq_n_lines
              AND 5 * gq_n_alpha_words >= 4 * gq_n_words
              AND gq_n_stop >= {min_stop_words}
             THEN 1 ELSE 0 END AS gq_keep

@@ -695,8 +695,9 @@ def curate_documents(
     if dsir_target is not None:
         # X30 data SELECTION on the deduped survivor pool (the DSIR/DCLM
         # ordering: clean + dedup first, then keep the n docs most like
-        # the target mix); the kept id set is n_keep rows → broadcast
-        # semi back onto the corpus, no extra shuffle of the big side
+        # the target mix); the kept id set semi-joins back onto the
+        # corpus — broadcast when provably head-sized, shuffled semi
+        # otherwise
         from pyspark_dist_explore_spark.operators.dsir import (
             dsir_scores,
             dsir_topk,
@@ -715,8 +716,18 @@ def curate_documents(
             target=tgt,
             n_buckets=dsir_n_buckets,
         )
+        from pyspark_dist_explore_spark.operators.dsir import DSIR_TOPK_DRIVER_MAX
+
         keep_ids = dsir_topk(scored, dsir_n_keep).select("doc_id")
-        out = out.join(F.broadcast(keep_ids), "doc_id", "leftsemi")
+        # broadcast only when the keep set is provably small; a
+        # production DSIR selection keeps millions of docs — forcing a
+        # broadcast there would ship (and driver-collect) the whole
+        # selection, so large keeps fall through to a shuffled semi
+        # (AQE still picks broadcast at runtime if the side turns out
+        # small enough)
+        if dsir_n_keep <= DSIR_TOPK_DRIVER_MAX:
+            keep_ids = F.broadcast(keep_ids)
+        out = out.join(keep_ids, "doc_id", "leftsemi")
     if temperature_coeff is not None and take_targets is not None:
         raise ValueError("pass temperature_coeff OR take_targets, not both")
     if temperature_coeff is not None:

@@ -1632,7 +1632,8 @@ SELECT s.doc_id, n_chars, n_tokens, n_bpe_tokens, n_punct, avg_token_len,
        alpha_ratio, punct_ratio, quality,
        {", ".join(f"score_{lang}" for lang in langs)},
        {_lang_pred_case_sql()} AS lang_pred,
-       g.gq_n_words, g.gq_word_chars, g.gq_n_sym, g.gq_n_alpha_words,
+       g.gq_n_words, g.gq_word_chars, g.gq_n_hash, g.gq_n_ellipsis,
+       g.gq_n_alpha_words,
        g.gq_n_stop, g.gq_n_lines, g.gq_bullet_lines, g.gq_ellipsis_lines,
        g.gq_keep,
        c.n_cls_grams, c.cls_logit_num, c.cls_keep

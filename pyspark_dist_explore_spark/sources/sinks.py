@@ -28,6 +28,42 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _write_json_sidecar(spark: SparkSession, path: str, payload: dict) -> None:
+    """Write a tiny JSON params sidecar THROUGH the Hadoop FileSystem
+    API, so model artifacts land on whatever storage scheme the parquet
+    half uses (HDFS/S3A/dbfs/file) — a driver-local ``open()`` would
+    silently strand the sidecar on the driver's disk while the counts
+    table lands remotely, breaking the load-time scheme verification
+    exactly where it matters."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(payload), "utf-8"))
+    finally:
+        out.close()
+
+
+def _read_json_sidecar(spark: SparkSession, path: str) -> dict:
+    """Read a sidecar written by :func:`_write_json_sidecar` via the
+    same Hadoop FileSystem API (any supported scheme)."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+    finally:
+        stream.close()
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -159,8 +195,6 @@ def write_neardup_snapshot(
     silently match nothing, which is exactly the drift the check
     refuses.
     """
-    import json
-
     from pyspark_dist_explore_spark.operators.dedup import (
         minhash_band_rows,
         minhash_signatures,
@@ -174,12 +208,9 @@ def write_neardup_snapshot(
         docs, text_col, id_col,
         num_hashes=num_hashes, shingle_n=shingle_n, hash_fn=hash_fn,
     ).write.mode(mode).parquet(f"{path}/sigs")
-    # params sidecar: tiny JSON, driver-local write
-    import os
-
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/_params.json", "w") as fh:
-        json.dump(kw, fh)
+    # params sidecar: tiny JSON, written through the Hadoop FS so the
+    # artifact works on the same scheme as the parquet halves
+    _write_json_sidecar(docs.sparkSession, f"{path}/_params.json", kw)
 
 
 def load_neardup_snapshot(spark, path: str, *, expect: dict | None = None):
@@ -188,10 +219,7 @@ def load_neardup_snapshot(spark, path: str, *, expect: dict | None = None):
     is about to probe with (``num_hashes``/``bands``/``shingle_n``/
     ``hash_fn``) — raises on mismatch instead of silently matching
     nothing."""
-    import json
-
-    with open(f"{path}/_params.json") as fh:
-        params = json.load(fh)
+    params = _read_json_sidecar(spark, f"{path}/_params.json")
     if expect is not None:
         diffs = {k: (params.get(k), v) for k, v in expect.items() if params.get(k) != v}
         if diffs:
@@ -233,9 +261,6 @@ def write_dsir_model(
     passes ``raw_counts=``/``target_counts=`` from
     :func:`load_dsir_model` and scans ONLY the stream being scored.
     """
-    import json
-    import os
-
     from pyspark_dist_explore_spark.operators.dsir import (
         dsir_bucket_counts,
         dsir_gram_rows,
@@ -247,9 +272,7 @@ def write_dsir_model(
         n_buckets=n_buckets,
         hash_fn=hash_fn,
     ).write.mode(mode).parquet(f"{path}/counts")
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/_params.json", "w") as fh:
-        json.dump(kw, fh)
+    _write_json_sidecar(corpus.sparkSession, f"{path}/_params.json", kw)
 
 
 def load_dsir_model(spark, path: str, *, expect: dict | None = None):
@@ -257,10 +280,7 @@ def load_dsir_model(spark, path: str, *, expect: dict | None = None):
     ``expect``: the scheme the caller is about to score with
     (``n_buckets``/``bigrams``/``hash_fn``) — raises on mismatch
     instead of silently mis-scoring."""
-    import json
-
-    with open(f"{path}/_params.json") as fh:
-        params = json.load(fh)
+    params = _read_json_sidecar(spark, f"{path}/_params.json")
     if expect is not None:
         diffs = {k: (params.get(k), v) for k, v in expect.items() if params.get(k) != v}
         if diffs:

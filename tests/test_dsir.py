@@ -221,3 +221,42 @@ def test_dsir_scores_partition_invariant(spark):
                                    n_buckets=512, count_stats=True).collect())
         )
     assert run(raw.repartition(1)) == run(raw.repartition(13, "doc_id"))
+
+
+def test_topk_by_rank_equals_driver_topk(spark):
+    """The distributed rank path (production n_keep — no driver funnel)
+    selects the EXACT same set as TakeOrderedAndProject under the same
+    total order, at several cut points including ones that land inside
+    a range partition."""
+    from pyspark_dist_explore_spark.operators.dsir import topk_by_rank
+
+    raw, tgt = _split_docs(spark)
+    scored = dsir_scores(raw, "text", "doc_id", target=tgt).cache()
+    order = [F.col("ds_logw_e6").desc(), F.col("doc_id").asc()]
+    total = scored.count()
+    for n in (1, 7, 40, total, total + 10):
+        want = sorted(r["doc_id"] for r in dsir_topk(scored, min(n, 100_000)).collect())
+        got = sorted(r["doc_id"] for r in topk_by_rank(scored, n, order).collect())
+        assert got == want, f"n={n}"
+    # columns pass through untouched
+    assert topk_by_rank(scored, 5, order).columns == scored.columns
+    scored.unpersist()
+
+
+def test_dsir_topk_large_nkeep_switches_plan(spark):
+    """Above DSIR_TOPK_DRIVER_MAX the selection must NOT plan a
+    TakeOrderedAndProject (the driver funnel the advisor flagged)."""
+    from pyspark_dist_explore_spark.operators.dsir import (
+        DSIR_TOPK_DRIVER_MAX,
+        dsir_topk,
+    )
+
+    raw, tgt = _split_docs(spark)
+    scored = dsir_scores(raw, "text", "doc_id", target=tgt)
+    plan = (
+        dsir_topk(scored, DSIR_TOPK_DRIVER_MAX + 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" not in plan

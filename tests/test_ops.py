@@ -4179,7 +4179,7 @@ def test_gopher_gate_rule_semantics(spark):
     assert out[2]["gq_keep"] == 0 and out[2]["gq_n_words"] == 0
     assert out[3]["gq_keep"] == 0 and out[3]["gq_bullet_lines"] == 3
     assert out[4]["gq_keep"] == 0 and out[4]["gq_ellipsis_lines"] == 3
-    assert out[5]["gq_keep"] == 0 and out[5]["gq_n_sym"] == 40
+    assert out[5]["gq_keep"] == 0 and out[5]["gq_n_hash"] == 40
     assert out[6]["gq_keep"] == 0 and 5 * out[6]["gq_n_alpha_words"] < 4 * out[6]["gq_n_words"]
     assert out[7]["gq_keep"] == 0 and out[7]["gq_word_chars"] > 10 * out[7]["gq_n_words"]
 
@@ -4229,7 +4229,8 @@ def test_gopher_merged_profile_equals_standalone(spark):
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     gq_cols = [
-        "gq_n_words", "gq_word_chars", "gq_n_sym", "gq_n_alpha_words",
+        "gq_n_words", "gq_word_chars", "gq_n_hash", "gq_n_ellipsis",
+        "gq_n_alpha_words",
         "gq_n_stop", "gq_n_lines", "gq_bullet_lines", "gq_ellipsis_lines",
         "gq_keep",
     ]
@@ -4623,6 +4624,32 @@ def test_rp_topk_recall_and_planted(spark):
         rp_topk(emb, qs, overfetch=0)
 
 
+def test_rp_topk_string_ids(spark):
+    """The batch-local prune derives its Arrow schema from the coarse
+    plan (not a hardcoded bigint DDL), so caller-supplied NON-integer id
+    columns flow through: string-id results must equal the bigint-id
+    results under the id mapping."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.similarity import rp_topk
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").where("vec_id < 200")
+    qs = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    base = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in rp_topk(emb, qs, k=3, out_dim=8, overfetch=4).collect()
+    }
+
+    s_emb = emb.withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id")))
+    s_qs = qs.withColumn("query_id", F.concat(F.lit("doc-"), F.col("query_id")))
+    got = rp_topk(s_emb, s_qs, k=3, out_dim=8, overfetch=4).collect()
+    assert got, "string-id rp_topk returned nothing"
+    for r in got:
+        qid = int(r["query_id"].removeprefix("doc-"))
+        assert r["vec_id"] == f"doc-{base[(qid, r['rank'])]}"
+
+
 def test_gopher_gate_matches_python_reference(spark):
     """Property-style pin: the integer rule gate agrees with a direct
     pure-Python implementation of the published rules over a planted
@@ -4641,7 +4668,8 @@ def test_gopher_gate_matches_python_reference(spark):
         lines = text.split("\n")
         n = len(toks)
         wc = sum(len(t) for t in toks)
-        sym = len(re.findall(r"#|\.\.\.|…", text))
+        n_hash = len(re.findall(r"#", text))
+        n_ell = len(re.findall(r"\.\.\.|…", text))
         alpha = sum(1 for t in toks if re.search(r"[a-z]", t))
         stop = sum(1 for s in GOPHER_STOPWORDS if s in toks)
         bl = sum(1 for l in lines if re.match(r"^[-*•]", l.lstrip()))
@@ -4650,9 +4678,10 @@ def test_gopher_gate_matches_python_reference(spark):
         return int(
             min_words <= n <= 100_000
             and 3 * n <= wc <= 10 * n
-            and 10 * sym <= n
-            and 10 * bl < 9 * nl
-            and 10 * el < 3 * nl
+            and 10 * n_hash <= n       # A1.1: each symbol ratio on its own
+            and 10 * n_ell <= n
+            and 10 * bl <= 9 * nl      # drop only when MORE than 90% / 30%
+            and 10 * el <= 3 * nl
             and 5 * alpha >= 4 * n
             and stop >= min_stop
         )
