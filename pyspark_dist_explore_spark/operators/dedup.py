@@ -345,6 +345,7 @@ def minhash_band_rows(
     bands: int = 8,
     shingle_n: int = 3,
     shingle_rows: DataFrame | None = None,
+    signatures: DataFrame | None = None,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """``(doc_id, band, band_hash)`` — the LSH banding frame, exposed as
@@ -355,18 +356,32 @@ def minhash_band_rows(
     of the snapshot.  :func:`minhash_candidates` composes on top of it
     (self-join) — identical keys, so snapshot artifacts and the batch
     pipeline can never drift apart.
+
+    ``signatures=``: a precomputed :func:`minhash_signatures` frame
+    (``doc_id, h0..h{num_hashes-1}``) consumed INSTEAD of re-deriving it
+    — bands are a pure row-local fold of the signature columns, so a
+    caller that needs both artifacts (every snapshot build does) should
+    compute the signature frame once and derive the bands from it,
+    not pay the shingle+min pass twice.  Mutually exclusive with
+    ``shingle_rows=`` (the signature frame already embeds the shingles).
     """
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    if signatures is not None and shingle_rows is not None:
+        raise ValueError("pass signatures= OR shingle_rows=, not both")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
-        df,
-        text_col,
-        id_col,
-        num_hashes=num_hashes,
-        shingle_n=shingle_n,
-        shingle_rows=shingle_rows,
-        hash_fn=hash_fn,
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(
+            df,
+            text_col,
+            id_col,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+            shingle_rows=shingle_rows,
+            hash_fn=hash_fn,
+        )
     )
 
     def band_key(b: int) -> Column:

@@ -201,13 +201,18 @@ def write_neardup_snapshot(
     )
 
     kw = dict(num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, hash_fn=hash_fn)
-    minhash_band_rows(docs, text_col, id_col, **kw).write.mode(mode).partitionBy(
-        "band"
-    ).parquet(f"{path}/bands")
+    # land the signature table FIRST, then derive the band rows from the
+    # just-landed parquet — bands are a row-local fold of the signature
+    # columns, so the corpus is shingled+min-hashed exactly ONCE per
+    # snapshot build (signatures= staging) instead of once per artifact
     minhash_signatures(
         docs, text_col, id_col,
         num_hashes=num_hashes, shingle_n=shingle_n, hash_fn=hash_fn,
     ).write.mode(mode).parquet(f"{path}/sigs")
+    landed_sigs = docs.sparkSession.read.parquet(f"{path}/sigs")
+    minhash_band_rows(
+        docs, text_col, id_col, signatures=landed_sigs, **kw
+    ).write.mode(mode).partitionBy("band").parquet(f"{path}/bands")
     # params sidecar: tiny JSON, written through the Hadoop FS so the
     # artifact works on the same scheme as the parquet halves
     _write_json_sidecar(docs.sparkSession, f"{path}/_params.json", kw)

@@ -4772,3 +4772,43 @@ def test_corpus_overlap_semantics(spark):
         a, spark.createDataFrame([(9, "zzz")], "doc_id bigint, text string")
     ).collect()[0]
     assert disjoint["n_fp_common"] == 0 and disjoint["fp_jaccard"] == 0.0
+
+
+def test_minhash_band_rows_signatures_staging(spark):
+    """signatures= derives the band frame from a precomputed signature
+    table — bit-identical to the from-scratch build (a snapshot build
+    must never pay the shingle+min pass twice), and mutually exclusive
+    with shingle_rows=."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.dedup import (
+        minhash_band_rows,
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(num_hashes=32, bands=8, shingle_n=3, hash_fn="md5")
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", num_hashes=32, shingle_n=3, hash_fn="md5"
+    )
+    from_scratch = sorted(
+        map(tuple, minhash_band_rows(docs, "text", "doc_id", **kw).collect())
+    )
+    from_sigs = sorted(
+        map(
+            tuple,
+            minhash_band_rows(docs, "text", "doc_id", signatures=sigs, **kw).collect(),
+        )
+    )
+    assert from_scratch == from_sigs and len(from_scratch) > 0
+
+    with _pytest.raises(ValueError, match="not both"):
+        minhash_band_rows(
+            docs, "text", "doc_id",
+            signatures=sigs,
+            shingle_rows=shingle_rows(docs, "text", "doc_id", 3),
+            **kw,
+        )
