@@ -110,6 +110,7 @@ from pyspark_dist_explore_spark.operators.similarity import (
     rp_topk,
 )
 from pyspark_dist_explore_spark.operators.textstats import (
+    c4_clean,
     classifier_score,
     drop_duplicate_spans,
     gopher_quality_gate,
@@ -259,6 +260,8 @@ __all__ = [
     "dsir_bucket_counts",
     "gopher_quality_gate",
     "gopher_repetition_battery",
+    # round-9 additions
+    "c4_clean",
     "perplexity_buckets",
     "classifier_score",
     "with_classifier_gate",

@@ -2133,3 +2133,230 @@ SELECT doc_id, n_cls_grams, cls_logit_num,
             THEN 1 ELSE 0 END AS cls_keep
 FROM cls_s
 """
+
+
+# --------------------------------------------------------------------------
+# X37: C4 heuristic cleaning (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+# --------------------------------------------------------------------------
+
+#: the terminal punctuation C4 requires a retained line to end with —
+#: "a period, exclamation mark, question mark, or end quotation mark"
+C4_TERMINAL_RE = r'[.!?"”]$'
+
+
+def c4_line_keep(x: Column, *, min_words_per_line: int = 3) -> Column:
+    """C4's LINE retention predicate: ends in terminal punctuation
+    (after trailing-whitespace trim), carries ≥ ``min_words_per_line``
+    words, and does not mention 'javascript' (case-insensitive) —
+    the three line-level rules of §2.2 as one row-local boolean."""
+    words = F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+    return (
+        F.rtrim(x).rlike(C4_TERMINAL_RE)
+        & (words >= F.lit(min_words_per_line))
+        & ~F.lower(x).contains("javascript")
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    line_sep: str = "\n",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """X37: the C4 cleaning heuristics (Raffel et al. 2020 §2.2) — the
+    OTHER canonical rule set next to Gopher (X31): line-level retention
+    (terminal punctuation + ≥3 words + no 'javascript') and page-level
+    drops (< ``min_sentences`` sentences, curly brace — "to remove
+    code", 'lorem ipsum', any ``bad_words`` token).  Returns one row
+    per doc: ``(doc_id, c4_n_lines, c4_n_kept_lines, c4_kept_md5,
+    c4_n_sentences, c4_has_brace, c4_has_lorem, c4_has_bad, c4_keep)``
+    — the md5 verifies the TRANSFORMATION (which lines survived, in
+    order), not just the counts.
+
+    Every column is an exact integer or an md5 of deterministic bytes
+    (ORACLES.md class A); the whole operator is ONE row-local staged
+    projection — zero shuffle, zero join, zero Python at any corpus
+    size, the same shape as the Gopher gate.  ``bad_words`` is
+    caller-supplied (the published filter uses the "List of Dirty,
+    Naughty, Obscene or Otherwise Bad Words"; shipping a list is a
+    policy decision, matching it as lowercase word tokens is not) —
+    empty tuple disables the rule.  Sentences are counted as terminal
+    marks ``[.!?]`` in the RETAINED text, the standard reproduction of
+    the paper's langdetect-era sentence count.
+    """
+    import re as _re
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(t, _re.escape(line_sep)).alias("__c4_lines"),
+        t.alias("__c4_raw"),
+    )
+    kept = F.filter(
+        F.col("__c4_lines"),
+        lambda x: c4_line_keep(x, min_words_per_line=min_words_per_line),
+    )
+    staged2 = staged.select(
+        "doc_id",
+        F.size(F.col("__c4_lines")).cast("bigint").alias("c4_n_lines"),
+        F.size(kept).cast("bigint").alias("c4_n_kept_lines"),
+        F.array_join(kept, line_sep).alias("__c4_kept"),
+        F.col("__c4_raw").contains("{").cast("int").alias("c4_has_brace"),
+        F.lower(F.col("__c4_raw")).contains("lorem ipsum").cast("int")
+        .alias("c4_has_lorem"),
+        (
+            F.arrays_overlap(
+                F.filter(tokens(F.col("__c4_raw")), lambda x: x != ""),
+                F.array(*[F.lit(w) for w in bad_words]),
+            ).cast("int")
+            if bad_words
+            else F.lit(0)
+        ).alias("c4_has_bad"),
+    )
+    n_sent = F.regexp_count(F.col("__c4_kept"), F.lit(r"[.!?]")).cast("bigint")
+    return staged2.select(
+        "doc_id",
+        "c4_n_lines",
+        "c4_n_kept_lines",
+        F.md5(F.col("__c4_kept")).alias("c4_kept_md5"),
+        n_sent.alias("c4_n_sentences"),
+        "c4_has_brace",
+        "c4_has_lorem",
+        "c4_has_bad",
+        (
+            (n_sent >= F.lit(min_sentences))
+            & (F.col("c4_has_brace") == 0)
+            & (F.col("c4_has_lorem") == 0)
+            & (F.col("c4_has_bad") == 0)
+        ).cast("int").alias("c4_keep"),
+    )
+
+
+def c4_sql(
+    src: str,
+    *,
+    line_sep: str = "\n",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple[str, ...] | list[str] = (),
+) -> str:
+    """DuckDB twin of :func:`c4_clean` — same line predicate, same
+    rebuild, same md5 bytes.  ``src`` must yield ``(doc_id, text)``."""
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    sep = line_sep.replace("'", "''").replace("\n", "' || chr(10) || '")
+    sep_lit = f"'{sep}'" if line_sep != "\n" else "chr(10)"
+    if bad_words:
+        arr = ", ".join("'" + w.replace("'", "''") + "'" for w in bad_words)
+        bad = (
+            f"CASE WHEN list_has_any(list_filter(string_split({norm}, ' '), "
+            f"x -> x <> ''), [{arr}]) THEN 1 ELSE 0 END"
+        )
+    else:
+        bad = "0"
+    return f"""
+WITH c4_src AS ({src}),
+c4_t AS (
+  SELECT doc_id,
+         string_split(COALESCE(text, ''), {sep_lit}) AS ls,
+         COALESCE(text, '') AS raw
+  FROM c4_src
+),
+c4_k AS (
+  SELECT doc_id, ls, raw,
+         list_filter(ls, x -> regexp_matches(rtrim(x), '[.!?"”]$')
+             AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= {min_words_per_line}
+             AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM c4_t
+),
+c4_s AS (
+  SELECT doc_id,
+         CAST(len(ls) AS BIGINT) AS c4_n_lines,
+         CAST(len(kept) AS BIGINT) AS c4_n_kept_lines,
+         COALESCE(array_to_string(kept, {sep_lit}), '') AS kept_text,
+         CASE WHEN contains(raw, '{{') THEN 1 ELSE 0 END AS c4_has_brace,
+         CASE WHEN contains(lower(raw), 'lorem ipsum') THEN 1 ELSE 0 END AS c4_has_lorem,
+         {bad} AS c4_has_bad
+  FROM c4_k
+)
+SELECT doc_id, c4_n_lines, c4_n_kept_lines,
+       md5(kept_text) AS c4_kept_md5,
+       CAST(len(regexp_extract_all(kept_text, '[.!?]')) AS BIGINT) AS c4_n_sentences,
+       c4_has_brace, c4_has_lorem, c4_has_bad,
+       CASE WHEN len(regexp_extract_all(kept_text, '[.!?]')) >= {min_sentences}
+             AND c4_has_brace = 0 AND c4_has_lorem = 0 AND c4_has_bad = 0
+            THEN 1 ELSE 0 END AS c4_keep
+FROM c4_s
+"""
+
+
+def inject_punctuation(t: Column) -> Column:
+    """Deterministic punctuation/line-structure injection — the gate
+    ADAPTER for punctuation-free corpora (the md5-parity-planes trick,
+    :func:`~pyspark_dist_explore_spark.operators.similarity.lsh_bucket`,
+    applied to text): each whitespace token of the normalized text gets
+    a suffix chosen by the first md5 hex digit of ``token:position``
+    mod 4 — ``'. '`` / ``'? '`` / ``' '`` / ``'.\\n'`` — so sentence
+    ends, weak lines and line breaks all occur at corpus-independent,
+    engine-reproducible places.  Exists ONLY so the registered C4
+    section exercises every line/sentence rule with a MIXED gate on the
+    synthetic word-salad corpus (which has no punctuation at all);
+    real corpora call :func:`c4_clean` directly."""
+    toks = F.filter(tokens(F.coalesce(t, F.lit(""))), lambda x: x != "")
+
+    # transform with index; rebuild via a lambda-local suffix CASE
+    def _suffix(x: Column, i: Column) -> Column:
+        d = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("c4:"), x, F.lit(":"), i.cast("string"))),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 4
+        )
+        return F.concat(
+            x,
+            F.when(d == 0, F.lit(". "))
+            .when(d == 1, F.lit("? "))
+            .when(d == 2, F.lit(" "))
+            .otherwise(F.lit(".\n")),
+        )
+
+    return F.array_join(F.transform(toks, _suffix), "")
+
+
+def inject_punctuation_sql(src: str) -> str:
+    """DuckDB rendering of :func:`inject_punctuation` (ONE definition of
+    the md5-parity suffix rule for both engines).  ``src`` yields
+    ``(doc_id, text)``; returns a query yielding ``(doc_id, text)``
+    with the injected text (empty docs come through as '')."""
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    return f"""
+SELECT s.doc_id, COALESCE(j.text, '') AS text
+FROM ({src}) s
+LEFT JOIN (
+  SELECT doc_id,
+         string_agg(
+           tok || CASE CAST(('0x' || substr(md5('c4:' || tok || ':' || CAST(pos AS VARCHAR)), 1, 1)) AS INT) % 4
+                  WHEN 0 THEN '. ' WHEN 1 THEN '? ' WHEN 2 THEN ' '
+                  ELSE '.' || chr(10) END,
+           '' ORDER BY pos) AS text
+  FROM (
+    SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
+    FROM (SELECT doc_id, list_filter(string_split({norm}, ' '), x -> x <> '') AS l
+          FROM ({src}) s2) t
+  ) tok_rows
+  GROUP BY doc_id
+) j ON s.doc_id = j.doc_id
+"""

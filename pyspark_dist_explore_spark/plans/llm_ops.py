@@ -1696,6 +1696,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(docs, "text", "doc_id")
 
 
+#: the registered C4 gate's sentence floor — chosen so the page-level
+#: rule MIXES on the md5-punctuated word-salad corpus (272 kept / 228
+#: dropped at sf0.01; the injected sentence-mark median is ~33)
+_C4_MIN_SENTENCES = 30
+
+
 def _scrub_repetition_oracle() -> str:
     """DuckDB twin of scrub_text ⋈ repetition_signals: the same ordered
     regexp_replace chain (counts measured on the ORIGINAL text), md5 of
@@ -1774,15 +1780,22 @@ sd AS (
          n_tok_dropped AS n_span_tok_dropped,
          n_dup_spans
   FROM ({textstats.drop_duplicate_spans_sql("SELECT doc_id, text FROM documents", k=8, min_count=2)})
+),
+c4 AS (
+  SELECT doc_id, c4_n_lines, c4_n_kept_lines, c4_kept_md5, c4_n_sentences, c4_keep
+  FROM ({textstats.c4_sql(textstats.inject_punctuation_sql("SELECT doc_id, text FROM documents"), min_sentences=_C4_MIN_SENTENCES)})
 )
 SELECT s.doc_id, n_email, n_url, n_phone, scrub_hash,
        n_tokens, dup_token_frac, top_bigram_frac,
        ld.line_dedup_hash, ld.n_lines_kept, ld.n_lines_dropped,
        sd.span_dedup_hash, sd.n_span_tok_kept, sd.n_span_tok_dropped,
-       sd.n_dup_spans
+       sd.n_dup_spans,
+       c4.c4_n_lines, c4.c4_n_kept_lines, c4.c4_kept_md5,
+       c4.c4_n_sentences, c4.c4_keep
 FROM s JOIN rep ON s.doc_id = rep.doc_id
 JOIN ld ON s.doc_id = ld.doc_id
 JOIN sd ON s.doc_id = sd.doc_id
+JOIN c4 ON s.doc_id = c4.doc_id
 """
 
 
@@ -1829,7 +1842,26 @@ def q_text_scrub_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok_dropped").alias("n_span_tok_dropped"),
         "n_dup_spans",
     )
-    return scrub.join(rep, "doc_id").join(ld, "doc_id").join(sd, "doc_id")
+    # X37 (round 9): C4 cleaning heuristics over the md5-punctuated
+    # corpus (inject_punctuation — the synthetic docs carry no
+    # punctuation, so the adapter makes every line/sentence rule fire
+    # at engine-reproducible places); the md5 verifies WHICH lines the
+    # line-level rules retained, in order
+    inj = docs.select(
+        "doc_id", textstats.inject_punctuation(F.col("text")).alias("text")
+    )
+    c4 = textstats.c4_clean(
+        inj, "text", "doc_id", min_sentences=_C4_MIN_SENTENCES
+    ).select(
+        "doc_id", "c4_n_lines", "c4_n_kept_lines", "c4_kept_md5",
+        "c4_n_sentences", "c4_keep",
+    )
+    return (
+        scrub.join(rep, "doc_id")
+        .join(ld, "doc_id")
+        .join(sd, "doc_id")
+        .join(c4, "doc_id")
+    )
 
 
 def _lang_id_oracle() -> str:

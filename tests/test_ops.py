@@ -4812,3 +4812,134 @@ def test_minhash_band_rows_signatures_staging(spark):
             shingle_rows=shingle_rows(docs, "text", "doc_id", 3),
             **kw,
         )
+
+
+# --------------------------------------------------------------------------
+# X37: C4 heuristic cleaning (Raffel et al. 2020 §2.2)
+# --------------------------------------------------------------------------
+
+
+def test_c4_clean_rule_semantics(spark):
+    """Every published C4 rule fires on a planted violator: line-level
+    (terminal punctuation, ≥3 words, 'javascript') and page-level
+    (<5 sentences, '{', 'lorem ipsum', bad-word list)."""
+    from pyspark_dist_explore_spark.operators.textstats import c4_clean
+
+    good = "\n".join(
+        ["This is a fine sentence.", "Here is another good one!",
+         "Is this a question?", 'She said "yes."', "And one more to close it."]
+    )
+    rows = [
+        (1, good),                                            # passes everything
+        (2, good.replace("another good one!", "another good one")),  # line loses punct
+        (3, "Too few words.\nOk.\nNo.", ),                    # short lines dropped -> 1 sentence... 
+        (4, good + "\nPlease enable javascript to continue."),# js line dropped, page kept
+        (5, good + "\nfunction f() { return 1; }"),           # brace -> page dropped
+        (6, good + "\nLorem Ipsum dolor sit amet."),          # lorem -> page dropped
+        (7, good + "\nthis mentions forbiddenword here."),    # bad word -> dropped
+        (8, None),                                            # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in c4_clean(
+            df, "text", "doc_id", bad_words=("forbiddenword",)
+        ).collect()
+    }
+    assert out[1]["c4_keep"] == 1 and out[1]["c4_n_kept_lines"] == 5
+    # line without terminal punctuation is dropped -> only 4 sentences
+    assert out[2]["c4_n_kept_lines"] == 4 and out[2]["c4_keep"] == 0
+    # <3-word lines all dropped regardless of punctuation
+    assert out[3]["c4_n_kept_lines"] == 1 and out[3]["c4_keep"] == 0
+    # javascript LINE dropped, page survives (5 clean sentences remain)
+    assert out[4]["c4_n_kept_lines"] == 5 and out[4]["c4_keep"] == 1
+    assert out[5]["c4_has_brace"] == 1 and out[5]["c4_keep"] == 0
+    assert out[6]["c4_has_lorem"] == 1 and out[6]["c4_keep"] == 0
+    assert out[7]["c4_has_bad"] == 1 and out[7]["c4_keep"] == 0
+    assert out[8]["c4_n_lines"] == 1 and out[8]["c4_keep"] == 0
+    # the md5 verifies WHICH lines survived: doc 4's kept text == doc 1's
+    assert out[4]["c4_kept_md5"] == out[1]["c4_kept_md5"]
+
+
+def test_c4_clean_matches_duckdb(spark):
+    """Bit-exact twin on planted realistic docs AND on the injected
+    word-salad corpus (both dialects render one rule definition)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        c4_clean,
+        c4_sql,
+        inject_punctuation,
+        inject_punctuation_sql,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    inj = docs.select("doc_id", inject_punctuation(F.col("text")).alias("text"))
+    got = sorted(
+        map(tuple, c4_clean(inj, "text", "doc_id", min_sentences=12).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                c4_sql(
+                    inject_punctuation_sql("SELECT doc_id, text FROM documents"),
+                    min_sentences=12,
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 500
+    # the injected gate must be MIXED, not vacuous
+    keeps = [r[-1] for r in got]
+    assert 0 < sum(keeps) < len(keeps)
+
+
+def test_c4_clean_plan_no_exchange(spark):
+    """Like Gopher/X29: one row-local staged projection — no Exchange,
+    no Python (the filter rides the scan at any corpus size)."""
+    from pyspark_dist_explore_spark.operators.textstats import c4_clean
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        c4_clean(docs, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_inject_punctuation_deterministic(spark):
+    """The adapter is a pure function of (token, position): stable
+    across partitionings, and suffixes actually mix all four kinds."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.textstats import inject_punctuation
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    a = {
+        r["doc_id"]: r["t"]
+        for r in docs.repartition(1)
+        .select("doc_id", inject_punctuation(F.col("text")).alias("t"))
+        .collect()
+    }
+    b = {
+        r["doc_id"]: r["t"]
+        for r in docs.repartition(7, "doc_id")
+        .select("doc_id", inject_punctuation(F.col("text")).alias("t"))
+        .collect()
+    }
+    assert a == b
+    joined = " ".join(a.values())
+    assert "." in joined and "?" in joined and "\n" in joined
