@@ -123,6 +123,7 @@ from pyspark_dist_explore_spark.operators.textstats import (
 from pyspark_dist_explore_spark.pipeline import (
     containment_pair_fn,
     curate_documents,
+    curation_funnel,
     minhash_pair_fn,
     semantic_pair_fn,
     union_pair_fns,
@@ -262,6 +263,7 @@ __all__ = [
     "gopher_repetition_battery",
     # round-9 additions
     "c4_clean",
+    "curation_funnel",
     "perplexity_buckets",
     "classifier_score",
     "with_classifier_gate",

@@ -770,3 +770,61 @@ def curate_documents(
     return hash_split(out, "doc_id", fractions=split_fractions).select(
         "doc_id", "lang_pred", "quality", "split"
     )
+
+
+def curation_funnel(
+    flags: DataFrame,
+    gate_cols: Sequence[str],
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """X38: per-gate drop attribution — the observability card every
+    production curation pipeline reads before touching a threshold:
+    for each quality gate, how many documents fail it, how many fail
+    ONLY it (the docs that gate alone is responsible for losing), and
+    how many survive the whole conjunction.
+
+    ``flags``: a frame carrying one 0/1 INT column per gate (however
+    the caller built them — ride an existing scan with the importable
+    gate expressions: :func:`~pyspark_dist_explore_spark.operators.
+    textstats.gopher_keep_expr`, ``classifier_exprs``,
+    ``c4_clean``'s keep, a quality threshold).  ``gate_cols`` orders
+    the report.  ``group_col=None`` reports one ``'ALL'`` row.
+
+    Output per group: ``(group, n_docs, {g}_fail, {g}_fail_only …,
+    n_survivors)`` — all exact BIGINT counts (class A).
+
+    Scale shape: ONE hash aggregate over row-local 0/1 arithmetic —
+    map-side partials collapse every partition to ≤ |groups| rows, so
+    the shuffle is group-sized regardless of corpus size; no join, no
+    second scan, no Python.  This is why the report is effectively
+    free when the flags ride the scoring scan the pipeline already
+    pays for.
+    """
+    if not gate_cols:
+        raise ValueError("gate_cols must name at least one 0/1 gate column")
+    g = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+        if group_col is not None
+        else F.lit("ALL")
+    )
+
+    def prod(cols: Sequence[str]) -> F.Column:
+        out = F.lit(1)
+        for c in cols:
+            out = out * F.col(c)
+        return out
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for gc in gate_cols:
+        others = [c for c in gate_cols if c != gc]
+        aggs.append(
+            F.sum(F.lit(1) - F.col(gc)).cast("bigint").alias(f"{gc}_fail")
+        )
+        aggs.append(
+            F.sum((F.lit(1) - F.col(gc)) * prod(others))
+            .cast("bigint")
+            .alias(f"{gc}_fail_only")
+        )
+    aggs.append(F.sum(prod(list(gate_cols))).cast("bigint").alias("n_survivors"))
+    return flags.select(g.alias("group"), *gate_cols).groupBy("group").agg(*aggs)

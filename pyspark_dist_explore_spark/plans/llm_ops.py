@@ -2066,6 +2066,11 @@ def _q_multimodal_features_staged(spark: SparkSession, sf_dir: str) -> DataFrame
 #: still exercising the (cnt DESC, tok ASC) tie-broken top-V induction.
 _VOCAB_SIZE = 16
 
+#: X38 funnel's min-length gate (the simplest real pipeline gate) —
+#: ≥40 normalized tokens keeps 331/500 at sf0.01, so all three funnel
+#: gates are MIXED (Gopher 20/1 keeps 367, the classifier keeps 133)
+_FUNNEL_MIN_TOKENS = 40
+
 
 @register(
     "corpus_profile",
@@ -2090,11 +2095,37 @@ SELECT "group",
        round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_frac
 FROM scored GROUP BY "group"
 ),
-vo AS ({textstats.vocabulary_oov_sql("SELECT source, text FROM documents", "source", _VOCAB_SIZE)})
+vo AS ({textstats.vocabulary_oov_sql("SELECT source, text FROM documents", "source", _VOCAB_SIZE)}),
+fn_flags AS (
+  SELECT COALESCE(CAST(d.source AS VARCHAR), '') AS "group",
+         CASE WHEN g.gq_n_words >= {_FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END AS len_keep,
+         g.gq_keep, c.cls_keep
+  FROM documents d
+  JOIN ({textstats.gopher_sql("SELECT doc_id, text FROM documents", min_words=_GOPHER_MIN_WORDS, min_stop_words=_GOPHER_MIN_STOP)}) g
+    ON d.doc_id = g.doc_id
+  JOIN ({textstats.classifier_sql("SELECT doc_id, text FROM documents")}) c
+    ON d.doc_id = c.doc_id
+),
+fn AS (
+  SELECT "group",
+         CAST(SUM(1 - len_keep) AS BIGINT) AS len_keep_fail,
+         CAST(SUM((1 - len_keep) * gq_keep * cls_keep) AS BIGINT) AS len_keep_fail_only,
+         CAST(SUM(1 - gq_keep) AS BIGINT) AS gq_keep_fail,
+         CAST(SUM((1 - gq_keep) * len_keep * cls_keep) AS BIGINT) AS gq_keep_fail_only,
+         CAST(SUM(1 - cls_keep) AS BIGINT) AS cls_keep_fail,
+         CAST(SUM((1 - cls_keep) * len_keep * gq_keep) AS BIGINT) AS cls_keep_fail_only,
+         CAST(SUM(len_keep * gq_keep * cls_keep) AS BIGINT) AS n_survivors
+  FROM fn_flags GROUP BY "group"
+)
 SELECT prof.*,
        CAST(COALESCE(vo.in_vocab_tokens, 0) AS BIGINT) AS in_vocab_tokens,
-       CAST(COALESCE(vo.oov_tokens, 0) AS BIGINT) AS oov_tokens
+       CAST(COALESCE(vo.oov_tokens, 0) AS BIGINT) AS oov_tokens,
+       fn.len_keep_fail, fn.len_keep_fail_only,
+       fn.gq_keep_fail, fn.gq_keep_fail_only,
+       fn.cls_keep_fail, fn.cls_keep_fail_only,
+       fn.n_survivors
 FROM prof LEFT JOIN vo ON prof."group" = vo."group"
+JOIN fn ON prof."group" = fn."group"
 """,
 )
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2107,15 +2138,62 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-broken induced vocab's per-source in-vocab/OOV token counts
     (pure integers, the pre-tokenizer-sizing signal), vocab induced via
     ``TakeOrderedAndProject`` over the type-count aggregate and
-    broadcast into the coverage join."""
+    broadcast into the coverage join — and, since round 9, the X38
+    CURATION FUNNEL card: per-source per-gate drop attribution
+    (fail / fail-ONLY / survivors for a min-length + Gopher +
+    classifier gate conjunction — all flags ride one row-local staged
+    projection into ONE group-sized aggregate,
+    :func:`pipeline.curation_funnel`)."""
+    from pyspark_dist_explore_spark.pipeline import curation_funnel
+
     docs = load_table(spark, sf_dir, "documents")
     prof = textstats.corpus_profile(docs, "text", "doc_id", group_col="source")
     vocab = textstats.vocabulary(docs, "text", size=_VOCAB_SIZE)
     oov = textstats.oov_stats(docs, "text", "source", vocab)
-    return prof.join(oov, "group", "left").select(
-        prof["*"],
-        F.coalesce(F.col("in_vocab_tokens"), F.lit(0)).cast("bigint").alias("in_vocab_tokens"),
-        F.coalesce(F.col("oov_tokens"), F.lit(0)).cast("bigint").alias("oov_tokens"),
+    tq = F.coalesce(F.col("text"), F.lit(""))
+    staged = docs.select(
+        F.col("source").alias("grp"),
+        F.filter(textstats.tokens(tq), lambda x: x != "").alias("__toks"),
+        F.split(tq, "\n").alias("__lines"),
+        tq.alias("__raw"),
+    )
+    # classifier gate via the STAGED once-per-row form (the X29
+    # lesson: the single-expression form re-evaluates the gram+fold
+    # chain per consumer — measured ~2x on this projection)
+    sig = textstats.with_classifier_gate(
+        staged.select(
+            "grp",
+            *textstats.gopher_signal_exprs(
+                F.col("__toks"), F.col("__lines"), F.col("__raw")
+            ),
+            "__raw",
+        ),
+        F.col("__raw"),
+        hash_fn="md5",
+    )
+    flags = sig.select(
+        "grp",
+        (F.col("gq_n_words") >= _FUNNEL_MIN_TOKENS).cast("int").alias("len_keep"),
+        textstats.gopher_keep_expr(
+            min_words=_GOPHER_MIN_WORDS, min_stop_words=_GOPHER_MIN_STOP
+        ).alias("gq_keep"),
+        "cls_keep",
+    )
+    funnel = curation_funnel(
+        flags, ["len_keep", "gq_keep", "cls_keep"], group_col="grp"
+    ).drop("n_docs")
+    return (
+        prof.join(oov, "group", "left")
+        .join(funnel, "group")
+        .select(
+            prof["*"],
+            F.coalesce(F.col("in_vocab_tokens"), F.lit(0)).cast("bigint").alias("in_vocab_tokens"),
+            F.coalesce(F.col("oov_tokens"), F.lit(0)).cast("bigint").alias("oov_tokens"),
+            "len_keep_fail", "len_keep_fail_only",
+            "gq_keep_fail", "gq_keep_fail_only",
+            "cls_keep_fail", "cls_keep_fail_only",
+            "n_survivors",
+        )
     )
 
 

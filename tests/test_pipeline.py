@@ -992,3 +992,70 @@ def test_curate_dsir_selection(spark):
 
     with _pytest.raises(ValueError, match="go together"):
         curate_documents(docs, "text", "doc_id", dsir_target=tgt)
+
+
+# --------------------------------------------------------------------------
+# X38: curation funnel (per-gate drop attribution)
+# --------------------------------------------------------------------------
+
+
+def test_curation_funnel_matches_brute_force(spark):
+    """Funnel counts == a pure-Python recount over planted flag rows:
+    fail / fail-only / survivors per group, NULL group folded to ''."""
+    import itertools
+
+    from pyspark_dist_explore_spark.pipeline import curation_funnel
+
+    rows = [
+        (grp, a, b, c)
+        for grp in ("x", "y", None)
+        for (a, b, c) in itertools.product((0, 1), repeat=3)
+        for _ in range(hash((grp, a, b, c)) % 3 + 1)
+    ]
+    df = spark.createDataFrame(rows, "grp string, g1 int, g2 int, g3 int")
+    got = {
+        r["group"]: r.asDict()
+        for r in curation_funnel(df, ["g1", "g2", "g3"], group_col="grp").collect()
+    }
+    for grp_key in ("x", "y", ""):
+        sub = [r for r in rows if (r[0] or "") == grp_key]
+        want_docs = len(sub)
+        assert got[grp_key]["n_docs"] == want_docs
+        for i, g in enumerate(("g1", "g2", "g3"), start=1):
+            fails = [r for r in sub if r[i] == 0]
+            only = [r for r in fails if all(r[j] == 1 for j in (1, 2, 3) if j != i)]
+            assert got[grp_key][f"{g}_fail"] == len(fails), (grp_key, g)
+            assert got[grp_key][f"{g}_fail_only"] == len(only), (grp_key, g)
+        assert got[grp_key]["n_survivors"] == len(
+            [r for r in sub if r[1] == r[2] == r[3] == 1]
+        )
+    # identity: n_docs - survivors >= sum of fail_only (overlaps shrink it)
+    for grp_key in got:
+        dropped = got[grp_key]["n_docs"] - got[grp_key]["n_survivors"]
+        only_sum = sum(got[grp_key][f"{g}_fail_only"] for g in ("g1", "g2", "g3"))
+        assert dropped >= only_sum
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        curation_funnel(df, [], group_col="grp")
+
+
+def test_curation_funnel_single_aggregate_plan(spark):
+    """ONE hash aggregate (map-side partials -> group-sized shuffle),
+    no Python, no join in the funnel itself."""
+    from pyspark_dist_explore_spark.pipeline import curation_funnel
+
+    df = spark.createDataFrame(
+        [("a", 1, 0), ("b", 0, 1)], "grp string, g1 int, g2 int"
+    )
+    plan = (
+        curation_funnel(df, ["g1", "g2"], group_col="grp")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
