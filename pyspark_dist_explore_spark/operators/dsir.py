@@ -261,10 +261,11 @@ def topk_by_rank(df: DataFrame, n_keep: int, order: list[Column]) -> DataFrame:
     """
     parts = df.repartitionByRange(*order)
     with_pid = parts.withColumn("__pid", F.spark_partition_id())
-    # P rows of partition metadata — driver-trivial at any data size
     counts = sorted(
         (r["__pid"], r["cnt"])
-        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        for r in with_pid.groupBy("__pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()  # bounded-collect: ≤ P rows of partition METADATA (pid, count), never data
     )
     offsets, acc = {}, 0
     for pid, cnt in counts:

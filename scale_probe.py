@@ -882,6 +882,93 @@ def main() -> None:
             "decade2_ratio": round(t100 / t10, 2),
         }))
 
+    # -- round 9: C4 cleaning + curation funnel at 10×/100× ----------------
+    # both are row-local projections (+ one group-sized aggregate for the
+    # funnel): wall must track the scan, output rows track docs (C4) /
+    # stay |groups|-sized (funnel) — any super-linearity would mean the
+    # flags stopped riding the scan
+    if True:
+        from pyspark_dist_explore_spark.operators import textstats as _ts
+        from pyspark_dist_explore_spark.pipeline import curation_funnel as _cf
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text", "source"
+        )
+
+        def c4_copies(n: int) -> DataFrame:
+            return reduce(
+                DataFrame.unionAll,
+                [
+                    docs.select(
+                        (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                        F.concat(
+                            F.lit(f"x{i} "),
+                            F.regexp_replace(F.col("text"), " ", f" x{i}"),
+                        ).alias("text"),
+                        F.col("source"),
+                    )
+                    for i in range(n)
+                ],
+            )
+
+        def run_c4(d: DataFrame) -> tuple[float, int]:
+            inj = d.select(
+                "doc_id", _ts.inject_punctuation(F.col("text")).alias("text")
+            )
+            return timed(_ts.c4_clean(inj, "text", "doc_id", min_sentences=30))
+
+        t1, n1 = run_c4(docs)
+        t10, n10 = run_c4(c4_copies(10))
+        t100, n100 = run_c4(c4_copies(100))
+        print(json.dumps({
+            "probe": "c4_clean_100x", "t_1x": t1, "t_10x": t10, "t_100x": t100,
+            "docs_1x": n1, "docs_10x": n10, "docs_100x": n100,
+            "ratio_10x": round(t10 / t1, 2), "ratio_100x": round(t100 / t1, 2),
+            "decade2_ratio": round(t100 / t10, 2),
+        }))
+
+        def run_funnel(d: DataFrame) -> tuple[float, int]:
+            tq = F.coalesce(F.col("text"), F.lit(""))
+            staged = d.select(
+                F.col("source").alias("grp"),
+                F.filter(_ts.tokens(tq), lambda x: x != "").alias("__toks"),
+                F.split(tq, "\n").alias("__lines"),
+                tq.alias("__raw"),
+            )
+            sig = _ts.with_classifier_gate(
+                staged.select(
+                    "grp",
+                    *_ts.gopher_signal_exprs(
+                        F.col("__toks"), F.col("__lines"), F.col("__raw")
+                    ),
+                    "__raw",
+                ),
+                F.col("__raw"),
+                hash_fn="md5",
+            )
+            flags = sig.select(
+                "grp",
+                (F.col("gq_n_words") >= 40).cast("int").alias("len_keep"),
+                _ts.gopher_keep_expr(min_words=20, min_stop_words=1).alias(
+                    "gq_keep"
+                ),
+                "cls_keep",
+            )
+            return timed(
+                _cf(flags, ["len_keep", "gq_keep", "cls_keep"], group_col="grp")
+            )
+
+        t1, n1 = run_funnel(docs)
+        t10, n10 = run_funnel(c4_copies(10))
+        t100, n100 = run_funnel(c4_copies(100))
+        print(json.dumps({
+            "probe": "curation_funnel_100x", "t_1x": t1, "t_10x": t10,
+            "t_100x": t100, "groups_1x": n1, "groups_10x": n10,
+            "groups_100x": n100,
+            "ratio_10x": round(t10 / t1, 2), "ratio_100x": round(t100 / t1, 2),
+            "decade2_ratio": round(t100 / t10, 2),
+        }))
+
     spark.stop()
 
 
