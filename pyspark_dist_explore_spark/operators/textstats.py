@@ -2236,6 +2236,52 @@ def c4_clean(
     )
 
 
+def with_c4_gate(
+    df: DataFrame,
+    t: Column,
+    *,
+    line_sep: str = "\n",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Append ``(__c4_kept, c4_keep)`` to ``df`` via staged projections
+    — the pipeline-predicate form of :func:`c4_clean` (all input
+    columns preserved, the retained-lines text exposed so the caller
+    can REPLACE the page text with it, which is what the published C4
+    pipeline does).  ``t`` is the text expression over ``df``'s
+    columns."""
+    import re as _re
+
+    ct = F.coalesce(t, F.lit(""))
+    staged = df.select(
+        "*", F.split(ct, _re.escape(line_sep)).alias("__c4_lines")
+    )
+    kept = F.filter(
+        F.col("__c4_lines"),
+        lambda x: c4_line_keep(x, min_words_per_line=min_words_per_line),
+    )
+    staged2 = staged.select(
+        "*", F.array_join(kept, line_sep).alias("__c4_kept")
+    ).drop("__c4_lines")
+    n_sent = F.regexp_count(F.col("__c4_kept"), F.lit(r"[.!?]")).cast("bigint")
+    bad = (
+        F.arrays_overlap(
+            F.filter(tokens(ct), lambda x: x != ""),
+            F.array(*[F.lit(w) for w in bad_words]),
+        )
+        if bad_words
+        else F.lit(False)
+    )
+    keep = (
+        (n_sent >= F.lit(min_sentences))
+        & ~ct.contains("{")
+        & ~F.lower(ct).contains("lorem ipsum")
+        & ~bad
+    ).cast("int")
+    return staged2.select("*", keep.alias("c4_keep"))
+
+
 def c4_sql(
     src: str,
     *,

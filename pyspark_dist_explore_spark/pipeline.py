@@ -260,6 +260,7 @@ def curate_documents(
     classifier_threshold: tuple[int, int] | None = None,
     classifier_weights: DataFrame | None = None,
     gopher_rules: dict | None = None,
+    c4_rules: dict | None = None,
     allowed_langs: Sequence[str] | None = None,
     pair_fn: PairFn | None = None,
     jaccard_threshold: float = 0.9,
@@ -350,6 +351,17 @@ def curate_documents(
     the same scan (``{}`` = the paper's published bounds; the dict
     passes :func:`gopher_keep_expr`'s knobs).  Sees the post-scrub
     text, like every quality gate here.
+
+    ``c4_rules={...}`` (opt-in) runs the X37 C4 cleaning heuristics
+    (Raffel et al. 2020 §2.2, :func:`operators.textstats.with_c4_gate`)
+    FIRST among the text-rewriting stages, exactly as the published
+    pipeline did: lines failing the retention rules are REMOVED (the
+    retained lines replace the page text for every downstream stage)
+    and pages failing the page rules are dropped.  Two pages differing
+    only in junk lines become exact duplicates here and collapse in
+    the dedup stage.  ``{}`` = the paper's bounds; the dict passes
+    ``with_c4_gate``'s knobs (``min_words_per_line``,
+    ``min_sentences``, ``bad_words``, ``line_sep``).
 
     ``scrub=True`` redacts PII-shaped spans (`textstats.scrub_text`
     patterns) BEFORE anything else, so quality scoring, fingerprinting,
@@ -459,6 +471,25 @@ def curate_documents(
         docs = normalize_unicode(
             docs, text_col, id_col, form=unicode_form
         ).select(F.col("doc_id").alias(id_col), F.col("text").alias(text_col))
+
+    if c4_rules is not None:
+        # X37: the C4 cleaning heuristics as the published pipeline ran
+        # them — FIRST of the text-rewriting stages: failing pages drop,
+        # and the RETAINED LINES REPLACE the page text, so every
+        # fingerprint/quality/dedup stage below sees the cleaned text
+        # (two pages differing only in junk lines become exact dups
+        # here and collapse in the dedup stage).  Row-local staged
+        # projection, zero joins/shuffles; the dict passes
+        # :func:`operators.textstats.with_c4_gate`'s knobs ({} = the
+        # paper's bounds)
+        from pyspark_dist_explore_spark.operators.textstats import with_c4_gate
+
+        docs = (
+            with_c4_gate(docs, F.col(text_col), **c4_rules)
+            .where(F.col("c4_keep") == 1)
+            .withColumn(text_col, F.col("__c4_kept"))
+            .drop("__c4_kept", "c4_keep")
+        )
 
     if drop_boilerplate_lines is not None:
         # corpus-wide line-level boilerplate removal FIRST, so quality

@@ -1059,3 +1059,44 @@ def test_curation_funnel_single_aggregate_plan(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_curate_c4_rules_rewrite_and_collapse(spark):
+    """c4_rules= runs the published C4 semantics inside the pipeline:
+    junk lines are REMOVED (retained lines replace the page text), so
+    two pages differing only in junk lines become exact duplicates and
+    collapse in the dedup stage; brace/lorem pages drop entirely."""
+    from pyspark_dist_explore_spark.pipeline import curate_documents
+
+    clean = "\n".join(
+        [
+            "The quick brown fox jumps over the lazy dog today.",
+            "Here is another perfectly good sentence for you!",
+            "Is this a question about the corpus?",
+            "She said the answer was definitely yes.",
+            "And one more full sentence to close the page.",
+        ]
+    )
+    rows = [
+        (1, clean),
+        (2, clean + "\nnav menu"),                 # junk line only -> dup of 1
+        (3, clean + "\nfunction f() { return; }"), # brace -> page dropped
+        (4, "Too short."),                         # <5 sentences -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = curate_documents(
+        df,
+        min_quality=0.0,
+        c4_rules={},
+        split_fractions={"train": 1.0},
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 3 and 4 dropped by the page rules; 1 and 2 became identical after
+    # the line filter, so exact dedup keeps only the min id
+    assert kept == [1]
+
+    # without c4_rules the page rules don't fire: 3 and 4 survive (2
+    # still collapses into 1 — the default near-dup stage catches the
+    # one-junk-line twin even though exact dedup can't)
+    base = curate_documents(df, min_quality=0.0, split_fractions={"train": 1.0})
+    assert sorted(r["doc_id"] for r in base.collect()) == [1, 3, 4]
