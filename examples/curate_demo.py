@@ -49,6 +49,39 @@ def main() -> None:
     # 2. first-look EDA card ----------------------------------------------
     corpus_profile(corpus, "text", "doc_id", group_col="source").show(6)
 
+    # 2b. gate funnel BEFORE committing to thresholds: which gate is
+    # responsible for which loss, per source (X38) ------------------------
+    from pyspark_dist_explore_spark import curation_funnel
+    from pyspark_dist_explore_spark.operators.textstats import (
+        gopher_keep_expr,
+        gopher_signal_exprs,
+        tokens,
+        with_classifier_gate,
+    )
+
+    tq = F.coalesce(F.col("text"), F.lit(""))
+    staged = corpus.select(
+        F.col("source").alias("grp"),
+        F.filter(tokens(tq), lambda x: x != "").alias("__toks"),
+        F.split(tq, "\n").alias("__lines"),
+        tq.alias("__raw"),
+    )
+    sig = with_classifier_gate(
+        staged.select(
+            "grp",
+            *gopher_signal_exprs(F.col("__toks"), F.col("__lines"), F.col("__raw")),
+            "__raw",
+        ),
+        F.col("__raw"),
+    )
+    flags = sig.select(
+        "grp",
+        (F.col("gq_n_words") >= 40).cast("int").alias("len_keep"),
+        gopher_keep_expr(min_words=20, min_stop_words=1).alias("gq_keep"),
+        "cls_keep",
+    )
+    curation_funnel(flags, ["len_keep", "gq_keep", "cls_keep"], group_col="grp").show(6)
+
     # 3. the composed keep-list pipeline ----------------------------------
     target = corpus.where("lang = 'en'").select("doc_id", "text")
     kept = curate_documents(
@@ -56,6 +89,11 @@ def main() -> None:
         "text",
         "doc_id",
         min_quality=0.85,
+        # (c4_rules= is the place a REAL crawl adds the line-hygiene
+        # stage; this synthetic corpus carries no punctuation, so the
+        # C4 line-retention rule would empty every page — see
+        # tests/test_pipeline.py::test_curate_c4_rules_rewrite_and_collapse
+        # for the realistic-corpus demonstration)
         gopher_rules={"min_words": 20, "min_stop_words": 1},
         classifier_threshold=(0, 1),
         scrub=True,
