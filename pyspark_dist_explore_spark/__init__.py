@@ -96,6 +96,8 @@ from pyspark_dist_explore_spark.operators.dsir import (
 from pyspark_dist_explore_spark.operators.dedup import (
     corpus_overlap,
     incremental_minhash_neardup,
+    lsh_candidate_prob,
+    plan_minhash_lsh,
 )
 from pyspark_dist_explore_spark.operators.histogram import (
     compute_equidepth_histogram,
@@ -264,6 +266,8 @@ __all__ = [
     # round-9 additions
     "c4_clean",
     "curation_funnel",
+    "lsh_candidate_prob",
+    "plan_minhash_lsh",
     "perplexity_buckets",
     "classifier_score",
     "with_classifier_gate",

@@ -1336,3 +1336,91 @@ SELECT CAST(sum(COALESCE(docs_a, 0)) AS BIGINT) AS n_a,
          AS fp_jaccard
 FROM j
 """
+
+
+# --------------------------------------------------------------------------
+# X39: MinHash-LSH banding planner (driver-side math, no Spark)
+# --------------------------------------------------------------------------
+
+
+def lsh_candidate_prob(s: float, bands: int, rows: int) -> float:
+    """P(a pair with true Jaccard ``s`` shares ≥1 LSH band) under the
+    standard banding model: ``1 − (1 − s^rows)^bands`` (Leskovec/
+    Rajaraman/Ullman, *Mining of Massive Datasets* §3.4).  The whole
+    MinHash family in this module implements exactly that scheme, so
+    this IS the operating curve of :func:`minhash_candidates`."""
+    if not 0.0 <= s <= 1.0:
+        raise ValueError(f"s must be in [0, 1], got {s}")
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def plan_minhash_lsh(
+    threshold: float,
+    *,
+    num_hashes: int = 32,
+    grid: int = 1000,
+) -> dict:
+    """Choose ``(bands, rows)`` for a target Jaccard ``threshold`` and
+    report the operating characteristics — the calculation every LSH
+    deployment does before burning a corpus pass, packaged so the
+    scheme and its costs are explicit instead of folklore:
+
+    - candidates: every ``(bands, rows)`` with ``bands·rows ==
+      num_hashes``;
+    - pick: the pair whose S-curve MIDPOINT ``(1/bands)^(1/rows)`` (the
+      s where P(candidate) ≈ 0.5… exactly 1−(1−1/b)^b ≈ 0.63) lands
+      closest to ``threshold``;
+    - reported per candidate: the midpoint, P(candidate) at the
+      threshold, and the false-positive / false-negative MASS — the
+      integrals of the S-curve below the threshold and of its
+      complement above it (uniform-s prior, ``grid``-point midpoint
+      rule) — the shuffle-width vs recall trade in two numbers.
+
+    Returns ``{"bands", "rows", "midpoint", "p_at_threshold",
+    "fp_mass", "fn_mass", "alternatives": [...]}``.  Driver-side pure
+    math: nothing here touches data — feed the pick straight into
+    ``minhash_neardup(bands=..., num_hashes=...)``.  A smaller
+    ``fp_mass`` means fewer junk candidate pairs (shuffle width); a
+    smaller ``fn_mass`` means fewer missed true pairs (recall).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    options = []
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        # b=1 (everything must match) and r=1 (bucket on raw single
+        # hashes) are the degenerate curve ends — still listed, so the
+        # report shows the full trade space
+        midpoint = (1.0 / bands) ** (1.0 / rows)
+        fp = fn = 0.0
+        step = 1.0 / grid
+        for i in range(grid):
+            s = (i + 0.5) * step
+            p = lsh_candidate_prob(s, bands, rows)
+            if s < threshold:
+                fp += p * step
+            else:
+                fn += (1.0 - p) * step
+        options.append(
+            {
+                "bands": bands,
+                "rows": rows,
+                "midpoint": round(midpoint, 6),
+                "p_at_threshold": round(
+                    lsh_candidate_prob(threshold, bands, rows), 6
+                ),
+                "fp_mass": round(fp, 6),
+                "fn_mass": round(fn, 6),
+            }
+        )
+    best = min(options, key=lambda o: (abs(o["midpoint"] - threshold), o["bands"]))
+    out = dict(best)
+    out["alternatives"] = sorted(
+        (o for o in options if o is not best),
+        key=lambda o: abs(o["midpoint"] - threshold),
+    )
+    return out

@@ -4943,3 +4943,75 @@ def test_inject_punctuation_deterministic(spark):
     assert a == b
     joined = " ".join(a.values())
     assert "." in joined and "?" in joined and "\n" in joined
+
+
+# --------------------------------------------------------------------------
+# X39: MinHash-LSH banding planner
+# --------------------------------------------------------------------------
+
+
+def test_lsh_planner_math_and_pick():
+    """The planner reproduces the textbook banding model: curve values
+    vs a direct recount, monotone S-curve, the (1/b)^(1/r) midpoint
+    rule, and sensible picks for the engine's own schemes — and its
+    fp/fn masses are consistent with an independent numeric integral."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.dedup import (
+        lsh_candidate_prob,
+        plan_minhash_lsh,
+    )
+
+    # curve == direct formula, monotone in s
+    for b, r in ((8, 4), (4, 8), (16, 2)):
+        prev = -1.0
+        for i in range(11):
+            s = i / 10
+            p = lsh_candidate_prob(s, b, r)
+            assert abs(p - (1 - (1 - s**r) ** b)) < 1e-12
+            assert p >= prev
+            prev = p
+        # midpoint property: P(candidate) at (1/b)^(1/r) == 1-(1-1/b)^b
+        mid = (1 / b) ** (1 / r)
+        assert abs(lsh_candidate_prob(mid, b, r) - (1 - (1 - 1 / b) ** b)) < 1e-9
+
+    # picks: t=0.6 chooses the engine's registered (8 bands, 4 rows);
+    # t=0.8 chooses (4, 8) — the planner would RETUNE the default for a
+    # strict threshold, which is exactly its job
+    assert {k: plan_minhash_lsh(k, num_hashes=32)["bands"] for k in (0.6, 0.8)} == {
+        0.6: 8, 0.8: 4,
+    }
+    p = plan_minhash_lsh(0.8, num_hashes=32)
+    assert p["rows"] == 8 and p["bands"] * p["rows"] == 32
+    # every divisor pair is reported exactly once
+    alts = [(p["bands"], p["rows"])] + [
+        (o["bands"], o["rows"]) for o in p["alternatives"]
+    ]
+    assert sorted(alts) == [(1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1)]
+
+    # fp/fn masses: independent integral at finer grid agrees to ~1e-3
+    def masses(b, r, t, n=20000):
+        fp = fn = 0.0
+        for i in range(n):
+            s = (i + 0.5) / n
+            pp = 1 - (1 - s**r) ** b
+            if s < t:
+                fp += pp / n
+            else:
+                fn += (1 - pp) / n
+        return fp, fn
+
+    fp, fn = masses(4, 8, 0.8)
+    assert abs(p["fp_mass"] - fp) < 1e-3 and abs(p["fn_mass"] - fn) < 1e-3
+    # trade direction: more bands => more candidates => more fp, less fn
+    by_bands = {o["bands"]: o for o in p["alternatives"]}
+    by_bands[4] = p
+    assert by_bands[8]["fp_mass"] > by_bands[4]["fp_mass"]
+    assert by_bands[8]["fn_mass"] < by_bands[4]["fn_mass"]
+
+    with _pytest.raises(ValueError, match="threshold"):
+        plan_minhash_lsh(1.0)
+    with _pytest.raises(ValueError, match="num_hashes"):
+        plan_minhash_lsh(0.5, num_hashes=1)
+    with _pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        lsh_candidate_prob(1.5, 4, 8)
