@@ -815,3 +815,51 @@ def test_quality_gates_run_on_streams(spark, tmp_path):
     assert streamed == batch and len(streamed) == 4
     # sanity: the gates discriminate (doc 1 passes gopher, doc 2/3 fail)
     assert batch[1][1] == 1 and batch[2][1] == 0 and batch[3][1] == 0
+
+
+def test_c4_gate_runs_on_streams(spark, tmp_path):
+    """X37 is stateless and row-local like the other gates, so the C4
+    clean runs UNCHANGED inside Structured Streaming — micro-batch
+    output (counts, retained-text md5, keep) equals the batch run over
+    the same files."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pyspark_dist_explore_spark.operators.textstats import c4_clean
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    doc_dir = str(tmp_path / "c4docs")
+    good = "\n".join(
+        ["This is a fine sentence.", "Here is another good one!",
+         "Is this a question?", 'She said "yes."', "And one more to close it."]
+    )
+    rows = [
+        (1, good),
+        (2, good + "\nnav menu junk"),
+        (3, good + "\ncode { x }"),
+        (4, None),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(doc_dir)
+
+    stream = spark.readStream.schema(schema).parquet(doc_dir)
+    q = (
+        c4_clean(stream, "text", "doc_id")
+        .writeStream.format("memory")
+        .queryName("c4_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {r["doc_id"]: tuple(r) for r in spark.table("c4_sink").collect()}
+    finally:
+        q.stop()
+    batch = {
+        r["doc_id"]: tuple(r)
+        for r in c4_clean(
+            spark.read.schema(schema).parquet(doc_dir), "text", "doc_id"
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 4
+    assert batch[1][-1] == 1 and batch[3][-1] == 0  # brace page dropped
