@@ -5015,3 +5015,71 @@ def test_lsh_planner_math_and_pick():
         plan_minhash_lsh(0.5, num_hashes=1)
     with _pytest.raises(ValueError, match="in \\[0, 1\\]"):
         lsh_candidate_prob(1.5, 4, 8)
+
+
+def test_c4_clean_matches_python_reference(spark):
+    """Property-style pin: c4_clean agrees with a direct pure-Python
+    implementation of the published rules over a seeded random grid of
+    docs sweeping line counts, punctuation, word counts, 'javascript',
+    braces, 'lorem ipsum' and bad words."""
+    import hashlib
+    import random
+    import re
+
+    from pyspark_dist_explore_spark.operators.textstats import c4_clean
+
+    rng = random.Random(9)
+    words = ["alpha", "beta", "Gamma", "deltaX", "ok", "the", "Z"]
+    tails = [".", "!", "?", '"', "”", "", " ", ":", "..."]
+    extras = ["", "javascript", "JavaScript rules", "{", "lorem ipsum",
+              "Lorem Ipsum dolor", "forbidden"]
+
+    def rand_doc():
+        lines = []
+        for _ in range(rng.randint(0, 6)):
+            ws = [rng.choice(words) for _ in range(rng.randint(0, 6))]
+            extra = rng.choice(extras)
+            if extra:
+                ws.insert(rng.randint(0, len(ws)), extra)
+            lines.append(" ".join(ws) + rng.choice(tails))
+        return "\n".join(lines) if lines else rng.choice(["", None])
+
+    def py_c4(text, mw=3, ms=2, bad=("forbidden",)):
+        t = text or ""
+        lines = t.split("\n")
+        kept = [
+            x for x in lines
+            if re.search(r'[.!?"”]$', x.rstrip())
+            and len([w for w in x.split(" ") if w]) >= mw
+            and "javascript" not in x.lower()
+        ]
+        joined = "\n".join(kept)
+        n_sent = len(re.findall(r"[.!?]", joined))
+        toks = [w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w]
+        keep = int(
+            n_sent >= ms
+            and "{" not in t
+            and "lorem ipsum" not in t.lower()
+            and not any(b in toks for b in bad)
+        )
+        return (
+            len(lines), len(kept),
+            hashlib.md5(joined.encode()).hexdigest(),
+            n_sent, keep,
+        )
+
+    texts = [rand_doc() for _ in range(120)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["c4_n_lines"], r["c4_n_kept_lines"], r["c4_kept_md5"],
+            r["c4_n_sentences"], r["c4_keep"],
+        )
+        for r in c4_clean(
+            df, "text", "doc_id", min_sentences=2, bad_words=("forbidden",)
+        ).collect()
+    }
+    want = {i: py_c4(t) for i, t in enumerate(texts)}
+    assert got == want
