@@ -412,6 +412,7 @@ def minhash_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     shingle_rows: DataFrame | None = None,
+    signatures: DataFrame | None = None,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing ≥1 band.
@@ -419,7 +420,9 @@ def minhash_candidates(
     ``num_hashes`` must divide into ``bands`` equal rows-per-band chunks.
     Shuffle payload is (band, band_hash, doc_id) only — text and
     signatures never travel with the join.  ``shingle_rows``: staged
-    precomputed shingles (see :func:`shingle_rows`).
+    precomputed shingles (see :func:`shingle_rows`); ``signatures``: a
+    precomputed signature table (bands derive from it row-locally —
+    see :func:`minhash_band_rows`).
 
     ``hash_fn="md5"`` keeps the band key as the RAW comma-joined
     signature string instead of xxhash64-compacting it — equality is
@@ -435,6 +438,7 @@ def minhash_candidates(
         bands=bands,
         shingle_n=shingle_n,
         shingle_rows=shingle_rows,
+        signatures=signatures,
         hash_fn=hash_fn,
     )
     left = banded.alias("a")
@@ -461,9 +465,17 @@ def minhash_neardup(
     bands: int = 8,
     shingle_n: int = 3,
     shingle_rows: DataFrame | None = None,
+    signatures: DataFrame | None = None,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-Jaccard ≥ ``threshold``.
+
+    ``signatures=``: a precomputed (persisted/landed) signature table —
+    the candidate stage derives its band rows from it ROW-LOCALLY
+    instead of re-running the shingle+min pass; the Jaccard verify
+    still reads the shingle rows (exact set intersection needs them),
+    so a caller staging BOTH frames scans the corpus text exactly once
+    for the whole operator.
 
     The verify step is candidate-restricted: candidates join back to the
     shingle rows (cands ⋈ sh_a on doc_a, then ⋈ sh_b on (doc_b, sh)) and
@@ -494,7 +506,10 @@ def minhash_neardup(
         num_hashes=num_hashes,
         bands=bands,
         shingle_n=shingle_n,
-        shingle_rows=rows,
+        # signatures win when supplied: the band derivation is then a
+        # row-local fold with no shingle dependency at all
+        shingle_rows=None if signatures is not None else rows,
+        signatures=signatures,
         hash_fn=hash_fn,
     )
     a_sh = rows.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh"))
@@ -531,6 +546,7 @@ def incremental_minhash_neardup(
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
     shingle_rows: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-dup the incremental way: flag new-batch docs whose content
     near-duplicates something already in a corpus SNAPSHOT, touching
@@ -570,15 +586,24 @@ def incremental_minhash_neardup(
     # (doc_id, sh) frame for the BATCH side — the band and signature
     # builders below both consume it, so a caller sharing one staged
     # shingle frame across sections tokenizes the batch text once
+    # signatures= (the staging pattern, batch side): a precomputed
+    # batch signature table serves BOTH the band derivation (row-local
+    # fold) and the estimator directly — zero batch re-minhashing
+    if signatures is not None and shingle_rows is not None:
+        raise ValueError("pass signatures= OR shingle_rows=, not both")
     batch_bands = minhash_band_rows(
         new_df, text_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, hash_fn=hash_fn,
-        shingle_rows=shingle_rows,
+        shingle_rows=shingle_rows, signatures=signatures,
     )
-    batch_sigs = minhash_signatures(
-        new_df, text_col, id_col,
-        num_hashes=num_hashes, shingle_n=shingle_n, hash_fn=hash_fn,
-        shingle_rows=shingle_rows,
+    batch_sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(
+            new_df, text_col, id_col,
+            num_hashes=num_hashes, shingle_n=shingle_n, hash_fn=hash_fn,
+            shingle_rows=shingle_rows,
+        )
     )
     # candidate pairs: snapshot rows sharing a band with any batch row —
     # batch side broadcast, snapshot side streamed
