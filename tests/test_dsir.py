@@ -260,3 +260,31 @@ def test_dsir_topk_large_nkeep_switches_plan(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" not in plan
+
+
+def test_topk_by_rank_large_nkeep_exact_at_scale(spark):
+    """Regression for the round-9 advisor repro: unpinned, the range
+    exchange re-executes with fresh sampled boundaries in the final job
+    and the offset table no longer describes the partitioning it joins
+    against — n_keep=150k over 400k rows came back 144 559 / 153 885 /
+    151 383 rows with missing AND extra docs.  With the exchange pinned
+    via localCheckpoint the kept set must be exactly the true top-k."""
+    from pyspark_dist_explore_spark.operators.dsir import topk_by_rank
+
+    n_rows, n_keep = 400_000, 150_000
+    df = (
+        spark.range(n_rows)
+        .withColumn("doc_id", F.concat(F.lit("d"), F.col("id").cast("string")))
+        # pseudo-random score with heavy ties to stress the tie-break
+        .withColumn("score", F.pmod(F.xxhash64("doc_id"), F.lit(1000)))
+        .drop("id")
+    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    kept = topk_by_rank(df, n_keep, order)
+    got = sorted((r["score"], r["doc_id"]) for r in kept.collect())
+    want = sorted(
+        (r["score"], r["doc_id"])
+        for r in df.orderBy(*order).limit(n_keep).collect()
+    )
+    assert len(got) == n_keep
+    assert got == want

@@ -5034,6 +5034,8 @@ def test_c4_clean_matches_python_reference(spark):
     extras = ["", "javascript", "JavaScript rules", "{", "lorem ipsum",
               "Lorem Ipsum dolor", "forbidden"]
 
+    seps = [" ", "  ", "\t", " \t "]  # the word count must split on \s+
+
     def rand_doc():
         lines = []
         for _ in range(rng.randint(0, 6)):
@@ -5041,7 +5043,10 @@ def test_c4_clean_matches_python_reference(spark):
             extra = rng.choice(extras)
             if extra:
                 ws.insert(rng.randint(0, len(ws)), extra)
-            lines.append(" ".join(ws) + rng.choice(tails))
+            line = ws[0] if ws else ""
+            for w in ws[1:]:
+                line += rng.choice(seps) + w
+            lines.append(line + rng.choice(tails))
         return "\n".join(lines) if lines else rng.choice(["", None])
 
     def py_c4(text, mw=3, ms=2, bad=("forbidden",)):
@@ -5050,7 +5055,7 @@ def test_c4_clean_matches_python_reference(spark):
         kept = [
             x for x in lines
             if re.search(r'[.!?"”]$', x.rstrip())
-            and len([w for w in x.split(" ") if w]) >= mw
+            and len([w for w in re.split(r"\s+", x) if w]) >= mw
             and "javascript" not in x.lower()
         ]
         joined = "\n".join(kept)

@@ -257,6 +257,38 @@ def test_neardup_snapshot_round_trip(spark, tmp_path):
         load_neardup_snapshot(spark, path, expect=dict(kw, num_hashes=32))
 
 
+def test_neardup_snapshot_append_no_band_duplication(spark, tmp_path):
+    """Regression (round-9 advisor): with mode='append' the band rows
+    must cover only the INCOMING batch — deriving them from a read-back
+    of the landed sigs table re-banded every previously-snapshotted doc,
+    duplicating its band rows on each append."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.sources.sinks import (
+        load_neardup_snapshot,
+        write_neardup_snapshot,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(num_hashes=16, bands=4, shingle_n=3, hash_fn="xxhash64")
+    path = str(tmp_path / "snap")
+    first = docs.where(F.col("doc_id") < 50)
+    second = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+    write_neardup_snapshot(first, "text", "doc_id", path, **kw)
+    write_neardup_snapshot(second, "text", "doc_id", path, mode="append", **kw)
+
+    bands_df, sigs_df, _ = load_neardup_snapshot(spark, path, expect=kw)
+    n_docs = first.count() + second.count()
+    assert sigs_df.count() == n_docs
+    # exactly `bands` rows per doc, no duplicates from the append
+    assert bands_df.count() == n_docs * kw["bands"]
+    assert (
+        bands_df.groupBy("doc_id", "band").count().where("count > 1").count() == 0
+    )
+
+
 def test_jsonl_round_trip(spark, tmp_path):
     """JSONL corpus interchange: write gzip'd lines, read back with an
     explicit schema — unicode text, NULL text, and nested-quote content
