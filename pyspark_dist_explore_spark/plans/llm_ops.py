@@ -157,15 +157,30 @@ _RECRAWL_OFFSET = 1_000_000
 _INCR_FP = f"md5({_NORM.format(c='text')})"
 
 
-@register(
-    "dedup_incremental",
-    f"""
-WITH batch AS (
+#: the X36 overlap-census stats that unpivot into the ``'overlap'``
+#: section of ``dedup_incremental`` — all exact BIGINTs (ORACLES.md
+#: class A).  ``fp_jaccard`` is deliberately NOT hashed: it is exactly
+#: ``n_fp_common / (n_fp_a + n_fp_b - n_fp_common)``, derivable from
+#: three hashed integers; the full 8-column ``corpus_overlap`` row
+#: (jaccard included) stays pytest-pinned against its DuckDB twin.
+_OVERLAP_STATS = (
+    "n_a", "n_b", "n_fp_a", "n_fp_b", "n_fp_common",
+    "a_docs_in_b", "b_docs_in_a",
+)
+
+_INCR_BATCH_SRC = f"""
   SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
   UNION ALL
   SELECT doc_id + {_RECRAWL_OFFSET} AS doc_id, text FROM documents
   WHERE doc_id % 10 = 3
-),
+"""
+_INCR_SNAP_SRC = "SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0"
+
+
+@register(
+    "dedup_incremental",
+    f"""
+WITH batch AS ({_INCR_BATCH_SRC}),
 seen AS (
   SELECT DISTINCT {_INCR_FP} AS fingerprint FROM documents WHERE doc_id % 7 = 0
 ),
@@ -173,9 +188,16 @@ dedup AS (
   SELECT {_INCR_FP} AS fingerprint, min(doc_id) AS survivor_id,
          count(*) AS n_dups
   FROM batch GROUP BY 1
-)
-SELECT d.fingerprint, d.survivor_id, d.n_dups
+),
+census AS ({dedup.corpus_overlap_sql("SELECT doc_id, text FROM batch", _INCR_SNAP_SRC)})
+SELECT 'batch' AS section, d.fingerprint, d.survivor_id, d.n_dups
 FROM dedup d ANTI JOIN seen s ON d.fingerprint = s.fingerprint
+UNION ALL
+SELECT 'overlap' AS section, stat AS fingerprint,
+       CAST(0 AS BIGINT) AS survivor_id, val AS n_dups
+FROM (
+  {" UNION ALL ".join(f"SELECT '{s}' AS stat, {s} AS val FROM census" for s in _OVERLAP_STATS)}
+)
 """,
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,21 +214,41 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot side never shuffles.  The result is EXACTLY the plain
     anti-join (false positives get weeded, never dropped), which is
     what the DuckDB twin checks; 4096 bits over ~70 snapshot docs
-    forces real false positives through the verify branch at sf0.01."""
+    forces real false positives through the verify branch at sf0.01.
+
+    Round 10 merges the X36 CROSS-CORPUS OVERLAP CENSUS
+    (:func:`dedup.corpus_overlap`) as the ``section='overlap'`` rows —
+    the audit a real pipeline runs BEFORE this dedup ("how much of the
+    new crawl already exists in the shipped corpus?"): the batch slice
+    vs the snapshot slice, unpivoted as ``(stat_name, value)`` pairs of
+    exact BIGINTs (``fingerprint`` carries the stat name,
+    ``survivor_id`` is 0, ``n_dups`` the value); the fp_jaccard column
+    is derivable from three of them and stays pytest-side."""
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text").unionAll(
         docs.where(F.col("doc_id") % 10 == 3).select(
             (F.col("doc_id") + _RECRAWL_OFFSET).alias("doc_id"), "text"
         )
     )
-    seen = (
-        docs.where(F.col("doc_id") % 7 == 0)
-        .select(F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint"))
-        .distinct()
-    )
-    return dedup.incremental_dedup(
+    snap = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    seen = snap.select(
+        F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint")
+    ).distinct()
+    incr = dedup.incremental_dedup(
         batch, seen, "text", "doc_id", bloom_bits=4096, bloom_hashes=5
+    ).select(F.lit("batch").alias("section"), "fingerprint", "survivor_id", "n_dups")
+    census = dedup.corpus_overlap(batch, snap, "text", "doc_id")
+    stack = "stack({n}, {pairs}) as (fingerprint, n_dups)".format(
+        n=len(_OVERLAP_STATS),
+        pairs=", ".join(f"'{s}', {s}" for s in _OVERLAP_STATS),
     )
+    overlap = census.selectExpr(stack).select(
+        F.lit("overlap").alias("section"),
+        "fingerprint",
+        F.lit(0).cast("bigint").alias("survivor_id"),
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+    )
+    return incr.unionByName(overlap)
 
 
 # --------------------------------------------------------------------------
@@ -1784,6 +1826,42 @@ sd AS (
 c4 AS (
   SELECT doc_id, c4_n_lines, c4_n_kept_lines, c4_kept_md5, c4_n_sentences, c4_keep
   FROM ({textstats.c4_sql(textstats.inject_punctuation_sql("SELECT doc_id, text FROM documents"), min_sentences=_C4_MIN_SENTENCES)})
+),
+il_keyed AS (
+  SELECT doc_id, pos, line, trim(line) AS key,
+         row_number() OVER (PARTITION BY doc_id, trim(line) ORDER BY pos) AS occ
+  FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(COALESCE(text, ''), ' '), 1) - 1 AS pos,
+           unnest(string_split(COALESCE(text, ''), ' ')) AS line
+    FROM documents
+  ) z
+),
+il_kept AS (SELECT * FROM il_keyed WHERE key = '' OR occ = 1),
+il AS (
+  SELECT k.doc_id,
+         md5(COALESCE(string_agg(kp.line, ' ' ORDER BY kp.pos), '')) AS intra_line_hash,
+         CAST(count(kp.pos) AS BIGINT) AS n_intra_kept,
+         CAST(count(*) - count(kp.pos) AS BIGINT) AS n_intra_dropped
+  FROM il_keyed k LEFT JOIN il_kept kp ON k.doc_id = kp.doc_id AND k.pos = kp.pos
+  GROUP BY k.doc_id
+),
+rb AS ({textstats.gopher_repetition_sql(
+    "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN concat_ws(' ', text, text) "
+    "ELSE text END AS text FROM documents",
+    top_ns=(2,), dup_ns=(5,))}),
+rbw AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN top_gram END) AS rb2_top_gram,
+         CAST(max(CASE WHEN n = 2 THEN top_cnt END) AS BIGINT) AS rb2_top_cnt,
+         CAST(max(CASE WHEN n = 2 THEN top_chars END) AS BIGINT) AS rb2_top_chars,
+         CAST(max(CASE WHEN n = 2 THEN dup_excess_chars END) AS BIGINT) AS rb2_dup_excess_chars,
+         max(CASE WHEN n = 5 THEN top_gram END) AS rb5_top_gram,
+         CAST(max(CASE WHEN n = 5 THEN top_cnt END) AS BIGINT) AS rb5_top_cnt,
+         CAST(max(CASE WHEN n = 5 THEN top_chars END) AS BIGINT) AS rb5_top_chars,
+         CAST(max(CASE WHEN n = 5 THEN dup_excess_chars END) AS BIGINT) AS rb5_dup_excess_chars,
+         CAST(max(word_chars) AS BIGINT) AS rb_word_chars
+  FROM rb GROUP BY doc_id
 )
 SELECT s.doc_id, n_email, n_url, n_phone, scrub_hash,
        n_tokens, dup_token_frac, top_bigram_frac,
@@ -1791,11 +1869,18 @@ SELECT s.doc_id, n_email, n_url, n_phone, scrub_hash,
        sd.span_dedup_hash, sd.n_span_tok_kept, sd.n_span_tok_dropped,
        sd.n_dup_spans,
        c4.c4_n_lines, c4.c4_n_kept_lines, c4.c4_kept_md5,
-       c4.c4_n_sentences, c4.c4_keep
+       c4.c4_n_sentences, c4.c4_keep,
+       il.intra_line_hash, il.n_intra_kept, il.n_intra_dropped,
+       rbw.rb2_top_gram, rbw.rb2_top_cnt, rbw.rb2_top_chars,
+       rbw.rb2_dup_excess_chars,
+       rbw.rb5_top_gram, rbw.rb5_top_cnt, rbw.rb5_top_chars,
+       rbw.rb5_dup_excess_chars, rbw.rb_word_chars
 FROM s JOIN rep ON s.doc_id = rep.doc_id
 JOIN ld ON s.doc_id = ld.doc_id
 JOIN sd ON s.doc_id = sd.doc_id
 JOIN c4 ON s.doc_id = c4.doc_id
+JOIN il ON s.doc_id = il.doc_id
+LEFT JOIN rbw ON s.doc_id = rbw.doc_id
 """
 
 
@@ -1856,11 +1941,61 @@ def q_text_scrub_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "c4_n_lines", "c4_n_kept_lines", "c4_kept_md5",
         "c4_n_sentences", "c4_keep",
     )
+    # X19b (round 10): the INTRA-doc first-occurrence line dedup beside
+    # X19's cross-doc columns — same sep=' ' corpus adapter, md5 of the
+    # rebuilt text so the window → first-occurrence → ordered-rebuild
+    # chain is hash-checked (the newline form stays twin-pinned in
+    # tests/test_ops.py)
+    idl = textstats.dedup_lines_within_doc(
+        docs, "text", "doc_id", sep=" "
+    ).select(
+        "doc_id",
+        F.md5("text").alias("intra_line_hash"),
+        F.col("n_lines_kept").alias("n_intra_kept"),
+        F.col("n_lines_dropped").alias("n_intra_dropped"),
+    )
+    # X32 (round 10): the Gopher repetition battery's EXACT-INTEGER
+    # numerators for n ∈ {2, 5} — one size from the top-gram family,
+    # one from the duplicate-gram family, pivoted wide per doc (the
+    # full 2..10 stack stays pytest-twin-pinned: nine sizes would
+    # multiply the gate's unpivot rows ~4.5× for no extra code path).
+    # The @6-rounded fractions are derivable (numerator / rb_word_chars)
+    # and stay pytest-side per the class-A gate rule.  Input rides the
+    # ECHO adapter (doc_id % 3 docs get their text doubled — the
+    # inject_punctuation convention): the word-salad corpus never
+    # repeats a 5-gram naturally, so without it every rb5 numerator is
+    # a constant 0/1 and the dup-gram arithmetic would go unchecked.
+    echoed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat_ws(" ", "text", "text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    rb = textstats.gopher_repetition_battery(
+        echoed, "text", "doc_id", top_ns=(2,), dup_ns=(5,)
+    )
+
+    def _at(n: int, col: str, alias: str):
+        return F.max(F.when(F.col("n") == n, F.col(col))).alias(alias)
+
+    rbw = rb.groupBy("doc_id").agg(
+        _at(2, "top_gram", "rb2_top_gram"),
+        _at(2, "top_cnt", "rb2_top_cnt"),
+        _at(2, "top_chars", "rb2_top_chars"),
+        _at(2, "dup_excess_chars", "rb2_dup_excess_chars"),
+        _at(5, "top_gram", "rb5_top_gram"),
+        _at(5, "top_cnt", "rb5_top_cnt"),
+        _at(5, "top_chars", "rb5_top_chars"),
+        _at(5, "dup_excess_chars", "rb5_dup_excess_chars"),
+        F.max("word_chars").alias("rb_word_chars"),
+    )
     return (
         scrub.join(rep, "doc_id")
         .join(ld, "doc_id")
         .join(sd, "doc_id")
         .join(c4, "doc_id")
+        .join(idl, "doc_id")
+        .join(rbw, "doc_id", "left")
     )
 
 

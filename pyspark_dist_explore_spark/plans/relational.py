@@ -655,6 +655,10 @@ def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from pyspark_dist_explore_spark.operators.histogram import (  # noqa: E402
+    compute_equidepth_histogram,
+    equidepth_histogram_sql,
+)
 from pyspark_dist_explore_spark.operators.stats import (  # noqa: E402
     describe_exact,
     describe_exact_sql,
@@ -665,8 +669,22 @@ _DESCRIBE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 _DESCRIBE_STATS = ["cnt", "mean", "stddev", "vmin", "vmax"]
 
+#: X35 gate section: equi-depth buckets over l_quantity.  l_quantity is
+#: integer-valued, so every quantile_cont boundary is an exact rational
+#: with denominator ``_ED_BUCKETS`` (position = i·(n−1)/buckets) —
+#: boundary × buckets is an exact integer, and ``round`` gives a 0.5
+#: absolute margin against engine ulp drift (ORACLES.md class B,
+#: cross-multiplied).  The raw-double boundary form stays pytest-pinned.
+_ED_BUCKETS = 10
+
+_ED_SRC = (
+    "SELECT 'l_quantity' AS series, CAST(l_quantity AS DOUBLE) AS v FROM lineitem "
+    "WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))"
+)
+
 _SUMMARY_MERGED_ORACLE = f"""
-WITH d AS ({describe_exact_sql("lineitem", _DESCRIBE_COLS)})
+WITH d AS ({describe_exact_sql("lineitem", _DESCRIBE_COLS)}),
+ed AS ({equidepth_histogram_sql(_ED_SRC, buckets=_ED_BUCKETS)})
 {" UNION ALL ".join(
     f"SELECT col_name, '{s}' AS stat, CAST({s} AS DOUBLE) AS value FROM d"
     for s in _DESCRIBE_STATS
@@ -678,6 +696,15 @@ UNION ALL
     f"FROM lineitem GROUP BY l_returnflag"
     for p, q in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
 )}
+UNION ALL
+SELECT concat('l_quantity/ed/', CAST(bucket AS VARCHAR)), 'lo_x{_ED_BUCKETS}',
+       round(bin_lo * {_ED_BUCKETS}) FROM ed
+UNION ALL
+SELECT concat('l_quantity/ed/', CAST(bucket AS VARCHAR)), 'hi_x{_ED_BUCKETS}',
+       round(bin_hi * {_ED_BUCKETS}) FROM ed
+UNION ALL
+SELECT concat('l_quantity/ed/', CAST(bucket AS VARCHAR)), 'cnt',
+       CAST(cnt AS DOUBLE) FROM ed
 """
 
 
@@ -689,7 +716,15 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group interpolated percentiles (keyed ``l_quantity/<flag>``).
     Merged round 4 so both X7 sub-operators stay driver-oracle-checked
     in one registry slot; the wide-shape builders remain the public API
-    (``describe_exact`` / ``q_percentiles_quantity``)."""
+    (``describe_exact`` / ``q_percentiles_quantity``).
+
+    Round 10 merges the X35 EQUI-DEPTH histogram
+    (:func:`~pyspark_dist_explore_spark.operators.histogram.
+    compute_equidepth_histogram`) as ``l_quantity/ed/<bucket>`` rows:
+    the ×``_ED_BUCKETS`` cross-multiplied bucket boundaries plus the
+    per-bucket counts — the quantile complement of the fixed-width
+    R7/R8 core, now hash-checked at the gate (integer-valued column ⇒
+    boundaries are exact rationals with denominator 10)."""
     li = load_table(spark, sf_dir, "lineitem")
     d_long = describe_exact(li, _DESCRIBE_COLS).unpivot(
         ids=["col_name"],
@@ -711,7 +746,24 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    return d_long.unionAll(p_long)
+    ed_long = (
+        compute_equidepth_histogram(li, ["l_quantity"], buckets=_ED_BUCKETS)
+        .select(
+            F.concat(F.lit("l_quantity/ed/"), F.col("bucket").cast("string")).alias(
+                "col_name"
+            ),
+            F.round(F.col("bin_lo") * _ED_BUCKETS).alias(f"lo_x{_ED_BUCKETS}"),
+            F.round(F.col("bin_hi") * _ED_BUCKETS).alias(f"hi_x{_ED_BUCKETS}"),
+            F.col("cnt").cast("double").alias("cnt"),
+        )
+        .unpivot(
+            ids=["col_name"],
+            values=[f"lo_x{_ED_BUCKETS}", f"hi_x{_ED_BUCKETS}", "cnt"],
+            variableColumnName="stat",
+            valueColumnName="value",
+        )
+    )
+    return d_long.unionAll(p_long).unionAll(ed_long)
 
 
 #: HLL acceptance band: approx_count_distinct's rsd parameter is the
