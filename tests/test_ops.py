@@ -135,6 +135,39 @@ def test_neardup_clusters_releases_round_storage(spark):
     assert after - before <= 1, f"leaked {after - before} checkpointed round states"
 
 
+def test_release_local_checkpoint_degrades_loudly(spark):
+    """When the private JVM handle the block release relies on is absent
+    (Spark Connect / a future Spark upgrade), the release must neither
+    raise nor pass silently: one RuntimeWarning names the ContextCleaner
+    fallback, and repeat calls stay quiet (one-shot flag)."""
+    import warnings
+
+    class _NoHandle:
+        """Stands in for a DataFrame whose _jdf private API is gone."""
+
+        @property
+        def _jdf(self):
+            raise AttributeError("queryExecution handle removed")
+
+    dedup._RELEASE_WARNED = False
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            dedup._release_local_checkpoint(_NoHandle())  # must not raise
+            dedup._release_local_checkpoint(_NoHandle())  # second call: quiet
+        runtime = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+        assert len(runtime) == 1, f"expected exactly one warning, got {len(runtime)}"
+        assert "ContextCleaner" in str(runtime[0].message)
+    finally:
+        dedup._RELEASE_WARNED = False
+    # and the REAL path still releases without warning on this Spark
+    df = spark.range(5).localCheckpoint()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup._release_local_checkpoint(df)
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+
+
 @pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
 def test_simhash_close_for_neardups(spark, hash_fn):
     sig = {
@@ -5088,3 +5121,48 @@ def test_c4_clean_matches_python_reference(spark):
     }
     want = {i: py_c4(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+def test_plan_minhash_lsh_predicts_measured_candidate_rate(spark):
+    """X39 planner → operator wiring: run minhash_candidates with the
+    planner's (bands, rows) pick on a PLANTED corpus (pairs with exact
+    known token-Jaccard via shingle_n=1 and disjoint per-pair vocab) and
+    check the measured per-level candidate rate tracks the S-curve
+    ``lsh_candidate_prob`` the planner integrates — i.e. the planner's
+    fp/fn masses describe the operator that ships, not a different
+    scheme."""
+    threshold, num_hashes = 0.7, 32
+    plan = dedup.plan_minhash_lsh(threshold, num_hashes=num_hashes)
+    bands, rows = plan["bands"], plan["rows"]
+    assert bands * rows == num_hashes
+
+    # five Jaccard levels: J = k / (k + 2e) with k shared + e extra each
+    levels = {0.2: (6, 12), 1 / 3: (10, 10), 0.6: (15, 5), 0.8: (16, 2), 0.9: (18, 1)}
+    n_pairs = 40
+    recs, truth = [], {}
+    doc = 0
+    for J, (k, e) in levels.items():
+        for p in range(n_pairs):
+            tag = f"J{k}_{e}p{p}"
+            shared = [f"{tag}s{i}" for i in range(k)]
+            a = shared + [f"{tag}a{i}" for i in range(e)]
+            b = shared + [f"{tag}b{i}" for i in range(e)]
+            recs.append((doc, " ".join(a)))
+            recs.append((doc + 1, " ".join(b)))
+            truth[(doc, doc + 1)] = J
+            doc += 2
+    docs = spark.createDataFrame(recs, "doc_id bigint, text string")
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(
+            docs, "text", "doc_id",
+            num_hashes=num_hashes, bands=bands, shingle_n=1,
+        ).collect()
+    }
+    # disjoint vocab => no cross-pair candidates possible except via
+    # band-hash collisions, which must be absent at this scale
+    assert cands <= set(truth), f"cross-pair collisions: {cands - set(truth)}"
+    for J in levels:
+        got = sum(1 for pair, s in truth.items() if s == J and pair in cands) / n_pairs
+        want = dedup.lsh_candidate_prob(J, bands, rows)
+        assert abs(got - want) <= 0.2, f"J={J}: measured {got} vs predicted {want}"
