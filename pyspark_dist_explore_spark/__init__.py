@@ -103,6 +103,7 @@ from pyspark_dist_explore_spark.operators.histogram import (
     compute_equidepth_histogram,
 )
 from pyspark_dist_explore_spark.operators.sampling import (
+    cap_per_key,
     stratified_take_exact,
     temperature_resample,
 )
@@ -280,6 +281,7 @@ __all__ = [
     "oov_stats",
     "temperature_resample",
     "stratified_take_exact",
+    "cap_per_key",
     "incremental_minhash_neardup",
     "corpus_overlap",
     # sinks / physical layout

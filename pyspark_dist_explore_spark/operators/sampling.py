@@ -553,6 +553,78 @@ def stratified_take_exact(
     return ranked.where(cap.otherwise(F.lit(False))).drop("__rk")
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    n: int,
+    *,
+    salt: str = "cap0",
+) -> DataFrame:
+    """X41: per-host/URL document cap — keep at most ``n`` rows per
+    ``key_col`` value, the C4/FineWeb dedup-policy stage that runs on
+    the URL/host BEFORE content dedup (C4 keeps one page per URL;
+    FineWeb-style curation caps documents per host so a single mirror
+    farm can't dominate the mixture).  The kept ``n`` are chosen by
+    ``md5(salt:id)`` content-hash rank with an id tie-break — the same
+    deterministic no-RNG order as :func:`stratified_take_exact`, so the
+    kept SET is a pure function of (corpus, salt): identical on every
+    run, engine, and partitioning; a new salt is an independent
+    re-draw.  NULL keys group as ``''`` (one capped bucket), matching
+    the house NULL-hashes-as-empty convention.
+
+    Scale shape: ONE hash-partition window per key (rank within key by
+    the hash — a single exchange, never a global sort) and a row-local
+    rank filter.  A hot host's rows rank within one window partition —
+    the window-per-key memory envelope bounds it, and the filter drops
+    everything past ``n`` before any downstream stage.  Unlike
+    ``stratified_take_exact`` the cap applies to EVERY key (no target
+    dict), which is what a host policy means.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+        )
+    )
+    k = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    w = Window.partitionBy(k).orderBy(h, F.col(id_col).cast("string"))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.lit(int(n)))
+        .drop("__rk")
+    )
+
+
+def cap_per_key_sql(
+    src: str,
+    key_col: str,
+    id_col: str,
+    n: int,
+    *,
+    salt: str = "cap0",
+) -> str:
+    """DuckDB twin of :func:`cap_per_key` — identical hash order,
+    identical cap; ``src`` must yield the sampled relation."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = (
+        f"md5(concat({sql_str_lit(salt)}, ':', "
+        f"COALESCE(CAST({id_col} AS VARCHAR), '')))"
+    )
+    return f"""
+SELECT * EXCLUDE (__rk) FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY COALESCE(CAST({key_col} AS VARCHAR), '')
+    ORDER BY {h}, CAST({id_col} AS VARCHAR)
+  ) AS __rk
+  FROM ({src})
+)
+WHERE __rk <= {int(n)}
+"""
+
+
 def stratified_take_exact_sql(
     src: str,
     stratum_col: str,

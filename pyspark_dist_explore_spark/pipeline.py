@@ -291,6 +291,8 @@ def curate_documents(
     dsir_n_keep: int | None = None,
     dsir_n_buckets: int = 1 << 12,
     dsir_text_col: str | None = None,
+    host_cap: tuple[str, int] | None = None,
+    host_cap_salt: str = "cap0",
 ) -> DataFrame:
     """Curate a document corpus into a training keep-list.
 
@@ -322,6 +324,11 @@ def curate_documents(
     — NFC/NFKC fold + control-char strip), so NFD-vs-NFC byte variants
     of the same text collapse into one dedup bucket instead of
     surviving as "distinct" documents.
+
+    ``host_cap=(key_col, n)`` (opt-in, X41) keeps at most ``n`` docs
+    per ``key_col`` value BEFORE any content stage — the C4/FineWeb
+    per-URL/host dedup policy (:func:`operators.sampling.cap_per_key`,
+    md5-rank deterministic; ``host_cap_salt`` re-draws the kept set).
 
     ``classifier_threshold=(num, den)`` (opt-in) adds the MODEL-based
     quality gate after the heuristic one (X29,
@@ -459,6 +466,18 @@ def curate_documents(
         SCRUB_PATTERNS,
         repetition_signals,
     )
+
+    if host_cap is not None:
+        # X41: per-host/URL document cap FIRST of every stage — the
+        # C4/FineWeb policy order (cap on metadata before any content
+        # work, so a mirror farm's thousandth copy never costs a
+        # fingerprint, a shingle, or a quality score).  host_cap =
+        # (key_col, n): at most n docs per key, md5-rank deterministic
+        # (operators.sampling.cap_per_key — one window exchange)
+        from pyspark_dist_explore_spark.operators.sampling import cap_per_key
+
+        cap_key, cap_n = host_cap
+        docs = cap_per_key(docs, cap_key, id_col, cap_n, salt=host_cap_salt)
 
     if unicode_form is not None:
         # Unicode canonicalization FIRST (opt-in): a multilingual crawl

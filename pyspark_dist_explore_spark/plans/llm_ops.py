@@ -588,6 +588,8 @@ def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
+    cap_per_key,
+    cap_per_key_sql,
     hash_split,
     hash_split_sql,
     shuffle_shards,
@@ -674,6 +676,14 @@ _TEMP_COEFF = 4.0
 #: behaviors an exact-count mixture recipe exercises.
 _TAKE_TARGETS = {"en": 120, "es": 50, "zh": 100_000, "de": 0}
 
+#: X41 host-cap knobs for the registered section: the synthetic corpus
+#: has no URL column, so "host" is the source/lang composite — 100
+#: groups whose sizes range ~1..15 at sf0.01, so ``n=5`` caps the
+#: en-heavy groups and keeps the small ones whole (a genuinely MIXED
+#: gate; a bare ``source`` key is uniform-25 and would cap everything)
+_HOST_CAP_N = 5
+_HOST_KEY_SQL = "concat(source, '/', lang)"
+
 
 @register(
     "sampling_splits",
@@ -694,6 +704,12 @@ SELECT 'strat_exact' AS kind,
        count(*) AS cnt
 FROM ({stratified_take_exact_sql("SELECT doc_id, lang FROM documents", "lang", "doc_id", _TAKE_TARGETS)})
 GROUP BY 1, 2
+UNION ALL
+SELECT 'host_cap' AS kind,
+       concat(host, '#', CAST(doc_id % 7 AS VARCHAR)) AS key,
+       count(*) AS cnt
+FROM ({cap_per_key_sql(f"SELECT doc_id, {_HOST_KEY_SQL} AS host FROM documents", "host", "doc_id", _HOST_CAP_N)})
+GROUP BY 1, 2
 """,
 )
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,10 +721,17 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``min(1, coeff·n^(τ−1))`` keep rates at τ=0.5: the multilingual
     mixture-flattening recipe, thresholds derived from the group counts
     through an exact sqrt chain so the kept set hash-checks
-    cross-engine), tagged and unioned.  All three stay fully
+    cross-engine), tagged and unioned.  All sections stay fully
     hash-checked (the kept SET is deterministic, not just its size);
     the standalone builders remain callable with their oracles pinned
-    in pytest."""
+    in pytest.
+
+    Round 10 adds the X41 PER-HOST CAP section
+    (:func:`~pyspark_dist_explore_spark.operators.sampling.
+    cap_per_key`): at most ``_HOST_CAP_N`` docs per source/lang
+    composite "host", md5-rank deterministic, sub-bucketed by
+    ``doc_id % 7`` like ``strat_exact`` so the hashed counts are
+    sensitive to WHICH docs survived the cap, not just how many."""
     docs = load_table(spark, sf_dir, "documents")
     splits = (
         hash_split(docs, "doc_id")
@@ -746,7 +769,25 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.lit("strat_exact").alias("kind"), "key", "cnt")
     )
-    return splits.unionByName(strat).unionByName(temp).unionByName(take)
+    hosts = docs.select(
+        "doc_id", F.concat_ws("/", "source", "lang").alias("host")
+    )
+    capped = (
+        cap_per_key(hosts, "host", "doc_id", _HOST_CAP_N)
+        .groupBy(
+            F.concat(
+                F.col("host"), F.lit("#"), (F.col("doc_id") % 7).cast("string")
+            ).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("host_cap").alias("kind"), "key", "cnt")
+    )
+    return (
+        splits.unionByName(strat)
+        .unionByName(temp)
+        .unionByName(take)
+        .unionByName(capped)
+    )
 
 
 #: per-source token budgets for the mixture query: a partial keep

@@ -5166,3 +5166,42 @@ def test_plan_minhash_lsh_predicts_measured_candidate_rate(spark):
         got = sum(1 for pair, s in truth.items() if s == J and pair in cands) / n_pairs
         want = dedup.lsh_candidate_prob(J, bands, rows)
         assert abs(got - want) <= 0.2, f"J={J}: measured {got} vs predicted {want}"
+
+
+def test_cap_per_key_matches_duckdb_and_semantics(spark):
+    """X41 per-host cap: kept set hash-matches the DuckDB twin, every
+    key keeps min(n, n_key) rows, NULL keys group as '' (one capped
+    bucket), and a new salt is an independent re-draw."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.sampling import (
+        cap_per_key,
+        cap_per_key_sql,
+    )
+
+    rows = [(i, f"h{i % 4}" if i % 11 else None) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, host string")
+    got = sorted(
+        (r["doc_id"], r["host"]) for r in cap_per_key(docs, "host", "doc_id", 7).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "host"]))
+    want = sorted(map(tuple, con.execute(
+        cap_per_key_sql("SELECT doc_id, host FROM docs", "host", "doc_id", 7)
+    ).fetchall()))
+    con.close()
+    assert got == want
+    from collections import Counter
+    per_key = Counter(h if h is not None else "" for _, h in got)
+    assert all(c <= 7 for c in per_key.values())
+    assert per_key[""] == 7  # 18 NULL-host rows capped as one bucket
+    # an uncapped key keeps everything
+    few = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id bigint, host string")
+    assert cap_per_key(few, "host", "doc_id", 7).count() == 3
+    # new salt = independent re-draw of WHICH rows survive, same counts
+    alt = {r["doc_id"] for r in cap_per_key(docs, "host", "doc_id", 7, salt="cap1").collect()}
+    assert alt != {d for d, _ in got} and len(alt) == len(got)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must be >= 1"):
+        cap_per_key(docs, "host", "doc_id", 0)

@@ -1100,3 +1100,34 @@ def test_curate_c4_rules_rewrite_and_collapse(spark):
     # one-junk-line twin even though exact dedup can't)
     base = curate_documents(df, min_quality=0.0, split_fractions={"train": 1.0})
     assert sorted(r["doc_id"] for r in base.collect()) == [1, 3, 4]
+
+
+def test_curate_host_cap_gate(spark):
+    """host_cap=(key, n) caps per-host membership BEFORE any content
+    stage: survivors are exactly curate(cap_per_key(docs)) — the cap
+    composes, and no host exceeds n among the ADMITTED set."""
+    from pyspark_dist_explore_spark.operators.sampling import cap_per_key
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+    )
+    capped_first = curate_documents(
+        cap_per_key(docs, "source", "doc_id", 2),
+        min_quality=0.0,
+        split_fractions={"train": 1.0},
+    )
+    wired = curate_documents(
+        docs,
+        min_quality=0.0,
+        split_fractions={"train": 1.0},
+        host_cap=("source", 2),
+    )
+    got = sorted(r["doc_id"] for r in wired.collect())
+    assert got == sorted(r["doc_id"] for r in capped_first.collect())
+    # the admitted set respects the cap per host
+    kept = docs.join(wired.select("doc_id"), "doc_id")
+    assert kept.groupBy("source").count().where("count > 2").count() == 0
+    # and without the cap, more docs survive (the gate did real work)
+    base = curate_documents(docs, min_quality=0.0, split_fractions={"train": 1.0})
+    assert base.count() > wired.count()
