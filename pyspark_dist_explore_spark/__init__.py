@@ -117,6 +117,9 @@ from pyspark_dist_explore_spark.operators.textstats import (
     classifier_score,
     drop_duplicate_spans,
     gopher_quality_gate,
+    bpe_encode,
+    bpe_learn,
+    bpe_segment_expr,
     gopher_repetition_battery,
     oov_stats,
     perplexity_buckets,
@@ -264,6 +267,9 @@ __all__ = [
     "dsir_bucket_counts",
     "gopher_quality_gate",
     "gopher_repetition_battery",
+    "bpe_learn",
+    "bpe_encode",
+    "bpe_segment_expr",
     # round-9 additions
     "c4_clean",
     "curation_funnel",

@@ -1795,6 +1795,238 @@ SELECT * FROM vo_out
 
 
 # --------------------------------------------------------------------------
+# X40: BPE merge induction (Sennrich et al. 2016, arXiv:1508.07909) —
+# the subword-tokenizer learning step that completes the vocabulary/OOV
+# story: greedy iterative pair merging over the corpus word-frequency
+# table.  Deterministic by construction ((count DESC, pair ASC)
+# tie-break), so the merge table is a pure function of the corpus and
+# hash-checks cross-engine (integer counts + strings, ORACLES.md
+# class A).
+# --------------------------------------------------------------------------
+
+#: symbol brackets for the BPE segmentation encoding: every symbol is
+#: wrapped \\x01…\\x02, so a merge is ONE literal string replacement
+#: (leftmost non-overlapping in Spark, DuckDB, and Python alike) with
+#: no boundary-sharing ambiguity — the lookbehind trick the classic
+#: regex form needs is unavailable in RE2 (DuckDB), brackets are not
+BPE_L = "\x01"
+BPE_R = "\x02"
+_BPE_SEP = BPE_R + BPE_L
+
+
+def _bpe_render(enc: str) -> tuple[str, str]:
+    """(readable pair "a b", readable merged "ab") from an encoded pair."""
+    syms = enc[1:-1].split(_BPE_SEP)
+    return " ".join(syms), "".join(syms)
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    *,
+    k: int = 8,
+    checkpoint_interval: int = 16,
+) -> DataFrame:
+    """Learn ``k`` BPE merges from the corpus: ``(step, pair, merged,
+    cnt)`` with ``pair`` the two symbols space-joined, ``merged`` their
+    concatenation, ``cnt`` the corpus-frequency-weighted count of
+    adjacent occurrences at the moment of the merge.  Fewer rows than
+    ``k`` when the corpus runs out of repeated pairs.
+
+    Scale shape: the ONLY corpus-sized work is the word-frequency
+    aggregate (token explode → map-side-combined count; output is
+    TYPE-sized).  Each of the ``k`` iterations then runs two narrow
+    jobs over the type table — an adjacent-pair count (explode + hash
+    aggregate, pairs ≤ chars per type) and a row-local literal
+    replacement — with the state ``localCheckpoint``-ed every
+    ``checkpoint_interval`` rounds and the superseded state released
+    (the :func:`~pyspark_dist_explore_spark.operators.dedup.
+    neardup_clusters` loop discipline; between checkpoints the pending
+    replaces collapse into one projection, so lineage depth stays ≤ the
+    interval at a production k of tens of thousands of merges while a
+    small-k call pays no extra jobs).  The per-iteration top-pair pick
+    is a ``TakeOrderedAndProject`` 1-row collect — the algorithm's
+    inherent sequential dependency (each merge changes the next pair
+    count), bounded at one metadata row per step.  The merge TABLE is
+    the model: k rows, driver-sized by definition.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
+    from pyspark_dist_explore_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
+    spark = df.sparkSession
+    toks = df.select(
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("w")
+    ).where(F.col("w") != "")
+    enc0 = F.regexp_replace(F.col("w"), "(.)", BPE_L + "$1" + BPE_R)
+    types = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(enc0.alias("enc"), "freq")
+        .localCheckpoint()
+    )
+    import re as _re
+
+    sep_re = _re.escape(_BPE_SEP)
+    merges: list[tuple[int, str, str, int]] = []
+    anchor = types  # last checkpointed state (owns storage blocks)
+    since_ckpt = 0
+    try:
+        for step in range(k):
+            syms = F.split(
+                F.substring(F.col("enc"), 2, F.length("enc") - 2), sep_re
+            )
+            n = F.size(syms)
+            pairs = F.zip_with(
+                F.slice(syms, 1, n - 1),
+                F.slice(syms, 2, n - 1),
+                lambda a, b: F.concat(
+                    F.lit(BPE_L), a, F.lit(BPE_R), F.lit(BPE_L), b, F.lit(BPE_R)
+                ),
+            )
+            top = (
+                types.select(F.explode(pairs).alias("pr"), "freq")
+                .groupBy("pr")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                .where(F.col("cnt") >= 2)
+                .orderBy(F.col("cnt").desc(), F.col("pr").asc())
+                .limit(1)
+                .collect()  # bounded-collect: the 1-row sequential pick of the greedy algorithm
+            )
+            if not top:
+                break
+            pr, cnt = top[0]["pr"], int(top[0]["cnt"])
+            pair, merged = _bpe_render(pr)
+            merges.append((step, pair, merged, cnt))
+            types = types.withColumn(
+                "enc", F.replace(F.col("enc"), F.lit(pr), F.lit(pr.replace(_BPE_SEP, "")))
+            )
+            since_ckpt += 1
+            if since_ckpt >= checkpoint_interval and step + 1 < k:
+                types = types.localCheckpoint()
+                _release_local_checkpoint(anchor)
+                anchor = types
+                since_ckpt = 0
+    finally:
+        _release_local_checkpoint(anchor)
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, cnt bigint"
+    )
+
+
+def bpe_merges_sql(src: str, *, k: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_learn` — same char-wrap encoding, same
+    pair count, same (cnt DESC, pair ASC) pick, same literal-replace
+    apply, unrolled to ``k`` chained CTE rounds (SQL has no loop; the
+    generator writes one ``pairs → top-1 → apply`` block per step).
+    ``src`` must yield ``(doc_id, text)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    L, R = "chr(1)", "chr(2)"
+    sep = f"{R} || {L}"
+    ctes = [
+        f"""bp_t0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS enc,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split({norm}, ' '), x -> x <> '')) AS w
+    FROM ({src}) z
+  ) GROUP BY w
+)"""
+    ]
+    tops = []
+    for i in range(k):
+        ctes.append(
+            f"""bp_p{i} AS MATERIALIZED (
+  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(generate_series(1, len(syms) - 1),
+               j -> {L} || syms[j] || {R} || {L} || syms[j + 1] || {R})) AS pr
+    FROM (SELECT freq,
+                 string_split(substr(enc, 2, len(enc) - 2), {sep}) AS syms
+          FROM bp_t{i}) s
+  ) GROUP BY pr HAVING CAST(sum(freq) AS BIGINT) >= 2
+)""",
+        )
+        ctes.append(
+            f"bp_top{i} AS MATERIALIZED (SELECT pr, cnt FROM bp_p{i} "
+            f"ORDER BY cnt DESC, pr ASC LIMIT 1)"
+        )
+        if i + 1 < k:
+            ctes.append(
+                f"""bp_t{i + 1} AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT count(*) FROM bp_top{i}) = 0 THEN enc
+         ELSE replace(enc, (SELECT pr FROM bp_top{i}),
+                      replace((SELECT pr FROM bp_top{i}), {sep}, '')) END AS enc,
+         freq
+  FROM bp_t{i}
+)"""
+            )
+        render = (
+            f"replace(replace(replace(pr, {sep}, ' '), {L}, ''), {R}, '')"
+        )
+        tops.append(
+            f"SELECT {i} AS step, {render} AS pair, "
+            f"replace({render}, ' ', '') AS merged, cnt FROM bp_top{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(tops)
+
+
+def bpe_segment_expr(word: Column, merges: Sequence[tuple[str, str]]) -> Column:
+    """Segment a single-word column with an ORDERED merge list (the
+    ``(pair, merged)`` readable forms from :func:`bpe_learn`): returns
+    the ``array<string>`` of subword symbols.  Pure row-local expression
+    — the merge list is a driver-side model artifact (k literals), so
+    encoding is a chain of ``k`` literal replacements inside whole-stage
+    codegen: no join, no shuffle, no Python."""
+    e = F.regexp_replace(word, "(.)", BPE_L + "$1" + BPE_R)
+    for pair, _merged in merges:
+        enc_pair = BPE_L + pair.replace(" ", _BPE_SEP) + BPE_R
+        e = F.replace(e, F.lit(enc_pair), F.lit(enc_pair.replace(_BPE_SEP, "")))
+    import re as _re
+
+    return F.split(F.substring(e, 2, F.length(e) - 2), _re.escape(_BPE_SEP))
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: Sequence[tuple[str, str]] | DataFrame,
+) -> DataFrame:
+    """Apply a learned merge table to a corpus: ``(doc_id, n_tokens,
+    n_subwords)`` per document — the tokenizer-fertility card
+    (subwords per word is THE sizing signal a BPE vocab is graded on;
+    :func:`oov_stats` grades the complementary coverage axis).
+    ``merges``: the :func:`bpe_learn` result frame (collected — k rows,
+    it is the model) or its ``(pair, merged)`` list.  Row-local: one
+    scan, zero shuffle."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["pair"], r["merged"])
+            for r in merges.orderBy("step").collect()  # bounded-collect: k-row model artifact
+        ]
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda x: x != "")
+    per_word = F.transform(toks, lambda w: F.size(bpe_segment_expr(w, merges)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            per_word, F.lit(0), lambda acc, x: acc + x
+        ).cast("bigint").alias("n_subwords"),
+    )
+
+
+# --------------------------------------------------------------------------
 # X29: fastText-style hashed n-gram linear classifier gate (the
 # model-based quality filter of CCNet / DCLM-style pipelines: a linear
 # model over hashed word uni+bigram features, scored per document and

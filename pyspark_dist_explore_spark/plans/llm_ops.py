@@ -684,6 +684,13 @@ _TAKE_TARGETS = {"en": 120, "es": 50, "zh": 100_000, "de": 0}
 _HOST_CAP_N = 5
 _HOST_KEY_SQL = "concat(source, '/', lang)"
 
+#: X40 merge count for the registered section: 8 merges over the ~31
+#: word types exercise the full greedy loop (the corpus yields mixed
+#: multi-round merges of merged symbols) while keeping the unrolled
+#: DuckDB twin and the sequential Spark rounds gate-cheap; larger k
+#: stays pytest-pinned against the pure-Python reference
+_BPE_K = 8
+
 
 @register(
     "sampling_splits",
@@ -710,6 +717,11 @@ SELECT 'host_cap' AS kind,
        count(*) AS cnt
 FROM ({cap_per_key_sql(f"SELECT doc_id, {_HOST_KEY_SQL} AS host FROM documents", "host", "doc_id", _HOST_CAP_N)})
 GROUP BY 1, 2
+UNION ALL
+SELECT 'bpe_merge' AS kind,
+       concat(printf('%02d', step), ':', pair, '>', merged) AS key,
+       cnt
+FROM ({textstats.bpe_merges_sql("SELECT doc_id, text FROM documents", k=_BPE_K)})
 """,
 )
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,7 +743,14 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap_per_key`): at most ``_HOST_CAP_N`` docs per source/lang
     composite "host", md5-rank deterministic, sub-bucketed by
     ``doc_id % 7`` like ``strat_exact`` so the hashed counts are
-    sensitive to WHICH docs survived the cap, not just how many."""
+    sensitive to WHICH docs survived the cap, not just how many — and
+    the X40 BPE MERGE-TABLE section
+    (:func:`~pyspark_dist_explore_spark.operators.textstats.
+    bpe_learn`, Sennrich et al. 2016): the first ``_BPE_K`` greedy
+    merges as ``step:pair>merged`` keys with their integer pair counts,
+    hash-checked against the unrolled chained-CTE DuckDB twin — the
+    subword-tokenizer induction step whose coverage grade already rides
+    ``corpus_profile``'s vocab/OOV card."""
     docs = load_table(spark, sf_dir, "documents")
     splits = (
         hash_split(docs, "doc_id")
@@ -782,11 +801,24 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.lit("host_cap").alias("kind"), "key", "cnt")
     )
+    # checkpoint_interval=2 A/B'd at sf0.1 (warm 2.0–2.1 s vs 2.4 s at
+    # the lineage-friendly default 16: at gate k=8 the shallow-plan
+    # rounds beat the deep-replace-chain rounds; production-k callers
+    # keep the default's lower checkpoint count)
+    bpe = textstats.bpe_learn(docs, "text", k=_BPE_K, checkpoint_interval=2).select(
+        F.lit("bpe_merge").alias("kind"),
+        F.concat(
+            F.format_string("%02d", F.col("step")),
+            F.lit(":"), F.col("pair"), F.lit(">"), F.col("merged"),
+        ).alias("key"),
+        "cnt",
+    )
     return (
         splits.unionByName(strat)
         .unionByName(temp)
         .unionByName(take)
         .unionByName(capped)
+        .unionByName(bpe)
     )
 
 

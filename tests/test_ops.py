@@ -5205,3 +5205,103 @@ def test_cap_per_key_matches_duckdb_and_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n must be >= 1"):
         cap_per_key(docs, "host", "doc_id", 0)
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    """X40: bpe_learn agrees with a direct pure-Python implementation
+    of Sennrich et al. 2016 (char-init, freq-weighted adjacent-pair
+    counts, greedy (count DESC, pair ASC) merges, stop below count 2)
+    over a seeded random corpus."""
+    import random
+    from collections import Counter
+
+    from pyspark_dist_explore_spark.operators.textstats import bpe_learn
+
+    rng = random.Random(40)
+    words = ["banana", "bandana", "ananas", "cabana", "nab", "band",
+             "an", "na", "b", "la", "lab", "bala"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 30)))
+        for _ in range(60)
+    ]
+
+    def py_bpe(texts, k):
+        freqs = Counter(w for t in texts for w in t.split() if w)
+        segs = {w: tuple(w) for w in freqs}
+        out = []
+        for step in range(k):
+            pc = Counter()
+            for w, syms in segs.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += freqs[w]
+            if not pc:
+                break
+            # tie-break: count DESC, then pair ASC on the bracket-coded
+            # form — identical to ordering by (left, right) tuple
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt < 2:
+                break
+            out.append((step, f"{a} {b}", a + b, cnt))
+            new = {}
+            for w, syms in segs.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                new[w] = tuple(merged)
+            segs = new
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = [tuple(r) for r in bpe_learn(df, "text", k=12).orderBy("step").collect()]
+    assert got == py_bpe(texts, 12)
+
+
+def test_bpe_merges_sql_twin_and_encode(spark):
+    """The unrolled DuckDB twin reproduces bpe_learn exactly (including
+    early stop), and bpe_encode's fertility counts match a per-word
+    driver-side segmentation with the same merges."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        bpe_encode,
+        bpe_learn,
+        bpe_merges_sql,
+        bpe_segment_expr,
+    )
+
+    rows = [(1, "low lower lowest low low newer new newest wider wide wide"),
+            (2, "low slow slower news new wide widely lowest"),
+            (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    m = bpe_learn(df, "text", k=30)  # > available merges: early stop
+    got = [tuple(r) for r in m.orderBy("step").collect()]
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = [tuple(r) for r in con.execute(
+        bpe_merges_sql("SELECT doc_id, text FROM docs", k=30) + " ORDER BY step"
+    ).fetchall()]
+    con.close()
+    assert got == want and 0 < len(got) < 30
+
+    merges = [(r[1], r[2]) for r in got]
+    enc = {r["doc_id"]: r for r in bpe_encode(df, "text", "doc_id", m).collect()}
+    assert enc[3]["n_tokens"] == 0 and enc[3]["n_subwords"] == 0
+    # spot-check fertility against a single-word segmentation
+    one = spark.createDataFrame([("lowest",)], "w string").select(
+        bpe_segment_expr(F.col("w"), merges).alias("s")
+    ).collect()[0]["s"]
+    assert "".join(one) == "lowest" and len(one) >= 1
+    doc1_words = rows[0][1].split()
+    segs = spark.createDataFrame([(w,) for w in doc1_words], "w string").select(
+        F.size(bpe_segment_expr(F.col("w"), merges)).alias("n")
+    ).collect()
+    assert enc[1]["n_subwords"] == sum(r["n"] for r in segs)
+    assert enc[1]["n_tokens"] == len(doc1_words)
