@@ -2311,7 +2311,7 @@ fn_flags AS (
   FROM documents d
   JOIN ({textstats.gopher_sql("SELECT doc_id, text FROM documents", min_words=_GOPHER_MIN_WORDS, min_stop_words=_GOPHER_MIN_STOP)}) g
     ON d.doc_id = g.doc_id
-  JOIN ({textstats.classifier_sql("SELECT doc_id, text FROM documents")}) c
+  JOIN ({textstats.classifier_sql("SELECT doc_id, text FROM documents", bigrams=False)}) c
     ON d.doc_id = c.doc_id
 ),
 fn AS (
@@ -2367,7 +2367,12 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # classifier gate via the STAGED once-per-row form (the X29
     # lesson: the single-expression form re-evaluates the gram+fold
-    # chain per consumer — measured ~2x on this projection)
+    # chain per consumer — measured ~2x on this projection).  The
+    # funnel's flag rides the UNIGRAM-only md5 variant (r10 A/B at
+    # sf0.1: 1.05 s vs 1.54 s for the uni+bigram form — the funnel
+    # needs a keep bit, and halving the md5-per-gram work is the whole
+    # win; the full uni+bigram chain stays hash-checked in text_stats,
+    # X29's primary registration)
     sig = textstats.with_classifier_gate(
         staged.select(
             "grp",
@@ -2378,6 +2383,7 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("__raw"),
         hash_fn="md5",
+        bigrams=False,
     )
     flags = sig.select(
         "grp",
