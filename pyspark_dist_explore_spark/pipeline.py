@@ -549,6 +549,28 @@ def curate_documents(
             F.col("doc_id").alias(id_col), F.col("text").alias(text_col)
         )
 
+    rewrote = any(
+        (
+            unicode_form is not None,
+            c4_rules is not None,
+            drop_boilerplate_lines is not None,
+            dedup_doc_lines,
+            span_dedup_k is not None,
+        )
+    )
+    if rewrote and (materialize or snapshot_dir is not None):
+        # stage the REWRITTEN corpus once (r10, A/B'd in BASELINE.md:
+        # full-config 1× run 70.1 → 36.9 s, identical survivors): every
+        # downstream consumer —
+        # the span/line aggregates, repetition signals, the ppl fit AND
+        # score passes, decontamination, fingerprints, the pair
+        # generator — otherwise re-executes the whole NFC → C4 → line →
+        # span rewrite chain per scan.  Opt-in via the same materialize/
+        # snapshot_dir knobs as the post-dedup stage (the 100 TB form
+        # lands the rewrite to parquet; localCheckpoint is the
+        # single-session equivalent)
+        docs = docs.localCheckpoint()
+
     t = F.col(text_col)
     if scrub:
         for _, pat in SCRUB_PATTERNS:

@@ -969,6 +969,112 @@ def main() -> None:
             "decade2_ratio": round(t100 / t10, 2),
         }))
 
+    # -- round 10 (opt-in SPARK_GRAFT_PROBE_CURATE_FULL=1): EVERYTHING-ON
+    # curate_documents at 1×/10×/100× — the r4 probe measured the minimal
+    # config (quality + dedup + clusters); the stage set has since
+    # tripled, so this runs the full chain: host cap, NFC, C4 rewrite,
+    # cross-doc + intra-doc line dedup, span dedup, scrub, classifier +
+    # Gopher gates, repetition + bigram-ppl filters, n-gram decontam
+    # (eval fixed at copy-0 slice), minhash pair near-dup, DSIR selection
+    # (n_keep scales with the corpus so 100× exercises the distributed
+    # topk_by_rank path), temperature flattening, and a token budget.
+    # Copies are token-prefixed (disjoint fingerprint/shingle/gram
+    # spaces) with injected punctuation so the C4 line rules do real
+    # mixed work; hosts are per-copy so the cap does not erase growth.
+    # The MINIMAL config runs at the same scales for stage-set
+    # attribution (full − minimal = the cost of everything added since
+    # r4).
+    if os.environ.get("SPARK_GRAFT_PROBE_CURATE_FULL") == "1":
+        from pyspark_dist_explore_spark.operators import textstats as _ts
+        from pyspark_dist_explore_spark.pipeline import (
+            curate_documents,
+            minhash_pair_fn,
+        )
+
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", _ts.inject_punctuation(F.col("text")).alias("text")
+        )
+
+        def full_copies(n: int) -> DataFrame:
+            return reduce(
+                DataFrame.unionAll,
+                [
+                    raw.select(
+                        (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                        F.concat(
+                            F.lit(f"x{i} "),
+                            F.regexp_replace(F.col("text"), " ", f" x{i}"),
+                        ).alias("text"),
+                        F.concat(
+                            F.lit(f"c{i}/h"), (F.col("doc_id") % 20).cast("string")
+                        ).alias("host"),
+                    )
+                    for i in range(n)
+                ],
+            )
+
+        def run_full(d: DataFrame, ncopies: int) -> tuple[float, int]:
+            eval_df = d.where(
+                (F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 25 == 0)
+            ).select("doc_id", "text")
+            dsir_tgt = d.where(
+                (F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 10 == 3)
+            ).select("doc_id", "text")
+            t0 = time.perf_counter()
+            n = curate_documents(
+                d, "text", "doc_id",
+                min_quality=0.0,
+                host_cap=("host", 200),
+                unicode_form="NFC",
+                c4_rules={"min_sentences": 1},
+                drop_boilerplate_lines=2,
+                dedup_doc_lines=True,
+                span_dedup_k=8,
+                scrub=True,
+                # token-prefixed copies carry no literal stop words, so
+                # the stop rule is disabled; every other Gopher rule and
+                # the md5 classifier gate run live
+                gopher_rules={"min_words": 10, "min_stop_words": 0},
+                classifier_threshold=(0, 1),
+                max_dup_token_frac=0.99,
+                max_ppl=1e18,
+                ppl_model="bigram",
+                decontaminate_against=eval_df,
+                decontam_ngram=13,
+                pair_fn=minhash_pair_fn(threshold=0.8),
+                materialize=True,
+                dsir_target=dsir_tgt,
+                dsir_n_keep=2_000 * ncopies,
+                temperature_coeff=1e6,
+                token_budget=10**12,
+            ).count()
+            return round(time.perf_counter() - t0, 3), n
+
+        def run_minimal(d: DataFrame) -> tuple[float, int]:
+            t0 = time.perf_counter()
+            n = curate_documents(
+                d, "text", "doc_id", min_quality=0.0,
+                pair_fn=minhash_pair_fn(threshold=0.8), materialize=True,
+            ).count()
+            return round(time.perf_counter() - t0, 3), n
+
+        for name, runner in (("curate_full", run_full), ("curate_minimal",
+                                                         run_minimal)):
+            args1 = (full_copies(1), 1) if name == "curate_full" else (full_copies(1),)
+            args10 = (full_copies(10), 10) if name == "curate_full" else (full_copies(10),)
+            args100 = (full_copies(100), 100) if name == "curate_full" else (full_copies(100),)
+            t1, n1 = runner(*args1)
+            t10, n10 = runner(*args10)
+            t100, n100 = runner(*args100)
+            print(json.dumps({
+                "probe": f"{name}_100x", "t_1x": t1, "t_10x": t10,
+                "t_100x": t100, "kept_1x": n1, "kept_10x": n10,
+                "kept_100x": n100,
+                "ratio_10x": round(t10 / t1, 2),
+                "ratio_100x": round(t100 / t1, 2),
+                "decade2_ratio": round(t100 / t10, 2),
+            }))
+
     spark.stop()
 
 
