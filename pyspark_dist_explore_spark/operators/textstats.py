@@ -797,7 +797,12 @@ def gopher_repetition_battery(
 
     Execution: one token explode → ONE ``lead``-chain window pass
     builds every requested gram size simultaneously (max(n)−1 lead
-    columns over the same (doc, idx) sort — winnowing's ordering) →
+    columns over the same (doc, idx) sort — winnowing's ordering; a
+    window-free row-local rewrite — per-size ``transform`` +
+    ``slice``/``concat_ws`` over the token array — was A/B'd in round
+    10 and REJECTED: 3.9 s vs 2.3 s at sf0.1, higher-order functions
+    are CodegenFallback so the per-element slice+concat chain runs
+    interpreted and re-evaluates per gram) →
     the gram columns unpivot to ``(doc_id, n, gram)`` (≤ |ns| rows per
     position — the honest cost of the full battery; the paper's
     pipeline pays the same) → ONE (doc_id, n, gram) count aggregate
