@@ -580,6 +580,12 @@ def cap_per_key(
     everything past ``n`` before any downstream stage.  Unlike
     ``stratified_take_exact`` the cap applies to EVERY key (no target
     dict), which is what a host policy means.
+
+    The full row (text included) rides the rank exchange BY DESIGN: a
+    projected-window + id-semi-join variant was A/B'd at 100× sf0.1 in
+    round 10 and REJECTED (56–78 s vs 5–12 s) — the semi-join re-scans
+    the corpus and shuffles it a SECOND time by id, so one full-row
+    exchange is strictly cheaper (probe row in BASELINE.md).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
