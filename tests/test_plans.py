@@ -661,3 +661,43 @@ def test_text_perplexity_staged_plan_rides_checkpoint(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cap_per_key_single_exchange_no_global_sort(spark):
+    """X41 scale pins: the per-host cap is ONE hash-partition window
+    (the stratified_take_exact shape) — per-partition sort under the
+    window, never a global range sort, no Python anywhere."""
+    from pyspark_dist_explore_spark.operators.sampling import cap_per_key
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "source")
+    out = cap_per_key(docs, "source", "doc_id", 5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    n_exchange = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}\n{plan}"
+    assert "rangepartitioning" not in plan.lower(), "no global sort"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_encode_row_local_no_python(spark):
+    """X40 scale pins: applying a learned merge table is pure row-local
+    expression work — zero exchanges, zero Python eval nodes (the merge
+    list is k literals folded into the projection)."""
+    from pyspark_dist_explore_spark.operators.textstats import bpe_encode
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    out = bpe_encode(docs, "text", "doc_id", [("e r", "er"), ("i n", "in")])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, f"expected zero shuffles\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
