@@ -94,8 +94,10 @@ from pyspark_dist_explore_spark.operators.dsir import (
     dsir_topk,
 )
 from pyspark_dist_explore_spark.operators.dedup import (
+    canonicalize_url,
     corpus_overlap,
     incremental_minhash_neardup,
+    url_host,
     lsh_candidate_prob,
     plan_minhash_lsh,
 )
@@ -290,6 +292,8 @@ __all__ = [
     "cap_per_key",
     "incremental_minhash_neardup",
     "corpus_overlap",
+    "canonicalize_url",
+    "url_host",
     # sinks / physical layout
     "write_partitioned",
     "write_training_shards",

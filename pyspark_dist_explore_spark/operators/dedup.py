@@ -138,6 +138,110 @@ def normalize_unicode(
 
 
 # --------------------------------------------------------------------------
+# X42: URL canonicalization — the normalization that makes per-URL /
+# per-host dedup policy (C4 keeps one page per URL; cap_per_key caps
+# per host) actually collapse the variants a crawl produces.  Pure
+# regexp/string expressions (class A strings), rendered identically
+# into both engines; only patterns RE2 and Java regex share (no
+# lookarounds, no backrefs in patterns).
+# --------------------------------------------------------------------------
+
+#: tracking query params dropped by :func:`canonicalize_url` — the
+#: standard analytics noise (Google Analytics utm_*, Google/Facebook
+#: click ids, bare ref=) that makes byte-identical pages look like
+#: distinct URLs
+URL_TRACKER_RE = "(utm_[^&#]*|gclid=[^&#]*|fbclid=[^&#]*|ref=[^&#]*)"
+
+_URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_AUTH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+
+
+def _canon_host(scheme_l: Column, auth: Column) -> Column:
+    host = F.regexp_replace(F.lower(auth), r"^www\.", "")
+    return (
+        F.when(scheme_l == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme_l == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+
+
+def canonicalize_url(u: Column) -> Column:
+    """Canonical form of a URL: scheme and host lowercased, ``www.``
+    and the scheme's default port stripped, fragment dropped, tracking
+    params (:data:`URL_TRACKER_RE`) removed with separators repaired,
+    a bare trailing ``/`` path dropped; path/query case and parameter
+    ORDER are preserved (reordering changes semantics on some servers).
+    Non-URL input (no ``scheme://``) passes through trimmed; NULL stays
+    NULL.  Row-local, whole-stage codegen — feed the result to
+    ``exact_dedup`` (one page per URL) or :func:`~pyspark_dist_explore_
+    spark.operators.sampling.cap_per_key` via :func:`url_host`."""
+    s = F.trim(u)
+    scheme = F.regexp_extract(s, _URL_SCHEME_RE, 1)
+    scheme_l = F.lower(scheme)
+    auth = F.regexp_extract(s, _URL_AUTH_RE, 1)
+    rest = F.regexp_extract(s, _URL_REST_RE, 1)
+    pq = F.regexp_replace(rest, "([?&])" + URL_TRACKER_RE, "$1")
+    pq = F.regexp_replace(pq, "&{2,}", "&")
+    pq = F.regexp_replace(pq, r"\?&", "?")
+    pq = F.regexp_replace(pq, "[?&]+$", "")
+    pq = F.when(pq == "/", F.lit("")).otherwise(pq)
+    canon = F.concat(scheme_l, F.lit("://"), _canon_host(scheme_l, auth), pq)
+    return F.when(scheme == "", s).otherwise(canon)
+
+
+def url_host(u: Column) -> Column:
+    """The canonical host of a URL ('' for non-URL input — one shared
+    cap bucket, matching the NULL-key convention of ``cap_per_key``)."""
+    s = F.trim(u)
+    scheme_l = F.lower(F.regexp_extract(s, _URL_SCHEME_RE, 1))
+    auth = F.regexp_extract(s, _URL_AUTH_RE, 1)
+    return F.when(scheme_l == "", F.lit("")).otherwise(
+        _canon_host(scheme_l, auth)
+    )
+
+
+def canonicalize_url_sql(c: str) -> str:
+    """DuckDB rendering of :func:`canonicalize_url` — same extraction
+    groups, same replace chain (RE2 needs the explicit ``'g'`` flag;
+    replacement backrefs are ``\\1`` where Spark writes ``$1``)."""
+    s = f"trim({c})"
+    scheme = f"regexp_extract({s}, '{_URL_SCHEME_RE}', 1)"
+    scheme_l = f"lower({scheme})"
+    auth = f"regexp_extract({s}, '{_URL_AUTH_RE}', 1)"
+    rest = f"regexp_extract({s}, '{_URL_REST_RE}', 1)"
+    host = f"regexp_replace(lower({auth}), '^www\\.', '', 'g')"
+    host = (
+        f"CASE WHEN {scheme_l} = 'http' THEN regexp_replace({host}, ':80$', '', 'g') "
+        f"WHEN {scheme_l} = 'https' THEN regexp_replace({host}, ':443$', '', 'g') "
+        f"ELSE {host} END"
+    )
+    pq = f"regexp_replace({rest}, '([?&]){URL_TRACKER_RE}', '\\1', 'g')"
+    pq = f"regexp_replace({pq}, '&{{2,}}', '&', 'g')"
+    pq = f"regexp_replace({pq}, '\\?&', '?', 'g')"
+    pq = f"regexp_replace({pq}, '[?&]+$', '', 'g')"
+    pq = f"CASE WHEN {pq} = '/' THEN '' ELSE {pq} END"
+    return (
+        f"CASE WHEN {scheme} = '' THEN {s} "
+        f"ELSE {scheme_l} || '://' || {host} || {pq} END"
+    )
+
+
+def url_host_sql(c: str) -> str:
+    """DuckDB rendering of :func:`url_host`."""
+    s = f"trim({c})"
+    scheme_l = f"lower(regexp_extract({s}, '{_URL_SCHEME_RE}', 1))"
+    auth = f"regexp_extract({s}, '{_URL_AUTH_RE}', 1)"
+    host = f"regexp_replace(lower({auth}), '^www\\.', '', 'g')"
+    host = (
+        f"CASE WHEN {scheme_l} = 'http' THEN regexp_replace({host}, ':80$', '', 'g') "
+        f"WHEN {scheme_l} = 'https' THEN regexp_replace({host}, ':443$', '', 'g') "
+        f"ELSE {host} END"
+    )
+    return f"CASE WHEN {scheme_l} = '' THEN '' ELSE {host} END"
+
+
+# --------------------------------------------------------------------------
 # X1: exact dedup with deterministic survivor
 # --------------------------------------------------------------------------
 

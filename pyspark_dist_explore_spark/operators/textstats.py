@@ -2002,6 +2002,40 @@ def bpe_segment_expr(word: Column, merges: Sequence[tuple[str, str]]) -> Column:
     return F.split(F.substring(e, 2, F.length(e) - 2), _re.escape(_BPE_SEP))
 
 
+def bpe_encode_sql(src: str, merges: Sequence[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`bpe_encode` — the same char-wrap encoding
+    and ordered literal-replace chain per word, summed per doc.
+    ``src`` must yield ``(doc_id, text)``; ``merges`` is the readable
+    ``(pair, merged)`` list.  Renders the merge applications as a
+    nested ``replace`` chain inside a ``list_transform`` lambda, so the
+    two engines execute the identical fold."""
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    L, R = "chr(1)", "chr(2)"
+    sep = f"{R} || {L}"
+    e = f"regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')"
+    for pair, _merged in merges:
+        enc_pair = "'" + (BPE_L + pair.replace(" ", _BPE_SEP) + BPE_R).replace(
+            "'", "''"
+        ) + "'"
+        merged_lit = "'" + (BPE_L + pair.replace(" ", "") + BPE_R).replace(
+            "'", "''"
+        ) + "'"
+        e = f"replace({e}, {enc_pair}, {merged_lit})"
+    n_sub = f"len(string_split(substr({e}, 2, len({e}) - 2), {sep}))"
+    return f"""
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(list_sum(list_transform(ws, w -> {n_sub})), 0) AS BIGINT)
+         AS n_subwords
+FROM (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), x -> x <> '') AS ws
+  FROM ({src}) z
+)
+"""
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str,

@@ -2800,14 +2800,84 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.unionByName(pooled).unionByName(rp)
 
 
+def _messy_url_sql() -> str:
+    """The synthesized MESSY URL per doc for the X42 gate section —
+    deterministic md5-parity variant choices (the `inject_punctuation`
+    convention), one definition rendered into both dialects."""
+    def d(i: int, k: int) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), {i}, 1)) AS INT) % {k}"
+        )
+
+    return (
+        f"CASE {d(1, 4)} WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' WHEN 2 THEN 'https' ELSE 'HtTpS' END"
+        f" || '://'"
+        f" || CASE WHEN {d(2, 2)} = 0 THEN 'www.' ELSE '' END"
+        f" || 'Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'"
+        f" || CASE {d(3, 4)} WHEN 0 THEN '' WHEN 1 THEN ':80' WHEN 2 THEN ':443' ELSE ':8080' END"
+        f" || '/Docs/Page-' || CAST(doc_id AS VARCHAR)"
+        f" || CASE {d(4, 4)} WHEN 0 THEN '' WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR)"
+        f"    WHEN 2 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)"
+        f"    ELSE '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x&fbclid=abc' END"
+        f" || CASE WHEN {d(5, 2)} = 0 THEN '#Sec2' ELSE '' END"
+    )
+
+
+def _messy_url_col() -> F.Column:
+    """Spark rendering of :func:`_messy_url_sql` (same digits, same
+    variants)."""
+    def d(i: int, k: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("url:"), F.col("doc_id").cast("string"))),
+                    i,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % k
+        )
+
+    did = F.col("doc_id").cast("string")
+    scheme = (
+        F.when(d(1, 4) == 0, F.lit("http"))
+        .when(d(1, 4) == 1, F.lit("HTTP"))
+        .when(d(1, 4) == 2, F.lit("https"))
+        .otherwise(F.lit("HtTpS"))
+    )
+    www = F.when(d(2, 2) == 0, F.lit("www.")).otherwise(F.lit(""))
+    port = (
+        F.when(d(3, 4) == 0, F.lit(""))
+        .when(d(3, 4) == 1, F.lit(":80"))
+        .when(d(3, 4) == 2, F.lit(":443"))
+        .otherwise(F.lit(":8080"))
+    )
+    query = (
+        F.when(d(4, 4) == 0, F.lit(""))
+        .when(d(4, 4) == 1, F.concat(F.lit("?id="), did))
+        .when(d(4, 4) == 2, F.concat(F.lit("?utm_source=feed&id="), did))
+        .otherwise(F.concat(F.lit("?id="), did, F.lit("&utm_campaign=x&fbclid=abc")))
+    )
+    frag = F.when(d(5, 2) == 0, F.lit("#Sec2")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), www,
+        F.lit("Example"), (F.col("doc_id") % 7).cast("string"), F.lit(".COM"),
+        port, F.lit("/Docs/Page-"), did, query, frag,
+    )
+
+
 @register(
     "text_normalize_unicode",
-    r"""
+    rf"""
 SELECT doc_id,
        md5(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS norm_hash,
        CASE WHEN text IS NULL THEN 0
             WHEN regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') <> text
-            THEN 1 ELSE 0 END AS changed
+            THEN 1 ELSE 0 END AS changed,
+       {dedup.canonicalize_url_sql(_messy_url_sql())} AS url_canon,
+       {dedup.url_host_sql(_messy_url_sql())} AS url_host
 FROM documents
 """,
 )
@@ -2817,9 +2887,24 @@ def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ``nfc_normalize`` (md5 of the normalized bytes + the
     changed flag).  The accent-fold variant and the planted NFD-vs-NFC
     dedup collapse are pinned in pytest; ``curate_documents`` exposes
-    the stage as ``unicode_form=``."""
+    the stage as ``unicode_form=``.
+
+    Round 10 adds the X42 URL-CANONICALIZATION section — the other
+    normalization a crawl pipeline runs before per-URL/host dedup
+    policy: ``url_canon`` + ``url_host`` over a deterministic
+    md5-parity MESSY url per doc (mixed-case schemes/hosts, www,
+    default and non-default ports, tracking params in every position,
+    fragments — the `inject_punctuation` adapter convention, one
+    definition rendered into both dialects), so the full extraction +
+    lowercase + port/www strip + tracker-removal + separator-repair
+    chain is hash-checked string-for-string."""
     docs = load_table(spark, sf_dir, "documents")
     normed = dedup.normalize_unicode(docs, "text", "doc_id")
+    messy = _messy_url_col()  # depends only on doc_id — rides the same projection
     return normed.select(
-        "doc_id", F.md5("text").alias("norm_hash"), "changed"
+        "doc_id",
+        F.md5("text").alias("norm_hash"),
+        "changed",
+        dedup.canonicalize_url(messy).alias("url_canon"),
+        dedup.url_host(messy).alias("url_host"),
     )

@@ -5305,3 +5305,67 @@ def test_bpe_merges_sql_twin_and_encode(spark):
     ).collect()
     assert enc[1]["n_subwords"] == sum(r["n"] for r in segs)
     assert enc[1]["n_tokens"] == len(doc1_words)
+    # and the DuckDB encode twin reproduces the fertility card exactly
+    import duckdb as _duckdb
+    import pandas as _pd
+
+    from pyspark_dist_explore_spark.operators.textstats import bpe_encode_sql
+
+    con2 = _duckdb.connect()
+    con2.register("docs", _pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck_enc = sorted(map(tuple, con2.execute(
+        bpe_encode_sql("SELECT doc_id, text FROM docs", merges)
+    ).fetchall()))
+    con2.close()
+    assert duck_enc == sorted(
+        (r["doc_id"], r["n_tokens"], r["n_subwords"]) for r in enc.values()
+    )
+
+
+def test_canonicalize_url_semantics_and_twin(spark):
+    """X42: the canonical form collapses a crawl's URL variants —
+    case, www, default ports, trackers in every position, fragments —
+    while preserving path/query case and parameter order; non-URL
+    passes through; NULL stays NULL.  DuckDB twin string-for-string."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.dedup import (
+        canonicalize_url,
+        canonicalize_url_sql,
+        url_host,
+        url_host_sql,
+    )
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/A/B?x=1#frag", "http://example.com/A/B?x=1"),
+        ("https://example.com:443/", "https://example.com"),
+        ("https://example.com:8080/p", "https://example.com:8080/p"),
+        ("http://example.com:443/p", "http://example.com:443/p"),
+        ("http://a.com/p?utm_source=x&id=2", "http://a.com/p?id=2"),
+        ("http://a.com/p?id=2&utm_a=1&utm_b=2", "http://a.com/p?id=2"),
+        ("http://a.com/p?utm_a=1&utm_b=2", "http://a.com/p"),
+        ("http://a.com/p?gclid=g&fbclid=f&ref=r", "http://a.com/p"),
+        ("http://a.com/p?b=2&a=1", "http://a.com/p?b=2&a=1"),  # order kept
+        ("http://a.com/CaseSensitive/Path", "http://a.com/CaseSensitive/Path"),
+        ("  http://a.com/p  ", "http://a.com/p"),
+        ("not a url", "not a url"),
+        ("", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
+    got = {r["i"]: (r["c"], r["h"]) for r in df.select(
+        "i", canonicalize_url(F.col("u")).alias("c"), url_host(F.col("u")).alias("h")
+    ).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i][0] == want, f"{u!r}: {got[i][0]!r} != {want!r}"
+    assert got[0][1] == "example.com" and got[11][1] == "" and got[13][1] is None
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame([(i, u) for i, (u, _) in enumerate(cases)], columns=["i", "u"]))
+    duck = {r[0]: (r[1], r[2]) for r in con.execute(
+        f"SELECT i, {canonicalize_url_sql('u')} AS c, {url_host_sql('u')} AS h FROM t"
+    ).fetchall()}
+    con.close()
+    # NULL propagates through trim/extract in both engines
+    assert duck == {i: got[i] for i in duck}
