@@ -555,7 +555,7 @@ def stratified_take_exact(
 
 def cap_per_key(
     df: DataFrame,
-    key_col: str,
+    key_col: str | Column,
     id_col: str,
     n: int,
     *,
@@ -594,7 +594,10 @@ def cap_per_key(
             ":", F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit(""))
         )
     )
-    k = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    # a Column key (e.g. dedup.url_host over a raw url column) rides the
+    # same window without a pre-projection
+    key = key_col if isinstance(key_col, Column) else F.col(key_col)
+    k = F.coalesce(key.cast("string"), F.lit(""))
     w = Window.partitionBy(k).orderBy(h, F.col(id_col).cast("string"))
     return (
         df.withColumn("__rk", F.row_number().over(w))

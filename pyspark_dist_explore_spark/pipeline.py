@@ -329,6 +329,9 @@ def curate_documents(
     per ``key_col`` value BEFORE any content stage — the C4/FineWeb
     per-URL/host dedup policy (:func:`operators.sampling.cap_per_key`,
     md5-rank deterministic; ``host_cap_salt`` re-draws the kept set).
+    ``key_col`` may be a Column expression — e.g.
+    ``host_cap=(url_host(F.col("url")), 1000)`` caps per CANONICAL host
+    (:func:`operators.dedup.url_host`, X42) without a pre-projection.
 
     ``classifier_threshold=(num, den)`` (opt-in) adds the MODEL-based
     quality gate after the heuristic one (X29,

@@ -5369,3 +5369,19 @@ def test_canonicalize_url_semantics_and_twin(spark):
     con.close()
     # NULL propagates through trim/extract in both engines
     assert duck == {i: got[i] for i in duck}
+
+
+def test_cap_per_key_accepts_column_key(spark):
+    """X41+X42 composition: cap_per_key keyed on a COLUMN expression —
+    url_host over raw messy URLs — caps per canonical host."""
+    from pyspark_dist_explore_spark.operators.dedup import url_host
+    from pyspark_dist_explore_spark.operators.sampling import cap_per_key
+
+    rows = [(i, f"HTTP://WWW.Host{i % 3}.com:80/p{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, url string")
+    kept = cap_per_key(docs, url_host(F.col("url")), "doc_id", 4)
+    assert kept.count() == 12  # 3 canonical hosts x cap 4
+    by_host = (
+        kept.groupBy(url_host(F.col("url")).alias("h")).count().collect()
+    )
+    assert all(r["count"] == 4 for r in by_host) and len(by_host) == 3
