@@ -2036,11 +2036,60 @@ FROM (
 """
 
 
+def bpe_fertility_sql(src: str, group_col: str, *, k: int = 8) -> str:
+    """DuckDB twin of the learn→encode CHAIN: learn the merge table
+    with :func:`bpe_merges_sql`, then apply those LEARNED merges (no
+    literals — the replace chain's pattern/replacement pairs come from
+    the merge table itself, pivoted onto one row and captured by the
+    per-word lambda) and roll fertility up per ``group_col``:
+    ``(grp, n_tokens, n_subwords)`` integer sums.  Missing steps (the
+    corpus ran out of repeated pairs) pivot to a ``chr(3)`` sentinel
+    whose bracketed pattern cannot occur, so the chain degrades to the
+    same no-op as Spark's shorter collected merge list.  ``src`` must
+    yield ``(doc_id, {group_col}, text)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    L, R = "chr(1)", "chr(2)"
+    sep = f"{R} || {L}"
+    pivots = ", ".join(
+        f"{L} || replace(COALESCE(max(CASE WHEN step = {i} THEN pair END), chr(3)),"
+        f" ' ', {sep}) || {R} AS ep{i},\n"
+        f"       {L} || replace(COALESCE(max(CASE WHEN step = {i} THEN pair END), chr(3)),"
+        f" ' ', '') || {R} AS ml{i}"
+        for i in range(k)
+    )
+    e = "regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')"
+    for i in range(k):
+        e = f"replace({e}, ep{i}, ml{i})"
+    n_sub = f"len(string_split(substr({e}, 2, len({e}) - 2), {sep}))"
+    merges = bpe_merges_sql("SELECT doc_id, text FROM ({src}) zz".format(src=src), k=k)
+    return f"""
+WITH bf_m AS MATERIALIZED ({merges}),
+bf_mm AS (SELECT {pivots} FROM bf_m),
+bf_dw AS (
+  SELECT {group_col} AS grp,
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS ws
+  FROM ({src}) z
+)
+SELECT grp,
+       CAST(sum(len(ws)) AS BIGINT) AS n_tokens,
+       CAST(sum(COALESCE(list_sum(list_transform(ws, w -> {n_sub})), 0)) AS BIGINT)
+         AS n_subwords
+FROM bf_dw CROSS JOIN bf_mm
+GROUP BY grp
+"""
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str,
     id_col: str,
     merges: Sequence[tuple[str, str]] | DataFrame,
+    *,
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Apply a learned merge table to a corpus: ``(doc_id, n_tokens,
     n_subwords)`` per document — the tokenizer-fertility card
@@ -2048,7 +2097,8 @@ def bpe_encode(
     :func:`oov_stats` grades the complementary coverage axis).
     ``merges``: the :func:`bpe_learn` result frame (collected — k rows,
     it is the model) or its ``(pair, merged)`` list.  Row-local: one
-    scan, zero shuffle."""
+    scan, zero shuffle.  ``extra_cols`` pass through untouched (e.g. a
+    grouping column for a per-source fertility rollup)."""
     if isinstance(merges, DataFrame):
         merges = [
             (r["pair"], r["merged"])
@@ -2058,6 +2108,7 @@ def bpe_encode(
     per_word = F.transform(toks, lambda w: F.size(bpe_segment_expr(w, merges)))
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.aggregate(
             per_word, F.lit(0), lambda acc, x: acc + x

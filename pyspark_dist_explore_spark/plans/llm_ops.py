@@ -176,6 +176,27 @@ _INCR_BATCH_SRC = f"""
 """
 _INCR_SNAP_SRC = "SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0"
 
+#: X43 matrix-section adapter: the synthetic corpus has ZERO raw
+#: cross-source duplicate content (measured at sf0.01), which would
+#: make the pair-overlap stats vacuously zero — so the gate mixes in a
+#: deterministic MIRROR slice (every doc_id % 5 == 0 document re-keyed
+#: into the rotated source ``'src' || (doc_id + 7) % 20``), planting
+#: real cross-source commons that both engines derive identically
+_MATRIX_MIX_SRC = f"""
+  SELECT doc_id, CAST(source AS VARCHAR) AS source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_RECRAWL_OFFSET} AS doc_id,
+         'src' || CAST((doc_id + 7) % 20 AS VARCHAR) AS source, text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+#: the X43 per-pair stats that unpivot into the ``'overlap_matrix'``
+#: section — all exact BIGINTs (class A); pair Jaccards derivable
+_MATRIX_STATS = (
+    "n_a", "n_b", "n_fp_a", "n_fp_b", "n_fp_common",
+    "a_docs_in_b", "b_docs_in_a",
+)
+
 
 @register(
     "dedup_incremental",
@@ -189,7 +210,8 @@ dedup AS (
          count(*) AS n_dups
   FROM batch GROUP BY 1
 ),
-census AS ({dedup.corpus_overlap_sql("SELECT doc_id, text FROM batch", _INCR_SNAP_SRC)})
+census AS ({dedup.corpus_overlap_sql("SELECT doc_id, text FROM batch", _INCR_SNAP_SRC)}),
+matrix AS ({dedup.corpus_overlap_matrix_sql(_MATRIX_MIX_SRC, "source")})
 SELECT 'batch' AS section, d.fingerprint, d.survivor_id, d.n_dups
 FROM dedup d ANTI JOIN seen s ON d.fingerprint = s.fingerprint
 UNION ALL
@@ -197,6 +219,13 @@ SELECT 'overlap' AS section, stat AS fingerprint,
        CAST(0 AS BIGINT) AS survivor_id, val AS n_dups
 FROM (
   {" UNION ALL ".join(f"SELECT '{s}' AS stat, {s} AS val FROM census" for s in _OVERLAP_STATS)}
+)
+UNION ALL
+SELECT 'overlap_matrix' AS section,
+       concat(src_a, '>', src_b, ':', stat) AS fingerprint,
+       CAST(0 AS BIGINT) AS survivor_id, val AS n_dups
+FROM (
+  {" UNION ALL ".join(f"SELECT src_a, src_b, '{s}' AS stat, {s} AS val FROM matrix" for s in _MATRIX_STATS)}
 )
 """,
 )
@@ -223,7 +252,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the snapshot slice, unpivoted as ``(stat_name, value)`` pairs of
     exact BIGINTs (``fingerprint`` carries the stat name,
     ``survivor_id`` is 0, ``n_dups`` the value); the fp_jaccard column
-    is derivable from three of them and stays pytest-side."""
+    is derivable from three of them and stays pytest-side.
+
+    Round 10 also merges the X43 K-WAY OVERLAP MATRIX
+    (:func:`dedup.corpus_overlap_matrix`) as the
+    ``section='overlap_matrix'`` rows — the census generalized to every
+    source pair of one mixed corpus in ONE scan (the multi-source
+    mixture audit; pairwise X36 runs would cost K²/2 scans).  The
+    synthetic corpus has zero raw cross-source duplicates, so the gate
+    runs it over ``_MATRIX_MIX_SRC``: documents plus a deterministic
+    mirror slice (doc_id % 5 == 0, re-keyed into the rotated source
+    ``'src' || (doc_id+7) % 20``) that plants real commons; every pair
+    row unpivots its seven class-A BIGINTs keyed
+    ``src_a>src_b:stat``."""
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text").unionAll(
         docs.where(F.col("doc_id") % 10 == 3).select(
@@ -248,7 +289,30 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("survivor_id"),
         F.col("n_dups").cast("bigint").alias("n_dups"),
     )
-    return incr.unionByName(overlap)
+    mirror = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _RECRAWL_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("src"), ((F.col("doc_id") + 7) % 20).cast("string")
+        ).alias("source"),
+        "text",
+    )
+    mixed = docs.select(
+        "doc_id", F.col("source").cast("string").alias("source"), "text"
+    ).unionAll(mirror)
+    mat = dedup.corpus_overlap_matrix(mixed, "source", "text", "doc_id")
+    mat_stack = "stack({n}, {pairs}) as (stat, val)".format(
+        n=len(_MATRIX_STATS),
+        pairs=", ".join(f"'{s}', {s}" for s in _MATRIX_STATS),
+    )
+    matrix = mat.selectExpr("src_a", "src_b", mat_stack).select(
+        F.lit("overlap_matrix").alias("section"),
+        F.concat(
+            F.col("src_a"), F.lit(">"), F.col("src_b"), F.lit(":"), F.col("stat")
+        ).alias("fingerprint"),
+        F.lit(0).cast("bigint").alias("survivor_id"),
+        F.col("val").cast("bigint").alias("n_dups"),
+    )
+    return incr.unionByName(overlap).unionByName(matrix)
 
 
 # --------------------------------------------------------------------------

@@ -4807,6 +4807,97 @@ def test_corpus_overlap_semantics(spark):
     assert disjoint["n_fp_common"] == 0 and disjoint["fp_jaccard"] == 0.0
 
 
+# --------------------------------------------------------------------------
+# X43: K-way cross-source overlap matrix
+# --------------------------------------------------------------------------
+
+
+def test_corpus_overlap_matrix_matches_duckdb(spark):
+    """Full K×K/2 matrix vs the DuckDB twin on real testdata with the
+    gate's mirror adapter planting cross-source commons."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.dedup import (
+        corpus_overlap_matrix,
+        corpus_overlap_matrix_sql,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    mirror = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("src"), ((F.col("doc_id") + 7) % 20).cast("string")).alias(
+            "source"
+        ),
+        "text",
+    )
+    mixed = docs.select(
+        "doc_id", F.col("source").cast("string").alias("source"), "text"
+    ).unionAll(mirror)
+    got = sorted(tuple(r) for r in corpus_overlap_matrix(mixed).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    src = """
+      SELECT doc_id, CAST(source AS VARCHAR) AS source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             'src' || CAST((doc_id + 7) % 20 AS VARCHAR) AS source, text
+      FROM documents WHERE doc_id % 5 = 0
+    """
+    want = sorted(
+        tuple(r) for r in con.execute(corpus_overlap_matrix_sql(src)).fetchall()
+    )
+    assert got == want
+    # the mirror adapter must plant real cross-source commons
+    assert any(r[6] > 0 for r in got)
+    # every unordered source pair appears, zero-overlap pairs included
+    k = len({r[0] for r in got} | {r[1] for r in got})
+    assert len(got) == k * (k - 1) // 2
+
+
+def test_corpus_overlap_matrix_consistent_with_pairwise(spark):
+    """Each matrix row must equal the two-corpus X36 census run on the
+    same pair of source slices (the matrix IS the K²/2 pairwise sweep
+    in one scan), and zero-overlap pairs materialize with exact
+    totals."""
+    from pyspark_dist_explore_spark.operators.dedup import (
+        corpus_overlap,
+        corpus_overlap_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "Hello  World"),
+            (2, "s1", "hello world"),
+            (3, "s1", "only in one"),
+            (4, "s2", "HELLO   world"),
+            (5, "s2", "different"),
+            (6, "s3", "nothing shared"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    rows = {(r["src_a"], r["src_b"]): r for r in corpus_overlap_matrix(df).collect()}
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    for (sa, sb), r in rows.items():
+        a = df.where(df.source == sa).select("doc_id", "text")
+        b = df.where(df.source == sb).select("doc_id", "text")
+        c = corpus_overlap(a, b).collect()[0]
+        for stat in (
+            "n_a", "n_b", "n_fp_a", "n_fp_b",
+            "n_fp_common", "a_docs_in_b", "b_docs_in_a",
+        ):
+            assert r[stat] == c[stat], (sa, sb, stat)
+    assert rows[("s1", "s2")]["n_fp_common"] == 1
+    assert rows[("s1", "s2")]["a_docs_in_b"] == 2  # both s1 variants collapse
+    assert rows[("s2", "s3")]["n_fp_common"] == 0
+    assert rows[("s2", "s3")]["n_b"] == 1 and rows[("s2", "s3")]["n_fp_a"] == 2
+
+
 def test_minhash_band_rows_signatures_staging(spark):
     """signatures= derives the band frame from a precomputed signature
     table — bit-identical to the from-scratch build (a snapshot build
