@@ -1531,9 +1531,10 @@ def corpus_overlap_matrix(
     the corpus scan+fingerprint pipeline (post-run adaptive plan: 5
     parquet scans, only 1 ReusedExchange — AQE reuse covers the two
     self-join sides, not the totals branch), which is the dominant
-    cost at real corpus size; the single-scan default is the
-    scale-correct form and ``stage=False`` is kept for gate-sized
-    calls that want the lazy plan.
+    cost at real corpus size: the 100× two-decade probe (BASELINE.md
+    r10) measured staged 8.8 s vs lazy 64.8 s at 500k mirrored docs —
+    the single-scan default wins 7.4× where it matters, and
+    ``stage=False`` stays available for gate-sized calls.
     """
     per = (
         df.select(

@@ -669,3 +669,159 @@ SELECT * EXCLUDE (__rk) FROM (
 )
 WHERE CASE {whens} ELSE FALSE END
 """
+
+
+def materialize_mixture(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    id_col: str,
+    targets: dict[str, int],
+    *,
+    salt: str = "mix0",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """X44: mixture materialization with EPOCHS — turn per-source token
+    TARGETS into the concrete multi-epoch document stream a training
+    run reads.  ``select_by_token_budget*`` can only down-sample; a
+    real recipe also UP-samples its small high-quality sources (the
+    classic "Wikipedia ×3" shape: when ``target > available``, every
+    doc repeats).  Per source with available token total ``T``:
+
+    - ``full = target // T`` complete epochs — every doc emitted
+      ``full`` times;
+    - remainder ``rem = target − full·T`` filled by ONE partial epoch:
+      the ``md5(salt:id)``-rank prefix of docs whose inclusive running
+      token sum stays ≤ ``rem`` (the :func:`select_by_token_budget`
+      under-fill convention; empty when ``rem == 0``).
+
+    Output: input rows replicated with a 1-based ``epoch`` column
+    (partial epoch = highest number); sources missing from ``targets``
+    or with ``target == 0`` — and zero-``T`` sources, which no token
+    target can be filled from — drop entirely.  Deterministic: the
+    md5 order is a pure function of (corpus, salt), no RNG, no
+    partition-order dependence; a new salt re-draws the partial-epoch
+    prefix independently.
+
+    Scale shape: per-source totals are ONE map-side-combined aggregate
+    (K rows) broadcast back; the running sum is ONE hash-partition
+    window per source ordered by the hash (the
+    :func:`stratified_take_exact` / :func:`cap_per_key` exchange shape
+    — never a global sort; full rows ride the exchange per the
+    cap_per_key 100× A/B); epoch replication is a row-local
+    ``explode(sequence(...))`` whose output is exactly the training
+    stream being materialized.  NULL/negative token counts are dropped
+    (they cannot be budgeted).
+    """
+    for name, target in targets.items():
+        if target < 0:
+            raise ValueError(f"targets must be >= 0, got {name}={target}")
+    live = [n for n, t in targets.items() if t > 0]
+    if not live:
+        return df.withColumn(epoch_col, F.lit(1).cast("int")).where(F.lit(False))
+    s = F.coalesce(F.col(source_col).cast("string"), F.lit(""))
+    t = F.col(token_col).cast("bigint")
+    base = df.where(s.isin(live) & t.isNotNull() & (t >= 0))
+    target_of = F.create_map(
+        *[x for n in live for x in (F.lit(n), F.lit(int(targets[n])))]
+    )[s].cast("bigint")
+    tot = base.groupBy(s.alias("__src")).agg(F.sum(t).alias("__tot"))
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+        )
+    )
+    w = (
+        Window.partitionBy("__src")
+        .orderBy(h, F.col(id_col).cast("string"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        base.join(F.broadcast(tot), s == F.col("__src"))
+        .withColumn("__cum", F.sum(t).over(w))
+        .withColumn("__tgt", target_of)
+        .withColumn(
+            "__full",
+            F.when(F.col("__tot") > 0, F.expr("__tgt div __tot")).otherwise(
+                F.lit(0)
+            ).cast("bigint"),
+        )
+        .withColumn("__rem", F.col("__tgt") - F.col("__full") * F.col("__tot"))
+        .withColumn(
+            "__copies",
+            F.col("__full")
+            + F.when(
+                (F.col("__rem") > 0) & (F.col("__cum") <= F.col("__rem")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return (
+        staged.where(F.col("__copies") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(1), F.col("__copies").cast("int"))),
+        )
+        .select(*df.columns, epoch_col)
+    )
+
+
+def materialize_mixture_sql(
+    src: str,
+    source_col: str,
+    token_col: str,
+    id_col: str,
+    targets: dict[str, int],
+    *,
+    salt: str = "mix0",
+    epoch_col: str = "epoch",
+) -> str:
+    """DuckDB twin of :func:`materialize_mixture` — identical hash
+    order, identical ``full``/``rem`` integer arithmetic, identical
+    partial-epoch prefix rule; replication via
+    ``unnest(generate_series(1, copies))``.  ``src`` must yield the
+    mixed relation."""
+    for name, target in targets.items():
+        if target < 0:
+            raise ValueError(f"targets must be >= 0, got {name}={target}")
+    live = {n: t for n, t in targets.items() if t > 0}
+    if not live:
+        return f"SELECT *, 1 AS {epoch_col} FROM ({src}) WHERE FALSE"
+    s = f"COALESCE(CAST({source_col} AS VARCHAR), '')"
+    whens = " ".join(
+        f"WHEN {s} = {sql_str_lit(n)} THEN {int(t)}" for n, t in live.items()
+    )
+    in_list = ", ".join(sql_str_lit(n) for n in live)
+    h = (
+        f"md5(concat({sql_str_lit(salt)}, ':', "
+        f"COALESCE(CAST({id_col} AS VARCHAR), '')))"
+    )
+    return f"""
+SELECT * EXCLUDE (__tot, __cum, __tgt, __full, __rem, __copies)
+     , CAST(unnest(generate_series(1, CAST(__copies AS INT))) AS INT) AS {epoch_col}
+FROM (
+  SELECT *, __full + CASE WHEN __rem > 0 AND __cum <= __rem THEN 1 ELSE 0 END
+            AS __copies
+  FROM (
+    SELECT *, CASE WHEN __tot > 0 THEN __tgt // __tot ELSE 0 END AS __full,
+           __tgt - (CASE WHEN __tot > 0 THEN __tgt // __tot ELSE 0 END) * __tot
+             AS __rem
+    FROM (
+      SELECT *,
+             CAST(sum(CAST({token_col} AS BIGINT)) OVER (
+               PARTITION BY {s}
+               ORDER BY {h}, CAST({id_col} AS VARCHAR)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS __cum,
+             CAST(sum(CAST({token_col} AS BIGINT)) OVER (
+               PARTITION BY {s}
+             ) AS BIGINT) AS __tot,
+             CAST(CASE {whens} END AS BIGINT) AS __tgt
+      FROM ({src}) z
+      WHERE {s} IN ({in_list})
+        AND {token_col} IS NOT NULL AND CAST({token_col} AS BIGINT) >= 0
+    )
+  )
+)
+WHERE __copies > 0
+"""

@@ -759,6 +759,7 @@ _BPE_K = 8
 @register(
     "sampling_splits",
     f"""
+WITH fert AS MATERIALIZED ({textstats.bpe_fertility_sql("SELECT doc_id, source, text FROM documents", "source", k=_BPE_K)})
 SELECT 'hash_split' AS kind, {hash_split_sql('doc_id')} AS key, count(*) AS cnt
 FROM documents GROUP BY 1, 2
 UNION ALL
@@ -786,6 +787,13 @@ SELECT 'bpe_merge' AS kind,
        concat(printf('%02d', step), ':', pair, '>', merged) AS key,
        cnt
 FROM ({textstats.bpe_merges_sql("SELECT doc_id, text FROM documents", k=_BPE_K)})
+UNION ALL
+SELECT 'bpe_fertility' AS kind, concat(grp, '#', stat) AS key, val AS cnt
+FROM (
+  SELECT grp, 'tok' AS stat, n_tokens AS val FROM fert
+  UNION ALL
+  SELECT grp, 'sub' AS stat, n_subwords AS val FROM fert
+)
 """,
 )
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -814,7 +822,18 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges as ``step:pair>merged`` keys with their integer pair counts,
     hash-checked against the unrolled chained-CTE DuckDB twin — the
     subword-tokenizer induction step whose coverage grade already rides
-    ``corpus_profile``'s vocab/OOV card."""
+    ``corpus_profile``'s vocab/OOV card.
+
+    Round 10 (second pass) adds the X40 ENCODE half as the
+    ``bpe_fertility`` section: the merges just learned are applied back
+    to the corpus (:func:`~pyspark_dist_explore_spark.operators.
+    textstats.bpe_encode`) and the per-source ``n_tokens``/
+    ``n_subwords`` sums hash-check the whole learn→encode chain — the
+    DuckDB twin re-derives the merge table and pivots it into the
+    replace-chain's pattern/replacement literals dynamically
+    (:func:`~pyspark_dist_explore_spark.operators.textstats.
+    bpe_fertility_sql`), so a segmentation difference on ANY word in
+    either engine shifts a hashed sum."""
     docs = load_table(spark, sf_dir, "documents")
     splits = (
         hash_split(docs, "doc_id")
@@ -869,7 +888,8 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lineage-friendly default 16: at gate k=8 the shallow-plan
     # rounds beat the deep-replace-chain rounds; production-k callers
     # keep the default's lower checkpoint count)
-    bpe = textstats.bpe_learn(docs, "text", k=_BPE_K, checkpoint_interval=2).select(
+    learned = textstats.bpe_learn(docs, "text", k=_BPE_K, checkpoint_interval=2)
+    bpe = learned.select(
         F.lit("bpe_merge").alias("kind"),
         F.concat(
             F.format_string("%02d", F.col("step")),
@@ -877,12 +897,33 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
         "cnt",
     )
+    # X40's ENCODE half at the gate: apply the merges just LEARNED to
+    # the same corpus and hash the per-source fertility sums — any
+    # cross-engine segmentation difference on any word shifts a sum
+    fert = (
+        textstats.bpe_encode(docs, "text", "doc_id", learned, extra_cols=("source",))
+        .groupBy(F.col("source").cast("string").alias("grp"))
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+        )
+        .selectExpr(
+            "grp",
+            "stack(2, 'tok', n_tokens, 'sub', n_subwords) as (stat, val)",
+        )
+        .select(
+            F.lit("bpe_fertility").alias("kind"),
+            F.concat(F.col("grp"), F.lit("#"), F.col("stat")).alias("key"),
+            F.col("val").cast("bigint").alias("cnt"),
+        )
+    )
     return (
         splits.unionByName(strat)
         .unionByName(temp)
         .unionByName(take)
         .unionByName(capped)
         .unionByName(bpe)
+        .unionByName(fert)
     )
 
 

@@ -5413,6 +5413,55 @@ def test_bpe_merges_sql_twin_and_encode(spark):
     )
 
 
+def test_bpe_fertility_dynamic_twin(spark):
+    """The gate's learn→encode chain: bpe_fertility_sql re-derives the
+    merge table inside DuckDB and applies it via the dynamically
+    pivoted replace chain — per-group sums must equal Spark's
+    bpe_encode over the bpe_learn frame, extra_cols passing the group
+    through.  Short-corpus early stop (< k merges) must degrade to the
+    same no-op on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        bpe_encode,
+        bpe_fertility_sql,
+        bpe_learn,
+    )
+
+    rows = [
+        (1, "g1", "low lower lowest low low newer new newest wider wide"),
+        (2, "g1", "low slow slower news new wide widely lowest"),
+        (3, "g2", "lowest newest wide low low low"),
+        (4, "g2", None),
+        (5, "g3", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    for k in (6, 40):  # 40 > available merges: the chr(3) sentinel path
+        m = bpe_learn(df, "text", k=k)
+        got = sorted(
+            tuple(r)
+            for r in bpe_encode(df, "text", "doc_id", m, extra_cols=("source",))
+            .groupBy(F.col("source").alias("grp"))
+            .agg(
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+            )
+            .collect()
+        )
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                bpe_fertility_sql("SELECT doc_id, source, text FROM docs", "source", k=k)
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, k
+        assert got[2][0] == "g3" and got[2][1] == 0 and got[2][2] == 0
+
+
 def test_canonicalize_url_semantics_and_twin(spark):
     """X42: the canonical form collapses a crawl's URL variants —
     case, www, default ports, trackers in every position, fragments —
