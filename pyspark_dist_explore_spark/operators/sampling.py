@@ -746,7 +746,15 @@ def materialize_mixture(
                 F.lit(0)
             ).cast("bigint"),
         )
-        .withColumn("__rem", F.col("__tgt") - F.col("__full") * F.col("__tot"))
+        # tot == 0 forces rem = 0 too — otherwise every zero-token doc
+        # (cum stuck at 0) would ride a partial epoch no token target asked for
+        .withColumn(
+            "__rem",
+            F.when(
+                F.col("__tot") > 0,
+                F.col("__tgt") - F.col("__full") * F.col("__tot"),
+            ).otherwise(F.lit(0)),
+        )
         .withColumn(
             "__copies",
             F.col("__full")
@@ -804,8 +812,8 @@ FROM (
             AS __copies
   FROM (
     SELECT *, CASE WHEN __tot > 0 THEN __tgt // __tot ELSE 0 END AS __full,
-           __tgt - (CASE WHEN __tot > 0 THEN __tgt // __tot ELSE 0 END) * __tot
-             AS __rem
+           CASE WHEN __tot > 0
+                THEN __tgt - (__tgt // __tot) * __tot ELSE 0 END AS __rem
     FROM (
       SELECT *,
              CAST(sum(CAST({token_col} AS BIGINT)) OVER (

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_dist_explore_spark.operators import (
@@ -656,6 +656,7 @@ from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
     cap_per_key_sql,
     hash_split,
     hash_split_sql,
+    materialize_mixture,
     shuffle_shards,
     shuffle_shards_sql,
     stratified_sample_hash,
@@ -756,6 +757,78 @@ _HOST_KEY_SQL = "concat(source, '/', lang)"
 _BPE_K = 8
 
 
+#: normalized whitespace token count shared by the mixture queries
+#: (`corpus_token_budget` budgets and the X44 `mix_epochs` section)
+_MIX_NTOK = (
+    f"CAST(CASE WHEN {_NORM.format(c='text')} = '' THEN 0 "
+    f"ELSE len(string_split({_NORM.format(c='text')}, ' ')) END AS BIGINT)"
+)
+
+
+def _spark_mix_ntok() -> Column:
+    """Spark form of :data:`_MIX_NTOK` (normalized whitespace tokens)."""
+    from pyspark_dist_explore_spark.operators.dedup import normalize_text
+
+    norm = normalize_text(F.col("text"))
+    return (
+        F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    ).cast("bigint")
+
+
+#: X44 mix_epochs section: per-source token targets derived FROM the
+#: corpus itself (static absolute targets would be sf-dependent) — the
+#: three registered behaviors: src0 down-samples to half its tokens
+#: (partial epoch only), src1 up-samples to 2⅓× (two full epochs + a
+#: partial), src2 hits exactly 1.0× (one full epoch, rem == 0 — the
+#: no-partial boundary); every other source is unlisted and drops
+_MIX_EPOCH_SOURCES = ("src0", "src1", "src2")
+
+_MIX_EPOCHS_ORACLE = f"""
+SELECT 'mix_epochs' AS kind,
+       concat(source, '#', CAST(epoch AS VARCHAR), '#',
+              CAST(doc_id % 7 AS VARCHAR)) AS key,
+       count(*) AS cnt
+FROM (
+  SELECT doc_id, source,
+         CAST(unnest(generate_series(1, CAST(__copies AS INT))) AS INT) AS epoch
+  FROM (
+    SELECT doc_id, source,
+           __full + CASE WHEN __rem > 0 AND __cum <= __rem THEN 1 ELSE 0 END
+             AS __copies
+    FROM (
+      SELECT doc_id, source,
+             CASE WHEN __tot > 0 THEN __tgt // __tot ELSE 0 END AS __full,
+             CASE WHEN __tot > 0
+                  THEN __tgt - (__tgt // __tot) * __tot ELSE 0 END AS __rem,
+             __cum, __tot
+      FROM (
+        SELECT doc_id, source,
+               CAST(sum(n_tok) OVER (
+                 PARTITION BY source
+                 ORDER BY md5(concat('mix0', ':', CAST(doc_id AS VARCHAR))),
+                          CAST(doc_id AS VARCHAR)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS __cum,
+               CAST(sum(n_tok) OVER (PARTITION BY source) AS BIGINT) AS __tot,
+               CAST(CASE source
+                 WHEN 'src0' THEN (sum(n_tok) OVER (PARTITION BY source)) // 2
+                 WHEN 'src1' THEN 2 * (sum(n_tok) OVER (PARTITION BY source))
+                                  + (sum(n_tok) OVER (PARTITION BY source)) // 3
+                 WHEN 'src2' THEN sum(n_tok) OVER (PARTITION BY source)
+               END AS BIGINT) AS __tgt
+        FROM (
+          SELECT doc_id, source, {{ntok}} AS n_tok FROM documents
+          WHERE source IN ('src0', 'src1', 'src2')
+        ) mb
+      ) mw
+    ) mf
+  ) mc
+  WHERE __copies > 0
+) mx
+GROUP BY 1, 2
+"""
+
+
 @register(
     "sampling_splits",
     f"""
@@ -794,6 +867,8 @@ FROM (
   UNION ALL
   SELECT grp, 'sub' AS stat, n_subwords AS val FROM fert
 )
+UNION ALL
+{_MIX_EPOCHS_ORACLE.format(ntok=_MIX_NTOK)}
 """,
 )
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,7 +908,14 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace-chain's pattern/replacement literals dynamically
     (:func:`~pyspark_dist_explore_spark.operators.textstats.
     bpe_fertility_sql`), so a segmentation difference on ANY word in
-    either engine shifts a hashed sum."""
+    either engine shifts a hashed sum — and the X44 MIXTURE-EPOCHS
+    section (:func:`~pyspark_dist_explore_spark.operators.sampling.
+    materialize_mixture`): per-source token targets derived from the
+    corpus totals exercise down-sampling (src0 at ½×), integer
+    UP-sampling (src1 at 2⅓× — two full epochs + an md5-prefix
+    partial), and the exact-1.0× no-partial boundary (src2); the
+    hashed ``source#epoch#id%7`` counts are sensitive to which docs
+    ride the partial epoch."""
     docs = load_table(spark, sf_dir, "documents")
     splits = (
         hash_split(docs, "doc_id")
@@ -917,6 +999,36 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("val").cast("bigint").alias("cnt"),
         )
     )
+    # X44: mixture epochs — targets derived from the corpus totals so
+    # the section's three behaviors (down-sample / 2⅓× up-sample /
+    # exact-1.0× no-partial boundary) hold at every SF
+    mixdocs = docs.where(F.col("source").isin(list(_MIX_EPOCH_SOURCES))).select(
+        "doc_id",
+        F.col("source").cast("string").alias("source"),
+        _spark_mix_ntok().alias("n_tok"),
+    )
+    tots = {
+        r["source"]: int(r["tot"])
+        for r in mixdocs.groupBy("source")
+        .agg(F.sum("n_tok").alias("tot"))
+        .collect()  # bounded-collect: 3-row per-source token totals (the targets' inputs)
+    }
+    targets = {
+        "src0": tots.get("src0", 0) // 2,
+        "src1": 2 * tots.get("src1", 0) + tots.get("src1", 0) // 3,
+        "src2": tots.get("src2", 0),
+    }
+    mix = (
+        materialize_mixture(mixdocs, "source", "n_tok", "doc_id", targets)
+        .groupBy(
+            F.concat(
+                F.col("source"), F.lit("#"), F.col("epoch").cast("string"),
+                F.lit("#"), (F.col("doc_id") % 7).cast("string"),
+            ).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("mix_epochs").alias("kind"), "key", "cnt")
+    )
     return (
         splits.unionByName(strat)
         .unionByName(temp)
@@ -924,6 +1036,7 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(capped)
         .unionByName(bpe)
         .unionByName(fert)
+        .unionByName(mix)
     )
 
 
@@ -939,12 +1052,6 @@ _MIX_BUDGETS = {
     "src4": 10_000,
     "src5": 0,
 }
-
-_MIX_NTOK = (
-    f"CAST(CASE WHEN {_NORM.format(c='text')} = '' THEN 0 "
-    f"ELSE len(string_split({_NORM.format(c='text')}, ' ')) END AS BIGINT)"
-)
-
 
 @register(
     "corpus_token_budget",

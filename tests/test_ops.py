@@ -5298,6 +5298,79 @@ def test_cap_per_key_matches_duckdb_and_semantics(spark):
         cap_per_key(docs, "host", "doc_id", 0)
 
 
+def test_materialize_mixture_matches_duckdb_and_semantics(spark):
+    """X44 mixture epochs: the emitted (doc, epoch) multiset hash-
+    matches the DuckDB twin; up-sampled sources repeat full epochs +
+    an md5-prefix partial; an exact-1.0x target yields exactly one
+    epoch and NO partial; down-sampled sources keep the prefix whose
+    running token sum stays <= target; zero-total and target-0 and
+    unlisted sources drop; a new salt re-draws the partial prefix."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.sampling import (
+        materialize_mixture,
+        materialize_mixture_sql,
+    )
+
+    rows = [(i, f"s{i % 5}", (i * 7) % 13) for i in range(150)]
+    rows += [(900, "szero", 0), (901, "szero", 0)]  # zero-total source
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok bigint")
+    totals = {
+        s: sum(t for _, src, t in rows if src == s)
+        for s in ("s0", "s1", "s2", "s3")
+    }
+    targets = {
+        "s0": totals["s0"] // 2,        # partial only
+        "s1": totals["s1"] * 2 + totals["s1"] // 3,  # 2 full + partial
+        "s2": totals["s2"],             # exactly one epoch, no partial
+        "s3": 0,                        # dropped
+        "szero": 50,                    # zero-total: dropped
+        # s4 unlisted: dropped
+    }
+    out = materialize_mixture(docs, "source", "n_tok", "doc_id", targets)
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "source", "n_tok"]))
+    want = sorted(map(tuple, con.execute(
+        materialize_mixture_sql(
+            "SELECT doc_id, source, n_tok FROM docs",
+            "source", "n_tok", "doc_id", targets,
+        )
+    ).fetchall()))
+    con.close()
+    assert got == want and got
+    by_src = {}
+    for doc_id, src, n_tok, epoch in got:
+        by_src.setdefault(src, []).append((doc_id, n_tok, epoch))
+    assert set(by_src) == {"s0", "s1", "s2"}
+    # s2: exactly one full epoch of every doc, no partial
+    s2_docs = [d for d, s, _ in rows if s == "s2"]
+    assert sorted(d for d, _, _ in by_src["s2"]) == sorted(s2_docs)
+    assert {e for _, _, e in by_src["s2"]} == {1}
+    # s1: epochs 1-2 carry every doc, epoch 3 is a strict partial prefix
+    s1_docs = sorted(d for d, s, _ in rows if s == "s1")
+    for e in (1, 2):
+        assert sorted(d for d, _, ep in by_src["s1"] if ep == e) == s1_docs
+    partial = [d for d, _, ep in by_src["s1"] if ep == 3]
+    assert 0 < len(partial) < len(s1_docs)
+    # s0: kept token sum fills the budget within the heaviest-doc slack
+    s0_kept = sum(t for _, t, _ in by_src["s0"])
+    assert s0_kept <= targets["s0"] > 0
+    # token accounting: every source's emitted tokens stay <= target
+    for s in by_src:
+        assert sum(t for _, t, e in by_src[s]) <= targets[s]
+    # new salt: same per-epoch counts, different partial membership
+    alt = materialize_mixture(docs, "source", "n_tok", "doc_id", targets, salt="mix1")
+    alt_partial = sorted(
+        r["doc_id"] for r in alt.collect() if r["source"] == "s1" and r["epoch"] == 3
+    )
+    assert alt_partial != sorted(partial)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="targets must be >= 0"):
+        materialize_mixture(docs, "source", "n_tok", "doc_id", {"s0": -1})
+
+
 def test_bpe_learn_matches_python_reference(spark):
     """X40: bpe_learn agrees with a direct pure-Python implementation
     of Sennrich et al. 2016 (char-init, freq-weighted adjacent-pair
