@@ -293,6 +293,8 @@ def curate_documents(
     dsir_text_col: str | None = None,
     host_cap: tuple[str, int] | None = None,
     host_cap_salt: str = "cap0",
+    mixture_epochs: dict[str, int] | None = None,
+    mixture_epochs_salt: str = "mix0",
 ) -> DataFrame:
     """Curate a document corpus into a training keep-list.
 
@@ -332,6 +334,15 @@ def curate_documents(
     ``key_col`` may be a Column expression — e.g.
     ``host_cap=(url_host(F.col("url")), 1000)`` caps per CANONICAL host
     (:func:`operators.dedup.url_host`, X42) without a pre-projection.
+
+    ``mixture_epochs={lang: token_target}`` (opt-in, X44) runs LAST:
+    the surviving corpus is materialized into the multi-epoch training
+    stream (:func:`operators.sampling.materialize_mixture` — full
+    epochs by ``target // available`` plus an md5-prefix partial under
+    the running token sum), UP-sampling small high-quality languages
+    the way ``token_budgets`` can only shrink them; the result gains a
+    1-based ``epoch`` column and languages missing from the dict drop.
+    ``mixture_epochs_salt`` re-draws the partial-epoch prefix.
 
     ``classifier_threshold=(num, den)`` (opt-in) adds the MODEL-based
     quality gate after the heuristic one (X29,
@@ -841,10 +852,32 @@ def curate_documents(
         else:
             out = select_by_token_budget(out, "quality", "__n_tok", token_budget)
         out = out.drop("__n_tok")
+    if mixture_epochs is not None:
+        from pyspark_dist_explore_spark.operators.sampling import (
+            materialize_mixture,
+        )
+
+        norm = dedup.normalize_text(F.col("__text"))
+        n_tok = (
+            F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+        ).cast("bigint")
+        out = materialize_mixture(
+            out.withColumn("__n_tok", n_tok),
+            "lang_pred",
+            "__n_tok",
+            "doc_id",
+            mixture_epochs,
+            salt=mixture_epochs_salt,
+        ).drop("__n_tok")
     out = out.drop("__text")
-    return hash_split(out, "doc_id", fractions=split_fractions).select(
-        "doc_id", "lang_pred", "quality", "split"
+    final = hash_split(out, "doc_id", fractions=split_fractions).select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        "split",
+        *(["epoch"] if mixture_epochs is not None else []),
     )
+    return final
 
 
 def curation_funnel(

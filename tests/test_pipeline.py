@@ -1133,6 +1133,51 @@ def test_curate_host_cap_gate(spark):
     assert base.count() > wired.count()
 
 
+def test_curate_mixture_epochs_gate(spark):
+    """mixture_epochs={lang: target} materializes the SURVIVING corpus
+    into the multi-epoch stream as the LAST stage: full epochs carry
+    every survivor of the language, the highest epoch is a strict
+    md5-prefix partial, unlisted languages drop, and a doc's epochs all
+    land in one split (hash_split keys on doc_id)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.dedup import normalize_text
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    base = curate_documents(docs, min_quality=0.0)
+    assert "epoch" not in base.columns
+    langs = [r["lang_pred"] for r in base.select("lang_pred").distinct().collect()]
+    lang = sorted(langs)[0]
+    survivors = {r["doc_id"] for r in base.where(F.col("lang_pred") == lang).collect()}
+    assert survivors
+    norm = normalize_text(F.col("text"))
+    n_tok = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    total = (
+        docs.where(F.col("doc_id").isin(list(survivors)))
+        .agg(F.sum(n_tok).alias("t"))
+        .collect()[0]["t"]
+    )
+    target = 2 * total + total // 3
+    out = curate_documents(docs, min_quality=0.0, mixture_epochs={lang: target})
+    rows = out.collect()
+    assert set(out.columns) == {"doc_id", "lang_pred", "quality", "split", "epoch"}
+    assert {r["lang_pred"] for r in rows} == {lang}  # unlisted langs drop
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], set()).add(r["doc_id"])
+    assert set(by_epoch) == {1, 2, 3}
+    assert by_epoch[1] == survivors and by_epoch[2] == survivors
+    assert set() < by_epoch[3] < survivors  # strict partial prefix
+    # every epoch of a doc rides the same split
+    splits = {}
+    for r in rows:
+        splits.setdefault(r["doc_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in splits.values())
+
+
 def test_curate_materialize_stages_rewritten_corpus(spark):
     """materialize=True must not change the survivor set when the
     text-rewriting stages are on (the staged-rewrite checkpoint is a
