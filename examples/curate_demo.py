@@ -21,6 +21,7 @@ from pyspark.sql import SparkSession, functions as F
 
 from pyspark_dist_explore_spark import (
     corpus_overlap,
+    corpus_overlap_matrix,
     corpus_profile,
     curate_documents,
     read_jsonl,
@@ -82,6 +83,14 @@ def main() -> None:
     )
     curation_funnel(flags, ["len_keep", "gq_keep", "cls_keep"], group_col="grp").show(6)
 
+    # 2c. cross-source contamination audit BEFORE fixing mixture weights:
+    # which source pairs share exact content, and how many docs a
+    # cross-source dedup would drop from each side (X43 — every pair in
+    # ONE corpus scan) -----------------------------------------------------
+    corpus_overlap_matrix(corpus).orderBy(
+        F.col("n_fp_common").desc(), "src_a", "src_b"
+    ).show(6)
+
     # 3. the composed keep-list pipeline ----------------------------------
     target = corpus.where("lang = 'en'").select("doc_id", "text")
     kept = curate_documents(
@@ -108,11 +117,32 @@ def main() -> None:
     kept_text = kept.join(corpus.select("doc_id", "text"), "doc_id")
     corpus_overlap(kept_text, corpus).show(truncate=False)
 
-    # 5. land deterministic training shards -------------------------------
-    train = kept.where("split = 'train'").join(
-        corpus.select("doc_id", "text"), "doc_id"
+    # 5. materialize the RECIPE: up-sample the (small, high-quality)
+    # English slice to ~2.3x its tokens via integer epochs (X44) — the
+    # stream a training run actually reads ---------------------------------
+    from pyspark_dist_explore_spark import materialize_mixture
+
+    kept_text = kept.join(corpus.select("doc_id", "text"), "doc_id")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    with_tok = kept_text.where("split = 'train'").withColumn(
+        "n_tok", n_tok.cast("bigint")
     )
-    write_training_shards(train, "doc_id", f"{work}/shards", shards=4, salt="epoch0")
+    totals = {
+        r["lang_pred"]: int(r["t"])
+        for r in with_tok.groupBy("lang_pred").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    targets = {lang: 2 * t + t // 3 for lang, t in totals.items()}
+    stream = materialize_mixture(with_tok, "lang_pred", "n_tok", "doc_id", targets)
+    stream.groupBy("lang_pred", "epoch").count().orderBy("lang_pred", "epoch").show(9)
+
+    # 6. land deterministic training shards -------------------------------
+    write_training_shards(
+        stream.select("doc_id", "epoch", "text"),
+        "doc_id",
+        f"{work}/shards",
+        shards=4,
+        salt="epoch0",
+    )
     back = spark.read.parquet(f"{work}/shards")
     print("landed:", back.count(), "training rows in", f"{work}/shards")
 

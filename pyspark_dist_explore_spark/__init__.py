@@ -96,6 +96,7 @@ from pyspark_dist_explore_spark.operators.dsir import (
 from pyspark_dist_explore_spark.operators.dedup import (
     canonicalize_url,
     corpus_overlap,
+    corpus_overlap_matrix,
     incremental_minhash_neardup,
     url_host,
     lsh_candidate_prob,
@@ -106,6 +107,7 @@ from pyspark_dist_explore_spark.operators.histogram import (
 )
 from pyspark_dist_explore_spark.operators.sampling import (
     cap_per_key,
+    materialize_mixture,
     stratified_take_exact,
     temperature_resample,
 )
@@ -292,6 +294,8 @@ __all__ = [
     "cap_per_key",
     "incremental_minhash_neardup",
     "corpus_overlap",
+    "corpus_overlap_matrix",
+    "materialize_mixture",
     "canonicalize_url",
     "url_host",
     # sinks / physical layout
