@@ -110,6 +110,7 @@ from pyspark_dist_explore_spark.operators.sampling import (
     materialize_mixture,
     stratified_take_exact,
     temperature_resample,
+    top_frac_per_group,
 )
 from pyspark_dist_explore_spark.operators.similarity import (
     mean_pool_embeddings,
@@ -296,6 +297,7 @@ __all__ = [
     "corpus_overlap",
     "corpus_overlap_matrix",
     "materialize_mixture",
+    "top_frac_per_group",
     "canonicalize_url",
     "url_host",
     # sinks / physical layout

@@ -833,3 +833,95 @@ FROM (
 )
 WHERE __copies > 0
 """
+
+
+def top_frac_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    frac: tuple[int, int],
+    id_col: str,
+    *,
+    salt: str = "top0",
+) -> DataFrame:
+    """X45: per-group top-fraction selection — keep the best
+    ``num/den`` of EVERY group by score, the way DCLM/FineWeb-class
+    pipelines threshold a quality classifier PER SOURCE (absolute
+    thresholds don't transfer across sources whose score scales
+    differ; "top 10% of each" does).  ``frac`` is an exact RATIONAL
+    ``(num, den)`` so the keep count is pure integer arithmetic:
+    ``keep_n = ceil(num · n_group / den)`` — a non-empty group with a
+    positive fraction always keeps at least one row (floor semantics
+    would silently erase small groups).
+
+    Order: ``score DESC``, then ``md5(salt:id)``, then id — ties
+    resolve by content hash, not partition order, so the kept SET is a
+    pure function of (corpus, salt) on every engine and partitioning.
+    NULL scores are dropped (they cannot be ranked); NULL groups
+    select as one ``''`` group per the house convention.
+
+    Scale shape: ONE hash-partition window per group computing both
+    the rank and the group size (same partition spec → one exchange,
+    never a global sort), then a row-local keep filter — the
+    :func:`cap_per_key` / :func:`stratified_take_exact` exchange
+    shape, with full rows riding the exchange per the cap_per_key
+    100× A/B.
+    """
+    num, den = frac
+    if den < 1 or num < 0:
+        raise ValueError(f"frac must be (num >= 0, den >= 1), got {frac}")
+    s = F.col(score_col)
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+    base = df.where(s.isNotNull())
+    if num == 0:
+        return base.where(F.lit(False))
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+        )
+    )
+    w = Window.partitionBy(g).orderBy(s.desc(), h, F.col(id_col).cast("string"))
+    wn = Window.partitionBy(g)
+    ranked = base.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    keep_n = F.floor(
+        (F.lit(int(num)) * F.col("__n") + F.lit(int(den) - 1)) / F.lit(int(den))
+    )
+    return ranked.where(F.col("__rk") <= keep_n).drop("__rk", "__n")
+
+
+def top_frac_per_group_sql(
+    src: str,
+    group_col: str,
+    score_col: str,
+    frac: tuple[int, int],
+    id_col: str,
+    *,
+    salt: str = "top0",
+) -> str:
+    """DuckDB twin of :func:`top_frac_per_group` — identical order,
+    identical ``ceil(num·n/den)`` integer keep count."""
+    num, den = frac
+    if den < 1 or num < 0:
+        raise ValueError(f"frac must be (num >= 0, den >= 1), got {frac}")
+    if num == 0:
+        return f"SELECT * FROM ({src}) WHERE FALSE"
+    g = f"COALESCE(CAST({group_col} AS VARCHAR), '')"
+    h = (
+        f"md5(concat({sql_str_lit(salt)}, ':', "
+        f"COALESCE(CAST({id_col} AS VARCHAR), '')))"
+    )
+    return f"""
+SELECT * EXCLUDE (__rk, __n) FROM (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY {g}
+           ORDER BY {score_col} DESC, {h}, CAST({id_col} AS VARCHAR)
+         ) AS __rk,
+         count(*) OVER (PARTITION BY {g}) AS __n
+  FROM ({src}) z
+  WHERE {score_col} IS NOT NULL
+)
+WHERE __rk <= ({int(num)} * __n + {int(den) - 1}) // {int(den)}
+"""

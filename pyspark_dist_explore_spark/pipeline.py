@@ -295,6 +295,7 @@ def curate_documents(
     host_cap_salt: str = "cap0",
     mixture_epochs: dict[str, int] | None = None,
     mixture_epochs_salt: str = "mix0",
+    quality_top_frac: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Curate a document corpus into a training keep-list.
 
@@ -334,6 +335,15 @@ def curate_documents(
     ``key_col`` may be a Column expression — e.g.
     ``host_cap=(url_host(F.col("url")), 1000)`` caps per CANONICAL host
     (:func:`operators.dedup.url_host`, X42) without a pre-projection.
+
+    ``quality_top_frac=(num, den)`` (opt-in, X45) replaces-or-joins the
+    absolute ``min_quality`` cutoff with the RELATIVE per-language form
+    — keep the best ``ceil(num·n/den)`` of every language by the
+    heuristic score (:func:`operators.sampling.top_frac_per_group`,
+    md5 tie-break): the per-source threshold shape DCLM-class
+    pipelines use because absolute cutoffs don't transfer across
+    languages; applied right after ``min_quality``, before the model
+    gate.
 
     ``mixture_epochs={lang: token_target}`` (opt-in, X44) runs LAST:
     the surviving corpus is materialized into the multi-epoch training
@@ -596,6 +606,17 @@ def curate_documents(
         quality.alias("quality"),
         lang_pred_expr(t).alias("lang_pred"),
     ).where(F.col("quality") >= F.lit(min_quality))
+    if quality_top_frac is not None:
+        # X45: per-language top fraction by the heuristic score — the
+        # relative form of the min_quality gate (absolute cutoffs do
+        # not transfer across languages whose score scales differ)
+        from pyspark_dist_explore_spark.operators.sampling import (
+            top_frac_per_group,
+        )
+
+        base = top_frac_per_group(
+            base, "lang_pred", "quality", quality_top_frac, "doc_id"
+        )
     if classifier_threshold is not None:
         # model-based quality gate (X29): the fastText-shaped hashed
         # n-gram linear classifier, thresholded as a rational over the

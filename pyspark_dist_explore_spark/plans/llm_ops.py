@@ -657,6 +657,8 @@ from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
     hash_split,
     hash_split_sql,
     materialize_mixture,
+    top_frac_per_group,
+    top_frac_per_group_sql,
     shuffle_shards,
     shuffle_shards_sql,
     stratified_sample_hash,
@@ -868,6 +870,14 @@ FROM (
   SELECT grp, 'sub' AS stat, n_subwords AS val FROM fert
 )
 UNION ALL
+SELECT 'top_frac' AS kind,
+       concat(source, '#', CAST(doc_id % 7 AS VARCHAR)) AS key,
+       count(*) AS cnt
+FROM ({top_frac_per_group_sql(
+    "SELECT doc_id, source, CAST(round(" + _quality_sql("COALESCE(text, '')") + " * 1e6) AS BIGINT) AS q6 FROM documents",
+    "source", "q6", (1, 4), "doc_id")})
+GROUP BY 1, 2
+UNION ALL
 {_MIX_EPOCHS_ORACLE.format(ntok=_MIX_NTOK)}
 """,
 )
@@ -915,7 +925,12 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     UP-sampling (src1 at 2⅓× — two full epochs + an md5-prefix
     partial), and the exact-1.0× no-partial boundary (src2); the
     hashed ``source#epoch#id%7`` counts are sensitive to which docs
-    ride the partial epoch."""
+    ride the partial epoch — and the X45 TOP-FRACTION section
+    (:func:`~pyspark_dist_explore_spark.operators.sampling.
+    top_frac_per_group`): the per-source top 25% by the 1e-6
+    fixed-point quality score with ``ceil(n/4)`` integer keep counts
+    and md5 tie-break — the per-source classifier-threshold shape
+    (absolute score cutoffs do not transfer across sources)."""
     docs = load_table(spark, sf_dir, "documents")
     splits = (
         hash_split(docs, "doc_id")
@@ -999,6 +1014,32 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("val").cast("bigint").alias("cnt"),
         )
     )
+    # X45: per-source top-quarter by the 1e-6 fixed-point quality score
+    # (the DCLM-style per-source classifier threshold — "top 25% of
+    # each source" where absolute cutoffs would not transfer); md5
+    # tie-break inside tied q6 scores, id%7 sub-buckets for set
+    # sensitivity
+    _, _, qual = textstats.quality_ratio_exprs(F.col("text"))
+    tfrac = (
+        top_frac_per_group(
+            docs.select(
+                "doc_id",
+                F.col("source").cast("string").alias("source"),
+                F.round(qual * F.lit(1e6)).cast("bigint").alias("q6"),
+            ),
+            "source",
+            "q6",
+            (1, 4),
+            "doc_id",
+        )
+        .groupBy(
+            F.concat(
+                F.col("source"), F.lit("#"), (F.col("doc_id") % 7).cast("string")
+            ).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("top_frac").alias("kind"), "key", "cnt")
+    )
     # X44: mixture epochs — targets derived from the corpus totals so
     # the section's three behaviors (down-sample / 2⅓× up-sample /
     # exact-1.0× no-partial boundary) hold at every SF
@@ -1036,6 +1077,7 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(capped)
         .unionByName(bpe)
         .unionByName(fert)
+        .unionByName(tfrac)
         .unionByName(mix)
     )
 

@@ -5371,6 +5371,67 @@ def test_materialize_mixture_matches_duckdb_and_semantics(spark):
         materialize_mixture(docs, "source", "n_tok", "doc_id", {"s0": -1})
 
 
+def test_top_frac_per_group_matches_duckdb_and_semantics(spark):
+    """X45 per-group top-fraction: kept set hash-matches the DuckDB
+    twin; every group keeps ceil(num*n/den) rows (small groups keep at
+    least one); ties resolve by md5(salt:id) not partition order; NULL
+    scores drop; NULL groups select as one '' group; frac=(0,1) keeps
+    nothing; a new salt re-draws only within tied scores."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.sampling import (
+        top_frac_per_group,
+        top_frac_per_group_sql,
+    )
+
+    rows = [
+        (i, f"g{i % 3}" if i % 17 else None, (i * 31) % 7 if i % 13 else None)
+        for i in range(120)
+    ]
+    # g-small: a 3-row group — ceil semantics must keep 1 at frac 1/4
+    rows += [(200, "gsmall", 5), (201, "gsmall", 4), (202, "gsmall", 3)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, grp string, score bigint")
+    got = sorted(tuple(r) for r in
+                 top_frac_per_group(docs, "grp", "score", (1, 4), "doc_id").collect())
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "grp", "score"]))
+    want = sorted(map(tuple, con.execute(
+        top_frac_per_group_sql(
+            "SELECT doc_id, grp, score FROM docs", "grp", "score", (1, 4), "doc_id"
+        )
+    ).fetchall()))
+    con.close()
+    assert got == want and got
+    from collections import Counter
+    import math
+
+    live = [(d, g, s) for d, g, s in rows if s is not None]
+    sizes = Counter(g if g is not None else "" for _, g, _ in live)
+    kept = Counter(g if g is not None else "" for _, g, _ in got)
+    for g, n in sizes.items():
+        assert kept[g] == math.ceil(n / 4), (g, n, kept[g])
+    assert kept["gsmall"] == 1
+    # the kept gsmall row is the top score
+    assert [s for d, g, s in got if g == "gsmall"] == [5]
+    # scores kept are >= scores dropped within each group, up to ties
+    for g in sizes:
+        key = g if g != "" else None
+        kept_scores = sorted((s for d, gg, s in got if gg == key), reverse=True)
+        all_scores = sorted((s for d, gg, s in live if gg == key), reverse=True)
+        assert kept_scores == all_scores[: len(kept_scores)]
+    # frac=(0,1) keeps nothing; bad frac raises
+    assert top_frac_per_group(docs, "grp", "score", (0, 1), "doc_id").count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="frac must be"):
+        top_frac_per_group(docs, "grp", "score", (1, 0), "doc_id")
+    # new salt: same per-group counts, tie membership may change
+    alt = top_frac_per_group(docs, "grp", "score", (1, 4), "doc_id", salt="top1")
+    assert Counter(
+        (r["grp"] if r["grp"] is not None else "") for r in alt.collect()
+    ) == kept
+
+
 def test_bpe_learn_matches_python_reference(spark):
     """X40: bpe_learn agrees with a direct pure-Python implementation
     of Sennrich et al. 2016 (char-init, freq-weighted adjacent-pair

@@ -1178,6 +1178,60 @@ def test_curate_mixture_epochs_gate(spark):
     assert all(len(s) == 1 for s in splits.values())
 
 
+def test_curate_quality_top_frac_gate(spark):
+    """quality_top_frac=(num, den) keeps the per-language top fraction
+    of the SCORED frame (before dedup): survivors equal
+    curate(top_frac_per_group(scored docs)) — the gate composes — and
+    the admitted set is exactly ceil(n/den·num) per language with kept
+    qualities dominating dropped ones."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.sampling import top_frac_per_group
+    from pyspark_dist_explore_spark.operators.textstats import (
+        lang_pred_expr,
+        quality_ratio_exprs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    t = F.coalesce(F.col("text"), F.lit(""))
+    _, _, quality = quality_ratio_exprs(t)
+    scored = docs.select(
+        "doc_id", quality.alias("quality"), lang_pred_expr(t).alias("lang_pred")
+    )
+    admitted = top_frac_per_group(scored, "lang_pred", "quality", (1, 3), "doc_id")
+    adm_rows = admitted.collect()
+    sc_rows = scored.collect()
+    by_lang = {}
+    for r in sc_rows:
+        by_lang.setdefault(r["lang_pred"], []).append((r["quality"], r["doc_id"]))
+    adm_counts = {}
+    for r in adm_rows:
+        adm_counts[r["lang_pred"]] = adm_counts.get(r["lang_pred"], 0) + 1
+    assert adm_counts == {g: math.ceil(len(v) / 3) for g, v in by_lang.items()}
+    adm_ids = {r["doc_id"] for r in adm_rows}
+    for g, v in by_lang.items():
+        qs = sorted((q for q, _ in v), reverse=True)
+        floor_q = qs[adm_counts[g] - 1]
+        for q, d in v:
+            assert (q >= floor_q) if d in adm_ids else (q <= floor_q)
+    # composition: the wired gate equals pre-filtering docs to the
+    # admitted set and running the rest of the pipeline
+    wired = curate_documents(docs, min_quality=0.0, quality_top_frac=(1, 3))
+    manual = curate_documents(
+        docs.join(admitted.select("doc_id"), "doc_id"), min_quality=0.0
+    )
+    assert sorted(map(tuple, wired.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+    # and the gate did real work vs the unrestricted run
+    assert wired.count() < curate_documents(docs, min_quality=0.0).count()
+
+
 def test_curate_materialize_stages_rewritten_corpus(spark):
     """materialize=True must not change the survivor set when the
     text-rewriting stages are on (the staged-rewrite checkpoint is a
