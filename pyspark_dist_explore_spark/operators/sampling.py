@@ -881,14 +881,23 @@ def top_frac_per_group(
         )
     )
     w = Window.partitionBy(g).orderBy(s.desc(), h, F.col(id_col).cast("string"))
-    wn = Window.partitionBy(g)
-    ranked = base.withColumn("__rk", F.row_number().over(w)).withColumn(
-        "__n", F.count(F.lit(1)).over(wn)
+    # the group size rides the SAME (partition, order) spec with an
+    # unbounded frame, and both columns land in ONE select — chained
+    # withColumn puts a Project between the windows, which defeats
+    # CollapseWindow and buys a SECOND exchange (plan-pinned in
+    # tests/test_plans.py: exactly one shuffle)
+    wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = base.select(
+        "*",
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
     )
-    keep_n = F.floor(
-        (F.lit(int(num)) * F.col("__n") + F.lit(int(den) - 1)) / F.lit(int(den))
+    # `div` keeps ceil(num·n/den) in exact BIGINT arithmetic — `/` is
+    # double division in the column API, and the DuckDB twin uses `//`
+    keep = F.expr(
+        f"__rk <= (({int(num)} * __n + {int(den) - 1}) div {int(den)})"
     )
-    return ranked.where(F.col("__rk") <= keep_n).drop("__rk", "__n")
+    return ranked.where(keep).drop("__rk", "__n")
 
 
 def top_frac_per_group_sql(

@@ -701,3 +701,73 @@ def test_bpe_encode_row_local_no_python(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan, f"expected zero shuffles\n{plan}"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_frac_per_group_single_exchange_no_global_sort(spark):
+    """X45 scale pins: rank AND group size ride ONE hash-partition
+    window exchange (same partition spec — Catalyst collapses the two
+    window functions); never a global range sort, no Python."""
+    from pyspark_dist_explore_spark.operators.sampling import top_frac_per_group
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", F.length("text").alias("score")
+    )
+    out = top_frac_per_group(docs, "source", "score", (1, 4), "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    n_exchange = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}\n{plan}"
+    assert "rangepartitioning" not in plan.lower(), "no global sort"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_materialize_mixture_plan_shape(spark):
+    """X44 scale pins: one window exchange for the per-source running
+    sum, the K-row totals joined via BroadcastHashJoin (never a
+    shuffled join of the corpus against its own totals), epoch
+    replication by explode/generate — no Python, no global sort."""
+    from pyspark_dist_explore_spark.operators.sampling import materialize_mixture
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("n_tok")
+    )
+    out = materialize_mixture(
+        docs, "source", "n_tok", "doc_id", {"src0": 10_000, "src1": 50}
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, f"totals must broadcast\n{plan}"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "rangepartitioning" not in plan.lower(), "no global sort"
+    assert "Generate" in plan, "epoch replication must be an explode"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_overlap_matrix_staged_single_text_scan(spark):
+    """X43 scale pins: with the default staging, the corpus text is
+    scanned+fingerprinted ONCE — the three consumers of the
+    (src, fp, docs) table read checkpoint blocks, so the executed plan
+    shows exactly one parquet scan of the documents table; pair totals
+    ride broadcast joins."""
+    from pyspark_dist_explore_spark.operators.dedup import corpus_overlap_matrix
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out = corpus_overlap_matrix(docs)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1, f"staging must collapse scans\n{plan}"
+    assert "SortMergeJoin" not in plan or "fp" in plan  # fp self-join may SMJ
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
