@@ -146,6 +146,12 @@ def main() -> None:
     back = spark.read.parquet(f"{work}/shards")
     print("landed:", back.count(), "training rows in", f"{work}/shards")
 
+    # 7. integrity: verify the landed dump against the writer's manifest
+    # (the pre-training check a 100 TB consumer runs) ----------------------
+    from pyspark_dist_explore_spark import verify_training_shards
+
+    verify_training_shards(spark, f"{work}/shards").show()
+
     spark.stop()
 
 

@@ -81,6 +81,8 @@ from pyspark_dist_explore_spark.sources.sinks import (
     load_dsir_model,
     load_neardup_snapshot,
     read_jsonl,
+    shard_manifest,
+    verify_training_shards,
     write_bucketed_table,
     write_dsir_model,
     write_jsonl,
@@ -303,6 +305,8 @@ __all__ = [
     # sinks / physical layout
     "write_partitioned",
     "write_training_shards",
+    "shard_manifest",
+    "verify_training_shards",
     "write_bucketed_table",
     "write_jsonl",
     "read_jsonl",

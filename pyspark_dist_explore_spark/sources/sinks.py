@@ -137,6 +137,7 @@ def write_training_shards(
     salt: str = "shuffle",
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
+    manifest: bool = True,
 ) -> None:
     """The training DUMP in one call: deterministic global shuffle +
     sharding (:func:`operators.sampling.shuffle_shards`) landed as a
@@ -155,6 +156,14 @@ def write_training_shards(
     order).  Same salt → byte-identical dump; a new salt is an
     independent epoch.  One shuffle + one per-shard sort total — the
     write-side twin of the registered ``corpus_shuffle_shards`` query.
+
+    ``manifest=True`` (default) also records the per-shard integrity
+    card as a ``_manifest.json`` sidecar (:func:`write_shard_manifest`)
+    for :func:`verify_training_shards` — computed from the writer's
+    INTENT frame, so a partial/corrupt landing is detectable; the
+    shuffle is md5-deterministic, so the second execution fingerprints
+    the identical assignment.  Skipped under ``mode='append'`` (the
+    sidecar describes one complete dump, not an accumulation).
     """
     from pyspark.sql import functions as F
 
@@ -170,6 +179,124 @@ def write_training_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+    if manifest and mode != "append":
+        write_shard_manifest(
+            sharded, path, id_col=key_col, extra={"shards": shards, "salt": salt}
+        )
+
+
+def shard_manifest(
+    df: DataFrame, shard_col: str = "shard", id_col: str = "doc_id"
+) -> DataFrame:
+    """X46: per-shard integrity card — ``(shard, n_rows, sum_id,
+    min_id, max_id, hash_sum)`` where ``hash_sum`` folds each id's
+    md5 into a 44-bit integer and sums them (order-insensitive, so the
+    fingerprint is layout-independent; SUM rather than XOR so
+    duplicated rows — epochs — don't cancel in pairs).  Sums accumulate
+    in DECIMAL(38,0): exact to ~10²⁵ rows, no silent BIGINT wrap.
+
+    ONE map-side-combined aggregate, output |shards|-sized — the same
+    cost class as the count a writer already pays.
+    """
+    from pyspark.sql import functions as F
+
+    ids = F.col(id_col).cast("string")
+    h = F.conv(F.substring(F.md5(ids), 1, 11), 16, 10).cast("decimal(38,0)")
+    return df.groupBy(F.col(shard_col).cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col(id_col).cast("decimal(38,0)")).alias("sum_id"),
+        F.min(F.col(id_col).cast("bigint")).alias("min_id"),
+        F.max(F.col(id_col).cast("bigint")).alias("max_id"),
+        F.sum(h).alias("hash_sum"),
+    )
+
+
+def write_shard_manifest(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    extra: dict | None = None,
+) -> dict:
+    """Compute :func:`shard_manifest` over the frame ABOUT to land (the
+    writer's intent, not whatever survived the write) and record it as
+    a ``_manifest.json`` sidecar under ``path`` via the Hadoop
+    FileSystem API (same scheme as the data).  Returns the payload."""
+    rows = shard_manifest(df, shard_col, id_col).collect()  # bounded-collect: |shards|-row manifest
+    payload = {
+        "id_col": id_col,
+        "manifest": {
+            str(r["shard"]): {
+                "n_rows": int(r["n_rows"]),
+                "sum_id": str(r["sum_id"]),
+                "min_id": int(r["min_id"]),
+                "max_id": int(r["max_id"]),
+                "hash_sum": str(r["hash_sum"]),
+            }
+            for r in rows
+        },
+    }
+    if extra:
+        payload.update(extra)
+    _write_json_sidecar(df.sparkSession, f"{path}/_manifest.json", payload)
+    return payload
+
+
+def verify_training_shards(
+    spark: SparkSession, path: str, *, strict: bool = True
+) -> DataFrame:
+    """X46 read-side: recompute the per-shard integrity card over the
+    LANDED parquet and compare it to the ``_manifest.json`` the writer
+    recorded — the check a 100 TB consumer runs before training to
+    catch partial writes, lost shard directories, and double-landed
+    files.  Returns one row per shard in either side:
+    ``(shard, ok, expected_rows, actual_rows)``; ``strict=True``
+    (default) raises on any mismatch or missing shard.
+
+    Cost: one scan of the dump collapsing to a |shards|-row aggregate
+    (the integrity pass is scan-bound by construction — no shuffle of
+    data rows, no sort)."""
+    payload = _read_json_sidecar(spark, f"{path}/_manifest.json")
+    want = payload["manifest"]
+    got = {
+        str(r["shard"]): r
+        for r in shard_manifest(
+            spark.read.parquet(path), "shard", payload["id_col"]
+        ).collect()  # bounded-collect: |shards|-row manifest
+    }
+    report = []
+    for shard in sorted(set(want) | set(got), key=int):
+        w, g = want.get(shard), got.get(shard)
+        ok = (
+            w is not None
+            and g is not None
+            and int(w["n_rows"]) == int(g["n_rows"])
+            and w["sum_id"] == str(g["sum_id"])
+            and int(w["min_id"]) == int(g["min_id"])
+            and int(w["max_id"]) == int(g["max_id"])
+            and w["hash_sum"] == str(g["hash_sum"])
+        )
+        report.append(
+            (
+                int(shard),
+                bool(ok),
+                int(w["n_rows"]) if w else None,
+                int(g["n_rows"]) if g else None,
+            )
+        )
+    if strict:
+        bad = [r for r in report if not r[1]]
+        if bad:
+            raise ValueError(
+                f"shard manifest mismatch at {path}: "
+                + ", ".join(
+                    f"shard {s} expected {e} rows, landed {a}" for s, _, e, a in bad
+                )
+            )
+    return spark.createDataFrame(
+        report, "shard int, ok boolean, expected_rows bigint, actual_rows bigint"
+    )
 
 
 def write_neardup_snapshot(

@@ -99,6 +99,60 @@ def test_write_training_shards_round_trip(spark, tmp_path):
     assert poses == sorted(poses), "rows must be stored in training order"
 
 
+def test_shard_manifest_verify_and_tamper(spark, tmp_path):
+    """X46 integrity artifacts: the default dump records _manifest.json
+    and verify_training_shards passes on the intact landing; losing a
+    shard directory or double-landing rows flips exactly that shard's
+    report row and strict mode raises.  The hash_sum must be
+    layout-independent (sum, not order) and duplicate-sensitive."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.sources.sinks import (
+        shard_manifest,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = str(tmp_path / "dump")
+    write_training_shards(docs, "doc_id", out, shards=4, salt="epoch0")
+    assert os.path.exists(f"{out}/_manifest.json")
+    report = verify_training_shards(spark, out)
+    assert report.count() == 4 and report.where("NOT ok").count() == 0
+    # the hidden sidecar must not leak into the parquet read
+    assert spark.read.parquet(out).count() == docs.count()
+
+    # manifest is order-insensitive but duplicate-sensitive
+    m1 = {r["shard"]: tuple(r) for r in shard_manifest(
+        spark.read.parquet(out), "shard", "doc_id").collect()}
+    dup = spark.read.parquet(out)
+    m2 = {r["shard"]: tuple(r) for r in shard_manifest(
+        dup.orderBy("doc_id"), "shard", "doc_id").collect()}
+    assert m1 == m2
+    md = {r["shard"]: r for r in shard_manifest(
+        dup.unionAll(dup.limit(1)), "shard", "doc_id").collect()}
+    changed = [s for s in md if tuple(md[s]) != m1[s]]
+    assert len(changed) == 1  # the duplicated row's shard moved
+
+    # tamper: drop one shard directory entirely
+    shutil.rmtree(f"{out}/shard=2")
+    with _pytest.raises(ValueError, match="shard 2"):
+        verify_training_shards(spark, out)
+    rep = verify_training_shards(spark, out, strict=False)
+    bad = {r["shard"] for r in rep.where("NOT ok").collect()}
+    assert bad == {2}
+
+    # append mode must not write a stale manifest
+    out2 = str(tmp_path / "dump2")
+    write_training_shards(docs, "doc_id", out2, shards=2, salt="e0", mode="append")
+    assert not os.path.exists(f"{out2}/_manifest.json")
+
+
 def test_schema_cache_invalidates_on_regenerated_file(spark, tmp_path):
     """Regenerating the parquet at the SAME path must not be read with a
     stale cached schema: the cache key carries the file mtime."""
