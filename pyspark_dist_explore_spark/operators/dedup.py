@@ -1538,7 +1538,10 @@ def corpus_overlap_matrix(
     """
     per = (
         df.select(
-            F.col(group_col).cast("string").alias("src"),
+            # NULL sources group as '' (house convention) — raw NULLs
+            # would drop out of BOTH the pair join and the grid's <
+            # comparison, silently erasing those docs from the census
+            F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("src"),
             F.md5(normalize_text(F.col(text_col))).alias("fp"),
         )
         .groupBy("src", "fp")
@@ -1593,7 +1596,7 @@ def corpus_overlap_matrix_sql(src: str, group_col: str = "source") -> str:
     norm = NORMALIZE_SQL.format(c="text")
     return f"""
 WITH per AS (
-  SELECT CAST({group_col} AS VARCHAR) AS src, md5({norm}) AS fp,
+  SELECT COALESCE(CAST({group_col} AS VARCHAR), '') AS src, md5({norm}) AS fp,
          CAST(count(*) AS BIGINT) AS docs
   FROM ({src}) z GROUP BY 1, 2
 ),

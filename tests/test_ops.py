@@ -4878,10 +4878,19 @@ def test_corpus_overlap_matrix_consistent_with_pairwise(spark):
             (4, "s2", "HELLO   world"),
             (5, "s2", "different"),
             (6, "s3", "nothing shared"),
+            (7, None, "hello world"),  # NULL source groups as ''
         ],
         "doc_id bigint, source string, text string",
     )
-    rows = {(r["src_a"], r["src_b"]): r for r in corpus_overlap_matrix(df).collect()}
+    all_rows = corpus_overlap_matrix(df).collect()
+    null_grp = [r for r in all_rows if r["src_a"] == ""]
+    assert len(null_grp) == 3 and all(r["n_a"] == 1 for r in null_grp)
+    assert {r["src_b"]: r["n_fp_common"] for r in null_grp} == {
+        "s1": 1, "s2": 1, "s3": 0
+    }
+    rows = {
+        (r["src_a"], r["src_b"]): r for r in all_rows if r["src_a"] != ""
+    }
     assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
     for (sa, sb), r in rows.items():
         a = df.where(df.source == sa).select("doc_id", "text")
