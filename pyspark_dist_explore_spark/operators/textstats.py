@@ -2065,7 +2065,9 @@ def bpe_fertility_sql(src: str, group_col: str, *, k: int = 8) -> str:
     for i in range(k):
         e = f"replace({e}, ep{i}, ml{i})"
     n_sub = f"len(string_split(substr({e}, 2, len({e}) - 2), {sep}))"
-    merges = bpe_merges_sql("SELECT doc_id, text FROM ({src}) zz".format(src=src), k=k)
+    # f-string, NOT str.format: a caller's src legitimately contains
+    # braces (regexp literals, C4's '{' rule) that .format would choke on
+    merges = bpe_merges_sql(f"SELECT doc_id, text FROM ({src}) zz", k=k)
     return f"""
 WITH bf_m AS MATERIALIZED ({merges}),
 bf_mm AS (SELECT {pivots} FROM bf_m),
