@@ -671,15 +671,45 @@ from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
 from pyspark_dist_explore_spark.pipeline import curate_documents  # noqa: E402
 
 
+#: the X46 per-shard integrity stats that unpivot into the
+#: ``source='manifest:*'`` rows of ``corpus_shuffle_shards`` — the
+#: md5-fold (conv base-16 in Spark, '0x'-cast in DuckDB) is the one
+#: piece of the manifest arithmetic the full-assignment hash doesn't
+#: already prove; sums fit BIGINT at any test SF (44-bit folds)
+_MANIFEST_STATS_SQL = """
+SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id,
+       CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11)) AS BIGINT)) AS BIGINT)
+         AS hash_sum
+FROM sh GROUP BY 1
+"""
+
+_MANIFEST_STAT_NAMES = ("n_rows", "sum_id", "min_id", "max_id", "hash_sum")
+
+
 @register(
     "corpus_shuffle_shards",
-    shuffle_shards_sql(
+    f"""
+WITH sh AS ({shuffle_shards_sql(
         "SELECT doc_id, source FROM documents",
         "doc_id",
         shards=8,
         salt="epoch0",
         out_cols=["doc_id", "source"],
-    ),
+    )})
+SELECT * FROM sh
+UNION ALL
+SELECT val AS doc_id, concat('manifest:', stat) AS source, shard,
+       CAST(0 AS INT) AS pos
+FROM (
+  {" UNION ALL ".join(
+        f"SELECT shard, '{s}' AS stat, {s} AS val FROM ({_MANIFEST_STATS_SQL}) m{i}"
+        for i, s in enumerate(_MANIFEST_STAT_NAMES)
+    )}
+)
+""",
 )
 def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training shuffle + sharding — the last stage before
@@ -689,9 +719,40 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream a globally de-correlated sequence.  ONE shuffle (window hash
     partition by shard), per-shard sort, never a global order-by — the
     shape that holds at 100 TB.  The ENTIRE output (every row's shard
-    and position) is hash-checked against the DuckDB twin."""
+    and position) is hash-checked against the DuckDB twin.
+
+    Round 10 appends the X46 INTEGRITY MANIFEST as
+    ``source='manifest:<stat>'`` rows (:func:`~pyspark_dist_explore_spark.
+    sources.sinks.shard_manifest` — the card ``write_training_shards``
+    records and ``verify_training_shards`` replays): per-shard row
+    count, id sum/bounds, and the 44-bit md5-fold sum, hash-checking
+    the fold arithmetic cross-engine (Spark ``conv(hex,16,10)`` vs
+    DuckDB ``'0x'``-cast) that the full-assignment hash alone does not
+    exercise."""
+    from pyspark_dist_explore_spark.sources.sinks import shard_manifest
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    return shuffle_shards(docs, "doc_id", shards=8, salt="epoch0")
+    sharded = shuffle_shards(docs, "doc_id", shards=8, salt="epoch0")
+    mani = (
+        shard_manifest(sharded, "shard", "doc_id")
+        .selectExpr(
+            "shard",
+            "stack(5, "
+            "'n_rows', n_rows, "
+            "'sum_id', CAST(sum_id AS BIGINT), "
+            "'min_id', min_id, "
+            "'max_id', max_id, "
+            "'hash_sum', CAST(hash_sum AS BIGINT)"
+            ") as (stat, val)",
+        )
+        .select(
+            F.col("val").cast("bigint").alias("doc_id"),
+            F.concat(F.lit("manifest:"), F.col("stat")).alias("source"),
+            "shard",
+            F.lit(0).cast("int").alias("pos"),
+        )
+    )
+    return sharded.unionByName(mani)
 
 
 #: deregistered round 6 (merged into ``sampling_splits``); originals
