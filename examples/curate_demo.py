@@ -135,10 +135,18 @@ def main() -> None:
     stream = materialize_mixture(with_tok, "lang_pred", "n_tok", "doc_id", targets)
     stream.groupBy("lang_pred", "epoch").count().orderBy("lang_pred", "epoch").show(9)
 
-    # 6. land deterministic training shards -------------------------------
+    # 6. land deterministic training shards — the epoch stream repeats
+    # doc_id across epochs, and shuffle_shards' key must be UNIQUE per
+    # row (duplicate keys tie on hash AND tiebreaker → partition-order-
+    # dependent pos), so shard on the composite (doc_id, epoch) key ----
     write_training_shards(
-        stream.select("doc_id", "epoch", "text"),
-        "doc_id",
+        stream.select(
+            F.concat_ws(":", "doc_id", "epoch").alias("row_key"),
+            "doc_id",
+            "epoch",
+            "text",
+        ),
+        "row_key",
         f"{work}/shards",
         shards=4,
         salt="epoch0",

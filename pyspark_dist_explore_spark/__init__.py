@@ -127,6 +127,7 @@ from pyspark_dist_explore_spark.operators.textstats import (
     bpe_encode,
     bpe_learn,
     bpe_segment_expr,
+    bpe_word_freqs,
     gopher_repetition_battery,
     oov_stats,
     perplexity_buckets,
@@ -277,6 +278,7 @@ __all__ = [
     "bpe_learn",
     "bpe_encode",
     "bpe_segment_expr",
+    "bpe_word_freqs",
     # round-9 additions
     "c4_clean",
     "curation_funnel",

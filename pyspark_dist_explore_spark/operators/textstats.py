@@ -1818,11 +1818,60 @@ BPE_L = "\x01"
 BPE_R = "\x02"
 _BPE_SEP = BPE_R + BPE_L
 
+#: the sentinel chars are IN-BAND — real crawl text can contain
+#: \\x01/\\x02 (and \\x03, the fertility twin's missing-step pivot), and
+#: a token carrying one would corrupt symbol boundaries differently per
+#: engine.  Every BPE entry point therefore strips exactly these three
+#: code points from the token stream BEFORE char-wrapping, in Spark,
+#: DuckDB, and the segment expression alike (r10 advisor catch).
+_BPE_CTRL_RE = "[\x01\x02\x03]"
+_BPE_CTRL_SQL = "'[' || chr(1) || chr(2) || chr(3) || ']'"
+
+
+def _bpe_clean(col: Column) -> Column:
+    """Strip the in-band sentinel code points from a token column."""
+    return F.regexp_replace(col, _BPE_CTRL_RE, "")
+
+
+def _bpe_clean_words_sql(norm: str) -> str:
+    """DuckDB list of sentinel-stripped non-empty tokens from a
+    normalized-text expression — the twin of ``filter(transform(tokens,
+    _bpe_clean), != '')``."""
+    return (
+        f"list_filter(list_transform(string_split({norm}, ' '), "
+        f"x -> regexp_replace(x, {_BPE_CTRL_SQL}, '', 'g')), x -> x <> '')"
+    )
+
 
 def _bpe_render(enc: str) -> tuple[str, str]:
     """(readable pair "a b", readable merged "ab") from an encoded pair."""
     syms = enc[1:-1].split(_BPE_SEP)
     return " ".join(syms), "".join(syms)
+
+
+def bpe_word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """The (word, freq) TYPE TABLE — the only corpus-sized work in BPE
+    induction (token explode → map-side-combined count; output is
+    type-count-sized, i.e. driver-small for any natural corpus).  This
+    is also the interchange artifact for training a production-vocab
+    tokenizer OUTSIDE Spark: land it, train single-machine (HF
+    tokenizers / SentencePiece both accept word-frequency input), and
+    bring the merge table back for :func:`bpe_encode` — the path a
+    32k-vocab caller takes instead of 32k sequential ``bpe_learn``
+    rounds.  Sentinel code points are stripped per the module contract.
+    """
+    return (
+        df.select(
+            F.explode(
+                F.transform(
+                    tokens(F.coalesce(F.col(text_col), F.lit(""))), _bpe_clean
+                )
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
 
 
 def bpe_learn(
@@ -1831,12 +1880,25 @@ def bpe_learn(
     *,
     k: int = 8,
     checkpoint_interval: int = 16,
+    max_merges: int = 512,
 ) -> DataFrame:
     """Learn ``k`` BPE merges from the corpus: ``(step, pair, merged,
     cnt)`` with ``pair`` the two symbols space-joined, ``merged`` their
     concatenation, ``cnt`` the corpus-frequency-weighted count of
     adjacent occurrences at the moment of the merge.  Fewer rows than
     ``k`` when the corpus runs out of repeated pairs.
+
+    **Practical k ceiling**: the greedy pick is inherently sequential —
+    each merge changes the next pair count — so this is ``k`` Spark
+    job rounds BY CONSTRUCTION (each a type-table-sized aggregate plus
+    a 1-row collect).  At k≈8–512 that is seconds-to-minutes; a
+    production 32 000-merge vocab would be 32 000 driver round-trips —
+    hours of scheduler overhead regardless of cluster size.  The guard
+    ``max_merges`` (default 512) raises rather than letting a vocab-
+    sized ``k`` through silently; callers who understand the cost pass
+    a higher ``max_merges`` explicitly.  The right tool above the
+    ceiling is a single-machine trainer over the (type, freq) table —
+    which IS driver-sized: export ``bpe_word_freqs`` and train locally.
 
     Scale shape: the ONLY corpus-sized work is the word-frequency
     aggregate (token explode → map-side-combined count; output is
@@ -1857,6 +1919,16 @@ def bpe_learn(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if k > max_merges:
+        raise ValueError(
+            f"k={k} exceeds max_merges={max_merges}: bpe_learn runs k "
+            "SEQUENTIAL Spark job rounds (the greedy pick is the "
+            "algorithm's inherent dependency), so a vocab-sized k means "
+            "thousands of driver round-trips. For a production vocab, "
+            "export bpe_word_freqs(df, text_col) — the type table is "
+            "driver-sized — and train single-machine; or pass an "
+            "explicit max_merges if you accept k rounds."
+        )
     if checkpoint_interval < 1:
         raise ValueError(
             f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
@@ -1866,13 +1938,9 @@ def bpe_learn(
     )
 
     spark = df.sparkSession
-    toks = df.select(
-        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("w")
-    ).where(F.col("w") != "")
     enc0 = F.regexp_replace(F.col("w"), "(.)", BPE_L + "$1" + BPE_R)
     types = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        bpe_word_freqs(df, text_col)
         .select(enc0.alias("enc"), "freq")
         .localCheckpoint()
     )
@@ -1943,7 +2011,7 @@ def bpe_merges_sql(src: str, *, k: int = 8) -> str:
   SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS enc,
          CAST(count(*) AS BIGINT) AS freq
   FROM (
-    SELECT unnest(list_filter(string_split({norm}, ' '), x -> x <> '')) AS w
+    SELECT unnest({_bpe_clean_words_sql(norm)}) AS w
     FROM ({src}) z
   ) GROUP BY w
 )"""
@@ -1993,7 +2061,7 @@ def bpe_segment_expr(word: Column, merges: Sequence[tuple[str, str]]) -> Column:
     — the merge list is a driver-side model artifact (k literals), so
     encoding is a chain of ``k`` literal replacements inside whole-stage
     codegen: no join, no shuffle, no Python."""
-    e = F.regexp_replace(word, "(.)", BPE_L + "$1" + BPE_R)
+    e = F.regexp_replace(_bpe_clean(word), "(.)", BPE_L + "$1" + BPE_R)
     for pair, _merged in merges:
         enc_pair = BPE_L + pair.replace(" ", _BPE_SEP) + BPE_R
         e = F.replace(e, F.lit(enc_pair), F.lit(enc_pair.replace(_BPE_SEP, "")))
@@ -2030,7 +2098,7 @@ SELECT doc_id,
        CAST(COALESCE(list_sum(list_transform(ws, w -> {n_sub})), 0) AS BIGINT)
          AS n_subwords
 FROM (
-  SELECT doc_id, list_filter(string_split({norm}, ' '), x -> x <> '') AS ws
+  SELECT doc_id, {_bpe_clean_words_sql(norm)} AS ws
   FROM ({src}) z
 )
 """
@@ -2073,7 +2141,7 @@ WITH bf_m AS MATERIALIZED ({merges}),
 bf_mm AS (SELECT {pivots} FROM bf_m),
 bf_dw AS (
   SELECT {group_col} AS grp,
-         list_filter(string_split({norm}, ' '), x -> x <> '') AS ws
+         {_bpe_clean_words_sql(norm)} AS ws
   FROM ({src}) z
 )
 SELECT grp,
@@ -2106,7 +2174,10 @@ def bpe_encode(
             (r["pair"], r["merged"])
             for r in merges.orderBy("step").collect()  # bounded-collect: k-row model artifact
         ]
-    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda x: x != "")
+    toks = F.filter(
+        F.transform(tokens(F.coalesce(F.col(text_col), F.lit(""))), _bpe_clean),
+        lambda x: x != "",
+    )
     per_word = F.transform(toks, lambda w: F.size(bpe_segment_expr(w, merges)))
     return df.select(
         F.col(id_col).alias("doc_id"),

@@ -810,7 +810,10 @@ _TAKE_TARGETS = {"en": 120, "es": 50, "zh": 100_000, "de": 0}
 #: en-heavy groups and keeps the small ones whole (a genuinely MIXED
 #: gate; a bare ``source`` key is uniform-25 and would cap everything)
 _HOST_CAP_N = 5
-_HOST_KEY_SQL = "concat(source, '/', lang)"
+#: explicit coalesce on BOTH components (house NULL convention — Spark
+#: concat_ws would DROP a NULL and its separator while DuckDB concat
+#: renders it '', so an uncoalesced NULL source/lang diverges the key)
+_HOST_KEY_SQL = "concat(coalesce(source, ''), '/', coalesce(lang, ''))"
 
 #: X40 merge count for the registered section: 8 merges over the ~31
 #: word types exercise the full greedy loop (the corpus yields mixed
@@ -1030,7 +1033,12 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("strat_exact").alias("kind"), "key", "cnt")
     )
     hosts = docs.select(
-        "doc_id", F.concat_ws("/", "source", "lang").alias("host")
+        "doc_id",
+        F.concat_ws(
+            "/",
+            F.coalesce(F.col("source"), F.lit("")),
+            F.coalesce(F.col("lang"), F.lit("")),
+        ).alias("host"),
     )
     capped = (
         cap_per_key(hosts, "host", "doc_id", _HOST_CAP_N)

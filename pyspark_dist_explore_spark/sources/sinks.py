@@ -146,6 +146,14 @@ def write_training_shards(
     front-to-back sees the globally de-correlated, reproducible
     sequence trainers expect, without any read-time sort.
 
+    ``key_col`` must be UNIQUE per row (the :func:`shuffle_shards`
+    contract — duplicate keys tie on both hash and tiebreaker, making
+    their relative ``pos`` partition-order-dependent and breaking the
+    same-salt → byte-identical-dump guarantee).  In particular a
+    multi-epoch stream from ``materialize_mixture`` repeats its id
+    across epochs: shard it on a composite key, e.g.
+    ``F.concat_ws(":", "doc_id", "epoch")``.
+
     Layout mechanics: hash-repartition by ``shard`` co-locates each
     shard WHOLLY in one task, so every shard directory gets exactly one
     file (no small-files explosion); hash collisions mean a task may
@@ -160,29 +168,49 @@ def write_training_shards(
     ``manifest=True`` (default) also records the per-shard integrity
     card as a ``_manifest.json`` sidecar (:func:`write_shard_manifest`)
     for :func:`verify_training_shards` — computed from the writer's
-    INTENT frame, so a partial/corrupt landing is detectable; the
-    shuffle is md5-deterministic, so the second execution fingerprints
-    the identical assignment.  Skipped under ``mode='append'`` (the
-    sidecar describes one complete dump, not an accumulation).
+    INTENT frame, so a partial/corrupt landing is detectable.  The
+    sharded frame is ``persist``-ed (memory-then-disk) and BOTH the
+    writer and the manifest read the staged rows: the md5 shuffle is
+    deterministic but the CALLER'S input need not be (``rand()``, a
+    ``sample``, a re-read of mutating source files), and re-executing
+    the plan for the manifest would fingerprint a different dataset
+    than the one that landed (r10 advisor catch).  The staging copy is
+    released after the sidecar lands; callers who guarantee a
+    deterministic input and want to skip the cache (it is a second
+    materialization of the dump) pass ``manifest=False`` and call
+    :func:`write_shard_manifest` themselves.  Caveat: ``persist``
+    recomputes LOST partitions from lineage, so an executor loss
+    mid-write re-opens the window for a nondeterministic input — the
+    staging guarantee is best-effort there, exact everywhere else.
+    Manifest is skipped under ``mode='append'`` (the sidecar describes
+    one complete dump, not an accumulation).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from pyspark_dist_explore_spark.operators.sampling import shuffle_shards
 
     sharded = shuffle_shards(df, key_col, shards=shards, salt=salt)
-    writer = (
-        sharded.repartition(shards, F.col("shard"))
-        .sortWithinPartitions("shard", "pos")
-        .write.mode(mode)
-        .partitionBy("shard")
-    )
-    if max_records_per_file is not None:
-        writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(path)
-    if manifest and mode != "append":
-        write_shard_manifest(
-            sharded, path, id_col=key_col, extra={"shards": shards, "salt": salt}
+    stage = manifest and mode != "append"
+    if stage:
+        sharded = sharded.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        writer = (
+            sharded.repartition(shards, F.col("shard"))
+            .sortWithinPartitions("shard", "pos")
+            .write.mode(mode)
+            .partitionBy("shard")
         )
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(path)
+        if stage:
+            write_shard_manifest(
+                sharded, path, id_col=key_col, extra={"shards": shards, "salt": salt}
+            )
+    finally:
+        if stage:
+            sharded.unpersist()
 
 
 def shard_manifest(
@@ -195,6 +223,12 @@ def shard_manifest(
     duplicated rows — epochs — don't cancel in pairs).  Sums accumulate
     in DECIMAL(38,0): exact to ~10²⁵ rows, no silent BIGINT wrap.
 
+    Non-numeric ids (e.g. the composite ``doc_id:epoch`` key a
+    multi-epoch stream shards on) are fully fingerprinted by
+    ``n_rows`` + ``hash_sum`` (md5 is id-type-agnostic); the numeric
+    redundancy stats use ``try_cast`` and come back NULL rather than
+    throwing under ANSI mode.
+
     ONE map-side-combined aggregate, output |shards|-sized — the same
     cost class as the count a writer already pays.
     """
@@ -204,9 +238,9 @@ def shard_manifest(
     h = F.conv(F.substring(F.md5(ids), 1, 11), 16, 10).cast("decimal(38,0)")
     return df.groupBy(F.col(shard_col).cast("int").alias("shard")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.col(id_col).cast("decimal(38,0)")).alias("sum_id"),
-        F.min(F.col(id_col).cast("bigint")).alias("min_id"),
-        F.max(F.col(id_col).cast("bigint")).alias("max_id"),
+        F.sum(F.expr(f"try_cast(`{id_col}` AS DECIMAL(38,0))")).alias("sum_id"),
+        F.min(F.expr(f"try_cast(`{id_col}` AS BIGINT)")).alias("min_id"),
+        F.max(F.expr(f"try_cast(`{id_col}` AS BIGINT)")).alias("max_id"),
         F.sum(h).alias("hash_sum"),
     )
 
@@ -229,9 +263,11 @@ def write_shard_manifest(
         "manifest": {
             str(r["shard"]): {
                 "n_rows": int(r["n_rows"]),
-                "sum_id": str(r["sum_id"]),
-                "min_id": int(r["min_id"]),
-                "max_id": int(r["max_id"]),
+                # sums as strings (DECIMAL(38,0) exceeds JSON-safe ints);
+                # numeric redundancy stats are None for non-numeric ids
+                "sum_id": None if r["sum_id"] is None else str(r["sum_id"]),
+                "min_id": None if r["min_id"] is None else int(r["min_id"]),
+                "max_id": None if r["max_id"] is None else int(r["max_id"]),
                 "hash_sum": str(r["hash_sum"]),
             }
             for r in rows
@@ -266,34 +302,37 @@ def verify_training_shards(
         ).collect()  # bounded-collect: |shards|-row manifest
     }
     report = []
+    problems: dict[int, str] = {}
+    stats = ("n_rows", "sum_id", "min_id", "max_id", "hash_sum")
     for shard in sorted(set(want) | set(got), key=int):
         w, g = want.get(shard), got.get(shard)
-        ok = (
-            w is not None
-            and g is not None
-            and int(w["n_rows"]) == int(g["n_rows"])
-            and w["sum_id"] == str(g["sum_id"])
-            and int(w["min_id"]) == int(g["min_id"])
-            and int(w["max_id"]) == int(g["max_id"])
-            and w["hash_sum"] == str(g["hash_sum"])
-        )
+        if w is None:
+            bad_stats = ["landed but absent from the manifest"]
+        elif g is None:
+            bad_stats = ["in the manifest but no shard directory landed"]
+        else:
+            # compare as strings — the sidecar stores sums as strings
+            # (DECIMAL(38,0) exceeds JSON-safe integers)
+            bad_stats = [
+                f"{k} expected {w[k]}, landed {g[k]}"
+                for k in stats
+                if str(w[k]) != str(g[k])
+            ]
+        if bad_stats:
+            problems[int(shard)] = "; ".join(str(b) for b in bad_stats)
         report.append(
             (
                 int(shard),
-                bool(ok),
+                not bad_stats,
                 int(w["n_rows"]) if w else None,
                 int(g["n_rows"]) if g else None,
             )
         )
-    if strict:
-        bad = [r for r in report if not r[1]]
-        if bad:
-            raise ValueError(
-                f"shard manifest mismatch at {path}: "
-                + ", ".join(
-                    f"shard {s} expected {e} rows, landed {a}" for s, _, e, a in bad
-                )
-            )
+    if strict and problems:
+        raise ValueError(
+            f"shard manifest mismatch at {path}: "
+            + ", ".join(f"shard {s}: {msg}" for s, msg in problems.items())
+        )
     return spark.createDataFrame(
         report, "shard int, ok boolean, expected_rows bigint, actual_rows bigint"
     )

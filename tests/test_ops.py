@@ -5556,6 +5556,72 @@ def test_bpe_merges_sql_twin_and_encode(spark):
     )
 
 
+def test_bpe_sentinels_in_text_are_stripped(spark):
+    """r10 advisor catch: real crawl text can contain the in-band
+    \\x01/\\x02 bracket sentinels (and \\x03, the fertility pivot) —
+    they must be stripped from the token stream BEFORE char-wrapping in
+    BOTH engines, so learn/encode neither corrupt symbol boundaries nor
+    diverge cross-engine.  A token that is ONLY sentinels drops."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        bpe_encode,
+        bpe_encode_sql,
+        bpe_learn,
+        bpe_merges_sql,
+    )
+
+    rows = [
+        (1, "low low\x01er lowest low low newer new\x02 newest wide"),
+        (2, "low slow \x01\x02\x03 slower news new wide widely lowest"),
+        (3, "wi\x03de wide lower lower newer"),
+    ]
+    clean_rows = [(i, t.replace("\x01", "").replace("\x02", "").replace("\x03", ""))
+                  for i, t in rows]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    m = bpe_learn(df, "text", k=10)
+    got = [tuple(r) for r in m.orderBy("step").collect()]
+    assert got, "corpus must yield merges"
+    # learning over the dirty text == learning over pre-stripped text
+    clean_df = spark.createDataFrame(clean_rows, "doc_id bigint, text string")
+    assert got == [
+        tuple(r) for r in bpe_learn(clean_df, "text", k=10).orderBy("step").collect()
+    ]
+    # DuckDB twin strips identically
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = [tuple(r) for r in con.execute(
+        bpe_merges_sql("SELECT doc_id, text FROM docs", k=10) + " ORDER BY step"
+    ).fetchall()]
+    assert got == want
+    # encode halves agree too, and the all-sentinel token of doc 2 drops
+    merges = [(r[1], r[2]) for r in got]
+    enc = {r["doc_id"]: r for r in bpe_encode(df, "text", "doc_id", m).collect()}
+    assert enc[2]["n_tokens"] == len(clean_rows[1][1].split())
+    duck_enc = sorted(map(tuple, con.execute(
+        bpe_encode_sql("SELECT doc_id, text FROM docs", merges)
+    ).fetchall()))
+    con.close()
+    assert duck_enc == sorted(
+        (r["doc_id"], r["n_tokens"], r["n_subwords"]) for r in enc.values()
+    )
+
+
+def test_bpe_learn_max_merges_guard(spark):
+    """A vocab-sized k is k SEQUENTIAL Spark jobs by construction — the
+    guard refuses it loudly unless the caller raises max_merges."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.operators.textstats import bpe_learn
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="SEQUENTIAL Spark job rounds"):
+        bpe_learn(df, "text", k=32000)
+    # explicit opt-in works (corpus runs out of pairs immediately)
+    assert bpe_learn(df, "text", k=600, max_merges=600).count() <= 600
+
+
 def test_bpe_fertility_dynamic_twin(spark):
     """The gate's learn→encode chain: bpe_fertility_sql re-derives the
     merge table inside DuckDB and applies it via the dynamically

@@ -153,6 +153,77 @@ def test_shard_manifest_verify_and_tamper(spark, tmp_path):
     assert not os.path.exists(f"{out2}/_manifest.json")
 
 
+def test_shard_manifest_composite_string_key(spark, tmp_path):
+    """A multi-epoch stream shards on a composite doc_id:epoch string
+    key (the r10 advisor's uniqueness catch): the manifest must
+    fingerprint it via n_rows + hash_sum (try_cast NULLs the numeric
+    redundancy stats instead of throwing under ANSI), the dump must be
+    salt-reproducible, and verify must pass round-trip."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.sources.sinks import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source"
+    )
+    # two epochs of every doc — doc_id alone is now NON-unique
+    stream = docs.withColumn("epoch", F.explode(F.array(F.lit(1), F.lit(2))))
+    keyed = stream.withColumn("row_key", F.concat_ws(":", "doc_id", "epoch"))
+    out = str(tmp_path / "epochs")
+    write_training_shards(keyed, "row_key", out, shards=4, salt="e0")
+    report = verify_training_shards(spark, out)
+    assert report.where("NOT ok").count() == 0
+    import json
+
+    mani = json.load(open(f"{out}/_manifest.json"))
+    any_shard = next(iter(mani["manifest"].values()))
+    assert any_shard["sum_id"] is None and any_shard["min_id"] is None
+    assert any_shard["hash_sum"] is not None and any_shard["n_rows"] > 0
+    # same salt → identical assignment even with duplicated doc_ids
+    back = spark.read.parquet(out)
+    out2 = str(tmp_path / "epochs2")
+    write_training_shards(keyed, "row_key", out2, shards=4, salt="e0")
+    a = sorted(map(tuple, back.select("row_key", "shard", "pos").collect()))
+    b = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out2).select("row_key", "shard", "pos").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_verify_training_shards_names_mismatched_stat(spark, tmp_path):
+    """The strict error must say WHICH stat diverged — a content swap
+    that keeps the row count must not print 'expected X rows, landed
+    X' (r10 advisor catch)."""
+    import pytest as _pytest
+
+    from pyspark_dist_explore_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = str(tmp_path / "dump")
+    write_training_shards(docs, "doc_id", out, shards=2, salt="e0")
+    # tamper shard 0 IN PLACE: same row count, shifted ids
+    from pyspark_dist_explore_spark.sources.sinks import verify_training_shards
+
+    sh0 = spark.read.parquet(f"{out}/shard=0").selectExpr(
+        "CAST(doc_id + 1000000 AS BIGINT) AS doc_id", "source", "pos"
+    )
+    schema, tampered = sh0.schema, sh0.collect()
+    import shutil
+
+    shutil.rmtree(f"{out}/shard=0")
+    spark.createDataFrame(tampered, schema).write.parquet(f"{out}/shard=0")
+    with _pytest.raises(ValueError, match="hash_sum expected"):
+        verify_training_shards(spark, out)
+
+
 def test_schema_cache_invalidates_on_regenerated_file(spark, tmp_path):
     """Regenerating the parquet at the SAME path must not be read with a
     stale cached schema: the cache key carries the file mtime."""
