@@ -143,6 +143,9 @@ from pyspark_dist_explore_spark.pipeline import (
     union_pair_fns,
 )
 from pyspark_dist_explore_spark.operators.similarity import (
+    assign_domains,
+    domain_profile,
+    domain_tag,
     semantic_dedup,
     semantic_pairs,
 )
@@ -211,6 +214,9 @@ __all__ = [
     "union_pair_fns",
     "semantic_dedup",
     "semantic_pairs",
+    "assign_domains",
+    "domain_tag",
+    "domain_profile",
     "semantic_contaminated_ids",
     "neardup_clusters",
     "shingle_rows",

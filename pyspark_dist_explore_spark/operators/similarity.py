@@ -1095,6 +1095,163 @@ def semantic_pairs(
 
 
 # --------------------------------------------------------------------------
+# X47: embedding domain clustering/tagging — the link between the
+# similarity family (cluster the embedding space) and the sampling
+# family (weight the clusters).  Modern mixture recipes (DoReMi /
+# DCLM-adjacent, public) derive training-mix DOMAINS by clustering
+# document embeddings rather than trusting the crawl's `source` label;
+# the cluster id then keys `materialize_mixture` / temperature
+# resampling exactly like a source column.
+# --------------------------------------------------------------------------
+
+
+def assign_domains(
+    vectors: DataFrame,
+    centroids: DataFrame | None = None,
+    *,
+    n_domains: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_round: int | None = None,
+    fit_sample_mod: int | None = 4,
+    max_fit_rows: int | None = 1 << 18,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Nearest-centroid DOMAIN assignment: ``(id_col, domain)`` with
+    ``domain`` the ``cent_id`` of the highest-cosine centroid
+    (ties break to the smaller id, the house argmax convention shared
+    with :func:`semantic_pairs`).
+
+    ``centroids=None`` fits capped KMeans (:func:`kmeans_centroids` —
+    the only corpus-scanning iterative step, absolutely bounded by
+    ``max_fit_rows``); a caller-provided ``(cent_id, cv)`` frame makes
+    the whole operator DETERMINISTIC and fully lazy — the form the
+    driver gate hash-checks (fixed centroids are SQL-expressible, an ML
+    fit is not) and the form a production pipeline uses to keep domain
+    labels stable across incremental crawls (fit once, land the
+    centroids, assign every future batch against them).
+    ``assign_round`` rounds the assignment cosines to that many
+    decimals before the argmax so both engines compare the same grid.
+
+    Scale shape: ONE broadcast crossJoin (K centroid rows ship to every
+    executor) collapsed by map-side ``max_by`` partials — N rows
+    shuffle once, by id; no per-row Python, no global sort.  This is
+    the IVF assignment pattern with the vector payload DROPPED from the
+    aggregation buffer (a tag needs the label only, unlike
+    :func:`semantic_pairs` which carries ``vv`` through to the pair
+    stage)."""
+    v = vectors.select(F.col(id_col), _unit(F.col(vec_col)).alias("__uv"))
+    if centroids is not None:
+        missing = {"cent_id", "cv"} - set(centroids.columns)
+        if missing:
+            raise ValueError(
+                f"centroids frame missing column(s): {sorted(missing)} "
+                "(expected (cent_id, cv) with cv unit-normalized)"
+            )
+        cents = centroids.select(
+            "cent_id", F.col("cv").cast("array<double>").alias("cv")
+        )
+    else:
+        cents = kmeans_centroids(
+            v,
+            n_domains,
+            vec_col="__uv",
+            id_col=id_col,
+            fit_sample_mod=fit_sample_mod,
+            max_fit_rows=max_fit_rows,
+        )
+    sim = dot(F.col("__uv"), F.col("cv"))
+    if assign_round is not None:
+        sim = F.round(sim, assign_round)
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .select(id_col, "cent_id", sim.alias("__sim"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(F.col("__sim"), (-F.col("cent_id")).alias("neg_cent")),
+            ).alias(domain_col)
+        )
+    )
+
+
+def domain_tag(
+    docs: DataFrame,
+    vectors: DataFrame,
+    *,
+    centroids: DataFrame | None = None,
+    n_domains: int = 16,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_round: int | None = None,
+    fit_sample_mod: int | None = 4,
+    max_fit_rows: int | None = 1 << 18,
+    domain_col: str = "domain",
+    missing_domain: int = -1,
+) -> DataFrame:
+    """Tag a document frame with its embedding-derived domain: ``docs``
+    plus a ``domain`` column (:func:`assign_domains` over ``vectors``,
+    joined on ``doc_id_col = vec_id_col``).  Documents without an
+    embedding get ``missing_domain`` (default -1) rather than NULL, so
+    the output is total and a mixture caller can route or drop them
+    explicitly.
+
+    The output feeds the sampling family directly:
+    ``materialize_mixture(tagged, 'domain', token_col, id_col,
+    targets)`` up/down-samples per DISCOVERED domain, and
+    :func:`domain_profile` is the per-domain card those targets are
+    derived from.  One equi-join on the id (both sides shuffle by the
+    same key once — the canonical co-partitioned shape; at 100 TB
+    bucket both tables on the id to elide it)."""
+    asg = assign_domains(
+        vectors,
+        centroids,
+        n_domains=n_domains,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        assign_round=assign_round,
+        fit_sample_mod=fit_sample_mod,
+        max_fit_rows=max_fit_rows,
+        domain_col=domain_col,
+    )
+    joined = docs.join(
+        asg, docs[doc_id_col] == asg[vec_id_col], "left"
+    ).drop(asg[vec_id_col])
+    return joined.withColumn(
+        domain_col,
+        F.coalesce(F.col(domain_col), F.lit(missing_domain)).cast("bigint"),
+    )
+
+
+def domain_profile(
+    tagged: DataFrame,
+    *,
+    domain_col: str = "domain",
+    token_col: str | None = None,
+    source_col: str | None = None,
+) -> DataFrame:
+    """The per-domain PROFILE CARD: ``(domain[, source], n_docs
+    [, n_tokens])`` — the integer inputs a mixture recipe turns into
+    per-domain token targets (and the audit of how discovered domains
+    cut across claimed sources, when ``source_col`` is given).  ONE
+    map-side-combined aggregate, output K(×S)-sized; all columns are
+    class-A integers by construction."""
+    keys = [F.col(domain_col)] + (
+        [F.coalesce(F.col(source_col).cast("string"), F.lit("")).alias(source_col)]
+        if source_col
+        else []
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    if token_col is not None:
+        aggs.append(
+            F.sum(F.col(token_col).cast("bigint")).cast("bigint").alias("n_tokens")
+        )
+    return tagged.groupBy(*keys).agg(*aggs)
+
+
+# --------------------------------------------------------------------------
 # Scalar (int8) embedding quantization — the 100 TB memory/IO lever
 # --------------------------------------------------------------------------
 

@@ -3005,10 +3005,30 @@ def _q_text_perplexity_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_text_perplexity(spark, sf_dir, stage=True)
 
 
+#: X47 fixed domain cells for the oracle-checked assignment: the unit
+#: embeddings of vec_id < _DOMAIN_CELLS act as domain centroids — the
+#: _SEMDEDUP_CELLS move, sized to 8 so the per-domain profile card has
+#: a real spread of doc counts and token sums at the gate SF
+_DOMAIN_CELLS = 8
+
+
 @register(
     "embedding_quantize",
     f"""
-WITH codes AS ({similarity.quantize_codes_sql("SELECT vec_id, embedding FROM embeddings")})
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+{_UNIT_CTE},
+codes AS ({similarity.quantize_codes_sql("SELECT vec_id, embedding FROM embeddings")}),
+dom_cents AS (SELECT vec_id AS cent_id, uv AS cv FROM u WHERE vec_id < {_DOMAIN_CELLS}),
+dom_asg AS (
+  SELECT vec_id, cent_id AS dom FROM (
+    SELECT u.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY round(list_dot_product(u.uv, c.cv), 6) DESC, c.cent_id ASC
+           ) AS rn
+    FROM u, dom_cents c
+  ) WHERE rn = 1
+)
 SELECT 'codes' AS section, vec_id, array_to_string(codes, ',') AS codes_csv,
        CAST(len(codes) AS INT) AS n_dims
 FROM codes
@@ -3042,6 +3062,22 @@ SELECT 'rp' AS section, vec_id,
          )}, x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS codes_csv,
        CAST(8 AS INT) AS n_dims
 FROM embeddings
+UNION ALL
+SELECT 'domain' AS section, vec_id, CAST(dom AS VARCHAR) AS codes_csv,
+       CAST(dom AS INT) AS n_dims
+FROM dom_asg
+UNION ALL
+SELECT 'domain_profile' AS section, dom AS vec_id,
+       concat(CAST(n_docs AS VARCHAR), ',', CAST(n_tokens AS VARCHAR)) AS codes_csv,
+       CAST(n_docs AS INT) AS n_dims
+FROM (
+  SELECT dom, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM dom_asg
+  JOIN (SELECT doc_id, {_MIX_NTOK} AS n_tok FROM documents) d
+    ON d.doc_id = dom_asg.vec_id
+  GROUP BY dom
+)
 """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3120,7 +3156,44 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes_csv"),
         F.lit(8).cast("int").alias("n_dims"),
     )
-    return codes.unionByName(pooled).unionByName(rp)
+    # sections 'domain' + 'domain_profile' (X47, round 11): the REAL
+    # assign_domains path against FIXED centroids (the unit embeddings
+    # of vec_id < 8 — the _SEMDEDUP_CELLS move, so the broadcast-argmax
+    # assignment hash-checks cross-engine on the rounded 1e-6 grid) and
+    # the per-domain (n_docs, token-sum) profile card joined from the
+    # documents table — the exact integer inputs materialize_mixture
+    # turns into per-domain targets.  The KMeans-fit form is the
+    # library default, pytest-pinned (ML fit is not SQL-expressible).
+    cents = emb.where(F.col("vec_id") < _DOMAIN_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        similarity._unit(F.col("embedding")).alias("cv"),
+    )
+    asg = similarity.assign_domains(emb, cents, assign_round=6)
+    dom = asg.select(
+        F.lit("domain").alias("section"),
+        "vec_id",
+        F.col("domain").cast("string").alias("codes_csv"),
+        F.col("domain").cast("int").alias("n_dims"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _spark_mix_ntok().alias("n_tok")
+    )
+    prof = similarity.domain_profile(
+        asg.join(docs, asg["vec_id"] == docs["doc_id"]), token_col="n_tok"
+    ).select(
+        F.lit("domain_profile").alias("section"),
+        F.col("domain").cast("bigint").alias("vec_id"),
+        F.concat_ws(
+            ",", F.col("n_docs").cast("string"), F.col("n_tokens").cast("string")
+        ).alias("codes_csv"),
+        F.col("n_docs").cast("int").alias("n_dims"),
+    )
+    return (
+        codes.unionByName(pooled)
+        .unionByName(rp)
+        .unionByName(dom)
+        .unionByName(prof)
+    )
 
 
 def _messy_url_sql() -> str:

@@ -3311,6 +3311,113 @@ def test_semantic_dedup_pairs_match_within_cell_bruteforce(spark):
 
 
 # --------------------------------------------------------------------------
+# X47: embedding domain clustering/tagging (similarity.assign_domains /
+# domain_tag / domain_profile) — the similarity→sampling link
+# --------------------------------------------------------------------------
+
+
+def test_assign_domains_fixed_centroids_match_numpy(spark):
+    """The broadcast-argmax assignment equals a driver-side numpy argmax
+    over unit vectors (cosine DESC, cent_id ASC tie-break)."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        assign_domains,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cent_id"), _unit(F.col("embedding")).alias("cv")
+    )
+    got = {r.vec_id: r.domain for r in assign_domains(emb, cents).collect()}
+    local = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    cv = {r.cent_id: np.array(r.cv, dtype=float) for r in cents.collect()}
+    for vid, v in local.items():
+        uv = v / np.linalg.norm(v)
+        sims = sorted(
+            ((float(uv @ c), -cid) for cid, c in cv.items()), reverse=True
+        )
+        assert got[vid] == -sims[0][1], vid
+    # KMeans-fit form: every vector gets a label in [0, k)
+    fit = assign_domains(emb, n_domains=3, fit_sample_mod=None, max_fit_rows=None)
+    labels = {r.domain for r in fit.collect()}
+    assert labels <= set(range(3)) and fit.count() == emb.count()
+
+
+def test_domain_tag_profile_and_mixture_over_discovered_domains(spark):
+    """The full X47 story: tag documents with KMeans-discovered domains,
+    read the per-domain profile card, derive per-domain token targets
+    from it, and materialize a mixture keyed on the DISCOVERED domain —
+    up-sampling one domain 2x and keeping another at 1x.  A doc without
+    an embedding tags as missing_domain."""
+    from pyspark_dist_explore_spark.operators.sampling import materialize_mixture
+    from pyspark_dist_explore_spark.operators.similarity import (
+        domain_profile,
+        domain_tag,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    extra = spark.createDataFrame(
+        [(10_000_000, "synthetic", "no embedding for this doc")],
+        "doc_id bigint, source string, text string",
+    )
+    tagged = domain_tag(
+        docs.unionByName(extra),
+        emb,
+        n_domains=3,
+        fit_sample_mod=None,
+        max_fit_rows=None,
+    ).withColumn(
+        "n_tok", F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
+    )
+    assert tagged.where("doc_id = 10000000").collect()[0]["domain"] == -1
+    prof = {
+        r.domain: r
+        for r in domain_profile(
+            tagged.where("domain >= 0"), token_col="n_tok"
+        ).collect()
+    }
+    assert set(prof) <= {0, 1, 2} and len(prof) >= 2
+    assert sum(r.n_docs for r in prof.values()) == docs.count()
+    # per-source audit shape: (domain, source) rows partition the docs
+    by_src = domain_profile(
+        tagged.where("domain >= 0"), token_col="n_tok", source_col="source"
+    )
+    assert by_src.groupBy().sum("n_docs").collect()[0][0] == docs.count()
+    # derive targets FROM the profile: 2x the smallest domain's tokens,
+    # exactly 1x the largest's — the DoReMi-shaped recipe
+    small = min(prof.values(), key=lambda r: r.n_tokens)
+    big = max(prof.values(), key=lambda r: r.n_tokens)
+    targets = {str(small.domain): 2 * small.n_tokens, str(big.domain): big.n_tokens}
+    stream = materialize_mixture(
+        tagged.withColumn("domain", F.col("domain").cast("string")),
+        "domain",
+        "n_tok",
+        "doc_id",
+        targets,
+    )
+    per_dom = {
+        r.domain: r
+        for r in stream.groupBy("domain").agg(
+            F.sum("n_tok").alias("tok"), F.max("epoch").alias("max_epoch")
+        ).collect()
+    }
+    assert set(per_dom) == set(targets)
+    assert per_dom[str(small.domain)]["tok"] == 2 * small.n_tokens
+    assert per_dom[str(small.domain)]["max_epoch"] == 2
+    assert per_dom[str(big.domain)]["tok"] == big.n_tokens
+    assert per_dom[str(big.domain)]["max_epoch"] == 1
+
+
+# --------------------------------------------------------------------------
 # semantic decontamination (decontam.semantic_contaminated_ids)
 # --------------------------------------------------------------------------
 

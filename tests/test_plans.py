@@ -524,6 +524,37 @@ def test_semantic_pairs_plan_shape(spark):
     assert len(scans) <= 2, f"expected <=2 embedding scans, got {len(scans)}"
 
 
+def test_assign_domains_plan_shape(spark):
+    """X47 scale pins: the domain assignment is the IVF pattern with the
+    vector payload DROPPED from the aggregation buffer — broadcast
+    nested-loop against the K centroids (never a data × data
+    cartesian), map-side partial_max_by BEFORE the one exchange, zero
+    Python stages, and ONE scan of the embedding source on the vector
+    side."""
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        assign_domains,
+    )
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), _unit(F.col("embedding")).alias("cv")
+    )
+    out = assign_domains(emb, cents, assign_round=6)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max_by" in plan, plan
+    # the max_by buffer must NOT carry the vector — the struct payload
+    # is (sim, neg_cent) + the bare cent_id label
+    assert "best.vv" not in plan
+
+
 def test_ivf_fixed_plan_shape(spark):
     """Round-8 IVF promotion scale pins on the registered query's float
     branch: the fixed-centroid grid is a BROADCAST nested-loop (never a
