@@ -906,6 +906,7 @@ def curation_funnel(
     gate_cols: Sequence[str],
     *,
     group_col: str | None = None,
+    token_col: str | None = None,
 ) -> DataFrame:
     """X38: per-gate drop attribution — the observability card every
     production curation pipeline reads before touching a threshold:
@@ -922,6 +923,15 @@ def curation_funnel(
 
     Output per group: ``(group, n_docs, {g}_fail, {g}_fail_only …,
     n_survivors)`` — all exact BIGINT counts (class A).
+
+    ``token_col`` (round 11) adds the TOKEN-weighted mirror of every
+    count: training-data decisions are made in tokens, not documents —
+    a gate that drops 1% of docs but 30% of tokens (it kills the long
+    ones) reads completely differently in the weighted card.  Adds
+    ``n_tokens``, ``{g}_fail_tokens``, ``{g}_fail_only_tokens`` and
+    ``survivor_tokens`` — the same row-local 0/1 arithmetic multiplied
+    by the per-row token count, still exact BIGINTs on the same single
+    aggregate (zero extra scans or exchanges).
 
     Scale shape: ONE hash aggregate over row-local 0/1 arithmetic —
     map-side partials collapse every partition to ≤ |groups| rows, so
@@ -944,7 +954,10 @@ def curation_funnel(
             out = out * F.col(c)
         return out
 
+    tok = F.col(token_col).cast("bigint") if token_col is not None else None
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    if tok is not None:
+        aggs.append(F.sum(tok).cast("bigint").alias("n_tokens"))
     for gc in gate_cols:
         others = [c for c in gate_cols if c != gc]
         aggs.append(
@@ -955,5 +968,23 @@ def curation_funnel(
             .cast("bigint")
             .alias(f"{gc}_fail_only")
         )
+        if tok is not None:
+            aggs.append(
+                F.sum((F.lit(1) - F.col(gc)) * tok)
+                .cast("bigint")
+                .alias(f"{gc}_fail_tokens")
+            )
+            aggs.append(
+                F.sum((F.lit(1) - F.col(gc)) * prod(others) * tok)
+                .cast("bigint")
+                .alias(f"{gc}_fail_only_tokens")
+            )
     aggs.append(F.sum(prod(list(gate_cols))).cast("bigint").alias("n_survivors"))
-    return flags.select(g.alias("group"), *gate_cols).groupBy("group").agg(*aggs)
+    if tok is not None:
+        aggs.append(
+            F.sum(prod(list(gate_cols)) * tok)
+            .cast("bigint")
+            .alias("survivor_tokens")
+        )
+    cols = list(gate_cols) + ([token_col] if token_col is not None else [])
+    return flags.select(g.alias("group"), *cols).groupBy("group").agg(*aggs)
