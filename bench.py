@@ -23,6 +23,8 @@ import time
 
 ATTEMPTS = 3  # min-of-3 for EVERY query — shared-host noise otherwise
 # dominates round-over-round comparisons even for sub-second queries
+SECTION_ATTEMPTS = 2  # min-of-2 for the per-section attribution pass —
+# it exists to localize excursions, not to be the headline number
 
 
 def main() -> None:
@@ -69,6 +71,37 @@ def main() -> None:
             "min": round(min(dts), 4),
             "cold": round(dts[0], 4),
             "spread": round(max(dts) - min(dts), 4),
+        }
+
+    # Per-section attribution for the multi-section slots (r11 verdict
+    # item 1): each slot's parts builder returns the exact frames the
+    # registered query composes, so timing a section's collect times the
+    # section's real plan.  `parts_build` is the slot's eager-at-build
+    # work (BPE learn loop, staged localCheckpoints, mixture-target
+    # collect) — it runs once per parts() call and is NOT inside any
+    # section's time.  For the join-composed slot
+    # (text_scrub_repetition) family times sum to MORE than the slot:
+    # each family pays its own scan where the joined slot shares one.
+    from pyspark_dist_explore_spark.plans.llm_ops import SECTION_PARTS
+
+    for slot, parts_fn in SECTION_PARTS.items():
+        builds: list[float] = []
+        sec_dts: dict[str, list[float]] = {}
+        for _ in range(SECTION_ATTEMPTS):
+            # fresh frames each attempt: a DataFrame caches its optimized
+            # plan after the first collect, so re-collecting the same
+            # object would exclude Catalyst time and undercount vs the
+            # slot numbers above (which rebuild per attempt too)
+            t0 = time.perf_counter()
+            parts = parts_fn(spark, sf_dir)
+            builds.append(time.perf_counter() - t0)
+            for sec, sdf in parts.items():
+                t0 = time.perf_counter()
+                sdf.collect()
+                sec_dts.setdefault(sec, []).append(time.perf_counter() - t0)
+        detail[slot]["parts_build"] = round(min(builds), 4)
+        detail[slot]["sections"] = {
+            sec: round(min(dts), 4) for sec, dts in sec_dts.items()
         }
     spark.stop()
 

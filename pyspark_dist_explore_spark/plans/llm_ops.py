@@ -265,6 +265,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``'src' || (doc_id+7) % 20``) that plants real commons; every pair
     row unpivots its seven class-A BIGINTs keyed
     ``src_a>src_b:stat``."""
+    parts = dedup_incremental_parts(spark, sf_dir)
+    out = None
+    for df in parts.values():
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def dedup_incremental_parts(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """Per-section frames of ``dedup_incremental``, keyed by
+    ``section`` tag — the registered query is exactly the union of
+    these values in dict order (see ``sampling_splits_parts``)."""
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text").unionAll(
         docs.where(F.col("doc_id") % 10 == 3).select(
@@ -312,7 +325,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("survivor_id"),
         F.col("val").cast("bigint").alias("n_dups"),
     )
-    return incr.unionByName(overlap).unionByName(matrix)
+    return {"batch": incr, "overlap": overlap, "overlap_matrix": matrix}
 
 
 # --------------------------------------------------------------------------
@@ -995,6 +1008,25 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point quality score with ``ceil(n/4)`` integer keep counts
     and md5 tie-break — the per-source classifier-threshold shape
     (absolute score cutoffs do not transfer across sources)."""
+    parts = sampling_splits_parts(spark, sf_dir)
+    out = None
+    for df in parts.values():
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def sampling_splits_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """Per-section frames of ``sampling_splits``, keyed by ``kind`` tag.
+
+    The registered query is EXACTLY the union of these values in dict
+    order — same frames, same union order, gate plan untouched — so
+    ``bench.py`` can time each section separately (the per-section
+    attribution map in BENCH_DETAIL.json; r11 verdict item 1).
+    Calling this runs the slot's eager-at-build work once (the BPE
+    learn loop's localCheckpoints and the mixture-target totals
+    collect); bench reports that as the slot's ``parts_build`` time,
+    so a BPE-learn regression shows there rather than vanishing.
+    """
     docs = load_table(spark, sf_dir, "documents")
     splits = (
         hash_split(docs, "doc_id")
@@ -1139,16 +1171,17 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.lit("mix_epochs").alias("kind"), "key", "cnt")
     )
-    return (
-        splits.unionByName(strat)
-        .unionByName(temp)
-        .unionByName(take)
-        .unionByName(capped)
-        .unionByName(bpe)
-        .unionByName(fert)
-        .unionByName(tfrac)
-        .unionByName(mix)
-    )
+    return {
+        "hash_split": splits,
+        "strat_lang": strat,
+        "temp_resample": temp,
+        "strat_exact": take,
+        "host_cap": capped,
+        "bpe_merge": bpe,
+        "bpe_fertility": fert,
+        "top_frac": tfrac,
+        "mix_epochs": mix,
+    }
 
 
 #: per-source token budgets for the mixture query: a partial keep
@@ -1652,6 +1685,23 @@ def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_survivor.  The exact baselines remain what the ANN/LSH paths are
     recall-pinned against; standalone builders stay callable with their
     oracles pinned in pytest."""
+    p = vector_exact_search_parts(spark, sf_dir)
+    return (
+        p["topk"]
+        .unionByName(p["pairs"])
+        .unionByName(p["semdedup"])
+        .unionByName(p["lsh"])
+    )
+
+
+def vector_exact_search_parts(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """Per-section frames of ``vector_exact_search``, keyed by ``kind``
+    tag — the registered query unions them in its original order
+    (topk, pairs, semdedup, lsh; see ``sampling_splits_parts``).
+    Building the dict runs ``semantic_dedup``'s eager ``stage=True``
+    localCheckpoint once; bench attributes it as ``parts_build``."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1704,7 +1754,7 @@ def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_survivor").cast("int").alias("rank"),
         F.lit(None).cast("double").alias("cos_sim"),
     )
-    return topk.unionByName(pairs).unionByName(semdedup).unionByName(lsh)
+    return {"topk": topk, "pairs": pairs, "semdedup": semdedup, "lsh": lsh}
 
 
 def _winnowing_oracle(k: int, window: int) -> str:
@@ -2298,6 +2348,31 @@ def q_text_scrub_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate detection → coverage → ordered-rebuild chain is
     hash-checked end-to-end).  All four are the real pre-training
     filters a corpus pipeline runs before quality scoring."""
+    p = text_scrub_repetition_parts(spark, sf_dir)
+    return (
+        p["scrub"]
+        .join(p["repetition"], "doc_id")
+        .join(p["line_dedup"], "doc_id")
+        .join(p["span_dedup"], "doc_id")
+        .join(p["c4"], "doc_id")
+        .join(p["intra_line"], "doc_id")
+        .join(p["rep_battery"], "doc_id", "left")
+    )
+
+
+def text_scrub_repetition_parts(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """Per-family frames of ``text_scrub_repetition`` (a JOIN of
+    doc-keyed column families rather than a tagged union): the
+    registered query joins them on ``doc_id`` in dict order (the last,
+    ``rep_battery``, as a left join).  Keys: scrub, repetition,
+    line_dedup, span_dedup, c4, intra_line, rep_battery.  Building the
+    dict runs the staged span-gram localCheckpoint once
+    (``parts_build`` in bench's attribution); each family frame is
+    independently collectable, so BENCH_DETAIL.json attributes the
+    slot's cost per family — family times sum to MORE than the slot
+    (each pays its own documents scan; the joined slot shares one)."""
     docs = load_table(spark, sf_dir, "documents")
     scrub = textstats.scrub_text(docs, "text", "doc_id").select(
         "doc_id", "n_email", "n_url", "n_phone", F.md5("scrubbed").alias("scrub_hash")
@@ -2385,14 +2460,15 @@ def q_text_scrub_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _at(5, "dup_excess_chars", "rb5_dup_excess_chars"),
         F.max("word_chars").alias("rb_word_chars"),
     )
-    return (
-        scrub.join(rep, "doc_id")
-        .join(ld, "doc_id")
-        .join(sd, "doc_id")
-        .join(c4, "doc_id")
-        .join(idl, "doc_id")
-        .join(rbw, "doc_id", "left")
-    )
+    return {
+        "scrub": scrub,
+        "repetition": rep,
+        "line_dedup": ld,
+        "span_dedup": sd,
+        "c4": c4,
+        "intra_line": idl,
+        "rep_battery": rbw,
+    }
 
 
 def _lang_id_oracle() -> str:
@@ -3105,6 +3181,19 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``n_dims`` carries n_pooled.  The true float-mean + normalize
       forms stay pytest-pinned (numpy + DuckDB twins @6dp).
     """
+    parts = embedding_quantize_parts(spark, sf_dir)
+    out = None
+    for df in parts.values():
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def embedding_quantize_parts(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """Per-section frames of ``embedding_quantize``, keyed by
+    ``section`` tag — the registered query is exactly the union of
+    these values in dict order (see :func:`sampling_splits_parts`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     mm = similarity.dimension_minmax(emb, vec_col="embedding")
     coded = similarity.quantize_embeddings(emb, mm, id_col="vec_id", vec_col="embedding")
@@ -3188,12 +3277,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes_csv"),
         F.col("n_docs").cast("int").alias("n_dims"),
     )
-    return (
-        codes.unionByName(pooled)
-        .unionByName(rp)
-        .unionByName(dom)
-        .unionByName(prof)
-    )
+    return {
+        "codes": codes,
+        "pooled": pooled,
+        "rp": rp,
+        "domain": dom,
+        "domain_profile": prof,
+    }
 
 
 def _messy_url_sql() -> str:
@@ -3304,3 +3394,19 @@ def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.canonicalize_url(messy).alias("url_canon"),
         dedup.url_host(messy).alias("url_host"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-section attribution map — bench.py times each multi-section slot's
+# parts separately (BENCH_DETAIL.json; r11 verdict item 1).  Each value is
+# a (spark, sf_dir) -> dict[section, DataFrame] builder whose composed
+# output IS the registered slot's frame.
+# --------------------------------------------------------------------------
+
+SECTION_PARTS = {
+    "dedup_incremental": dedup_incremental_parts,
+    "sampling_splits": sampling_splits_parts,
+    "vector_exact_search": vector_exact_search_parts,
+    "text_scrub_repetition": text_scrub_repetition_parts,
+    "embedding_quantize": embedding_quantize_parts,
+}
