@@ -931,7 +931,9 @@ def curation_funnel(
     ``n_tokens``, ``{g}_fail_tokens``, ``{g}_fail_only_tokens`` and
     ``survivor_tokens`` — the same row-local 0/1 arithmetic multiplied
     by the per-row token count, still exact BIGINTs on the same single
-    aggregate (zero extra scans or exchanges).
+    aggregate (zero extra scans or exchanges).  A row whose token count
+    is NULL weighs 0 in every ``_tokens`` column but still counts in
+    every doc column — the two cards describe the same rows.
 
     Scale shape: ONE hash aggregate over row-local 0/1 arithmetic —
     map-side partials collapse every partition to ≤ |groups| rows, so
@@ -954,7 +956,15 @@ def curation_funnel(
             out = out * F.col(c)
         return out
 
-    tok = F.col(token_col).cast("bigint") if token_col is not None else None
+    # NULL token counts weigh 0: the doc still counts in every doc
+    # column, so the doc and token cards always describe the same row
+    # set (r11 advisor catch — bare SUM skips NULLs, silently divorcing
+    # n_docs from n_tokens on rows the tokenizer never reached)
+    tok = (
+        F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+        if token_col is not None
+        else None
+    )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
     if tok is not None:
         aggs.append(F.sum(tok).cast("bigint").alias("n_tokens"))

@@ -2706,7 +2706,8 @@ vo AS ({textstats.vocabulary_oov_sql("SELECT source, text FROM documents", "sour
 fn_flags AS (
   SELECT COALESCE(CAST(d.source AS VARCHAR), '') AS "group",
          CASE WHEN g.gq_n_words >= {_FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END AS len_keep,
-         g.gq_keep, c.cls_keep
+         g.gq_keep, c.cls_keep,
+         COALESCE(g.gq_n_words, 0) AS n_tok
   FROM documents d
   JOIN ({textstats.gopher_sql("SELECT doc_id, text FROM documents", min_words=_GOPHER_MIN_WORDS, min_stop_words=_GOPHER_MIN_STOP)}) g
     ON d.doc_id = g.doc_id
@@ -2721,7 +2722,15 @@ fn AS (
          CAST(SUM((1 - gq_keep) * len_keep * cls_keep) AS BIGINT) AS gq_keep_fail_only,
          CAST(SUM(1 - cls_keep) AS BIGINT) AS cls_keep_fail,
          CAST(SUM((1 - cls_keep) * len_keep * gq_keep) AS BIGINT) AS cls_keep_fail_only,
-         CAST(SUM(len_keep * gq_keep * cls_keep) AS BIGINT) AS n_survivors
+         CAST(SUM(len_keep * gq_keep * cls_keep) AS BIGINT) AS n_survivors,
+         CAST(SUM(n_tok) AS BIGINT) AS funnel_tokens,
+         CAST(SUM((1 - len_keep) * n_tok) AS BIGINT) AS len_keep_fail_tokens,
+         CAST(SUM((1 - len_keep) * gq_keep * cls_keep * n_tok) AS BIGINT) AS len_keep_fail_only_tokens,
+         CAST(SUM((1 - gq_keep) * n_tok) AS BIGINT) AS gq_keep_fail_tokens,
+         CAST(SUM((1 - gq_keep) * len_keep * cls_keep * n_tok) AS BIGINT) AS gq_keep_fail_only_tokens,
+         CAST(SUM((1 - cls_keep) * n_tok) AS BIGINT) AS cls_keep_fail_tokens,
+         CAST(SUM((1 - cls_keep) * len_keep * gq_keep * n_tok) AS BIGINT) AS cls_keep_fail_only_tokens,
+         CAST(SUM(len_keep * gq_keep * cls_keep * n_tok) AS BIGINT) AS survivor_tokens
   FROM fn_flags GROUP BY "group"
 )
 SELECT prof.*,
@@ -2730,7 +2739,12 @@ SELECT prof.*,
        fn.len_keep_fail, fn.len_keep_fail_only,
        fn.gq_keep_fail, fn.gq_keep_fail_only,
        fn.cls_keep_fail, fn.cls_keep_fail_only,
-       fn.n_survivors
+       fn.n_survivors,
+       fn.funnel_tokens,
+       fn.len_keep_fail_tokens, fn.len_keep_fail_only_tokens,
+       fn.gq_keep_fail_tokens, fn.gq_keep_fail_only_tokens,
+       fn.cls_keep_fail_tokens, fn.cls_keep_fail_only_tokens,
+       fn.survivor_tokens
 FROM prof LEFT JOIN vo ON prof."group" = vo."group"
 JOIN fn ON prof."group" = fn."group"
 """,
@@ -2750,7 +2764,12 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fail / fail-ONLY / survivors for a min-length + Gopher +
     classifier gate conjunction — all flags ride one row-local staged
     projection into ONE group-sized aggregate,
-    :func:`pipeline.curation_funnel`)."""
+    :func:`pipeline.curation_funnel`) — and, since round 12, the X38
+    TOKEN-WEIGHTED mirror (``token_col='n_tok'`` over ``gq_n_words``):
+    ``funnel_tokens`` + per-gate fail/fail-only token sums +
+    ``survivor_tokens``, all exact BIGINTs on the SAME aggregate —
+    training-data decisions are made in tokens, and a gate that drops
+    1% of docs but 30% of tokens reads completely differently here."""
     from pyspark_dist_explore_spark.pipeline import curation_funnel
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2791,10 +2810,21 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_words=_GOPHER_MIN_WORDS, min_stop_words=_GOPHER_MIN_STOP
         ).alias("gq_keep"),
         "cls_keep",
+        F.col("gq_n_words").alias("n_tok"),
     )
-    funnel = curation_funnel(
-        flags, ["len_keep", "gq_keep", "cls_keep"], group_col="grp"
-    ).drop("n_docs")
+    # token_col promotes the X38 token-weighted mirror (r11): the same
+    # single aggregate also sums gq_n_words per fail/fail-only bucket —
+    # exact BIGINTs, so every weighted column is gate-hash-checked
+    funnel = (
+        curation_funnel(
+            flags,
+            ["len_keep", "gq_keep", "cls_keep"],
+            group_col="grp",
+            token_col="n_tok",
+        )
+        .drop("n_docs")
+        .withColumnRenamed("n_tokens", "funnel_tokens")
+    )
     return (
         prof.join(oov, "group", "left")
         .join(funnel, "group")
@@ -2806,6 +2836,11 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gq_keep_fail", "gq_keep_fail_only",
             "cls_keep_fail", "cls_keep_fail_only",
             "n_survivors",
+            "funnel_tokens",
+            "len_keep_fail_tokens", "len_keep_fail_only_tokens",
+            "gq_keep_fail_tokens", "gq_keep_fail_only_tokens",
+            "cls_keep_fail_tokens", "cls_keep_fail_only_tokens",
+            "survivor_tokens",
         )
     )
 

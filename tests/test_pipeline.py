@@ -1041,6 +1041,75 @@ def test_curation_funnel_matches_brute_force(spark):
         curation_funnel(df, [], group_col="grp")
 
 
+def test_curation_funnel_token_weighted_matches_brute_force(spark):
+    """token_col= mirror == a pure-Python token recount over planted
+    rows: every fail / fail-only / survivor doc count also sums its
+    per-row token weight; a NULL token count weighs 0 but the doc still
+    counts in every doc column (the cards describe the same rows)."""
+    import itertools
+
+    from pyspark_dist_explore_spark.pipeline import curation_funnel
+
+    rows = []
+    for grp in ("x", "y", None):
+        for a, b, c in itertools.product((0, 1), repeat=3):
+            for k in range(hash((grp, a, b, c)) % 3 + 1):
+                # deterministic token weights incl. planted NULLs
+                seed = hash((grp, a, b, c, k))
+                ntok = None if seed % 5 == 0 else seed % 97 + 1
+                rows.append((grp, a, b, c, ntok))
+    df = spark.createDataFrame(
+        rows, "grp string, g1 int, g2 int, g3 int, ntok bigint"
+    )
+    got = {
+        r["group"]: r.asDict()
+        for r in curation_funnel(
+            df, ["g1", "g2", "g3"], group_col="grp", token_col="ntok"
+        ).collect()
+    }
+
+    def w(rs):  # NULL weighs 0 (the documented coalesce semantics)
+        return sum(r[4] or 0 for r in rs)
+
+    for grp_key in ("x", "y", ""):
+        sub = [r for r in rows if (r[0] or "") == grp_key]
+        assert got[grp_key]["n_docs"] == len(sub)
+        assert got[grp_key]["n_tokens"] == w(sub)
+        for i, g in enumerate(("g1", "g2", "g3"), start=1):
+            fails = [r for r in sub if r[i] == 0]
+            only = [r for r in fails if all(r[j] == 1 for j in (1, 2, 3) if j != i)]
+            assert got[grp_key][f"{g}_fail"] == len(fails), (grp_key, g)
+            assert got[grp_key][f"{g}_fail_tokens"] == w(fails), (grp_key, g)
+            assert got[grp_key][f"{g}_fail_only_tokens"] == w(only), (grp_key, g)
+        survivors = [r for r in sub if r[1] == r[2] == r[3] == 1]
+        assert got[grp_key]["n_survivors"] == len(survivors)
+        assert got[grp_key]["survivor_tokens"] == w(survivors)
+        # cards agree: a doc with NULL tokens is in n_docs and weighs 0,
+        # so survivor_tokens + sum of single-gate token losses can never
+        # exceed the group total
+        assert got[grp_key]["survivor_tokens"] <= got[grp_key]["n_tokens"]
+
+
+def test_curation_funnel_token_weighted_single_aggregate_plan(spark):
+    """token_col= stays ONE hash aggregate — the weighted mirror rides
+    the same row-local arithmetic, no second scan/exchange/join."""
+    from pyspark_dist_explore_spark.pipeline import curation_funnel
+
+    df = spark.createDataFrame(
+        [("a", 1, 0, 10), ("b", 0, 1, None)],
+        "grp string, g1 int, g2 int, ntok bigint",
+    )
+    plan = (
+        curation_funnel(df, ["g1", "g2"], group_col="grp", token_col="ntok")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_curation_funnel_single_aggregate_plan(spark):
     """ONE hash aggregate (map-side partials -> group-sized shuffle),
     no Python, no join in the funnel itself."""
