@@ -1120,7 +1120,11 @@ def assign_domains(
     """Nearest-centroid DOMAIN assignment: ``(id_col, domain)`` with
     ``domain`` the ``cent_id`` of the highest-cosine centroid
     (ties break to the smaller id, the house argmax convention shared
-    with :func:`semantic_pairs`).
+    with :func:`semantic_pairs`).  A row whose similarity is NULL
+    against EVERY centroid (a NULL embedding element, a vector whose
+    length mismatches the centroids') gets a NULL domain rather than a
+    silently laundered label; :func:`domain_tag` folds those into its
+    ``missing_domain`` sentinel.
 
     ``centroids=None`` fits capped KMeans (:func:`kmeans_centroids` —
     the only corpus-scanning iterative step, absolutely bounded by
@@ -1140,7 +1144,19 @@ def assign_domains(
     aggregation buffer (a tag needs the label only, unlike
     :func:`semantic_pairs` which carries ``vv`` through to the pair
     stage)."""
-    v = vectors.select(F.col(id_col), _unit(F.col(vec_col)).alias("__uv"))
+    # __bad: the embedding itself is NULL or carries a NULL element —
+    # _unit coerces those to all-zero vectors (the Arrow-matmul
+    # contract), which would otherwise launder them into the smallest
+    # cent_id at cosine 0 (r11 advisor catch); TRUE all-zero vectors
+    # stay assignable at cosine 0 per _unit's documented semantics
+    v = vectors.select(
+        F.col(id_col),
+        _unit(F.col(vec_col)).alias("__uv"),
+        F.coalesce(
+            F.exists(_as_double(F.col(vec_col)), lambda x: x.isNull()),
+            F.lit(True),
+        ).alias("__bad"),
+    )
     if centroids is not None:
         missing = {"cent_id", "cv"} - set(centroids.columns)
         if missing:
@@ -1163,15 +1179,30 @@ def assign_domains(
     sim = dot(F.col("__uv"), F.col("cv"))
     if assign_round is not None:
         sim = F.round(sim, assign_round)
+    # rows whose similarity is NULL against EVERY centroid (NULL
+    # embedding element, length mismatch vs the centroids) must not
+    # launder into the smallest cent_id through the tie-breaker (r11
+    # advisor catch): max(__sim) skips NULLs, so it is NULL exactly
+    # when no centroid produced a comparable score — those rows come
+    # back with a NULL domain (domain_tag maps them to missing_domain)
     return (
         v.crossJoin(F.broadcast(cents))
-        .select(id_col, "cent_id", sim.alias("__sim"))
+        .select(id_col, "cent_id", sim.alias("__sim"), "__bad")
         .groupBy(id_col)
         .agg(
             F.max_by(
                 "cent_id",
                 F.struct(F.col("__sim"), (-F.col("cent_id")).alias("neg_cent")),
-            ).alias(domain_col)
+            ).alias(domain_col),
+            F.max("__sim").alias("__maxsim"),
+            F.first("__bad").alias("__bad"),
+        )
+        .select(
+            id_col,
+            F.when(
+                F.col("__maxsim").isNotNull() & ~F.col("__bad"),
+                F.col(domain_col),
+            ).alias(domain_col),
         )
     )
 
@@ -1204,7 +1235,19 @@ def domain_tag(
     :func:`domain_profile` is the per-domain card those targets are
     derived from.  One equi-join on the id (both sides shuffle by the
     same key once — the canonical co-partitioned shape; at 100 TB
-    bucket both tables on the id to elide it)."""
+    bucket both tables on the id to elide it).
+
+    ``missing_domain`` covers BOTH no-embedding docs and docs whose
+    embedding is unassignable (NULL elements / length mismatch —
+    :func:`assign_domains` returns NULL for those rather than a
+    laundered label).  ``docs`` must not already carry ``domain_col``
+    — re-tagging a tagged frame would make the post-join reference
+    ambiguous; rename or drop the old column first."""
+    if domain_col in docs.columns:
+        raise ValueError(
+            f"docs already carries a column named {domain_col!r} — drop or "
+            "rename it (or pass a fresh domain_col=) before re-tagging"
+        )
     asg = assign_domains(
         vectors,
         centroids,

@@ -138,6 +138,7 @@ def write_training_shards(
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
     manifest: bool = True,
+    stage_manifest: bool = True,
 ) -> None:
     """The training DUMP in one call: deterministic global shuffle +
     sharding (:func:`operators.sampling.shuffle_shards`) landed as a
@@ -176,9 +177,11 @@ def write_training_shards(
     the plan for the manifest would fingerprint a different dataset
     than the one that landed (r10 advisor catch).  The staging copy is
     released after the sidecar lands; callers who guarantee a
-    deterministic input and want to skip the cache (it is a second
-    materialization of the dump) pass ``manifest=False`` and call
-    :func:`write_shard_manifest` themselves.  Caveat: ``persist``
+    deterministic input and want to keep the default single-
+    materialization write path pass ``stage_manifest=False`` (the
+    sidecar still lands, computed from a re-execution of the same
+    deterministic plan), or ``manifest=False`` to skip the sidecar and
+    call :func:`write_shard_manifest` themselves.  Caveat: ``persist``
     recomputes LOST partitions from lineage, so an executor loss
     mid-write re-opens the window for a nondeterministic input — the
     staging guarantee is best-effort there, exact everywhere else.
@@ -191,7 +194,8 @@ def write_training_shards(
     from pyspark_dist_explore_spark.operators.sampling import shuffle_shards
 
     sharded = shuffle_shards(df, key_col, shards=shards, salt=salt)
-    stage = manifest and mode != "append"
+    write_sidecar = manifest and mode != "append"
+    stage = write_sidecar and stage_manifest
     if stage:
         sharded = sharded.persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -204,7 +208,7 @@ def write_training_shards(
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.parquet(path)
-        if stage:
+        if write_sidecar:
             write_shard_manifest(
                 sharded, path, id_col=key_col, extra={"shards": shards, "salt": salt}
             )
@@ -234,13 +238,19 @@ def shard_manifest(
     """
     from pyspark.sql import functions as F
 
-    ids = F.col(id_col).cast("string")
+    # every name resolution here parses quoted identifiers (F.col and
+    # df[...] alike), so escape backticks once and use the quoted form
+    # everywhere — an exotic column name can neither break nor rewrite
+    # the try_cast expressions (r11 advisor catch)
+    idq = id_col.replace("`", "``")
+    shq = shard_col.replace("`", "``")
+    ids = F.expr(f"`{idq}`").cast("string")
     h = F.conv(F.substring(F.md5(ids), 1, 11), 16, 10).cast("decimal(38,0)")
-    return df.groupBy(F.col(shard_col).cast("int").alias("shard")).agg(
+    return df.groupBy(F.expr(f"`{shq}`").cast("int").alias("shard")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.expr(f"try_cast(`{id_col}` AS DECIMAL(38,0))")).alias("sum_id"),
-        F.min(F.expr(f"try_cast(`{id_col}` AS BIGINT)")).alias("min_id"),
-        F.max(F.expr(f"try_cast(`{id_col}` AS BIGINT)")).alias("max_id"),
+        F.sum(F.expr(f"try_cast(`{idq}` AS DECIMAL(38,0))")).alias("sum_id"),
+        F.min(F.expr(f"try_cast(`{idq}` AS BIGINT)")).alias("min_id"),
+        F.max(F.expr(f"try_cast(`{idq}` AS BIGINT)")).alias("max_id"),
         F.sum(h).alias("hash_sum"),
     )
 

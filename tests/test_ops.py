@@ -3417,6 +3417,79 @@ def test_domain_tag_profile_and_mixture_over_discovered_domains(spark):
     assert per_dom[str(big.domain)]["max_epoch"] == 1
 
 
+def test_assign_domains_unassignable_rows_and_retag_guard(spark):
+    """A row whose similarity is NULL against EVERY centroid (NULL
+    embedding element, length mismatch vs the centroids) gets a NULL
+    domain from assign_domains — not the smallest cent_id via the
+    tie-breaker (r11 advisor catch) — and domain_tag folds it into
+    missing_domain; re-tagging a frame that already carries domain_col
+    raises instead of producing an ambiguous join."""
+    import pytest
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        assign_domains,
+        domain_tag,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.6, 0.8, 0.0]),
+            (3, [0.5, None, 0.1]),      # NULL element -> unassignable
+            (4, [1.0, 0.0]),            # length mismatch -> unassignable
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"), _unit(F.col("embedding")).alias("cv")
+    )
+    got = {r.vec_id: r.domain for r in assign_domains(emb, cents).collect()}
+    assert got[0] == 0 and got[1] == 1 and got[2] == 1
+    assert got[3] is None and got[4] is None
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id bigint, text string"
+    )
+    tagged = domain_tag(docs, emb, centroids=cents)
+    by_id = {r.doc_id: r.domain for r in tagged.collect()}
+    assert by_id[3] == -1 and by_id[4] == -1   # unassignable -> sentinel
+    assert by_id[5] == -1                      # no embedding -> sentinel
+    assert by_id[0] == 0 and by_id[2] == 1
+    with pytest.raises(ValueError, match="already carries"):
+        domain_tag(tagged, emb, centroids=cents)
+
+
+def test_shard_manifest_backticked_column_and_unstaged_sidecar(spark, tmp_path):
+    """shard_manifest survives a backtick in the id column name (the
+    one SQL-string interpolation in the family — r11 advisor catch),
+    and write_training_shards(stage_manifest=False) keeps the
+    single-materialization write path while still landing a sidecar
+    that verifies clean for a deterministic input."""
+    from pyspark_dist_explore_spark.sources.sinks import (
+        shard_manifest,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    weird = spark.range(20).select(
+        F.col("id").alias("the `odd` id"), F.lit(0).alias("shard")
+    )
+    rows = shard_manifest(weird, "shard", "the `odd` id").collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] == 20
+    assert rows[0]["sum_id"] == sum(range(20)) and rows[0]["max_id"] == 19
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("payload")
+    )
+    path = str(tmp_path / "dump_unstaged")
+    write_training_shards(
+        df, "doc_id", path, shards=4, stage_manifest=False
+    )
+    report = verify_training_shards(spark, path)
+    assert report.count() == 4 and all(r.ok for r in report.collect())
+
+
 # --------------------------------------------------------------------------
 # semantic decontamination (decontam.semantic_contaminated_ids)
 # --------------------------------------------------------------------------
