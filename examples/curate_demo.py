@@ -129,7 +129,7 @@ def main() -> None:
     )
     totals = {
         r["lang_pred"]: int(r["t"])
-        for r in with_tok.groupBy("lang_pred").agg(F.sum("n_tok").alias("t")).collect()
+        for r in with_tok.groupBy("lang_pred").agg(F.sum("n_tok").alias("t")).collect()  # bounded-collect: |languages|-row totals (mixture-target inputs)
     }
     targets = {lang: 2 * t + t // 3 for lang, t in totals.items()}
     stream = materialize_mixture(with_tok, "lang_pred", "n_tok", "doc_id", targets)
