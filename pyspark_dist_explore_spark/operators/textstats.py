@@ -2190,6 +2190,359 @@ def bpe_encode(
 
 
 # --------------------------------------------------------------------------
+# X48: unigram-LM tokenizer induction (Kudo 2018 / SentencePiece
+# unigram) — the sibling of X40's BPE over the same word-frequency
+# table.  Spark does the two corpus/type-sized stages (ONE word-freq
+# aggregate; Arrow-batched Viterbi passes over the TYPE table); the
+# transcendental (log2 of integer counts) is computed ONCE driver-side
+# into fixed-point INTEGER piece costs, so every cross-engine-checkable
+# artifact (seed counts, M-step counts, segmentations) is exact integer
+# arithmetic — the same discipline that keeps ln/exp out of the gate
+# (ORACLES.md allowlist).
+# --------------------------------------------------------------------------
+
+
+def unigram_seed_candidates(
+    df: DataFrame,
+    text_col: str,
+    *,
+    max_piece_len: int = 4,
+    seed_size: int = 256,
+) -> DataFrame:
+    """X48 seed: the candidate-piece table ``(piece, cnt)`` — ALL
+    single characters (the coverage floor Viterbi falls back on) plus
+    the top ``seed_size`` multi-char substrings of length ≤
+    ``max_piece_len`` by corpus-frequency-weighted count, ties to the
+    lexicographically smaller piece.
+
+    This is the ONLY corpus-sized stage of unigram-LM induction (the
+    word-freq aggregate inside :func:`bpe_word_freqs`; the substring
+    explode runs over the TYPE table with fan-out ≤ len·max_piece_len
+    per type and collapses map-side), mirroring X40's shape — and it is
+    pure class-A integer arithmetic, so it gate-hash-checks
+    (:func:`unigram_seed_sql` is the DuckDB twin).  Sentinel code
+    points are stripped per the module contract."""
+    if max_piece_len < 2:
+        raise ValueError(f"max_piece_len must be >= 2, got {max_piece_len}")
+    if seed_size < 1:
+        raise ValueError(f"seed_size must be >= 1, got {seed_size}")
+    w = F.col("w")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.length(w) - i + 1),
+                ),
+                lambda n: w.substr(i, n),
+            ),
+        )
+    )
+    counts = (
+        bpe_word_freqs(df, text_col)
+        .select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    chars = counts.where(F.length("piece") == 1)
+    multi = (
+        counts.where(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(seed_size)
+    )
+    return chars.unionByName(multi)
+
+
+def unigram_seed_sql(
+    src: str, *, max_piece_len: int = 4, seed_size: int = 256
+) -> str:
+    """DuckDB twin of :func:`unigram_seed_candidates` — same normalize +
+    sentinel-strip tokenization, same type table, same substring
+    explode, same (cnt DESC, piece ASC) top-N and all-chars union.
+    ``src`` must yield a ``text`` column."""
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    return f"""
+WITH ug_types AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_bpe_clean_words_sql(norm)}) AS w FROM ({src}) z)
+  WHERE w <> '' GROUP BY w
+),
+ug_pieces AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT substr(t.w, s1.i, s2.n) AS piece, t.freq
+    FROM ug_types t,
+         LATERAL (SELECT unnest(generate_series(1, len(t.w))) AS i) s1,
+         LATERAL (SELECT unnest(generate_series(1,
+                    least({max_piece_len}, len(t.w) - s1.i + 1))) AS n) s2
+  ) GROUP BY piece
+)
+SELECT piece, cnt FROM ug_pieces WHERE len(piece) = 1
+UNION ALL
+SELECT piece, cnt FROM (
+  SELECT piece, cnt FROM ug_pieces WHERE len(piece) > 1
+  ORDER BY cnt DESC, piece ASC LIMIT {seed_size}
+)"""
+
+
+def _unigram_costs(counts: dict, *, cost_scale: int) -> dict:
+    """Fixed-point integer piece costs from integer counts:
+    ``round(cost_scale · −log2(count / total))``.  Computed ONCE in
+    driver Python — both engines (and every EM round) consume the SAME
+    integers, so nothing downstream touches a transcendental.  Single
+    characters get their count floored at 1 (they are the coverage
+    floor and must stay costed even when unused by any best path)."""
+    import math
+
+    eff = {
+        p: (max(c, 1) if len(p) == 1 else c) for p, c in counts.items() if c > 0 or len(p) == 1
+    }
+    total = sum(eff.values())
+    lt = math.log2(total) if total > 0 else 0.0
+    return {
+        p: int(round(cost_scale * (lt - math.log2(c)))) for p, c in eff.items()
+    }
+
+
+#: chunk bound for the Viterbi DP's path-tuple tie-break (the DP carries
+#: the path for exact lexicographic tie-breaking, O(len²·max_piece_len)
+#: worst-case — a pathological multi-thousand-char "word" would stall a
+#: task; chunk boundaries are deterministic, so parity holds)
+_UNIGRAM_MAX_WORD_CHARS = 4096
+
+
+def _viterbi_segment(
+    word: str, cost: dict, *, max_piece_len: int, unk_cost: int
+) -> list:
+    """Exact min-cost segmentation of one word under integer piece
+    costs.  Tie-break: (total cost, piece count, path lexicographic) —
+    a total order, so the result is engine/partitioning-independent.
+    Characters absent from the cost table segment as single-char pieces
+    at ``unk_cost`` (the char fallback), so every word segments."""
+    if len(word) > _UNIGRAM_MAX_WORD_CHARS:
+        out = []
+        for k in range(0, len(word), _UNIGRAM_MAX_WORD_CHARS):
+            out.extend(
+                _viterbi_segment(
+                    word[k : k + _UNIGRAM_MAX_WORD_CHARS],
+                    cost,
+                    max_piece_len=max_piece_len,
+                    unk_cost=unk_cost,
+                )
+            )
+        return out
+    n = len(word)
+    best = [None] * (n + 1)
+    best[0] = (0, 0, ())
+    for j in range(1, n + 1):
+        cand = None
+        for i in range(max(0, j - max_piece_len), j):
+            b = best[i]
+            if b is None:
+                continue
+            piece = word[i:j]
+            c = cost.get(piece)
+            if c is None:
+                if j - i > 1:
+                    continue
+                c = unk_cost
+            t = (b[0] + c, b[1] + 1, b[2] + (piece,))
+            if cand is None or t < cand:
+                cand = t
+        best[j] = cand
+    return list(best[n][2]) if n else []
+
+
+def _viterbi_udf(cost: dict, *, max_piece_len: int, unk_cost: int):
+    """Arrow-batched ``word -> array<string>`` best-segmentation UDF.
+    The cost dict ships in the closure (model-sized — the vocab)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    def seg(words):
+        memo = {}
+
+        def one(w):
+            r = memo.get(w)
+            if r is None:
+                r = _viterbi_segment(
+                    w, cost, max_piece_len=max_piece_len, unk_cost=unk_cost
+                )
+                memo[w] = r
+            return r
+
+        return words.map(one)
+
+    # real class objects, not strings: the module-wide `from __future__
+    # import annotations` would stringify inline hints and the locally
+    # imported pd could not be resolved by the UDF type inference
+    seg.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    return F.pandas_udf(ArrayType(StringType()))(seg)
+
+
+def unigram_lm_learn(
+    df: DataFrame,
+    text_col: str,
+    *,
+    vocab_size: int = 32,
+    max_piece_len: int = 4,
+    seed_size: int = 256,
+    em_rounds: int = 2,
+    cost_scale: int = 1 << 20,
+) -> DataFrame:
+    """X48: induce a unigram-LM tokenizer vocabulary (Kudo 2018,
+    hard-EM/Viterbi variant): ``(piece, cnt, cost)`` — the final vocab
+    with its corpus-weighted usage counts and fixed-point integer
+    costs.  The loop: seed candidates (:func:`unigram_seed_candidates`)
+    → ``em_rounds`` × (E: Viterbi-best segmentation of every word TYPE
+    under current costs; M: freq-weighted integer piece counts, zero-
+    count non-char pieces dropped) → prune to the top
+    ``vocab_size − |chars|`` multi-char pieces by (cnt DESC, piece ASC)
+    → one final E/M so the reported counts/costs describe the PRUNED
+    vocab.  Single characters are never pruned (coverage: every word
+    always segments); if ``vocab_size ≤ |chars|`` the vocab is chars
+    only, documented rather than raising.
+
+    Exactness: piece costs are integers computed once per round from
+    integer counts (:func:`_unigram_costs` — the only transcendental,
+    driver-side), the DP compares integer sums under a total order, and
+    the M-step is a BIGINT aggregate — so the whole chain is
+    deterministic at any parallelism and reproducible cross-engine
+    given the same counts (pytest pins a pure-Python replay).
+
+    Scale shape (the X40 discipline): ONE corpus-sized word-freq
+    aggregate; the seed substring explode and every E-step run over the
+    localCheckpoint-ed TYPE table (Arrow-batched Viterbi, fan-out ≤
+    pieces per word); M-steps collapse map-side to vocab-sized tables —
+    the only collects are the seed (``seed_size + |chars|`` rows) and
+    the per-round vocab counts (model-sized).  ``em_rounds`` is the
+    sequential-dependency knob like BPE's ``k``: each round is two
+    narrow type-table jobs, NOT corpus scans.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if em_rounds < 1:
+        raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
+    spark = df.sparkSession
+    types = bpe_word_freqs(df, text_col).localCheckpoint()
+    from pyspark_dist_explore_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
+    try:
+        seed_rows = unigram_seed_candidates(
+            df, text_col, max_piece_len=max_piece_len, seed_size=seed_size
+        ).collect()  # bounded-collect: seed_size + |chars| candidate rows (the model seed)
+        counts = {r["piece"]: int(r["cnt"]) for r in seed_rows}
+        if not counts:
+            return spark.createDataFrame(
+                [], "piece string, cnt bigint, cost bigint"
+            )
+        chars = {p for p in counts if len(p) == 1}
+
+        def em(cost: dict) -> dict:
+            unk = max(cost.values()) + 8 * cost_scale
+            seg = _viterbi_udf(
+                cost, max_piece_len=max_piece_len, unk_cost=unk
+            )
+            got = (
+                types.select(F.explode(seg(F.col("w"))).alias("piece"), "freq")
+                .groupBy("piece")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+                .collect()  # bounded-collect: vocab-sized M-step counts
+            )
+            return {r["piece"]: int(r["cnt"]) for r in got}
+
+        for _ in range(em_rounds):
+            used = em(_unigram_costs(counts, cost_scale=cost_scale))
+            counts = {
+                p: used.get(p, 0)
+                for p in counts
+                if used.get(p, 0) > 0 or p in chars
+            }
+        n_multi = max(vocab_size - len(chars), 0)
+        multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:n_multi]
+        counts = {p: counts[p] for p in chars} | dict(multi)
+        # final E/M: counts and costs must describe the PRUNED vocab
+        used = em(_unigram_costs(counts, cost_scale=cost_scale))
+        counts = {p: used.get(p, 0) for p in counts if used.get(p, 0) > 0 or p in chars}
+        cost = _unigram_costs(counts, cost_scale=cost_scale)
+        rows = sorted(
+            (p, int(c), int(cost[p])) for p, c in counts.items()
+        )
+        return spark.createDataFrame(
+            rows, "piece string, cnt bigint, cost bigint"
+        )
+    finally:
+        _release_local_checkpoint(types)
+
+
+def unigram_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab: DataFrame,
+    *,
+    extra_cols: Sequence[str] = (),
+    max_piece_len: int = 4,
+    broadcast_segments: bool = True,
+) -> DataFrame:
+    """Apply a learned unigram vocab to a corpus: ``(doc_id[, extras],
+    n_tokens, n_subwords)`` per document — the fertility card on the
+    same schema as :func:`bpe_encode`, so the two tokenizers A/B
+    directly.  ``vocab``: the :func:`unigram_lm_learn` frame (or any
+    ``(piece, cost)`` frame; collected — it is the model).
+
+    Scale shape: Viterbi runs ONCE per distinct word (the type table),
+    not per occurrence — tokens explode row-locally, join the
+    type-sized segment table (broadcast by default;
+    ``broadcast_segments=False`` for a type table past executor
+    memory), and re-aggregate per doc: two exchanges (distinct-words,
+    per-doc rollup) + an optional broadcast, no corpus-sized Python.
+    ``extra_cols`` must be functionally dependent on ``id_col`` (they
+    ride the rollup's grouping key)."""
+    model = {
+        r["piece"]: int(r["cost"])
+        for r in vocab.select("piece", "cost").collect()  # bounded-collect: vocab-sized model artifact
+    }
+    if not model:
+        raise ValueError("unigram_encode: empty vocab")
+    unk = max(model.values()) + 8 * (1 << 20)
+    seg = _viterbi_udf(model, max_piece_len=max_piece_len, unk_cost=unk)
+    toks = F.filter(
+        F.transform(tokens(F.coalesce(F.col(text_col), F.lit(""))), _bpe_clean),
+        lambda x: x != "",
+    )
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .distinct()
+        .select("w", F.size(seg(F.col("w"))).cast("bigint").alias("n_pieces"))
+    )
+    if broadcast_segments:
+        words = F.broadcast(words)
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
+        F.explode_outer(toks).alias("w"),
+    )
+    return (
+        ex.join(words, "w", "left")
+        .groupBy("doc_id", *extra_cols)
+        .agg(
+            F.count("w").cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("n_pieces"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_subwords"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # X29: fastText-style hashed n-gram linear classifier gate (the
 # model-based quality filter of CCNet / DCLM-style pipelines: a linear
 # model over hashed word uni+bigram features, scored per document and

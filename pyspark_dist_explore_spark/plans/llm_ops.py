@@ -833,6 +833,10 @@ _HOST_KEY_SQL = "concat(coalesce(source, ''), '/', coalesce(lang, ''))"
 #: multi-round merges of merged symbols) while keeping the unrolled
 #: DuckDB twin and the sequential Spark rounds gate-cheap; larger k
 #: stays pytest-pinned against the pure-Python reference
+#: X48 unigram-seed gate config: substrings to length 4, top 32
+#: multi-char candidates (+ all chars) — section-sized, set-sensitive
+_USEED_LEN = 4
+_USEED_N = 32
 _BPE_K = 8
 
 
@@ -956,6 +960,9 @@ FROM ({top_frac_per_group_sql(
 GROUP BY 1, 2
 UNION ALL
 {_MIX_EPOCHS_ORACLE.format(ntok=_MIX_NTOK)}
+UNION ALL
+SELECT 'unigram_seed' AS kind, piece AS key, cnt
+FROM ({textstats.unigram_seed_sql("SELECT text FROM documents", max_piece_len=_USEED_LEN, seed_size=_USEED_N)})
 """,
 )
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,7 +1014,17 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_frac_per_group`): the per-source top 25% by the 1e-6
     fixed-point quality score with ``ceil(n/4)`` integer keep counts
     and md5 tie-break — the per-source classifier-threshold shape
-    (absolute score cutoffs do not transfer across sources)."""
+    (absolute score cutoffs do not transfer across sources).
+
+    Round 12 adds the X48 UNIGRAM-SEED section
+    (:func:`~pyspark_dist_explore_spark.operators.textstats.
+    unigram_seed_candidates`, Kudo 2018): the candidate-piece table
+    unigram-LM induction starts from — all single chars plus the top
+    ``_USEED_N`` multi-char substrings by corpus-weighted count — i.e.
+    the only corpus-sized stage of the EM chain, hash-checked
+    piece-for-piece; the Viterbi-EM rounds stay pytest-pinned
+    (integer-cost DP is not DuckDB-expressible without exponential
+    path enumeration)."""
     parts = sampling_splits_parts(spark, sf_dir)
     out = None
     for df in parts.values():
@@ -1171,6 +1188,20 @@ def sampling_splits_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFr
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.lit("mix_epochs").alias("kind"), "key", "cnt")
     )
+    # X48 (round 12): the unigram-LM SEED candidate table — the only
+    # corpus-sized stage of Kudo-2018 induction (all chars + top-N
+    # multi-char substrings, corpus-weighted, (cnt DESC, piece ASC)
+    # tie-break), pure class-A integers; the EM/prune rounds are
+    # type-table-sized with driver-computed integer costs and stay
+    # pytest-pinned (the Viterbi DP is not SQL-expressible in DuckDB
+    # without exponential path enumeration)
+    useed = textstats.unigram_seed_candidates(
+        docs, "text", max_piece_len=_USEED_LEN, seed_size=_USEED_N
+    ).select(
+        F.lit("unigram_seed").alias("kind"),
+        F.col("piece").alias("key"),
+        "cnt",
+    )
     return {
         "hash_split": splits,
         "strat_lang": strat,
@@ -1181,6 +1212,7 @@ def sampling_splits_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFr
         "bpe_fertility": fert,
         "top_frac": tfrac,
         "mix_epochs": mix,
+        "unigram_seed": useed,
     }
 
 

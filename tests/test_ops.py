@@ -5851,6 +5851,210 @@ def test_bpe_fertility_dynamic_twin(spark):
         assert got[2][0] == "g3" and got[2][1] == 0 and got[2][2] == 0
 
 
+# --------------------------------------------------------------------------
+# X48: unigram-LM tokenizer induction (Kudo 2018, hard-EM/Viterbi) —
+# textstats.unigram_seed_candidates / unigram_lm_learn / unigram_encode
+# --------------------------------------------------------------------------
+
+
+def test_unigram_seed_candidates_duckdb_twin(spark):
+    """The seed candidate table (all chars + top-N multi-char
+    substrings, corpus-weighted, (cnt DESC, piece ASC) tie-break) is
+    exact class-A — the DuckDB twin matches row-for-row on the real
+    sf0.001 corpus."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        unigram_seed_candidates,
+        unigram_seed_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        map(
+            tuple,
+            unigram_seed_candidates(
+                docs, "text", max_piece_len=4, seed_size=32
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                unigram_seed_sql(
+                    "SELECT text FROM documents", max_piece_len=4, seed_size=32
+                )
+            ).fetchall(),
+        )
+    )
+    con.close()
+    assert got == want and len(got) > 32
+
+
+def test_viterbi_segment_exact_dp_and_tie_breaks(spark):
+    """Hand-checked DP: min integer cost wins; ties break to fewer
+    pieces then the lexicographically smaller path; unseen chars fall
+    back to single-char pieces at unk_cost; empty word -> []."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        _viterbi_segment,
+    )
+
+    cost = {"a": 10, "b": 10, "ab": 15, "ba": 12, "aba": 40}
+    seg = lambda w, **kw: _viterbi_segment(
+        w, cost, max_piece_len=3, unk_cost=100, **kw
+    )
+    assert seg("") == []
+    assert seg("a") == ["a"]
+    # "aba": a+ba = 22 beats ab+a = 25, aba = 40, a+b+a = 30
+    assert seg("aba") == ["a", "ba"]
+    # tie on cost: "abab" a+ba+b = 32 vs ab+ab = 30 -> ab+ab wins outright
+    assert seg("abab") == ["ab", "ab"]
+    # unseen char: fallback piece at unk_cost, never a crash
+    assert seg("axb") == ["a", "x", "b"]
+    # tie-break to FEWER pieces: cost2 makes "aa" (20) == "a"+"a" (20)
+    cost2 = {"a": 10, "aa": 20}
+    from pyspark_dist_explore_spark.operators.textstats import (
+        _viterbi_segment as V,
+    )
+    assert V("aa", cost2, max_piece_len=2, unk_cost=99) == ["aa"]
+    # equal cost AND piece count -> lexicographically smaller path:
+    # "ab"+"c" vs "a"+"bc" both cost 20, both 2 pieces -> a+bc < ab+c
+    cost3 = {"a": 10, "bc": 10, "ab": 10, "c": 10}
+    assert V("abc", cost3, max_piece_len=2, unk_cost=99) == ["a", "bc"]
+
+
+def test_unigram_lm_learn_toy_replay_and_determinism(spark):
+    """On a toy corpus the induced vocab keeps the repeated multi-char
+    pieces; the Spark M-step counts equal a sequential pure-Python
+    replay of the same hard-EM over the collected word-freq table
+    (distinct code path: distributed explode+aggregate vs a dict loop);
+    and the result is invariant under input partitioning."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        _unigram_costs,
+        _viterbi_segment,
+        unigram_lm_learn,
+        unigram_seed_candidates,
+    )
+
+    rows = [
+        (1, "abab abab banana"),
+        (2, "abab cocoa banana"),
+        (3, "cocoa cocoa abab"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(vocab_size=10, max_piece_len=3, seed_size=16, em_rounds=2)
+    got = [tuple(r) for r in unigram_lm_learn(df, "text", **kw).collect()]
+
+    # ---- sequential replay over the collected type table ----
+    freqs = {}
+    for _, t in rows:
+        for w in (t or "").lower().split():
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    counts = {
+        r["piece"]: int(r["cnt"])
+        for r in unigram_seed_candidates(
+            df, "text", max_piece_len=3, seed_size=16
+        ).collect()
+    }
+    chars = {p for p in counts if len(p) == 1}
+
+    def em(cost):
+        unk = max(cost.values()) + 8 * (1 << 20)
+        used = {}
+        for w, f in freqs.items():
+            for piece in _viterbi_segment(
+                w, cost, max_piece_len=3, unk_cost=unk
+            ):
+                used[piece] = used.get(piece, 0) + f
+        return used
+
+    for _ in range(2):
+        used = em(_unigram_costs(counts, cost_scale=1 << 20))
+        counts = {
+            p: used.get(p, 0)
+            for p in counts
+            if used.get(p, 0) > 0 or p in chars
+        }
+    n_multi = max(10 - len(chars), 0)
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:n_multi]
+    counts = {p: counts[p] for p in chars} | dict(multi)
+    used = em(_unigram_costs(counts, cost_scale=1 << 20))
+    counts = {
+        p: used.get(p, 0) for p in counts if used.get(p, 0) > 0 or p in chars
+    }
+    cost = _unigram_costs(counts, cost_scale=1 << 20)
+    want = sorted((p, int(c), int(cost[p])) for p, c in counts.items())
+    assert got == want
+    # the repeated units of the corpus made the cut
+    pieces = {p for p, _, _ in got}
+    assert "bab" in pieces or "ab" in pieces
+    assert {p for p in pieces if len(p) == 1} >= {"a", "b", "c", "n", "o"}
+
+    # ---- partitioning invariance ----
+    got7 = [
+        tuple(r)
+        for r in unigram_lm_learn(df.repartition(7), "text", **kw).collect()
+    ]
+    assert got7 == got
+
+
+def test_unigram_encode_fertility_and_unk(spark):
+    """unigram_encode matches a driver-side per-word Viterbi recount,
+    shares bpe_encode's schema (the A/B card), handles NULL/empty docs
+    as 0/0, and words with unseen chars still segment (char fallback)."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        _viterbi_segment,
+        unigram_encode,
+        unigram_lm_learn,
+    )
+
+    rows = [
+        (1, "abab abab banana"),
+        (2, "abab cocoa banana zzz"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    train = df.where("doc_id = 1 or doc_id = 2")
+    vocab = unigram_lm_learn(
+        train, "text", vocab_size=12, max_piece_len=3, seed_size=16
+    )
+    model = {r["piece"]: int(r["cost"]) for r in vocab.collect()}
+    unk = max(model.values()) + 8 * (1 << 20)
+    enc = {
+        r["doc_id"]: r
+        for r in unigram_encode(df, "text", "doc_id", vocab).collect()
+    }
+    for doc_id, t in rows:
+        words = [w for w in (t or "").lower().split() if w]
+        n_sub = sum(
+            len(_viterbi_segment(w, model, max_piece_len=3, unk_cost=unk))
+            for w in words
+        )
+        assert enc[doc_id]["n_tokens"] == len(words), doc_id
+        assert enc[doc_id]["n_subwords"] == n_sub, doc_id
+    assert enc[3]["n_tokens"] == 0 and enc[3]["n_subwords"] == 0
+    assert set(enc[1].asDict()) == {"doc_id", "n_tokens", "n_subwords"}
+    # extra_cols ride the rollup
+    enc2 = unigram_encode(
+        df.withColumn("src", F.lit("s")), "text", "doc_id", vocab,
+        extra_cols=("src",),
+    )
+    assert set(enc2.columns) == {"doc_id", "src", "n_tokens", "n_subwords"}
+
+
 def test_canonicalize_url_semantics_and_twin(spark):
     """X42: the canonical form collapses a crawl's URL variants —
     case, www, default ports, trackers in every position, fragments —
