@@ -1710,3 +1710,156 @@ def plan_minhash_lsh(
         key=lambda o: abs(o["midpoint"] - threshold),
     )
     return out
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    group_col: str | None = None,
+    token_col: str | None = None,
+) -> DataFrame:
+    """X49: SNAPSHOT DIFF between two corpus versions — the recurring-
+    crawl audit run before re-training on an updated dump: per group
+    (``group_col``, e.g. source; one ``''`` row when None):
+    ``(group, n_added, n_removed, n_changed, n_unchanged,
+    tokens_added, tokens_removed, tokens_changed_delta,
+    n_old, n_new, tokens_old, tokens_new)`` — all exact BIGINTs
+    (``tokens_changed_delta`` is SIGNED: the net token movement of
+    re-crawled documents).
+
+    ``changed`` means same ``id_col``, different md5 of the normalized
+    text (the :func:`fingerprint_dedup` content form).  Group
+    attribution: a row present in ``new`` reports under its NEW group
+    (a re-sourced doc counts where it lands), a removed row under its
+    old group; NULL groups fold to ``''``.  ``token_col=None`` counts
+    normalized whitespace tokens from ``text_col``.  ``id_col`` must be
+    unique per side (snapshot semantics — a duplicated id would
+    fan out through the join).
+
+    Scale shape: ONE scan per side projecting ``(id, group, fp,
+    tokens)`` — row-local md5 + token count, no text crossing the
+    shuffle — then one full-outer equi-join on the id (both sides
+    exchange once, the co-partitioned shape; at 100 TB land both
+    snapshots bucketed by the id and the join is shuffle-free) into a
+    group-sized aggregate.  For byte-identical dumps skip the scan
+    entirely: :func:`~pyspark_dist_explore_spark.sources.sinks.
+    corpus_diff_dirs` short-circuits on equal X46 ``_manifest.json``
+    sidecars."""
+
+    def side(df: DataFrame, p: str) -> DataFrame:
+        grp = (
+            F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+            if group_col is not None
+            else F.lit("")
+        )
+        if token_col is not None:
+            tok = F.col(token_col).cast("bigint")
+        else:
+            norm = normalize_text(F.coalesce(F.col(text_col), F.lit("")))
+            tok = (
+                F.when(norm == "", F.lit(0))
+                .otherwise(F.size(F.split(norm, " ")))
+                .cast("bigint")
+            )
+        return df.select(
+            F.col(id_col).alias("id"),
+            grp.alias(f"{p}_grp"),
+            F.md5(normalize_text(F.coalesce(F.col(text_col), F.lit("")))).alias(
+                f"{p}_fp"
+            ),
+            tok.alias(f"{p}_tok"),
+        )
+
+    j = side(old, "o").join(side(new, "n"), "id", "full_outer")
+    added = F.col("o_fp").isNull()
+    removed = F.col("n_fp").isNull()
+    changed = ~added & ~removed & (F.col("o_fp") != F.col("n_fp"))
+    unchanged = ~added & ~removed & (F.col("o_fp") == F.col("n_fp"))
+
+    def cnt(cond: Column, name: str) -> Column:
+        return F.sum(cond.cast("bigint")).cast("bigint").alias(name)
+
+    def toksum(cond: Column, col: Column, name: str) -> Column:
+        return (
+            F.sum(F.when(cond, col).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return (
+        j.select(
+            F.coalesce(F.col("n_grp"), F.col("o_grp")).alias("group"),
+            added.alias("__a"),
+            removed.alias("__r"),
+            changed.alias("__c"),
+            unchanged.alias("__u"),
+            "o_tok",
+            "n_tok",
+        )
+        .groupBy("group")
+        .agg(
+            cnt(F.col("__a"), "n_added"),
+            cnt(F.col("__r"), "n_removed"),
+            cnt(F.col("__c"), "n_changed"),
+            cnt(F.col("__u"), "n_unchanged"),
+            toksum(F.col("__a"), F.col("n_tok"), "tokens_added"),
+            toksum(F.col("__r"), F.col("o_tok"), "tokens_removed"),
+            toksum(
+                F.col("__c"),
+                F.col("n_tok") - F.col("o_tok"),
+                "tokens_changed_delta",
+            ),
+            cnt(~F.col("__a"), "n_old"),
+            cnt(~F.col("__r"), "n_new"),
+            toksum(~F.col("__a"), F.col("o_tok"), "tokens_old"),
+            toksum(~F.col("__r"), F.col("n_tok"), "tokens_new"),
+        )
+    )
+
+
+def corpus_diff_sql(
+    old_src: str,
+    new_src: str,
+    *,
+    group_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`corpus_diff` (default token counting) —
+    ``old_src``/``new_src`` must yield ``(doc_id, text[, group])``."""
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    grp = (
+        f"COALESCE(CAST({group_col} AS VARCHAR), '')"
+        if group_col is not None
+        else "''"
+    )
+    tok = (
+        f"CAST(CASE WHEN {norm} = '' THEN 0 "
+        f"ELSE len(string_split({norm}, ' ')) END AS BIGINT)"
+    )
+    proj = f"SELECT doc_id AS id, {grp} AS grp, md5({norm}) AS fp, {tok} AS tok"
+    return f"""
+WITH cd_o AS ({proj} FROM ({old_src}) zo),
+cd_n AS ({proj} FROM ({new_src}) zn),
+cd_j AS (
+  SELECT COALESCE(cd_n.grp, cd_o.grp) AS "group",
+         cd_o.fp IS NULL AS a, cd_n.fp IS NULL AS r,
+         cd_o.fp IS NOT NULL AND cd_n.fp IS NOT NULL AND cd_o.fp <> cd_n.fp AS c,
+         cd_o.fp IS NOT NULL AND cd_n.fp IS NOT NULL AND cd_o.fp = cd_n.fp AS u,
+         cd_o.tok AS o_tok, cd_n.tok AS n_tok
+  FROM cd_o FULL OUTER JOIN cd_n ON cd_o.id = cd_n.id
+)
+SELECT "group",
+       CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN u THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(SUM(CASE WHEN a THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_added,
+       CAST(SUM(CASE WHEN r THEN o_tok ELSE 0 END) AS BIGINT) AS tokens_removed,
+       CAST(SUM(CASE WHEN c THEN n_tok - o_tok ELSE 0 END) AS BIGINT) AS tokens_changed_delta,
+       CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN NOT a THEN o_tok ELSE 0 END) AS BIGINT) AS tokens_old,
+       CAST(SUM(CASE WHEN NOT r THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_new
+FROM cd_j GROUP BY 1"""
+

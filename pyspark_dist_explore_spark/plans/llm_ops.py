@@ -197,6 +197,33 @@ _MATRIX_STATS = (
     "a_docs_in_b", "b_docs_in_a",
 )
 
+#: X49 snapshot-diff adapter: the "new crawl" of the SAME corpus —
+#: doc_id % 11 == 0 docs removed, doc_id % 13 == 0 docs re-crawled with
+#: changed content (a deterministic suffix), doc_id % 9 == 4 docs added
+#: under re-keyed ids — so all four diff classes are non-vacuous and
+#: both engines derive the mutation identically
+_DIFF_NEW_SRC = f"""
+  SELECT doc_id, CAST(source AS VARCHAR) AS source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' zz' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + {_RECRAWL_OFFSET} AS doc_id,
+         CAST(source AS VARCHAR) AS source, text
+  FROM documents WHERE doc_id % 9 = 4
+"""
+_DIFF_OLD_SRC = "SELECT doc_id, CAST(source AS VARCHAR) AS source, text FROM documents"
+
+#: every X49 column is an exact BIGINT (tokens_changed_delta signed)
+_DIFF_STATS = (
+    "n_added", "n_removed", "n_changed", "n_unchanged",
+    "tokens_added", "tokens_removed", "tokens_changed_delta",
+    "n_old", "n_new", "tokens_old", "tokens_new",
+)
+
+_DIFF_UNPIVOT = " UNION ALL ".join(
+    f"SELECT grp, '{s}' AS stat, {s} AS val FROM sdiff" for s in _DIFF_STATS
+)
+
 
 @register(
     "dedup_incremental",
@@ -211,7 +238,9 @@ dedup AS (
   FROM batch GROUP BY 1
 ),
 census AS ({dedup.corpus_overlap_sql("SELECT doc_id, text FROM batch", _INCR_SNAP_SRC)}),
-matrix AS ({dedup.corpus_overlap_matrix_sql(_MATRIX_MIX_SRC, "source")})
+matrix AS ({dedup.corpus_overlap_matrix_sql(_MATRIX_MIX_SRC, "source")}),
+sdiff AS (SELECT "group" AS grp, * EXCLUDE ("group")
+          FROM ({dedup.corpus_diff_sql(_DIFF_OLD_SRC, _DIFF_NEW_SRC, group_col="source")}) sd)
 SELECT 'batch' AS section, d.fingerprint, d.survivor_id, d.n_dups
 FROM dedup d ANTI JOIN seen s ON d.fingerprint = s.fingerprint
 UNION ALL
@@ -226,6 +255,13 @@ SELECT 'overlap_matrix' AS section,
        CAST(0 AS BIGINT) AS survivor_id, val AS n_dups
 FROM (
   {" UNION ALL ".join(f"SELECT src_a, src_b, '{s}' AS stat, {s} AS val FROM matrix" for s in _MATRIX_STATS)}
+)
+UNION ALL
+SELECT 'snapshot_diff' AS section,
+       concat(grp, ':', stat) AS fingerprint,
+       CAST(0 AS BIGINT) AS survivor_id, val AS n_dups
+FROM (
+  {_DIFF_UNPIVOT}
 )
 """,
 )
@@ -264,7 +300,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror slice (doc_id % 5 == 0, re-keyed into the rotated source
     ``'src' || (doc_id+7) % 20``) that plants real commons; every pair
     row unpivots its seven class-A BIGINTs keyed
-    ``src_a>src_b:stat``."""
+    ``src_a>src_b:stat``.
+
+    Round 12 merges the X49 SNAPSHOT DIFF
+    (:func:`dedup.corpus_diff`) as the ``section='snapshot_diff'``
+    rows — the recurring-crawl audit between two corpus versions: the
+    "new crawl" mutation (removals %11, content changes %13, re-keyed
+    additions %9==4) diffs against the corpus itself, and every
+    per-source count/token stat (eleven BIGINTs incl. the signed
+    ``tokens_changed_delta``) unpivots keyed ``source:stat``.  The
+    manifest short-circuit lives in ``sinks.corpus_diff_dirs``
+    (pytest-pinned — sidecar IO stays lib per the X46 precedent)."""
     parts = dedup_incremental_parts(spark, sf_dir)
     out = None
     for df in parts.values():
@@ -325,7 +371,43 @@ def dedup_incremental_parts(
         F.lit(0).cast("bigint").alias("survivor_id"),
         F.col("val").cast("bigint").alias("n_dups"),
     )
-    return {"batch": incr, "overlap": overlap, "overlap_matrix": matrix}
+    # X49 (round 12): snapshot diff over the deterministic "re-crawl"
+    # mutation (_DIFF_NEW_SRC): removals (%11), content changes (%13),
+    # re-keyed additions (%9==4) — all eleven per-source BIGINTs
+    # hash-checked, incl. the signed tokens_changed_delta
+    old_snap = docs.select(
+        "doc_id", F.col("source").cast("string").alias("source"), "text"
+    )
+    new_snap = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.col("source").cast("string").alias("source"),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" zz"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionAll(
+        docs.where(F.col("doc_id") % 9 == 4).select(
+            (F.col("doc_id") + _RECRAWL_OFFSET).alias("doc_id"),
+            F.col("source").cast("string").alias("source"),
+            "text",
+        )
+    )
+    sd = dedup.corpus_diff(old_snap, new_snap, group_col="source")
+    sd_stack = "stack({n}, {pairs}) as (stat, val)".format(
+        n=len(_DIFF_STATS),
+        pairs=", ".join(f"'{s}', {s}" for s in _DIFF_STATS),
+    )
+    sdiff = sd.selectExpr("group", sd_stack).select(
+        F.lit("snapshot_diff").alias("section"),
+        F.concat(F.col("group"), F.lit(":"), F.col("stat")).alias("fingerprint"),
+        F.lit(0).cast("bigint").alias("survivor_id"),
+        F.col("val").cast("bigint").alias("n_dups"),
+    )
+    return {
+        "batch": incr,
+        "overlap": overlap,
+        "overlap_matrix": matrix,
+        "snapshot_diff": sdiff,
+    }
 
 
 # --------------------------------------------------------------------------

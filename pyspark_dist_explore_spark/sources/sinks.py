@@ -139,6 +139,7 @@ def write_training_shards(
     max_records_per_file: int | None = None,
     manifest: bool = True,
     stage_manifest: bool = True,
+    manifest_content_col: str | None = None,
 ) -> None:
     """The training DUMP in one call: deterministic global shuffle +
     sharding (:func:`operators.sampling.shuffle_shards`) landed as a
@@ -210,7 +211,11 @@ def write_training_shards(
         writer.parquet(path)
         if write_sidecar:
             write_shard_manifest(
-                sharded, path, id_col=key_col, extra={"shards": shards, "salt": salt}
+                sharded,
+                path,
+                id_col=key_col,
+                content_col=manifest_content_col,
+                extra={"shards": shards, "salt": salt},
             )
     finally:
         if stage:
@@ -218,7 +223,10 @@ def write_training_shards(
 
 
 def shard_manifest(
-    df: DataFrame, shard_col: str = "shard", id_col: str = "doc_id"
+    df: DataFrame,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    content_col: str | None = None,
 ) -> DataFrame:
     """X46: per-shard integrity card — ``(shard, n_rows, sum_id,
     min_id, max_id, hash_sum)`` where ``hash_sum`` folds each id's
@@ -232,6 +240,13 @@ def shard_manifest(
     ``n_rows`` + ``hash_sum`` (md5 is id-type-agnostic); the numeric
     redundancy stats use ``try_cast`` and come back NULL rather than
     throwing under ANSI mode.
+
+    ``content_col`` (round 12, X49's input) adds ``content_sum`` — the
+    same 44-bit md5-fold sum over the CONTENT column, so two dumps with
+    identical manifests are identical in content, not just id multiset
+    (a re-crawled doc keeps its id; without a content sum, manifest
+    equality cannot prove "nothing changed").  NULL content folds as
+    the empty string.
 
     ONE map-side-combined aggregate, output |shards|-sized — the same
     cost class as the count a writer already pays.
@@ -252,6 +267,32 @@ def shard_manifest(
         F.min(F.expr(f"try_cast(`{idq}` AS BIGINT)")).alias("min_id"),
         F.max(F.expr(f"try_cast(`{idq}` AS BIGINT)")).alias("max_id"),
         F.sum(h).alias("hash_sum"),
+        *(
+            [
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.coalesce(
+                                    F.expr(
+                                        "`{}`".format(
+                                            content_col.replace("`", "``")
+                                        )
+                                    ).cast("string"),
+                                    F.lit(""),
+                                )
+                            ),
+                            1,
+                            11,
+                        ),
+                        16,
+                        10,
+                    ).cast("decimal(38,0)")
+                ).alias("content_sum")
+            ]
+            if content_col is not None
+            else []
+        ),
     )
 
 
@@ -261,13 +302,14 @@ def write_shard_manifest(
     *,
     shard_col: str = "shard",
     id_col: str = "doc_id",
+    content_col: str | None = None,
     extra: dict | None = None,
 ) -> dict:
     """Compute :func:`shard_manifest` over the frame ABOUT to land (the
     writer's intent, not whatever survived the write) and record it as
     a ``_manifest.json`` sidecar under ``path`` via the Hadoop
     FileSystem API (same scheme as the data).  Returns the payload."""
-    rows = shard_manifest(df, shard_col, id_col).collect()  # bounded-collect: |shards|-row manifest
+    rows = shard_manifest(df, shard_col, id_col, content_col).collect()  # bounded-collect: |shards|-row manifest
     payload = {
         "id_col": id_col,
         "manifest": {
@@ -279,10 +321,17 @@ def write_shard_manifest(
                 "min_id": None if r["min_id"] is None else int(r["min_id"]),
                 "max_id": None if r["max_id"] is None else int(r["max_id"]),
                 "hash_sum": str(r["hash_sum"]),
+                **(
+                    {"content_sum": str(r["content_sum"])}
+                    if content_col is not None
+                    else {}
+                ),
             }
             for r in rows
         },
     }
+    if content_col is not None:
+        payload["content_col"] = content_col
     if extra:
         payload.update(extra)
     _write_json_sidecar(df.sparkSession, f"{path}/_manifest.json", payload)
@@ -308,12 +357,17 @@ def verify_training_shards(
     got = {
         str(r["shard"]): r
         for r in shard_manifest(
-            spark.read.parquet(path), "shard", payload["id_col"]
+            spark.read.parquet(path),
+            "shard",
+            payload["id_col"],
+            payload.get("content_col"),
         ).collect()  # bounded-collect: |shards|-row manifest
     }
     report = []
     problems: dict[int, str] = {}
-    stats = ("n_rows", "sum_id", "min_id", "max_id", "hash_sum")
+    stats = ("n_rows", "sum_id", "min_id", "max_id", "hash_sum") + (
+        ("content_sum",) if payload.get("content_col") is not None else ()
+    )
     for shard in sorted(set(want) | set(got), key=int):
         w, g = want.get(shard), got.get(shard)
         if w is None:
@@ -507,3 +561,58 @@ def read_jsonl(spark, path: str, *, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+def corpus_diff_dirs(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    token_col: str | None = None,
+) -> DataFrame:
+    """X49 over landed dumps, with the X46 manifest SHORT-CIRCUIT: when
+    BOTH paths carry a ``_manifest.json`` sidecar, the payloads are
+    identical, AND the manifest fingerprints content
+    (``write_shard_manifest(content_col=...)`` /
+    ``write_training_shards(manifest_content_col=...)``), the dumps are
+    identical in id multiset and content — return the all-unchanged
+    card from the manifest totals WITHOUT scanning either dump (one
+    ``''`` row; the token columns are NULL — unknowable without a
+    scan).  An ID-ONLY manifest equality proves nothing about changed
+    text (a re-crawled doc keeps its id), so it does NOT short-circuit
+    — the scan runs.  Otherwise (missing/differing sidecars) this is
+    :func:`~pyspark_dist_explore_spark.operators.dedup.corpus_diff`
+    over the two parquet reads."""
+    from pyspark_dist_explore_spark.operators.dedup import corpus_diff
+
+    payloads = []
+    for path in (old_path, new_path):
+        try:
+            payloads.append(_read_json_sidecar(spark, f"{path}/_manifest.json"))
+        except Exception:
+            payloads.append(None)
+    mo, mn = payloads
+    if (
+        mo is not None
+        and mo == mn
+        and mo.get("content_col") is not None
+    ):
+        total = sum(int(v["n_rows"]) for v in mo["manifest"].values())
+        return spark.createDataFrame(
+            [("", 0, 0, 0, total, None, None, None, total, total, None, None)],
+            "group string, n_added bigint, n_removed bigint, n_changed bigint,"
+            " n_unchanged bigint, tokens_added bigint, tokens_removed bigint,"
+            " tokens_changed_delta bigint, n_old bigint, n_new bigint,"
+            " tokens_old bigint, tokens_new bigint",
+        )
+    return corpus_diff(
+        spark.read.parquet(old_path),
+        spark.read.parquet(new_path),
+        text_col,
+        id_col,
+        group_col=group_col,
+        token_col=token_col,
+    )
+

@@ -449,3 +449,178 @@ def test_jsonl_round_trip(spark, tmp_path):
         fh.write(json.dumps({"doc_id": 9}) + "\n")
     got = read_jsonl(spark, extra, schema=df.schema).collect()
     assert [tuple(r) for r in got] == [(9, None, None)]
+
+# --------------------------------------------------------------------------
+# X49: corpus snapshot diff (dedup.corpus_diff / sinks.corpus_diff_dirs)
+# + the X46 content-fingerprint manifest extension it short-circuits on
+# --------------------------------------------------------------------------
+
+
+def test_corpus_diff_planted_and_twin(spark):
+    """corpus_diff == the DuckDB twin on planted frames covering all
+    four classes (added/removed/changed/unchanged), NULL groups folding
+    to '', re-sourced docs attributed to their NEW group, and the
+    SIGNED tokens_changed_delta."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.dedup import (
+        corpus_diff,
+        corpus_diff_sql,
+    )
+
+    old_rows = [
+        (1, "s0", "a b c"),
+        (2, "s0", "d e"),
+        (3, "s1", "f"),
+        (4, None, "g h i j"),
+        (5, "s1", "k"),
+    ]
+    new_rows = [
+        (1, "s0", "a b c"),
+        (2, "s0", "d e CHANGED x"),
+        (4, "s2", "g h"),
+        (6, "s1", "new doc"),
+        (7, None, "x y"),
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id bigint, source string, text string")
+    new = spark.createDataFrame(new_rows, "doc_id bigint, source string, text string")
+    got = sorted(map(tuple, corpus_diff(old, new, group_col="source").collect()))
+    con = duckdb.connect()
+    con.register("o", pd.DataFrame(old_rows, columns=["doc_id", "source", "text"]))
+    con.register("n", pd.DataFrame(new_rows, columns=["doc_id", "source", "text"]))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                corpus_diff_sql(
+                    "SELECT doc_id, source, text FROM o",
+                    "SELECT doc_id, source, text FROM n",
+                    group_col="source",
+                )
+            ).fetchall(),
+        )
+    )
+    con.close()
+    assert got == want
+    by = {r[0]: r for r in got}
+    # doc 4 re-sourced ''->s2 with 4->2 tokens: changed under s2, delta -2
+    assert by["s2"][3] == 1 and by["s2"][7] == -2
+    # s1 lost docs 3+5 (2 removed), gained doc 6 (1 added)
+    assert by["s1"][1] == 1 and by["s1"][2] == 2
+    # identities: per group, n_old = removed+changed+unchanged
+    cols = ["group", "n_added", "n_removed", "n_changed", "n_unchanged",
+            "tokens_added", "tokens_removed", "tokens_changed_delta",
+            "n_old", "n_new", "tokens_old", "tokens_new"]
+    for r in got:
+        d = dict(zip(cols, r))
+        assert d["n_old"] == d["n_removed"] + d["n_changed"] + d["n_unchanged"]
+        assert d["n_new"] == d["n_added"] + d["n_changed"] + d["n_unchanged"]
+
+
+def test_corpus_diff_one_scan_per_side_plan(spark, tmp_path):
+    """X49's scale contract: each snapshot is scanned ONCE (two parquet
+    scans total), one equi-join, no Python, no cartesian."""
+    from pyspark_dist_explore_spark.operators.dedup import corpus_diff
+
+    po, pn = str(tmp_path / "old"), str(tmp_path / "new")
+    spark.range(50).selectExpr(
+        "id AS doc_id", "concat('s', id % 3) AS source",
+        "concat('w', id, ' w', id+1) AS text",
+    ).write.parquet(po)
+    spark.range(40).selectExpr(
+        "id + 5 AS doc_id", "concat('s', id % 3) AS source",
+        "concat('w', id+5, ' w', id+6) AS text",
+    ).write.parquet(pn)
+    df = corpus_diff(
+        spark.read.parquet(po), spark.read.parquet(pn), group_col="source"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert df.count() > 0
+
+
+def test_shard_manifest_content_sum_round_trip_and_tamper(spark, tmp_path):
+    """The X46 content-fingerprint extension: manifest_content_col adds
+    content_sum to the sidecar, verify passes on the intact dump, and a
+    content-only mutation (ids unchanged!) is caught BY content_sum."""
+    import pytest
+
+    from pyspark_dist_explore_spark.sources.sinks import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(60).selectExpr(
+        "id AS doc_id", "concat('payload ', id) AS text"
+    )
+    path = str(tmp_path / "dump_content")
+    write_training_shards(
+        df, "doc_id", path, shards=3, manifest_content_col="text"
+    )
+    assert all(r.ok for r in verify_training_shards(spark, path).collect())
+    # rewrite shard files with SAME ids but mutated text: every id stat
+    # still matches — only content_sum can catch this
+    landed = spark.read.parquet(path)
+    mutated = landed.withColumn("text", F.concat(F.col("text"), F.lit("!")))
+    mutated.repartition(3, F.col("shard")).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(str(tmp_path / "dump_mut"))
+    import shutil
+
+    for child in (tmp_path / "dump_mut").iterdir():
+        if child.name.startswith("shard="):
+            shutil.rmtree(str(tmp_path / "dump_content" / child.name))
+            shutil.move(str(child), str(tmp_path / "dump_content" / child.name))
+    with pytest.raises(ValueError, match="content_sum"):
+        verify_training_shards(spark, path)
+
+
+def test_corpus_diff_dirs_manifest_short_circuit(spark, tmp_path):
+    """Equal CONTENT-fingerprinting manifests short-circuit to the
+    all-unchanged card without scanning; equal ID-ONLY manifests do NOT
+    short-circuit (a re-crawled doc keeps its id — the scan must run
+    and report the change); differing manifests fall through to the
+    real diff."""
+    from pyspark_dist_explore_spark.sources.sinks import (
+        corpus_diff_dirs,
+        write_training_shards,
+    )
+
+    df = spark.range(40).selectExpr(
+        "id AS doc_id", "concat('t ', id) AS text"
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (pa, pb):
+        write_training_shards(
+            df, "doc_id", p, shards=2, manifest_content_col="text"
+        )
+    card = corpus_diff_dirs(spark, pa, pb).collect()
+    assert len(card) == 1
+    r = card[0]
+    assert (r["group"], r["n_added"], r["n_removed"], r["n_changed"]) == ("", 0, 0, 0)
+    assert r["n_unchanged"] == 40 and r["tokens_old"] is None
+    # the short-circuit really skipped the scan: nuke the data files,
+    # keep the sidecars — the card still comes back
+    import shutil
+
+    for p in (pa, pb):
+        for child in list((tmp_path / ("a" if p == pa else "b")).iterdir()):
+            if child.name.startswith("shard="):
+                shutil.rmtree(str(child))
+    assert corpus_diff_dirs(spark, pa, pb).collect()[0]["n_unchanged"] == 40
+
+    # ID-ONLY manifests: same ids, changed content -> must NOT short-circuit
+    pc, pd_ = str(tmp_path / "c"), str(tmp_path / "d")
+    write_training_shards(df, "doc_id", pc, shards=2)
+    df2 = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id = 7 THEN 'mutated row' ELSE concat('t ', id) END AS text",
+    )
+    write_training_shards(df2, "doc_id", pd_, shards=2)
+    full = {r["group"]: r for r in corpus_diff_dirs(spark, pc, pd_).collect()}
+    assert sum(r["n_changed"] for r in full.values()) == 1
+    assert sum(r["n_unchanged"] for r in full.values()) == 39
+
