@@ -306,3 +306,88 @@ def stream_drift_scores(
             ).alias("psi"),
         )
     )
+
+def stream_curate_lite(
+    docs: DataFrame,
+    sink_fn,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    host_col: str | None = None,
+    host_cap: int | None = None,
+    min_words: int = 2,
+    min_stop_words: int = 0,
+    use_classifier: bool = False,
+):
+    """Streaming CURATE-LITE: the curation gates composed over a
+    document STREAM — X2 content dedup on the stream (engine-managed
+    state, bounded by the watermark), then per micro-batch via
+    ``foreachBatch``: the X31 Gopher gate (+ optionally the X29
+    classifier gate) and the X41 per-host cap, all the UNCHANGED batch
+    operators — proving the gate expressions are row-local enough to
+    run inside the streaming engine without a parallel implementation
+    (the X8f precedent: pin it with a memory-sink test, don't assert
+    it).
+
+    Returns a ``DataStreamWriter`` — the caller adds trigger/checkpoint
+    and ``.start()``.  ``sink_fn(kept_batch, batch_id)`` receives each
+    micro-batch's surviving rows (original columns).
+
+    Semantics at the streaming boundary, stated rather than hidden:
+
+    - dedup is CONTENT dedup (md5 of the normalized text), global
+      within the watermark horizon across batches — the
+      ``dropDuplicatesWithinWatermark`` state the engine already
+      manages; X27's landed-snapshot join is the cross-run form.
+    - the host cap is PER MICRO-BATCH (``cap_per_key`` is a rank
+      window — a global cap over an unbounded stream is not a bounded-
+      state operator); a production pipeline caps per batch and lets
+      the X41 batch pass enforce the global policy on the landed dump.
+    - the quality gates are row-local expressions, identical in batch
+      and stream by construction.
+
+    Scale shape: the stream shuffles once for the dedup state; each
+    micro-batch then runs the same row-local projections + one
+    batch-sized rank window the batch pipeline runs — no Python, no
+    driver funnels.
+    """
+    from pyspark_dist_explore_spark.operators import textstats
+    from pyspark_dist_explore_spark.operators.dedup import normalize_text
+    from pyspark_dist_explore_spark.operators.sampling import cap_per_key
+
+    fp = F.md5(normalize_text(F.coalesce(F.col(text_col), F.lit(""))))
+    deduped = stream_dedup(
+        docs.withColumn("__fp", fp), ["__fp"], ts_col=ts_col, watermark=watermark
+    ).drop("__fp")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        tq = F.coalesce(F.col(text_col), F.lit(""))
+        staged = batch.select(
+            "*",
+            F.filter(textstats.tokens(tq), lambda x: x != "").alias("__toks"),
+            F.split(tq, "\n").alias("__lines"),
+        )
+        sig = staged.select(
+            "*",
+            *textstats.gopher_signal_exprs(
+                F.col("__toks"), F.col("__lines"), tq
+            ),
+        )
+        gate = (
+            textstats.gopher_keep_expr(
+                min_words=min_words, min_stop_words=min_stop_words
+            )
+            == 1
+        )
+        if use_classifier:
+            sig = textstats.with_classifier_gate(sig, tq, bigrams=False)
+            gate = gate & (F.col("cls_keep") == 1)
+        kept = sig.where(gate).select(*batch.columns)
+        if host_col is not None and host_cap is not None:
+            kept = cap_per_key(kept, host_col, id_col, host_cap)
+        sink_fn(kept, batch_id)
+
+    return deduped.writeStream.foreachBatch(process)
+

@@ -168,6 +168,40 @@ def test_release_local_checkpoint_degrades_loudly(spark):
     assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
 
 
+def test_release_local_checkpoint_untested_major_skips_private_api(spark):
+    """r11 verdict item 7 — upgrade behavior is DECIDED, not
+    discovered: on a pyspark major outside _RELEASE_TESTED_MAJORS the
+    release never even touches the private _jdf handle (it might have
+    changed shape in ways that misbehave rather than raise); it warns
+    once naming the fallback and returns."""
+    import warnings
+
+    class _MustNotTouch:
+        @property
+        def _jdf(self):
+            raise AssertionError(
+                "private handle touched on an untested pyspark major"
+            )
+
+    saved = dedup._PYSPARK_MAJOR
+    dedup._RELEASE_WARNED = False
+    try:
+        dedup._PYSPARK_MAJOR = 99
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            dedup._release_local_checkpoint(_MustNotTouch())
+            dedup._release_local_checkpoint(_MustNotTouch())  # one-shot
+        runtime = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+        assert len(runtime) == 1
+        assert "99" in str(runtime[0].message)
+        assert "ContextCleaner" in str(runtime[0].message)
+    finally:
+        dedup._PYSPARK_MAJOR = saved
+        dedup._RELEASE_WARNED = False
+    # this container's major IS in the tested set — the real path runs
+    assert dedup._PYSPARK_MAJOR in dedup._RELEASE_TESTED_MAJORS
+
+
 @pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
 def test_simhash_close_for_neardups(spark, hash_fn):
     sig = {
