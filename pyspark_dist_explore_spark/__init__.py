@@ -81,6 +81,7 @@ from pyspark_dist_explore_spark.sources.sinks import (
     load_dsir_model,
     load_neardup_snapshot,
     read_jsonl,
+    corpus_diff_dirs,
     shard_manifest,
     verify_training_shards,
     write_bucketed_table,
@@ -97,6 +98,7 @@ from pyspark_dist_explore_spark.operators.dsir import (
 )
 from pyspark_dist_explore_spark.operators.dedup import (
     canonicalize_url,
+    corpus_diff,
     corpus_overlap,
     corpus_overlap_matrix,
     incremental_minhash_neardup,
@@ -128,6 +130,9 @@ from pyspark_dist_explore_spark.operators.textstats import (
     bpe_learn,
     bpe_segment_expr,
     bpe_word_freqs,
+    unigram_encode,
+    unigram_lm_learn,
+    unigram_seed_candidates,
     gopher_repetition_battery,
     oov_stats,
     perplexity_buckets,
@@ -172,6 +177,7 @@ from pyspark_dist_explore_spark.operators.textstats import (
     word2vec_embeddings,
 )
 from pyspark_dist_explore_spark.streaming.histogram_stream import (
+    stream_curate_lite,
     stream_dedup,
     stream_drift_scores,
     stream_enrich,
@@ -314,6 +320,12 @@ __all__ = [
     "write_partitioned",
     "write_training_shards",
     "shard_manifest",
+    "corpus_diff",
+    "corpus_diff_dirs",
+    "unigram_encode",
+    "unigram_lm_learn",
+    "unigram_seed_candidates",
+    "stream_curate_lite",
     "verify_training_shards",
     "write_bucketed_table",
     "write_jsonl",

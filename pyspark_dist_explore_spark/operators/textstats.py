@@ -1881,6 +1881,7 @@ def bpe_learn(
     k: int = 8,
     checkpoint_interval: int = 16,
     max_merges: int = 512,
+    batch_merges: int = 1,
 ) -> DataFrame:
     """Learn ``k`` BPE merges from the corpus: ``(step, pair, merged,
     cnt)`` with ``pair`` the two symbols space-joined, ``merged`` their
@@ -1916,6 +1917,19 @@ def bpe_learn(
     inherent sequential dependency (each merge changes the next pair
     count), bounded at one metadata row per step.  The merge TABLE is
     the model: k rows, driver-sized by definition.
+
+    ``batch_merges`` (round 12, opt-in — default 1 keeps the exact
+    sequential greedy the gate hash-checks): apply up to ``b``
+    SYMBOL-DISJOINT top pairs per round in one projection, lifting the
+    practical k ceiling ~b× (k merges in ~k/b driver round-trips).
+    Disjointness (no symbol shared between any two picked pairs) makes
+    the in-round replacements commute — a merge of (a,b) can neither
+    create nor destroy occurrences of (c,d) when {a,b}∩{c,d}=∅, so
+    each recorded count is exact AT ROUND START.  The learned table is
+    a standard batched-greedy APPROXIMATION of sequential BPE (pair
+    ranks that would change mid-round are only refreshed between
+    rounds); recorded counts are the round-start counts.  A/B at
+    sf0.1, k=64: see BASELINE.md round-12 row.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1933,6 +1947,8 @@ def bpe_learn(
         raise ValueError(
             f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
         )
+    if batch_merges < 1:
+        raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
     from pyspark_dist_explore_spark.operators.dedup import (
         _release_local_checkpoint,
     )
@@ -1951,7 +1967,8 @@ def bpe_learn(
     anchor = types  # last checkpointed state (owns storage blocks)
     since_ckpt = 0
     try:
-        for step in range(k):
+        while len(merges) < k:
+            want = min(batch_merges, k - len(merges))
             syms = F.split(
                 F.substring(F.col("enc"), 2, F.length("enc") - 2), sep_re
             )
@@ -1963,25 +1980,45 @@ def bpe_learn(
                     F.lit(BPE_L), a, F.lit(BPE_R), F.lit(BPE_L), b, F.lit(BPE_R)
                 ),
             )
+            # over-fetch 8x: symbol conflicts skip candidates, and the
+            # collect stays a model-sized TakeOrdered either way
             top = (
                 types.select(F.explode(pairs).alias("pr"), "freq")
                 .groupBy("pr")
                 .agg(F.sum("freq").cast("bigint").alias("cnt"))
                 .where(F.col("cnt") >= 2)
                 .orderBy(F.col("cnt").desc(), F.col("pr").asc())
-                .limit(1)
-                .collect()  # bounded-collect: the 1-row sequential pick of the greedy algorithm
+                .limit(want if want == 1 else 8 * want)
+                .collect()  # bounded-collect: the per-round greedy pick (1 row sequential, <=8b batched)
             )
             if not top:
                 break
-            pr, cnt = top[0]["pr"], int(top[0]["cnt"])
-            pair, merged = _bpe_render(pr)
-            merges.append((step, pair, merged, cnt))
-            types = types.withColumn(
-                "enc", F.replace(F.col("enc"), F.lit(pr), F.lit(pr.replace(_BPE_SEP, "")))
-            )
+            picked: list[tuple[str, int]] = []
+            used: set[str] = set()
+            for r in top:
+                pr, cnt = r["pr"], int(r["cnt"])
+                syms_in = pr[1:-1].split(_BPE_SEP)
+                # conflict set includes the pick's MERGED symbol too: a
+                # later pick consuming it (e.g. (a,b)->"ab" then
+                # ("ab",x)) would match sites the round-start count
+                # never saw once the chained replace creates them
+                ss = set(syms_in) | {"".join(syms_in)}
+                if used & ss:
+                    continue  # interacts with an earlier in-round pick
+                picked.append((pr, cnt))
+                used |= ss
+                if len(picked) >= want:
+                    break
+            enc_col = F.col("enc")
+            for pr, cnt in picked:
+                pair, merged = _bpe_render(pr)
+                merges.append((len(merges), pair, merged, cnt))
+                enc_col = F.replace(
+                    enc_col, F.lit(pr), F.lit(pr.replace(_BPE_SEP, ""))
+                )
+            types = types.withColumn("enc", enc_col)
             since_ckpt += 1
-            if since_ckpt >= checkpoint_interval and step + 1 < k:
+            if since_ckpt >= checkpoint_interval and len(merges) < k:
                 types = types.localCheckpoint()
                 _release_local_checkpoint(anchor)
                 anchor = types

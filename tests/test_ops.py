@@ -5836,6 +5836,59 @@ def test_bpe_learn_max_merges_guard(spark):
     assert bpe_learn(df, "text", k=600, max_merges=600).count() <= 600
 
 
+def test_bpe_learn_batched_merges(spark):
+    """batch_merges>1 (round 12, opt-in): symbol-disjoint top pairs
+    apply per round in one projection.  On a conflict-free corpus the
+    batched table EQUALS sequential greedy step-for-step; on a
+    conflicting corpus the in-round conflict is skipped and re-picked
+    next round with its exact round-start count — so every recorded
+    count is exact, only pick ORDER differs from sequential."""
+    from pyspark_dist_explore_spark.operators.textstats import bpe_learn
+
+    # conflict-free: four independent two-char words
+    free = spark.createDataFrame(
+        [(1, "ab ab ab ab cd cd cd ef ef gh gh")],
+        "doc_id bigint, text string",
+    )
+    seq = [tuple(r) for r in bpe_learn(free, "text", k=4).orderBy("step").collect()]
+    bat = [
+        tuple(r)
+        for r in bpe_learn(free, "text", k=4, batch_merges=4)
+        .orderBy("step")
+        .collect()
+    ]
+    assert seq == bat and len(seq) == 4
+
+    # conflicting: (x,y)=10 beats (y,z)=9 which shares y -> (y,z) must
+    # wait a round; (z,w)=8 is disjoint from (x,y) and rides round 1
+    docs = spark.createDataFrame(
+        [(1, " ".join(["xy"] * 10 + ["yz"] * 9 + ["zw"] * 8))],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r["step"], r["pair"], r["merged"], r["cnt"])
+        for r in bpe_learn(docs, "text", k=3, batch_merges=3)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == [
+        (0, "x y", "xy", 10),
+        (1, "z w", "zw", 8),
+        (2, "y z", "yz", 9),
+    ]
+    # sequential order for reference: strictly by count
+    got_seq = [
+        (r["pair"], r["cnt"])
+        for r in bpe_learn(docs, "text", k=3).orderBy("step").collect()
+    ]
+    assert got_seq == [("x y", 10), ("y z", 9), ("z w", 8)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_merges"):
+        bpe_learn(docs, "text", k=2, batch_merges=0)
+
+
 def test_bpe_fertility_dynamic_twin(spark):
     """The gate's learn→encode chain: bpe_fertility_sql re-derives the
     merge table inside DuckDB and applies it via the dynamically
