@@ -6142,6 +6142,62 @@ def test_unigram_encode_fertility_and_unk(spark):
     assert set(enc2.columns) == {"doc_id", "src", "n_tokens", "n_subwords"}
 
 
+def test_tokenizer_fertility_ab_bpe_vs_unigram(spark):
+    """The A/B the shared fertility schema exists for: learn BOTH
+    tokenizers on the real sf0.001 corpus at comparable vocab budgets
+    and compare per-corpus fertility (subwords per word).  Pins the
+    schema contract (joinable on doc_id, same column names), the
+    sanity bounds (each tokenizer emits >= 1 piece per word, <= chars
+    per word), and that both beat char-level segmentation."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        bpe_encode,
+        bpe_learn,
+        unigram_encode,
+        unigram_lm_learn,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges = bpe_learn(docs, "text", k=16, batch_merges=4)
+    vocab = unigram_lm_learn(
+        docs, "text", vocab_size=64, max_piece_len=4, seed_size=128
+    )
+    b = bpe_encode(docs, "text", "doc_id", merges)
+    u = unigram_encode(docs, "text", "doc_id", vocab)
+    ab = (
+        b.selectExpr("doc_id", "n_tokens", "n_subwords AS bpe_sub")
+        .join(u.selectExpr("doc_id", "n_subwords AS uni_sub"), "doc_id")
+    )
+    tot = ab.groupBy().agg(
+        F.sum("n_tokens").alias("tok"),
+        F.sum("bpe_sub").alias("bpe"),
+        F.sum("uni_sub").alias("uni"),
+    ).collect()[0]
+    assert tot["tok"] > 0
+    # >= one piece per word for both tokenizers
+    assert tot["bpe"] >= tot["tok"] and tot["uni"] >= tot["tok"]
+    # both strictly beat char-level segmentation on this corpus
+    chars = docs.select(
+        F.aggregate(
+            F.transform(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                ),
+                lambda w: F.length(w),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("n")
+    ).groupBy().sum("n").collect()[0][0]
+    assert tot["bpe"] < chars and tot["uni"] < chars
+    # fertility card is finite and sane for a 64-piece unigram vocab
+    fert_uni = tot["uni"] / tot["tok"]
+    fert_bpe = tot["bpe"] / tot["tok"]
+    assert 1.0 <= fert_uni < 20 and 1.0 <= fert_bpe < 20
+
+
 def test_canonicalize_url_semantics_and_twin(spark):
     """X42: the canonical form collapses a crawl's URL variants —
     case, www, default ports, trackers in every position, fragments —
