@@ -2245,6 +2245,8 @@ def unigram_seed_candidates(
     *,
     max_piece_len: int = 4,
     seed_size: int = 256,
+    word_freqs: DataFrame | None = None,
+    stage: bool = True,
 ) -> DataFrame:
     """X48 seed: the candidate-piece table ``(piece, cnt)`` — ALL
     single characters (the coverage floor Viterbi falls back on) plus
@@ -2258,7 +2260,16 @@ def unigram_seed_candidates(
     per type and collapses map-side), mirroring X40's shape — and it is
     pure class-A integer arithmetic, so it gate-hash-checks
     (:func:`unigram_seed_sql` is the DuckDB twin).  Sentinel code
-    points are stripped per the module contract."""
+    points are stripped per the module contract.
+
+    ``stage=True`` (default) ``localCheckpoint``-s the piece-count
+    table once so the chars branch and the top-N branch derive from
+    ONE corpus scan — lazily, the unshared union subtrees would scan
+    the corpus twice (the pushed ``length(piece)`` filters break
+    subtree reuse; A/B in BASELINE.md r12).  The staged table is
+    substring-type-sized (content-bounded).  ``word_freqs=`` feeds a
+    precomputed (w, freq) type table — :func:`unigram_lm_learn` passes
+    its own checkpoint so seed + EM share one corpus aggregate."""
     if max_piece_len < 2:
         raise ValueError(f"max_piece_len must be >= 2, got {max_piece_len}")
     if seed_size < 1:
@@ -2276,12 +2287,16 @@ def unigram_seed_candidates(
             ),
         )
     )
+    src = word_freqs if word_freqs is not None else bpe_word_freqs(df, text_col)
     counts = (
-        bpe_word_freqs(df, text_col)
-        .select(F.explode(subs).alias("piece"), "freq")
+        src.select(F.explode(subs).alias("piece"), "freq")
         .groupBy("piece")
         .agg(F.sum("freq").cast("bigint").alias("cnt"))
     )
+    if stage:
+        # blocks are released by the ContextCleaner when the returned
+        # frame is dropped — the caller owns the lifetime
+        counts = counts.localCheckpoint()
     chars = counts.where(F.length("piece") == 1)
     multi = (
         counts.where(F.length("piece") > 1)
@@ -2470,7 +2485,11 @@ def unigram_lm_learn(
 
     try:
         seed_rows = unigram_seed_candidates(
-            df, text_col, max_piece_len=max_piece_len, seed_size=seed_size
+            df,
+            text_col,
+            max_piece_len=max_piece_len,
+            seed_size=seed_size,
+            word_freqs=types,  # share the checkpointed type table
         ).collect()  # bounded-collect: seed_size + |chars| candidate rows (the model seed)
         counts = {r["piece"]: int(r["cnt"]) for r in seed_rows}
         if not counts:
