@@ -2560,6 +2560,10 @@ def unigram_encode(
     ``broadcast_segments=False`` for a type table past executor
     memory), and re-aggregate per doc: two exchanges (distinct-words,
     per-doc rollup) + an optional broadcast, no corpus-sized Python.
+    The corpus is scanned twice (the distinct-words branch and the
+    explode branch) — the alternative single-scan form would run the
+    Viterbi UDF once per token OCCURRENCE instead of once per type,
+    which loses badly whenever words repeat (they always do).
     ``extra_cols`` must be functionally dependent on ``id_col`` (they
     ride the rollup's grouping key)."""
     model = {

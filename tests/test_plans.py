@@ -802,3 +802,29 @@ def test_corpus_overlap_matrix_staged_single_text_scan(spark):
     assert plan.count("Scan parquet") <= 1, f"staging must collapse scans\n{plan}"
     assert "SortMergeJoin" not in plan or "fp" in plan  # fp self-join may SMJ
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_unigram_encode_plan_python_only_on_type_subtree(spark):
+    """X48 encode scale shape: exactly ONE Arrow-batched Python stage
+    (the per-DISTINCT-word Viterbi), a broadcast hash join back onto
+    the exploded tokens, no row-at-a-time Python, no sort-merge join —
+    the corpus-sized branches stay fully JVM-side."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        unigram_encode,
+        unigram_lm_learn,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = unigram_lm_learn(
+        docs, "text", vocab_size=16, max_piece_len=3, seed_size=32, em_rounds=1
+    )
+    plan = (
+        unigram_encode(docs, "text", "doc_id", vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
