@@ -6142,6 +6142,165 @@ def test_unigram_encode_fertility_and_unk(spark):
     assert set(enc2.columns) == {"doc_id", "src", "n_tokens", "n_subwords"}
 
 
+def test_viterbi_segment_hypothesis_vs_exhaustive():
+    """Property pin (no Spark needed): for random short words and
+    random integer cost tables, the DP's pick equals brute-force
+    enumeration of ALL segmentations under the exact total order
+    (cost, piece count, path lexicographic) — the strongest possible
+    exactness statement for the X48 E-step."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        _viterbi_segment,
+    )
+
+    MAXLEN = 3
+    UNK = 10_000
+
+    def all_segmentations(w):
+        if not w:
+            yield ()
+            return
+        for j in range(1, min(MAXLEN, len(w)) + 1):
+            head = w[:j]
+            for rest in all_segmentations(w[j:]):
+                yield (head,) + rest
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        word=st.text(alphabet="abc", min_size=1, max_size=7),
+        costs=st.dictionaries(
+            st.text(alphabet="abc", min_size=1, max_size=MAXLEN),
+            st.integers(min_value=1, max_value=50),
+            max_size=12,
+        ),
+    )
+    def check(word, costs):
+        # chars always costed (the coverage floor learn guarantees)
+        cost = {c: 7 for c in "abc"} | costs
+
+        def score(seg):
+            return (
+                sum(cost.get(p, UNK) for p in seg),
+                len(seg),
+                seg,
+            )
+
+        valid = [
+            seg
+            for seg in all_segmentations(word)
+            # pieces >1 char must be in the table (the DP's rule);
+            # single chars fall back to UNK
+            if all(len(p) == 1 or p in cost for p in seg)
+        ]
+        want = min(valid, key=score)
+        got = tuple(
+            _viterbi_segment(word, cost, max_piece_len=MAXLEN, unk_cost=UNK)
+        )
+        assert score(got) == score(want) and got == want
+
+    check()
+
+
+def test_corpus_diff_hypothesis_vs_brute_force(spark):
+    """Property pin: corpus_diff over random id/group/text frames
+    equals a pure-Python recount of every column (token counting
+    included), covering duplicate-free random overlap patterns, NULL
+    groups, NULL/empty texts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_dist_explore_spark.operators.dedup import corpus_diff
+
+    texts = st.one_of(
+        st.none(),
+        st.sampled_from(
+            ["", "a b", "a  b  c", "x", "w1 w2 w3 w4", "a b", "Z z"]
+        ),
+    )
+    row = st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.sampled_from(["s0", "s1", None]),
+        texts,
+    )
+    frames = st.tuples(
+        st.lists(row, max_size=10, unique_by=lambda r: r[0]),
+        st.lists(row, max_size=10, unique_by=lambda r: r[0]),
+    )
+
+    def norm(t):
+        return " ".join((t or "").lower().split())
+
+    def ntok(t):
+        n = norm(t)
+        return 0 if n == "" else len(n.split(" "))
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(frames=frames)
+    def check(frames):
+        old_rows, new_rows = frames
+        old = spark.createDataFrame(
+            old_rows, "doc_id bigint, source string, text string"
+        ) if old_rows else spark.createDataFrame(
+            [], "doc_id bigint, source string, text string"
+        )
+        new = spark.createDataFrame(
+            new_rows, "doc_id bigint, source string, text string"
+        ) if new_rows else spark.createDataFrame(
+            [], "doc_id bigint, source string, text string"
+        )
+        got = {
+            r["group"]: r.asDict()
+            for r in corpus_diff(old, new, group_col="source").collect()
+        }
+        om = {r[0]: r for r in old_rows}
+        nm = {r[0]: r for r in new_rows}
+        agg: dict = {}
+        for i in set(om) | set(nm):
+            o, n = om.get(i), nm.get(i)
+            grp = (n[1] if n is not None else o[1]) or ""
+            a = agg.setdefault(
+                grp,
+                dict.fromkeys(
+                    [
+                        "n_added", "n_removed", "n_changed", "n_unchanged",
+                        "tokens_added", "tokens_removed",
+                        "tokens_changed_delta", "n_old", "n_new",
+                        "tokens_old", "tokens_new",
+                    ],
+                    0,
+                ),
+            )
+            if o is None:
+                a["n_added"] += 1
+                a["tokens_added"] += ntok(n[2])
+            elif n is None:
+                a["n_removed"] += 1
+                a["tokens_removed"] += ntok(o[2])
+            elif norm(o[2]) != norm(n[2]):
+                a["n_changed"] += 1
+                a["tokens_changed_delta"] += ntok(n[2]) - ntok(o[2])
+            else:
+                a["n_unchanged"] += 1
+            if o is not None:
+                a["n_old"] += 1
+                a["tokens_old"] += ntok(o[2])
+            if n is not None:
+                a["n_new"] += 1
+                a["tokens_new"] += ntok(n[2])
+        assert set(got) == set(agg)
+        for grp, want in agg.items():
+            for k, v in want.items():
+                assert got[grp][k] == v, (grp, k)
+
+    check()
+
+
 def test_tokenizer_fertility_ab_bpe_vs_unigram(spark):
     """The A/B the shared fertility schema exists for: learn BOTH
     tokenizers on the real sf0.001 corpus at comparable vocab budgets
