@@ -2,7 +2,9 @@
 """End-to-end curation demo over the sf0.001 testdata: JSONL ingest →
 quality gates (heuristic + Gopher rules + hashed-gram classifier) →
 scrub → exact + near-dup dedup → DSIR target-match selection → split →
-training shards.  Run: python examples/curate_demo.py
+training shards → shard-integrity verify → tokenizer induction
+(BPE vs unigram-LM fertility A/B) → next-crawl snapshot diff.
+Run: python examples/curate_demo.py
 
 Every stage here is ONE lazy DataFrame plan until the final writes —
 the same code shape a 1000-executor cluster runs; only the session
@@ -159,6 +161,58 @@ def main() -> None:
     from pyspark_dist_explore_spark import verify_training_shards
 
     verify_training_shards(spark, f"{work}/shards").show()
+
+    # 8. tokenizer induction on the CURATED corpus (X40 + X48): learn a
+    # BPE merge table (batched symbol-disjoint rounds) and a unigram-LM
+    # vocab from the same word-frequency statistics, then A/B fertility —
+    # the sizing signal a vocab decision is graded on -----------------------
+    from pyspark_dist_explore_spark import (
+        bpe_encode,
+        bpe_learn,
+        unigram_encode,
+        unigram_lm_learn,
+    )
+
+    kept_docs = kept_text.select("doc_id", "text")
+    merges = bpe_learn(kept_docs, "text", k=16, batch_merges=4)
+    vocab = unigram_lm_learn(
+        kept_docs, "text", vocab_size=64, max_piece_len=4, seed_size=128
+    )
+    fert = (
+        bpe_encode(kept_docs, "text", "doc_id", merges)
+        .selectExpr("doc_id", "n_tokens", "n_subwords AS bpe_subwords")
+        .join(
+            unigram_encode(kept_docs, "text", "doc_id", vocab).selectExpr(
+                "doc_id", "n_subwords AS unigram_subwords"
+            ),
+            "doc_id",
+        )
+        .groupBy()
+        .agg(
+            F.sum("n_tokens").alias("words"),
+            F.round(F.sum("bpe_subwords") / F.sum("n_tokens"), 3).alias(
+                "bpe_fertility"
+            ),
+            F.round(F.sum("unigram_subwords") / F.sum("n_tokens"), 3).alias(
+                "unigram_fertility"
+            ),
+        )
+    )
+    fert.show()
+
+    # 9. next month's crawl arrives: snapshot-diff it against the landed
+    # dump BEFORE re-running the pipeline (X49).  Identical content-
+    # fingerprinting manifests would skip the scan entirely
+    # (corpus_diff_dirs); here the in-memory form shows the per-source
+    # audit card over a simulated re-crawl --------------------------------
+    from pyspark_dist_explore_spark import corpus_diff
+
+    recrawl = corpus.where(F.col("doc_id") % 11 != 0).unionByName(
+        corpus.where(F.col("doc_id") % 9 == 4).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    corpus_diff(corpus, recrawl, group_col="source").orderBy("group").show(6)
 
     spark.stop()
 
