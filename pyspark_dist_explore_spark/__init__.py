@@ -62,7 +62,11 @@ from pyspark_dist_explore_spark.operators.decontam import (
     decontaminate_winnow,
 )
 from pyspark_dist_explore_spark.operators.dedup import normalize_unicode
-from pyspark_dist_explore_spark.operators.packing import chunk_documents, pack_sequences
+from pyspark_dist_explore_spark.operators.packing import (
+    chunk_documents,
+    pack_related_documents,
+    pack_sequences,
+)
 from pyspark_dist_explore_spark.operators.sampling import (
     hash_split,
     select_by_token_budget,
@@ -326,6 +330,7 @@ __all__ = [
     "unigram_lm_learn",
     "unigram_seed_candidates",
     "stream_curate_lite",
+    "pack_related_documents",
     "verify_training_shards",
     "write_bucketed_table",
     "write_jsonl",

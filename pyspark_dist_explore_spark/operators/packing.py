@@ -181,6 +181,132 @@ def pack_sequences(
     return base.groupBy("bucket").applyInPandas(greedy, schema=_PACK_SCHEMA)
 
 
+def pack_related_documents(
+    docs: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    token_count_col: str | None = None,
+    text_col: str | None = None,
+    max_tokens: int = 2048,
+    centroids: DataFrame | None = None,
+    n_domains: int = 16,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_round: int | None = None,
+    hash_fn: str = "xxhash64",
+    dim: int | None = None,
+    missing_domain: int = -1,
+    fit_sample_mod: int | None = 4,
+    max_fit_rows: int | None = 1 << 18,
+) -> DataFrame:
+    """X50: SEMANTIC-LOCALITY packing — the in-context-pretraining
+    recipe (Shi et al. 2023, "In-Context Pretraining", arXiv:
+    2310.10638): pack RELATED documents into the same context window
+    instead of random neighbors, so the model sees coherent long-range
+    context.  Output ``(doc_id, n_tokens, domain, pack_id, oversize)``.
+
+    The Spark-first deterministic construction (the exact greedy
+    nearest-neighbor path of the paper is a sequential traveling-
+    salesman walk — not a bounded-state distributed operator):
+
+    1. coarse RELATEDNESS via :func:`~pyspark_dist_explore_spark.
+       operators.similarity.assign_domains` (X47) — fixed centroids
+       make the whole chain deterministic and oracle-checkable;
+    2. WITHIN-domain semantic ordering by the first Johnson-
+       Lindenstrauss component (X34 :func:`~pyspark_dist_explore_spark.
+       operators.similarity.random_projection`, the shared LSH plane
+       family): a 1-D locality-sensitive ordering — nearby embeddings
+       get nearby sort keys, so consecutive docs in the pack order are
+       likely neighbors — with ``(rp1, id)`` as the deterministic total
+       order;
+    3. the cumsum pack window of :func:`pack_sequences` partitioned by
+       domain: exclusive running token sum → floor-division pack ids.
+
+    Docs WITHOUT an embedding land in the ``missing_domain`` partition
+    (packed together at the domain order's end, NULL rp keys last) —
+    the output is total, nothing is dropped.
+
+    Scale shape: one vectors-sized aggregate (the X47 broadcast-argmax,
+    payload-free buffer) + one row-local projection, one id equi-join
+    of the two vector-derived frames, one docs⋈labels equi-join, and
+    ONE rank-window exchange partitioned by domain (the cap_per_key
+    shape).  Skew lever: domains are the window partitions — size
+    ``n_domains`` so the largest domain fits a task (KMeans cells are
+    usually balanced; a pathological hot domain is re-split by raising
+    ``n_domains``, the SemDeDup guard story).  At 100 TB bucket docs
+    and vectors by the id to elide both equi-join shuffles.
+    """
+    from pyspark_dist_explore_spark.operators.similarity import (
+        assign_domains,
+        random_projection,
+    )
+
+    if (token_count_col is None) == (text_col is None):
+        raise ValueError("provide exactly one of token_count_col / text_col")
+    if token_count_col is not None:
+        n_tokens = F.col(token_count_col).cast("bigint")
+    else:
+        from pyspark_dist_explore_spark.operators.dedup import normalize_text
+
+        norm = normalize_text(F.col(text_col))
+        n_tokens = (
+            F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+        ).cast("bigint")
+
+    dom = assign_domains(
+        vectors,
+        centroids,
+        n_domains=n_domains,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        assign_round=assign_round,
+        fit_sample_mod=fit_sample_mod,
+        max_fit_rows=max_fit_rows,
+    )
+    rp1 = random_projection(
+        vectors,
+        out_dim=1,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        hash_fn=hash_fn,
+        dim=dim,
+        scale=False,
+    ).select(F.col("vec_id"), F.element_at("rp", 1).alias("__rp1"))
+    meta = dom.join(rp1, dom[vec_id_col] == rp1["vec_id"]).select(
+        dom[vec_id_col].alias("__vid"), "domain", "__rp1"
+    )
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), n_tokens.alias("n_tokens"))
+        .join(meta, F.col("doc_id") == F.col("__vid"), "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("domain"), F.lit(missing_domain))
+            .cast("bigint")
+            .alias("domain"),
+            "__rp1",
+        )
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.asc_nulls_last("__rp1"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "domain",
+        (
+            (F.col("domain") - F.lit(missing_domain)).cast("bigint")
+            * F.lit(_PACK_STRIDE)
+            + F.floor(pre / F.lit(max_tokens)).cast("bigint")
+        ).alias("pack_id"),
+        (F.col("n_tokens") > max_tokens).cast("int").alias("oversize"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

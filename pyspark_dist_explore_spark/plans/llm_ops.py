@@ -1580,16 +1580,69 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from pyspark_dist_explore_spark.operators.packing import (  # noqa: E402
+    _PACK_STRIDE,
     chunk_documents,
     chunk_ids,
     chunk_pack_modes_sql,
     chunk_pack_sql,
+    pack_related_documents,
     pack_sequences,
 )
 
 _CHUNK_MAX = 128
 _CHUNK_OVERLAP = 16
 _PACK_MAX = 512
+#: X50 related-packing gate config: 4 fixed domain cells (the unit
+#: 1e-6-grid embeddings of vec_id < 4), 256-token packs
+_REL_CELLS = 4
+_REL_PACK_MAX = 256
+
+#: X50 related-section oracle: domains + JL ordering + the cumsum pack
+#: window over the 1e-6-discretized embeddings (exact integer rp keys,
+#: round@6 argmax — the embedding_quantize section disciplines), as a
+#: self-contained WITH subquery unioned under the chunk/pack oracle
+def _related_pack_sql() -> str:
+    unit6 = _UNIT.format(v="ve")
+    rp1 = similarity.random_projection_sql("ve", 1, scale=False)
+    return f"""
+WITH v6 AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000)) AS ve
+  FROM embeddings
+),
+u6 AS (SELECT vec_id, {unit6} AS uv FROM v6),
+c6 AS (SELECT vec_id AS cent_id, uv AS cv FROM u6 WHERE vec_id < {_REL_CELLS}),
+asg AS (
+  SELECT vec_id, cent_id AS dom FROM (
+    SELECT u6.vec_id, c6.cent_id,
+           row_number() OVER (
+             PARTITION BY u6.vec_id
+             ORDER BY round(list_dot_product(u6.uv, c6.cv), 6) DESC,
+                      c6.cent_id ASC
+           ) AS rn
+    FROM u6, c6
+  ) WHERE rn = 1
+),
+rp AS (SELECT vec_id, ({rp1})[1] AS rp1 FROM v6),
+rel AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN {_NORM.format(c="text")} = '' THEN 0
+              ELSE len(string_split({_NORM.format(c="text")}, ' ')) END AS BIGINT)
+           AS n_tokens,
+         COALESCE(a.dom, -1) AS domain, r.rp1
+  FROM documents d
+  LEFT JOIN asg a ON d.doc_id = a.vec_id
+  LEFT JOIN rp r ON d.doc_id = r.vec_id
+)
+SELECT doc_id AS chunk_id, n_tokens, CAST(domain AS INT) AS bucket,
+       (domain + 1) * {_PACK_STRIDE}
+         + CAST(floor(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY domain
+             ORDER BY rp1 ASC NULLS LAST, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {_REL_PACK_MAX}) AS BIGINT) AS pack_id,
+       CASE WHEN n_tokens > {_REL_PACK_MAX} THEN 1 ELSE 0 END AS oversize
+FROM rel"""
 
 
 @register(
@@ -1602,7 +1655,12 @@ _PACK_MAX = 512
         max_tokens=_PACK_MAX,
         buckets=32,
         norm_text_expr=_NORM.format(c="text"),
-    ),
+    )
+    + f"""
+UNION ALL
+SELECT 'related' AS mode, chunk_id, n_tokens, bucket, pack_id, oversize
+FROM ({_related_pack_sql()})
+""",
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch shaping end-to-end: stride-window CHUNKING
@@ -1619,7 +1677,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the greedy assignment, so chunk boundaries and BOTH pack
     assignments are hash-checked end-to-end.  Plain no-chunk packing
     keeps its own DuckDB-parity pytest
-    (tests/test_ops.py::test_pack_sequences_cumsum_matches_duckdb)."""
+    (tests/test_ops.py::test_pack_sequences_cumsum_matches_duckdb).
+
+    Round 12 adds ``mode='related'`` — X50 SEMANTIC-LOCALITY packing
+    (:func:`~pyspark_dist_explore_spark.operators.packing.
+    pack_related_documents`, the in-context-pretraining shape, Shi et
+    al. 2023): whole docs packed WITHIN fixed embedding domains in
+    JL-projection order so related documents share a context window;
+    domain labels, the exact-integer ordering keys, pack boundaries,
+    and oversize flags are all hash-checked (1e-6-grid inputs, round@6
+    argmax, md5 planes — the ``embedding_quantize`` disciplines)."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(
         docs, "text", "doc_id", max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
@@ -1645,7 +1712,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "oversize",
             )
         )
-    return out[0].unionByName(out[1])
+    # X50 (round 12): the SEMANTIC-LOCALITY mode — whole docs packed
+    # within fixed embedding domains, ordered by the exact-integer JL
+    # key over the 1e-6 grid (assign_round=6 argmax + md5 planes: the
+    # embedding_quantize section disciplines), so domain labels, order,
+    # pack boundaries, and oversize flags all hash-check cross-engine;
+    # docs without an embedding pack together under domain -1
+    emb6 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1e6)),
+        ).alias("embedding"),
+    )
+    cents = emb6.where(F.col("vec_id") < _REL_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        similarity._unit(F.col("embedding")).alias("cv"),
+    )
+    rel = pack_related_documents(
+        docs,
+        emb6,
+        "doc_id",
+        text_col="text",
+        max_tokens=_REL_PACK_MAX,
+        centroids=cents,
+        assign_round=6,
+        hash_fn="md5",
+        dim=embedding_dim(spark, sf_dir),
+    ).select(
+        F.lit("related").alias("mode"),
+        F.col("doc_id").alias("chunk_id"),
+        "n_tokens",
+        F.col("domain").cast("int").alias("bucket"),
+        "pack_id",
+        "oversize",
+    )
+    return out[0].unionByName(out[1]).unionByName(rel)
 
 
 # --------------------------------------------------------------------------

@@ -6301,6 +6301,140 @@ def test_corpus_diff_hypothesis_vs_brute_force(spark):
     check()
 
 
+# --------------------------------------------------------------------------
+# X50: semantic-locality packing (packing.pack_related_documents) —
+# in-context-pretraining shape (Shi et al. 2023, arXiv:2310.10638)
+# --------------------------------------------------------------------------
+
+
+def test_pack_related_documents_clusters_and_totality(spark):
+    """Planted two-cluster embeddings: packs NEVER mix clusters (domain
+    partitions the packs), pack budgets hold (cumsum semantics: one
+    boundary overflow doc max), a doc without an embedding lands in the
+    missing_domain partition — output total, nothing dropped."""
+    import itertools
+
+    from pyspark_dist_explore_spark.operators.packing import (
+        pack_related_documents,
+    )
+    from pyspark_dist_explore_spark.operators.similarity import _unit
+
+    # cluster A around +x, cluster B around +y
+    emb_rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            emb_rows.append((i, [10.0, float(i % 5), 0.0]))
+        else:
+            emb_rows.append((i, [float(i % 5), 10.0, 0.0]))
+    emb = spark.createDataFrame(emb_rows, "vec_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cent_id bigint, cv array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(21)],  # doc 20 has no embedding
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_related_documents(
+            docs, emb, text_col="text", max_tokens=8, centroids=cents
+        ).collect()
+    }
+    assert len(out) == 21  # total
+    assert out[20]["domain"] == -1
+    for i in range(20):
+        assert out[i]["domain"] == (0 if i % 2 == 0 else 1), i
+    # no pack id is shared across domains
+    by_pack: dict = {}
+    for r in out.values():
+        by_pack.setdefault(r["pack_id"], set()).add(r["domain"])
+    assert all(len(doms) == 1 for doms in by_pack.values())
+    # cumsum budget: total tokens per pack <= max + one boundary doc
+    packs: dict = {}
+    for r in out.values():
+        packs[r["pack_id"]] = packs.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(t <= 8 + 7 for t in packs.values())
+
+
+def test_pack_related_documents_beats_random_adjacency(spark):
+    """The point of X50: on the real embeddings, mean within-pack
+    pairwise cosine under related-packing strictly exceeds the
+    md5-bucketed pack_sequences baseline (random adjacency)."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators.packing import (
+        pack_related_documents,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.collect()
+    }
+    for v in vecs.values():
+        v /= np.linalg.norm(v)
+
+    def mean_within_pack_cos(assign):  # {doc_id: pack_id}
+        by_pack: dict = {}
+        for d, p in assign.items():
+            if d in vecs:
+                by_pack.setdefault(p, []).append(vecs[d])
+        sims = []
+        for members in by_pack.values():
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    sims.append(float(members[i] @ members[j]))
+        return sum(sims) / len(sims)
+
+    rel = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_related_documents(
+            docs, emb, text_col="text", max_tokens=512, n_domains=8,
+            fit_sample_mod=None, max_fit_rows=None,
+        ).collect()
+    }
+    base = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(
+            docs, "doc_id", text_col="text", max_tokens=512, buckets=8
+        ).collect()
+    }
+    rel_cos, base_cos = mean_within_pack_cos(rel), mean_within_pack_cos(base)
+    assert rel_cos > base_cos + 0.02, (rel_cos, base_cos)
+
+
+def test_pack_related_documents_plan_no_python_one_window(spark):
+    """X50 scale shape: the whole chain is JVM-side (broadcast-argmax
+    domains + JL ordering are expressions — zero Python stages) with
+    exactly ONE window exchange (partitioned by domain) and no
+    cartesian/NL join beyond the K-row broadcast."""
+    from pyspark_dist_explore_spark.operators.packing import (
+        pack_related_documents,
+    )
+    from pyspark_dist_explore_spark.operators.similarity import _unit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), _unit(F.col("embedding")).alias("cv")
+    )
+    plan = (
+        pack_related_documents(
+            docs, emb, text_col="text", max_tokens=256, centroids=cents
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") == 1
+    assert "partial_max_by" in plan  # the payload-free argmax buffer
+    assert "CartesianProduct" not in plan
+
+
 def test_tokenizer_fertility_ab_bpe_vs_unigram(spark):
     """The A/B the shared fertility schema exists for: learn BOTH
     tokenizers on the real sf0.001 corpus at comparable vocab budgets
