@@ -120,6 +120,54 @@ def main() -> None:
         }
         d.unpersist()
 
+    # ---- X50: semantic-locality packing, vectors grow Nx via
+    # sign-flip-rotated id-remapped copies (norms/intra-copy cosines
+    # preserved; copies distinct so domains split rather than collide)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    from pyspark_dist_explore_spark.operators.packing import (
+        pack_related_documents,
+    )
+
+    out["pack_related"] = {}
+    for n in (1, 10, 100):
+        d = copies(docs, n).localCheckpoint()
+        if n == 1:
+            e = emb
+        else:
+            from functools import reduce as _red
+
+            e = _red(
+                DataFrame.unionAll,
+                [
+                    emb.select(
+                        (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                        F.transform(
+                            "embedding",
+                            lambda x, idx=i: F.when(
+                                F.lit(idx % 2) == 1, -x
+                            ).otherwise(x),
+                        ).alias("embedding"),
+                    )
+                    for i in range(n)
+                ],
+            )
+        e = e.localCheckpoint()
+        t0 = time.perf_counter()
+        packed = pack_related_documents(
+            d,
+            e,
+            text_col="text",
+            max_tokens=2048,
+            n_domains=16,
+            fit_sample_mod=4,
+        )
+        n_packs = packed.select("pack_id").distinct().count()
+        t = round(time.perf_counter() - t0, 2)
+        out["pack_related"][f"{n}x"] = {"t": t, "packs": n_packs}
+        d.unpersist(); e.unpersist()
+
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "PROBE_R12.json"), "w") as fh:
         json.dump(out, fh, indent=1)

@@ -1687,6 +1687,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain labels, the exact-integer ordering keys, pack boundaries,
     and oversize flags are all hash-checked (1e-6-grid inputs, round@6
     argmax, md5 planes — the ``embedding_quantize`` disciplines)."""
+    parts = pack_sequences_parts(spark, sf_dir)
+    out = None
+    for df in parts.values():
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def pack_sequences_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """Per-mode frames of ``pack_sequences``, keyed by ``mode`` tag —
+    the registered query is exactly the union of these values in dict
+    order (see :func:`sampling_splits_parts`)."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(
         docs, "text", "doc_id", max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
@@ -1747,7 +1758,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         "oversize",
     )
-    return out[0].unionByName(out[1]).unionByName(rel)
+    return {"cumsum": out[0], "greedy": out[1], "related": rel}
 
 
 # --------------------------------------------------------------------------
@@ -3656,6 +3667,7 @@ def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SECTION_PARTS = {
     "dedup_incremental": dedup_incremental_parts,
+    "pack_sequences": pack_sequences_parts,
     "sampling_splits": sampling_splits_parts,
     "vector_exact_search": vector_exact_search_parts,
     "text_scrub_repetition": text_scrub_repetition_parts,
