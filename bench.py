@@ -6,8 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 The stdout JSON line is kept COMPACT (separators without spaces, 3-dp
 values, no per-query spread/cold maps) so it stays parseable inside the
 driver's bounded stdout-tail capture; the full per-query detail
-(min/cold/spread per attempt) is written to BENCH_DETAIL.json next to
-this script.
+(min/cold/spread per attempt, PLUS the per-section attribution map for
+the multi-section slots: a `sections` dict of min-of-2 wall times and
+the slot's eager `parts_build` time) is written to BENCH_DETAIL.json
+next to this script — a bench excursion localizes to a section in one
+read.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
