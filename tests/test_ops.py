@@ -6307,6 +6307,108 @@ def test_corpus_diff_hypothesis_vs_brute_force(spark):
 # --------------------------------------------------------------------------
 
 
+def test_unigram_learn_degenerate_corpora(spark):
+    """Edge semantics: an empty corpus and an all-empty/NULL corpus
+    both return an EMPTY vocab frame (schema intact, no crash); a
+    single-char corpus learns exactly its chars."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        unigram_encode,
+        unigram_lm_learn,
+    )
+
+    import pytest
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    v0 = unigram_lm_learn(empty, "text", vocab_size=8, em_rounds=1)
+    assert v0.columns == ["piece", "cnt", "cost"] and v0.count() == 0
+
+    blank = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   ")], "doc_id bigint, text string"
+    )
+    vb = unigram_lm_learn(blank, "text", vocab_size=8, em_rounds=1)
+    assert vb.count() == 0
+
+    onechar = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id bigint, text string"
+    )
+    vc = {r["piece"]: r["cnt"] for r in unigram_lm_learn(
+        onechar, "text", vocab_size=8, max_piece_len=2, em_rounds=1
+    ).collect()}
+    assert set(vc) == {"a", "b"} and vc["a"] == 3 and vc["b"] == 1
+
+    with pytest.raises(ValueError, match="empty vocab"):
+        unigram_encode(onechar, "text", "doc_id", v0)
+
+
+def test_pack_related_documents_hypothesis_purity_and_budget(spark):
+    """Property pin over random corpora: packs never mix domains, the
+    output is total, cumsum budgets hold (≤ max + one boundary doc),
+    and within a domain the pack ids are contiguous from the domain's
+    base (the floor-division invariant)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_dist_explore_spark.operators.packing import (
+        _PACK_STRIDE,
+        pack_related_documents,
+    )
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),     # doc_id
+            st.integers(min_value=0, max_value=9),      # token words
+            st.sampled_from([0, 1, 2, None]),           # cluster (None=no vec)
+        ),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda r: r[0],
+    )
+
+    axes = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows)
+    def check(rows):
+        docs = spark.createDataFrame(
+            [(i, "w " * n) for i, n, _ in rows],
+            "doc_id bigint, text string",
+        )
+        emb = spark.createDataFrame(
+            [(i, axes[c]) for i, _, c in rows if c is not None],
+            "vec_id bigint, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(k, v) for k, v in axes.items()],
+            "cent_id bigint, cv array<double>",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in pack_related_documents(
+                docs, emb, text_col="text", max_tokens=5, centroids=cents
+            ).collect()
+        }
+        assert set(got) == {i for i, _, _ in rows}  # total
+        for i, n, c in rows:
+            assert got[i]["n_tokens"] == n
+            assert got[i]["domain"] == (c if c is not None else -1)
+            base = (got[i]["domain"] + 1) * _PACK_STRIDE
+            assert base <= got[i]["pack_id"] < base + _PACK_STRIDE
+        packs: dict = {}
+        for r in got.values():
+            packs.setdefault(r["pack_id"], []).append(r)
+        for members in packs.values():
+            assert len({m["domain"] for m in members}) == 1
+            non_over = [m["n_tokens"] for m in members if not m["oversize"]]
+            # cumsum: at most one boundary doc overflows the budget
+            assert sum(non_over) <= 5 + max(non_over or [0])
+
+    check()
+
+
 def test_pack_related_documents_clusters_and_totality(spark):
     """Planted two-cluster embeddings: packs NEVER mix clusters (domain
     partitions the packs), pack budgets hold (cumsum semantics: one
