@@ -2443,6 +2443,7 @@ def unigram_lm_learn(
     seed_size: int = 256,
     em_rounds: int = 2,
     cost_scale: int = 1 << 20,
+    max_seed: int = 1 << 20,
 ) -> DataFrame:
     """X48: induce a unigram-LM tokenizer vocabulary (Kudo 2018,
     hard-EM/Viterbi variant): ``(piece, cnt, cost)`` — the final vocab
@@ -2456,6 +2457,14 @@ def unigram_lm_learn(
     vocab.  Single characters are never pruned (coverage: every word
     always segments); if ``vocab_size ≤ |chars|`` the vocab is chars
     only, documented rather than raising.
+
+    **Practical size ceiling** (the X40 ``max_merges`` convention):
+    the seed and every M-step are driver collects (model-sized by
+    design) and each EM round ships the cost dict in the UDF closure —
+    fine to ~10⁶ pieces, wrong for a 10⁷-candidate production seed.
+    ``max_seed`` (default 2²⁰) raises with the honest alternative
+    (export :func:`bpe_word_freqs`, train single-machine) rather than
+    letting a vocab-scale seed through silently.
 
     Exactness: piece costs are integers computed once per round from
     integer counts (:func:`_unigram_costs` — the only transcendental,
@@ -2477,6 +2486,17 @@ def unigram_lm_learn(
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     if em_rounds < 1:
         raise ValueError(f"em_rounds must be >= 1, got {em_rounds}")
+    if seed_size > max_seed:
+        raise ValueError(
+            f"seed_size={seed_size} exceeds max_seed={max_seed}: the seed "
+            "candidates and every M-step collect to the driver (they ARE "
+            "the model), and each EM round ships the cost dict to every "
+            "executor. For a production-vocab induction, export "
+            "bpe_word_freqs(df, text_col) — the type table is "
+            "driver-sized — and train single-machine (SentencePiece "
+            "accepts word-frequency input); or pass an explicit max_seed "
+            "if you accept the driver/closure footprint."
+        )
     spark = df.sparkSession
     types = bpe_word_freqs(df, text_col).localCheckpoint()
     from pyspark_dist_explore_spark.operators.dedup import (

@@ -6339,6 +6339,9 @@ def test_unigram_learn_degenerate_corpora(spark):
     with pytest.raises(ValueError, match="empty vocab"):
         unigram_encode(onechar, "text", "doc_id", v0)
 
+    with pytest.raises(ValueError, match="max_seed"):
+        unigram_lm_learn(onechar, "text", seed_size=1 << 21)
+
 
 def test_pack_related_documents_hypothesis_purity_and_budget(spark):
     """Property pin over random corpora: packs never mix domains, the
