@@ -103,6 +103,8 @@ from pyspark_dist_explore_spark.operators.dsir import (
 from pyspark_dist_explore_spark.operators.dedup import (
     canonicalize_url,
     corpus_diff,
+    markup_stats,
+    strip_markup,
     corpus_overlap,
     corpus_overlap_matrix,
     incremental_minhash_neardup,
@@ -331,6 +333,8 @@ __all__ = [
     "unigram_seed_candidates",
     "stream_curate_lite",
     "pack_related_documents",
+    "strip_markup",
+    "markup_stats",
     "verify_training_shards",
     "write_bucketed_table",
     "write_jsonl",

@@ -241,6 +241,87 @@ def url_host_sql(c: str) -> str:
     return f"CASE WHEN {scheme_l} = '' THEN '' ELSE {host} END"
 
 
+#: markup-stripping patterns — ONE definition for both engines (shared
+#: Java-regex/RE2 subset: inline (?is) flags, non-greedy, NO
+#: lookarounds).  Order matters: comments/script/style blocks first
+#: (their bodies may contain '<'), then remaining tags, then entity
+#: decodes with &amp; strictly LAST (decoding it first would turn
+#: '&amp;lt;' into '<' instead of the literal '&lt;' HTML specifies).
+MARKUP_COMMENT_RE = r"(?s)<!--.*?-->"
+MARKUP_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+MARKUP_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+MARKUP_TAG_RE = r"(?s)</?[a-zA-Z!][^>]*>"
+MARKUP_ENTITY_RE = r"&(amp|lt|gt|quot|apos|nbsp|#39);"
+
+#: decode table applied in order (amp LAST — see above); nbsp becomes a
+#: space the final whitespace collapse folds
+_MARKUP_DECODES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(t: Column) -> Column:
+    """X51: heuristic HTML/markup stripping — the WET-extraction
+    normalization a crawl pipeline runs before any text gate: drop
+    comments / ``<script>`` / ``<style>`` blocks wholesale, remove
+    remaining tags (``<[letter/!]...>`` only, so bare math like
+    ``a < b`` survives), decode the common named entities (``&amp;``
+    last, per the spec), collapse whitespace, trim.  NULL stays NULL.
+
+    This is a regex-level boilerplate stripper (the public WET/C4
+    lineage), NOT an HTML parser: pathological markup (an unclosed
+    ``<`` followed by a later ``>``) over-strips — acceptable for
+    quality-gated pretraining text, wrong for archival fidelity.
+    Row-local, whole-stage codegen; :func:`strip_markup_sql` renders
+    the identical chain for DuckDB, so the TRANSFORMATION is
+    hash-checkable string-for-string."""
+    out = F.regexp_replace(t, MARKUP_COMMENT_RE, " ")
+    out = F.regexp_replace(out, MARKUP_SCRIPT_RE, " ")
+    out = F.regexp_replace(out, MARKUP_STYLE_RE, " ")
+    out = F.regexp_replace(out, MARKUP_TAG_RE, " ")
+    for ent, repl in _MARKUP_DECODES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def markup_stats(t: Column) -> tuple[Column, Column]:
+    """(n_tags, n_entities) of the RAW text — the audit counters beside
+    the stripped form (both BIGINT, class A; the DuckDB twins render
+    ``len(regexp_extract_all(...))`` over the same patterns)."""
+    return (
+        F.regexp_count(t, F.lit(MARKUP_TAG_RE)).cast("bigint"),
+        F.regexp_count(t, F.lit(MARKUP_ENTITY_RE)).cast("bigint"),
+    )
+
+
+def strip_markup_sql(c: str) -> str:
+    """DuckDB rendering of :func:`strip_markup` — same patterns, same
+    order, same entity table (RE2 needs the explicit ``'g'``/``'s'``
+    flags where Java uses inline ones; inline ``(?is)`` works in both)."""
+    out = f"regexp_replace({c}, '{MARKUP_COMMENT_RE}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{MARKUP_SCRIPT_RE}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{MARKUP_STYLE_RE}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{MARKUP_TAG_RE}', ' ', 'g')"
+    for ent, repl in _MARKUP_DECODES:
+        r = repl.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{r}')"
+    return f"trim(regexp_replace({out}, '\s+', ' ', 'g'))"
+
+
+def markup_stats_sql(c: str) -> tuple[str, str]:
+    """DuckDB rendering of :func:`markup_stats`."""
+    return (
+        f"CAST(len(regexp_extract_all({c}, '{MARKUP_TAG_RE}')) AS BIGINT)",
+        f"CAST(len(regexp_extract_all({c}, '{MARKUP_ENTITY_RE}')) AS BIGINT)",
+    )
+
+
 # --------------------------------------------------------------------------
 # X1: exact dedup with deterministic survivor
 # --------------------------------------------------------------------------

@@ -3548,6 +3548,39 @@ def embedding_quantize_parts(
     }
 
 
+#: X51 messy-HTML adapter pieces (the inject_punctuation convention:
+#: the corpus carries no markup, so the gate synthesizes deterministic
+#: markup around each doc — block constructs with tricky bodies, a
+#: doc-varying entity run and inline-tag run for count sensitivity).
+#: Double-quoted attributes only, so the SQL literal needs no escaping.
+_HTML_PRE = (
+    '<!DOCTYPE html><html lang="en"><head>'
+    '<script type="text/js">if (a<b) (x && y);</script>'
+    '<style media="all">p (margin)</style>'
+    "<!-- hdr --></head><body id=\"m\">"
+)
+_HTML_POST = "tail</b></body></html>"
+
+
+def _messy_html_sql() -> str:
+    return (
+        "'" + _HTML_PRE + "' || repeat('&amp;x ', CAST(doc_id % 4 AS INT))"
+        " || COALESCE(text, '') || ' <b>'"
+        " || repeat('&nbsp;', CAST(doc_id % 3 AS INT)) || '" + _HTML_POST + "'"
+    )
+
+
+def _messy_html_col() -> F.Column:
+    return F.concat(
+        F.lit(_HTML_PRE),
+        F.expr("repeat('&amp;x ', CAST(doc_id % 4 AS INT))"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" <b>"),
+        F.expr("repeat('&nbsp;', CAST(doc_id % 3 AS INT))"),
+        F.lit(_HTML_POST),
+    )
+
+
 def _messy_url_sql() -> str:
     """The synthesized MESSY URL per doc for the X42 gate section —
     deterministic md5-parity variant choices (the `inject_punctuation`
@@ -3625,7 +3658,10 @@ SELECT doc_id,
             WHEN regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') <> text
             THEN 1 ELSE 0 END AS changed,
        {dedup.canonicalize_url_sql(_messy_url_sql())} AS url_canon,
-       {dedup.url_host_sql(_messy_url_sql())} AS url_host
+       {dedup.url_host_sql(_messy_url_sql())} AS url_host,
+       md5({dedup.strip_markup_sql(_messy_html_sql())}) AS html_hash,
+       {dedup.markup_stats_sql(_messy_html_sql())[0]} AS n_tags,
+       {dedup.markup_stats_sql(_messy_html_sql())[1]} AS n_entities
 FROM documents
 """,
 )
@@ -3649,13 +3685,29 @@ def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     normed = dedup.normalize_unicode(docs, "text", "doc_id")
     messy = _messy_url_col()  # depends only on doc_id — rides the same projection
+    # X51 (round 12): markup stripping over the messy-HTML adapter —
+    # block removal (script/style/comment), tag removal, ordered entity
+    # decode (&amp; last), whitespace collapse — md5 of the stripped
+    # text plus the raw tag/entity counters, all doc-varying
+    mh = _messy_html_col()
+    n_tags, n_entities = dedup.markup_stats(mh)
+    # the adapter reads the ORIGINAL text; normalize_unicode rewrote its
+    # text column, so the html card computes from the source frame and
+    # joins back on the id (normalize_unicode is an Arrow stage — its
+    # exprs can't ride the same projection)
+    html = docs.select(
+        "doc_id",
+        F.md5(dedup.strip_markup(mh)).alias("html_hash"),
+        n_tags.alias("n_tags"),
+        n_entities.alias("n_entities"),
+    )
     return normed.select(
         "doc_id",
         F.md5("text").alias("norm_hash"),
         "changed",
         dedup.canonicalize_url(messy).alias("url_canon"),
         dedup.url_host(messy).alias("url_host"),
-    )
+    ).join(html, "doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -5944,6 +5944,79 @@ def test_bpe_fertility_dynamic_twin(spark):
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# X51: heuristic markup stripping (dedup.strip_markup / markup_stats)
+# --------------------------------------------------------------------------
+
+
+def test_strip_markup_semantics_and_twin(spark):
+    """Hand-pinned semantics + DuckDB string-for-string twin: block
+    constructs (script/style/comment) vanish wholesale even with '<'
+    in their bodies, remaining tags become spaces, bare math survives
+    (tags must start with a letter or '!'), entities decode in spec
+    order ('&amp;lt;' -> literal '&lt;', never '<'), '&nbsp;' folds
+    into the whitespace collapse, NULL stays NULL — and the stripped
+    output really carries no residual markup (n_tags == 0)."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.dedup import (
+        markup_stats,
+        markup_stats_sql,
+        strip_markup,
+        strip_markup_sql,
+    )
+
+    rows = [
+        (1, '<!DOCTYPE html><html><head><script type="x">if (a<b) (x && y);'
+            '</script><style>p (m)</style><!-- c --></head>'
+            '<body id="d">Hello <b>world</b> &amp; friends</body></html>'),
+        (2, "plain text, a < b and c > d stay"),
+        (3, "&amp;lt; decodes to &lt; literally; &nbsp;spaced&nbsp;out"),
+        (4, None),
+        (5, ""),
+        (6, "<p>multi\nline <I CLASS=\"x\">caps</I> tag</p>"),
+        (7, "&quot;q&quot; &apos;a&apos; &#39;n&#39; &gt;&lt;"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    nt, ne = markup_stats(F.col("text"))
+    got = [
+        tuple(r)
+        for r in df.select(
+            "doc_id",
+            strip_markup(F.col("text")).alias("s"),
+            nt.alias("nt"),
+            ne.alias("ne"),
+        ).orderBy("doc_id").collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    st, se = markup_stats_sql("text")
+    want = [
+        tuple(r)
+        for r in con.execute(
+            f"SELECT doc_id, {strip_markup_sql('text')} AS s, {st}, {se} "
+            "FROM t ORDER BY doc_id"
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+    by = {r[0]: r for r in got}
+    assert by[1][1] == "Hello world & friends"
+    assert by[2][1] == "plain text, a < b and c > d stay" and by[2][2] == 0
+    assert by[3][1] == "&lt; decodes to < literally; spaced out"
+    assert by[4][1] is None
+    assert by[6][1] == "multi line caps tag"
+    assert by[7][1] == "\"q\" 'a' 'n' ><"
+    # no residual markup in the stripped output
+    stripped = df.where("text IS NOT NULL").select(
+        strip_markup(F.col("text")).alias("s")
+    )
+    nt2, _ = markup_stats(F.col("s"))
+    leftover = stripped.select(nt2.alias("n")).groupBy().sum("n").collect()[0][0]
+    assert leftover == 0
+
+
 def test_unigram_seed_candidates_duckdb_twin(spark):
     """The seed candidate table (all chars + top-N multi-char
     substrings, corpus-weighted, (cnt DESC, piece ASC) tie-break) is
