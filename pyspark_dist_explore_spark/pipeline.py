@@ -293,6 +293,7 @@ def curate_documents(
     dsir_text_col: str | None = None,
     host_cap: tuple[str, int] | None = None,
     host_cap_salt: str = "cap0",
+    strip_markup: bool = False,
     mixture_epochs: dict[str, int] | None = None,
     mixture_epochs_salt: str = "mix0",
     quality_top_frac: tuple[int, int] | None = None,
@@ -321,6 +322,12 @@ def curate_documents(
     post-dedup corpus.  The write refuses a non-empty ``snapshot_dir``
     that lacks a ``_SUCCESS`` marker (i.e. anything that is not a
     previous snapshot) so a typo'd path can't silently delete data.
+
+    ``strip_markup=True`` (opt-in, round 12) rewrites the text through
+    the X51 heuristic markup stripper FIRST among the text rewrites —
+    decoded entities feed the unicode fold below, and every downstream
+    gate/fingerprint sees prose instead of tags (crawl text that
+    arrives as WET-like extractions skips it).
 
     ``unicode_form="NFC"`` (opt-in) runs Unicode canonicalization
     before every other stage (:func:`operators.dedup.normalize_unicode`
@@ -502,6 +509,17 @@ def curate_documents(
 
         cap_key, cap_n = host_cap
         docs = cap_per_key(docs, cap_key, id_col, cap_n, salt=host_cap_salt)
+
+    if strip_markup:
+        # X51: markup off FIRST among the text rewrites — entities
+        # decode into characters the unicode fold below canonicalizes,
+        # and no gate/fingerprint should ever score tags (row-local
+        # regex chain, rides the same scan)
+        from pyspark_dist_explore_spark.operators.dedup import (
+            strip_markup as _strip_markup,
+        )
+
+        docs = docs.withColumn(text_col, _strip_markup(F.col(text_col)))
 
     if unicode_form is not None:
         # Unicode canonicalization FIRST (opt-in): a multilingual crawl

@@ -1323,3 +1323,31 @@ def test_curate_materialize_stages_rewritten_corpus(spark):
         for r in curate_documents(docs, materialize=True, **kw).collect()
     )
     assert plain == staged and plain
+
+def test_curate_strip_markup_stage(spark):
+    """strip_markup=True: a markup-wrapped corpus curates to the SAME
+    keep-list as its clean counterpart (tags/entities never reach the
+    gates or fingerprints); without the stage, the wrapped corpus
+    scores differently."""
+    from pyspark_dist_explore_spark.pipeline import curate_documents
+
+    clean = [
+        (i, "the quick brown fox jumps over the lazy dog near the "
+            f"river bank number {i} with many fine common words")
+        for i in range(30)
+    ]
+    wrapped = [
+        (i, f'<html><script>x<y</script><body class="m">{t}'
+            f"</body>&nbsp;</html>")
+        for i, t in clean
+    ]
+    cdf = spark.createDataFrame(clean, "doc_id bigint, text string")
+    wdf = spark.createDataFrame(wrapped, "doc_id bigint, text string")
+    kw = dict(min_quality=0.0, allowed_langs=None)
+    base = {r["doc_id"] for r in curate_documents(cdf, **kw).collect()}
+    stripped = {
+        r["doc_id"]
+        for r in curate_documents(wdf, strip_markup=True, **kw).collect()
+    }
+    assert stripped == base and len(base) > 0
+
