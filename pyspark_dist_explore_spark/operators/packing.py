@@ -225,7 +225,9 @@ def pack_related_documents(
 
     Docs WITHOUT an embedding land in the ``missing_domain`` partition
     (packed together at the domain order's end, NULL rp keys last) —
-    the output is total, nothing is dropped.
+    the output is total, nothing is dropped.  ``vec_id`` must be unique
+    in ``vectors`` (a duplicated id would fan the doc out through the
+    label join), the snapshot contract shared with ``corpus_diff``.
 
     Scale shape: one vectors-sized aggregate (the X47 broadcast-argmax,
     payload-free buffer) + one row-local projection, one id equi-join
