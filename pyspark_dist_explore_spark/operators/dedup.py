@@ -1845,7 +1845,9 @@ def corpus_diff(
     old group; NULL groups fold to ``''``.  ``token_col=None`` counts
     normalized whitespace tokens from ``text_col``.  ``id_col`` must be
     unique per side (snapshot semantics — a duplicated id would
-    fan out through the join).
+    fan out through the join); a NULL id never equi-joins, so a NULL-id
+    row counts as removed on the old side AND added on the new side
+    rather than matching itself — fix ids upstream.
 
     Scale shape: ONE scan per side projecting ``(id, group, fp,
     tokens)`` — row-local md5 + token count, no text crossing the
