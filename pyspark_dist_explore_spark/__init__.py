@@ -66,6 +66,7 @@ from pyspark_dist_explore_spark.operators.packing import (
     chunk_documents,
     pack_related_documents,
     pack_sequences,
+    packing_efficiency,
 )
 from pyspark_dist_explore_spark.operators.sampling import (
     hash_split,
@@ -333,6 +334,7 @@ __all__ = [
     "unigram_seed_candidates",
     "stream_curate_lite",
     "pack_related_documents",
+    "packing_efficiency",
     "strip_markup",
     "markup_stats",
     "verify_training_shards",

@@ -181,6 +181,108 @@ def pack_sequences(
     return base.groupBy("bucket").applyInPandas(greedy, schema=_PACK_SCHEMA)
 
 
+def packing_efficiency(
+    packed: DataFrame,
+    max_tokens: int,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """The PACKING AUDIT CARD — the numbers a trainer tunes
+    ``max_tokens`` (and the packing mode) by: per group (``group_col``,
+    e.g. the cumsum ``bucket`` or X50 ``domain``; one ``''`` row when
+    None):
+
+    ``(group, n_docs, n_packs, n_oversize, total_tokens, capacity,
+    waste_tokens, fill_num, fill_den)`` — all exact BIGINTs (class A).
+    ``capacity = n_packs · max_tokens`` counts only non-oversize docs'
+    packs' budget; ``waste = capacity − packed_tokens`` is the padding
+    a dataloader would burn; ``fill_num/fill_den`` is the fill rate as
+    an exact rational (``packed_tokens / capacity``) — divide at the
+    edge, not in the engine (the ORACLES.md class-A rule).  Oversize
+    docs (> max_tokens alone) are EXCLUDED from capacity/waste — they
+    ride solo whatever the budget — and reported in ``n_oversize`` +
+    ``oversize_tokens``.  Under cumsum packing, ``waste_tokens`` can go
+    mildly NEGATIVE: the cumsum boundary lets one doc overflow each
+    pack's budget (the documented mode semantics), so a group can pack
+    more regular tokens than ``n_packs · max_tokens``; greedy mode is
+    strictly ≤ budget and its waste is always ≥ 0.
+
+    Input: any :func:`pack_sequences` / :func:`pack_related_documents`
+    output (``doc_id, n_tokens, pack_id, oversize``).  TWO group-sized
+    aggregates (pack rollup → group rollup), no joins, no Python.
+    """
+    g = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+        if group_col is not None
+        else F.lit("")
+    )
+    per_pack = (
+        packed.select(
+            g.alias("group"),
+            "pack_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("oversize").cast("int").alias("oversize"),
+        )
+        .groupBy("group", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum(F.when(F.col("oversize") == 0, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tok"),
+            F.sum(F.when(F.col("oversize") == 1, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("otok"),
+            F.sum("oversize").cast("bigint").alias("over"),
+            F.max((F.col("oversize") == 0).cast("int")).alias("has_regular"),
+        )
+    )
+    cap = F.sum(F.col("has_regular").cast("bigint")) * F.lit(max_tokens)
+    return per_pack.groupBy("group").agg(
+        F.sum("docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.sum("over").cast("bigint").alias("n_oversize"),
+        (F.sum("tok") + F.sum("otok")).cast("bigint").alias("total_tokens"),
+        F.sum("otok").cast("bigint").alias("oversize_tokens"),
+        cap.cast("bigint").alias("capacity"),
+        (cap - F.sum("tok")).cast("bigint").alias("waste_tokens"),
+        F.sum("tok").cast("bigint").alias("fill_num"),
+        cap.cast("bigint").alias("fill_den"),
+    )
+
+
+def packing_efficiency_sql(
+    src: str, max_tokens: int, *, group_col: str | None = None
+) -> str:
+    """DuckDB twin of :func:`packing_efficiency` — ``src`` must yield
+    ``(doc_id, n_tokens, pack_id, oversize[, group])``."""
+    g = (
+        f"COALESCE(CAST({group_col} AS VARCHAR), '')"
+        if group_col is not None
+        else "''"
+    )
+    return f"""
+WITH pe_p AS (
+  SELECT {g} AS "group", pack_id,
+         CAST(count(*) AS BIGINT) AS docs,
+         CAST(SUM(CASE WHEN oversize = 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok,
+         CAST(SUM(CASE WHEN oversize = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS otok,
+         CAST(SUM(oversize) AS BIGINT) AS over,
+         MAX(CASE WHEN oversize = 0 THEN 1 ELSE 0 END) AS has_regular
+  FROM ({src}) z GROUP BY 1, 2
+)
+SELECT "group",
+       CAST(SUM(docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(SUM(over) AS BIGINT) AS n_oversize,
+       CAST(SUM(tok) + SUM(otok) AS BIGINT) AS total_tokens,
+       CAST(SUM(otok) AS BIGINT) AS oversize_tokens,
+       CAST(SUM(has_regular) * {max_tokens} AS BIGINT) AS capacity,
+       CAST(SUM(has_regular) * {max_tokens} - SUM(tok) AS BIGINT) AS waste_tokens,
+       CAST(SUM(tok) AS BIGINT) AS fill_num,
+       CAST(SUM(has_regular) * {max_tokens} AS BIGINT) AS fill_den
+FROM pe_p GROUP BY 1"""
+
+
 def pack_related_documents(
     docs: DataFrame,
     vectors: DataFrame,

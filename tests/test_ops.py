@@ -6485,6 +6485,58 @@ def test_pack_related_documents_hypothesis_purity_and_budget(spark):
     check()
 
 
+def test_packing_efficiency_card_and_twin(spark):
+    """The packing audit card == the DuckDB twin and a hand recount
+    over planted packs: capacity counts only packs holding a regular
+    doc, oversize docs are excluded from waste, greedy waste >= 0, and
+    the fill rate is the exact rational fill_num/fill_den."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.packing import (
+        pack_sequences,
+        packing_efficiency,
+        packing_efficiency_sql,
+    )
+
+    rows = [(i, "w " * n) for i, n in enumerate([3, 4, 2, 9, 1, 5, 5, 7])]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    packed = pack_sequences(
+        docs, "doc_id", text_col="text", max_tokens=6, buckets=2, mode="greedy"
+    )
+    card = packing_efficiency(packed, 6, group_col="bucket").collect()
+    pdf = packed.toPandas()
+    con = duckdb.connect()
+    con.register("p", pdf)
+    want = con.execute(
+        packing_efficiency_sql(
+            "SELECT doc_id, n_tokens, pack_id, oversize, bucket FROM p",
+            6,
+            group_col="bucket",
+        )
+        + " ORDER BY 1"
+    ).fetchall()
+    got = sorted(map(tuple, card))
+    assert got == sorted(map(tuple, want))
+    # hand invariants: greedy waste >= 0, capacity = regular-packs * 6,
+    # totals add up, the 9- and 7-token docs are the two oversize rides
+    tot = {
+        "docs": sum(r[1] for r in got),
+        "over": sum(r[3] for r in got),
+        "tok": sum(r[4] for r in got),
+    }
+    assert tot["docs"] == 8 and tot["over"] == 2
+    assert tot["tok"] == 3 + 4 + 2 + 9 + 1 + 5 + 5 + 7
+    for r in got:
+        (_, n_docs, n_packs, n_over, _tt, otok, cap, waste, num, den) = r
+        assert waste >= 0 and cap == den and num + waste == cap
+        assert num <= cap
+    # the ALL-group form (group_col=None) returns one '' row
+    allrow = packing_efficiency(packed, 6).collect()
+    assert len(allrow) == 1 and allrow[0]["group"] == ""
+    assert allrow[0]["n_docs"] == 8
+
+
 def test_pack_related_documents_clusters_and_totality(spark):
     """Planted two-cluster embeddings: packs NEVER mix clusters (domain
     partitions the packs), pack budgets hold (cumsum semantics: one
