@@ -6485,6 +6485,73 @@ def test_pack_related_documents_hypothesis_purity_and_budget(spark):
     check()
 
 
+def test_round12_operators_edge_inputs(spark):
+    """Edge-input pins for the round-12 surface: empty sides of
+    corpus_diff, an empty vectors frame for related packing (all docs
+    -> missing_domain), an empty packed frame for the audit card, bare
+    '<'/'>'/'&amp' through the markup stripper, unseen-char-only docs
+    through unigram_encode (char fallback), and an all-oversize greedy
+    packing (each giant doc rides its own pack)."""
+    from pyspark_dist_explore_spark import (
+        corpus_diff,
+        pack_related_documents,
+        pack_sequences,
+        packing_efficiency,
+        strip_markup,
+        unigram_encode,
+        unigram_lm_learn,
+    )
+
+    e = spark.createDataFrame([], "doc_id bigint, source string, text string")
+    d = spark.createDataFrame(
+        [(1, "s", "a b")], "doc_id bigint, source string, text string"
+    )
+    r = corpus_diff(e, d, group_col="source").collect()
+    assert len(r) == 1 and r[0]["n_added"] == 1 and r[0]["n_old"] == 0
+    r = corpus_diff(d, e, group_col="source").collect()
+    assert len(r) == 1 and r[0]["n_removed"] == 1 and r[0]["n_new"] == 0
+    assert corpus_diff(e, e, group_col="source").count() == 0
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "c")], "doc_id bigint, text string")
+    ev = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cent_id bigint, cv array<double>"
+    )
+    r = pack_related_documents(
+        docs, ev, text_col="text", max_tokens=4, centroids=cents
+    ).collect()
+    assert len(r) == 2 and all(x["domain"] == -1 for x in r)
+
+    empty_packed = spark.createDataFrame(
+        [], "doc_id bigint, n_tokens bigint, bucket int, pack_id bigint, oversize int"
+    )
+    assert packing_efficiency(empty_packed, 6).count() == 0
+
+    w = spark.createDataFrame(
+        [(1, None), (2, "<"), (3, ">"), (4, "&amp")], "i bigint, t string"
+    )
+    got = {
+        x["i"]: x["s"]
+        for x in w.select("i", strip_markup(F.col("t")).alias("s")).collect()
+    }
+    assert got[1] is None and got[2] == "<" and got[3] == ">" and got[4] == "&amp"
+
+    train = spark.createDataFrame([(1, "aa bb")], "doc_id bigint, text string")
+    v = unigram_lm_learn(train, "text", vocab_size=6, em_rounds=1)
+    test = spark.createDataFrame([(9, "zzz qq")], "doc_id bigint, text string")
+    r = unigram_encode(test, "text", "doc_id", v).collect()[0]
+    assert r["n_tokens"] == 2 and r["n_subwords"] == 5  # per-char fallback
+
+    big = spark.createDataFrame(
+        [(1, "w " * 10), (2, "w " * 11)], "doc_id bigint, text string"
+    )
+    r = pack_sequences(
+        big, "doc_id", text_col="text", max_tokens=4, mode="greedy", buckets=1
+    ).collect()
+    assert len(r) == 2 and all(x["oversize"] == 1 for x in r)
+    assert len({x["pack_id"] for x in r}) == 2
+
+
 def test_packing_efficiency_card_and_twin(spark):
     """The packing audit card == the DuckDB twin and a hand recount
     over planted packs: capacity counts only packs holding a regular
