@@ -157,7 +157,9 @@ from pyspark_dist_explore_spark.pipeline import (
 from pyspark_dist_explore_spark.operators.similarity import (
     assign_domains,
     domain_profile,
+    domain_scores,
     domain_tag,
+    prune_prototypes,
     semantic_dedup,
     semantic_pairs,
 )
@@ -335,6 +337,8 @@ __all__ = [
     "stream_curate_lite",
     "pack_related_documents",
     "packing_efficiency",
+    "domain_scores",
+    "prune_prototypes",
     "strip_markup",
     "markup_stats",
     "verify_training_shards",

@@ -1207,6 +1207,134 @@ def assign_domains(
     )
 
 
+def domain_scores(
+    vectors: DataFrame,
+    centroids: DataFrame | None = None,
+    *,
+    n_domains: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_round: int | None = None,
+    fit_sample_mod: int | None = 4,
+    max_fit_rows: int | None = 1 << 18,
+) -> DataFrame:
+    """X52: nearest-centroid assignment WITH the similarity kept —
+    ``(id_col, domain, proto_sim)`` where ``proto_sim`` is the cosine
+    to the OWN (assigned) centroid: the PROTOTYPICALITY score of the
+    D4 recipe (Tirumala et al. 2023, arXiv:2308.12284 — after
+    SemDeDup, also prune the most PROTOTYPICAL points near each
+    cluster center; what survives is the diverse shell).  Same
+    broadcast-argmax aggregate as :func:`assign_domains` (the max
+    similarity rides the same buffer — zero extra work), same
+    unassignable semantics (NULL domain/proto_sim for NULL-element /
+    length-mismatched embeddings).
+
+    ``prune = `` :func:`~pyspark_dist_explore_spark.operators.sampling.
+    top_frac_per_group` over the NEGATED score keeps the least-
+    prototypical fraction per domain — the composition
+    :func:`prune_prototypes` wires up."""
+    v = vectors.select(
+        F.col(id_col),
+        _unit(F.col(vec_col)).alias("__uv"),
+        F.coalesce(
+            F.exists(_as_double(F.col(vec_col)), lambda x: x.isNull()),
+            F.lit(True),
+        ).alias("__bad"),
+    )
+    if centroids is not None:
+        missing = {"cent_id", "cv"} - set(centroids.columns)
+        if missing:
+            raise ValueError(
+                f"centroids frame missing column(s): {sorted(missing)} "
+                "(expected (cent_id, cv) with cv unit-normalized)"
+            )
+        cents = centroids.select(
+            "cent_id", F.col("cv").cast("array<double>").alias("cv")
+        )
+    else:
+        cents = kmeans_centroids(
+            v,
+            n_domains,
+            vec_col="__uv",
+            id_col=id_col,
+            fit_sample_mod=fit_sample_mod,
+            max_fit_rows=max_fit_rows,
+        )
+    sim = dot(F.col("__uv"), F.col("cv"))
+    if assign_round is not None:
+        sim = F.round(sim, assign_round)
+    ok = F.col("__maxsim").isNotNull() & ~F.col("__bad")
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .select(id_col, "cent_id", sim.alias("__sim"), "__bad")
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(F.col("__sim"), (-F.col("cent_id")).alias("neg_cent")),
+            ).alias("domain"),
+            F.max("__sim").alias("__maxsim"),
+            F.first("__bad").alias("__bad"),
+        )
+        .select(
+            id_col,
+            F.when(ok, F.col("domain")).alias("domain"),
+            F.when(ok, F.col("__maxsim")).alias("proto_sim"),
+        )
+    )
+
+
+def prune_prototypes(
+    vectors: DataFrame,
+    keep_frac: tuple[int, int],
+    *,
+    centroids: DataFrame | None = None,
+    n_domains: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_round: int | None = 6,
+    fit_sample_mod: int | None = 4,
+    max_fit_rows: int | None = 1 << 18,
+    salt: str = "proto0",
+) -> DataFrame:
+    """X52: D4-style DIVERSIFICATION — per discovered domain, keep the
+    ``keep_frac`` (exact rational ``(num, den)``) LEAST-prototypical
+    vectors and drop the redundant mass near each cluster center
+    (run AFTER :func:`semantic_dedup`, per the paper's pipeline).
+    Returns ``(id_col, domain, proto_q6)`` for the kept rows,
+    ``proto_q6`` the 1e-6 fixed-point prototypicality.
+
+    Pure composition of shipped pieces: :func:`domain_scores` (one
+    broadcast-argmax aggregate) → :func:`~pyspark_dist_explore_spark.
+    operators.sampling.top_frac_per_group` over the NEGATED fixed-point
+    score (one per-domain rank window, md5 tie-break, ceil keep counts
+    — small domains never empty).  Unassignable vectors (NULL domain)
+    are dropped — route them explicitly via :func:`domain_tag` if they
+    must survive."""
+    from pyspark_dist_explore_spark.operators.sampling import (
+        top_frac_per_group,
+    )
+
+    scored = domain_scores(
+        vectors,
+        centroids,
+        n_domains=n_domains,
+        id_col=id_col,
+        vec_col=vec_col,
+        assign_round=assign_round,
+        fit_sample_mod=fit_sample_mod,
+        max_fit_rows=max_fit_rows,
+    ).where(F.col("domain").isNotNull())
+    q6 = F.round(F.col("proto_sim") * F.lit(1e6)).cast("bigint")
+    staged = scored.select(
+        F.col(id_col), "domain", q6.alias("proto_q6"), (-q6).alias("__neg")
+    )
+    kept = top_frac_per_group(
+        staged, "domain", "__neg", keep_frac, id_col, salt=salt
+    )
+    return kept.select(id_col, "domain", "proto_q6")
+
+
 def domain_tag(
     docs: DataFrame,
     vectors: DataFrame,

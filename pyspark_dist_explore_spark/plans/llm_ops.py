@@ -3358,8 +3358,9 @@ WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
 codes AS ({similarity.quantize_codes_sql("SELECT vec_id, embedding FROM embeddings")}),
 dom_cents AS (SELECT vec_id AS cent_id, uv AS cv FROM u WHERE vec_id < {_DOMAIN_CELLS}),
 dom_asg AS (
-  SELECT vec_id, cent_id AS dom FROM (
+  SELECT vec_id, cent_id AS dom, sim6 FROM (
     SELECT u.vec_id, c.cent_id,
+           round(list_dot_product(u.uv, c.cv), 6) AS sim6,
            row_number() OVER (
              PARTITION BY u.vec_id
              ORDER BY round(list_dot_product(u.uv, c.cv), 6) DESC, c.cent_id ASC
@@ -3402,6 +3403,11 @@ SELECT 'rp' AS section, vec_id,
 FROM embeddings
 UNION ALL
 SELECT 'domain' AS section, vec_id, CAST(dom AS VARCHAR) AS codes_csv,
+       CAST(dom AS INT) AS n_dims
+FROM dom_asg
+UNION ALL
+SELECT 'proto' AS section, vec_id,
+       CAST(CAST(round(sim6 * 1000000) AS BIGINT) AS VARCHAR) AS codes_csv,
        CAST(dom AS INT) AS n_dims
 FROM dom_asg
 UNION ALL
@@ -3519,11 +3525,25 @@ def embedding_quantize_parts(
         F.col("vec_id").alias("cent_id"),
         similarity._unit(F.col("embedding")).alias("cv"),
     )
-    asg = similarity.assign_domains(emb, cents, assign_round=6)
+    # X52 (round 12): domain_scores carries the OWN-centroid cosine —
+    # the D4 prototypicality score — through the same argmax aggregate;
+    # the 'domain' section derives from it (identical label arithmetic)
+    # and the 'proto' section hashes the 1e-6 fixed-point score per id
+    scored = similarity.domain_scores(emb, cents, assign_round=6)
+    asg = scored.select("vec_id", "domain")
     dom = asg.select(
         F.lit("domain").alias("section"),
         "vec_id",
         F.col("domain").cast("string").alias("codes_csv"),
+        F.col("domain").cast("int").alias("n_dims"),
+    )
+    proto = scored.select(
+        F.lit("proto").alias("section"),
+        "vec_id",
+        F.round(F.col("proto_sim") * F.lit(1e6))
+        .cast("bigint")
+        .cast("string")
+        .alias("codes_csv"),
         F.col("domain").cast("int").alias("n_dims"),
     )
     docs = load_table(spark, sf_dir, "documents").select(
@@ -3544,6 +3564,7 @@ def embedding_quantize_parts(
         "pooled": pooled,
         "rp": rp,
         "domain": dom,
+        "proto": proto,
         "domain_profile": prof,
     }
 

@@ -3451,6 +3451,64 @@ def test_domain_tag_profile_and_mixture_over_discovered_domains(spark):
     assert per_dom[str(big.domain)]["max_epoch"] == 1
 
 
+def test_domain_scores_and_prune_prototypes_d4(spark):
+    """X52 (D4 diversification): domain_scores carries the own-centroid
+    cosine through the same argmax (labels == assign_domains, scores ==
+    numpy max-cos on the rounded grid; unassignable rows NULL in BOTH
+    fields); prune_prototypes keeps exactly ceil(num·n/den) per domain,
+    and membership is the LEAST-prototypical band (every kept score <=
+    every dropped score within a domain, up to boundary ties)."""
+    import math
+
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        assign_domains,
+        domain_scores,
+        prune_prototypes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), _unit(F.col("embedding")).alias("cv")
+    )
+    sc = {r["vec_id"]: r for r in domain_scores(emb, cents, assign_round=6).collect()}
+    lab = {r["vec_id"]: r["domain"] for r in assign_domains(emb, cents, assign_round=6).collect()}
+    assert {k: v["domain"] for k, v in sc.items()} == lab
+    cv = {r["cent_id"]: np.array(r["cv"], dtype=float) for r in cents.collect()}
+    for r in emb.collect():
+        v = np.array(r["embedding"], dtype=float)
+        uv = v / np.linalg.norm(v)
+        want = max(round(float(uv @ c), 6) for c in cv.values())
+        assert abs(sc[r["vec_id"]]["proto_sim"] - want) < 1e-9, r["vec_id"]
+
+    bad = spark.createDataFrame(
+        [(900, [1.0, None, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    b = domain_scores(bad, cents.limit(0).unionByName(cents), assign_round=6).collect()[0]
+    assert b["domain"] is None and b["proto_sim"] is None
+
+    kept = prune_prototypes(emb, (1, 3), centroids=cents)
+    got = {}
+    for r in kept.collect():
+        got.setdefault(r["domain"], set()).add((r["vec_id"], r["proto_q6"]))
+    full = {}
+    for vid, r in sc.items():
+        full.setdefault(r["domain"], []).append(
+            (int(round(r["proto_sim"] * 1e6)), vid)
+        )
+    for d, rows in full.items():
+        k = math.ceil(len(rows) / 3)
+        assert len(got[d]) == k, d
+        kept_scores = sorted(q for _, q in got[d])
+        dropped = sorted(
+            q for q, vid in rows if vid not in {v for v, _ in got[d]}
+        )
+        # least-prototypical band: max kept <= min dropped (ties equal)
+        assert kept_scores[-1] <= dropped[0], d
+
+
 def test_assign_domains_unassignable_rows_and_retag_guard(spark):
     """A row whose similarity is NULL against EVERY centroid (NULL
     embedding element, length mismatch vs the centroids) gets a NULL
