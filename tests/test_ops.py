@@ -6761,6 +6761,92 @@ def test_pack_related_documents_beats_random_adjacency(spark):
     assert rel_cos > base_cos + 0.02, (rel_cos, base_cos)
 
 
+def test_pack_related_greedy_nn_chain_and_guard(spark):
+    """order='greedy_nn' (the paper-faithful ICLM path): the chain
+    visits max-cosine unvisited neighbors from the smallest id, so on a
+    hand-built line of vectors the pack grouping follows the chain
+    (0 -> 3 -> 1 -> 2 -> 4 at 2 docs/pack); on the real corpus it
+    strictly beats the JL order's within-pack cosine; an over-budget
+    domain raises the named guard."""
+    import numpy as np
+    import pytest
+
+    from pyspark_dist_explore_spark.operators.packing import (
+        pack_related_documents,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.5, 0.5]),
+         (3, [0.95, 0.05]), (4, [0.2, 0.8])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cent_id bigint, cv array<double>"
+    )
+    docs = spark.createDataFrame(
+        [(i, "w w") for i in range(5)], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_related_documents(
+            docs, emb, text_col="text", max_tokens=4,
+            centroids=cents, order="greedy_nn",
+        ).collect()
+    }
+    # chain 0,3,1,2,4 at 4-token packs (2 docs each): {0,3},{1,2},{4}
+    assert out[0] == out[3] and out[1] == out[2]
+    assert len({out[0], out[1], out[4]}) == 3
+
+    docsR = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    embR = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in embR.collect()
+    }
+    for v in vecs.values():
+        v /= np.linalg.norm(v)
+
+    def quality(assign):
+        by = {}
+        for d, pk in assign.items():
+            if d in vecs:
+                by.setdefault(pk, []).append(vecs[d])
+        sims = [
+            float(ms[i] @ ms[j])
+            for ms in by.values()
+            for i in range(len(ms))
+            for j in range(i + 1, len(ms))
+        ]
+        return sum(sims) / len(sims)
+
+    kw = dict(
+        text_col="text", max_tokens=512, n_domains=8,
+        fit_sample_mod=None, max_fit_rows=None,
+    )
+    rp = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_related_documents(docsR, embR, **kw).collect()
+    }
+    gn = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_related_documents(
+            docsR, embR, order="greedy_nn", **kw
+        ).collect()
+    }
+    assert quality(gn) > quality(rp)
+
+    with pytest.raises(Exception, match="max_domain_rows"):
+        pack_related_documents(
+            docsR, embR, text_col="text", max_tokens=512,
+            n_domains=2, fit_sample_mod=None, max_fit_rows=None,
+            order="greedy_nn", max_domain_rows=10,
+        ).collect()
+    with pytest.raises(ValueError, match="order must be"):
+        pack_related_documents(
+            docsR, embR, text_col="text", max_tokens=512, order="zigzag"
+        )
+
+
 def test_pack_related_documents_plan_no_python_one_window(spark):
     """X50 scale shape: the whole chain is JVM-side (broadcast-argmax
     domains + JL ordering are expressions — zero Python stages) with
