@@ -297,6 +297,10 @@ def curate_documents(
     mixture_epochs: dict[str, int] | None = None,
     mixture_epochs_salt: str = "mix0",
     quality_top_frac: tuple[int, int] | None = None,
+    prototype_keep_frac: tuple[int, int] | None = None,
+    prototype_embeddings: DataFrame | None = None,
+    prototype_n_domains: int = 16,
+    prototype_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Curate a document corpus into a training keep-list.
 
@@ -342,6 +346,16 @@ def curate_documents(
     ``key_col`` may be a Column expression — e.g.
     ``host_cap=(url_host(F.col("url")), 1000)`` caps per CANONICAL host
     (:func:`operators.dedup.url_host`, X42) without a pre-projection.
+
+    ``prototype_keep_frac=(num, den)`` + ``prototype_embeddings=``
+    (opt-in, X52 — the D4 order: dedup FIRST, then diversify) drop the
+    most PROTOTYPICAL deduped survivors per discovered embedding domain
+    and keep the diverse shell; survivors without an embedding row are
+    KEPT (they cannot be prototypical of anything measurable — silently
+    dropping them would make the stage lossy on partially-embedded
+    corpora).  ``prototype_centroids=`` pins the domains (the
+    fit-once/assign-forever production form and the deterministic test
+    form); default is a capped KMeans fit per run.
 
     ``quality_top_frac=(num, den)`` (opt-in, X45) replaces-or-joins the
     absolute ``min_quality`` cutoff with the RELATIVE per-language form
@@ -815,6 +829,36 @@ def curate_documents(
     survivors = clusters.where(F.col("is_survivor") == 1).select("doc_id")
 
     out = kept.join(survivors, "doc_id")
+    if (prototype_keep_frac is None) != (prototype_embeddings is None):
+        raise ValueError(
+            "prototype_keep_frac= and prototype_embeddings= go together"
+        )
+    if prototype_keep_frac is not None:
+        # X52: D4 diversification AFTER dedup (the paper's order —
+        # SemDeDup/near-dup first, then drop the redundant mass near
+        # each cluster center).  Anti-join against the DROPPED ids (the
+        # violator convention): un-embedded survivors never appear in
+        # the scored set, so they pass through untouched
+        from pyspark_dist_explore_spark.operators.similarity import (
+            prune_prototypes,
+        )
+
+        emb = prototype_embeddings.select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        survivors_emb = out.select("doc_id").join(emb, "doc_id")
+        kept_proto = prune_prototypes(
+            survivors_emb,
+            prototype_keep_frac,
+            centroids=prototype_centroids,
+            n_domains=prototype_n_domains,
+            id_col="doc_id",
+            vec_col="embedding",
+        ).select("doc_id")
+        drop_ids = survivors_emb.select("doc_id").join(
+            kept_proto, "doc_id", "leftanti"
+        )
+        out = out.join(drop_ids, "doc_id", "leftanti")
     if (dsir_target is None) != (dsir_n_keep is None):
         raise ValueError("dsir_target= and dsir_n_keep= go together")
     if dsir_target is not None:

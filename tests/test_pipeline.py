@@ -1351,3 +1351,54 @@ def test_curate_strip_markup_stage(spark):
     }
     assert stripped == base and len(base) > 0
 
+def test_curate_prototype_prune_stage(spark):
+    """prototype_keep_frac= runs D4 diversification AFTER dedup: with
+    two planted embedding domains (center + shell points each), keeping
+    half per domain drops the points nearest the centers; survivors
+    WITHOUT an embedding pass through untouched; the param pair is
+    validated."""
+    import pytest
+
+    from pyspark_dist_explore_spark.pipeline import curate_documents
+
+    texts = {
+        i: f"distinct document number {i} with its own particular words "
+           f"entirely unlike any other entry {i}"
+        for i in range(9)
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    # domain A: 0 sits ON the cluster-mean direction (+x), 1 and 2 are
+    # the symmetric shell; domain B mirrors around +y; 6-8 no embedding
+    c, t = 0.766, 0.643  # cos/sin 40 degrees
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [c, t]), (2, [c, -t]),
+            (3, [0.0, 1.0]), (4, [t, c]), (5, [-t, c]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cent_id bigint, cv array<double>"
+    )
+    kept = {
+        r["doc_id"]
+        for r in curate_documents(
+            docs,
+            min_quality=0.0,
+            prototype_keep_frac=(2, 3),
+            prototype_embeddings=emb,
+            prototype_centroids=cents,
+        ).collect()
+    }
+    # ceil(2·3/3)=2 kept per domain: the two shell points survive, the
+    # point on the centroid direction (MOST prototypical) drops
+    assert 0 not in kept and 3 not in kept
+    assert {1, 2, 4, 5} <= kept
+    # un-embedded docs pass through
+    assert {6, 7, 8} <= kept
+
+    with pytest.raises(ValueError, match="go together"):
+        curate_documents(docs, min_quality=0.0, prototype_keep_frac=(1, 2))
+
