@@ -934,3 +934,223 @@ SELECT * EXCLUDE (__rk, __n) FROM (
 )
 WHERE __rk <= ({int(num)} * __n + {int(den) - 1}) // {int(den)}
 """
+
+
+def _interleave_strides(weights: dict[str, int]) -> tuple[dict[str, int], int]:
+    """Validate an interleave weight spec and return ``(strides, lcm)``:
+    ``stride[g] = lcm(weights) // weights[g]`` — the exact integer
+    virtual-time step between consecutive emissions of group ``g``."""
+    from math import gcd
+
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    for g, w in weights.items():
+        if not isinstance(w, int) or isinstance(w, bool) or w < 1:
+            raise ValueError(f"weights must be positive ints, got {g!r}: {w!r}")
+    lcm = 1
+    for w in weights.values():
+        lcm = lcm * w // gcd(lcm, w)
+        if lcm > 1 << 40:
+            # virtual times are rank * (lcm // w) BIGINTs; keep the
+            # product far from 2^63 even at trillion-row ranks
+            raise ValueError(
+                "lcm(weights) exceeds 2^40 — reduce the weight spec to "
+                "smaller coprime-free integers (ratios, not raw counts)"
+            )
+    return {g: lcm // weights[g] for g in weights}, lcm
+
+
+def proportional_interleave(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    weights: dict[str, int],
+    salt: str = "interleave",
+    shards: int = 64,
+    rank_col: str = "rank",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """X53: deterministic PROPORTIONAL INTERLEAVE — the global training
+    ORDER a mixture spec implies, not just its row selection.  Stride
+    scheduling: group ``g`` with integer weight ``w_g`` emits its
+    ``r``-th document at exact virtual time ``v = r * stride_g`` where
+    ``stride_g = lcm(weights) / w_g``; the global order is ``(v,
+    group)``.  Every prefix of the resulting stream holds each group's
+    share within ONE document of ``w_g / Σw`` until that group exhausts
+    (the low-discrepancy guarantee RNG interleaving only gives in
+    expectation) — and the whole order is reproducible on any engine,
+    any partitioning, any run.
+
+    Output = input rows of the groups named in ``weights`` (others are
+    DROPPED — the mixture spec defines the corpus; NULL groups read as
+    ``''`` per the house convention) plus ``rank_col`` (1-based
+    deterministic rank within the group: ``md5(salt:id)`` order) and
+    ``pos_col`` (0-based GLOBAL position in the interleaved stream).
+
+    Scale shape — NO global sort anywhere.  The global position is a
+    CLOSED FORM per row: rows before ``(g, r)`` are its own ``r - 1``
+    predecessors plus, for every other group ``t``, ``min(n_t,
+    v // stride_t)`` (groups ordered before ``g`` win ties) or
+    ``min(n_t, (v-1) // stride_t)`` (groups after) — pure BIGINT
+    arithmetic over the K-row group-total table, rendered as literals
+    into one whole-stage-codegen projection.  The within-group rank is
+    built WITHOUT a per-group single-partition window: rows sub-shard
+    by the leading 16 md5 bits (``% shards``), rank within (group,
+    shard), and add per-shard offsets from a K·S-row count frame —
+    equal by construction to ``row_number() OVER (PARTITION BY group
+    ORDER BY shard, md5, id)``, which is what the DuckDB twin renders.
+
+    Eager note: building the closed form runs ONE K·S-row count
+    aggregate at construction (the :func:`materialize_mixture`
+    precedent).  ``id_col`` must be unique per row (hash input + tie
+    break, as in :func:`shuffle_shards`).
+    """
+    strides, _ = _interleave_strides(weights)
+    if shards < 1 or shards > 65536:
+        raise ValueError(f"shards must be in [1, 65536], got {shards}")
+    groups = sorted(weights)
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+        )
+    )
+    tagged = (
+        df.where(g.isin(groups))
+        .withColumn("__g", g)
+        .withColumn("__h", h)
+        .withColumn(
+            "__sh", F.conv(F.substring(F.col("__h"), 1, 4), 16, 10).cast("int") % shards
+        )
+    )
+    counts = tagged.groupBy("__g", "__sh").agg(F.count(F.lit(1)).alias("__c"))
+    woff = (
+        Window.partitionBy("__g")
+        .orderBy("__sh")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__g", "__sh", F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off")
+    )
+    totals = {g_: 0 for g_ in groups}
+    for row in counts.groupBy("__g").agg(F.sum("__c").alias("n")).collect():  # bounded-collect: K-row group totals (the closed form's literals)
+        totals[row["__g"]] = int(row["n"])
+    wrk = Window.partitionBy("__g", "__sh").orderBy("__h", F.col(id_col))
+    ranked = (
+        tagged.join(F.broadcast(offsets), ["__g", "__sh"])
+        .withColumn(
+            rank_col,
+            (F.col("__off") + F.row_number().over(wrk)).cast("bigint"),
+        )
+    )
+    # v = rank * stride_g and pos as literal K-term sums over the
+    # integer group-index column — pure BIGINT arithmetic (SQL DIV, not
+    # double floor(), which would corrupt counts past 2^53), all
+    # row-local, one whole-stage-codegen projection
+    gi = _group_index(F.col("__g"), groups)
+    v = F.col(rank_col) * _case_over_groups(gi, [strides[t] for t in groups])
+    staged = ranked.withColumn("__gi", gi).withColumn("__v", v)
+    rk = "`" + rank_col.replace("`", "``") + "`"
+    terms = [f"{rk} - 1"]
+    for i, t in enumerate(groups):
+        terms.append(
+            f"(CASE WHEN __gi = {i} THEN 0 ELSE least("
+            f"CAST({totals[t]} AS BIGINT), "
+            f"(__v - (CASE WHEN {i} < __gi THEN 0 ELSE 1 END)) DIV {strides[t]}"
+            f") END)"
+        )
+    pos = F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    return (
+        staged.withColumn(pos_col, pos)
+        .drop("__g", "__h", "__sh", "__off", "__gi", "__v")
+    )
+
+
+def _case_over_groups(gi: Column, values: list[int]) -> Column:
+    expr = F.lit(None).cast("bigint")
+    for i in reversed(range(len(values))):
+        expr = F.when(gi == i, F.lit(values[i]).cast("bigint")).otherwise(expr)
+    return expr
+
+
+def _group_index(g: Column, groups: list[str]) -> Column:
+    expr = F.lit(-1)
+    for i, key in reversed(list(enumerate(groups))):
+        expr = F.when(g == key, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def proportional_interleave_sql(
+    src: str,
+    group_col: str,
+    id_col: str,
+    *,
+    weights: dict[str, int],
+    salt: str = "interleave",
+    shards: int = 64,
+    out_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`proportional_interleave` — the two-level
+    rank collapses to one ``row_number() OVER (PARTITION BY group ORDER
+    BY shard, md5, id)`` and the closed-form position becomes a K-row
+    LEFT JOIN against the counts CTE (fan-out K per row — fine at
+    oracle scale; the Spark side renders literals instead)."""
+    strides, _ = _interleave_strides(weights)
+    if shards < 1 or shards > 65536:
+        raise ValueError(f"shards must be in [1, 65536], got {shards}")
+    groups = sorted(weights)
+    in_list = ", ".join(sql_str_lit(x) for x in groups)
+    g = f"COALESCE(CAST({group_col} AS VARCHAR), '')"
+    h = (
+        f"md5(concat({sql_str_lit(salt)}, ':', "
+        f"COALESCE(CAST({id_col} AS VARCHAR), '')))"
+    )
+    stride_case = "CASE __g " + " ".join(
+        f"WHEN {sql_str_lit(t)} THEN {strides[t]}" for t in groups
+    ) + " END"
+    gidx_case = "CASE __g " + " ".join(
+        f"WHEN {sql_str_lit(t)} THEN {i}" for i, t in enumerate(groups)
+    ) + " END"
+    cols = (
+        ", ".join(f"r.{c}" for c in out_cols)
+        if out_cols
+        else 'r.* EXCLUDE (__g, __v, __gi, "rank")'
+    )
+    return f"""
+WITH tagged AS (
+  SELECT *, {g} AS __g,
+         CAST(CAST(('0x' || substr({h}, 1, 4)) AS BIGINT) % {shards} AS INT) AS __sh,
+         {h} AS __h
+  FROM ({src}) z
+  WHERE {g} IN ({in_list})
+),
+cnts AS (
+  SELECT __g AS __cg, CAST({stride_case} AS BIGINT) AS __cs,
+         {gidx_case} AS __ci, CAST(count(*) AS BIGINT) AS __cn
+  FROM tagged GROUP BY __g
+),
+ranked AS (
+  SELECT * EXCLUDE (__sh, __h),
+         CAST(row_number() OVER (
+           PARTITION BY __g ORDER BY __sh, __h, CAST({id_col} AS VARCHAR)
+         ) AS BIGINT) AS "rank",
+         CAST(row_number() OVER (
+           PARTITION BY __g ORDER BY __sh, __h, CAST({id_col} AS VARCHAR)
+         ) AS BIGINT) * CAST({stride_case} AS BIGINT) AS __v,
+         {gidx_case} AS __gi
+  FROM tagged
+),
+pre AS (
+  SELECT r.__g AS pg, r."rank" AS pr,
+         r."rank" - 1 + COALESCE(SUM(
+           LEAST(c.__cn, (r.__v - CASE WHEN c.__ci < r.__gi THEN 0 ELSE 1 END) // c.__cs)
+         ), 0) AS pos
+  FROM ranked r
+  LEFT JOIN cnts c ON c.__cg <> r.__g
+  GROUP BY r.__g, r."rank", r.__v, r.__gi
+)
+SELECT {cols}, CAST(r."rank" AS BIGINT) AS "rank", CAST(p.pos AS BIGINT) AS pos
+FROM ranked r
+JOIN pre p ON p.pg = r.__g AND p.pr = r."rank"
+"""

@@ -757,6 +757,8 @@ from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
     shuffle_shards,
     shuffle_shards_sql,
     stratified_sample_hash,
+    proportional_interleave,
+    proportional_interleave_sql,
     stratified_sample_hash_sql,
     stratified_take_exact,
     stratified_take_exact_sql,
@@ -783,6 +785,12 @@ FROM sh GROUP BY 1
 
 _MANIFEST_STAT_NAMES = ("n_rows", "sum_id", "min_id", "max_id", "hash_sum")
 
+#: X53 interleave weights for the registered section: a varied integer
+#: mixture over the synthetic corpus's 20 sources (1..5 repeating, so
+#: strides differ and tie groups exist at every lcm multiple) — the
+#: closed-form global position is hash-checked row for row
+_IL_WEIGHTS = {f"src{i}": 1 + (i % 5) for i in range(20)}
+
 
 @register(
     "corpus_shuffle_shards",
@@ -804,6 +812,18 @@ FROM (
         for i, s in enumerate(_MANIFEST_STAT_NAMES)
     )}
 )
+UNION ALL
+SELECT doc_id, concat('interleave:', source) AS source,
+       CAST("rank" AS INT) AS shard, CAST(pos AS INT) AS pos
+FROM ({proportional_interleave_sql(
+        "SELECT doc_id, source FROM documents",
+        "source",
+        "doc_id",
+        weights=_IL_WEIGHTS,
+        salt="il0",
+        shards=16,
+        out_cols=["doc_id", "source"],
+    )})
 """,
 )
 def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,7 +843,16 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, id sum/bounds, and the 44-bit md5-fold sum, hash-checking
     the fold arithmetic cross-engine (Spark ``conv(hex,16,10)`` vs
     DuckDB ``'0x'``-cast) that the full-assignment hash alone does not
-    exercise."""
+    exercise.
+
+    Round 12 appends the X53 PROPORTIONAL INTERLEAVE as
+    ``source='interleave:<src>'`` rows (:func:`~pyspark_dist_explore_spark.
+    operators.sampling.proportional_interleave` — stride-scheduled
+    global training order over a 20-source integer mixture): ``shard``
+    carries the within-source deterministic rank and ``pos`` the
+    closed-form global position, so the two-level rank construction,
+    the BIGINT virtual-time arithmetic, and every tie-break are
+    hash-checked row for row against the twin's flat window form."""
     from pyspark_dist_explore_spark.sources.sinks import shard_manifest
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -847,7 +876,33 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("int").alias("pos"),
         )
     )
-    return sharded.unionByName(mani)
+    il = proportional_interleave(
+        docs, "source", "doc_id", weights=_IL_WEIGHTS, salt="il0", shards=16
+    ).select(
+        "doc_id",
+        F.concat(F.lit("interleave:"), F.col("source")).alias("source"),
+        F.col("rank").cast("int").alias("shard"),
+        F.col("pos").cast("int").alias("pos"),
+    )
+    return sharded.unionByName(mani).unionByName(il)
+
+
+def corpus_shuffle_shards_parts(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """Per-section frames of ``corpus_shuffle_shards`` for the bench
+    attribution map: the original shuffle+manifest stack vs the round-12
+    X53 interleave section (whose ``parts_build`` share is the K·S count
+    aggregate :func:`proportional_interleave` runs eagerly)."""
+    from pyspark_dist_explore_spark.sources.sinks import shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sharded = shuffle_shards(docs, "doc_id", shards=8, salt="epoch0")
+    mani = shard_manifest(sharded, "shard", "doc_id")
+    il = proportional_interleave(
+        docs, "source", "doc_id", weights=_IL_WEIGHTS, salt="il0", shards=16
+    )
+    return {"shuffle": sharded, "manifest": mani, "interleave": il}
 
 
 #: deregistered round 6 (merged into ``sampling_splits``); originals
@@ -3739,6 +3794,7 @@ def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 SECTION_PARTS = {
+    "corpus_shuffle_shards": corpus_shuffle_shards_parts,
     "dedup_incremental": dedup_incremental_parts,
     "pack_sequences": pack_sequences_parts,
     "sampling_splits": sampling_splits_parts,

@@ -6995,3 +6995,116 @@ def test_cap_per_key_accepts_column_key(spark):
         kept.groupBy(url_host(F.col("url")).alias("h")).count().collect()
     )
     assert all(r["count"] == 4 for r in by_host) and len(by_host) == 3
+
+
+def test_proportional_interleave_matches_duckdb(spark):
+    """X53: the full (rank, pos) assignment — two-level scale-safe rank,
+    BIGINT virtual times, closed-form global position, tie-breaks —
+    matches the DuckDB twin's flat single-window form row for row, with
+    NULL groups reading as '' and unlisted groups dropped."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.sampling import (
+        proportional_interleave,
+        proportional_interleave_sql,
+    )
+
+    rows = [
+        (i, f"s{i % 3}" if i % 7 else None)  # i%7==0 -> NULL group -> ''
+        for i in range(300)
+    ] + [(1000 + i, "dropped") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    w = {"s0": 3, "s1": 1, "s2": 2, "": 1}
+    got = sorted(
+        tuple(r)
+        for r in proportional_interleave(
+            df, "src", "doc_id", weights=w, salt="t1", shards=8
+        )
+        .select("doc_id", "rank", "pos")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "src"]))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                'SELECT doc_id, "rank", pos FROM ('
+                + proportional_interleave_sql(
+                    "SELECT * FROM t", "src", "doc_id", weights=w, salt="t1", shards=8
+                )
+                + ")"
+            ).fetchall(),
+        )
+    )
+    con.close()
+    assert got == want
+    assert len(got) == 300  # the 10 'dropped' rows are gone, NULLs kept
+
+
+def test_proportional_interleave_invariants(spark):
+    """X53 semantics: positions are EXACTLY the permutation 0..N-1;
+    ranks are contiguous 1..n per group; every prefix (before any group
+    exhausts, in virtual time) holds each group's share within
+    ``1 + K·w_g/Σw`` docs of ``m·w_g/Σw`` — the floor-error bound of
+    stride scheduling (each group's count at virtual time V is
+    ``floor(V/stride)``, off by <1; the prefix length m sums K such
+    floors); the result is identical under any input partitioning;
+    guards raise."""
+    from pyspark_dist_explore_spark.operators.sampling import (
+        proportional_interleave,
+    )
+
+    rows = [(i, f"s{i % 4}") for i in range(240)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    w = {"s0": 5, "s1": 2, "s2": 2, "s3": 1}
+    out = proportional_interleave(df, "src", "doc_id", weights=w, salt="p0")
+    got = [(r["pos"], r["src"], r["rank"]) for r in out.collect()]
+    got.sort()
+    n = len(got)
+    assert [p for p, _, _ in got] == list(range(n))
+    per = {}
+    for _, s, r in got:
+        per.setdefault(s, []).append(r)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    # prefix proportionality while no group is exhausted: all groups
+    # have 60 rows; s0 (weight 5/10) exhausts first at virtual time
+    # 60*stride_s0 — check every prefix strictly before that
+    tot_w = sum(w.values())
+    from math import gcd
+
+    lcm = 1
+    for x in w.values():
+        lcm = lcm * x // gcd(lcm, x)
+    stride = {g: lcm // x for g, x in w.items()}
+    v_exhaust = min(60 * s for s in stride.values())
+    cnt = dict.fromkeys(w, 0)
+    for i, (_, s, r) in enumerate(got):
+        if r * stride[s] >= v_exhaust:
+            break
+        cnt[s] += 1
+        m = i + 1
+        for g in w:
+            bound = 1.0 + len(w) * w[g] / tot_w
+            assert abs(cnt[g] - m * w[g] / tot_w) <= bound, (m, g, cnt)
+    # partitioning invariance
+    again = proportional_interleave(
+        df.repartition(13), "src", "doc_id", weights=w, salt="p0"
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, out.collect())
+    )
+    with pytest.raises(ValueError, match="positive ints"):
+        proportional_interleave(df, "src", "doc_id", weights={"s0": 0})
+    with pytest.raises(ValueError, match="positive ints"):
+        proportional_interleave(df, "src", "doc_id", weights={"s0": 1.5})
+    with pytest.raises(ValueError, match="at least one group"):
+        proportional_interleave(df, "src", "doc_id", weights={})
+    with pytest.raises(ValueError, match="lcm"):
+        proportional_interleave(
+            df, "src", "doc_id",
+            weights={f"s{i}": p for i, p in enumerate([7, 11, 13, 17, 19, 23, 29, 31, 37, 41])},
+        )
+    with pytest.raises(ValueError, match="shards"):
+        proportional_interleave(df, "src", "doc_id", weights={"s0": 1}, shards=0)

@@ -828,3 +828,38 @@ def test_unigram_encode_plan_python_only_on_type_subtree(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
+
+
+def test_proportional_interleave_plan_shape(spark):
+    """X53 scale pins: zero Python stages; the big-table rank window
+    partitions by (group, sub-shard) — never a per-group
+    single-partition funnel — and the closed-form position is a
+    row-local projection (no join back to a global sort, no extra
+    exchange after the rank)."""
+    from pyspark_dist_explore_spark.operators.sampling import (
+        proportional_interleave,
+    )
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    out = proportional_interleave(
+        docs,
+        "source",
+        "doc_id",
+        weights={f"src{i}": 1 + (i % 5) for i in range(20)},
+        salt="il0",
+        shards=16,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the rank window's partition spec must carry the sub-shard column
+    # beside the group — the two-level construction, not PARTITION BY
+    # group alone (which would funnel each source into one task)
+    win = [ln for ln in plan.splitlines() if "row_number()" in ln and "__sh" in ln]
+    assert win, plan
+    # offsets join is broadcast (K*S-row side), not a shuffle join
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
