@@ -1242,6 +1242,159 @@ def bigram_logprob_scores(
     return agg.select(*cols)
 
 
+def kn_bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    discount: float = 0.75,
+    alpha: float = 1.0,
+    lm_bigrams: DataFrame | None = None,
+    pairs_rows: DataFrame | None = None,
+    count_stats: bool = False,
+) -> DataFrame:
+    """X54: KNESER-NEY smoothed bigram perplexity — the canonical
+    smoothing for count-based LMs (Kneser & Ney 1995; Chen & Goodman
+    1999's interpolated form), completing the X18 family beyond the
+    fixed-λ interpolation of :func:`bigram_logprob_scores`.  Per token:
+
+    - seen context (``c(u·) > 0``): ``p(w|u) = max(c(uw) − D, 0)/c(u·)
+      + (D · N1+(u·)/c(u·)) · p_cont(w)`` — absolute discounting with
+      the stolen mass routed through the CONTINUATION unigram;
+    - unseen context (first token, OOV context): ``p_cont(w)``;
+    - ``p_cont(w) = (N1+(·w) + α)/(B + α·V)`` — the continuation
+      unigram ("how many distinct contexts does w follow?", the term
+      that makes KN beat plain backoff on "San Francisco"-shaped
+      words) with a Laplace floor so OOV tokens stay finite.
+
+    ``N1+(u·)``/``N1+(·w)`` are distinct-successor/predecessor counts,
+    ``B`` total bigram types, ``V`` the unigram vocab, ``c(u·)`` the
+    BIGRAM-based context total (≠ unigram count: the last token of a
+    doc heads no bigram).  ``lm_bigrams=`` ``(prev, term, cnt)`` trains
+    on a reference corpus; default trains on ``df``.  Every quantity
+    above derives from that one bigram table.
+
+    Determinism: the house fixed-point trick — per-token log-probs
+    round to the 1e-6 BIGINT grid before the per-doc sum, the per-doc
+    mean itself lives on the grid (DuckDB twin pinned in pytest);
+    ``count_stats=True`` appends three PURE-INTEGER columns from the
+    same aggregate — ``kn_cont_mass`` (Σ N1+(·w)), ``kn_fert_mass``
+    (Σ N1+(u·)), ``kn_ctx_mass`` (Σ c(u·)) — which pin the
+    continuation/fertility/context-total aggregates on any engine
+    build (these are what the driver gate hashes; the ln/exp doubles
+    stay pytest-pinned per the round-7 libm lesson).
+
+    Scale shape: the SAME one-explode + lag-window pair build as the
+    interpolated scorer (``pairs_rows=`` shares a checkpointed frame),
+    three vocab-sized aggregates off ONE bigram table (AQE broadcasts
+    them back), one per-doc aggregate.  Nothing quadratic.
+    """
+    if not 0.0 <= discount < 1.0:
+        raise ValueError(f"discount must be in [0, 1), got {discount}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (continuation floor), got {alpha}")
+    if pairs_rows is not None:
+        missing = {"doc_id", "idx", "tok", "prev"} - set(pairs_rows.columns)
+        if missing:
+            raise ValueError(f"pairs_rows missing column(s): {sorted(missing)}")
+        toks = pairs_rows.select("doc_id", "idx", "tok")
+        pairs = pairs_rows
+    else:
+        from pyspark.sql import Window
+
+        norm = normalize_text(F.col(text_col))
+        toks = (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.posexplode(F.split(norm, " ")).alias("idx", "tok"),
+            )
+            .where(F.col("tok") != "")
+        )
+        w = Window.partitionBy("doc_id").orderBy("idx")
+        pairs = toks.select(
+            "doc_id", "idx", "tok", F.lag("tok", 1).over(w).alias("prev")
+        )
+    if lm_bigrams is not None:
+        bi = lm_bigrams.groupBy("prev", "term").agg(F.sum("cnt").alias("bcnt"))
+    else:
+        bi = (
+            pairs.where(F.col("prev").isNotNull())
+            .groupBy(F.col("prev"), F.col("tok").alias("term"))
+            .agg(F.count(F.lit(1)).alias("bcnt"))
+        )
+    # every smoothing statistic falls out of the ONE bigram table:
+    # fertility N1+(u·) + context total c(u·) in one pass, continuation
+    # N1+(·w) in another, (B, V) as a two-scalar broadcast
+    fert = bi.groupBy("prev").agg(
+        F.count(F.lit(1)).alias("nf"), F.sum("bcnt").alias("ctx")
+    )
+    cont = bi.groupBy(F.col("term").alias("tok")).agg(F.count(F.lit(1)).alias("nc"))
+    totals = bi.groupBy().agg(
+        F.count(F.lit(1)).alias("__b"),
+        F.count_distinct(F.col("term")).alias("__v"),
+    )
+    scored_rows = (
+        pairs.join(cont, "tok", "left")
+        .join(fert, "prev", "left")
+        .join(bi.withColumnRenamed("term", "tok"), ["prev", "tok"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_cont = (F.coalesce(F.col("nc"), F.lit(0)).cast("double") + F.lit(alpha)) / (
+        F.col("__b").cast("double") + F.lit(alpha) * F.col("__v").cast("double")
+    )
+    ctx_d = F.col("ctx").cast("double")
+    p = F.when(
+        F.col("prev").isNotNull() & (F.coalesce(F.col("ctx"), F.lit(0)) > 0),
+        F.greatest(
+            F.coalesce(F.col("bcnt"), F.lit(0)).cast("double") - F.lit(discount),
+            F.lit(0.0),
+        )
+        / ctx_d
+        + (F.lit(discount) * F.col("nf").cast("double") / ctx_d) * p_cont,
+    ).otherwise(p_cont)
+    slogp = F.round(F.log(p) * F.lit(1e6)).cast("bigint")
+    aggs = [
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("__slogp").alias("__ssum"),
+    ]
+    if count_stats:
+        aggs += [
+            F.sum("__nc").cast("bigint").alias("kn_cont_mass"),
+            F.sum("__nf").cast("bigint").alias("kn_fert_mass"),
+            F.sum("__ctx").cast("bigint").alias("kn_ctx_mass"),
+        ]
+    agg = (
+        scored_rows.select(
+            "doc_id",
+            slogp.alias("__slogp"),
+            F.coalesce(F.col("nc"), F.lit(0)).cast("bigint").alias("__nc"),
+            F.when(F.col("prev").isNotNull(), F.coalesce(F.col("nf"), F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("__nf"),
+            F.when(F.col("prev").isNotNull(), F.coalesce(F.col("ctx"), F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("__ctx"),
+        )
+        .groupBy("doc_id")
+        .agg(*aggs)
+    )
+    mean_e6 = F.round(
+        F.col("__ssum").cast("double") / F.col("n_tok").cast("double")
+    ).cast("bigint")
+    mean_lp = mean_e6.cast("double") / F.lit(1e6)
+    cols = [
+        F.col("doc_id"),
+        F.col("n_tok"),
+        mean_lp.alias("mean_logprob"),
+        F.round(F.exp(-mean_lp), 6).alias("ppl"),
+    ]
+    if count_stats:
+        cols += [F.col("kn_cont_mass"), F.col("kn_fert_mass"), F.col("kn_ctx_mass")]
+    return agg.select(*cols)
+
+
 def perplexity_buckets(
     scored: DataFrame,
     *,

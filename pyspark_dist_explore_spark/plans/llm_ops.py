@@ -3223,6 +3223,14 @@ def _perplexity_oracle() -> str:
     bucket chain, and BOTH corpus count tables on any engine build; the
     ln-derived importance weights (class C) stay in the pytest twins
     (tests/test_ops.py::test_dsir_*).
+
+    Round 12 adds the X54 KNESER-NEY columns off the same pair frame:
+    ``kn_cont_mass``/``kn_fert_mass``/``kn_ctx_mass`` — per-doc sums of
+    the continuation (N1+(·w)), fertility (N1+(u·)) and bigram context
+    totals (c(u·)) that KN smoothing is built from — exact BIGINTs
+    pinning all three distinct-count aggregates; the discounted
+    probabilities stay in the pytest twin
+    (tests/test_ops.py::test_kn_bigram_*).
     """
     norm = _NORM.format(c="text")
     b = f"('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_BUCKETS}"
@@ -3280,12 +3288,26 @@ dstat AS (
   LEFT JOIN ds_t t USING (bucket)
   JOIN ds_r r USING (bucket)
   GROUP BY ds_b.doc_id
+),
+kn_fert AS (SELECT prev, count(*) AS nf, sum(bcnt) AS ctx FROM bi GROUP BY prev),
+kn_cont AS (SELECT term, count(*) AS nc FROM bi GROUP BY term),
+kstat AS (
+  SELECT p.doc_id,
+         CAST(sum(COALESCE(c.nc, 0)) AS BIGINT) AS kn_cont_mass,
+         CAST(sum(CASE WHEN p.prev IS NOT NULL THEN COALESCE(f.nf, 0) ELSE 0 END) AS BIGINT) AS kn_fert_mass,
+         CAST(sum(CASE WHEN p.prev IS NOT NULL THEN COALESCE(f.ctx, 0) ELSE 0 END) AS BIGINT) AS kn_ctx_mass
+  FROM pairs p
+  LEFT JOIN kn_cont c ON p.tok = c.term
+  LEFT JOIN kn_fert f ON p.prev = f.prev
+  GROUP BY p.doc_id
 )
 SELECT ustat.doc_id, n_tok, u_terms, u_mass, n_scored, b_hits, b_matched, ctx_mass,
-       ds_grams, ds_t_mass, ds_t_hits, ds_r_mass
+       ds_grams, ds_t_mass, ds_t_hits, ds_r_mass,
+       kn_cont_mass, kn_fert_mass, kn_ctx_mass
 FROM ustat
 JOIN bstat ON ustat.doc_id = bstat.doc_id
 JOIN dstat ON ustat.doc_id = dstat.doc_id
+JOIN kstat ON ustat.doc_id = kstat.doc_id
 """
 
 
@@ -3319,9 +3341,19 @@ def q_text_perplexity(
     gram stream is exactly the pair rows (``tok`` / ``prev || ' ' ||
     tok``), so the importance-statistics columns cost two ≤4096-row
     bucket aggregates and one per-doc partial-aggregated groupBy — no
-    extra tokenize scan."""
-    from pyspark_dist_explore_spark.operators.dsir import dsir_scores
+    extra tokenize scan.  The X54 Kneser-Ney section (round 12) also
+    rides it — its ``kn_cont_mass``/``kn_fert_mass``/``kn_ctx_mass``
+    BIGINTs pin the continuation/fertility/context-total aggregates
+    that KN smoothing derives from the one bigram table."""
+    docs, tf, pairs, gram_rows = _perplexity_staged_inputs(
+        spark, sf_dir, stage=stage
+    )
+    return _perplexity_joined(docs, tf, pairs, gram_rows)
 
+
+def _perplexity_staged_inputs(
+    spark: SparkSession, sf_dir: str, *, stage: bool = True
+):
     docs = load_table(spark, sf_dir, "documents")
     if stage:
         from pyspark.sql import Window
@@ -3353,6 +3385,24 @@ def q_text_perplexity(
         pairs = None
         tf = None
         gram_rows = dsir_gram_rows(docs, "text", "doc_id")
+    return docs, tf, pairs, gram_rows
+
+
+def _perplexity_joined(docs, tf, pairs, gram_rows) -> DataFrame:
+    frames = _perplexity_frames(docs, tf, pairs, gram_rows)
+    out = None
+    for part in frames.values():
+        out = part if out is None else out.join(part, "doc_id")
+    return out
+
+
+def _perplexity_frames(docs, tf, pairs, gram_rows) -> "dict[str, DataFrame]":
+    """The four per-doc statistic families ``text_perplexity`` joins —
+    exposed for the bench per-section attribution map (each family's
+    collect times its own real plan; the joined slot shares one staged
+    pair frame, so family times sum to MORE than the slot)."""
+    from pyspark_dist_explore_spark.operators.dsir import dsir_scores
+
     uni = textstats.unigram_logprob_scores(
         docs, "text", "doc_id", tf_rows=tf, count_stats=True
     ).select("doc_id", "n_tok", "u_terms", "u_mass")
@@ -3387,7 +3437,24 @@ def q_text_perplexity(
         "ds_t_hits",
         "ds_r_mass",
     )
-    return uni.join(bi, "doc_id").join(ds, "doc_id")
+    # X54 KN columns (round 12): the continuation/fertility/context-
+    # total aggregates of the Kneser-Ney scorer, off the SAME staged
+    # pair frame — three vocab-sized aggregates + one per-doc groupBy
+    kn = textstats.kn_bigram_logprob_scores(
+        docs, "text", "doc_id", pairs_rows=pairs, count_stats=True
+    ).select("doc_id", "kn_cont_mass", "kn_fert_mass", "kn_ctx_mass")
+    return {"unigram": uni, "bigram": bi, "dsir": ds, "kn": kn}
+
+
+def text_perplexity_parts(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """Per-family frames of ``text_perplexity`` for the bench
+    attribution map, over the SAME eager staged pair frame the
+    registered query uses (its localCheckpoint is the ``parts_build``
+    share)."""
+    docs, tf, pairs, gram_rows = _perplexity_staged_inputs(spark, sf_dir)
+    return _perplexity_frames(docs, tf, pairs, gram_rows)
 
 
 @register("text_perplexity", _perplexity_oracle())
@@ -3798,6 +3865,7 @@ SECTION_PARTS = {
     "dedup_incremental": dedup_incremental_parts,
     "pack_sequences": pack_sequences_parts,
     "sampling_splits": sampling_splits_parts,
+    "text_perplexity": text_perplexity_parts,
     "vector_exact_search": vector_exact_search_parts,
     "text_scrub_repetition": text_scrub_repetition_parts,
     "embedding_quantize": embedding_quantize_parts,

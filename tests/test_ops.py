@@ -7108,3 +7108,185 @@ def test_proportional_interleave_invariants(spark):
         )
     with pytest.raises(ValueError, match="shards"):
         proportional_interleave(df, "src", "doc_id", weights={"s0": 1}, shards=0)
+
+
+def test_kn_bigram_logprob_matches_duckdb(spark):
+    """X54: the Kneser-Ney chain (pair build -> bigram table -> the
+    three smoothing aggregates (continuation/fertility/context) ->
+    max(c-D,0)/ctx + backoff*p_cont -> scaled-bigint per-doc sum)
+    hash-matches DuckDB bit for bit, count_stats included."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        kn_bigram_logprob_scores,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    def build(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return kn_bigram_logprob_scores(
+            docs, "text", "doc_id", count_stats=True
+        )
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    oracle = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS idx, unnest(l) AS tok
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS l FROM documents) t
+),
+t2 AS (SELECT doc_id, idx, tok FROM toks WHERE tok <> ''),
+pairs AS (
+  SELECT doc_id, idx, tok, lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+  FROM t2
+),
+bi AS (
+  SELECT prev, tok AS term, count(*) AS bcnt FROM pairs
+  WHERE prev IS NOT NULL GROUP BY prev, tok
+),
+fert AS (SELECT prev, count(*) AS nf, sum(bcnt) AS ctx FROM bi GROUP BY prev),
+cont AS (SELECT term, count(*) AS nc FROM bi GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS b, CAST(count(DISTINCT term) AS DOUBLE) AS v FROM bi),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln(
+           CASE WHEN p.prev IS NOT NULL AND COALESCE(f.ctx, 0) > 0
+                THEN greatest(CAST(COALESCE(b.bcnt, 0) AS DOUBLE) - 0.75, 0.0)
+                       / CAST(f.ctx AS DOUBLE)
+                     + (0.75 * CAST(f.nf AS DOUBLE) / CAST(f.ctx AS DOUBLE))
+                       * ((CAST(COALESCE(c.nc, 0) AS DOUBLE) + 1.0) / (tot.b + 1.0 * tot.v))
+                ELSE (CAST(COALESCE(c.nc, 0) AS DOUBLE) + 1.0) / (tot.b + 1.0 * tot.v)
+           END
+         ) * 1e6) AS BIGINT) AS slogp,
+         COALESCE(c.nc, 0) AS nc,
+         CASE WHEN p.prev IS NOT NULL THEN COALESCE(f.nf, 0) ELSE 0 END AS nf,
+         CASE WHEN p.prev IS NOT NULL THEN COALESCE(f.ctx, 0) ELSE 0 END AS ctx
+  FROM pairs p
+  LEFT JOIN cont c ON p.tok = c.term
+  LEFT JOIN fert f ON p.prev = f.prev
+  LEFT JOIN bi b ON p.prev = b.prev AND p.tok = b.term, tot
+)
+SELECT doc_id, n_tok,
+       CAST(mean_e6 AS DOUBLE) / 1e6 AS mean_logprob,
+       round(exp(-(CAST(mean_e6 AS DOUBLE) / 1e6)), 6) AS ppl,
+       kn_cont_mass, kn_fert_mass, kn_ctx_mass
+FROM (
+  SELECT doc_id, count(*) AS n_tok,
+         CAST(round(CAST(sum(slogp) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_e6,
+         CAST(sum(nc) AS BIGINT) AS kn_cont_mass,
+         CAST(sum(nf) AS BIGINT) AS kn_fert_mass,
+         CAST(sum(ctx) AS BIGINT) AS kn_ctx_mass
+  FROM scored GROUP BY doc_id
+)
+"""
+    compare(spark, SF_SMOKE, build, oracle)
+
+
+def test_kn_bigram_hand_example(spark):
+    """X54 math pinned on a corpus small enough to derive by hand:
+    'a b a b a c' — bigrams {ab:2, ba:2, ac:1}, B=3 types, V=3 terms;
+    checks the continuation intuition (after 'a': 'b' has bcnt=2 but
+    'c' keeps non-zero mass; an unseen successor of 'a' gets exactly
+    backoff*p_cont) plus the per-doc fixed-point mean."""
+    import math
+
+    from pyspark_dist_explore_spark.operators.textstats import (
+        kn_bigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame([(1, "a b a b a c")], ["doc_id", "text"])
+    got = kn_bigram_logprob_scores(
+        docs, "text", "doc_id", discount=0.75, alpha=1.0, count_stats=True
+    ).collect()[0]
+    # bigram table: (a,b):2 (b,a):2 (a,c):1 -> fert a: nf=2 ctx=3;
+    # fert b: nf=1 ctx=2; cont: b nc=1, a nc=1, c nc=1; B=3, V=3
+    B, V, al = 3.0, 3.0, 1.0
+    pc = {t: (1 + al) / (B + al * V) for t in "abc"}  # nc=1 for all three
+    p = []
+    p.append(pc["a"])                                   # 'a' first token
+    p.append((2 - 0.75) / 3 + (0.75 * 2 / 3) * pc["b"])  # a->b
+    p.append((2 - 0.75) / 2 + (0.75 * 1 / 2) * pc["a"])  # b->a
+    p.append((2 - 0.75) / 3 + (0.75 * 2 / 3) * pc["b"])  # a->b
+    p.append((2 - 0.75) / 2 + (0.75 * 1 / 2) * pc["a"])  # b->a
+    p.append((1 - 0.75) / 3 + (0.75 * 2 / 3) * pc["c"])  # a->c
+    slog = [round(math.log(x) * 1e6) for x in p]
+    mean_e6 = round(sum(slog) / len(slog))
+    assert got["n_tok"] == 6
+    assert got["mean_logprob"] == pytest.approx(mean_e6 / 1e6, abs=1e-12)
+    assert got["ppl"] == pytest.approx(round(math.exp(-mean_e6 / 1e6), 6), abs=1e-12)
+    assert got["kn_cont_mass"] == 6      # nc=1 at every position
+    assert got["kn_fert_mass"] == 2 + 1 + 2 + 1 + 2  # a,b,a,b,a contexts
+    assert got["kn_ctx_mass"] == 3 + 2 + 3 + 2 + 3
+
+
+def test_kn_bigram_semantics_and_guards(spark):
+    """KN-specific semantics: the continuation unigram ranks a word by
+    CONTEXT DIVERSITY, not frequency — a token frequent after one
+    single context ('francisco' after 'san') scores LOWER after an
+    unseen context than an equally frequent but diverse token; D=0
+    degenerates to the MLE bigram with p_cont only at unseen events;
+    reference-LM training via lm_bigrams; guards raise."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        kn_bigram_logprob_scores,
+    )
+
+    # 'francisco' appears 6x, ALWAYS after 'san' (nc=1); 'things'
+    # appears 6x after 6 different words (nc=6)
+    ref = spark.createDataFrame(
+        [
+            (1, "san francisco san francisco san francisco "
+                "san francisco san francisco san francisco"),
+            (2, "good things bad things new things old things "
+                "red things blue things"),
+        ],
+        ["doc_id", "text"],
+    )
+    # probe: both words after the SAME unseen-context word
+    probe = spark.createDataFrame(
+        [(10, "zzz francisco"), (11, "zzz things")], ["doc_id", "text"]
+    )
+    from pyspark_dist_explore_spark.operators.textstats import normalize_text  # noqa: F401
+
+    bi_lm = (
+        ref.selectExpr("doc_id", "text")
+        .transform(lambda d: _kn_bigram_table(spark, d))
+    )
+    got = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in kn_bigram_logprob_scores(
+            probe, "text", "doc_id", lm_bigrams=bi_lm
+        ).collect()
+    }
+    assert got[11] > got[10]  # diverse 'things' likelier than glued 'francisco'
+    # D=0: seen events become pure MLE (no discount, no backoff mass)
+    import math
+
+    docs = spark.createDataFrame([(1, "x y x y")], ["doc_id", "text"])
+    r0 = kn_bigram_logprob_scores(docs, "text", "doc_id", discount=0.0).collect()[0]
+    # bigrams xy:2 yx:1; ctx x=2, y=1; first tok p_cont(x)=(1+1)/(2+2)
+    p = [0.5, 2 / 2, 1 / 1, 2 / 2]
+    mean_e6 = round(sum(round(math.log(v) * 1e6) for v in p) / 4)
+    assert r0["mean_logprob"] == pytest.approx(mean_e6 / 1e6, abs=1e-12)
+    with pytest.raises(ValueError, match="discount"):
+        kn_bigram_logprob_scores(docs, "text", "doc_id", discount=1.0)
+    with pytest.raises(ValueError, match="alpha"):
+        kn_bigram_logprob_scores(docs, "text", "doc_id", alpha=0.0)
+
+
+def _kn_bigram_table(spark, docs):
+    """(prev, term, cnt) bigram table via the library's own tokenizer."""
+    from pyspark.sql import Window
+
+    from pyspark_dist_explore_spark.operators.dedup import normalize_text
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias(
+            "idx", "tok"
+        ),
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    return (
+        toks.select("doc_id", "idx", "tok", F.lag("tok", 1).over(w).alias("prev"))
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
