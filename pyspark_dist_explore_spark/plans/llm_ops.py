@@ -419,6 +419,15 @@ _JACCARD_THRESHOLD = 0.9
 _JACCARD_MAX_ID = 100
 
 
+#: X55 edit-distance verification knobs for the registered section: the
+#: jaccard pairs are token-SET near-dups of ORDER-SCRAMBLED word soup,
+#: so their prefix-256 Levenshtein distances spread ~165–200 (measured
+#: at sf0.01) — a 185 bound keeps roughly half, making the section
+#: SET-sensitive in both directions (drops and keeps)
+_EDITDIST_MAX = 185
+_EDITDIST_PREFIX = 256
+
+
 @register(
     "neardup_jaccard_exact",
     f"""
@@ -432,19 +441,51 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM tok2 a JOIN tok2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.doc_a = sa.doc_id
+  JOIN sizes sb ON inter.doc_b = sb.doc_id
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6) >= {_JACCARD_THRESHOLD}
 )
-SELECT doc_a, doc_b,
-       round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON inter.doc_a = sa.doc_id
-JOIN sizes sb ON inter.doc_b = sb.doc_id
-WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 6) >= {_JACCARD_THRESHOLD}
+SELECT 'jaccard' AS section, doc_a, doc_b, jaccard FROM jpairs
+UNION ALL
+SELECT 'editdist' AS section, doc_a, doc_b, CAST(edit_dist AS DOUBLE) AS jaccard
+FROM ({dedup.edit_distance_pairs_sql(
+        "SELECT * FROM documents",
+        "SELECT doc_a, doc_b FROM jpairs",
+        "text",
+        "doc_id",
+        max_dist=_EDITDIST_MAX,
+        prefix_len=_EDITDIST_PREFIX,
+    )})
 """,
 )
 def q_neardup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard pairs ≥ 0.9 (ground truth for near-dup)."""
+    """Exact token-set Jaccard pairs ≥ 0.9 (ground truth for near-dup).
+
+    Round 12 appends the X55 EDIT-DISTANCE VERIFICATION as
+    ``section='editdist'`` rows (:func:`~pyspark_dist_explore_spark.
+    operators.dedup.edit_distance_pairs`): the same candidate pairs
+    confirmed by exact Levenshtein over the 256-char normalized prefix
+    with the banded-DP bound — the ``jaccard`` column carries the
+    integer distance for surviving pairs.  Class-A here because the
+    corpus is ASCII-pure (see the operator's engine caveat)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _JACCARD_MAX_ID)
-    return dedup.jaccard_pairs_exact(docs, "text", "doc_id", threshold=_JACCARD_THRESHOLD)
+    jp = dedup.jaccard_pairs_exact(docs, "text", "doc_id", threshold=_JACCARD_THRESHOLD)
+    ed = dedup.edit_distance_pairs(
+        docs, jp, "text", "doc_id", max_dist=_EDITDIST_MAX, prefix_len=_EDITDIST_PREFIX
+    )
+    return jp.select(F.lit("jaccard").alias("section"), "doc_a", "doc_b", "jaccard").unionByName(
+        ed.select(
+            F.lit("editdist").alias("section"),
+            "doc_a",
+            "doc_b",
+            F.col("edit_dist").cast("double").alias("jaccard"),
+        )
+    )
 
 
 def _minhash_oracle(

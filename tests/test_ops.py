@@ -7290,3 +7290,89 @@ def _kn_bigram_table(spark, docs):
         .groupBy("prev", F.col("tok").alias("term"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def test_edit_distance_pairs_matches_duckdb(spark):
+    """X55: the verify chain (normalize -> optional prefix truncate ->
+    Levenshtein <= bound) matches the DuckDB twin row for row on ASCII
+    text, with and without prefix_len."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.dedup import (
+        edit_distance_pairs,
+        edit_distance_pairs_sql,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dot"),   # dist 1
+        (3, "the quick brown fox leaps over a lazy dog"),     # small dist
+        (4, "completely different text about spark engines"),
+        (5, "  The  Quick  Brown  Fox  jumps over the lazy dog "),  # norm-dup of 1
+    ]
+    pairs = [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (3, 4)]
+    ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pdf = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    for plen in (None, 20):
+        got = sorted(
+            tuple(r)
+            for r in edit_distance_pairs(
+                ddf, pdf, "text", "doc_id", max_dist=10, prefix_len=plen
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("d", pd.DataFrame(docs, columns=["doc_id", "text"]))
+        con.register("p", pd.DataFrame(pairs, columns=["doc_a", "doc_b"]))
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    edit_distance_pairs_sql(
+                        "SELECT * FROM d",
+                        "SELECT * FROM p",
+                        "text",
+                        "doc_id",
+                        max_dist=10,
+                        prefix_len=plen,
+                    )
+                ).fetchall(),
+            )
+        )
+        con.close()
+        assert got == want, (plen, got, want)
+        assert (1, 5, 0) in got  # whitespace/case dup collapses to 0
+        assert all(a != 4 and b != 4 for a, b, _ in got)  # far pair dropped
+
+
+def test_edit_distance_pairs_semantics(spark):
+    """X55 semantics: the banded DP bound is exact at the boundary
+    (dist == max_dist kept, max_dist+1 dropped); Spark counts CODEPOINT
+    edits on unicode (the documented DuckDB divergence); guards."""
+    from pyspark_dist_explore_spark.operators.dedup import edit_distance_pairs
+
+    docs = [
+        (1, "aaaaaaaaaa"),
+        (2, "aaaaabbbbb"),  # dist 5 from 1
+        (3, "café au lait"),
+        (4, "cafe au lait"),  # 1 codepoint edit
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pdf = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a bigint, doc_b bigint"
+    )
+    at5 = edit_distance_pairs(ddf, pdf, "text", "doc_id", max_dist=5).collect()
+    assert {(r["doc_a"], r["doc_b"], r["edit_dist"]) for r in at5} == {
+        (1, 2, 5),
+        (3, 4, 1),
+    }
+    at4 = edit_distance_pairs(ddf, pdf, "text", "doc_id", max_dist=4).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in at4} == {(3, 4)}
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(ddf, pdf, "text", "doc_id", max_dist=-1)
+    with pytest.raises(ValueError, match="prefix_len"):
+        edit_distance_pairs(ddf, pdf, "text", "doc_id", max_dist=1, prefix_len=0)
+    with pytest.raises(ValueError, match="candidates missing"):
+        edit_distance_pairs(
+            ddf, pdf.withColumnRenamed("doc_b", "other"), "text", "doc_id", max_dist=1
+        )
