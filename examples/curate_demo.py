@@ -162,6 +162,26 @@ def main() -> None:
 
     verify_training_shards(spark, f"{work}/shards").show()
 
+    # 7b. the ORDER a mixture implies (X53): stride-scheduled
+    # proportional interleave of the epoch stream by SOURCE (this
+    # synthetic corpus lang-ids everything 'en', so source is the
+    # interesting group) — every prefix of the emitted sequence holds
+    # each source's share within ~1 document of its weight,
+    # deterministically (no RNG, no global sort: the position is a
+    # closed form per row) ------------------------------------------------
+    from pyspark_dist_explore_spark import proportional_interleave
+
+    il = proportional_interleave(
+        stream.join(corpus.select("doc_id", "source"), "doc_id").select(
+            F.concat_ws(":", "doc_id", "epoch").alias("row_key"), "source"
+        ),
+        "source",
+        "row_key",
+        weights={f"src{i}": 1 + (i % 3) for i in range(20)},
+    )
+    print("first 8 interleaved rows (per-source weights 1..3):")
+    il.orderBy("pos").select("pos", "source", "rank").show(8)
+
     # 8. tokenizer induction on the CURATED corpus (X40 + X48): learn a
     # BPE merge table (batched symbol-disjoint rounds) and a unigram-LM
     # vocab from the same word-frequency statistics, then A/B fertility —

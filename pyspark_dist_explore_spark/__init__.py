@@ -25,6 +25,7 @@ from pyspark_dist_explore_spark.operators.histogram import (
 )
 from pyspark_dist_explore_spark.operators.dedup import (
     containment_pairs,
+    edit_distance_pairs,
     exact_dedup,
     fingerprint_dedup,
     incremental_dedup,
@@ -119,6 +120,7 @@ from pyspark_dist_explore_spark.operators.histogram import (
 from pyspark_dist_explore_spark.operators.sampling import (
     cap_per_key,
     materialize_mixture,
+    proportional_interleave,
     stratified_take_exact,
     temperature_resample,
     top_frac_per_group,
@@ -150,6 +152,7 @@ from pyspark_dist_explore_spark.pipeline import (
     containment_pair_fn,
     curate_documents,
     curation_funnel,
+    edit_verified_pair_fn,
     minhash_pair_fn,
     semantic_pair_fn,
     union_pair_fns,
@@ -169,6 +172,7 @@ from pyspark_dist_explore_spark.operators.decontam import (
 from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
     bigram_logprob_scores,
+    kn_bigram_logprob_scores,
     corpus_profile,
     dedup_lines_within_doc,
     drop_repeated_lines,
@@ -220,9 +224,11 @@ __all__ = [
     "recommended_conf",
     "fingerprint_dedup",
     "incremental_dedup",
+    "edit_distance_pairs",
     "jaccard_pairs_exact",
     "containment_pairs",
     "minhash_neardup",
+    "edit_verified_pair_fn",
     "minhash_pair_fn",
     "containment_pair_fn",
     "semantic_pair_fn",
@@ -260,6 +266,7 @@ __all__ = [
     "dedup_lines_within_doc",
     "corpus_profile",
     "bigram_logprob_scores",
+    "kn_bigram_logprob_scores",
     "winnowing_fingerprints",
     "term_frequencies",
     "tfidf",
@@ -287,6 +294,7 @@ __all__ = [
     "contamination_report",
     "select_by_token_budget",
     "select_by_token_budget_stratified",
+    "proportional_interleave",
     "shuffle_shards",
     "decontaminate",
     "decontaminate_winnow",

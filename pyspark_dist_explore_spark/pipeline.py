@@ -190,6 +190,41 @@ def semantic_pair_fn(
     return fn
 
 
+def edit_verified_pair_fn(
+    inner: PairFn,
+    *,
+    max_dist: int,
+    prefix_len: int | None = 256,
+) -> PairFn:
+    """Wrap any ``pair_fn`` with X55 EDIT-DISTANCE VERIFICATION
+    (:func:`~pyspark_dist_explore_spark.operators.dedup.
+    edit_distance_pairs`): only candidate pairs within ``max_dist``
+    Levenshtein edits (over the normalized, ``prefix_len``-truncated
+    text) survive into cluster resolution.  Set-based generators link
+    token-PERMUTED documents as readily as true near-copies; the edit
+    gate keeps the character-level ones and releases the permutations —
+    compose with :func:`union_pair_fns` to verify only the lexical
+    signal while letting a semantic pair_fn through unverified.
+
+    Cost: the banded DP is row-local on the candidate pairs (already
+    banded/bounded by the inner generator) plus two id equi-joins to
+    fetch texts — the verify never touches non-candidate rows.
+    """
+
+    def fn(kept: DataFrame) -> DataFrame:
+        pairs = inner(kept)
+        return dedup.edit_distance_pairs(
+            kept,
+            pairs,
+            "__text",
+            "doc_id",
+            max_dist=max_dist,
+            prefix_len=prefix_len,
+        ).select("doc_a", "doc_b")
+
+    return fn
+
+
 def union_pair_fns(*fns: PairFn) -> PairFn:
     """Combine several ``pair_fn`` signals into one: the cluster stage
     resolves the UNION of all generators' edges, so e.g. a lexical

@@ -1402,3 +1402,50 @@ def test_curate_prototype_prune_stage(spark):
     with pytest.raises(ValueError, match="go together"):
         curate_documents(docs, min_quality=0.0, prototype_keep_frac=(1, 2))
 
+
+
+def test_curate_edit_verified_pair_fn(spark):
+    """X55 in the pipeline: wrapping a set-based pair_fn with
+    edit_verified_pair_fn keeps character-level near-copies collapsing
+    while RELEASING token-permuted pairs the set signal wrongly links —
+    planted: a typo pair (tiny edit distance) collapses with and without
+    the gate; a permutation pair (same token set, huge edit distance)
+    collapses only WITHOUT the gate."""
+    from pyspark_dist_explore_spark.pipeline import (
+        curate_documents,
+        edit_verified_pair_fn,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("kappa", "kappo")),            # typo near-copy
+            (3, " ".join(reversed(base.split()))),          # permutation
+            (4, "completely unrelated content about engines and parquet"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def jac_pairs(kept):
+        from pyspark_dist_explore_spark.operators import dedup
+
+        return dedup.jaccard_pairs_exact(kept, "__text", "doc_id", threshold=0.8)
+
+    plain = curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, pair_fn=jac_pairs
+    )
+    kept_plain = {r.doc_id for r in plain.collect()}
+    # jaccard links 1-2 (0.9) and 1-3/2-3 (permutation, jaccard 1.0):
+    # one survivor for {1,2,3}
+    assert kept_plain == {1, 4}
+    gated = curate_documents(
+        docs,
+        "text",
+        "doc_id",
+        min_quality=0.0,
+        pair_fn=edit_verified_pair_fn(jac_pairs, max_dist=5),
+    )
+    kept_gated = {r.doc_id for r in gated.collect()}
+    # the edit gate releases the permutation: 3 survives; 2 still folds
+    assert kept_gated == {1, 3, 4}
