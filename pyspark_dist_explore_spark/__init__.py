@@ -172,7 +172,9 @@ from pyspark_dist_explore_spark.operators.decontam import (
 from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
     bigram_logprob_scores,
+    classifier_train,
     kn_bigram_logprob_scores,
+    nb_bucket_weight,
     corpus_profile,
     dedup_lines_within_doc,
     drop_repeated_lines,
@@ -266,7 +268,9 @@ __all__ = [
     "dedup_lines_within_doc",
     "corpus_profile",
     "bigram_logprob_scores",
+    "classifier_train",
     "kn_bigram_logprob_scores",
+    "nb_bucket_weight",
     "winnowing_fingerprints",
     "term_frequencies",
     "tfidf",

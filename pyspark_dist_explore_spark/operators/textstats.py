@@ -3066,6 +3066,154 @@ def classifier_score(
     )
 
 
+def nb_bucket_weight(
+    cp: int, cn: int, *, alpha: float = 1.0, weight_scale: int = 1 << 16
+) -> int:
+    """Centered Naive-Bayes log-odds of one feature bucket on the
+    integer weight grid: ``round(scale · ln((cp+α)/(cn+α)))``.
+
+    "Centered" = relative to a bucket unseen in BOTH corpora, whose
+    full NB log-odds ``ln((α/(Np+αB))/(α/(Nn+αB)))`` is constant across
+    buckets — subtracting it makes unseen buckets weigh exactly 0 (the
+    serving convention of :func:`classifier_score`: unmatched buckets
+    contribute nothing), and the corpus-size normalizers cancel
+    algebraically, leaving the pure smoothed count ratio.
+
+    This is the ONE function the transcendental lives in (the X48/X18
+    technique): the Spark trainer computes every weight through it on
+    the driver, so any twin comparing the emitted table compares
+    identical integers — no cross-engine libm knife edge exists.
+    """
+    from math import log
+
+    return round(weight_scale * log((cp + alpha) / (cn + alpha)))
+
+
+def classifier_train(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str,
+    *,
+    n_buckets: int = 1 << 20,
+    weight_scale: int = 1 << 16,
+    bigrams: bool = True,
+    hash_fn: str = "xxhash64",
+    alpha: float = 1.0,
+    min_count: int = 1,
+) -> DataFrame:
+    """X56: TRAIN the hashed n-gram classifier :func:`classifier_score`
+    serves — the missing half of the CCNet/DCLM seed-classifier recipe
+    (label a positive seed set, e.g. wiki-referenced pages, against a
+    raw-crawl negative sample; filter the corpus with the resulting
+    linear model).  Closed-form multinomial Naive Bayes over the SAME
+    hashed uni+bigram features the scorer uses: per bucket, the
+    centered smoothed log-count-ratio ``round(scale·ln((cp+α)/(cn+α)))``
+    (:func:`nb_bucket_weight`) — no SGD, no iteration, one shot.  NB
+    log-odds IS a linear model over these features, so serving is
+    exactly ``classifier_score(weights=...)`` with a threshold in the
+    same integer-grid units.
+
+    Returns the ``(bucket BIGINT, weight BIGINT)`` serving frame
+    (zero-weight buckets dropped — serving treats absent as 0).
+    ``hash_fn`` must match serving.  ``min_count`` drops buckets with
+    fewer than that many total occurrences (hash-collision noise and
+    table-size lever).  Unbalanced seed sets shift every weight by a
+    constant ≈ ``scale·ln(Np/Nn)`` — balance the sets or absorb the
+    shift into the serving threshold.
+
+    Scale shape: the corpora reduce to TWO bucket-count aggregates
+    (map-side combined; gram build is the scorer's own row-local array
+    expression), full-outer-joined bucket-wise — at most ``n_buckets``
+    rows — then collected to the driver where the one transcendental
+    function stamps integer weights (bounded: the table IS the model,
+    ≤ n_buckets ≈ 2²⁰ rows at the fastText default, the
+    :func:`unigram_encode` model-collect precedent).
+    """
+    if n_buckets < 1 or n_buckets > 1 << 22:
+        raise ValueError(
+            f"n_buckets must be in [1, 2^22] (the count table collects to "
+            f"the driver — it is the model), got {n_buckets}"
+        )
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (NB smoothing), got {alpha}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        grams = _cls_gram_col(F.col(text_col), bigrams=bigrams)
+        b = _cls_bucket_expr(F.col("gram"), n_buckets=n_buckets, hash_fn=hash_fn)
+        return (
+            df.select(F.explode(grams).alias("gram"))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    cp = bucket_counts(pos, "cp")
+    cn = bucket_counts(neg, "cn")
+    joined = cp.join(cn, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce(F.col("cp"), F.lit(0)).cast("bigint").alias("cp"),
+        F.coalesce(F.col("cn"), F.lit(0)).cast("bigint").alias("cn"),
+    )
+    rows = joined.where(
+        F.col("cp") + F.col("cn") >= min_count
+    ).collect()  # bounded-collect: <= n_buckets count rows (the model)
+    if not rows:
+        raise ValueError("classifier_train: no grams in either corpus")
+    out = [
+        (int(r["bucket"]), w)
+        for r in rows
+        if (
+            w := nb_bucket_weight(
+                int(r["cp"]), int(r["cn"]), alpha=alpha, weight_scale=weight_scale
+            )
+        )
+        != 0
+    ]
+    spark = pos.sparkSession
+    return spark.createDataFrame(out, "bucket bigint, weight bigint")
+
+
+def classifier_train_counts_sql(
+    pos_src: str,
+    neg_src: str,
+    *,
+    n_buckets: int = 1 << 20,
+    bigrams: bool = True,
+) -> str:
+    """DuckDB twin of :func:`classifier_train`'s distributed half — the
+    per-bucket (cp, cn) count table under ``hash_fn='md5'`` (exact
+    BIGINTs; class A).  The weights downstream come from
+    :func:`nb_bucket_weight` on BOTH sides, so comparing counts pins
+    the whole trainer.  Sources must yield a ``text`` column."""
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    def side(src: str) -> str:
+        norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+        bi = (
+            "CASE WHEN len(l) >= 2 THEN list_transform(generate_series(1, len(l) - 1), "
+            "i -> l[i] || ' ' || l[i + 1]) ELSE []::VARCHAR[] END"
+        )
+        gram_expr = f"list_concat(l, {bi})" if bigrams else "l"
+        return f"""
+  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % {n_buckets} AS bucket
+  FROM (
+    SELECT unnest({gram_expr}) AS g
+    FROM (SELECT list_filter(string_split({norm}, ' '), x -> x <> '') AS l
+          FROM ({src}))
+  )
+"""
+
+    return f"""
+WITH pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cp FROM ({side(pos_src)}) GROUP BY 1),
+nb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cn FROM ({side(neg_src)}) GROUP BY 1)
+SELECT COALESCE(pb.bucket, nb.bucket) AS bucket,
+       COALESCE(cp, 0) AS cp, COALESCE(cn, 0) AS cn
+FROM pb FULL OUTER JOIN nb ON pb.bucket = nb.bucket
+"""
+
+
 def classifier_sql(
     src: str,
     *,

@@ -7376,3 +7376,117 @@ def test_edit_distance_pairs_semantics(spark):
         edit_distance_pairs(
             ddf, pdf.withColumnRenamed("doc_b", "other"), "text", "doc_id", max_dist=1
         )
+
+
+def test_classifier_train_counts_match_duckdb(spark):
+    """X56: the trainer's distributed half — per-bucket (cp, cn) counts
+    over the scorer's exact gram/bucket chain (md5 route) — matches the
+    DuckDB twin row for row on real docs; the weight table then derives
+    from nb_bucket_weight on BOTH sides by construction (the X48
+    one-function-transcendental technique)."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        classifier_train_counts_sql,
+        nb_bucket_weight,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    B = 4096
+
+    def build(spark, sf_dir):
+        from pyspark_dist_explore_spark.operators.textstats import (
+            _cls_bucket_expr,
+            _cls_gram_col,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+            "doc_id < 200"
+        )
+
+        def counts(df, name):
+            grams = _cls_gram_col(F.col("text"), bigrams=True)
+            b = _cls_bucket_expr(F.col("gram"), n_buckets=B, hash_fn="md5")
+            return (
+                df.select(F.explode(grams).alias("gram"))
+                .select(b.alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias(name))
+            )
+
+        cp = counts(docs.where("doc_id % 2 = 0"), "cp")
+        cn = counts(docs.where("doc_id % 2 = 1"), "cn")
+        return cp.join(cn, "bucket", "full_outer").select(
+            "bucket",
+            F.coalesce("cp", F.lit(0)).cast("bigint").alias("cp"),
+            F.coalesce("cn", F.lit(0)).cast("bigint").alias("cn"),
+        )
+
+    oracle = classifier_train_counts_sql(
+        "SELECT text FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0",
+        "SELECT text FROM documents WHERE doc_id < 200 AND doc_id % 2 = 1",
+        n_buckets=B,
+    )
+    compare(spark, SF_SMOKE, build, oracle)
+    # the one transcendental function: hand pins
+    assert nb_bucket_weight(5, 5) == 0                      # balanced -> 0
+    assert nb_bucket_weight(0, 0) == 0                      # unseen -> 0 (centered)
+    assert nb_bucket_weight(9, 0) > 0 > nb_bucket_weight(0, 9)
+    import math
+
+    assert nb_bucket_weight(9, 0) == round((1 << 16) * math.log(10.0))
+
+
+def test_classifier_train_and_serve_separates(spark):
+    """X56 end-to-end: train NB weights on planted separable seed sets,
+    serve through classifier_score(weights=) — held-out positive docs
+    keep, held-out negatives drop, at the zero threshold; the emitted
+    frame is the scorer's serving schema; guards raise."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        classifier_score,
+        classifier_train,
+    )
+
+    good_words = "theory method result analysis evidence study".split()
+    bad_words = "click buy cheap deal offer win".split()
+    filler = "the of and to in".split()
+
+    def doc(words, i):
+        pool = words + filler
+        return " ".join(pool[(i + j) % len(pool)] for j in range(18))
+
+    pos = spark.createDataFrame(
+        [(i, doc(good_words, i)) for i in range(24)], ["doc_id", "text"]
+    )
+    neg = spark.createDataFrame(
+        [(i, doc(bad_words, i)) for i in range(24)], ["doc_id", "text"]
+    )
+    w = classifier_train(
+        pos.where("doc_id < 16"),
+        neg.where("doc_id < 16"),
+        "text",
+        n_buckets=1 << 14,
+        hash_fn="md5",
+    )
+    assert w.columns == ["bucket", "weight"]
+    assert w.count() > 0
+    held = pos.where("doc_id >= 16").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    ).unionByName(neg.where("doc_id >= 16").select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text"
+    ))
+    scored = classifier_score(
+        held, "text", "doc_id", n_buckets=1 << 14, weights=w,
+        threshold=(0, 1), hash_fn="md5",
+    ).collect()
+    for r in scored:
+        want = 1 if r["doc_id"] < 2000 else 0
+        assert r["cls_keep"] == want, (r["doc_id"], r["cls_logit_num"])
+    with pytest.raises(ValueError, match="n_buckets"):
+        classifier_train(pos, neg, "text", n_buckets=1 << 23)
+    with pytest.raises(ValueError, match="alpha"):
+        classifier_train(pos, neg, "text", alpha=0.0)
+    with pytest.raises(ValueError, match="min_count"):
+        classifier_train(pos, neg, "text", min_count=0)
+    with pytest.raises(ValueError, match="no grams"):
+        empty = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+        classifier_train(empty, empty, "text")
