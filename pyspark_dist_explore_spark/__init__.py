@@ -173,6 +173,7 @@ from pyspark_dist_explore_spark.session import build_session, recommended_conf
 from pyspark_dist_explore_spark.operators.textstats import (
     bigram_logprob_scores,
     classifier_train,
+    frequent_ngrams,
     kn_bigram_logprob_scores,
     nb_bucket_weight,
     corpus_profile,
@@ -269,6 +270,7 @@ __all__ = [
     "corpus_profile",
     "bigram_logprob_scores",
     "classifier_train",
+    "frequent_ngrams",
     "kn_bigram_logprob_scores",
     "nb_bucket_weight",
     "winnowing_fingerprints",

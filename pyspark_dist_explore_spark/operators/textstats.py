@@ -1919,6 +1919,118 @@ def oov_stats(
     )
 
 
+def frequent_ngrams(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n: int = 3,
+    top_k: int = 20,
+    group_col: str | None = None,
+    min_count: int = 2,
+) -> DataFrame:
+    """X57: FREQUENT n-GRAM census — the boilerplate detector a crawl
+    audit runs before choosing line/span-dedup thresholds: the
+    ``top_k`` most frequent word n-grams per group ``(group, gram, cnt,
+    rank)``, ties broken lexicographically (a pure function of the
+    corpus — reproducible on any engine/partitioning).  The grams that
+    surface are the cookie banners, navigation strings and license
+    headers that X19/X23 line/span dedup should be pointed at.
+
+    Scale shape: the gram build is ROW-LOCAL (an array-slice transform
+    over the normalized token array — no posexplode+window pass), the
+    count is one map-side-combined hash aggregate whose hot grams — the
+    ones this census exists to find — collapse before the shuffle, and
+    ``min_count`` prunes the singleton long tail (the overwhelming bulk
+    of the type table) BEFORE the per-group top-k rank window, so the
+    window sorts only repeated grams.  With ``group_col=None`` the
+    single-group form compiles to ``TakeOrderedAndProject`` semantics
+    via the same window (one 'ALL' partition of the pruned type table).
+
+    Docs shorter than ``n`` tokens contribute nothing; NULL text and
+    NULL groups follow the house conventions ('' group, empty doc).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from pyspark.sql import Window
+
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(toks, lambda x: x != "")
+    # sequence(1, 0) DESCENDS in Spark (yields [1, 0]) — short docs need
+    # an explicit empty-array branch, not a clamped upper bound
+    n_starts = F.size(toks) - F.lit(n - 1)
+    starts = F.when(n_starts > 0, F.sequence(F.lit(1), n_starts)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    g = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+        if group_col is not None
+        else F.lit("ALL")
+    )
+    counts = (
+        df.select(g.alias("group"), F.explode(grams).alias("gram"))
+        .groupBy("group", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    w = Window.partitionBy("group").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def frequent_ngrams_sql(
+    src: str,
+    *,
+    n: int = 3,
+    top_k: int = 20,
+    group_col: str | None = None,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of :func:`frequent_ngrams` — identical gram slices,
+    counts, prune, and (cnt DESC, gram ASC) rank."""
+    if n < 1 or top_k < 1 or min_count < 1:
+        raise ValueError("n, top_k, min_count must all be >= 1")
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+    g = (
+        f"COALESCE(CAST({group_col} AS VARCHAR), '')"
+        if group_col is not None
+        else "'ALL'"
+    )
+    return f"""
+WITH fng_t AS (
+  SELECT {g} AS "group",
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS l
+  FROM ({src})
+),
+fng_g AS (
+  SELECT "group", unnest(list_transform(
+           generate_series(1, greatest(len(l) - {n - 1}, 0)),
+           i -> array_to_string(l[i:i+{n - 1}], ' ')
+         )) AS gram
+  FROM fng_t
+),
+fng_c AS (
+  SELECT "group", gram, CAST(count(*) AS BIGINT) AS cnt
+  FROM fng_g GROUP BY 1, 2 HAVING count(*) >= {min_count}
+)
+SELECT * FROM (
+  SELECT "group", gram, cnt,
+         CAST(row_number() OVER (
+           PARTITION BY "group" ORDER BY cnt DESC, gram ASC
+         ) AS INT) AS rank
+  FROM fng_c
+) WHERE rank <= {top_k}
+"""
+
+
 def vocabulary_oov_sql(src: str, group_col: str, size: int) -> str:
     """DuckDB twin of :func:`vocabulary` + :func:`oov_stats` over one
     relation: same normalized token stream, same (cnt DESC, tok ASC)

@@ -7490,3 +7490,65 @@ def test_classifier_train_and_serve_separates(spark):
     with pytest.raises(ValueError, match="no grams"):
         empty = spark.createDataFrame([(1, "")], ["doc_id", "text"])
         classifier_train(empty, empty, "text")
+
+
+def test_frequent_ngrams_matches_duckdb(spark):
+    """X57: per-group top-k frequent n-gram census hash-matches the
+    DuckDB twin on real docs (row-local gram slices, min_count prune,
+    (cnt DESC, gram ASC) rank), for n in {1, 2, 3}."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        frequent_ngrams,
+        frequent_ngrams_sql,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    for n in (1, 2, 3):
+        compare(
+            spark,
+            SF_SMOKE,
+            lambda s, d, n=n: frequent_ngrams(
+                s.read.parquet(f"{d}/documents.parquet"),
+                "text",
+                n=n,
+                top_k=12,
+                group_col="source",
+                min_count=2,
+            ),
+            frequent_ngrams_sql(
+                "SELECT source, text FROM documents",
+                n=n,
+                top_k=12,
+                group_col="source",
+                min_count=2,
+            ),
+        )
+
+
+def test_frequent_ngrams_semantics(spark):
+    """X57 semantics: planted boilerplate dominates rank 1; docs shorter
+    than n contribute nothing; min_count prunes singletons; ALL-group
+    form; ties break lexicographically; guards raise."""
+    from pyspark_dist_explore_spark.operators.textstats import frequent_ngrams
+
+    banner = "accept all cookies"
+    docs = spark.createDataFrame(
+        [(i, f"{banner} unique{i} words here now") for i in range(9)]
+        + [(100, "ab"), (101, None)],
+        ["doc_id", "text"],
+    )
+    got = frequent_ngrams(docs, "text", n=3, top_k=3).collect()
+    assert got[0]["group"] == "ALL"
+    by_rank = {r["rank"]: r for r in got}
+    assert by_rank[1]["gram"] == banner and by_rank[1]["cnt"] == 9
+    # 'all cookies unique{i}' are singletons -> pruned by min_count=2
+    assert all(r["cnt"] >= 2 for r in got)
+    # tie-break: two grams at cnt 9 -> lexicographic order decides ranks
+    ranked = [r["gram"] for r in got if r["cnt"] == 9]
+    assert ranked == sorted(ranked)
+    with pytest.raises(ValueError, match="n must"):
+        frequent_ngrams(docs, "text", n=0)
+    with pytest.raises(ValueError, match="top_k"):
+        frequent_ngrams(docs, "text", top_k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        frequent_ngrams(docs, "text", min_count=0)
