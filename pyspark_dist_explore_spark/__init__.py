@@ -27,6 +27,7 @@ from pyspark_dist_explore_spark.operators.dedup import (
     containment_pairs,
     edit_distance_pairs,
     exact_dedup,
+    hamming_neardup,
     fingerprint_dedup,
     incremental_dedup,
     jaccard_pairs_exact,
@@ -49,8 +50,10 @@ from pyspark_dist_explore_spark.operators.multimodal import (
     audio_features,
     decode_bmp,
     decode_wav,
+    dhash_pixels,
     encode_bmp,
     encode_wav,
+    image_dhash,
     read_binary_media,
     resize_images,
     sample_frames,
@@ -228,6 +231,7 @@ __all__ = [
     "fingerprint_dedup",
     "incremental_dedup",
     "edit_distance_pairs",
+    "hamming_neardup",
     "jaccard_pairs_exact",
     "containment_pairs",
     "minhash_neardup",
@@ -282,9 +286,11 @@ __all__ = [
     # multimodal
     "encode_bmp",
     "decode_bmp",
+    "dhash_pixels",
     "encode_wav",
     "decode_wav",
     "read_binary_media",
+    "image_dhash",
     "resize_images",
     "sample_frames",
     "write_media_fixture",

@@ -947,6 +947,82 @@ def simhash_neardup(
     )
 
 
+def hamming_neardup(
+    sig: DataFrame,
+    sig_col: str,
+    id_col: str,
+    *,
+    bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Generic banded Hamming near-dup join over ANY integer signature
+    column (SimHash, image dHash, audio fingerprints): pairs with
+    ``popcount(a XOR b) <= max_hamming``, found WITHOUT a cross join.
+
+    Pigeonhole banding generalized from :func:`simhash_neardup`'s fixed
+    4-chunk form: the signature splits into ``max_hamming + 1`` chunks
+    (uneven widths allowed — boundaries at ``i·bits/(h+1)``), so any
+    pair within distance ``max_hamming`` shares at least one identical
+    chunk and the join runs on (chunk, value) buckets.  More chunks =
+    more candidate rows but smaller buckets; the exact verify
+    (``bit_count``) is row-local either way.
+
+    Output: ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b`` (named
+    after the id column's role, whatever ``id_col`` is), distinct.
+    """
+    if bits < 1 or bits > 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    if max_hamming < 0 or max_hamming + 1 > bits:
+        raise ValueError(
+            f"max_hamming must be in [0, bits-1] (needs h+1 non-empty "
+            f"chunks), got {max_hamming}"
+        )
+    nchunks = max_hamming + 1
+    bounds = [i * bits // nchunks for i in range(nchunks + 1)]
+    chunks = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col(sig_col), bounds[c])
+                        .bitwiseAND(
+                            # a 64-bit-wide chunk's mask overflows the
+                            # BIGINT literal: -1 is the same all-ones
+                            F.lit(
+                                -1
+                                if bounds[c + 1] - bounds[c] >= 64
+                                else (1 << (bounds[c + 1] - bounds[c])) - 1
+                            )
+                        )
+                        .alias("ck"),
+                    )
+                    for c in range(nchunks)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__sig", "b.chunk", "b.ck")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def minhash_ml_neardup(
     df: DataFrame,
     text_col: str,

@@ -577,3 +577,89 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return binary_df.mapInPandas(_sample, schema=FRAMES_SCHEMA)
+
+
+def dhash_pixels(pixels: np.ndarray, *, grid: int = 8) -> int:
+    """X58 reference: difference hash (dHash) of an RGB array — PURE
+    INTEGER arithmetic end to end, so the distributed operator and this
+    single-machine reference are bit-identical by construction.
+
+    1. grayscale: integer luma ``(299·R + 587·G + 114·B) // 1000``;
+    2. block-mean downsample to ``grid × (grid+1)`` with EXACT integer
+       block sums over index-boundary blocks (``[i·h//G, (i+1)·h//G)``)
+       — no float interpolation, no resampling library;
+    3. one bit per cell: ``left < right`` across each row's horizontal
+       gradient, packed row-major into ``grid²`` bits (grid=8 → 64,
+       returned as a SIGNED 64-bit value so it lands in a Spark BIGINT).
+
+    The gradient construction makes the hash invariant to global
+    brightness/contrast shifts (adding a constant or scaling all pixels
+    preserves every ``<`` comparison) — the property that makes dHash a
+    PERCEPTUAL dup key where md5-of-bytes is not.
+    """
+    if grid < 2 or grid * grid > 64:
+        raise ValueError(f"grid must be in [2, 8] (grid^2 bits <= 64), got {grid}")
+    h, w, _ = pixels.shape
+    if h < 1 or w < 2:
+        raise ValueError(f"image too small for a horizontal gradient: {h}x{w}")
+    luma = (
+        pixels[:, :, 0].astype(np.int64) * 299
+        + pixels[:, :, 1].astype(np.int64) * 587
+        + pixels[:, :, 2].astype(np.int64) * 114
+    ) // 1000
+    gh, gw = grid, grid + 1
+    ys = [(i * h) // gh for i in range(gh + 1)]
+    xs = [(j * w) // gw for j in range(gw + 1)]
+    # degenerate tiny images: empty blocks read as 0 (documented — use
+    # images with h >= grid and w >= grid+1 for meaningful hashes)
+    cells = np.zeros((gh, gw), dtype=np.int64)
+    for i in range(gh):
+        for j in range(gw):
+            block = luma[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+            cells[i, j] = int(block.sum()) // block.size if block.size else 0
+    bits = 0
+    for i in range(gh):
+        for j in range(gw - 1):
+            bits = (bits << 1) | int(cells[i, j] < cells[i, j + 1])
+    if bits >= 1 << 63:  # two's-complement into a signed BIGINT
+        bits -= 1 << 64
+    return bits
+
+
+def image_dhash(
+    binary_df: DataFrame,
+    *,
+    grid: int = 8,
+    frame: int = 0,
+) -> DataFrame:
+    """X58: perceptual image fingerprints — ``(doc_id, dhash BIGINT)``
+    over a binary media column, Arrow-batched (:func:`dhash_pixels` per
+    payload; ``frame`` picks which BMP of a concatenated clip to hash).
+    Undecodable/empty payloads drop with a NULL-safe filter — a
+    production corpus always carries a corrupt tail.
+
+    Pair with :func:`~pyspark_dist_explore_spark.operators.dedup.
+    hamming_neardup` (``bits=grid²``) for banded perceptual near-dup
+    pairs: the same pigeonhole join the text SimHash route uses, so
+    image dedup at 100 TB inherits the proven no-cross-join shape.
+    Exact byte dups are a strict subset (hamming 0); brightness-shifted
+    re-encodes — which break md5 content hashes — land at distance 0
+    too (pinned in pytest).
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = split_bmp_frames(bytes(payload))
+                    px = decode_bmp(frames[frame])
+                    hashes.append(dhash_pixels(px, grid=grid))
+                    ids.append(doc_id)
+                except (ValueError, IndexError):
+                    continue
+            yield pd.DataFrame({"doc_id": ids, "dhash": pd.array(hashes, dtype="int64")})
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _hash, schema="doc_id bigint, dhash bigint"
+    )

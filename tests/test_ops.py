@@ -7552,3 +7552,71 @@ def test_frequent_ngrams_semantics(spark):
         frequent_ngrams(docs, "text", top_k=0)
     with pytest.raises(ValueError, match="min_count"):
         frequent_ngrams(docs, "text", min_count=0)
+
+
+def test_image_dhash_and_hamming_neardup(spark):
+    """X58: perceptual image dedup end-to-end — the distributed dHash
+    equals the pure-numpy reference bit for bit at any partitioning;
+    brightness-shifted re-encodes (different bytes, different md5) land
+    at Hamming 0; a content-different image does not pair; corrupt
+    payloads drop; the generic banded hamming join equals brute force."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators import multimodal
+    from pyspark_dist_explore_spark.operators.dedup import hamming_neardup
+    from pyspark_dist_explore_spark.operators.multimodal import (
+        dhash_pixels,
+        encode_bmp,
+        image_dhash,
+    )
+
+    h, w = 24, 32
+    # range-confined pattern (< 200): the +40 brightness shift must not
+    # clip, or saturated cells would legitimately flatten gradients
+    y, x = np.mgrid[0:h, 0:w]
+    chan = ((y * 7 + x * 13) % 200).astype(np.uint8)
+    base = np.stack([chan, (chan * 2) % 200, (chan * 3) % 200], axis=-1).astype(np.uint8)
+    brighter = (base.astype(np.int64) + 40).astype(np.uint8)
+    other = multimodal._doc_pixels(9999, 2, w, h)
+    rows = [
+        (1, bytearray(encode_bmp(base))),
+        (2, bytearray(encode_bmp(brighter))),
+        (3, bytearray(encode_bmp(other))),
+        (4, bytearray(b"not a bmp")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary").repartition(3)
+    got = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert set(got) == {1, 2, 3}  # corrupt payload dropped
+    assert got[1] == dhash_pixels(base)       # distributed == reference
+    # brightness shift preserves every gradient comparison (clip can
+    # flatten saturated cells; this pattern stays in range)
+    assert got[2] == got[1]
+    assert got[3] != got[1]
+    # generic hamming join == brute force on planted signatures
+    def flip(sig, mask):  # xor in the unsigned domain, back to signed i64
+        u = (sig & ((1 << 64) - 1)) ^ mask
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    sigs = [(1, got[1]), (2, got[2]), (3, got[3]),
+            (5, flip(got[1], 0b111)), (6, flip(got[1], 1 << 63))]
+    sdf = spark.createDataFrame(sigs, "doc_id bigint, dhash bigint")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_neardup(
+            sdf, "dhash", "doc_id", bits=64, max_hamming=3
+        ).collect()
+    }
+    brute = {}
+    for i, (ia, sa) in enumerate(sigs):
+        for ib, sb in sigs[i + 1 :]:
+            d = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                brute[(ia, ib)] = d
+    assert pairs == brute
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 3 and pairs[(1, 6)] == 1
+    with pytest.raises(ValueError, match="grid"):
+        dhash_pixels(base, grid=9)
+    with pytest.raises(ValueError, match="bits"):
+        hamming_neardup(sdf, "dhash", "doc_id", bits=65, max_hamming=3)
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamming_neardup(sdf, "dhash", "doc_id", bits=8, max_hamming=8)
