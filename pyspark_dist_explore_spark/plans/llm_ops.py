@@ -2368,9 +2368,14 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     - **audio**: real FILE ingestion — WAV files on disk read through
       ``spark.read.format("binaryFile")`` (the way a production media
       bucket arrives), RIFF-decoded, 2× decimated → ``rms``/``peak``
-      over the sample array.
+      over the sample array;
+    - **dhash** (round 12, X58): the perceptual dHash of the same
+      decoded images (:func:`multimodal.image_dhash` — integer-exact
+      luma/block-mean/gradient chain, numpy-reference-pinned in
+      pytest), the key :func:`dedup.hamming_neardup` bands for
+      perceptual image dedup.
 
-    Payload bytes never cross a shuffle (both branches extract
+    Payload bytes never cross a shuffle (all branches extract
     map-side; only small feature frames join on doc_id).
     """
     docs = load_table(spark, sf_dir, "documents").where(
@@ -2380,13 +2385,14 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = multimodal.resize_images(
         payload, width=8, height=8, decoder=multimodal.decode_bmp
     ).select("doc_id", "pixels_hash")
+    dh = multimodal.image_dhash(payload).select("doc_id", "dhash")
     fixture = multimodal.write_media_fixture(
         _MEDIA_FIXTURE_DIR, range(_MEDIA_FIXTURE_IDS), kind="wav"
     )
     audio = multimodal.audio_features(
         multimodal.read_binary_media(spark, fixture + "/*.wav"), every_n=2
     ).select("doc_id", "rms", "peak")
-    return resized.join(audio, "doc_id")
+    return resized.join(dh, "doc_id").join(audio, "doc_id")
 
 
 @register("word2vec_topk", None)  # iterative ML fit → rows-only
