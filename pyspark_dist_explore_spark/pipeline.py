@@ -483,7 +483,10 @@ def curate_documents(
     the word-order-aware interpolated bigram scorer
     (:func:`operators.textstats.bigram_logprob_scores`, self-trained)
     — it additionally flags word salad built from common words, which
-    unigram perplexity cannot see.
+    unigram perplexity cannot see; ``ppl_model="kn"`` (round 12) swaps
+    in Kneser-Ney smoothing
+    (:func:`operators.textstats.kn_bigram_logprob_scores`) — the
+    canonical absolute-discount/continuation-backoff form.
 
     ``decontaminate_against`` (opt-in) drops documents sharing any
     ``decontam_ngram``-token word n-gram with the given eval/benchmark
@@ -772,9 +775,25 @@ def curate_documents(
                     "bigram_logprob_scores(lm_unigrams=, lm_bigrams=) directly"
                 )
             scores = bigram_logprob_scores(base, "__text", "doc_id")
+        elif ppl_model == "kn":
+            # Kneser-Ney smoothing (round 12, X54): the canonical
+            # count-LM smoothing — continuation-unigram backoff scores
+            # context DIVERSITY, not frequency.  Self-trained here;
+            # reference LMs go through kn_bigram_logprob_scores
+            # (lm_bigrams=) directly, same contract as 'bigram'.
+            if ppl_lm_counts is not None:
+                raise ValueError(
+                    "ppl_model='kn' self-trains; pass a reference LM via "
+                    "kn_bigram_logprob_scores(lm_bigrams=) directly"
+                )
+            from pyspark_dist_explore_spark.operators.textstats import (
+                kn_bigram_logprob_scores,
+            )
+
+            scores = kn_bigram_logprob_scores(base, "__text", "doc_id")
         else:
             raise ValueError(
-                f"ppl_model must be 'unigram' or 'bigram', got {ppl_model!r}"
+                f"ppl_model must be 'unigram', 'bigram' or 'kn', got {ppl_model!r}"
             )
         bad_ppl = scores.where(F.col("ppl") > F.lit(float(max_ppl))).select("doc_id")
         base = base.join(bad_ppl, "doc_id", "left_anti")

@@ -585,6 +585,14 @@ def test_curate_bigram_ppl_flags_word_salad(spark):
     assert salad_id in uni_kept, "unigram cannot see word order"
     assert salad_id not in bi_kept, "bigram must drop the salad doc"
     assert bi_kept, "in-distribution docs survive"
+    # ppl_model='kn' (X54): the Kneser-Ney scorer sees word order too —
+    # same salad drop at a bound the in-distribution docs clear
+    kn_kept = {r.doc_id for r in curate_documents(
+        docs, "text", "doc_id", min_quality=0.0, max_ppl=12.0,
+        ppl_model="kn", pair_fn=no_pairs,
+    ).collect()}
+    assert salad_id not in kn_kept, "KN must drop the salad doc"
+    assert kn_kept, "in-distribution docs survive the KN gate"
 
     with _pytest.raises(ValueError, match="ppl_model"):
         curate_documents(docs, "text", "doc_id", max_ppl=10.0, ppl_model="trigram")
@@ -592,6 +600,9 @@ def test_curate_bigram_ppl_flags_word_salad(spark):
     with _pytest.raises(ValueError, match="self-trains"):
         curate_documents(docs, "text", "doc_id", max_ppl=10.0,
                          ppl_model="bigram", ppl_lm_counts=lm)
+    with _pytest.raises(ValueError, match="self-trains"):
+        curate_documents(docs, "text", "doc_id", max_ppl=10.0,
+                         ppl_model="kn", ppl_lm_counts=lm)
 
 
 def test_curate_intra_doc_line_stage(spark):
