@@ -863,3 +863,27 @@ def test_proportional_interleave_plan_shape(spark):
     assert win, plan
     # offsets join is broadcast (K*S-row side), not a shuffle join
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kn_bigram_plan_shape(spark):
+    """X54 scale pins: the KN scorer stays JVM-side (zero Python
+    stages), builds no cartesian product, and its three smoothing
+    tables (continuation / fertility+context / (B,V) totals) come back
+    as broadcasts — the corpus-sized side is never shuffled for a
+    vocab-sized join."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        kn_bigram_logprob_scores,
+    )
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = kn_bigram_logprob_scores(docs, "text", "doc_id", count_stats=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # the per-doc reduction is one hash aggregate with map-side partials
+    assert "partial_count" in plan or "partial_sum" in plan
