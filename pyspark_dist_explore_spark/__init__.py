@@ -47,7 +47,9 @@ from pyspark_dist_explore_spark.operators.similarity import (
     topk_quantized,
 )
 from pyspark_dist_explore_spark.operators.multimodal import (
+    afp_samples,
     audio_features,
+    audio_fingerprint,
     decode_bmp,
     decode_wav,
     dhash_pixels,
@@ -294,7 +296,9 @@ __all__ = [
     "resize_images",
     "sample_frames",
     "write_media_fixture",
+    "afp_samples",
     "audio_features",
+    "audio_fingerprint",
     # sampling / batch shaping
     "hash_split",
     "stratified_sample",

@@ -663,3 +663,72 @@ def image_dhash(
     return binary_df.select("doc_id", "payload").mapInPandas(
         _hash, schema="doc_id bigint, dhash bigint"
     )
+
+
+def afp_samples(samples: np.ndarray, *, n_bits: int = 64) -> int:
+    """X59 reference: audio energy-gradient fingerprint — the WAV
+    counterpart of :func:`dhash_pixels`, PURE INTEGER end to end so the
+    distributed operator is bit-identical to this single-machine form.
+
+    The sample array splits into ``n_bits + 1`` index-boundary blocks
+    (``[i·n//(B+1), (i+1)·n//(B+1))``); each block's energy is the
+    EXACT integer mean of ``|sample|`` (sum // size); bit ``i`` is
+    ``energy_i < energy_{i+1}`` — the temporal loudness CONTOUR, packed
+    into a signed 64-bit value.  Re-encodes at a different overall gain
+    mostly preserve the contour (positive scaling preserves strict
+    energy order up to integer-division rounding), while md5-of-bytes
+    breaks on the first bit of gain change; exact silence and constant
+    tones hash to all-zero bits (documented — contour-free audio is
+    indistinguishable here by design).
+    """
+    if n_bits < 1 or n_bits > 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
+    n = len(samples)
+    if n < n_bits + 1:
+        raise ValueError(f"need at least n_bits+1 samples, got {n}")
+    mag = np.abs(samples.astype(np.int64))
+    nb = n_bits + 1
+    bounds = [(i * n) // nb for i in range(nb + 1)]
+    energy = [
+        int(mag[bounds[i] : bounds[i + 1]].sum()) // (bounds[i + 1] - bounds[i])
+        for i in range(nb)
+    ]
+    bits = 0
+    for i in range(n_bits):
+        bits = (bits << 1) | int(energy[i] < energy[i + 1])
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def audio_fingerprint(
+    binary_df: DataFrame,
+    *,
+    n_bits: int = 64,
+) -> DataFrame:
+    """X59: perceptual audio fingerprints — ``(doc_id, afp BIGINT)``
+    over a binary WAV column, Arrow-batched (:func:`afp_samples` per
+    payload).  Undecodable or too-short payloads drop NULL-safe.
+
+    Pair with :func:`~pyspark_dist_explore_spark.operators.dedup.
+    hamming_neardup` (``bits=n_bits``) for banded perceptual near-dup
+    pairs over audio — the identical pigeonhole join the text SimHash
+    and image dHash routes use, so all three modalities share one
+    proven no-cross-join dedup shape.
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _, samples = decode_wav(bytes(payload))
+                    fps.append(afp_samples(samples, n_bits=n_bits))
+                    ids.append(doc_id)
+                except ValueError:
+                    continue
+            yield pd.DataFrame({"doc_id": ids, "afp": pd.array(fps, dtype="int64")})
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _hash, schema="doc_id bigint, afp bigint"
+    )

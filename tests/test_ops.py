@@ -7620,3 +7620,53 @@ def test_image_dhash_and_hamming_neardup(spark):
         hamming_neardup(sdf, "dhash", "doc_id", bits=65, max_hamming=3)
     with pytest.raises(ValueError, match="max_hamming"):
         hamming_neardup(sdf, "dhash", "doc_id", bits=8, max_hamming=8)
+
+
+def test_audio_fingerprint_and_hamming(spark):
+    """X59: the distributed audio fingerprint equals the pure-numpy
+    reference bit for bit; a 2x-gain re-encode of a high-contrast sweep
+    (different bytes, different md5) lands at Hamming 0; a different
+    tone does not pair at a tight bound; corrupt/short payloads drop;
+    guards raise."""
+    import numpy as np
+
+    from pyspark_dist_explore_spark.operators import multimodal
+    from pyspark_dist_explore_spark.operators.dedup import hamming_neardup
+    from pyspark_dist_explore_spark.operators.multimodal import (
+        afp_samples,
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    base = multimodal._doc_samples(7, 4000)
+    louder = (base.astype(np.int64) * 2).clip(-32768, 32767).astype(np.int16)
+    other = multimodal._doc_samples(41, 4000)
+    rows = [
+        (1, bytearray(encode_wav(base))),
+        (2, bytearray(encode_wav(louder))),
+        (3, bytearray(encode_wav(other))),
+        (4, bytearray(b"RIFFxxxxWAVE")),       # truncated: no fmt/data
+        (5, bytearray(encode_wav(base[:10]))),  # too short for 64 bits
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary").repartition(3)
+    got = {r["doc_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == afp_samples(base)
+    # doubling the gain doubles every |sample|, so block-energy ORDER is
+    # preserved up to integer-division rounding; the sweep's block
+    # contrasts are far above that rounding, so the contour is identical
+    assert got[2] == got[1]
+    assert got[3] != got[1]
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in got.items()], "doc_id bigint, afp bigint"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_neardup(sdf, "afp", "doc_id", bits=64, max_hamming=2).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    with pytest.raises(ValueError, match="n_bits"):
+        afp_samples(base, n_bits=65)
+    with pytest.raises(ValueError, match="samples"):
+        afp_samples(base[:10])
