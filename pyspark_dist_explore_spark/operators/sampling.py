@@ -1024,7 +1024,15 @@ def proportional_interleave(
             "__sh", F.conv(F.substring(F.col("__h"), 1, 4), 16, 10).cast("int") % shards
         )
     )
-    counts = tagged.groupBy("__g", "__sh").agg(F.count(F.lit(1)).alias("__c"))
+    # ONE corpus scan feeds the K·S count table; localCheckpoint it so
+    # the totals collect, the offsets window, AND the main pass all read
+    # the (K·S)-row blocks instead of re-deriving the aggregate — the
+    # whole operator is exactly TWO corpus scans at any size
+    counts = (
+        tagged.groupBy("__g", "__sh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint()
+    )
     woff = (
         Window.partitionBy("__g")
         .orderBy("__sh")
