@@ -1009,6 +1009,12 @@ def proportional_interleave(
     strides, _ = _interleave_strides(weights)
     if shards < 1 or shards > 65536:
         raise ValueError(f"shards must be in [1, 65536], got {shards}")
+    clash = {rank_col, pos_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"output column(s) {sorted(clash)} already exist in the input — "
+            "withColumn would silently replace them; rename via rank_col=/pos_col="
+        )
     groups = sorted(weights)
     g = F.coalesce(F.col(group_col).cast("string"), F.lit(""))
     h = F.md5(

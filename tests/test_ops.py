@@ -7670,3 +7670,19 @@ def test_audio_fingerprint_and_hamming(spark):
         afp_samples(base, n_bits=65)
     with pytest.raises(ValueError, match="samples"):
         afp_samples(base[:10])
+
+
+def test_proportional_interleave_output_column_clash(spark):
+    """X53 guard: rank/pos output names colliding with input columns
+    raise instead of silently replacing."""
+    from pyspark_dist_explore_spark.operators.sampling import (
+        proportional_interleave,
+    )
+
+    df = spark.createDataFrame([(1, "a", 9)], "doc_id bigint, g string, pos int")
+    with pytest.raises(ValueError, match="already exist"):
+        proportional_interleave(df, "g", "doc_id", weights={"a": 1})
+    out = proportional_interleave(
+        df, "g", "doc_id", weights={"a": 1}, pos_col="gpos"
+    )
+    assert {"pos", "gpos", "rank"} <= set(out.columns)
