@@ -1383,7 +1383,10 @@ def edit_distance_pairs(
     Keeps ``(a_col, b_col, edit_dist)`` for pairs whose normalized
     texts (:func:`normalize_text`; optionally truncated to
     ``prefix_len`` chars) are within ``max_dist`` single-character
-    edits.  Spark computes the banded DP — ``levenshtein(l, r,
+    edits.  Duplicate candidate edges pass through verbatim (one
+    output row per input row — ``.distinct()`` upstream if the
+    generator can repeat pairs; the banded generators here already
+    emit distinct edges).  Spark computes the banded DP — ``levenshtein(l, r,
     threshold)`` stops at O(max_dist·L) instead of O(L²) and returns
     -1 past the bound, which this filter drops — so the verify cost is
     linear in text length for any fixed bound.
