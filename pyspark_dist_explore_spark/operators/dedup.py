@@ -1319,6 +1319,119 @@ def neardup_clusters_lazy(
     )
 
 
+def cluster_best_survivors(
+    labels: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """X60: QUALITY-AWARE survivor selection over resolved dup clusters
+    — re-elect each cluster's keeper by a per-document score instead of
+    the min-id convention :func:`neardup_clusters` ships.  Production
+    dedup keeps the BEST copy of a duplicated document (longest, highest
+    classifier score, lowest perplexity), not the one that happens to
+    carry the smallest id; this is the standard post-clustering step in
+    C4/Dolma-style curation.
+
+    ``labels`` is cluster output — ``(id_col, cluster_col, ...)``, e.g.
+    straight from :func:`neardup_clusters` — and ``scores`` maps
+    ``id_col`` to a numeric ``score_col``.  Returns ``(id_col,
+    cluster_col, is_survivor)``: exactly one survivor per cluster, the
+    max-score member (min-score when ``higher_is_better=False``), ties
+    and score-less members broken toward the SMALLEST id — so a cluster
+    whose members all lack scores degenerates to the min-id convention,
+    and a constant score reproduces :func:`neardup_clusters` bit for bit
+    (pytest-pinned).  Scores are compared on the house 1e-6 fixed-point
+    grid (``round(score, 6)``) so election is cross-engine deterministic;
+    a NULL score (or an id missing from ``scores``) never beats a scored
+    member.
+
+    Scale shape: one left equi-join on the id, then TWO hash aggregates
+    — per-cluster max of the ``(has_score, score)`` struct, then min-id
+    among the members matching that max — and one equi-join back on the
+    cluster key.  Deliberately NO per-cluster window: a pathological
+    million-member cluster (one viral boilerplate page) is just another
+    group in a partial-aggregated groupBy, not a single-partition sort.
+    All keys are id/cluster equi-joins, so at 100 TB the label and score
+    frames co-partition and the whole election is label-state-sized (2–3
+    longs per doc), never text-sized.
+    """
+    for frame, col, name in ((labels, id_col, "labels"), (labels, cluster_col, "labels"),
+                             (scores, id_col, "scores"), (scores, score_col, "scores")):
+        if col not in frame.columns:
+            raise ValueError(f"cluster_best_survivors: column {col!r} not in {name} frame")
+    sc = F.round(F.col(score_col).cast("double"), 6)
+    ranked_score = sc if higher_is_better else -sc
+    j = (
+        labels.select(F.col(id_col).alias("__id"), F.col(cluster_col).alias("__cl"))
+        .join(
+            scores.select(
+                F.col(id_col).alias("__id"),
+                F.col(score_col).isNotNull().cast("int").alias("__nn"),
+                ranked_score.alias("__sc"),
+            ),
+            "__id",
+            "left",
+        )
+        .select(
+            "__id",
+            "__cl",
+            F.coalesce(F.col("__nn"), F.lit(0)).alias("__nn"),
+            # the struct max compares field-by-field: scored beats
+            # unscored first, then the rounded score; NULL __sc only
+            # occurs with __nn=0 so it never decides an election
+            F.coalesce(F.col("__sc"), F.lit(0.0)).alias("__sc"),
+        )
+    )
+    best = j.groupBy("__cl").agg(F.max(F.struct("__nn", "__sc")).alias("__mx"))
+    winner = (
+        j.join(best, "__cl")
+        .where((F.col("__nn") == F.col("__mx.__nn")) & (F.col("__sc") == F.col("__mx.__sc")))
+        .groupBy("__cl")
+        .agg(F.min("__id").alias("__winner"))
+    )
+    return (
+        labels.select(F.col(id_col).alias("__id"), F.col(cluster_col).alias("__cl"))
+        .join(winner, "__cl")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cl").alias(cluster_col),
+            (F.col("__id") == F.col("__winner")).cast("int").alias("is_survivor"),
+        )
+    )
+
+
+def cluster_best_survivors_sql(
+    labels_rel: str,
+    scores_rel: str,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+    higher_is_better: bool = True,
+) -> str:
+    """DuckDB twin of :func:`cluster_best_survivors` (window form — the
+    small-data oracle shape; the Spark operator uses aggregate election
+    for the reasons in its docstring).  ``labels_rel`` / ``scores_rel``
+    are relation expressions (table names or parenthesized subqueries).
+    """
+    direction = "DESC" if higher_is_better else "ASC"
+    return f"""
+SELECT {id_col}, {cluster_col},
+       CAST(CASE WHEN row_number() OVER (
+           PARTITION BY {cluster_col}
+           ORDER BY (s.{score_col} IS NOT NULL) DESC,
+                    round(CAST(s.{score_col} AS DOUBLE), 6) {direction},
+                    {id_col} ASC
+       ) = 1 THEN 1 ELSE 0 END AS INT) AS is_survivor
+FROM (SELECT l.{id_col}, l.{cluster_col}, s2.{score_col}
+      FROM {labels_rel} l LEFT JOIN {scores_rel} s2 USING ({id_col})) s
+"""
+
+
 # --------------------------------------------------------------------------
 # Exact n-gram / token Jaccard via self-join (oracle-able ground truth)
 # --------------------------------------------------------------------------

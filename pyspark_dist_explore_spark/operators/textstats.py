@@ -2031,6 +2031,184 @@ SELECT * FROM (
 """
 
 
+def keyness_census(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    *,
+    top_k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """X61: CROSS-CORPUS KEYNESS census — the token types whose usage
+    rates differ most between two corpora, ranked by the Pearson
+    chi-square of each type's 2×2 contingency table (the corpus-
+    linguistics "keyness" statistic; Dunning's G² needs logs, chi-square
+    is the transcendental-free member of the family).  This is the audit
+    a pipeline runs when two crawl snapshots, two domains, or pre-/post-
+    filter corpora need a "what actually changed in the LANGUAGE"
+    answer that doc-count diffs (X49) can't give: the top keyness terms
+    of a snapshot diff are the new boilerplate, the new spam campaign,
+    or the topic the filter just deleted.
+
+    Returns ``(tok, cnt_a, cnt_b, chi2, enriched_in, rank)`` — the
+    ``top_k`` types per direction (``enriched_in`` = ``'a'`` where the
+    rate in A exceeds B's, else ``'b'``; rate-EQUAL types — chi2
+    exactly 0 — are excluded, decided on exact DECIMAL(38,0) integer
+    cross-products so the direction never hinges on float precision).
+    ``chi2 = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`` on doubles, rounded
+    to the house 1e-6 grid; ranking orders by the ROUNDED value with a
+    lexicographic tok tie-break, so the census is a pure function of
+    the two corpora on any engine or partitioning.  ``min_count``
+    prunes types with fewer than that many occurrences across both
+    corpora (the singleton long tail that dominates the type table and
+    can never reach significance).
+
+    Scale shape: one token-type hash aggregate per corpus (map-side
+    partials — output is TYPE-sized, not corpus-sized), a full-outer
+    type equi-join, two 1-row totals broadcast in by cross join, and
+    per-direction ``orderBy().limit(top_k)`` — TakeOrderedAndProject's
+    per-partition heaps, never a full sort of the type table (the
+    X20/X25 vocabulary discipline).  The final rank window runs over
+    ≤ 2·top_k collected-size rows.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from pyspark.sql import Window
+
+    def type_counts(df: DataFrame, out: str) -> DataFrame:
+        toks = df.select(
+            F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")
+        )
+        return (
+            toks.where(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    ca, cb = type_counts(df_a, "cnt_a"), type_counts(df_b, "cnt_b")
+    joined = (
+        ca.join(cb, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce(F.col("cnt_a"), F.lit(0)).cast("bigint").alias("cnt_a"),
+            F.coalesce(F.col("cnt_b"), F.lit(0)).cast("bigint").alias("cnt_b"),
+        )
+        .where(F.col("cnt_a") + F.col("cnt_b") >= min_count)
+    )
+    tot_a = ca.agg(F.sum("cnt_a").cast("bigint").alias("tot_a"))
+    tot_b = cb.agg(F.sum("cnt_b").cast("bigint").alias("tot_b"))
+    full = joined.crossJoin(F.broadcast(tot_a)).crossJoin(F.broadcast(tot_b))
+    a, b = F.col("cnt_a").cast("double"), F.col("cnt_b").cast("double")
+    na, nb = F.col("tot_a").cast("double"), F.col("tot_b").cast("double")
+    n = na + nb
+    # ad − bc over the margins collapses to a·Nb − b·Na; the double form
+    # feeds chi2, the exact DECIMAL(38,0) form decides direction (BIGINT
+    # products overflow at ~1e9-token corpora; 38 digits hold to ~1e19²)
+    diff = a * nb - b * na
+    dec = "decimal(38,0)"
+    diff_exact = (
+        F.col("cnt_a").cast(dec) * F.col("tot_b").cast(dec)
+        - F.col("cnt_b").cast(dec) * F.col("tot_a").cast(dec)
+    )
+    denom = (a + b) * (n - a - b) * na * nb
+    chi2 = F.round(F.when(denom > 0, n * diff * diff / denom).otherwise(F.lit(0.0)), 6)
+    scored = (
+        full.where(diff_exact != 0)
+        .select(
+            "tok",
+            "cnt_a",
+            "cnt_b",
+            chi2.alias("chi2"),
+            F.when(diff_exact > 0, F.lit("a")).otherwise(F.lit("b")).alias("enriched_in"),
+        )
+    )
+    out = None
+    w = Window.partitionBy("enriched_in").orderBy(F.col("chi2").desc(), F.col("tok").asc())
+    for side in ("a", "b"):
+        top = (
+            scored.where(F.col("enriched_in") == side)
+            .orderBy(F.col("chi2").desc(), F.col("tok").asc())
+            .limit(top_k)
+        )
+        out = top if out is None else out.unionByName(top)
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def keyness_census_sql(
+    src_a: str,
+    src_b: str,
+    *,
+    top_k: int = 50,
+    min_count: int = 5,
+) -> str:
+    """DuckDB twin of :func:`keyness_census` — identical type counts,
+    prune, DOUBLE chi-square with the same parenthesization (IEEE
+    doubles agree bit-for-bit when the expression tree matches), exact
+    128-bit HUGEINT direction (the Spark side's DECIMAL(38,0) twin —
+    both exact past BIGINT range), and (chi2 DESC, tok ASC) per-direction
+    rank.  ``src_a`` / ``src_b`` are relation expressions with a
+    ``text`` column."""
+    if top_k < 1 or min_count < 1:
+        raise ValueError("top_k and min_count must be >= 1")
+    from pyspark_dist_explore_spark.operators.dedup import NORMALIZE_SQL
+
+    norm = NORMALIZE_SQL.format(c="COALESCE(text, '')")
+
+    def cte(src: str, out: str) -> str:
+        return f"""
+  SELECT tok, CAST(count(*) AS BIGINT) AS {out} FROM (
+    SELECT unnest(string_split({norm}, ' ')) AS tok FROM ({src})
+  ) WHERE tok <> '' GROUP BY tok"""
+
+    return f"""
+WITH kc_a AS ({cte(src_a, "cnt_a")}),
+kc_b AS ({cte(src_b, "cnt_b")}),
+kc_j AS (
+  SELECT COALESCE(kc_a.tok, kc_b.tok) AS tok,
+         CAST(COALESCE(cnt_a, 0) AS BIGINT) AS cnt_a,
+         CAST(COALESCE(cnt_b, 0) AS BIGINT) AS cnt_b
+  FROM kc_a FULL OUTER JOIN kc_b ON kc_a.tok = kc_b.tok
+  WHERE COALESCE(cnt_a, 0) + COALESCE(cnt_b, 0) >= {min_count}
+),
+kc_t AS (
+  SELECT (SELECT CAST(sum(cnt_a) AS BIGINT) FROM kc_a) AS tot_a,
+         (SELECT CAST(sum(cnt_b) AS BIGINT) FROM kc_b) AS tot_b
+),
+kc_s AS (
+  SELECT tok, cnt_a, cnt_b,
+         round(CASE WHEN (CAST(cnt_a AS DOUBLE) + CAST(cnt_b AS DOUBLE))
+                       * ((CAST(tot_a AS DOUBLE) + CAST(tot_b AS DOUBLE))
+                          - CAST(cnt_a AS DOUBLE) - CAST(cnt_b AS DOUBLE))
+                       * CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE) > 0
+           THEN (CAST(tot_a AS DOUBLE) + CAST(tot_b AS DOUBLE))
+                * (CAST(cnt_a AS DOUBLE) * CAST(tot_b AS DOUBLE)
+                   - CAST(cnt_b AS DOUBLE) * CAST(tot_a AS DOUBLE))
+                * (CAST(cnt_a AS DOUBLE) * CAST(tot_b AS DOUBLE)
+                   - CAST(cnt_b AS DOUBLE) * CAST(tot_a AS DOUBLE))
+                / ((CAST(cnt_a AS DOUBLE) + CAST(cnt_b AS DOUBLE))
+                   * ((CAST(tot_a AS DOUBLE) + CAST(tot_b AS DOUBLE))
+                      - CAST(cnt_a AS DOUBLE) - CAST(cnt_b AS DOUBLE))
+                   * CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE))
+           ELSE 0.0 END, 6) AS chi2,
+         CASE WHEN CAST(cnt_a AS HUGEINT) * CAST(tot_b AS HUGEINT)
+                   > CAST(cnt_b AS HUGEINT) * CAST(tot_a AS HUGEINT)
+              THEN 'a' ELSE 'b' END AS enriched_in
+  FROM kc_j, kc_t
+  WHERE CAST(cnt_a AS HUGEINT) * CAST(tot_b AS HUGEINT)
+        <> CAST(cnt_b AS HUGEINT) * CAST(tot_a AS HUGEINT)
+)
+SELECT * FROM (
+  SELECT tok, cnt_a, cnt_b, chi2, enriched_in,
+         CAST(row_number() OVER (
+           PARTITION BY enriched_in ORDER BY chi2 DESC, tok ASC
+         ) AS INT) AS rank
+  FROM kc_s
+) WHERE rank <= {top_k}
+"""
+
+
 def vocabulary_oov_sql(src: str, group_col: str, size: int) -> str:
     """DuckDB twin of :func:`vocabulary` + :func:`oov_stats` over one
     relation: same normalized token stream, same (cnt DESC, tok ASC)

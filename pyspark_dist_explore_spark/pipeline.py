@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_dist_explore_spark.operators import dedup
@@ -299,6 +299,8 @@ def curate_documents(
     allowed_langs: Sequence[str] | None = None,
     pair_fn: PairFn | None = None,
     jaccard_threshold: float = 0.9,
+    neardup_keep_score: Column | None = None,
+    neardup_keep_higher_is_better: bool = True,
     split_fractions: dict[str, float] | None = None,
     materialize: bool = False,
     snapshot_dir: str | None = None,
@@ -342,13 +344,22 @@ def curate_documents(
     Returns one row per SURVIVING document:
     ``(doc_id, lang_pred, quality, split)`` — quality- and
     language-filtered, exact- and near-dup-deduplicated (cluster
-    survivor = min doc id), deterministically split train/val/test.
+    survivor = min doc id by default), deterministically split
+    train/val/test.
 
     ``pair_fn`` maps the deduped frame (columns ``doc_id``, ``__text``)
     to near-dup pairs ``(doc_a, doc_b, ...)``; default is the exact
     token-Jaccard self-join at ``jaccard_threshold`` (SQL-expressible →
     DuckDB-oracle-checkable).  ``allowed_langs=None`` skips the language
     filter.
+
+    ``neardup_keep_score`` (X60) switches cluster survivor election
+    from min-id to keep-the-best: a Column expression evaluated over
+    the post-exact-dedup frame (original columns + ``__text``), e.g.
+    ``F.length("__text")`` or a pre-joined classifier/perplexity
+    column (``neardup_keep_higher_is_better=False`` for cost-style
+    scores).  Ties and score-less docs fall back to min id, so a
+    constant score is exactly the default convention.
 
     ``materialize=True`` localCheckpoints the deduped intermediate,
     which three downstream consumers re-read (the pair generator, the
@@ -880,6 +891,18 @@ def curate_documents(
     clusters = dedup.neardup_clusters(
         pair_fn(kept), all_ids=kept.select("doc_id")
     )
+    if neardup_keep_score is not None:
+        # X60: re-elect each cluster's keeper by quality instead of the
+        # min-id convention — the score expression is evaluated over the
+        # post-exact-dedup frame (original columns + __text), so callers
+        # can rank by F.length("__text"), a classifier column, or a
+        # joined-in perplexity.  One extra score scan + two label-sized
+        # aggregates; the propagation itself is not re-run.
+        clusters = dedup.cluster_best_survivors(
+            clusters,
+            kept.select("doc_id", neardup_keep_score.alias("score")),
+            higher_is_better=neardup_keep_higher_is_better,
+        )
     survivors = clusters.where(F.col("is_survivor") == 1).select("doc_id")
 
     out = kept.join(survivors, "doc_id")

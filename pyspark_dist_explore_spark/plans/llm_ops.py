@@ -687,13 +687,23 @@ walk(node, lbl) AS (
   UNION
   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
 ),
-comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
-SELECT d.doc_id,
-       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
-       CAST(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT)
-         AS is_survivor
-FROM (SELECT doc_id FROM documents WHERE doc_id < {_JACCARD_MAX_ID}) d
-LEFT JOIN comp c ON d.doc_id = c.node
+comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+labeled AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         CAST(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT)
+           AS is_survivor
+  FROM (SELECT doc_id FROM documents WHERE doc_id < {_JACCARD_MAX_ID}) d
+  LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT 'minid' AS section, doc_id, cluster_id, is_survivor FROM labeled
+UNION ALL
+SELECT 'best' AS section, l.doc_id, l.cluster_id,
+       CAST(CASE WHEN row_number() OVER (
+           PARTITION BY l.cluster_id
+           ORDER BY COALESCE(s.n_tok, 0) DESC, l.doc_id ASC
+       ) = 1 THEN 1 ELSE 0 END AS INT) AS is_survivor
+FROM labeled l LEFT JOIN sizes s ON l.doc_id = s.doc_id
 """
 
 
@@ -724,11 +734,60 @@ def q_neardup_clusters(
     return dedup.neardup_clusters_lazy(pairs, all_ids=docs.select("doc_id"))
 
 
+def _cluster_quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc distinct non-empty token count — the X60 election score.
+    Byte-for-byte the oracle's ``sizes`` CTE (count of distinct
+    whitespace tokens of the normalized text), coalesced to 0 for
+    token-less docs on BOTH engines so election never hinges on the
+    scored-vs-unscored tier."""
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.array_distinct(dedup.tokens(F.col("text"))), lambda x: x != "")
+        ).alias("score"),
+    )
+
+
+def neardup_clusters_parts(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """Per-section frames for the bench attribution map: `minid` is the
+    propagation itself (eager checkpoint-backed — its cost lands in
+    parts_build, the read is label-sized), `best` adds the X60 quality
+    election (score scan + two aggregates + join-back)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _JACCARD_MAX_ID)
+    pairs = dedup.jaccard_pairs_exact(docs, "text", "doc_id", threshold=_JACCARD_THRESHOLD)
+    labels = dedup.neardup_clusters(pairs, all_ids=docs.select("doc_id"))
+    best = dedup.cluster_best_survivors(labels, _cluster_quality_scores(docs))
+    return {"minid": labels, "best": best}
+
+
 @register("neardup_clusters", _CLUSTER_ORACLE)
 def _q_neardup_clusters_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered form of :func:`q_neardup_clusters` — opts in to the
-    eager convergence-checked propagation (``stage=True``)."""
-    return q_neardup_clusters(spark, sf_dir, stage=True)
+    """Registered form of :func:`q_neardup_clusters` — the eager
+    convergence-checked propagation (``stage=True``), section-merged
+    (round 12) with X60's quality-aware survivor election:
+
+    - ``minid``: the propagation output as shipped since round 4 —
+      survivor = min doc id of the connected component.
+    - ``best`` (X60): the same clusters re-elected by
+      :func:`~pyspark_dist_explore_spark.operators.dedup.cluster_best_survivors`
+      with score = distinct-token count (the oracle's own ``sizes`` CTE,
+      so the election is hash-checked member-for-member against the
+      DuckDB window-form twin; ties break to the min id, which also
+      pins the tie path — single-member clusters tie trivially).
+
+    The propagation runs ONCE: ``neardup_clusters`` returns a
+    checkpoint-backed frame, so the ``best`` section's election reads
+    the final-round label blocks, not a second propagation."""
+    parts = neardup_clusters_parts(spark, sf_dir)
+    minid = parts["minid"].select(
+        F.lit("minid").alias("section"), "doc_id", "cluster_id", "is_survivor"
+    )
+    best = parts["best"].select(
+        F.lit("best").alias("section"), "doc_id", "cluster_id", "is_survivor"
+    )
+    return minid.unionByName(best)
 
 
 def _simhash_oracle(max_hamming: int) -> str:
@@ -3909,6 +3968,7 @@ def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SECTION_PARTS = {
     "corpus_shuffle_shards": corpus_shuffle_shards_parts,
+    "neardup_clusters": neardup_clusters_parts,
     "dedup_incremental": dedup_incremental_parts,
     "pack_sequences": pack_sequences_parts,
     "sampling_splits": sampling_splits_parts,

@@ -69,6 +69,42 @@ def test_curate_neardup_stage_drops_cluster_members(spark):
     assert 1_000_000 not in kept, "exact copy under a new id must be dropped"
 
 
+def test_curate_neardup_keep_best_elects_scored_copy(spark):
+    """X60 wiring: with neardup_keep_score= the cluster keeps the
+    HIGHEST-scoring duplicate instead of the min-id one; everything
+    outside the duplicated cluster is unchanged vs the default run."""
+    # NEAR-dups (not exact: exact dedup runs first and would drop the
+    # copy before election) — 12 shared tokens + 1 extra = jaccard
+    # 12/13 ≈ 0.923 ≥ the 0.9 default; other docs are token-disjoint
+    base_text = " ".join(f"tok{i}" for i in range(12))
+    both = spark.createDataFrame(
+        [(i, f"solo{i}a solo{i}b solo{i}c solo{i}d") for i in range(1, 6)]
+        + [(10, base_text), (20, base_text + " extraterm")],
+        ["doc_id", "text"],
+    )
+    # score the high-id variant up: the election must flip the survivor
+    score = F.when(F.col("doc_id") == 20, F.lit(10.0)).otherwise(F.lit(1.0))
+    out = curate_documents(
+        both, "text", "doc_id", min_quality=0.0, neardup_keep_score=score
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 20 in kept and 10 not in kept, "best-score copy must win"
+    assert set(range(1, 6)) <= kept  # singletons untouched
+    # lower-is-better inverts the election back to the low-scored doc 10
+    inv = curate_documents(
+        both, "text", "doc_id", min_quality=0.0,
+        neardup_keep_score=score, neardup_keep_higher_is_better=False,
+    )
+    kept_inv = {r.doc_id for r in inv.collect()}
+    assert 10 in kept_inv and 20 not in kept_inv
+    # constant score == the default min-id run, row for row
+    base = curate_documents(both, "text", "doc_id", min_quality=0.0)
+    const = curate_documents(
+        both, "text", "doc_id", min_quality=0.0, neardup_keep_score=F.lit(1.0)
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, const.collect()))
+
+
 def test_curate_pluggable_minhash_pair_fn(spark):
     """The scale path: swap the quadratic exact-Jaccard pair stage for
     banded MinHash-LSH via the ready-made staged factory.  Same output
