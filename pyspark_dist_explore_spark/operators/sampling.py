@@ -1168,3 +1168,196 @@ SELECT {cols}, CAST(r."rank" AS BIGINT) AS "rank", CAST(p.pos AS BIGINT) AS pos
 FROM ranked r
 JOIN pre p ON p.pg = r.__g AND p.pr = r."rank"
 """
+
+
+def sample_negatives(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int = 4,
+    salt: str = "neg0",
+    group_col: str | None = None,
+    shards: int = 64,
+    anchor_col: str = "anchor_id",
+    neg_col: str = "neg_id",
+    draw_col: str = "draw",
+) -> DataFrame:
+    """X63: DETERMINISTIC NEGATIVE SAMPLING for contrastive training —
+    for every document (anchor), ``k`` pseudo-random other documents
+    drawn md5-uniformly from the corpus, reproducible on any engine,
+    partitioning, or run (the same discipline as ``shuffle_shards``:
+    sampling that re-runs bit-identically is the only kind an auditable
+    training-data pipeline can ship).  The standard in-batch-negative /
+    contrastive-pretraining prep step (SimCLR/CLIP/DPR-style), done
+    corpus-side so the dataloader stays a dumb reader.
+
+    Output: one row per (anchor, draw): ``(anchor_col, draw_col 0..k-1,
+    neg_col)``.  The draw targets a DENSE md5-shuffle rank: ``idx =
+    md5int(salt:'d':anchor_id:draw) % N`` (15 hex digits — exact BIGINT,
+    mod bias ≤ 2⁻⁴⁴ relative), bumped by one (mod N) when it lands on
+    the anchor itself, so no anchor is its own negative.  Two draws of
+    one anchor MAY collide (true uniform sampling with replacement —
+    dedupe at the edge if the trainer needs distinct negatives).
+    ``group_col`` drops negatives sharing the anchor's group (the
+    near-positive false-negative guard, e.g. same X47 domain or same
+    host) — such anchors then carry FEWER than ``k`` rows, deliberately:
+    a deterministic re-draw chain would bias toward small groups.
+
+    Corpora of size 0 or 1 return no rows (there is no valid negative).
+    ``id_col`` must be unique and non-null per row (snapshot semantics).
+
+    Scale shape: the dense rank is the X53 two-level build — sub-shard
+    by the leading 16 md5 bits, ``row_number`` within (shard), plus
+    per-shard offsets from an S-row count frame (no single-partition
+    window); one eager S-row count aggregate at construction (the
+    ``proportional_interleave`` precedent) also yields N.  Draws are a
+    row-local ``explode(sequence(0, k-1))``; resolving a draw to its
+    negative is ONE BIGINT equi-join against the rank frame (both sides
+    exchange on the rank key, co-partitioned) — output is k·N rows,
+    nothing quadratic, zero Python.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 1 <= shards <= 65536:
+        raise ValueError(f"shards must be in [1, 65536], got {shards}")
+    for c in (anchor_col, neg_col, draw_col):
+        if c in df.columns:
+            raise ValueError(
+                f"output column {c!r} already exists in the input — rename via "
+                "anchor_col=/neg_col=/draw_col="
+            )
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(salt), F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+        )
+    )
+    grp = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+        if group_col is not None
+        else F.lit("")
+    )
+    tagged = df.select(
+        F.col(id_col).alias("__id"),
+        grp.alias("__grp"),
+        h.alias("__h"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % shards).alias("__sh"),
+    )
+    counts = (
+        tagged.groupBy("__sh").agg(F.count(F.lit(1)).alias("__c")).localCheckpoint()
+    )
+    woff = Window.orderBy("__sh").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__sh", F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off")
+    )
+    n = sum(
+        int(r["__c"]) for r in counts.collect()  # bounded-collect: S-row shard counts (N + the offset literals ride the same frame)
+    )
+    if n <= 1:
+        return tagged.limit(0).select(
+            F.col("__id").alias(anchor_col),
+            F.lit(0).cast("int").alias(draw_col),
+            F.col("__id").alias(neg_col),
+        )
+    wrk = Window.partitionBy("__sh").orderBy("__h", "__id")
+    ranked = tagged.join(F.broadcast(offsets), "__sh").select(
+        "__id",
+        "__grp",
+        (F.col("__off") + F.row_number().over(wrk) - 1).cast("bigint").alias("__rk"),
+    )
+    draws = ranked.select(
+        F.col("__id").alias(anchor_col),
+        F.col("__grp").alias("__agrp"),
+        "__rk",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias(draw_col),
+    )
+    raw_idx = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.lit("d"),
+                        F.col(anchor_col).cast("string"),
+                        F.col(draw_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n
+    )
+    idx = F.when(raw_idx == F.col("__rk"), (raw_idx + 1) % n).otherwise(raw_idx)
+    lookup = ranked.select(
+        F.col("__rk").alias("__nrk"),
+        F.col("__id").alias(neg_col),
+        F.col("__grp").alias("__ngrp"),
+    )
+    out = (
+        draws.withColumn("__nrk", idx)
+        .join(lookup, "__nrk")
+        .select(anchor_col, draw_col, neg_col, "__agrp", "__ngrp")
+    )
+    if group_col is not None:
+        out = out.where(F.col("__agrp") != F.col("__ngrp"))
+    return out.drop("__agrp", "__ngrp")
+
+
+def sample_negatives_sql(
+    src: str,
+    id_col: str,
+    *,
+    k: int = 4,
+    salt: str = "neg0",
+    group_col: str | None = None,
+    shards: int = 64,
+) -> str:
+    """DuckDB twin of :func:`sample_negatives` — the flat window form
+    (``row_number() OVER (ORDER BY shard, md5, id) - 1``) the two-level
+    build is equal to by construction, with the identical draw
+    arithmetic.  ``src`` is a relation expression carrying ``id_col``
+    (and ``group_col``)."""
+    if k < 1 or not 1 <= shards <= 65536:
+        raise ValueError("k must be >= 1 and shards in [1, 65536]")
+    idq = id_col.replace('"', '""')
+    grp = (
+        f"COALESCE(CAST({group_col} AS VARCHAR), '')"
+        if group_col is not None
+        else "''"
+    )
+    guard = "WHERE d.grp <> n.grp" if group_col is not None else ""
+    return f"""
+WITH sn_base AS (
+  SELECT "{idq}" AS id, {grp} AS grp,
+         md5('{salt}' || ':' || COALESCE(CAST("{idq}" AS VARCHAR), '')) AS h
+  FROM ({src})
+),
+sn_rk AS (
+  SELECT id, grp,
+         row_number() OVER (
+           ORDER BY CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % {shards}, h, id
+         ) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM sn_base
+),
+sn_draw AS (
+  SELECT a.id AS anchor_id, a.grp, d.draw, a.n,
+         CAST(('0x' || substr(md5('{salt}' || ':d:' ||
+               CAST(a.id AS VARCHAR) || ':' || CAST(d.draw AS VARCHAR)), 1, 15))
+              AS BIGINT) % a.n AS raw_idx,
+         a.rk
+  FROM sn_rk a, (SELECT unnest(generate_series(0, {k - 1})) AS draw) d
+  WHERE a.n > 1
+)
+SELECT d.anchor_id, CAST(d.draw AS INT) AS draw, n.id AS neg_id
+FROM (
+  SELECT anchor_id, grp, draw, n,
+         CASE WHEN raw_idx = rk THEN (raw_idx + 1) % n ELSE raw_idx END AS idx
+  FROM sn_draw
+) d
+JOIN (SELECT rk, id, grp FROM sn_rk) n ON n.rk = d.idx
+{guard}
+"""

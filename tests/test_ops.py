@@ -7964,3 +7964,79 @@ def test_proportional_interleave_output_column_clash(spark):
         df, "g", "doc_id", weights={"a": 1}, pos_col="gpos"
     )
     assert {"pos", "gpos", "rank"} <= set(out.columns)
+
+
+# --------------------------------------------------------------------------
+# X63: deterministic negative sampling (sampling.sample_negatives)
+# --------------------------------------------------------------------------
+
+
+def test_sample_negatives_matches_duckdb(spark):
+    """X63: the two-level distributed rank + md5 draw chain equals the
+    DuckDB flat-window twin row for row, with and without the
+    same-group exclusion, on real docs."""
+    import duckdb
+
+    from pyspark_dist_explore_spark.operators.sampling import (
+        sample_negatives,
+        sample_negatives_sql,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_utils import compare
+
+    compare(
+        spark,
+        SF_SMOKE,
+        lambda s, d: sample_negatives(
+            s.read.parquet(f"{d}/documents.parquet").select("doc_id", "source"),
+            "doc_id", k=3, salt="t0",
+        ),
+        sample_negatives_sql("SELECT doc_id, source FROM documents", "doc_id", k=3, salt="t0"),
+    )
+    compare(
+        spark,
+        SF_SMOKE,
+        lambda s, d: sample_negatives(
+            s.read.parquet(f"{d}/documents.parquet").select("doc_id", "source"),
+            "doc_id", k=3, salt="t0", group_col="source",
+        ),
+        sample_negatives_sql(
+            "SELECT doc_id, source FROM documents", "doc_id",
+            k=3, salt="t0", group_col="source",
+        ),
+    )
+
+
+def test_sample_negatives_semantics(spark):
+    """X63 invariants: k rows per anchor (no group filter), never
+    self-negative, deterministic across runs AND partitionings, salt
+    changes the draw, group exclusion only removes same-group rows,
+    degenerate corpora (0/1 rows) yield no rows, guards raise."""
+    from pyspark_dist_explore_spark.operators.sampling import sample_negatives
+
+    df = spark.createDataFrame([(i, "g" + str(i % 3)) for i in range(24)], ["doc_id", "src"])
+    out = sample_negatives(df, "doc_id", k=5, salt="s1").collect()
+    assert len(out) == 24 * 5
+    per = {}
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"], "self-negative"
+        per.setdefault(r["anchor_id"], []).append((r["draw"], r["neg_id"]))
+    assert all(len(v) == 5 for v in per.values())
+    # determinism + partitioning invariance
+    again = sample_negatives(df.repartition(7), "doc_id", k=5, salt="s1").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = sample_negatives(df, "doc_id", k=5, salt="s2").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    # group exclusion: subset of the unfiltered draws, no same-group pair
+    grp = {r["doc_id"]: r["src"] for r in df.collect()}
+    excl = sample_negatives(df, "doc_id", k=5, salt="s1", group_col="src").collect()
+    assert {tuple(r) for r in excl} == {
+        tuple(r) for r in out if grp[r["anchor_id"]] != grp[r["neg_id"]]
+    }
+    # degenerate corpora
+    assert sample_negatives(df.limit(1), "doc_id", k=3).count() == 0
+    assert sample_negatives(df.limit(0), "doc_id", k=3).count() == 0
+    with pytest.raises(ValueError, match="k must"):
+        sample_negatives(df, "doc_id", k=0)
+    with pytest.raises(ValueError, match="already exists"):
+        sample_negatives(df.withColumnRenamed("src", "draw"), "doc_id")

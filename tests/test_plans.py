@@ -887,3 +887,27 @@ def test_kn_bigram_plan_shape(spark):
     assert "BroadcastExchange" in plan
     # the per-doc reduction is one hash aggregate with map-side partials
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_sample_negatives_plan_shape(spark):
+    """X63 scale pins: zero Python stages, no cartesian product; the
+    rank window partitions by the sub-shard (never a single global
+    funnel for the corpus-wide rank), the S-row offsets join is
+    broadcast, and the draw->negative resolution is a hash equi-join
+    on the BIGINT rank key."""
+    from pyspark_dist_explore_spark.operators.sampling import sample_negatives
+    from pyspark_dist_explore_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    out = sample_negatives(docs, "doc_id", k=3, salt="p0", group_col="source")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    win = [ln for ln in plan.splitlines() if "row_number()" in ln and "__sh" in ln]
+    assert win, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the negative resolution joins on the rank key, not a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
