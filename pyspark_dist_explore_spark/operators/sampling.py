@@ -1319,7 +1319,11 @@ def sample_negatives_sql(
     (``row_number() OVER (ORDER BY shard, md5, id) - 1``) the two-level
     build is equal to by construction, with the identical draw
     arithmetic.  ``src`` is a relation expression carrying ``id_col``
-    (and ``group_col``)."""
+    (and ``group_col``).  String ids are twin-exact for ASCII (both
+    engines compare bytewise there); non-ASCII ids hit the documented
+    X55 codepoint-vs-byte collation divergence — rank ties across such
+    ids are broken by the md5 column first, so divergence needs an md5
+    collision and is theoretical."""
     if k < 1 or not 1 <= shards <= 65536:
         raise ValueError("k must be >= 1 and shards in [1, 65536]")
     idq = id_col.replace('"', '""')

@@ -8040,3 +8040,35 @@ def test_sample_negatives_semantics(spark):
         sample_negatives(df, "doc_id", k=0)
     with pytest.raises(ValueError, match="already exists"):
         sample_negatives(df.withColumnRenamed("src", "draw"), "doc_id")
+
+
+def test_sample_negatives_string_ids_match_duckdb(spark):
+    """X63 with non-numeric ids (uuid/url corpora): the rank order, the
+    draw arithmetic, and the lexicographic tie-break all hold on
+    strings — twin-checked."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_dist_explore_spark.operators.sampling import (
+        sample_negatives,
+        sample_negatives_sql,
+    )
+
+    rows = [(f"doc://{i:03d}", f"h{i % 4}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["uid", "host"])
+    got = sorted(
+        map(tuple, sample_negatives(
+            df, "uid", k=3, salt="su0", group_col="host",
+            anchor_col="anchor_id", neg_col="neg_id",
+        ).collect())
+    )
+    con = duckdb.connect()
+    try:
+        con.register("docs_s", pd.DataFrame(rows, columns=["uid", "host"]))
+        want = sorted(tuple(r) for r in con.execute(
+            sample_negatives_sql("SELECT uid, host FROM docs_s", "uid",
+                                 k=3, salt="su0", group_col="host")
+        ).fetchall())
+    finally:
+        con.close()
+    assert got == want and len(got) > 0
