@@ -311,7 +311,7 @@ def strip_markup_sql(c: str) -> str:
     for ent, repl in _MARKUP_DECODES:
         r = repl.replace("'", "''")
         out = f"replace({out}, '{ent}', '{r}')"
-    return f"trim(regexp_replace({out}, '\s+', ' ', 'g'))"
+    return rf"trim(regexp_replace({out}, '\s+', ' ', 'g'))"
 
 
 def markup_stats_sql(c: str) -> tuple[str, str]:

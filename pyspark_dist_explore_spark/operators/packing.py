@@ -284,7 +284,7 @@ def _greedy_nn_order(
         ]
     )
 
-    def chain(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def chain(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         has_vec = pdf["__uv"].notna()
         out = pdf[["doc_id", "n_tokens", "domain"]].copy()
         out["__rp1"] = np.nan  # vectorless rows sort last (nulls last)

@@ -1336,7 +1336,7 @@ def sample_negatives_sql(
     return f"""
 WITH sn_base AS (
   SELECT "{idq}" AS id, {grp} AS grp,
-         md5('{salt}' || ':' || COALESCE(CAST("{idq}" AS VARCHAR), '')) AS h
+         md5({sql_str_lit(salt)} || ':' || COALESCE(CAST("{idq}" AS VARCHAR), '')) AS h
   FROM ({src})
 ),
 sn_rk AS (
@@ -1349,7 +1349,7 @@ sn_rk AS (
 ),
 sn_draw AS (
   SELECT a.id AS anchor_id, a.grp, d.draw, a.n,
-         CAST(('0x' || substr(md5('{salt}' || ':d:' ||
+         CAST(('0x' || substr(md5({sql_str_lit(salt)} || ':d:' ||
                CAST(a.id AS VARCHAR) || ':' || CAST(d.draw AS VARCHAR)), 1, 15))
               AS BIGINT) % a.n AS raw_idx,
          a.rk

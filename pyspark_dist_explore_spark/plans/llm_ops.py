@@ -743,7 +743,10 @@ def _cluster_quality_scores(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(
-            F.filter(F.array_distinct(dedup.tokens(F.col("text"))), lambda x: x != "")
+            F.filter(
+                F.array_distinct(dedup.tokens(F.coalesce(F.col("text"), F.lit("")))),
+                lambda x: x != "",
+            )
         ).alias("score"),
     )
 
