@@ -12,6 +12,11 @@ the slot's eager `parts_build` time) is written to BENCH_DETAIL.json
 next to this script — a bench excursion localizes to a section in one
 read.
 
+The stdout line also carries `composite_min`: the sum of per-query
+minima ACROSS bench runs at the same git revision (ratcheted through
+BENCH_DETAIL.json's per-query `composite` field) — the official
+host-noise-proof close number; a new commit resets the ratchet.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 """
@@ -21,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -108,18 +114,57 @@ def main() -> None:
         }
     spark.stop()
 
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    # Host-noise-proof composite (r12 verdict item 7): per-query min
+    # ACROSS bench runs of the SAME code revision — repeated close-time
+    # runs ratchet each query toward its idle-host floor instead of the
+    # total being hostage to whichever run a noisy neighbor hit.  A new
+    # commit (or sf/cpus change) resets the ratchet, so the composite
+    # can never hide a code regression behind stale minima.
+    try:
+        code_rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=here, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        code_rev = None
+    composite: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+            prev = json.load(fh)
+        if (
+            code_rev is not None
+            and prev.get("code_rev") == code_rev
+            and prev.get("sf") == sf
+            and prev.get("cpus") == cpus
+        ):
+            for name, d in prev.get("queries", {}).items():
+                composite[name] = d.get("composite", d.get("min", float("inf")))
+    except (OSError, ValueError):
+        pass
+    for name, d in detail.items():
+        d["composite"] = round(min(d["min"], composite.get(name, float("inf"))), 4)
+    composite_min = round(sum(d["composite"] for d in detail.values()), 3)
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "cold_total": round(cold_total, 3),
+        "composite_min": composite_min,
         "sf": sf,
     }
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(
-            {"sf": sf, "cpus": cpus, "attempts": ATTEMPTS, "queries": detail},
+            {
+                "sf": sf,
+                "cpus": cpus,
+                "attempts": ATTEMPTS,
+                "code_rev": code_rev,
+                "queries": detail,
+            },
             fh,
             indent=1,
         )

@@ -911,3 +911,17 @@ def test_sample_negatives_plan_shape(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     # the negative resolution joins on the rank key, not a nested loop
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rep_battery_frame_matches_oracle(spark):
+    """X32 gate section, retired from the text_scrub_repetition bench
+    path in round 13: the pivoted exact-integer battery numerators stay
+    hash-pinned member-for-member against the DuckDB twin that rode the
+    driver gate rounds 10-12."""
+    from pyspark_dist_explore_spark.plans.llm_ops import (
+        REP_BATTERY_ORACLE,
+        rep_battery_frame,
+    )
+    from tests.oracle_utils import compare
+
+    compare(spark, SF_SMOKE, rep_battery_frame, REP_BATTERY_ORACLE)
