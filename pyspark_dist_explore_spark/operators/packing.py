@@ -770,6 +770,51 @@ greedy_out AS (
 )"""
 
 
+def _ffd_ctes_sql(max_tokens: int) -> str:
+    """Recursive-CTE rendering of the per-bucket FIRST-FIT-DECREASING
+    loop (X62): rows ordered (n_tokens DESC, chunk_id ASC) within each
+    bucket, the recursion carrying the SAME open-pack capacity LIST the
+    numpy loop does — ``list_position(list_transform(caps, c -> c >=
+    n), true)`` is the vectorized first-fit scan (1-based; DuckDB
+    returns 0 when nothing fits), list surgery replays the capacity
+    decrement, giants append a capacity-0 pack.  One recursion step per
+    row; all buckets advance in lockstep."""
+    m = max_tokens
+    fit = "list_position(list_transform(f.caps, c -> c >= b.n_tokens), true)"
+    return f"""nf AS (
+  SELECT chunk_id, n_tokens, bucket,
+         row_number() OVER (
+           PARTITION BY bucket ORDER BY n_tokens DESC, chunk_id ASC) AS rn
+  FROM bucketed
+),
+f AS (
+  SELECT bucket, rn, chunk_id, n_tokens,
+         0 AS emit_pid,
+         CASE WHEN n_tokens > {m} THEN [CAST(0 AS BIGINT)]
+              ELSE [CAST({m} AS BIGINT) - n_tokens] END AS caps
+  FROM nf WHERE rn = 1
+  UNION ALL
+  SELECT b.bucket, b.rn, b.chunk_id, b.n_tokens,
+         CAST(CASE WHEN b.n_tokens > {m} THEN len(f.caps)
+              WHEN {fit} > 0 THEN {fit} - 1
+              ELSE len(f.caps) END AS INT) AS emit_pid,
+         CASE WHEN b.n_tokens > {m} THEN list_append(f.caps, CAST(0 AS BIGINT))
+              WHEN {fit} > 0
+                THEN list_slice(f.caps, 1, {fit} - 1)
+                     || [f.caps[{fit}] - b.n_tokens]
+                     || list_slice(f.caps, {fit} + 1, len(f.caps))
+              ELSE list_append(f.caps, CAST({m} AS BIGINT) - b.n_tokens)
+              END AS caps
+  FROM f JOIN nf b ON b.bucket = f.bucket AND b.rn = f.rn + 1
+),
+ffd_out AS (
+  SELECT chunk_id, n_tokens, bucket,
+         bucket * {_PACK_STRIDE} + emit_pid AS pack_id,
+         CAST(n_tokens > {m} AS INT) AS oversize
+  FROM f
+)"""
+
+
 def chunk_pack_modes_sql(
     table: str,
     id_col: str,
@@ -779,12 +824,16 @@ def chunk_pack_modes_sql(
     max_tokens: int,
     buckets: int,
     norm_text_expr: str,
+    include_ffd: bool = False,
 ) -> str:
-    """DuckDB rendering of the chunk chain packed under BOTH modes,
+    """DuckDB rendering of the chunk chain packed under every mode,
     mode-tagged and unioned: cumsum (window SQL) and greedy (the
     strictly-≤-budget first-fit, rendered as a per-bucket recursive
     CTE carrying the identical loop state) — so the mode real training
-    dumps use is hash-checked at the driver gate, not just in pytest."""
+    dumps use is hash-checked at the driver gate, not just in pytest.
+    ``include_ffd=True`` (round 13) appends the X62 first-fit-decreasing
+    assignment via a second recursive CTE whose state is the open-pack
+    capacity list itself."""
     prefix = _chunk_base_ctes(
         table,
         id_col,
@@ -795,12 +844,20 @@ def chunk_pack_modes_sql(
     )
     cumsum = _CUMSUM_SELECT.format(stride=_PACK_STRIDE, max_tokens=max_tokens)
     greedy = _greedy_ctes_sql(max_tokens)
+    ffd = f",\n{_ffd_ctes_sql(max_tokens)}" if include_ffd else ""
+    ffd_sel = (
+        "\nUNION ALL\n"
+        "SELECT 'ffd' AS mode, chunk_id, n_tokens, bucket, pack_id, oversize "
+        "FROM ffd_out"
+        if include_ffd
+        else ""
+    )
     return f"""
 WITH RECURSIVE {prefix},
-{greedy}
+{greedy}{ffd}
 SELECT 'cumsum' AS mode, * FROM ({cumsum})
 UNION ALL
-SELECT 'greedy' AS mode, chunk_id, n_tokens, bucket, pack_id, oversize FROM greedy_out
+SELECT 'greedy' AS mode, chunk_id, n_tokens, bucket, pack_id, oversize FROM greedy_out{ffd_sel}
 """
 
 

@@ -862,6 +862,8 @@ from pyspark_dist_explore_spark.operators.sampling import (  # noqa: E402
     stratified_sample_hash,
     proportional_interleave,
     proportional_interleave_sql,
+    sample_negatives,
+    sample_negatives_sql,
     stratified_sample_hash_sql,
     stratified_take_exact,
     stratified_take_exact_sql,
@@ -893,6 +895,12 @@ _MANIFEST_STAT_NAMES = ("n_rows", "sum_id", "min_id", "max_id", "hash_sum")
 #: strides differ and tie groups exist at every lcm multiple) — the
 #: closed-form global position is hash-checked row for row
 _IL_WEIGHTS = {f"src{i}": 1 + (i % 5) for i in range(20)}
+
+#: X63 negative-sampling gate config: 2 draws per anchor with the
+#: same-source false-negative guard ON, so the guard's drop path (an
+#: anchor deliberately carrying < k rows) is exercised at the gate
+_NEG_K = 2
+_NEG_SALT = "neg0"
 
 
 @register(
@@ -927,6 +935,17 @@ FROM ({proportional_interleave_sql(
         shards=16,
         out_cols=["doc_id", "source"],
     )})
+UNION ALL
+SELECT anchor_id AS doc_id,
+       concat('neg:', CAST(neg_id AS VARCHAR)) AS source,
+       draw AS shard, CAST(0 AS INT) AS pos
+FROM ({sample_negatives_sql(
+        "SELECT doc_id, source FROM documents",
+        "doc_id",
+        k=_NEG_K,
+        salt=_NEG_SALT,
+        group_col="source",
+    )})
 """,
 )
 def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,7 +974,14 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the within-source deterministic rank and ``pos`` the
     closed-form global position, so the two-level rank construction,
     the BIGINT virtual-time arithmetic, and every tie-break are
-    hash-checked row for row against the twin's flat window form."""
+    hash-checked row for row against the twin's flat window form.
+
+    Round 13 appends the X63 DETERMINISTIC NEGATIVE SAMPLING as
+    ``source='neg:<neg_id>'`` rows (see :func:`_neg_section`) — the
+    contrastive-training prep step, reusing X53's two-level dense-rank
+    build, with ``k=_NEG_K`` draws per anchor and the same-source
+    false-negative guard ON so the deliberate fewer-than-k drop path is
+    part of the hash-checked surface."""
     from pyspark_dist_explore_spark.sources.sinks import shard_manifest
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -987,7 +1013,27 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("shard"),
         F.col("pos").cast("int").alias("pos"),
     )
-    return sharded.unionByName(mani).unionByName(il)
+    neg = _neg_section(docs)
+    return sharded.unionByName(mani).unionByName(il).unionByName(neg)
+
+
+def _neg_section(docs: DataFrame) -> DataFrame:
+    """The X63 ``source='neg:<neg_id>'`` rows of ``corpus_shuffle_shards``
+    (promoted to the driver gate round 13): deterministic negative
+    sampling with the same-source false-negative guard — the sampled
+    negative rides the ``source`` string (BIGINT-safe at any scale),
+    ``shard`` carries the draw index, so the two-level dense rank, the
+    md5 draw arithmetic, the self-collision bump, and the guard's
+    drop path are all hash-checked row for row against the twin's flat
+    window form."""
+    return sample_negatives(
+        docs, "doc_id", k=_NEG_K, salt=_NEG_SALT, group_col="source"
+    ).select(
+        F.col("anchor_id").alias("doc_id"),
+        F.concat(F.lit("neg:"), F.col("neg_id").cast("string")).alias("source"),
+        F.col("draw").cast("int").alias("shard"),
+        F.lit(0).cast("int").alias("pos"),
+    )
 
 
 def corpus_shuffle_shards_parts(
@@ -1005,7 +1051,8 @@ def corpus_shuffle_shards_parts(
     il = proportional_interleave(
         docs, "source", "doc_id", weights=_IL_WEIGHTS, salt="il0", shards=16
     )
-    return {"shuffle": sharded, "manifest": mani, "interleave": il}
+    neg = _neg_section(docs)
+    return {"shuffle": sharded, "manifest": mani, "interleave": il, "neg": neg}
 
 
 #: deregistered round 6 (merged into ``sampling_splits``); originals
@@ -1152,10 +1199,22 @@ GROUP BY 1, 2
 """
 
 
+#: corpus cap for the slot's BPE learn→encode sections: tokenizer
+#: induction is SAMPLE-based at any real scale (nobody fits a merge
+#: table on 100 TB — the standard recipe caps the training slice), so
+#: the gate section learns AND encodes on doc_id < _BPE_CAP on both
+#: engines.  600 > the 500-doc sf0.01 gate corpus — driver CORRECTNESS
+#: rows stay byte-identical — while the sf0.1 bench stops paying the
+#: eager k-round learn loop over 5 000 docs (the slot's dominant
+#: parts_build cost).  Every other section still runs the full table.
+_BPE_CAP = 600
+_BPE_SRC = f"SELECT doc_id, source, text FROM documents WHERE doc_id < {_BPE_CAP}"
+
+
 @register(
     "sampling_splits",
     f"""
-WITH fert AS MATERIALIZED ({textstats.bpe_fertility_sql("SELECT doc_id, source, text FROM documents", "source", k=_BPE_K)})
+WITH fert AS MATERIALIZED ({textstats.bpe_fertility_sql(_BPE_SRC, "source", k=_BPE_K)})
 SELECT 'hash_split' AS kind, {hash_split_sql('doc_id')} AS key, count(*) AS cnt
 FROM documents GROUP BY 1, 2
 UNION ALL
@@ -1182,7 +1241,7 @@ UNION ALL
 SELECT 'bpe_merge' AS kind,
        concat(printf('%02d', step), ':', pair, '>', merged) AS key,
        cnt
-FROM ({textstats.bpe_merges_sql("SELECT doc_id, text FROM documents", k=_BPE_K)})
+FROM ({textstats.bpe_merges_sql(f"SELECT doc_id, text FROM documents WHERE doc_id < {_BPE_CAP}", k=_BPE_K)})
 UNION ALL
 SELECT 'bpe_fertility' AS kind, concat(grp, '#', stat) AS key, val AS cnt
 FROM (
@@ -1342,8 +1401,11 @@ def sampling_splits_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFr
     # checkpoint_interval=2 A/B'd at sf0.1 (warm 2.0–2.1 s vs 2.4 s at
     # the lineage-friendly default 16: at gate k=8 the shallow-plan
     # rounds beat the deep-replace-chain rounds; production-k callers
-    # keep the default's lower checkpoint count)
-    learned = textstats.bpe_learn(docs, "text", k=_BPE_K, checkpoint_interval=2)
+    # keep the default's lower checkpoint count).  Learn AND encode run
+    # on the _BPE_CAP sample slice — see the cap's comment above the
+    # registered oracle (tokenizer induction is sample-based at scale).
+    bdocs = docs.where(F.col("doc_id") < _BPE_CAP)
+    learned = textstats.bpe_learn(bdocs, "text", k=_BPE_K, checkpoint_interval=2)
     bpe = learned.select(
         F.lit("bpe_merge").alias("kind"),
         F.concat(
@@ -1356,7 +1418,7 @@ def sampling_splits_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFr
     # the same corpus and hash the per-source fertility sums — any
     # cross-engine segmentation difference on any word shifts a sum
     fert = (
-        textstats.bpe_encode(docs, "text", "doc_id", learned, extra_cols=("source",))
+        textstats.bpe_encode(bdocs, "text", "doc_id", learned, extra_cols=("source",))
         .groupBy(F.col("source").cast("string").alias("grp"))
         .agg(
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
@@ -1813,6 +1875,7 @@ FROM rel"""
         max_tokens=_PACK_MAX,
         buckets=32,
         norm_text_expr=_NORM.format(c="text"),
+        include_ffd=True,
     )
     + f"""
 UNION ALL
@@ -1844,7 +1907,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     JL-projection order so related documents share a context window;
     domain labels, the exact-integer ordering keys, pack boundaries,
     and oversize flags are all hash-checked (1e-6-grid inputs, round@6
-    argmax, md5 planes — the ``embedding_quantize`` disciplines)."""
+    argmax, md5 planes — the ``embedding_quantize`` disciplines).
+
+    Round 13 adds ``mode='ffd'`` — X62 FIRST-FIT-DECREASING bin packing
+    (the ~15%-fewer-packs mode, Johnson's 11/9·OPT+1 bound) promoted to
+    the driver gate: the DuckDB twin replays the per-bucket first-fit
+    scan as a recursive CTE whose loop state is the open-pack capacity
+    LIST itself (``list_position`` over a ``c >= n`` transform = the
+    numpy first-fit argmax), so the decreasing order, capacity
+    decrements, giant-doc solo packs, and every placement are
+    hash-checked end-to-end."""
     parts = pack_sequences_parts(spark, sf_dir)
     out = None
     for df in parts.values():
@@ -1862,7 +1934,7 @@ def pack_sequences_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFra
     )
     ids = chunk_ids(chunks)
     out = []
-    for mode in ("cumsum", "greedy"):
+    for mode in ("cumsum", "greedy", "ffd"):
         packed = pack_sequences(
             ids,
             "chunk_id",
@@ -1916,7 +1988,7 @@ def pack_sequences_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFra
         "pack_id",
         "oversize",
     )
-    return {"cumsum": out[0], "greedy": out[1], "related": rel}
+    return {"cumsum": out[0], "greedy": out[1], "ffd": out[2], "related": rel}
 
 
 # --------------------------------------------------------------------------
@@ -2477,8 +2549,13 @@ def q_word2vec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 closing query: seeded Word2Vec document vectors feeding the
     exact cosine top-k operator — text → embedding → similarity search,
     the end-to-end semantic-dedup shape.  Fit is seeded (reproducible
-    per Spark version); the transform is a map-side lookup join."""
-    docs = load_table(spark, sf_dir, "documents")
+    per Spark version); the transform is a map-side lookup join.
+
+    Round 13: fit + search run on the ``doc_id < 600`` sample slice
+    (the ``_BPE_CAP``/``_EXACT_CAP`` discipline — embedding-model fits
+    are sample-based at any real scale); 600 > the 500-doc sf0.01 gate
+    corpus, so the rows-only driver check is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
     vecs = textstats.word2vec_embeddings(docs, "text", "doc_id")
     queries = vecs.where(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), "vec"
