@@ -524,6 +524,41 @@ def test_ivf_recall_at_5(spark):
     assert r16 == 1.0, f"full probe must equal exact, got {r16:.3f}"
 
 
+def test_ivf_multi_assign_recall(spark):
+    """X4 round-13 lever: multi-assignment (each vector indexed into its
+    ``n_assign`` nearest lists) lifts recall at a FIXED probe width —
+    the bounded-cost alternative to widening the scan.  Measured on the
+    worst-case isotropic corpus: 0.53 → 0.73 → 0.86 at n_probe=4 for
+    n_assign=1/2/3 (seeded KMeans, deterministic).  Pins: floors per
+    replication factor, monotone improvement, the verdict's ≥0.8 target
+    at n_probe=4 without a full scan, and the exactness invariant
+    (replicated index + full probe still reproduces exact top-5 — the
+    distinct() dedup of multi-list meetings is correct)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in similarity.exact_topk(emb, q, k=5).collect()
+    }
+
+    def recall(n_assign: int, n_probe: int) -> float:
+        ivf = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ivf_topk(
+                emb, q, k=5, n_centroids=16, n_probe=n_probe, n_assign=n_assign
+            ).collect()
+        }
+        return len(exact & ivf) / len(exact)
+
+    r1, r2, r3 = recall(1, 4), recall(2, 4), recall(3, 4)
+    assert r2 >= max(r1, 0.65), f"recall@5(n_assign=2, n_probe=4)={r2:.3f}"
+    assert r3 >= max(r2, 0.8), f"recall@5(n_assign=3, n_probe=4)={r3:.3f}"
+    assert recall(2, 16) == 1.0, "replicated index + full probe must equal exact"
+    with pytest.raises(ValueError, match="n_assign"):
+        similarity.ivf_topk(emb, q, k=5, n_assign=0)
+
+
 def test_grouped_sum_pandas_matches_jvm(spark):
     """The unregistered grouped-agg pandas UDF surface stays pinned: the
     Arrow scaled-integer sum must equal the JVM scaled_sum exactly."""
