@@ -391,3 +391,70 @@ def stream_curate_lite(
 
     return deduped.writeStream.foreachBatch(process)
 
+
+def stream_neardup_filter(
+    docs: DataFrame,
+    snapshot_bands: DataFrame,
+    snapshot_sigs: DataFrame,
+    sink_fn,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+):
+    """Streaming INCREMENTAL NEAR-DUP (X27 under ``foreachBatch`` — the
+    last batch-only dedup family, closed round 13): each micro-batch is
+    probed against a LANDED corpus snapshot's precomputed LSH artifacts
+    (:func:`~pyspark_dist_explore_spark.operators.dedup.
+    minhash_band_rows` + ``minhash_signatures``, the parquet tables a
+    corpus build writes), and only genuinely-novel documents reach
+    ``sink_fn(novel_batch, batch_id)``.  The daily-crawl shape: the
+    stream re-minhashes ONLY ITSELF, batch-side broadcast; the snapshot
+    never shuffles (the :func:`~pyspark_dist_explore_spark.operators.
+    dedup.incremental_minhash_neardup` plan, UNCHANGED — the
+    ``stream_curate_lite`` precedent of running the batch operator
+    inside the engine rather than maintaining a parallel one).
+
+    Returns a ``DataStreamWriter`` — the caller adds trigger/checkpoint
+    and ``.start()``.  Same ``hash_fn``/params MUST match the ones the
+    snapshot was landed with (band keys and signature components are
+    only comparable within one scheme).
+
+    Semantics at the streaming boundary, stated rather than hidden:
+    novelty is judged against the FIXED snapshot, not against other
+    in-flight batches — two near-dup docs arriving in different
+    micro-batches both pass if neither resembles the snapshot.  Chain
+    :func:`stream_dedup` upstream for exact within-stream dups, and
+    fold the accepted batches into the next snapshot build for
+    cross-run closure (the X27 batch recipe).
+    """
+    from pyspark_dist_explore_spark.operators.dedup import (
+        incremental_minhash_neardup,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        hits = incremental_minhash_neardup(
+            batch,
+            snapshot_bands,
+            snapshot_sigs,
+            text_col,
+            id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            hash_fn=hash_fn,
+        )
+        novel = batch.join(
+            hits.select(F.col("doc_id").alias("__hit_id")).distinct(),
+            batch[id_col] == F.col("__hit_id"),
+            "left_anti",
+        )
+        sink_fn(novel, batch_id)
+
+    return docs.writeStream.foreachBatch(process)
+

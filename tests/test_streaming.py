@@ -950,3 +950,92 @@ def test_stream_curate_lite_foreachbatch(spark, tmp_path):
     )
     assert sorted(i for i in kept if i in (1, 2, 3)) == want_h1
 
+
+def test_stream_neardup_filter_foreachbatch(spark, tmp_path):
+    """Streaming incremental near-dup (r12 verdict item 8): X27's
+    broadcast-probe against a LANDED snapshot runs unchanged inside
+    foreachBatch over two file-source micro-batches.  Pins: the
+    re-crawl (snapshot text + a changed footer token) is dropped in
+    both batches, novel docs pass, and the kept set equals the batch
+    operator's anti-join on the same rows (parity, not a parallel
+    implementation)."""
+    from pyspark_dist_explore_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_band_rows,
+        minhash_signatures,
+    )
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_neardup_filter,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cold river "
+        "runs past the old mill and the miller watches the slow water turn "
+        "the heavy wheel all day long under the pale northern sky"
+    )
+    novel1 = (
+        "completely different content about spark partitions shuffles and "
+        "broadcast joins with no shared shingles at all in this entire "
+        "document which keeps talking about executors tasks and stages"
+    )
+    novel2 = (
+        "yet another unrelated page discussing tokenizers merges and "
+        "fertility statistics for subword vocabularies trained on sampled "
+        "corpora with deterministic tie breaks everywhere"
+    )
+    snap_docs = spark.createDataFrame(
+        [(100, _ts(0), "s", base)], DOC_SCHEMA
+    ).select("doc_id", "text")
+    params = dict(num_hashes=32, bands=8, shingle_n=3, hash_fn="xxhash64")
+    snap_bands = minhash_band_rows(snap_docs, "text", "doc_id", **params)
+    snap_sigs = minhash_signatures(
+        snap_docs, "text", "doc_id",
+        num_hashes=params["num_hashes"], shingle_n=params["shingle_n"],
+        hash_fn=params["hash_fn"],
+    )
+
+    b1 = [
+        (1, _ts(0), "h1", base + " updated footer"),  # re-crawl -> dropped
+        (2, _ts(1), "h1", novel1),
+    ]
+    b2 = [
+        (3, _ts(2), "h2", base.replace("quick", "quick quick")),  # re-crawl
+        (4, _ts(3), "h2", novel2),
+    ]
+    d = str(tmp_path / "in")
+    spark.createDataFrame(b1, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(b2, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got: list[int] = []
+
+    def sink(batch, batch_id):
+        got.extend(r["doc_id"] for r in batch.collect())
+
+    q = (
+        stream_neardup_filter(
+            stream, snap_bands, snap_sigs, sink, threshold=0.5, **params
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [2, 4], got
+
+    # parity: the batch operator's anti-join on the union of both
+    # batches keeps exactly the same ids
+    all_docs = spark.createDataFrame(b1 + b2, DOC_SCHEMA)
+    hits = incremental_minhash_neardup(
+        all_docs, snap_bands, snap_sigs, "text", "doc_id",
+        threshold=0.5, **params
+    )
+    batch_kept = sorted(
+        r["doc_id"]
+        for r in all_docs.join(
+            hits.select("doc_id").distinct(), "doc_id", "left_anti"
+        ).collect()
+    )
+    assert batch_kept == sorted(got)
