@@ -894,3 +894,74 @@ SELECT doc_id, n_tokens, bucket,
        CAST(n_tokens > {max_tokens} AS INT) AS oversize
 FROM base
 """
+
+
+# --------------------------------------------------------------------------
+# X65: pack span map — the trainer-facing (pack, doc, offset) layout
+# --------------------------------------------------------------------------
+
+
+def pack_span_map(packed: DataFrame, *, order: str = "id") -> DataFrame:
+    """Materialize the TOKEN-OFFSET layout of every pack: one row per
+    (pack, doc) with the half-open token span ``[start, end)`` the doc
+    occupies inside its pack — exactly what a dataloader needs to build
+    attention masks / document-boundary loss masks over packed
+    sequences (the "don't attend across doc boundaries" convention of
+    every packed-pretraining recipe).
+
+    ``order`` must name the in-pack concatenation order of the mode
+    that produced ``packed``: ``'id'`` for ``cumsum``/``greedy``/
+    ``'related'``-style id-ordered packs, ``'ffd'`` for first-fit-
+    decreasing ((n_tokens DESC, doc_id ASC) — FFD places docs in that
+    order, so that IS its concatenation order).
+
+    Input: any :func:`pack_sequences` /
+    :func:`~pyspark_dist_explore_spark.plans.llm_ops.pack_related_documents`
+    output carrying ``(doc_id, n_tokens, pack_id)``.  Output:
+    ``(pack_id, doc_id, n_tokens, start, end)`` with ``start`` the
+    exclusive running token count — spans tile ``[0, pack_tokens)``
+    with no gaps or overlaps (pytest-pinned, plus a DuckDB twin).
+
+    Scale shape: ONE window over ``pack_id`` (packs are ≤ max_tokens of
+    content by construction, so every partition is tiny); no joins, no
+    Python.
+    """
+    if order not in ("id", "ffd"):
+        raise ValueError(f"order must be 'id' or 'ffd', got {order!r}")
+    cols = (
+        [F.col("doc_id").asc()]
+        if order == "id"
+        else [F.col("n_tokens").desc(), F.col("doc_id").asc()]
+    )
+    w = Window.partitionBy("pack_id").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return packed.select(
+        "pack_id",
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        start.cast("bigint").alias("start"),
+        (start + F.col("n_tokens")).cast("bigint").alias("end"),
+    )
+
+
+def pack_span_map_sql(packed_sql: str, *, order: str = "id") -> str:
+    """DuckDB twin of :func:`pack_span_map` — the identical exclusive
+    window cumsum over the identical in-pack order, on a relation
+    carrying ``(doc_id, n_tokens, pack_id)``."""
+    if order not in ("id", "ffd"):
+        raise ValueError(f"order must be 'id' or 'ffd', got {order!r}")
+    ob = "doc_id ASC" if order == "id" else "n_tokens DESC, doc_id ASC"
+    return f"""
+WITH spm AS (SELECT doc_id, n_tokens, pack_id FROM ({packed_sql}))
+SELECT pack_id, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sum(n_tokens) OVER (
+         PARTITION BY pack_id ORDER BY {ob}
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+       CAST(COALESCE(sum(n_tokens) OVER (
+         PARTITION BY pack_id ORDER BY {ob}
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + n_tokens AS BIGINT) AS "end"
+FROM spm
+"""

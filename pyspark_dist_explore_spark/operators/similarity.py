@@ -1922,3 +1922,316 @@ def mean_pool_embeddings(
         vec_out.alias("embedding"),
         "n_pooled",
     )
+
+
+# --------------------------------------------------------------------------
+# X64: product quantization (PQ) — compressed-domain similarity search
+# --------------------------------------------------------------------------
+
+
+def pq_subvectors(
+    df: DataFrame,
+    *,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Split each ``dim``-dimensional vector into ``m`` contiguous
+    subvectors of ``dim/m`` components: ``(id, sub, sv)`` rows, ``m``
+    per vector — pure row-local slicing (posexplode of a generated
+    slice array, no shuffle).  The shared first stage of PQ fit /
+    encode / query-LUT builds (Jégou et al. 2011, TPAMI — "Product
+    quantization for nearest neighbor search")."""
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be a positive multiple of m ({m})")
+    d0 = dim // m
+    subs = F.array(
+        *[
+            F.slice(F.col(vec_col).cast("array<double>"), s * d0 + 1, d0)
+            for s in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(subs).alias("sub", "sv")
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    *,
+    m: int,
+    dim: int,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit: str = "sample",
+    fit_sample_mod: int | None = 4,
+    max_fit_rows: int | None = 1 << 18,
+) -> DataFrame:
+    """Per-subspace PQ codebooks ``(sub, code, cv)`` — ``n_codes``
+    entries for each of the ``m`` subspaces.
+
+    ``fit='sample'`` (default, the DETERMINISTIC form the driver gate
+    hash-checks): codes are the subvectors of the first ``n_codes``
+    ids — data-derived yet SQL-expressible, the ``_SEMDEDUP_CELLS``
+    fixed-centroid move.  ``fit='kmeans'`` runs a seeded capped KMeans
+    per subspace (the paper's codebook recipe — m independent fits on
+    the hash-sampled corpus, each over ``dim/m``-dim points) in the RAW
+    subvector space (NOT :func:`kmeans_centroids`, whose centers are
+    unit-normalized for cosine — PQ quantizes magnitudes, so
+    normalizing the codebook would destroy the reconstruction); like
+    every ML-fit operator here it stays pytest-pinned, never oracled."""
+    if fit not in ("sample", "kmeans"):
+        raise ValueError(f"fit must be 'sample' or 'kmeans', got {fit!r}")
+    subs = pq_subvectors(vectors, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    if fit == "sample":
+        return subs.where(F.col("id") < n_codes).select(
+            "sub", F.col("id").cast("int").alias("code"), F.col("sv").alias("cv")
+        )
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fitsrc = subs
+    if fit_sample_mod is not None:
+        fitsrc = fitsrc.where(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(fit_sample_mod)) == 0
+        )
+    if max_fit_rows is not None:
+        # the kmeans_centroids absolute-cap move, per-subspace budget
+        frac_hash = F.pmod(F.xxhash64(F.col("id"), F.lit("pqfitcap")), F.lit(1 << 16))
+        n_src = fitsrc.where(F.col("sub") == 0).limit(max_fit_rows + 1).count()
+        if n_src > max_fit_rows:
+            keep = int((1 << 16) * max_fit_rows / n_src)
+            fitsrc = fitsrc.where(frac_hash < F.lit(max(1, keep)))
+    staged = fitsrc.select(
+        "sub", array_to_vector(F.col("sv").cast("array<double>")).alias("features")
+    ).persist()
+    out = None
+    try:
+        for s in range(m):
+            model = KMeans(k=n_codes, seed=7, maxIter=5).fit(
+                staged.where(F.col("sub") == s)
+            )
+            # center ORDER from a seeded fit is only stable per Spark
+            # version — sort the centers so code ids are a pure function
+            # of the fitted values
+            centers = sorted(list(map(float, c)) for c in model.clusterCenters())
+            sdf = subs.sparkSession.createDataFrame(
+                [(s, i, c) for i, c in enumerate(centers)],
+                "sub int, code int, cv array<double>",
+            )
+            out = sdf if out is None else out.unionByName(sdf)
+    finally:
+        staged.unpersist()
+    return out
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    *,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector: per subspace, the code of the nearest
+    codebook entry by squared L2 (``v·v − 2·v·c + c·c`` — three
+    sequential-fold dots, so on 1e-6-grid integer inputs the distance
+    is an EXACT integer and the argmin is engine-portable; ties break
+    to the smallest code).  Output ``(vec_id, codes array<int>)`` —
+    ``m`` small ints replace ``dim`` floats (the 64-dim float vector
+    becomes 8 bytes at n_codes ≤ 256: the paper's 32× compression).
+
+    Scale shape: subvector explode is row-local; the codebook
+    (``m·n_codes`` rows) is BROADCAST into the distance join; the
+    argmin is a map-side-partial ``min_by`` per (vector, subspace); the
+    code assembly is one ``collect_list`` keyed by vector — one
+    exchange end to end, zero Python."""
+    subs = pq_subvectors(vectors, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    cb = F.broadcast(codebooks.select("sub", "code", "cv"))
+    dist = (
+        dot(F.col("sv"), F.col("sv"))
+        - 2 * dot(F.col("sv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    assigned = (
+        subs.join(cb, "sub")
+        .select("id", "sub", "code", dist.alias("d"))
+        .groupBy("id", "sub")
+        .agg(F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code"))
+    )
+    return (
+        assigned.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+        .select(F.col("id").alias("vec_id"), "codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    *,
+    k: int = 5,
+    m: int,
+    dim: int,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes: the
+    query stays a float vector, the corpus is scanned in the COMPRESSED
+    domain — per query a ``m × n_codes`` lookup table of subspace dot
+    products, each database vector scored by summing its ``m`` table
+    entries.  On 1e-6-grid inputs every LUT entry and score is an exact
+    integer, so ranking is engine-portable (ties to the smaller id).
+
+    Output ``(query_id, rank, vec_id, score)`` — ``score`` is the ADC
+    dot-product approximation (codebook reconstruction · query); with a
+    codebook containing every corpus subvector it equals the exact dot,
+    which is the exactness invariant the tests pin.
+
+    Scale shape: the LUT (``Q·m·n_codes`` rows) is BROADCAST; the scan
+    is one pass over the exploded code rows (``N·m``) — the PQ promise
+    is exactly this: the scan touches 1-byte codes, not ``dim``-float
+    vectors, trading ~32× scan bandwidth for approximation.
+    ``candidates=`` (a ``(query_id, vec_id)`` frame) restricts scoring
+    to a precomputed candidate set — compose with
+    :func:`ivf_topk`-style list probing for the IVF-PQ shape where
+    even the compressed full scan is too much."""
+    q_subs = pq_subvectors(
+        queries, m=m, dim=dim, id_col=query_id_col, vec_col=vec_col
+    ).select(F.col("id").alias("query_id"), "sub", F.col("sv").alias("qv"))
+    lut = F.broadcast(
+        q_subs.join(codebooks.select("sub", "code", "cv"), "sub").select(
+            "query_id", "sub", "code", dot(F.col("qv"), F.col("cv")).alias("part")
+        )
+    )
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        exploded.join(lut, ["sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    if candidates is not None:
+        scored = scored.join(
+            F.broadcast(candidates.select("query_id", "vec_id")),
+            ["query_id", "vec_id"],
+            "leftsemi",
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "score")
+    )
+
+
+def pq_codes_sql(
+    vectors_sql: str,
+    *,
+    m: int,
+    dim: int,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_encode` over the ``fit='sample'``
+    codebooks: identical subvector slicing (1-indexed ``list_slice``),
+    the same three-dot squared-L2 distance, the same (dist ASC, code
+    ASC) argmin — on 1e-6-grid integer inputs both engines compare the
+    very same integers.  Emits ``(vec_id, codes_csv)``."""
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be a positive multiple of m ({m})")
+    d0 = dim // m
+    return f"""
+WITH pqv AS (SELECT {id_col} AS vec_id, {vec_col} AS ve FROM ({vectors_sql})),
+pqs AS (
+  SELECT vec_id, s, list_slice(ve, s * {d0} + 1, (s + 1) * {d0}) AS sv
+  FROM pqv, (SELECT unnest(generate_series(0, {m - 1})) AS s) ss
+),
+pqcb AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS cv FROM pqs WHERE vec_id < {n_codes}),
+pqasg AS (
+  SELECT vec_id, s, code FROM (
+    SELECT p.vec_id, p.s, c.code,
+           row_number() OVER (
+             PARTITION BY p.vec_id, p.s
+             ORDER BY (list_dot_product(p.sv, p.sv)
+                       - 2 * list_dot_product(p.sv, c.cv)
+                       + list_dot_product(c.cv, c.cv)) ASC, c.code ASC
+           ) AS rn
+    FROM pqs p JOIN pqcb c ON p.s = c.s
+  ) WHERE rn = 1
+)
+SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes_csv
+FROM pqasg GROUP BY vec_id
+"""
+
+
+def pq_adc_sql(
+    vectors_sql: str,
+    *,
+    m: int,
+    dim: int,
+    n_codes: int = 16,
+    k: int = 5,
+    n_queries: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_topk` over the ``fit='sample'``
+    codebooks, queries = ids < ``n_queries``: the identical LUT build
+    (query-subvector · codebook dots), code-join scan, exact-integer
+    score sum, and (score DESC, id ASC) ranking.  Emits
+    ``(query_id, rank, vec_id, score)``."""
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be a positive multiple of m ({m})")
+    d0 = dim // m
+    return f"""
+WITH pqv AS (SELECT {id_col} AS vec_id, {vec_col} AS ve FROM ({vectors_sql})),
+pqs AS (
+  SELECT vec_id, s, list_slice(ve, s * {d0} + 1, (s + 1) * {d0}) AS sv
+  FROM pqv, (SELECT unnest(generate_series(0, {m - 1})) AS s) ss
+),
+pqcb AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS cv FROM pqs WHERE vec_id < {n_codes}),
+pqasg AS (
+  SELECT vec_id, s, code FROM (
+    SELECT p.vec_id, p.s, c.code,
+           row_number() OVER (
+             PARTITION BY p.vec_id, p.s
+             ORDER BY (list_dot_product(p.sv, p.sv)
+                       - 2 * list_dot_product(p.sv, c.cv)
+                       + list_dot_product(c.cv, c.cv)) ASC, c.code ASC
+           ) AS rn
+    FROM pqs p JOIN pqcb c ON p.s = c.s
+  ) WHERE rn = 1
+),
+pqlut AS (
+  SELECT q.vec_id AS query_id, c.s, c.code,
+         list_dot_product(q.sv, c.cv) AS part
+  FROM pqs q JOIN pqcb c ON q.s = c.s
+  WHERE q.vec_id < {n_queries}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, score FROM (
+  SELECT l.query_id, a.vec_id, sum(l.part) AS score,
+         row_number() OVER (
+           PARTITION BY l.query_id
+           ORDER BY sum(l.part) DESC, a.vec_id ASC
+         ) AS rank
+  FROM pqasg a JOIN pqlut l ON a.s = l.s AND a.code = l.code
+  WHERE a.vec_id <> l.query_id
+  GROUP BY l.query_id, a.vec_id
+) WHERE rank <= {k}
+"""

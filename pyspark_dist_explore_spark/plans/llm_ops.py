@@ -3694,6 +3694,20 @@ def _q_text_perplexity_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a real spread of doc counts and token sums at the gate SF
 _DOMAIN_CELLS = 8
 
+#: X64 PQ gate config: 8 subspaces over the testdata generator's fixed
+#: 64-dim embeddings (the oracle's list_slice twin needs the literal
+#: dim; the Spark side asserts divisibility at runtime), 16 sample
+#: codebook entries (subvectors of vec_id < 16 — the fixed-centroid
+#: move), ADC top-5 for the first 3 query ids
+_PQ_M = 8
+_PQ_DIM = 64
+_PQ_CODES = 16
+
+_PQ_GRID_SRC = (
+    "SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> round(x * 1000000)) AS embedding FROM embeddings"
+)
+
 
 @register(
     "embedding_quantize",
@@ -3767,6 +3781,17 @@ FROM (
     ON d.doc_id = dom_asg.vec_id
   GROUP BY dom
 )
+UNION ALL
+SELECT 'pq' AS section, vec_id, codes_csv, CAST({_PQ_M} AS INT) AS n_dims
+FROM ({similarity.pq_codes_sql(_PQ_GRID_SRC, m=_PQ_M, dim=_PQ_DIM, n_codes=_PQ_CODES)})
+UNION ALL
+SELECT 'pq_adc' AS section, query_id AS vec_id,
+       string_agg(concat(CAST(vec_id AS VARCHAR), ':',
+                         CAST(CAST(score AS BIGINT) AS VARCHAR)),
+                  ',' ORDER BY rank) AS codes_csv,
+       CAST(count(*) AS INT) AS n_dims
+FROM ({similarity.pq_adc_sql(_PQ_GRID_SRC, m=_PQ_M, dim=_PQ_DIM, n_codes=_PQ_CODES, k=5, n_queries=3)})
+GROUP BY query_id
 """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3793,6 +3818,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       avg_quality (ORACLES.md).  ``vec_id`` carries the label;
       ``n_dims`` carries n_pooled.  The true float-mean + normalize
       forms stay pytest-pinned (numpy + DuckDB twins @6dp).
+    - ``section='pq'`` + ``'pq_adc'`` (X64, round 13): PRODUCT
+      QUANTIZATION (Jégou et al. 2011) — per-subspace code assignment
+      over the ``fit='sample'`` codebooks and the compressed-domain ADC
+      top-5 serving path, both on the 1e-6 grid where every squared-L2
+      distance and ADC score is an exact integer, so assignment AND
+      ranking hash-check cross-engine; the ``fit='kmeans'`` codebooks
+      and the exactness/recall pins stay pytest-side.
     """
     parts = embedding_quantize_parts(spark, sf_dir)
     out = None
@@ -3904,6 +3936,57 @@ def embedding_quantize_parts(
         ).alias("codes_csv"),
         F.col("n_docs").cast("int").alias("n_dims"),
     )
+    # sections 'pq' + 'pq_adc' (X64, round 13): product quantization
+    # over the SAME 1e-6-discretized inputs — per-subspace squared-L2
+    # distances and ADC scores are exact integers (three sequential-fold
+    # dots of grid ints), so code assignment AND the compressed-domain
+    # top-k serving path hash-check cross-engine.  fit='sample'
+    # codebooks (subvectors of vec_id < _PQ_CODES — the fixed-centroid
+    # move); the fit='kmeans' codebooks stay pytest-pinned (ML fit).
+    pq_cb = similarity.pq_codebooks(
+        emb6_v, m=_PQ_M, dim=dim, n_codes=_PQ_CODES
+    )
+    pq_codes = similarity.pq_encode(emb6_v, pq_cb, m=_PQ_M, dim=dim)
+    pq = pq_codes.select(
+        F.lit("pq").alias("section"),
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes_csv"),
+        F.lit(_PQ_M).cast("int").alias("n_dims"),
+    )
+    pq_q = emb6_v.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq_adc = (
+        similarity.pq_topk(pq_codes, pq_q, pq_cb, k=5, m=_PQ_M, dim=dim)
+        .groupBy("query_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "rank",
+                                F.concat_ws(
+                                    ":",
+                                    F.col("vec_id").cast("string"),
+                                    F.col("score").cast("bigint").cast("string"),
+                                ).alias("hit"),
+                            )
+                        )
+                    ),
+                    lambda x: x["hit"],
+                ),
+                ",",
+            ).alias("codes_csv"),
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+        )
+        .select(
+            F.lit("pq_adc").alias("section"),
+            F.col("query_id").alias("vec_id"),
+            "codes_csv",
+            "n_dims",
+        )
+    )
     return {
         "codes": codes,
         "pooled": pooled,
@@ -3911,6 +3994,8 @@ def embedding_quantize_parts(
         "domain": dom,
         "proto": proto,
         "domain_profile": prof,
+        "pq": pq,
+        "pq_adc": pq_adc,
     }
 
 

@@ -8107,3 +8107,244 @@ def test_sample_negatives_string_ids_match_duckdb(spark):
     finally:
         con.close()
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# X64: product quantization
+# --------------------------------------------------------------------------
+
+_PQ_GRID = None  # lazily built per-test: 1e-6-grid integer embeddings
+
+
+def _pq_grid_emb(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1e6)),
+        ).alias("embedding"),
+    )
+
+
+def test_pq_encode_matches_duckdb(spark):
+    """X64: PQ codes over the fit='sample' codebooks hash-match the
+    DuckDB twin cell for cell — on the 1e-6 grid the squared-L2
+    distances are exact integers, so both engines run the identical
+    (dist ASC, code ASC) argmin."""
+    from tests.oracle_utils import duckdb_con
+
+    emb6 = _pq_grid_emb(spark)
+    cb = similarity.pq_codebooks(emb6, m=8, dim=64, n_codes=16)
+    got = {
+        r["vec_id"]: ",".join(str(c) for c in r["codes"])
+        for r in similarity.pq_encode(emb6, cb, m=8, dim=64).collect()
+    }
+    con = duckdb_con("/root/testdata/sf0.001")
+    try:
+        want = dict(
+            con.execute(
+                similarity.pq_codes_sql(
+                    "SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+                    "x -> round(x * 1000000)) AS embedding FROM embeddings",
+                    m=8,
+                    dim=64,
+                    n_codes=16,
+                )
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want and len(got) == 500
+
+
+def test_pq_adc_exactness_invariant(spark):
+    """A codebook containing EVERY corpus subvector makes assignment
+    distance 0 and the ADC score the exact grid dot product — pq_topk
+    must then reproduce the brute-force grid-dot ranking bit for bit
+    (the IVF full-probe move: correctness of encode + LUT + scan +
+    re-rank in one invariant)."""
+    emb6 = _pq_grid_emb(spark)
+    cb = similarity.pq_codebooks(emb6, m=8, dim=64, n_codes=500)
+    codes = similarity.pq_encode(emb6, cb, m=8, dim=64)
+    q = emb6.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], int(r["score"]))
+        for r in similarity.pq_topk(
+            codes, q, cb, k=5, m=8, dim=64
+        ).collect()
+    }
+    # brute-force grid dot on the same integers
+    ref = (
+        q.crossJoin(emb6.select("vec_id", F.col("embedding").alias("ve")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            similarity.dot(F.col("embedding"), F.col("ve")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], int(r["score"]))
+        for r in ref.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want and len(got) == 15
+
+
+def test_pq_recall_floor_and_shape(spark):
+    """Lossy-PQ recall floor on the worst-case isotropic corpus
+    (m=8 subspaces, 16 sample codes): measured recall@5 vs the exact
+    grid ranking — pin a floor under the measurement, the m-code
+    output shape, and that candidates= restricts the scan (the IVF-PQ
+    composition hook)."""
+    emb6 = _pq_grid_emb(spark)
+    cb = similarity.pq_codebooks(emb6, m=8, dim=64, n_codes=16)
+    codes = similarity.pq_encode(emb6, cb, m=8, dim=64)
+    assert codes.select(F.size("codes")).distinct().collect()[0][0] == 8
+    q = emb6.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = similarity.pq_topk(codes, q, cb, k=5, m=8, dim=64)
+    ref = (
+        q.crossJoin(emb6.select("vec_id", F.col("embedding").alias("ve")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            similarity.dot(F.col("embedding"), F.col("ve")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ref.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5).collect()
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.2, f"PQ recall@5 {recall:.3f}"  # lossy by design;
+    # 16 codes x 8 subs on isotropic data — measured ~0.3-0.5
+    # candidates= restricts the scan to the given pairs
+    cand = spark.createDataFrame(
+        [(0, 7), (0, 9)], ["query_id", "vec_id"]
+    )
+    rows = similarity.pq_topk(
+        codes, q.where(F.col("query_id") == 0), cb, k=5, m=8, dim=64,
+        candidates=cand,
+    ).collect()
+    assert {r["vec_id"] for r in rows} <= {7, 9} and len(rows) == 2
+
+
+def test_pq_guards(spark):
+    emb6 = _pq_grid_emb(spark)
+    with pytest.raises(ValueError, match="multiple of m"):
+        similarity.pq_subvectors(emb6, m=7, dim=64)
+    with pytest.raises(ValueError, match="fit must be"):
+        similarity.pq_codebooks(emb6, m=8, dim=64, fit="nope")
+
+
+def test_pq_kmeans_codebooks_improve_recall(spark):
+    """The fit='kmeans' codebooks (the paper's recipe) must beat the
+    16-sample codebooks' quantization error: mean ADC score error vs
+    the true dot shrinks, and recall@5 does not regress."""
+    emb6 = _pq_grid_emb(spark)
+    q = emb6.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def mean_abs_err(cb):
+        codes = similarity.pq_encode(emb6, cb, m=8, dim=64)
+        adc = similarity.pq_topk(codes, q, cb, k=500, m=8, dim=64).select(
+            "query_id", "vec_id", F.col("score").alias("adc")
+        )
+        ref = (
+            q.crossJoin(emb6.select("vec_id", F.col("embedding").alias("ve")))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", "vec_id",
+                similarity.dot(F.col("embedding"), F.col("ve")).alias("true"),
+            )
+        )
+        row = (
+            adc.join(ref, ["query_id", "vec_id"])
+            .select(F.avg(F.abs(F.col("adc") - F.col("true"))).alias("e"))
+            .collect()[0]
+        )
+        return float(row["e"])
+
+    e_sample = mean_abs_err(similarity.pq_codebooks(emb6, m=8, dim=64, n_codes=16))
+    e_kmeans = mean_abs_err(
+        similarity.pq_codebooks(
+            emb6, m=8, dim=64, n_codes=16, fit="kmeans", fit_sample_mod=None
+        )
+    )
+    assert e_kmeans < e_sample, (e_kmeans, e_sample)
+
+
+# --------------------------------------------------------------------------
+# X65: pack span map
+# --------------------------------------------------------------------------
+
+
+def test_pack_span_map_tiles_and_matches_duckdb(spark):
+    """X65: spans tile [0, pack_tokens) with no gaps/overlaps for every
+    mode, and the cumsum-mode map equals the DuckDB twin row for row."""
+    from tests.oracle_utils import duckdb_con
+    from pyspark_dist_explore_spark.operators.packing import (
+        pack_span_map,
+        pack_span_map_sql,
+        pack_sequences,
+        pack_sequences_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for mode, order in (("cumsum", "id"), ("greedy", "id"), ("ffd", "ffd")):
+        packed = pack_sequences(
+            docs, "doc_id", text_col="text", max_tokens=256, buckets=8, mode=mode
+        )
+        spans = pack_span_map(packed, order=order).collect()
+        by_pack: dict = {}
+        for r in spans:
+            by_pack.setdefault(r["pack_id"], []).append(r)
+        for pid, rows in by_pack.items():
+            rows.sort(key=lambda r: r["start"])
+            pos = 0
+            for r in rows:
+                assert r["start"] == pos and r["end"] == pos + r["n_tokens"], (
+                    mode, pid, r,
+                )
+                pos = r["end"]
+
+    # twin equality (cumsum order='id')
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    packed_sql = pack_sequences_sql(
+        "documents", "doc_id", max_tokens=256, buckets=8, norm_text_expr=norm
+    )
+    got = sorted(
+        tuple(r)
+        for r in pack_span_map(
+            pack_sequences(
+                docs, "doc_id", text_col="text", max_tokens=256, buckets=8
+            ),
+            order="id",
+        ).collect()
+    )
+    con = duckdb_con("/root/testdata/sf0.001")
+    try:
+        want = sorted(
+            con.execute(pack_span_map_sql(packed_sql, order="id")).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
+
+    with pytest.raises(ValueError, match="order"):
+        pack_span_map(packed, order="zigzag")
