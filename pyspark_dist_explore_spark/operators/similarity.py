@@ -2117,17 +2117,27 @@ def pq_topk(
     exploded = codes.select(
         "vec_id", F.posexplode("codes").alias("sub", "code")
     )
-    scored = (
-        exploded.join(lut, ["sub", "code"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("part").alias("score"))
-    )
     if candidates is not None:
-        scored = scored.join(
-            F.broadcast(candidates.select("query_id", "vec_id")),
-            ["query_id", "vec_id"],
-            "leftsemi",
+        # IVF-PQ shape: restrict BEFORE scoring — only candidate pairs'
+        # code rows meet the LUT, so the compressed scan touches
+        # |candidates|·m rows, not N·m.  The candidate frame is
+        # query-probe-bounded (Q · n_probe/n_lists · N); for very large
+        # query batches swap the broadcast for a plain shuffle join.
+        scored = (
+            exploded.join(
+                F.broadcast(candidates.select("query_id", "vec_id")), "vec_id"
+            )
+            .join(lut, ["query_id", "sub", "code"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("part").alias("score"))
+        )
+    else:
+        scored = (
+            exploded.join(lut, ["sub", "code"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("part").alias("score"))
         )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
@@ -2235,3 +2245,127 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, score FROM (
   GROUP BY l.query_id, a.vec_id
 ) WHERE rank <= {k}
 """
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    m: int,
+    dim: int,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    assign_round: int | None = None,
+) -> DataFrame:
+    """IVF-PQ (X66): the full 100 TB serving shape — coarse inverted
+    lists bound WHICH vectors each query touches (``n_probe`` of
+    ``n_centroids`` lists, ``n_assign``-way replicated), product
+    quantization bounds WHAT the scan reads per touched vector (``m``
+    one-byte codes instead of ``dim`` floats).  Jégou et al. 2011's
+    IVFADC, composed from the two operators this module already proves:
+    candidate pairs from the IVF probe join, scored by
+    :func:`pq_topk`'s ADC path via its ``candidates=`` hook (which
+    restricts BEFORE scoring — the scan is |candidates|·m code rows).
+
+    ``centroids=``/``codebooks=``/``codes=`` accept prebuilt artifacts
+    (the landed-index form — a production pipeline builds them once at
+    index time); defaults fit nothing and derive both from the corpus
+    deterministically (unit embeddings of the first ``n_centroids``
+    ids; ``fit='sample'`` codebooks), so the whole path is reproducible
+    and, on 1e-6-grid inputs, engine-portable.
+
+    With ``n_probe == n_centroids`` AND a codebook containing every
+    corpus subvector, the result equals the brute-force grid-dot
+    ranking bit for bit (both operators' exactness invariants compose —
+    pytest-pinned)."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__ve"),
+        _unit(F.col(vec_col)).alias("vv"),
+    )
+    if centroids is None:
+        centroids = v.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("vv").alias("cv")
+        )
+    cents = F.broadcast(
+        centroids.select("cent_id", F.col("cv").cast("array<double>").alias("cv"))
+    )
+
+    def _sim(a: Column, b: Column) -> Column:
+        s = dot(a, b)
+        return F.round(s, assign_round) if assign_round is not None else s
+
+    replicated = v.crossJoin(cents).select(
+        "vec_id", "cent_id", _sim(F.col("vv"), F.col("cv")).alias("sim")
+    )
+    if n_assign == 1:
+        assigned = replicated.groupBy("vec_id").agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cent_id")
+        )
+    else:
+        assigned = (
+            replicated.groupBy("vec_id")
+            .agg(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("sim"),
+                                (-F.col("cent_id")).alias("nc"),
+                                F.col("cent_id"),
+                            )
+                        ),
+                        asc=False,
+                    ),
+                    1,
+                    n_assign,
+                ).alias("top")
+            )
+            .select("vec_id", F.explode("top.cent_id").alias("cent_id"))
+        )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.crossJoin(cents)
+        .select("query_id", "cent_id", _sim(F.col("qv"), F.col("cv")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "cent_id")
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            vectors, m=m, dim=dim, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+    if codes is None:
+        codes = pq_encode(
+            vectors, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+    return pq_topk(
+        codes,
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("embedding")),
+        codebooks,
+        k=k,
+        m=m,
+        dim=dim,
+        candidates=cands,
+    )

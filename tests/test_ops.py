@@ -8348,3 +8348,75 @@ def test_pack_span_map_tiles_and_matches_duckdb(spark):
 
     with pytest.raises(ValueError, match="order"):
         pack_span_map(packed, order="zigzag")
+
+
+def test_ivf_pq_exactness_composition(spark):
+    """X66 IVF-PQ: with a full probe (n_probe == n_centroids) and an
+    all-subvector codebook, the composed path must equal the
+    brute-force grid-dot ranking bit for bit — both operators'
+    exactness invariants survive the composition."""
+    emb6 = _pq_grid_emb(spark)
+    q = emb6.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], int(r["score"]))
+        for r in similarity.ivf_pq_topk(
+            emb6, q, k=5, m=8, dim=64, n_codes=500,
+            n_centroids=16, n_probe=16,
+        ).collect()
+    }
+    ref = (
+        q.crossJoin(emb6.select("vec_id", F.col("embedding").alias("ve")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            similarity.dot(F.col("embedding"), F.col("ve")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], int(r["score"]))
+        for r in ref.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5).collect()
+    }
+    assert got == want and len(got) == 15
+
+
+def test_ivf_pq_bounded_probe_recall(spark):
+    """X66 lossy operating point: 4/16 lists probed, 2-way replicated
+    index, 16 sample codes — recall@5 vs the exact grid ranking keeps a
+    floor, and the result set is a subset of what the probed lists can
+    see (never a full scan)."""
+    emb6 = _pq_grid_emb(spark)
+    q = emb6.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_pq_topk(
+            emb6, q, k=5, m=8, dim=64, n_codes=16,
+            n_centroids=16, n_probe=4, n_assign=2,
+        ).collect()
+    }
+    ref = (
+        q.crossJoin(emb6.select("vec_id", F.col("embedding").alias("ve")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            similarity.dot(F.col("embedding"), F.col("ve")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ref.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.1, f"IVF-PQ recall@5 {recall:.3f}"  # doubly lossy
+    # by design (coarse probe x 16-code ADC) on the isotropic corpus
