@@ -2044,33 +2044,68 @@ def pq_encode(
     ``m`` small ints replace ``dim`` floats (the 64-dim float vector
     becomes 8 bytes at n_codes ≤ 256: the paper's 32× compression).
 
-    Scale shape: subvector explode is row-local; the codebook
-    (``m·n_codes`` rows) is BROADCAST into the distance join; the
-    argmin is a map-side-partial ``min_by`` per (vector, subspace); the
-    code assembly is one ``collect_list`` keyed by vector — one
-    exchange end to end, zero Python."""
-    subs = pq_subvectors(vectors, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
-    cb = F.broadcast(codebooks.select("sub", "code", "cv"))
-    dist = (
-        dot(F.col("sv"), F.col("sv"))
-        - 2 * dot(F.col("sv"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv"))
-    )
-    assigned = (
-        subs.join(cb, "sub")
-        .select("id", "sub", "code", dist.alias("d"))
-        .groupBy("id", "sub")
-        .agg(F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code"))
-    )
-    return (
-        assigned.groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda x: x["code"],
-            ).alias("codes")
+    Scale shape: ONE Arrow pass over the N vector rows, zero shuffle —
+    the codebook is collected driver-side (``m·n_codes`` rows, the
+    lsh-plane-literal precedent) into per-subspace numpy matrices, and
+    each Arrow batch runs ``m`` BLAS matmuls (``batch × n_codes``
+    distance grids via ``c·c − 2·v·c``; the row-constant ``v·v`` term
+    cannot move the argmin and is dropped).  The original
+    explode → broadcast-join → min_by form measured 48× slower at the
+    100× probe decade (25.6M Arrow rows vs one pass over 200k).
+    ``np.argmin`` returns the FIRST minimum and the codebook rows are
+    ordered by ascending code, so ties break to the smallest code —
+    the same total order as the DuckDB twin's (dist ASC, code ASC)
+    ``row_number``.  On 1e-6-grid inputs every product and partial sum
+    is an exact integer ≪ 2⁵³, so the matmul equals the twin's
+    sequential fold BIT FOR BIT (raw-float inputs may differ in final
+    ulps, which only perturbs measure-zero distance ties)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be a positive multiple of m ({m})")
+    d0 = dim // m
+    cb_rows = codebooks.select(
+        "sub", "code", "cv"
+    ).collect()  # bounded-collect: m·n_codes codebook rows (model-sized)
+    by_sub: dict = {}
+    for r in cb_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cv"]])
         )
-        .select(F.col("id").alias("vec_id"), "codes")
+    mats, code_ids, csqs = {}, {}, {}
+    for s in range(m):
+        entries = sorted(by_sub.get(s, []))
+        if not entries:
+            raise ValueError(f"codebooks carry no entries for subspace {s}")
+        C = np.array([cv for _, cv in entries], dtype=np.float64)
+        if C.shape[1] != d0:
+            raise ValueError(
+                f"codebook subvectors for subspace {s} have dim {C.shape[1]}, "
+                f"expected {d0}"
+            )
+        mats[s] = C
+        code_ids[s] = np.array([c for c, _ in entries], dtype=np.int32)
+        csqs[s] = np.einsum("ij,ij->i", C, C)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(v: pd.Series) -> pd.Series:
+        arrs = v.to_numpy()
+        if any(a is None or len(a) != dim for a in arrs):
+            raise ValueError(
+                f"pq_encode: every vector must be non-null with dim {dim}"
+            )
+        V = np.stack(arrs).astype(np.float64)
+        out = np.empty((len(V), m), dtype=np.int32)
+        for s in range(m):
+            Vs = V[:, s * d0 : (s + 1) * d0]
+            dists = csqs[s] - 2.0 * (Vs @ mats[s].T)
+            out[:, s] = code_ids[s][np.argmin(dists, axis=1)]
+        return pd.Series(list(out))
+
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _encode(F.col(vec_col).cast("array<double>")).alias("codes"),
     )
 
 
@@ -2287,21 +2322,29 @@ def ivf_pq_topk(
     corpus subvector, the result equals the brute-force grid-dot
     ranking bit for bit (both operators' exactness invariants compose —
     pytest-pinned)."""
+    # raw vectors against UNIT centroids: per vector the argmax (and per
+    # query the probe ranking) over cosine equals the argmax over the
+    # bare dot — |v| is row-constant — so the N·n_centroids pair stage
+    # never re-derives a normalization (the 10×-probe hotspot: the
+    # inlined _unit folds re-ran per crossJoin output row)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("__ve"),
-        _unit(F.col(vec_col)).alias("vv"),
+        F.col(vec_col).cast("array<double>").alias("vv"),
     )
     if centroids is None:
-        centroids = v.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("vv").alias("cv")
+        centroids = vectors.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), _unit(F.col(vec_col)).alias("cv")
         )
     cents = F.broadcast(
         centroids.select("cent_id", F.col("cv").cast("array<double>").alias("cv"))
     )
 
+    # Arrow BLAS dot for the N·n_centroids coarse-assignment pairs (the
+    # ivf_topk ML-path move — this operator has no SQL twin, and the
+    # per-batch einsum is deterministic at any partitioning; the
+    # interpreted zip-fold was the 10×-probe hotspot)
     def _sim(a: Column, b: Column) -> Column:
-        s = dot(a, b)
+        s = _dot_arrow(a, b)
         return F.round(s, assign_round) if assign_round is not None else s
 
     replicated = v.crossJoin(cents).select(
@@ -2335,7 +2378,8 @@ def ivf_pq_topk(
             .select("vec_id", F.explode("top.cent_id").alias("cent_id"))
         )
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("cent_id").asc()
