@@ -220,6 +220,29 @@ def main() -> None:
     )
     fert.show()
 
+    # 8b. batch shaping for the trainer (X62 + X65 + X63): FFD-pack the
+    # curated docs into 512-token context windows, materialize the
+    # span map a dataloader turns into document-boundary attention /
+    # loss masks, and draw deterministic contrastive negatives with the
+    # same-source false-negative guard ------------------------------------
+    from pyspark_dist_explore_spark import (
+        pack_sequences,
+        pack_span_map,
+        packing_efficiency,
+        sample_negatives,
+    )
+
+    packed = pack_sequences(
+        kept_docs, "doc_id", text_col="text",
+        max_tokens=512, buckets=64, mode="ffd",
+    )
+    packing_efficiency(packed, 512).show()
+    pack_span_map(packed, order="ffd").orderBy("pack_id", "start").show(6)
+    sample_negatives(
+        kept_docs.join(corpus.select("doc_id", "source"), "doc_id"),
+        "doc_id", k=2, group_col="source",
+    ).show(6)
+
     # 9. next month's crawl arrives: snapshot-diff it against the landed
     # dump BEFORE re-running the pipeline (X49).  Identical content-
     # fingerprinting manifests would skip the scan entirely
