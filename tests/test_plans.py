@@ -925,3 +925,58 @@ def test_rep_battery_frame_matches_oracle(spark):
     from tests.oracle_utils import compare
 
     compare(spark, SF_SMOKE, rep_battery_frame, REP_BATTERY_ORACLE)
+
+
+def test_pq_encode_plan_shape(spark):
+    """X64 scale pins: encoding is ONE Arrow pass over the vector rows —
+    exactly one ArrowEvalPython stage, no Exchange (no shuffle, no
+    join), no cartesian product."""
+    from pyspark.sql import functions as F2
+    from pyspark_dist_explore_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id",
+        F2.transform(
+            F2.col("embedding").cast("array<double>"),
+            lambda x: F2.round(x * F2.lit(1e6)),
+        ).alias("embedding"),
+    )
+    cb = similarity.pq_codebooks(emb, m=8, dim=64, n_codes=16)
+    codes = similarity.pq_encode(emb, cb, m=8, dim=64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        codes.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" in plan  # the single Arrow pass
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_plan_no_cartesian_scan(spark):
+    """X66 scale pins: the composed serving plan carries no cartesian
+    product over the corpus (the only nested-loop joins are against the
+    broadcast n_centroids frame), and the candidate restriction keeps
+    the LUT scan an equi-join."""
+    from pyspark.sql import functions as F2
+    from pyspark_dist_explore_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id",
+        F2.transform(
+            F2.col("embedding").cast("array<double>"),
+            lambda x: F2.round(x * F2.lit(1e6)),
+        ).alias("embedding"),
+    )
+    q = emb.where(F2.col("vec_id") < 3).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_pq_topk(
+        emb, q, k=5, m=8, dim=64, n_codes=16, n_centroids=16, n_probe=4
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    # corpus-side joins are broadcast (centroids, probes, candidates, LUT)
+    assert "BroadcastExchange" in plan
