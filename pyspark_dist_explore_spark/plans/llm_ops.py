@@ -1398,14 +1398,16 @@ def sampling_splits_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFr
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.lit("host_cap").alias("kind"), "key", "cnt")
     )
-    # checkpoint_interval=2 A/B'd at sf0.1 (warm 2.0–2.1 s vs 2.4 s at
-    # the lineage-friendly default 16: at gate k=8 the shallow-plan
-    # rounds beat the deep-replace-chain rounds; production-k callers
-    # keep the default's lower checkpoint count).  Learn AND encode run
-    # on the _BPE_CAP sample slice — see the cap's comment above the
-    # registered oracle (tokenizer induction is sample-based at scale).
+    # checkpoint_interval: re-A/B'd on the r13 _BPE_CAP slice (600 docs)
+    # — the r10 interval=2 choice (shallow plans beat deep replace
+    # chains at 5 000 docs: 2.0–2.1 s vs 2.4 s) FLIPS on the sample
+    # slice, where per-round checkpoint actions dominate the tiny data:
+    # interval=2 warm 3.9 s vs the lineage-friendly default ~2.9 s.
+    # Learn AND encode run on the _BPE_CAP sample slice — see the cap's
+    # comment above the registered oracle (tokenizer induction is
+    # sample-based at scale).
     bdocs = docs.where(F.col("doc_id") < _BPE_CAP)
-    learned = textstats.bpe_learn(bdocs, "text", k=_BPE_K, checkpoint_interval=2)
+    learned = textstats.bpe_learn(bdocs, "text", k=_BPE_K)
     bpe = learned.select(
         F.lit("bpe_merge").alias("kind"),
         F.concat(
@@ -2213,7 +2215,12 @@ def vector_exact_search_parts(
     semdedup = similarity.semantic_dedup(
         emb,
         threshold=_COS_THRESHOLD,
-        n_blocks=2,
+        n_blocks=1,  # blocking exists to bound per-task matmul memory;
+        # at the gate corpus (≤2k vectors in 4 cells) one block per cell
+        # is trivially bounded and saves the n_blocks² task fan-out —
+        # r13 A/B: 3.2 s vs 5.2 s warm at sf0.1, identical rows (the
+        # tiling partitions the same pair space).  The library default
+        # stays 4 for real corpora.
         centroids=cents,
         assign_round=6,
         stage=True,  # checkpoint pairs once: the lazy propagation would
