@@ -119,14 +119,22 @@ def main() -> None:
     # Host-noise-proof composite (r12 verdict item 7): per-query min
     # ACROSS bench runs of the SAME code revision — repeated close-time
     # runs ratchet each query toward its idle-host floor instead of the
-    # total being hostage to whichever run a noisy neighbor hit.  A new
-    # commit (or sf/cpus change) resets the ratchet, so the composite
-    # can never hide a code regression behind stale minima.
+    # total being hostage to whichever run a noisy neighbor hit.  The
+    # revision key is the PRODUCT tree (package + bench + driver entry),
+    # not HEAD, so doc-only commits between passes don't reset the
+    # ratchet (r13 lost two resets to BASELINE.md commits); any change
+    # to code that can affect a measured plan still resets it, so the
+    # composite can never hide a code regression behind stale minima.
     try:
         code_rev = subprocess.run(
-            ["git", "rev-parse", "HEAD"],
+            [
+                "git", "rev-parse",
+                "HEAD:pyspark_dist_explore_spark",
+                "HEAD:bench.py",
+                "HEAD:__spark_entry__.py",
+            ],
             cwd=here, capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or None
+        ).stdout.strip().replace("\n", "-") or None
     except Exception:
         code_rev = None
     composite: dict[str, float] = {}
