@@ -15,7 +15,9 @@ read.
 The stdout line also carries `composite_min`: the sum of per-query
 minima ACROSS bench runs at the same git revision (ratcheted through
 BENCH_DETAIL.json's per-query `composite` field) — the official
-host-noise-proof close number; a new commit resets the ratchet.
+host-noise-proof close number; the ratchet resets only when the
+PRODUCT code (package tree / driver entry, committed or dirty)
+changes, never on bench.py or doc edits.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -36,11 +38,58 @@ SECTION_ATTEMPTS = 2  # min-of-2 for the per-section attribution pass —
 # it exists to localize excursions, not to be the headline number
 
 
+def _code_rev() -> str | None:
+    """Ratchet key for the host-noise-proof composite (r12 verdict item
+    7): per-query minima ratchet ACROSS bench runs of the SAME code
+    revision, so repeated close passes converge on the idle-host floor.
+
+    The key is the PRODUCT tree (package + driver entry) only — NOT
+    bench.py (r13 verdict item 1: an instrumentation edit cannot change
+    query cost, and keying on it reset the minima into a contended
+    window) and NOT HEAD (doc-only commits must not reset).  Any change
+    to code that can affect a measured plan still resets the ratchet,
+    including UNCOMMITTED edits: when the working tree is dirty over
+    the keyed paths, the diff's hash is folded into the key so stale
+    committed minima can't hide a working-tree regression (r13 advice
+    item 3).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    keyed = ["pyspark_dist_explore_spark", "__spark_entry__.py"]
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse"] + [f"HEAD:{p}" for p in keyed],
+            cwd=here, capture_output=True, text=True, timeout=10,
+        ).stdout.strip().replace("\n", "-") or None
+        if rev is None:
+            return None
+        dirt = subprocess.run(
+            ["git", "status", "--porcelain", "--"] + keyed,
+            cwd=here, capture_output=True, text=True, timeout=10,
+        ).stdout
+        if dirt.strip():
+            import hashlib
+
+            diff = subprocess.run(
+                ["git", "diff", "HEAD", "--"] + keyed,
+                cwd=here, capture_output=True, text=True, timeout=30,
+            ).stdout
+            rev += "-dirty-" + hashlib.md5(
+                (dirt + diff).encode()
+            ).hexdigest()[:12]
+        return rev
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # Snapshot the ratchet key NOW, before any query runs: the measured
+    # plans come from the code imported at start, so a mid-run edit to
+    # the package must not relabel this run's minima.
+    code_rev = _code_rev()
 
     from pyspark.sql import SparkSession
 
@@ -116,27 +165,6 @@ def main() -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
 
-    # Host-noise-proof composite (r12 verdict item 7): per-query min
-    # ACROSS bench runs of the SAME code revision — repeated close-time
-    # runs ratchet each query toward its idle-host floor instead of the
-    # total being hostage to whichever run a noisy neighbor hit.  The
-    # revision key is the PRODUCT tree (package + bench + driver entry),
-    # not HEAD, so doc-only commits between passes don't reset the
-    # ratchet (r13 lost two resets to BASELINE.md commits); any change
-    # to code that can affect a measured plan still resets it, so the
-    # composite can never hide a code regression behind stale minima.
-    try:
-        code_rev = subprocess.run(
-            [
-                "git", "rev-parse",
-                "HEAD:pyspark_dist_explore_spark",
-                "HEAD:bench.py",
-                "HEAD:__spark_entry__.py",
-            ],
-            cwd=here, capture_output=True, text=True, timeout=10,
-        ).stdout.strip().replace("\n", "-") or None
-    except Exception:
-        code_rev = None
     composite: dict[str, float] = {}
     try:
         with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:

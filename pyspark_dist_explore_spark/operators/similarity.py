@@ -1957,6 +1957,32 @@ def pq_subvectors(
     )
 
 
+def _pq_fit_source(
+    subs: DataFrame, fit_sample_mod: int | None, max_fit_rows: int | None
+) -> DataFrame:
+    """The KMeans fit corpus for :func:`pq_codebooks`: hash-sampled by
+    ``fit_sample_mod``, then absolutely capped at ``max_fit_rows``
+    per-subspace rows (the ``kmeans_centroids`` cap move).  The bounded
+    ``limit(cap+1).count()`` is ONLY the engage probe — deriving the
+    keep fraction from it would truncate ``n_src`` at ``cap+1`` and
+    keep ≈ 100% of any corpus well past the cap (the cap silently
+    no-ops, the r13 advice finding); once engaged, the keep fraction
+    comes from the exact count."""
+    fitsrc = subs
+    if fit_sample_mod is not None:
+        fitsrc = fitsrc.where(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(fit_sample_mod)) == 0
+        )
+    if max_fit_rows is not None:
+        frac_hash = F.pmod(F.xxhash64(F.col("id"), F.lit("pqfitcap")), F.lit(1 << 16))
+        sub0 = fitsrc.where(F.col("sub") == 0)
+        if sub0.limit(max_fit_rows + 1).count() > max_fit_rows:
+            n_src = sub0.count()
+            keep = int((1 << 16) * max_fit_rows / n_src)
+            fitsrc = fitsrc.where(frac_hash < F.lit(max(1, keep)))
+    return fitsrc
+
+
 def pq_codebooks(
     vectors: DataFrame,
     *,
@@ -1992,18 +2018,7 @@ def pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    fitsrc = subs
-    if fit_sample_mod is not None:
-        fitsrc = fitsrc.where(
-            F.pmod(F.xxhash64(F.col("id")), F.lit(fit_sample_mod)) == 0
-        )
-    if max_fit_rows is not None:
-        # the kmeans_centroids absolute-cap move, per-subspace budget
-        frac_hash = F.pmod(F.xxhash64(F.col("id"), F.lit("pqfitcap")), F.lit(1 << 16))
-        n_src = fitsrc.where(F.col("sub") == 0).limit(max_fit_rows + 1).count()
-        if n_src > max_fit_rows:
-            keep = int((1 << 16) * max_fit_rows / n_src)
-            fitsrc = fitsrc.where(frac_hash < F.lit(max(1, keep)))
+    fitsrc = _pq_fit_source(subs, fit_sample_mod, max_fit_rows)
     staged = fitsrc.select(
         "sub", array_to_vector(F.col("sv").cast("array<double>")).alias("features")
     ).persist()
@@ -2322,6 +2337,8 @@ def ivf_pq_topk(
     corpus subvector, the result equals the brute-force grid-dot
     ranking bit for bit (both operators' exactness invariants compose —
     pytest-pinned)."""
+    if n_assign < 1:
+        raise ValueError(f"n_assign must be >= 1, got {n_assign}")
     # raw vectors against UNIT centroids: per vector the argmax (and per
     # query the probe ranking) over cosine equals the argmax over the
     # bare dot — |v| is row-constant — so the N·n_centroids pair stage

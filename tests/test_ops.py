@@ -8249,6 +8249,44 @@ def test_pq_guards(spark):
         similarity.pq_subvectors(emb6, m=7, dim=64)
     with pytest.raises(ValueError, match="fit must be"):
         similarity.pq_codebooks(emb6, m=8, dim=64, fit="nope")
+    # r13 advice: ivf_pq_topk must reject n_assign < 1 like ivf_topk —
+    # n_assign=0 would slice an empty assignment list and silently
+    # return an empty result
+    q = emb6.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="n_assign"):
+        similarity.ivf_pq_topk(emb6, q, k=5, m=8, dim=64, n_assign=0)
+
+
+def test_pq_kmeans_fit_cap_engages_past_the_probe(spark):
+    """r13 advice (medium): the max_fit_rows absolute cap must derive its
+    keep fraction from the EXACT corpus count, not the limit(cap+1)
+    probe — with the probe-truncated count, keep ≈ (1<<16)·cap/(cap+1)
+    ≈ 65535 and the filter retains ~99.998% of an oversized corpus.
+    Pin: for a corpus ~8× over the cap, the capped per-subspace fit
+    rows land near the cap (hash-sampling tolerance), not near n."""
+    from pyspark_dist_explore_spark.operators.similarity import _pq_fit_source
+
+    n, cap = 400, 50
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") * 7 + i) % 13 for i in range(8)]
+        ).cast("array<double>").alias("embedding"),
+    )
+    subs = similarity.pq_subvectors(emb, m=2, dim=8)
+    kept = (
+        _pq_fit_source(subs, None, cap)
+        .where(F.col("sub") == 0)
+        .count()
+    )
+    assert kept <= int(cap * 1.5), f"cap no-oped: kept {kept} of {n} (cap {cap})"
+    assert kept >= int(cap * 0.5), f"cap over-filtered: kept {kept} (cap {cap})"
+    # under the cap the source passes through untouched
+    assert (
+        _pq_fit_source(subs, None, n + 1).where(F.col("sub") == 0).count() == n
+    )
 
 
 def test_pq_kmeans_codebooks_improve_recall(spark):

@@ -61,6 +61,36 @@ def test_transcendental_oracle_allowlist():
     )
 
 
+def test_gate_corpus_stays_under_audit_caps():
+    """r13 advice, pinned: the 600-row audit caps (``_BPE_CAP``,
+    ``_EXACT_CAP``, the word2vec/semdedup slices) assume the sf0.01 gate
+    corpus keeps every id under 600.  If a testdata regeneration ever
+    grows the gate tables past the caps, the capped audit/exact-baseline
+    sections would silently shrink to a sample — both engines stay
+    consistent so the oracle hashes would still PASS, masking the
+    coverage loss.  Fail loudly here instead."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark_dist_explore_spark.plans.llm_ops import _BPE_CAP, _EXACT_CAP
+    from tests.conftest import SF_ORACLE
+
+    max_doc = pc.max(
+        pq.read_table(f"{SF_ORACLE}/documents.parquet", columns=["doc_id"])["doc_id"]
+    ).as_py()
+    max_vec = pc.max(
+        pq.read_table(f"{SF_ORACLE}/embeddings.parquet", columns=["vec_id"])["vec_id"]
+    ).as_py()
+    assert max_doc < _BPE_CAP, (
+        f"sf0.01 documents max doc_id {max_doc} >= _BPE_CAP {_BPE_CAP} — "
+        "the BPE/word2vec audit slices no longer cover the gate corpus"
+    )
+    assert max_vec < _EXACT_CAP, (
+        f"sf0.01 embeddings max vec_id {max_vec} >= _EXACT_CAP {_EXACT_CAP} — "
+        "the exact ANN ground-truth sections no longer cover the gate corpus"
+    )
+
+
 def test_text_perplexity_gate_projection_is_integer_only(spark):
     """The round-7 fix, pinned: every hashed column of the registered
     text_perplexity projection is an exact integer type — no double can
