@@ -2297,8 +2297,78 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, score FROM (
 """
 
 
-def ivf_pq_topk(
+def ivf_coarse_assign(
     vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    n_assign: int = 1,
+    assign_round: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse IVF assignment ``(vec_id, cent_id)``: each vector's
+    ``n_assign`` nearest centroids by dot product (against UNIT
+    centroids the dot argmax equals the cosine argmax — |v| is
+    row-constant), ties to the smaller ``cent_id``.  The shared
+    index-build stage of :func:`ivf_pq_topk` and
+    :func:`~pyspark_dist_explore_spark.sources.sinks.write_pq_index` —
+    extracting it guarantees the landed inverted lists are bit-for-bit
+    the lists the in-memory path would derive.
+
+    Scale shape: Arrow BLAS dot for the N·n_centroids pairs (the
+    ``ivf_topk`` ML-path move; the interpreted zip-fold was the
+    10×-probe hotspot), one map-side-combinable aggregate, no window —
+    ``n_assign=1`` keeps the O(1)-state ``max_by``; ``n_assign>1``
+    carries a sorted n_centroids-struct list per vector and explodes
+    the top cells, so the replication lands in the index size, never
+    the probe cost."""
+    if n_assign < 1:
+        raise ValueError(f"n_assign must be >= 1, got {n_assign}")
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vv"),
+    )
+    cents = F.broadcast(
+        centroids.select("cent_id", F.col("cv").cast("array<double>").alias("cv"))
+    )
+
+    def _sim(a: Column, b: Column) -> Column:
+        s = _dot_arrow(a, b)
+        return F.round(s, assign_round) if assign_round is not None else s
+
+    replicated = v.crossJoin(cents).select(
+        "vec_id", "cent_id", _sim(F.col("vv"), F.col("cv")).alias("sim")
+    )
+    if n_assign == 1:
+        return replicated.groupBy("vec_id").agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cent_id")
+        )
+    return (
+        replicated.groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("sim"),
+                            (-F.col("cent_id")).alias("nc"),
+                            F.col("cent_id"),
+                        )
+                    ),
+                    asc=False,
+                ),
+                1,
+                n_assign,
+            ).alias("top")
+        )
+        .select("vec_id", F.explode("top.cent_id").alias("cent_id"))
+    )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame | None,
     queries: DataFrame,
     *,
     k: int = 5,
@@ -2314,6 +2384,7 @@ def ivf_pq_topk(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     codes: DataFrame | None = None,
+    assignments: DataFrame | None = None,
     assign_round: int | None = None,
 ) -> DataFrame:
     """IVF-PQ (X66): the full 100 TB serving shape — coarse inverted
@@ -2326,12 +2397,19 @@ def ivf_pq_topk(
     :func:`pq_topk`'s ADC path via its ``candidates=`` hook (which
     restricts BEFORE scoring — the scan is |candidates|·m code rows).
 
-    ``centroids=``/``codebooks=``/``codes=`` accept prebuilt artifacts
-    (the landed-index form — a production pipeline builds them once at
-    index time); defaults fit nothing and derive both from the corpus
+    ``centroids=``/``codebooks=``/``codes=``/``assignments=`` accept
+    prebuilt artifacts (the landed-index form — a production pipeline
+    builds them once at index time with
+    :func:`~pyspark_dist_explore_spark.sources.sinks.write_pq_index`);
+    defaults fit nothing and derive everything from the corpus
     deterministically (unit embeddings of the first ``n_centroids``
     ids; ``fit='sample'`` codebooks), so the whole path is reproducible
-    and, on 1e-6-grid inputs, engine-portable.
+    and, on 1e-6-grid inputs, engine-portable.  With ``assignments=``
+    (a ``(vec_id, cent_id)`` frame — ``path/assign`` of a landed index,
+    partitioned by ``cent_id`` so each probe prunes to the inverted-
+    list directories it hits) the corpus vectors are NEVER touched:
+    serving reads n_probe inverted lists + the m-byte code rows, the
+    100 TB promise made literal.
 
     With ``n_probe == n_centroids`` AND a codebook containing every
     corpus subvector, the result equals the brute-force grid-dot
@@ -2339,15 +2417,18 @@ def ivf_pq_topk(
     pytest-pinned)."""
     if n_assign < 1:
         raise ValueError(f"n_assign must be >= 1, got {n_assign}")
+    if vectors is None and (
+        centroids is None or codebooks is None or codes is None or assignments is None
+    ):
+        raise ValueError(
+            "vectors=None requires the full landed index: centroids, codebooks, "
+            "codes AND assignments (see sinks.load_pq_index)"
+        )
     # raw vectors against UNIT centroids: per vector the argmax (and per
     # query the probe ranking) over cosine equals the argmax over the
     # bare dot — |v| is row-constant — so the N·n_centroids pair stage
     # never re-derives a normalization (the 10×-probe hotspot: the
     # inlined _unit folds re-ran per crossJoin output row)
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("vv"),
-    )
     if centroids is None:
         centroids = vectors.where(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), _unit(F.col(vec_col)).alias("cv")
@@ -2356,43 +2437,20 @@ def ivf_pq_topk(
         centroids.select("cent_id", F.col("cv").cast("array<double>").alias("cv"))
     )
 
-    # Arrow BLAS dot for the N·n_centroids coarse-assignment pairs (the
-    # ivf_topk ML-path move — this operator has no SQL twin, and the
-    # per-batch einsum is deterministic at any partitioning; the
-    # interpreted zip-fold was the 10×-probe hotspot)
     def _sim(a: Column, b: Column) -> Column:
         s = _dot_arrow(a, b)
         return F.round(s, assign_round) if assign_round is not None else s
 
-    replicated = v.crossJoin(cents).select(
-        "vec_id", "cent_id", _sim(F.col("vv"), F.col("cv")).alias("sim")
-    )
-    if n_assign == 1:
-        assigned = replicated.groupBy("vec_id").agg(
-            F.max_by(
-                "cent_id", F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc"))
-            ).alias("cent_id")
-        )
+    if assignments is not None:
+        assigned = assignments.select("vec_id", "cent_id")
     else:
-        assigned = (
-            replicated.groupBy("vec_id")
-            .agg(
-                F.slice(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                F.col("sim"),
-                                (-F.col("cent_id")).alias("nc"),
-                                F.col("cent_id"),
-                            )
-                        ),
-                        asc=False,
-                    ),
-                    1,
-                    n_assign,
-                ).alias("top")
-            )
-            .select("vec_id", F.explode("top.cent_id").alias("cent_id"))
+        assigned = ivf_coarse_assign(
+            vectors,
+            cents,
+            n_assign=n_assign,
+            assign_round=assign_round,
+            id_col=id_col,
+            vec_col=vec_col,
         )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),

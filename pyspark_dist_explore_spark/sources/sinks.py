@@ -528,6 +528,124 @@ def load_dsir_model(spark, path: str, *, expect: dict | None = None):
     return spark.read.parquet(f"{path}/counts"), params
 
 
+def write_pq_index(
+    vectors: DataFrame,
+    path: str,
+    *,
+    m: int,
+    dim: int,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit: str = "sample",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    assign_round: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Land the IVF-PQ INDEX ARTIFACTS for an embedding corpus — the
+    one-time build that lets every future
+    :func:`~pyspark_dist_explore_spark.operators.similarity.ivf_pq_topk`
+    serving run execute WITHOUT the raw vectors (Jégou et al. 2011's
+    index/serve split made literal):
+
+    - ``path/centroids/`` — the ``n_centroids`` coarse quantizer rows
+      ``(cent_id, cv)`` (model-sized);
+    - ``path/codebooks/`` — the ``m · n_codes`` PQ codebook rows
+      ``(sub, code, cv)`` (model-sized);
+    - ``path/codes/`` — ``(vec_id, codes)``: ``m`` small ints per
+      vector instead of ``dim`` floats (the 32× scan-bandwidth
+      artifact);
+    - ``path/assign/`` — the inverted lists ``(vec_id, cent_id)``,
+      PARTITIONED BY ``cent_id`` so a query's ``n_probe`` probes prune
+      to exactly the list directories they hit — at 100 TB the serving
+      scan reads n_probe/n_centroids of the index, never the corpus.
+
+    Parameters are recorded in ``path/_params.json`` and VERIFIED at
+    load — serving with artifacts built under a different scheme
+    (other ``m``/``dim`` slicing, other centroid count) would silently
+    mis-rank, which is exactly the drift the check refuses.
+
+    The corpus is scanned twice (one Arrow encode pass, one broadcast
+    assignment aggregate); both stages reuse the exact library
+    operators, so the landed index serves bit-for-bit what the
+    in-memory composition would (pytest-pinned round trip).
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        ivf_coarse_assign,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    kw = dict(
+        m=m,
+        dim=dim,
+        n_codes=n_codes,
+        n_centroids=n_centroids,
+        n_assign=n_assign,
+        fit=fit,
+        assign_round=assign_round,
+    )
+    if centroids is None:
+        centroids = vectors.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), _unit(F.col(vec_col)).alias("cv")
+        )
+    # the centroid frame feeds BOTH landed artifacts and the assignment
+    # build below — stage it once (model-sized: n_centroids rows)
+    cents = centroids.select(
+        "cent_id", F.col("cv").cast("array<double>").alias("cv")
+    ).localCheckpoint(eager=False)
+    cents.write.mode(mode).parquet(f"{path}/centroids")
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            vectors, m=m, dim=dim, n_codes=n_codes,
+            id_col=id_col, vec_col=vec_col, fit=fit,
+        )
+    cb = codebooks.select("sub", "code", "cv").localCheckpoint(eager=False)
+    cb.write.mode(mode).parquet(f"{path}/codebooks")
+    pq_encode(
+        vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    ).write.mode(mode).parquet(f"{path}/codes")
+    ivf_coarse_assign(
+        vectors, cents,
+        n_assign=n_assign, assign_round=assign_round,
+        id_col=id_col, vec_col=vec_col,
+    ).write.mode(mode).partitionBy("cent_id").parquet(f"{path}/assign")
+    _write_json_sidecar(vectors.sparkSession, f"{path}/_params.json", kw)
+
+
+def load_pq_index(spark: SparkSession, path: str, *, expect: dict | None = None):
+    """Load ``(centroids_df, codebooks_df, codes_df, assignments_df,
+    params)`` written by :func:`write_pq_index` — pass the frames
+    straight to
+    :func:`~pyspark_dist_explore_spark.operators.similarity.ivf_pq_topk`
+    as ``centroids=``/``codebooks=``/``codes=``/``assignments=`` with
+    ``vectors=None``.  ``expect``: the scheme the caller is about to
+    serve with (any of ``m``/``dim``/``n_codes``/``n_centroids``/
+    ``n_assign``/``fit``/``assign_round``) — raises on mismatch instead
+    of silently mis-ranking."""
+    params = _read_json_sidecar(spark, f"{path}/_params.json")
+    if expect is not None:
+        diffs = {k: (params.get(k), v) for k, v in expect.items() if params.get(k) != v}
+        if diffs:
+            raise ValueError(
+                f"PQ index at {path} was built with a different scheme: {diffs} "
+                "(stored, expected) — serving against it would silently mis-rank"
+            )
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/assign"),
+        params,
+    )
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

@@ -624,3 +624,64 @@ def test_corpus_diff_dirs_manifest_short_circuit(spark, tmp_path):
     assert sum(r["n_changed"] for r in full.values()) == 1
     assert sum(r["n_unchanged"] for r in full.values()) == 39
 
+
+
+def test_pq_index_round_trip(spark, tmp_path):
+    """write_pq_index lands centroids + codebooks + codes + inverted
+    lists (partitioned by cent_id) + a params sidecar; ivf_pq_topk over
+    the LOADED artifacts with vectors=None equals the in-memory
+    composition bit for bit; a scheme mismatch refuses loudly; serving
+    without the full artifact set refuses loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators import similarity
+    from pyspark_dist_explore_spark.sources.sinks import (
+        load_pq_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1e6)),
+        ).alias("embedding"),
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pqidx")
+    kw = dict(m=8, dim=64, n_codes=16, n_centroids=8, n_assign=2)
+    write_pq_index(emb, path, **kw)
+
+    cents, cb, codes, assign, params = load_pq_index(spark, path, expect=kw)
+    assert params["fit"] == "sample" and params["m"] == 8
+    assert set(assign.columns) == {"vec_id", "cent_id"}
+    # the inverted lists are partitioned by cent_id (directory pruning)
+    import os
+
+    assert any(
+        d.startswith("cent_id=") for d in os.listdir(f"{path}/assign")
+    ), "assign/ must be partitioned by cent_id"
+    # n_assign=2 replication: index rows == 2 x corpus rows
+    n_corpus = emb.count()
+    assert assign.count() == 2 * n_corpus
+
+    serve_kw = dict(k=5, m=8, dim=64, n_codes=16, n_centroids=8, n_probe=3,
+                    n_assign=2)
+    from_loaded = sorted(map(tuple, similarity.ivf_pq_topk(
+        None, q, centroids=cents, codebooks=cb, codes=codes,
+        assignments=assign, **serve_kw,
+    ).collect()))
+    from_memory = sorted(map(tuple, similarity.ivf_pq_topk(
+        emb, q, **serve_kw,
+    ).collect()))
+    assert from_loaded == from_memory and from_loaded
+
+    with _pytest.raises(ValueError, match="different scheme"):
+        load_pq_index(spark, path, expect=dict(m=4))
+    with _pytest.raises(ValueError, match="full landed index"):
+        similarity.ivf_pq_topk(
+            None, q, centroids=cents, codebooks=cb, codes=codes, **serve_kw
+        )
