@@ -825,6 +825,7 @@ def chunk_pack_modes_sql(
     buckets: int,
     norm_text_expr: str,
     include_ffd: bool = False,
+    include_span: bool = False,
 ) -> str:
     """DuckDB rendering of the chunk chain packed under every mode,
     mode-tagged and unioned: cumsum (window SQL) and greedy (the
@@ -833,7 +834,12 @@ def chunk_pack_modes_sql(
     dumps use is hash-checked at the driver gate, not just in pytest.
     ``include_ffd=True`` (round 13) appends the X62 first-fit-decreasing
     assignment via a second recursive CTE whose state is the open-pack
-    capacity list itself."""
+    capacity list itself.  ``include_span=True`` (round 14, requires
+    ``include_ffd``) appends the X65 SPAN MAP over the FFD packs as
+    ``mode='span'`` rows — the per-(pack, chunk) half-open token span
+    ``[start, end)`` in FFD concatenation order, carried in the shared
+    schema as ``bucket``=start / ``oversize``=end (both < 2³¹: spans
+    are bounded by ``max_tokens``)."""
     prefix = _chunk_base_ctes(
         table,
         id_col,
@@ -852,12 +858,27 @@ def chunk_pack_modes_sql(
         if include_ffd
         else ""
     )
+    if include_span and not include_ffd:
+        raise ValueError("include_span requires include_ffd (spans map FFD packs)")
+    span_sel = (
+        "\nUNION ALL\n"
+        "SELECT 'span' AS mode, doc_id AS chunk_id, n_tokens, "
+        'CAST(start AS INT) AS bucket, pack_id, CAST("end" AS INT) AS oversize\n'
+        "FROM ("
+        + pack_span_map_sql(
+            "SELECT chunk_id AS doc_id, n_tokens, pack_id FROM ffd_out",
+            order="ffd",
+        )
+        + ")"
+        if include_span
+        else ""
+    )
     return f"""
 WITH RECURSIVE {prefix},
 {greedy}{ffd}
 SELECT 'cumsum' AS mode, * FROM ({cumsum})
 UNION ALL
-SELECT 'greedy' AS mode, chunk_id, n_tokens, bucket, pack_id, oversize FROM greedy_out{ffd_sel}
+SELECT 'greedy' AS mode, chunk_id, n_tokens, bucket, pack_id, oversize FROM greedy_out{ffd_sel}{span_sel}
 """
 
 

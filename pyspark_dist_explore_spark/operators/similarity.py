@@ -2199,25 +2199,20 @@ def pq_topk(
     )
 
 
-def pq_codes_sql(
-    vectors_sql: str,
-    *,
-    m: int,
-    dim: int,
-    n_codes: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _pq_base_ctes(
+    vectors_sql: str, *, m: int, dim: int, n_codes: int, id_col: str, vec_col: str
 ) -> str:
-    """DuckDB twin of :func:`pq_encode` over the ``fit='sample'``
-    codebooks: identical subvector slicing (1-indexed ``list_slice``),
-    the same three-dot squared-L2 distance, the same (dist ASC, code
-    ASC) argmin — on 1e-6-grid integer inputs both engines compare the
-    very same integers.  Emits ``(vec_id, codes_csv)``."""
+    """Shared CTE prefix of the three PQ twins (:func:`pq_codes_sql`,
+    :func:`pq_adc_sql`, :func:`ivf_pq_sql`) — ONE arithmetic definition
+    renders every dialect: subvector slicing (1-indexed
+    ``list_slice``), the ``fit='sample'`` codebooks (subvectors of ids
+    < ``n_codes``), and the three-dot squared-L2 (dist ASC, code ASC)
+    argmin assignment.  On 1e-6-grid integer inputs both engines
+    compare the very same integers."""
     if m < 1 or dim % m != 0:
         raise ValueError(f"dim ({dim}) must be a positive multiple of m ({m})")
     d0 = dim // m
-    return f"""
-WITH pqv AS (SELECT {id_col} AS vec_id, {vec_col} AS ve FROM ({vectors_sql})),
+    return f"""pqv AS (SELECT {id_col} AS vec_id, {vec_col} AS ve FROM ({vectors_sql})),
 pqs AS (
   SELECT vec_id, s, list_slice(ve, s * {d0} + 1, (s + 1) * {d0}) AS sv
   FROM pqv, (SELECT unnest(generate_series(0, {m - 1})) AS s) ss
@@ -2234,7 +2229,40 @@ pqasg AS (
            ) AS rn
     FROM pqs p JOIN pqcb c ON p.s = c.s
   ) WHERE rn = 1
-)
+)"""
+
+
+def _pq_lut_cte(n_queries: int) -> str:
+    """The ADC lookup table CTE shared by :func:`pq_adc_sql` and
+    :func:`ivf_pq_sql`: per (query, subspace, code) the query-subvector
+    · codebook-entry dot — exact integers on grid inputs."""
+    return f"""pqlut AS (
+  SELECT q.vec_id AS query_id, c.s, c.code,
+         list_dot_product(q.sv, c.cv) AS part
+  FROM pqs q JOIN pqcb c ON q.s = c.s
+  WHERE q.vec_id < {n_queries}
+)"""
+
+
+def pq_codes_sql(
+    vectors_sql: str,
+    *,
+    m: int,
+    dim: int,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_encode` over the ``fit='sample'``
+    codebooks: identical subvector slicing (1-indexed ``list_slice``),
+    the same three-dot squared-L2 distance, the same (dist ASC, code
+    ASC) argmin — on 1e-6-grid integer inputs both engines compare the
+    very same integers.  Emits ``(vec_id, codes_csv)``."""
+    base = _pq_base_ctes(
+        vectors_sql, m=m, dim=dim, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    return f"""
+WITH {base}
 SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes_csv
 FROM pqasg GROUP BY vec_id
 """
@@ -2256,34 +2284,12 @@ def pq_adc_sql(
     (query-subvector · codebook dots), code-join scan, exact-integer
     score sum, and (score DESC, id ASC) ranking.  Emits
     ``(query_id, rank, vec_id, score)``."""
-    if m < 1 or dim % m != 0:
-        raise ValueError(f"dim ({dim}) must be a positive multiple of m ({m})")
-    d0 = dim // m
+    base = _pq_base_ctes(
+        vectors_sql, m=m, dim=dim, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
     return f"""
-WITH pqv AS (SELECT {id_col} AS vec_id, {vec_col} AS ve FROM ({vectors_sql})),
-pqs AS (
-  SELECT vec_id, s, list_slice(ve, s * {d0} + 1, (s + 1) * {d0}) AS sv
-  FROM pqv, (SELECT unnest(generate_series(0, {m - 1})) AS s) ss
-),
-pqcb AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS cv FROM pqs WHERE vec_id < {n_codes}),
-pqasg AS (
-  SELECT vec_id, s, code FROM (
-    SELECT p.vec_id, p.s, c.code,
-           row_number() OVER (
-             PARTITION BY p.vec_id, p.s
-             ORDER BY (list_dot_product(p.sv, p.sv)
-                       - 2 * list_dot_product(p.sv, c.cv)
-                       + list_dot_product(c.cv, c.cv)) ASC, c.code ASC
-           ) AS rn
-    FROM pqs p JOIN pqcb c ON p.s = c.s
-  ) WHERE rn = 1
-),
-pqlut AS (
-  SELECT q.vec_id AS query_id, c.s, c.code,
-         list_dot_product(q.sv, c.cv) AS part
-  FROM pqs q JOIN pqcb c ON q.s = c.s
-  WHERE q.vec_id < {n_queries}
-)
+WITH {base},
+{_pq_lut_cte(n_queries)}
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, score FROM (
   SELECT l.query_id, a.vec_id, sum(l.part) AS score,
          row_number() OVER (
@@ -2291,6 +2297,73 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, score FROM (
            ORDER BY sum(l.part) DESC, a.vec_id ASC
          ) AS rank
   FROM pqasg a JOIN pqlut l ON a.s = l.s AND a.code = l.code
+  WHERE a.vec_id <> l.query_id
+  GROUP BY l.query_id, a.vec_id
+) WHERE rank <= {k}
+"""
+
+
+def ivf_pq_sql(
+    vectors_sql: str,
+    *,
+    m: int,
+    dim: int,
+    n_codes: int = 16,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    k: int = 5,
+    n_queries: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of the FIXED-ARTIFACT :func:`ivf_pq_topk`
+    composition (n_assign=1): coarse centroids = the RAW grid vectors
+    of ids < ``n_centroids`` (unnormalized — every coarse dot is then
+    an exact integer, so assignment, probe ranking, candidate set, and
+    ADC scores are ALL class A with no rounding anywhere; the
+    unit-centroid library default stays pytest-pinned), corpus argmax
+    and per-query ``n_probe`` probes by (dot DESC, cent_id ASC), the
+    candidate equi-join, and :func:`pq_adc_sql`'s scan restricted to
+    the candidates.  Emits ``(query_id, rank, vec_id, score)``."""
+    base = _pq_base_ctes(
+        vectors_sql, m=m, dim=dim, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    return f"""
+WITH {base},
+{_pq_lut_cte(n_queries)},
+ivfc AS (SELECT vec_id AS cent_id, ve AS cv FROM pqv WHERE vec_id < {n_centroids}),
+ivfa AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT p.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY list_dot_product(p.ve, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM pqv p, ivfc c
+  ) WHERE rn = 1
+),
+ivfp AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.ve, c.cv) DESC, c.cent_id ASC
+           ) AS rn
+    FROM pqv q, ivfc c WHERE q.vec_id < {n_queries}
+  ) WHERE rn <= {n_probe}
+),
+ivfcand AS (
+  SELECT DISTINCT p.query_id, a.vec_id FROM ivfa a JOIN ivfp p USING (cent_id)
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, score FROM (
+  SELECT l.query_id, a.vec_id, sum(l.part) AS score,
+         row_number() OVER (
+           PARTITION BY l.query_id
+           ORDER BY sum(l.part) DESC, a.vec_id ASC
+         ) AS rank
+  FROM ivfcand cd
+  JOIN pqasg a ON a.vec_id = cd.vec_id
+  JOIN pqlut l ON l.query_id = cd.query_id AND a.s = l.s AND a.code = l.code
   WHERE a.vec_id <> l.query_id
   GROUP BY l.query_id, a.vec_id
 ) WHERE rank <= {k}

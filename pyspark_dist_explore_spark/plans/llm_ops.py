@@ -1809,6 +1809,7 @@ from pyspark_dist_explore_spark.operators.packing import (  # noqa: E402
     chunk_pack_sql,
     pack_related_documents,
     pack_sequences,
+    pack_span_map,
 )
 
 _CHUNK_MAX = 128
@@ -1878,6 +1879,7 @@ FROM rel"""
         buckets=32,
         norm_text_expr=_NORM.format(c="text"),
         include_ffd=True,
+        include_span=True,
     )
     + f"""
 UNION ALL
@@ -1918,7 +1920,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIST itself (``list_position`` over a ``c >= n`` transform = the
     numpy first-fit argmax), so the decreasing order, capacity
     decrements, giant-doc solo packs, and every placement are
-    hash-checked end-to-end."""
+    hash-checked end-to-end.
+
+    Round 14 adds ``mode='span'`` — X65 PACK SPAN MAPS over the FFD
+    packs (:func:`~pyspark_dist_explore_spark.operators.packing.
+    pack_span_map`): the per-(pack, chunk) half-open token span
+    ``[start, end)`` in FFD concatenation order — the dataloader's
+    attention-mask/loss-mask input, ONE window over budget-bounded
+    packs.  Spans are exact BIGINTs (class A); the shared section
+    schema carries ``start`` in ``bucket`` and ``end`` in ``oversize``
+    (both < 2³¹: spans are bounded by the 512-token pack budget), so
+    every offset of every pack hash-checks cross-engine."""
     parts = pack_sequences_parts(spark, sf_dir)
     out = None
     for df in parts.values():
@@ -1936,6 +1948,7 @@ def pack_sequences_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFra
     )
     ids = chunk_ids(chunks)
     out = []
+    ffd_packed = None
     for mode in ("cumsum", "greedy", "ffd"):
         packed = pack_sequences(
             ids,
@@ -1945,6 +1958,8 @@ def pack_sequences_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFra
             buckets=32,
             mode=mode,
         )
+        if mode == "ffd":
+            ffd_packed = packed
         out.append(
             packed.withColumnRenamed("doc_id", "chunk_id").select(
                 F.lit(mode).alias("mode"),
@@ -1955,6 +1970,18 @@ def pack_sequences_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFra
                 "oversize",
             )
         )
+    # X65 (round 14): span map over the FFD packs — the trainer-facing
+    # [start, end) token offsets in FFD concatenation order; start/end
+    # ride the shared schema as bucket/oversize (bounded by the pack
+    # budget, so the INT casts are exact)
+    span = pack_span_map(ffd_packed, order="ffd").select(
+        F.lit("span").alias("mode"),
+        F.col("doc_id").alias("chunk_id"),
+        "n_tokens",
+        F.col("start").cast("int").alias("bucket"),
+        "pack_id",
+        F.col("end").cast("int").alias("oversize"),
+    )
     # X50 (round 12): the SEMANTIC-LOCALITY mode — whole docs packed
     # within fixed embedding domains, ordered by the exact-integer JL
     # key over the 1e-6 grid (assign_round=6 argmax + md5 planes: the
@@ -1990,7 +2017,13 @@ def pack_sequences_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFra
         "pack_id",
         "oversize",
     )
-    return {"cumsum": out[0], "greedy": out[1], "ffd": out[2], "related": rel}
+    return {
+        "cumsum": out[0],
+        "greedy": out[1],
+        "ffd": out[2],
+        "span": span,
+        "related": rel,
+    }
 
 
 # --------------------------------------------------------------------------
@@ -3710,6 +3743,15 @@ _PQ_M = 8
 _PQ_DIM = 64
 _PQ_CODES = 16
 
+#: X66 IVF-PQ gate config (round 14): 8 coarse cells, 4-probe — the
+#: centroids are the RAW grid vectors of vec_id < 8 (unnormalized, so
+#: every coarse dot is an exact integer and the whole composition —
+#: assignment, probes, candidate join, ADC ranking — is class A with
+#: no rounding anywhere); the unit-centroid/kmeans library defaults
+#: stay pytest-pinned
+_IVFPQ_CENTS = 8
+_IVFPQ_PROBE = 4
+
 _PQ_GRID_SRC = (
     "SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
     "x -> round(x * 1000000)) AS embedding FROM embeddings"
@@ -3799,6 +3841,14 @@ SELECT 'pq_adc' AS section, query_id AS vec_id,
        CAST(count(*) AS INT) AS n_dims
 FROM ({similarity.pq_adc_sql(_PQ_GRID_SRC, m=_PQ_M, dim=_PQ_DIM, n_codes=_PQ_CODES, k=5, n_queries=3)})
 GROUP BY query_id
+UNION ALL
+SELECT 'ivf_pq' AS section, query_id AS vec_id,
+       string_agg(concat(CAST(vec_id AS VARCHAR), ':',
+                         CAST(CAST(score AS BIGINT) AS VARCHAR)),
+                  ',' ORDER BY rank) AS codes_csv,
+       CAST(count(*) AS INT) AS n_dims
+FROM ({similarity.ivf_pq_sql(_PQ_GRID_SRC, m=_PQ_M, dim=_PQ_DIM, n_codes=_PQ_CODES, n_centroids=_IVFPQ_CENTS, n_probe=_IVFPQ_PROBE, k=5, n_queries=3)})
+GROUP BY query_id
 """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3832,6 +3882,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       distance and ADC score is an exact integer, so assignment AND
       ranking hash-check cross-engine; the ``fit='kmeans'`` codebooks
       and the exactness/recall pins stay pytest-side.
+    - ``section='ivf_pq'`` (X66, round 14): the COMPOSED IVF-PQ serving
+      path over fixed artifacts — raw grid centroids (vec_id < 8,
+      unnormalized, so every coarse dot is an exact integer: class A
+      end-to-end with no rounding), the same sample codebooks the
+      ``'pq'`` sections check, the 4-probe candidate join, and the ADC
+      ranking restricted to candidates.  Proves the COMPOSITION
+      cross-engine, not just its parts.
     """
     parts = embedding_quantize_parts(spark, sf_dir)
     out = None
@@ -3963,36 +4020,69 @@ def embedding_quantize_parts(
     pq_q = emb6_v.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    pq_adc = (
-        similarity.pq_topk(pq_codes, pq_q, pq_cb, k=5, m=_PQ_M, dim=dim)
-        .groupBy("query_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "rank",
-                                F.concat_ws(
-                                    ":",
-                                    F.col("vec_id").cast("string"),
-                                    F.col("score").cast("bigint").cast("string"),
-                                ).alias("hit"),
+
+    def _topk_section(ranked: DataFrame, tag: str) -> DataFrame:
+        """Fold a (query_id, rank, vec_id, score) ranking into one
+        hash-checkable csv row per query — 'vec:score' hits in rank
+        order (scores are exact grid integers)."""
+        return (
+            ranked.groupBy("query_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "rank",
+                                    F.concat_ws(
+                                        ":",
+                                        F.col("vec_id").cast("string"),
+                                        F.col("score").cast("bigint").cast("string"),
+                                    ).alias("hit"),
+                                )
                             )
-                        )
+                        ),
+                        lambda x: x["hit"],
                     ),
-                    lambda x: x["hit"],
-                ),
-                ",",
-            ).alias("codes_csv"),
-            F.count(F.lit(1)).cast("int").alias("n_dims"),
+                    ",",
+                ).alias("codes_csv"),
+                F.count(F.lit(1)).cast("int").alias("n_dims"),
+            )
+            .select(
+                F.lit(tag).alias("section"),
+                F.col("query_id").alias("vec_id"),
+                "codes_csv",
+                "n_dims",
+            )
         )
-        .select(
-            F.lit("pq_adc").alias("section"),
-            F.col("query_id").alias("vec_id"),
-            "codes_csv",
-            "n_dims",
-        )
+
+    pq_adc = _topk_section(
+        similarity.pq_topk(pq_codes, pq_q, pq_cb, k=5, m=_PQ_M, dim=dim), "pq_adc"
+    )
+    # section='ivf_pq' (X66, round 14): the COMPOSED serving path with
+    # fixed artifacts — raw grid centroids (vec_id < 8, unnormalized:
+    # every coarse dot is an exact integer, class A end-to-end), the
+    # same sample codebooks/codes the 'pq' sections check, 4-probe
+    # candidate join, ADC ranking restricted to the candidates.  The
+    # composition itself is what this section proves cross-engine; the
+    # unit-centroid/multi-assign/kmeans forms stay pytest-pinned.
+    ivf_cents = emb6_v.where(F.col("vec_id") < _IVFPQ_CENTS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    ivfpq = _topk_section(
+        similarity.ivf_pq_topk(
+            emb6_v,
+            pq_q,
+            k=5,
+            m=_PQ_M,
+            dim=dim,
+            n_codes=_PQ_CODES,
+            n_probe=_IVFPQ_PROBE,
+            centroids=ivf_cents,
+            codebooks=pq_cb,
+            codes=pq_codes,
+        ),
+        "ivf_pq",
     )
     return {
         "codes": codes,
@@ -4003,6 +4093,7 @@ def embedding_quantize_parts(
         "domain_profile": prof,
         "pq": pq,
         "pq_adc": pq_adc,
+        "ivf_pq": ivfpq,
     }
 
 
