@@ -2317,6 +2317,62 @@ def bpe_word_freqs(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _bpe_learn_driver(
+    encs: "list[tuple[str, int]]", *, k: int, batch_merges: int
+) -> "list[tuple[int, str, str, int]]":
+    """The :func:`bpe_learn` greedy loop in driver Python over the
+    already-encoded ``(enc, freq)`` type rows — semantics mirrored
+    term for term from the Spark loop (same adjacent-pair counts, the
+    same ``cnt >= 2`` floor, the same over-fetch/conflict-set batching,
+    ``(cnt DESC, pair ASC)`` pick — Python's code-point string order ==
+    Spark's UTF-8 binary collation — and left-to-right non-overlapping
+    ``str.replace`` == ``F.replace``); pytest pins the two fits equal
+    row-for-row."""
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < k:
+        want = min(batch_merges, k - len(merges))
+        counts: dict[str, int] = {}
+        for enc, freq in encs:
+            syms = enc[1:-1].split(_BPE_SEP)
+            for a, b in zip(syms, syms[1:]):
+                pr = f"{BPE_L}{a}{BPE_R}{BPE_L}{b}{BPE_R}"
+                counts[pr] = counts.get(pr, 0) + freq
+        top = sorted(
+            ((cnt, pr) for pr, cnt in counts.items() if cnt >= 2),
+            key=lambda t: (-t[0], t[1]),
+        )[: want if want == 1 else 8 * want]
+        if not top:
+            break
+        picked: list[tuple[str, int]] = []
+        used: set[str] = set()
+        for cnt, pr in top:
+            syms_in = pr[1:-1].split(_BPE_SEP)
+            ss = set(syms_in) | {"".join(syms_in)}
+            if used & ss:
+                continue
+            picked.append((pr, cnt))
+            used |= ss
+            if len(picked) >= want:
+                break
+        for pr, cnt in picked:
+            pair, merged = _bpe_render(pr)
+            merges.append((len(merges), pair, merged, int(cnt)))
+        encs = [
+            (
+                _apply_replaces(enc, picked),
+                freq,
+            )
+            for enc, freq in encs
+        ]
+    return merges
+
+
+def _apply_replaces(enc: str, picked: "list[tuple[str, int]]") -> str:
+    for pr, _cnt in picked:
+        enc = enc.replace(pr, pr.replace(_BPE_SEP, ""))
+    return enc
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str,
@@ -2325,6 +2381,9 @@ def bpe_learn(
     checkpoint_interval: int = 16,
     max_merges: int = 512,
     batch_merges: int = 1,
+    word_freqs: DataFrame | None = None,
+    fit: str = "spark",
+    max_driver_types: int = 1 << 20,
 ) -> DataFrame:
     """Learn ``k`` BPE merges from the corpus: ``(step, pair, merged,
     cnt)`` with ``pair`` the two symbols space-joined, ``merged`` their
@@ -2373,6 +2432,27 @@ def bpe_learn(
     ranks that would change mid-round are only refreshed between
     rounds); recorded counts are the round-start counts.  A/B at
     sf0.1, k=64: see BASELINE.md round-12 row.
+
+    ``word_freqs=`` (round 14) feeds a precomputed ``(w, freq)`` type
+    table — the :func:`unigram_seed_candidates` convention, so callers
+    fitting BOTH tokenizers (the sampling_splits gate) share ONE
+    corpus scan.
+
+    ``fit='driver'`` (round 14, opt-in) runs the identical greedy loop
+    in driver Python over the COLLECTED type table instead of ``k``
+    Spark job rounds — the single-machine move the paragraph above
+    recommends, made exact: the char-wrap encoding still renders
+    through the Spark expression (one job), and the Python loop
+    replays the very same integer pair counts, ``(cnt DESC, pair
+    ASC)`` pick (UTF-8 byte order == code-point order, so Python's
+    string sort matches Spark's binary collation), conflict sets, and
+    left-to-right non-overlapping literal replaces — pytest pins
+    driver == spark row-for-row on real data.  The collect is bounded
+    by ``max_driver_types`` (default 1M types; beyond it the fit
+    refuses and the caller stays on ``fit='spark'``, whose per-round
+    state is never collected).  The win is wall-clock, not semantics:
+    k merges cost ONE type-table job instead of k scheduler
+    round-trips (the sample-sliced gate fit drops ~2.5 s → ~0.3 s).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -2392,17 +2472,35 @@ def bpe_learn(
         )
     if batch_merges < 1:
         raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
+    if fit not in ("spark", "driver"):
+        raise ValueError(f"fit must be 'spark' or 'driver', got {fit!r}")
     from pyspark_dist_explore_spark.operators.dedup import (
         _release_local_checkpoint,
     )
 
     spark = df.sparkSession
     enc0 = F.regexp_replace(F.col("w"), "(.)", BPE_L + "$1" + BPE_R)
-    types = (
-        bpe_word_freqs(df, text_col)
-        .select(enc0.alias("enc"), "freq")
-        .localCheckpoint()
-    )
+    wf = word_freqs if word_freqs is not None else bpe_word_freqs(df, text_col)
+    if fit == "driver":
+        rows = wf.select(
+            enc0.alias("enc"), "freq"
+        ).collect()  # bounded-collect: the (type, freq) table, guarded below
+        if len(rows) > max_driver_types:
+            raise ValueError(
+                f"type table has {len(rows)} rows > max_driver_types="
+                f"{max_driver_types}: fit='driver' collects it — use "
+                "fit='spark' (never collects per-round state) or raise "
+                "the guard explicitly for a corpus you know is sampled"
+            )
+        merges = _bpe_learn_driver(
+            [(r["enc"], int(r["freq"])) for r in rows],
+            k=k,
+            batch_merges=batch_merges,
+        )
+        return spark.createDataFrame(
+            merges, "step int, pair string, merged string, cnt bigint"
+        )
+    types = wf.select(enc0.alias("enc"), "freq").localCheckpoint()
     import re as _re
 
     sep_re = _re.escape(_BPE_SEP)

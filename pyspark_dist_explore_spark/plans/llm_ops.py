@@ -1261,7 +1261,7 @@ UNION ALL
 {_MIX_EPOCHS_ORACLE.format(ntok=_MIX_NTOK)}
 UNION ALL
 SELECT 'unigram_seed' AS kind, piece AS key, cnt
-FROM ({textstats.unigram_seed_sql("SELECT text FROM documents", max_piece_len=_USEED_LEN, seed_size=_USEED_N)})
+FROM ({textstats.unigram_seed_sql(f"SELECT text FROM documents WHERE doc_id < {_BPE_CAP}", max_piece_len=_USEED_LEN, seed_size=_USEED_N)})
 """,
 )
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1323,7 +1323,14 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only corpus-sized stage of the EM chain, hash-checked
     piece-for-piece; the Viterbi-EM rounds stay pytest-pinned
     (integer-cost DP is not DuckDB-expressible without exponential
-    path enumeration)."""
+    path enumeration).
+
+    Round 14: both tokenizer inductions (X40 BPE, X48 unigram seed)
+    run on the ``_BPE_CAP`` sample slice off ONE shared staged
+    word-frequency table, and the BPE greedy fits driver-side over
+    that model-sized table (``fit='driver'``, pinned == the Spark
+    loop) — the slot's eager build cost is one corpus-slice scan
+    instead of k job rounds plus two separate scans."""
     parts = sampling_splits_parts(spark, sf_dir)
     out = None
     for df in parts.values():
@@ -1398,16 +1405,20 @@ def sampling_splits_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFr
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.lit("host_cap").alias("kind"), "key", "cnt")
     )
-    # checkpoint_interval: re-A/B'd on the r13 _BPE_CAP slice (600 docs)
-    # — the r10 interval=2 choice (shallow plans beat deep replace
-    # chains at 5 000 docs: 2.0–2.1 s vs 2.4 s) FLIPS on the sample
-    # slice, where per-round checkpoint actions dominate the tiny data:
-    # interval=2 warm 3.9 s vs the lineage-friendly default ~2.9 s.
     # Learn AND encode run on the _BPE_CAP sample slice — see the cap's
     # comment above the registered oracle (tokenizer induction is
-    # sample-based at scale).
+    # sample-based at scale).  Round 14: ONE word-frequency scan feeds
+    # BOTH tokenizer inductions (bpe_learn and unigram_seed share the
+    # staged (w, freq) type table), and the BPE greedy runs
+    # fit='driver' — k merges cost one type-table job instead of k
+    # scheduler round-trips (driver == spark pinned in pytest; the
+    # type table of a 600-doc slice is ~10³ rows, far under the 1M
+    # collect guard).  parts_build dropped ~4 s → ~1.5 s idle.
     bdocs = docs.where(F.col("doc_id") < _BPE_CAP)
-    learned = textstats.bpe_learn(bdocs, "text", k=_BPE_K)
+    wf = textstats.bpe_word_freqs(bdocs, "text").localCheckpoint()
+    learned = textstats.bpe_learn(
+        bdocs, "text", k=_BPE_K, word_freqs=wf, fit="driver"
+    )
     bpe = learned.select(
         F.lit("bpe_merge").alias("kind"),
         F.concat(
@@ -1499,8 +1510,16 @@ def sampling_splits_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFr
     # type-table-sized with driver-computed integer costs and stay
     # pytest-pinned (the Viterbi DP is not SQL-expressible in DuckDB
     # without exponential path enumeration)
+    # Round 14: the seed runs on the SAME _BPE_CAP sample slice and the
+    # SAME staged word-frequency table as the BPE fit (one corpus scan
+    # for both tokenizer inductions; sf0.01's 500 docs are all < 600,
+    # so the gate rows are byte-identical — the _EXACT_CAP discipline)
     useed = textstats.unigram_seed_candidates(
-        docs, "text", max_piece_len=_USEED_LEN, seed_size=_USEED_N
+        bdocs,
+        "text",
+        max_piece_len=_USEED_LEN,
+        seed_size=_USEED_N,
+        word_freqs=wf,
     ).select(
         F.lit("unigram_seed").alias("kind"),
         F.col("piece").alias("key"),

@@ -6123,6 +6123,55 @@ def test_bpe_learn_max_merges_guard(spark):
     assert bpe_learn(df, "text", k=600, max_merges=600).count() <= 600
 
 
+def test_bpe_learn_driver_fit_equals_spark(spark):
+    """fit='driver' (round 14): the greedy loop replayed in driver
+    Python over the collected type table must equal the Spark loop
+    row-for-row — sequential AND batched, on real data and on a
+    unicode-edge corpus (multi-byte chars exercise the claim that
+    Python's code-point sort order == Spark's UTF-8 binary collation);
+    the word_freqs= hook feeds the shared staged table; the collect
+    guard refuses an over-cap type table."""
+    from pyspark_dist_explore_spark.operators.textstats import (
+        bpe_learn,
+        bpe_word_freqs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    uni = spark.createDataFrame(
+        [(1, "héllo héllo wörld wörld wörld héllo 日本 日本 日本")],
+        "doc_id bigint, text string",
+    )
+    for corpus in (docs, uni):
+        for bm in (1, 4):
+            a = [
+                tuple(r)
+                for r in bpe_learn(corpus, "text", k=6, batch_merges=bm)
+                .orderBy("step")
+                .collect()
+            ]
+            b = [
+                tuple(r)
+                for r in bpe_learn(corpus, "text", k=6, batch_merges=bm, fit="driver")
+                .orderBy("step")
+                .collect()
+            ]
+            assert a == b and a, (bm, a, b)
+    # word_freqs= short-circuits the corpus scan
+    wf = bpe_word_freqs(docs, "text").localCheckpoint()
+    c = [
+        tuple(r)
+        for r in bpe_learn(docs, "text", k=6, word_freqs=wf, fit="driver")
+        .orderBy("step")
+        .collect()
+    ]
+    d = [tuple(r) for r in bpe_learn(docs, "text", k=6).orderBy("step").collect()]
+    assert c == d
+    with pytest.raises(ValueError, match="max_driver_types"):
+        bpe_learn(docs, "text", k=2, fit="driver", max_driver_types=1)
+    with pytest.raises(ValueError, match="fit must be"):
+        bpe_learn(docs, "text", k=2, fit="nope")
+
+
 def test_bpe_learn_batched_merges(spark):
     """batch_merges>1 (round 12, opt-in): symbol-disjoint top pairs
     apply per round in one projection.  On a conflict-free corpus the
