@@ -2199,6 +2199,86 @@ def pq_topk(
     )
 
 
+def pq_rotation(
+    dim: int, *, salt: str = "pqrot", hash_fn: str = "md5"
+) -> "list[tuple[int, int]]":
+    """OPQ-style SIGNED PERMUTATION for PQ subspace energy balancing —
+    the structured-rotation variant of Ge et al. 2013 (OPQ, CVPR) /
+    Jégou et al. 2011 §5's random-rotation preprocessing: output
+    position ``i`` takes ``sign_i · v[src_i]`` where the permutation
+    sorts dimensions by ``md5(salt:i)`` and the sign is the parity of
+    ``md5(salt#i)``'s first hex digit.
+
+    A signed permutation is EXACTLY orthogonal, so dot products (hence
+    every exact/ADC ranking) are preserved term-for-term — on 1e-6-grid
+    integer inputs the rotated dot is the SAME exact integer, just
+    summed in a permuted order; unlike a dense Gaussian/Rademacher
+    rotation it keeps grid inputs ON the grid, so the whole PQ
+    exactness discipline survives rotation.  What it changes is the
+    SLICING: correlated/high-energy dimensions that would land in one
+    subspace (wasting the other subspaces' code budgets) are spread
+    md5-uniformly across all ``m`` — the OPQ motivation, pinned by a
+    measured reconstruction-error drop on a heteroscedastic corpus.
+
+    Returns the driver-side mapping ``[(src_dim, sign)] * dim`` (a
+    model-sized literal, the LSH-plane precedent).
+    """
+    import hashlib
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if hash_fn != "md5":
+        raise ValueError(f"only hash_fn='md5' is supported, got {hash_fn!r}")
+    perm = sorted(
+        range(dim),
+        key=lambda i: (hashlib.md5(f"{salt}:{i}".encode()).hexdigest(), i),
+    )
+    return [
+        (
+            src,
+            1 if int(hashlib.md5(f"{salt}#{src}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1,
+        )
+        for src in perm
+    ]
+
+
+def rotate_embeddings(
+    df: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+    salt: str = "pqrot",
+    inverse: bool = False,
+) -> DataFrame:
+    """Apply :func:`pq_rotation`'s signed permutation to ``vec_col``
+    (``inverse=True`` undoes it — signed permutations are orthogonal,
+    so the inverse is the transpose).  Row-local projection of literal
+    element references: JVM-side, no shuffle, no Python.  Corpus and
+    queries must be rotated with the SAME salt before PQ
+    encode/serving; scores then equal the unrotated scores exactly
+    (see :func:`pq_rotation`)."""
+    rot = pq_rotation(dim, salt=salt)
+    v = F.col(vec_col).cast("array<double>")
+    if inverse:
+        # out[src] = sign * rotated[i]  for each (src, sign) at position i
+        back = {src: (i, sgn) for i, (src, sgn) in enumerate(rot)}
+        arr = F.array(
+            *[
+                F.element_at(v, back[d][0] + 1) * F.lit(float(back[d][1]))
+                for d in range(dim)
+            ]
+        )
+    else:
+        arr = F.array(
+            *[
+                F.element_at(v, src + 1) * F.lit(float(sgn))
+                for (src, sgn) in rot
+            ]
+        )
+    return df.withColumn(vec_col, arr)
+
+
 def _pq_base_ctes(
     vectors_sql: str, *, m: int, dim: int, n_codes: int, id_col: str, vec_col: str
 ) -> str:

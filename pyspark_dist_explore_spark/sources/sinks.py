@@ -543,6 +543,7 @@ def write_pq_index(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     assign_round: int | None = None,
+    rotation_salt: str | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Land the IVF-PQ INDEX ARTIFACTS for an embedding corpus — the
@@ -572,6 +573,16 @@ def write_pq_index(
     assignment aggregate); both stages reuse the exact library
     operators, so the landed index serves bit-for-bit what the
     in-memory composition would (pytest-pinned round trip).
+
+    ``rotation_salt=`` (round 14, OPQ-style): apply
+    :func:`~pyspark_dist_explore_spark.operators.similarity.
+    rotate_embeddings`'s signed permutation BEFORE slicing, balancing
+    subspace energy on correlated corpora (the rotation is exactly
+    orthogonal, so IVF assignments and true dots are unchanged; only
+    the PQ slicing improves).  The salt is recorded in the sidecar and
+    VERIFIED at load — serving queries must be rotated with the same
+    salt (``load_pq_index`` returns it in ``params``).  Supplied
+    ``centroids=``/``codebooks=`` must already be in rotated space.
     """
     from pyspark.sql import functions as F
 
@@ -580,6 +591,7 @@ def write_pq_index(
         ivf_coarse_assign,
         pq_codebooks,
         pq_encode,
+        rotate_embeddings,
     )
 
     kw = dict(
@@ -590,7 +602,12 @@ def write_pq_index(
         n_assign=n_assign,
         fit=fit,
         assign_round=assign_round,
+        rotation_salt=rotation_salt,
     )
+    if rotation_salt is not None:
+        vectors = rotate_embeddings(
+            vectors, dim=dim, vec_col=vec_col, salt=rotation_salt
+        )
     if centroids is None:
         centroids = vectors.where(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), _unit(F.col(vec_col)).alias("cv")

@@ -685,3 +685,52 @@ def test_pq_index_round_trip(spark, tmp_path):
         similarity.ivf_pq_topk(
             None, q, centroids=cents, codebooks=cb, codes=codes, **serve_kw
         )
+
+
+def test_pq_index_rotation_salt_round_trip(spark, tmp_path):
+    """rotation_salt: the landed index is built in rotated space, the
+    salt rides the sidecar, and serving loaded artifacts with
+    identically-rotated queries equals the in-memory rotated
+    composition bit for bit — which (signed permutations preserve every
+    dot exactly) ranks identically to the unrotated exact path."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators import similarity
+    from pyspark_dist_explore_spark.sources.sinks import (
+        load_pq_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1e6)),
+        ).alias("embedding"),
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pqrotidx")
+    kw = dict(m=8, dim=64, n_codes=16, n_centroids=8)
+    write_pq_index(emb, path, rotation_salt="srv", **kw)
+    cents, cb, codes, assign, params = load_pq_index(
+        spark, path, expect=dict(rotation_salt="srv")
+    )
+    assert params["rotation_salt"] == "srv"
+    q_rot = similarity.rotate_embeddings(q, dim=64, salt=params["rotation_salt"])
+    serve_kw = dict(k=5, m=8, dim=64, n_codes=16, n_centroids=8, n_probe=3)
+    from_loaded = sorted(map(tuple, similarity.ivf_pq_topk(
+        None, q_rot, centroids=cents, codebooks=cb, codes=codes,
+        assignments=assign, **serve_kw,
+    ).collect()))
+    emb_rot = similarity.rotate_embeddings(emb, dim=64, salt="srv")
+    from_memory = sorted(map(tuple, similarity.ivf_pq_topk(
+        emb_rot, q_rot,
+        centroids=emb_rot.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cent_id"),
+            similarity._unit(F.col("embedding")).alias("cv"),
+        ),
+        **serve_kw,
+    ).collect()))
+    assert from_loaded == from_memory and from_loaded
