@@ -458,3 +458,94 @@ def stream_neardup_filter(
 
     return docs.writeStream.foreachBatch(process)
 
+
+
+def stream_pq_neardup_filter(
+    vecs: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    sink_fn,
+    *,
+    m: int,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+    n_probe: int = 4,
+    rotation_salt: str | None = None,
+):
+    """Streaming SEMANTIC near-dup against a LANDED PQ index (the
+    embedding analogue of :func:`stream_neardup_filter`, closing the
+    semantic streaming family): each micro-batch of embedding rows is
+    ADC-scored against the index's compressed codes
+    (:func:`~pyspark_dist_explore_spark.operators.similarity.pq_topk`
+    ``k=1`` — the batch operator UNCHANGED under ``foreachBatch``), and
+    only rows whose best index score stays BELOW ``threshold`` reach
+    ``sink_fn(novel_batch, batch_id)``.  Pass the frames straight from
+    :func:`~pyspark_dist_explore_spark.sources.sinks.load_pq_index`;
+    with ``centroids=`` AND ``assignments=`` the scan first restricts
+    to the batch's ``n_probe`` inverted lists (the IVF-PQ serving
+    shape — per micro-batch the index work is n_probe/n_centroids of
+    the code rows, never the corpus), and ``rotation_salt=`` rotates
+    the incoming embeddings into the index's OPQ space (the sidecar's
+    recorded salt).
+
+    ``threshold`` compares against the ADC score, which approximates
+    the DOT product — for cosine semantics land a unit-normalized
+    index and stream unit-normalized embeddings (the
+    ``semantic_pair_fn`` convention).  Stream ids are assumed disjoint
+    from index vec_ids (crawl-batch semantics): the ADC scorer skips
+    an exact id collision as self.
+
+    Returns a ``DataStreamWriter`` — the caller adds trigger/checkpoint
+    and ``.start()``.  Novelty is judged against the FIXED index, not
+    other in-flight batches (the :func:`stream_neardup_filter`
+    boundary semantics); fold accepted batches into the next index
+    build for cross-run closure.
+    """
+    from pyspark_dist_explore_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+        rotate_embeddings,
+    )
+
+    if (centroids is None) != (assignments is None):
+        raise ValueError(
+            "centroids and assignments must be passed together (the IVF "
+            "probe needs both halves of the landed coarse quantizer)"
+        )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        q = batch.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("embedding")
+        )
+        if rotation_salt is not None:
+            q = rotate_embeddings(q, dim=dim, salt=rotation_salt)
+        if centroids is not None:
+            ranked = ivf_pq_topk(
+                None,
+                q,
+                k=1,
+                m=m,
+                dim=dim,
+                n_probe=n_probe,
+                centroids=centroids,
+                codebooks=codebooks,
+                codes=codes,
+                assignments=assignments,
+            )
+        else:
+            ranked = pq_topk(codes, q, codebooks, k=1, m=m, dim=dim)
+        hits = (
+            ranked.where(F.col("score") >= threshold)
+            .select(F.col("query_id").alias("__hit_id"))
+            .distinct()
+        )
+        novel = batch.join(
+            hits, batch[id_col] == F.col("__hit_id"), "left_anti"
+        )
+        sink_fn(novel, batch_id)
+
+    return vecs.writeStream.foreachBatch(process)

@@ -1039,3 +1039,103 @@ def test_stream_neardup_filter_foreachbatch(spark, tmp_path):
         ).collect()
     )
     assert batch_kept == sorted(got)
+
+
+def test_stream_pq_neardup_filter_foreachbatch(spark, tmp_path):
+    """Streaming semantic near-dup against a LANDED PQ index (r13
+    verdict item 7): ADC k=1 scoring runs unchanged inside foreachBatch
+    over two file-source micro-batches.  The index is small enough that
+    its sample codebook contains every corpus subvector, so ADC == the
+    exact dot (the X64 exactness invariant) and the pins are
+    arithmetic, not statistical: re-embedded copies of index vectors
+    are dropped, orthogonal novel vectors pass, the IVF-restricted and
+    rotated variants keep the same set, and the kept set equals the
+    batch operator's anti-join (parity, not a parallel
+    implementation)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators import similarity
+    from pyspark_dist_explore_spark.sources.sinks import (
+        load_pq_index,
+        write_pq_index,
+    )
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_pq_neardup_filter,
+    )
+
+    dim, m = 64, 8
+
+    def onehot(d, scale=1e6):
+        v = [0.0] * dim
+        v[d] = float(scale)
+        return v
+
+    # index: 12 one-hot corpus vectors (n_codes=16 > 12 => exact ADC)
+    idx = spark.createDataFrame(
+        [(i, onehot(i)) for i in range(12)],
+        "vec_id bigint, embedding array<double>",
+    )
+    for salt in (None, "opq"):
+        path = str(tmp_path / f"idx_{salt}")
+        write_pq_index(
+            idx, path, m=m, dim=dim, n_codes=16, n_centroids=8,
+            rotation_salt=salt,
+        )
+        cents, cb, codes, assign, params = load_pq_index(spark, path)
+
+        b1 = [(101, onehot(0)), (102, onehot(40))]   # dup of v0 / novel
+        b2 = [(103, onehot(5)), (104, onehot(50))]   # dup of v5 / novel
+        d = str(tmp_path / f"in_{salt}")
+        vs = "vec_id bigint, embedding array<double>"
+        spark.createDataFrame(b1, vs).coalesce(1).write.mode("append").parquet(d)
+        spark.createDataFrame(b2, vs).coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema(vs).option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        got: list[int] = []
+
+        def sink(batch, batch_id):
+            got.extend(r["vec_id"] for r in batch.collect())
+
+        q = (
+            stream_pq_neardup_filter(
+                stream, cb, codes, sink,
+                m=m, dim=dim, threshold=1e11,
+                centroids=cents, assignments=assign, n_probe=4,
+                rotation_salt=params["rotation_salt"],
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{salt}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(got) == [102, 104], (salt, got)
+
+        # parity: the batch ADC operator on the union keeps the same set
+        allv = spark.createDataFrame(b1 + b2, vs)
+        qn = allv.select(F.col("vec_id").alias("query_id"), "embedding")
+        if params["rotation_salt"] is not None:
+            qn = similarity.rotate_embeddings(
+                qn, dim=dim, salt=params["rotation_salt"]
+            )
+        hits = (
+            similarity.pq_topk(codes, qn, cb, k=1, m=m, dim=dim)
+            .where(F.col("score") >= 1e11)
+            .select(F.col("query_id").alias("vec_id"))
+            .distinct()
+        )
+        batch_kept = sorted(
+            r["vec_id"]
+            for r in allv.join(hits, "vec_id", "left_anti").collect()
+        )
+        assert batch_kept == sorted(got), (salt, batch_kept, got)
+
+    # the full-scan (no IVF) form and the guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="together"):
+        stream_pq_neardup_filter(
+            spark.readStream.schema(vs).parquet(str(tmp_path / "in_None")),
+            cb, codes, lambda b, i: None,
+            m=m, dim=dim, threshold=1e11, centroids=cents,
+        )
