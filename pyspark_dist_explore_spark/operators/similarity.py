@@ -2135,6 +2135,7 @@ def pq_topk(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
+    scan: str = "rows",
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over PQ codes: the
     query stays a float vector, the corpus is scanned in the COMPRESSED
@@ -2155,7 +2156,32 @@ def pq_topk(
     ``candidates=`` (a ``(query_id, vec_id)`` frame) restricts scoring
     to a precomputed candidate set — compose with
     :func:`ivf_topk`-style list probing for the IVF-PQ shape where
-    even the compressed full scan is too much."""
+    even the compressed full scan is too much.
+
+    ``scan='batch'`` (round 14, the micro-batch serving path): instead
+    of the exploded-row LUT equi-join (m rows per scored pair plus the
+    per-pair sum aggregate), the LUT is collected driver-side
+    (``Q·m·n_codes`` entries — MICRO-BATCH-BOUNDED by definition; this
+    mode is for bounded query batches, never unbounded query tables)
+    and scoring becomes ONE distributed Arrow pass with a numpy gather
+    per batch — measured 101 s → 17 s warm for a 1000-query batch whose
+    candidate set blew up to 50M pairs (16 coarse lists over a
+    200k-vector index), and parity (~7 s both) once the lists are
+    √N-sized; the batch scan bounds the damage of a mis-sized candidate
+    set.  On grid inputs both scans produce the very
+    same integers (pytest-pinned equal); on raw floats the batch LUT
+    is built by Arrow einsum and may differ from the fold in final
+    ulps.  Requires every scanned code to exist in the codebook
+    (always true for :func:`pq_encode` output)."""
+    if scan not in ("rows", "batch"):
+        raise ValueError(f"scan must be 'rows' or 'batch', got {scan!r}")
+    if scan == "batch":
+        return _pq_topk_batch(
+            codes, queries, codebooks,
+            k=k, m=m, dim=dim,
+            query_id_col=query_id_col, vec_col=vec_col,
+            candidates=candidates,
+        )
     q_subs = pq_subvectors(
         queries, m=m, dim=dim, id_col=query_id_col, vec_col=vec_col
     ).select(F.col("id").alias("query_id"), "sub", F.col("sv").alias("qv"))
@@ -2171,12 +2197,15 @@ def pq_topk(
         # IVF-PQ shape: restrict BEFORE scoring — only candidate pairs'
         # code rows meet the LUT, so the compressed scan touches
         # |candidates|·m rows, not N·m.  The candidate frame is
-        # query-probe-bounded (Q · n_probe/n_lists · N); for very large
-        # query batches swap the broadcast for a plain shuffle join.
+        # query-probe-bounded (Q · n_probe/n_lists · N) — NO broadcast
+        # hint: for a handful of queries AQE broadcasts it at runtime
+        # anyway, while a forced hint on a 1000-query micro-batch ships
+        # a Q·N/n_lists-row table to every executor (the r14 probe
+        # measured the forced form at 124 s vs ~30 s for a 1000-query
+        # batch against a 200k-vector index; sizes are only knowable at
+        # runtime, which is exactly AQE's job).
         scored = (
-            exploded.join(
-                F.broadcast(candidates.select("query_id", "vec_id")), "vec_id"
-            )
+            exploded.join(candidates.select("query_id", "vec_id"), "vec_id")
             .join(lut, ["query_id", "sub", "code"])
             .where(F.col("vec_id") != F.col("query_id"))
             .groupBy("query_id", "vec_id")
@@ -2253,30 +2282,45 @@ def rotate_embeddings(
 ) -> DataFrame:
     """Apply :func:`pq_rotation`'s signed permutation to ``vec_col``
     (``inverse=True`` undoes it — signed permutations are orthogonal,
-    so the inverse is the transpose).  Row-local projection of literal
-    element references: JVM-side, no shuffle, no Python.  Corpus and
+    so the inverse is the transpose).  ONE Arrow pass with numpy fancy
+    indexing per batch (``V[:, perm] * signs`` — pure
+    permutation/negation, no arithmetic reordering, so values are
+    bit-identical to any per-element form); row-local, no shuffle.
+    The original 64-literal ``F.array(element_at(...))`` projection
+    re-cast the input array once PER OUTPUT ELEMENT (no CSE across
+    ``CreateArray`` children) — the r14 probe measured it at +14 s per
+    200k-row pass.  NULL vectors pass through as NULL.  Corpus and
     queries must be rotated with the SAME salt before PQ
     encode/serving; scores then equal the unrotated scores exactly
     (see :func:`pq_rotation`)."""
+    from pyspark.sql.types import ArrayType
+
     rot = pq_rotation(dim, salt=salt)
-    v = F.col(vec_col).cast("array<double>")
     if inverse:
-        # out[src] = sign * rotated[i]  for each (src, sign) at position i
-        back = {src: (i, sgn) for i, (src, sgn) in enumerate(rot)}
-        arr = F.array(
-            *[
-                F.element_at(v, back[d][0] + 1) * F.lit(float(back[d][1]))
-                for d in range(dim)
-            ]
-        )
+        back = [None] * dim
+        for i, (src, sgn) in enumerate(rot):
+            back[src] = (i, sgn)
+        perm = np.array([i for i, _ in back], dtype=np.int64)
+        signs = np.array([s for _, s in back], dtype=np.float64)
     else:
-        arr = F.array(
-            *[
-                F.element_at(v, src + 1) * F.lit(float(sgn))
-                for (src, sgn) in rot
-            ]
-        )
-    return df.withColumn(vec_col, arr)
+        perm = np.array([src for src, _ in rot], dtype=np.int64)
+        signs = np.array([sgn for _, sgn in rot], dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _rotate(v: pd.Series) -> pd.Series:
+        arrs = v.to_numpy()
+        ok = [a is not None and len(a) == dim for a in arrs]
+        if all(ok):
+            out = np.stack(arrs).astype(np.float64)[:, perm] * signs
+            return pd.Series(list(out))
+        res = []
+        for a, good in zip(arrs, ok):
+            res.append(
+                np.asarray(a, dtype=np.float64)[perm] * signs if good else None
+            )
+        return pd.Series(res)
+
+    return df.withColumn(vec_col, _rotate(F.col(vec_col).cast("array<double>")))
 
 
 def _pq_base_ctes(
@@ -2322,6 +2366,106 @@ def _pq_lut_cte(n_queries: int) -> str:
   FROM pqs q JOIN pqcb c ON q.s = c.s
   WHERE q.vec_id < {n_queries}
 )"""
+
+
+def _pq_topk_batch(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    *,
+    k: int,
+    m: int,
+    dim: int,
+    query_id_col: str,
+    vec_col: str,
+    candidates: DataFrame | None,
+) -> DataFrame:
+    """The ``scan='batch'`` body of :func:`pq_topk` — LUT collected
+    driver-side (micro-batch-bounded), scoring as one distributed
+    Arrow gather: per batch ``L[q, s, code]`` summed over the ``m``
+    subspaces (exact integers on grid inputs, so identical to the
+    rows-scan's per-pair SUM in any order)."""
+    from pyspark.sql.types import ArrayType
+
+    q_subs = pq_subvectors(
+        queries, m=m, dim=dim, id_col=query_id_col, vec_col=vec_col
+    ).select(F.col("id").alias("query_id"), "sub", F.col("sv").alias("qv"))
+    lut_rows = (
+        q_subs.join(codebooks.select("sub", "code", "cv"), "sub")
+        .select(
+            "query_id", "sub", "code",
+            _dot_arrow(
+                F.col("qv").cast("array<double>"),
+                F.col("cv").cast("array<double>"),
+            ).alias("part"),
+        )
+        .collect()  # bounded-collect: Q·m·n_codes LUT entries (micro-batch-sized by contract)
+    )
+    if not lut_rows:
+        raise ValueError("pq_topk(scan='batch'): empty query LUT")
+    qids: list = []
+    qidx: dict = {}
+    for r in lut_rows:
+        if r["query_id"] not in qidx:
+            qidx[r["query_id"]] = len(qids)
+            qids.append(r["query_id"])
+    n_code_axis = max(int(r["code"]) for r in lut_rows) + 1
+    L = np.zeros((len(qids), m, n_code_axis), dtype=np.float64)
+    for r in lut_rows:
+        L[qidx[r["query_id"]], int(r["sub"]), int(r["code"])] = float(r["part"])
+    marange = np.arange(m)
+
+    if candidates is not None:
+        qmap = qidx  # closure capture
+
+        @F.pandas_udf(DoubleType())
+        def _score(qid: pd.Series, carr: pd.Series) -> pd.Series:
+            qi = qid.map(qmap).to_numpy(dtype=np.int64)
+            # strict gather: a code outside the codebook raises loudly
+            # (the documented contract) instead of silently mis-scoring
+            CM = np.stack(carr.to_numpy()).astype(np.int64)
+            return pd.Series(L[qi[:, None], marange[None, :], CM].sum(axis=1))
+
+        scored = (
+            candidates.select("query_id", "vec_id")
+            .join(codes.select("vec_id", "codes"), "vec_id")
+            .select(
+                "query_id", "vec_id",
+                _score(F.col("query_id"), F.col("codes")).alias("score"),
+            )
+            .where(F.col("vec_id") != F.col("query_id"))
+        )
+    else:
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def _score_all(carr: pd.Series) -> pd.Series:
+            CM = np.stack(carr.to_numpy()).astype(np.int64)
+            G = L[:, marange[None, :], CM]  # (Q, B, m); out-of-codebook codes raise
+
+            return pd.Series(list(G.sum(axis=2).T))
+
+        qarr = F.array(*[F.lit(q) for q in qids])
+        scored = (
+            codes.select(
+                "vec_id", F.posexplode(_score_all(F.col("codes"))).alias(
+                    "qpos", "score"
+                )
+            )
+            .select(
+                F.element_at(qarr, F.col("qpos") + 1).alias("query_id"),
+                "vec_id",
+                "score",
+            )
+            .where(F.col("vec_id") != F.col("query_id"))
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "score")
+    )
 
 
 def pq_codes_sql(
@@ -2468,29 +2612,85 @@ def ivf_coarse_assign(
     extracting it guarantees the landed inverted lists are bit-for-bit
     the lists the in-memory path would derive.
 
-    Scale shape: Arrow BLAS dot for the N·n_centroids pairs (the
-    ``ivf_topk`` ML-path move; the interpreted zip-fold was the
-    10×-probe hotspot), one map-side-combinable aggregate, no window —
-    ``n_assign=1`` keeps the O(1)-state ``max_by``; ``n_assign>1``
-    carries a sorted n_centroids-struct list per vector and explodes
-    the top cells, so the replication lands in the index size, never
-    the probe cost."""
+    Scale shape (round 14, the ``pq_encode`` lesson re-applied): ONE
+    Arrow pass over the N vector rows, zero shuffle, zero joins — the
+    centroids are collected driver-side (``n_centroids`` rows, the
+    LSH-plane-literal precedent) into a numpy matrix, each Arrow batch
+    runs one ``batch × n_centroids`` BLAS matmul, and a STABLE argsort
+    over the descending sims picks the top ``n_assign`` cells (rows
+    ordered by ascending ``cent_id``, so ties break to the smaller
+    cell — the same (sim DESC, cent_id ASC) total order as the SQL
+    twin; on grid-integer inputs every sim is an exact integer, so the
+    matmul equals any fold bit for bit).  The original
+    crossJoin → Arrow-pair-dot → max_by form re-evaluated the VECTOR
+    EXPRESSION per joined row — an upstream rotation or unit-normalize
+    projection ran n_centroids× per vector, which the r14 probe
+    measured as 66 s (vs ~4 s) for the 100×-decade index build; it
+    survives only as the ``assign_round`` legacy branch, whose
+    HALF-UP-rounds-before-argmax semantics live in the Spark layer.
+    ``n_assign>1`` replicates into the index size, never the probe
+    cost."""
     if n_assign < 1:
         raise ValueError(f"n_assign must be >= 1, got {n_assign}")
+    cents_df = centroids.select(
+        "cent_id", F.col("cv").cast("array<double>").alias("cv")
+    )
+    if assign_round is not None:
+        return _ivf_coarse_assign_pairs(
+            vectors, cents_df,
+            n_assign=n_assign, assign_round=assign_round,
+            id_col=id_col, vec_col=vec_col,
+        )
+    from pyspark.sql.types import ArrayType, LongType
+
+    cent_rows = sorted(
+        (int(r["cent_id"]), [float(x) for x in r["cv"]])
+        for r in cents_df.collect()  # bounded-collect: n_centroids rows (model-sized)
+    )
+    if not cent_rows:
+        raise ValueError("centroids frame is empty")
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.array([cv for _, cv in cent_rows], dtype=np.float64)
+    take = min(n_assign, len(cent_rows))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _assign(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        S = V @ C.T
+        # stable argsort on -S: ties keep ascending-cent_id row order
+        top = np.argsort(-S, axis=1, kind="stable")[:, :take]
+        return pd.Series(list(cids[top]))
+
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _assign(F.col(vec_col).cast("array<double>")).alias("__cells"),
+    ).select("vec_id", F.explode("__cells").alias("cent_id"))
+
+
+def _ivf_coarse_assign_pairs(
+    vectors: DataFrame,
+    cents_df: DataFrame,
+    *,
+    n_assign: int,
+    assign_round: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The crossJoin form of :func:`ivf_coarse_assign`, kept for
+    ``assign_round`` callers: Spark's HALF-UP ``F.round`` applies to
+    every pair sim BEFORE the argmax (numpy's half-to-even would
+    diverge on rounding boundaries, so this branch stays in the Spark
+    expression layer).  Cost note: the vector-side expression re-runs
+    per joined row — stage (checkpoint) any upstream rotation or
+    normalization projection before calling at scale."""
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vv"),
     )
-    cents = F.broadcast(
-        centroids.select("cent_id", F.col("cv").cast("array<double>").alias("cv"))
-    )
-
-    def _sim(a: Column, b: Column) -> Column:
-        s = _dot_arrow(a, b)
-        return F.round(s, assign_round) if assign_round is not None else s
-
+    cents = F.broadcast(cents_df)
+    sim = F.round(_dot_arrow(F.col("vv"), F.col("cv")), assign_round)
     replicated = v.crossJoin(cents).select(
-        "vec_id", "cent_id", _sim(F.col("vv"), F.col("cv")).alias("sim")
+        "vec_id", "cent_id", sim.alias("sim")
     )
     if n_assign == 1:
         return replicated.groupBy("vec_id").agg(
@@ -2539,6 +2739,7 @@ def ivf_pq_topk(
     codes: DataFrame | None = None,
     assignments: DataFrame | None = None,
     assign_round: int | None = None,
+    scan: str = "rows",
 ) -> DataFrame:
     """IVF-PQ (X66): the full 100 TB serving shape — coarse inverted
     lists bound WHICH vectors each query touches (``n_probe`` of
@@ -2640,4 +2841,5 @@ def ivf_pq_topk(
         m=m,
         dim=dim,
         candidates=cands,
+        scan=scan,
     )

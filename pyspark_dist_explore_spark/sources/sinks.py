@@ -628,11 +628,20 @@ def write_pq_index(
     pq_encode(
         vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col
     ).write.mode(mode).parquet(f"{path}/codes")
+    # repartition ON the partition column before the partitioned write:
+    # without it every input partition opens a writer per inverted list
+    # (input_partitions × n_centroids small files — the r14 probe
+    # measured the fan-out at 23 s vs 2.6 s for 200k rows); the shuffle
+    # moves only (vec_id, cent_id) pairs and the write lands one file
+    # per list (bound per-file size with
+    # spark.sql.files.maxRecordsPerFile for skewed lists at scale)
     ivf_coarse_assign(
         vectors, cents,
         n_assign=n_assign, assign_round=assign_round,
         id_col=id_col, vec_col=vec_col,
-    ).write.mode(mode).partitionBy("cent_id").parquet(f"{path}/assign")
+    ).repartition("cent_id").write.mode(mode).partitionBy("cent_id").parquet(
+        f"{path}/assign"
+    )
     _write_json_sidecar(vectors.sparkSession, f"{path}/_params.json", kw)
 
 

@@ -523,6 +523,12 @@ def stream_pq_neardup_filter(
         )
         if rotation_salt is not None:
             q = rotate_embeddings(q, dim=dim, salt=rotation_salt)
+        # scan='batch': a micro-batch is bounded by definition, so the
+        # query LUT is collectable and scoring is ONE Arrow gather pass
+        # (measured 101 s -> 17 s per 1000-query batch when the probe
+        # candidate set blows up at the 200k-vector decade; parity when
+        # the coarse lists are sized right -- the batch scan bounds the
+        # mis-sizing damage)
         if centroids is not None:
             ranked = ivf_pq_topk(
                 None,
@@ -535,9 +541,10 @@ def stream_pq_neardup_filter(
                 codebooks=codebooks,
                 codes=codes,
                 assignments=assignments,
+                scan="batch",
             )
         else:
-            ranked = pq_topk(codes, q, codebooks, k=1, m=m, dim=dim)
+            ranked = pq_topk(codes, q, codebooks, k=1, m=m, dim=dim, scan="batch")
         hits = (
             ranked.where(F.col("score") >= threshold)
             .select(F.col("query_id").alias("__hit_id"))

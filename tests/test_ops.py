@@ -8338,6 +8338,42 @@ def test_pq_kmeans_fit_cap_engages_past_the_probe(spark):
     )
 
 
+def test_pq_topk_batch_scan_equals_rows_scan(spark):
+    """scan='batch' (round 14, the micro-batch serving path): the
+    collected-LUT Arrow gather must equal the exploded-row LUT join
+    bit for bit on grid inputs — full scan AND candidates-restricted,
+    composed through ivf_pq_topk; a bad scan value raises."""
+    emb6 = _pq_grid_emb(spark)
+    q = emb6.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = similarity.pq_codebooks(emb6, m=8, dim=64, n_codes=16)
+    codes = similarity.pq_encode(emb6, cb, m=8, dim=64)
+
+    def rows_of(df):
+        return sorted(map(tuple, df.collect()))
+
+    for cand in (
+        None,
+        spark.createDataFrame(
+            [(0, 7), (0, 9), (1, 12), (3, 7)], ["query_id", "vec_id"]
+        ),
+    ):
+        a = rows_of(similarity.pq_topk(
+            codes, q, cb, k=5, m=8, dim=64, candidates=cand))
+        b = rows_of(similarity.pq_topk(
+            codes, q, cb, k=5, m=8, dim=64, candidates=cand, scan="batch"))
+        assert a == b and a, (cand is None, a[:3], b[:3])
+    a = rows_of(similarity.ivf_pq_topk(
+        emb6, q, k=5, m=8, dim=64, n_codes=16, n_centroids=8, n_probe=4))
+    b = rows_of(similarity.ivf_pq_topk(
+        emb6, q, k=5, m=8, dim=64, n_codes=16, n_centroids=8, n_probe=4,
+        scan="batch"))
+    assert a == b and a
+    with pytest.raises(ValueError, match="scan"):
+        similarity.pq_topk(codes, q, cb, k=5, m=8, dim=64, scan="nope")
+
+
 def test_pq_rotation_preserves_dots_exactly(spark):
     """The OPQ-style signed permutation is exactly orthogonal: on
     1e-6-grid inputs the rotated dot is the SAME exact integer (the
