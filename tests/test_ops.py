@@ -8338,6 +8338,48 @@ def test_pq_kmeans_fit_cap_engages_past_the_probe(spark):
     )
 
 
+def test_ivf_coarse_assign_matches_numpy_reference(spark):
+    """The round-14 Arrow-matmul rewrite of ivf_coarse_assign, pinned
+    against a brute-force numpy reference on grid inputs: for
+    n_assign in {1, 2, 3} every vector's assigned cells equal the top
+    cells of the exact dot ranking under the (sim DESC, cent_id ASC)
+    total order — including ties, which the stable argsort must break
+    to the smaller cent_id."""
+    import numpy as _np
+
+    emb6 = _pq_grid_emb(spark)
+    cents = emb6.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    V = {r["vec_id"]: _np.array(r["embedding"]) for r in emb6.collect()}
+    C = {r["cent_id"]: _np.array(r["cv"]) for r in cents.collect()}
+    for n_assign in (1, 2, 3):
+        got = {}
+        for r in similarity.ivf_coarse_assign(
+            emb6, cents, n_assign=n_assign
+        ).collect():
+            got.setdefault(r["vec_id"], []).append(r["cent_id"])
+        assert set(got) == set(V)
+        for vid, v in V.items():
+            ranked = sorted(
+                C, key=lambda c: (-float(v @ C[c]), c)
+            )[:n_assign]
+            assert sorted(got[vid]) == sorted(ranked), (vid, got[vid], ranked)
+    # exact-duplicate centroids force ties: the smaller cent_id wins
+    dup = cents.unionByName(
+        cents.where(F.col("cent_id") == 0).select(
+            F.lit(7_000).alias("cent_id"), "cv"
+        )
+    )
+    one = {
+        r["vec_id"]: r["cent_id"]
+        for r in similarity.ivf_coarse_assign(emb6, dup, n_assign=1).collect()
+    }
+    assert 7_000 not in set(one.values())
+    with pytest.raises(ValueError, match="empty"):
+        similarity.ivf_coarse_assign(emb6, cents.where(F.lit(False)))
+
+
 def test_pq_topk_batch_scan_equals_rows_scan(spark):
     """scan='batch' (round 14, the micro-batch serving path): the
     collected-LUT Arrow gather must equal the exploded-row LUT join
