@@ -285,6 +285,43 @@ du AS (SELECT vec_id, {unit.replace('ve', 'xv')} AS uv FROM dq)
         )
     )
 
+    # X70 weighted reservoir sampling (corpus_token_budget section
+    # 'wrs'): the hashed artifact is the selected SET + ranks, so the
+    # fragile quantity is not a rounding boundary but the ADJACENT KEY
+    # GAP among the audited top-(k+1) keys per group — ln() drift can
+    # only flip a rank if two keys sit within the ~2-ulp libm spread of
+    # each other.  Reported as min gap in ulps of the key magnitude.
+    from pyspark_dist_explore_spark.plans.llm_ops import (
+        _MIX_NTOK, _WRS_K, _WRS_SALT,
+    )
+
+    wrs_rows = con.execute(
+        f"SELECT source, ln((CAST(('0x' || substr(md5(concat('{_WRS_SALT}', "
+        f"':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1) "
+        f"/ 1152921504606846976.0) / CAST({_MIX_NTOK} + 1 AS DOUBLE) AS key "
+        "FROM documents"
+    ).fetchall()
+    by_grp: dict = {}
+    for src, key in wrs_rows:
+        by_grp.setdefault(src, []).append(float(key))
+    min_gap, audited = float("inf"), 0
+    for keys in by_grp.values():
+        keys.sort(reverse=True)
+        top = keys[: _WRS_K + 1]
+        audited += len(top)
+        for a, b in zip(top, top[1:]):
+            min_gap = min(min_gap, (a - b) / np.spacing(abs(a)))
+    reports.append(
+        {
+            "column": "corpus_token_budget.wrs key gaps",
+            "rows": audited,
+            "decimals": 0,
+            "min_margin_ulps": min_gap,
+            "worst_value": float("nan"),
+            "min_dist_units": float("nan"),
+        }
+    )
+
     con.close()
     for r in reports:
         print(

@@ -1365,3 +1365,115 @@ FROM (
 JOIN (SELECT rk, id, grp FROM sn_rk) n ON n.rk = d.idx
 {guard}
 """
+
+
+# ---------------------------------------------------------------------------
+# X70: deterministic weighted reservoir sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wrs0",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — k rows per
+    group, inclusion probability proportional to ``weight_col`` at each
+    sequential draw (Efraimidis & Spirakis 2006, "Weighted random
+    sampling with a reservoir": rank by ``key = u^(1/w)`` DESC and take
+    the top k; equivalently, and numerically safer, by ``ln(u)/w``
+    DESC).  The uniform is the house md5 scheme — a 60-bit integer from
+    ``md5(salt:id)`` mapped to ``u = (h + 1)/2^60`` ∈ (0, 1] — so the
+    selected SET is identical on every run, engine, and partitioning; a
+    new ``salt`` is an independent re-draw, and with ``k=1`` the draw
+    probability is exactly ``w_i / Σw`` (pytest-pinned against a pure
+    numpy/hashlib reference over thousands of salts).
+
+    The classic training-data uses: sample documents ∝ token count
+    (so the TOKEN mass, not the doc count, is uniformly represented),
+    quality-weighted subcorpus draws, per-source pools for mixture
+    ablations — anywhere "take k, but favor heavy rows" must be
+    reproducible.
+
+    Scale shape: one row-local hash + key projection (whole-stage
+    codegen; the only non-codegen step is the per-group top-k window —
+    ONE shuffle on ``group_col``, the same shape as every top-k in this
+    package; ``group_col=None`` ranks a single global reservoir).
+    Rows with NULL or non-positive weight are dropped (no draw
+    probability is defined for them — the ``temperature_resample``
+    NULL-group convention).
+
+    Cross-engine note: ``ln`` is class C (ORACLES.md) — the division,
+    the power-of-two scale, and the comparison are IEEE-exact, so the
+    twin (:func:`weighted_reservoir_sample_sql`) can only diverge if
+    two keys in one group land within libm's ~2-ulp ln() spread of
+    each other AT THE RANK-k BOUNDARY; the margin is measured by
+    ``probe_r14.py`` and recorded in ORACLES.md before any gate use.
+
+    Output: the kept rows with ``wrs_rank`` (1-based, best key first).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(salt), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # (h + 1) / 2^60: exact power-of-two scale into (0, 1]
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / w
+    part = [group_col] if group_col is not None else []
+    win = Window.partitionBy(*part).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("wrs_rank", F.row_number().over(win))
+        .where(F.col("wrs_rank") <= k)
+    )
+
+
+def weighted_reservoir_sample_sql(
+    src: str,
+    k: int,
+    *,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wrs0",
+) -> str:
+    """DuckDB twin of :func:`weighted_reservoir_sample`: the identical
+    60-bit md5 uniform (``('0x'||substr(md5,1,15))::BIGINT`` — the
+    simhash/manifest idiom), the same ``ln((h+1)/2^60)/w`` key, the
+    same (key DESC, id ASC) rank.  Returns the kept rows of ``src``
+    plus ``wrs_rank``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    part = f"PARTITION BY {group_col} " if group_col is not None else ""
+    key = (
+        f"ln((CAST(('0x' || substr(md5(concat({sql_str_lit(salt)}, ':', "
+        f"CAST({id_col} AS VARCHAR))), 1, 15)) AS BIGINT) + 1) "
+        f"/ 1152921504606846976.0) / CAST({weight_col} AS DOUBLE)"
+    )
+    return f"""
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (
+           {part}ORDER BY {key} DESC, {id_col} ASC
+         ) AS INT) AS wrs_rank
+  FROM ({src})
+  WHERE {weight_col} IS NOT NULL AND CAST({weight_col} AS DOUBLE) > 0
+) WHERE wrs_rank <= {k}
+"""

@@ -2050,6 +2050,7 @@ def pq_encode(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple = (),
 ) -> DataFrame:
     """PQ-encode every vector: per subspace, the code of the nearest
     codebook entry by squared L2 (``v·v − 2·v·c + c·c`` — three
@@ -2073,7 +2074,10 @@ def pq_encode(
     ``row_number``.  On 1e-6-grid inputs every product and partial sum
     is an exact integer ≪ 2⁵³, so the matmul equals the twin's
     sequential fold BIT FOR BIT (raw-float inputs may differ in final
-    ulps, which only perturbs measure-zero distance ties)."""
+    ulps, which only perturbs measure-zero distance ties).
+
+    ``keep=`` carries extra input columns through unchanged (e.g. the
+    ``cent_id`` of a residual row — :func:`ivf_pq_residual_topk`)."""
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType
 
@@ -2121,6 +2125,7 @@ def pq_encode(
     return vectors.select(
         F.col(id_col).alias("vec_id"),
         _encode(F.col(vec_col).cast("array<double>")).alias("codes"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -2843,3 +2848,366 @@ def ivf_pq_topk(
         candidates=cands,
         scan=scan,
     )
+
+
+# ---------------------------------------------------------------------------
+# X69: residual-encoded IVFADC (Jégou et al. 2011, §III.C — "From vectors
+# to codes": PQ quantizes r = x − q_c(x), the residual after the coarse
+# quantizer, NOT the raw vector.  Residual energy is a fraction of raw
+# energy on any clustered corpus, so the same m·log2(n_codes)-bit budget
+# buys a far smaller reconstruction error — the standard recall lever the
+# raw-space X66 composition lacks.)
+# ---------------------------------------------------------------------------
+
+
+def ivf_residuals(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-assign each vector to its ``n_assign`` nearest centroids
+    by SQUARED L2 (the paper's coarse quantizer — against RAW,
+    unnormalized centroids the dot argmax is NOT a nearest-neighbor, so
+    this family ranks by ``|c|² − 2·x·c`` ASC with ties to the smaller
+    ``cent_id``; the row-constant ``|x|²`` term cannot move the argmin
+    and is dropped) and emit ``(vec_id, cent_id, residual)`` rows with
+    ``residual = x − c`` — the input PQ then quantizes.
+
+    Scale shape: the :func:`ivf_coarse_assign` discipline — centroids
+    collected driver-side (model-sized), ONE Arrow pass over the N
+    vector rows (per batch: one BLAS matmul, stable argsort, one
+    subtract), zero shuffle.  On 1e-6-grid integer inputs every
+    distance is an exact integer and every residual component an exact
+    integer difference, so assignment AND residuals are
+    engine-portable.  ``n_assign>1`` emits one row per assigned cell,
+    each with the residual AGAINST THAT CELL (index grows n_assign×,
+    the X66 replication discipline)."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    if n_assign < 1:
+        raise ValueError(f"n_assign must be >= 1, got {n_assign}")
+    cent_rows = sorted(
+        (int(r["cent_id"]), [float(x) for x in r["cv"]])
+        for r in centroids.select("cent_id", "cv")
+        .collect()  # bounded-collect: n_centroids rows (model-sized)
+    )
+    if not cent_rows:
+        raise ValueError("centroids frame is empty")
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.array([cv for _, cv in cent_rows], dtype=np.float64)
+    csq = np.einsum("ij,ij->i", C, C)
+    take = min(n_assign, len(cent_rows))
+    out_t = StructType(
+        [
+            StructField("cents", ArrayType(LongType())),
+            StructField("resids", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _resid(v: pd.Series) -> pd.DataFrame:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        if V.shape[1] != C.shape[1]:
+            raise ValueError(
+                f"ivf_residuals: vector dim {V.shape[1]} != centroid dim "
+                f"{C.shape[1]}"
+            )
+        D = csq - 2.0 * (V @ C.T)
+        # stable argsort: ties keep ascending-cent_id row order
+        top = np.argsort(D, axis=1, kind="stable")[:, :take]
+        cents = [cids[t] for t in top]
+        resids = [[list(V[i] - C[j]) for j in t] for i, t in enumerate(top)]
+        return pd.DataFrame({"cents": cents, "resids": resids})
+
+    packed = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _resid(F.col(vec_col).cast("array<double>")).alias("p"),
+    )
+    return packed.select(
+        "vec_id", F.explode(F.arrays_zip("p.cents", "p.resids")).alias("z")
+    ).select(
+        "vec_id",
+        F.col("z.cents").alias("cent_id"),
+        F.col("z.resids").alias("residual"),
+    )
+
+
+def pq_residual_codebooks(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    m: int,
+    dim: int,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit: str = "sample",
+    fit_sample_mod: int | None = 4,
+    max_fit_rows: int | None = 1 << 18,
+) -> DataFrame:
+    """PQ codebooks fit on coarse RESIDUALS (``x − c(x)``, primary
+    assignment only): :func:`ivf_residuals` feeds :func:`pq_codebooks`
+    unchanged — ``fit='sample'`` keeps the deterministic
+    SQL-expressible form (residual subvectors of ids < ``n_codes``),
+    ``fit='kmeans'`` runs the seeded capped per-subspace fits on the
+    residual cloud (the paper's recipe)."""
+    resid = ivf_residuals(
+        vectors, centroids, n_assign=1, id_col=id_col, vec_col=vec_col
+    )
+    return pq_codebooks(
+        resid,
+        m=m,
+        dim=dim,
+        n_codes=n_codes,
+        id_col="vec_id",
+        vec_col="residual",
+        fit=fit,
+        fit_sample_mod=fit_sample_mod,
+        max_fit_rows=max_fit_rows,
+    )
+
+
+def ivf_pq_residual_topk(
+    vectors: DataFrame | None,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    m: int,
+    dim: int,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    enc: DataFrame | None = None,
+) -> DataFrame:
+    """Residual IVFADC serving (X69): coarse lists bound WHICH vectors
+    a query touches, PQ over the RESIDUAL ``x − c`` bounds what the
+    scan reads — and the score decomposes exactly as
+    ``q·x̂ = q·(c + r̂) = q·c + Σ_sub q·cv[code]``: the first term is
+    the probe-stage centroid dot (already computed to rank the lists,
+    reused for free), the second the standard broadcast-LUT ADC sum
+    over residual codebooks.  The query is never residualized — ADC is
+    asymmetric by construction.
+
+    Defaults are fully deterministic (centroids = RAW grid embeddings
+    of the first ``n_centroids`` ids — unnormalized, so residuals stay
+    ON the 1e-6 grid and every distance/score is an exact integer;
+    ``fit='sample'`` residual codebooks); ``centroids=`` /
+    ``codebooks=`` / ``enc=`` (a ``(vec_id, cent_id, codes)`` frame
+    from :func:`ivf_residuals` + :func:`pq_encode(keep=('cent_id',))`)
+    accept prebuilt landed artifacts.  Probe ranking is by squared L2
+    ASC (``|c|² − 2·q·c``), ties to the smaller ``cent_id`` — the
+    paper's coarse metric, shared with the assignment side.
+
+    Exactness invariant (pytest-pinned): with ``n_probe ==
+    n_centroids`` and a codebook containing every corpus residual
+    subvector, ``r̂ = r`` so the score equals the exact grid dot bit
+    for bit.  Output ``(query_id, rank, vec_id, score)``."""
+    if n_assign < 1:
+        raise ValueError(f"n_assign must be >= 1, got {n_assign}")
+    if vectors is None and (centroids is None or codebooks is None or enc is None):
+        raise ValueError(
+            "vectors=None requires the full landed residual index: "
+            "centroids, codebooks AND enc"
+        )
+    if centroids is None:
+        centroids = vectors.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    cents = F.broadcast(
+        centroids.select(
+            "cent_id",
+            F.col("cv").cast("array<double>").alias("cv"),
+            dot(F.col("cv"), F.col("cv")).alias("csq"),
+        )
+    )
+    if codebooks is None:
+        codebooks = pq_residual_codebooks(
+            vectors, cents.select("cent_id", "cv"),
+            m=m, dim=dim, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+        )
+    if enc is None:
+        resid = ivf_residuals(
+            vectors, cents.select("cent_id", "cv"),
+            n_assign=n_assign, id_col=id_col, vec_col=vec_col,
+        )
+        enc = pq_encode(
+            resid, codebooks, m=m, dim=dim,
+            id_col="vec_id", vec_col="residual", keep=("cent_id",),
+        )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    # probe: nearest lists by squared L2 (|q|² row-constant dropped);
+    # qc = q·c rides along — it is the score's coarse term
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.crossJoin(cents)
+        .select(
+            "query_id",
+            "cent_id",
+            _dot_arrow(F.col("qv"), F.col("cv")).alias("qc"),
+            "csq",
+        )
+        .select(
+            "query_id", "cent_id", "qc",
+            (F.col("csq") - 2 * F.col("qc")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "cent_id", "qc")
+    )
+    # per-(query, subspace, code) residual-codebook LUT — broadcast,
+    # Q·m·n_codes rows
+    q_subs = pq_subvectors(
+        q, m=m, dim=dim, id_col="query_id", vec_col="qv"
+    ).select(F.col("id").alias("query_id"), "sub", F.col("sv").alias("qsv"))
+    lut = F.broadcast(
+        q_subs.join(codebooks.select("sub", "code", "cv"), "sub").select(
+            "query_id", "sub", "code", dot(F.col("qsv"), F.col("cv")).alias("part")
+        )
+    )
+    # candidates restrict BEFORE scoring (the pq_topk discipline); the
+    # probe frame is Q·n_probe rows — broadcast
+    exploded = enc.select(
+        "vec_id", "cent_id", F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(probes), "cent_id")
+        .join(lut, ["query_id", "sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id", "cent_id", "qc")
+        .agg(F.sum("part").alias("rpart"))
+        .select(
+            "query_id", "vec_id", (F.col("qc") + F.col("rpart")).alias("score")
+        )
+    )
+    if n_assign > 1:
+        # a vector replicated into several probed lists scores once per
+        # copy (each against ITS residual); keep the best reconstruction
+        scored = scored.groupBy("query_id", "vec_id").agg(
+            F.max("score").alias("score")
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "score")
+    )
+
+
+def ivf_pq_residual_sql(
+    vectors_sql: str,
+    *,
+    m: int,
+    dim: int,
+    n_codes: int = 16,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    k: int = 5,
+    n_queries: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of the fixed-artifact :func:`ivf_pq_residual_topk`
+    composition (``n_assign=1``): RAW grid centroids (ids <
+    ``n_centroids``), squared-L2 coarse assignment and probe ranking
+    (``|c|² − 2·x·c`` ASC, ``cent_id`` ASC), elementwise residuals,
+    ``fit='sample'`` residual codebooks (residual subvectors of ids <
+    ``n_codes``), the three-dot argmin encode, and the decomposed score
+    ``q·c + Σ q·cv`` over probed candidates.  On 1e-6-grid inputs
+    every intermediate is an exact integer — class A end-to-end.
+    Emits ``(query_id, rank, vec_id, score)``."""
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be a positive multiple of m ({m})")
+    d0 = dim // m
+    return f"""
+WITH rv AS (SELECT {id_col} AS vec_id, {vec_col} AS ve FROM ({vectors_sql})),
+rivfc AS (
+  SELECT vec_id AS cent_id, ve AS cv, list_dot_product(ve, ve) AS csq
+  FROM rv WHERE vec_id < {n_centroids}
+),
+rivfa AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT p.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY (c.csq - 2 * list_dot_product(p.ve, c.cv)) ASC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM rv p, rivfc c
+  ) WHERE rn = 1
+),
+rres AS (
+  SELECT p.vec_id, a.cent_id,
+         list_transform(generate_series(1, {dim}), i -> p.ve[i] - c.cv[i]) AS rr
+  FROM rv p JOIN rivfa a USING (vec_id) JOIN rivfc c USING (cent_id)
+),
+rsub AS (
+  SELECT vec_id, cent_id, s,
+         list_slice(rr, s * {d0} + 1, (s + 1) * {d0}) AS sv
+  FROM rres, (SELECT unnest(generate_series(0, {m - 1})) AS s) ss
+),
+rcb AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS cv FROM rsub WHERE vec_id < {n_codes}),
+rasg AS (
+  SELECT vec_id, cent_id, s, code FROM (
+    SELECT p.vec_id, p.cent_id, p.s, c.code,
+           row_number() OVER (
+             PARTITION BY p.vec_id, p.s
+             ORDER BY (list_dot_product(p.sv, p.sv)
+                       - 2 * list_dot_product(p.sv, c.cv)
+                       + list_dot_product(c.cv, c.cv)) ASC, c.code ASC
+           ) AS rn
+    FROM rsub p JOIN rcb c ON p.s = c.s
+  ) WHERE rn = 1
+),
+rqsub AS (
+  SELECT vec_id AS query_id, s, list_slice(ve, s * {d0} + 1, (s + 1) * {d0}) AS sv
+  FROM rv, (SELECT unnest(generate_series(0, {m - 1})) AS s) ss
+  WHERE vec_id < {n_queries}
+),
+rlut AS (
+  SELECT q.query_id, c.s, c.code, list_dot_product(q.sv, c.cv) AS part
+  FROM rqsub q JOIN rcb c ON q.s = c.s
+),
+rivfp AS (
+  SELECT query_id, cent_id, qc FROM (
+    SELECT q.vec_id AS query_id, c.cent_id,
+           list_dot_product(q.ve, c.cv) AS qc,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY (c.csq - 2 * list_dot_product(q.ve, c.cv)) ASC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM rv q, rivfc c WHERE q.vec_id < {n_queries}
+  ) WHERE rn <= {n_probe}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, score FROM (
+  SELECT p.query_id, a.vec_id, any_value(p.qc) + sum(l.part) AS score,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY any_value(p.qc) + sum(l.part) DESC, a.vec_id ASC
+         ) AS rank
+  FROM rasg a
+  JOIN rivfp p ON a.cent_id = p.cent_id
+  JOIN rlut l ON l.query_id = p.query_id AND a.s = l.s AND a.code = l.code
+  WHERE a.vec_id <> p.query_id
+  GROUP BY p.query_id, a.vec_id
+) WHERE rank <= {k}
+"""

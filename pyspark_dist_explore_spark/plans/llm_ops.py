@@ -26,6 +26,7 @@ from pyspark_dist_explore_spark.operators import (
 from pyspark_dist_explore_spark.operators.sampling import (
     select_by_token_budget_stratified_sql,
     sql_str_lit,
+    weighted_reservoir_sample_sql,
 )
 from pyspark_dist_explore_spark.plans.queries import register
 from pyspark_dist_explore_spark.sources.tables import embedding_dim, load_table
@@ -1552,9 +1553,17 @@ _MIX_BUDGETS = {
     "src5": 0,
 }
 
+#: X70 gate config: 20 docs per source, weight = n_tok + 1 (the "+1"
+#: keeps empty docs drawable — every weight strictly positive)
+_WRS_K = 20
+_WRS_SALT = "wrs0"
+
 @register(
     "corpus_token_budget",
-    select_by_token_budget_stratified_sql(
+    f"""
+SELECT 'budget' AS section, doc_id, source, quality, n_tok,
+       CAST(0 AS INT) AS wrs_rank
+FROM ({select_by_token_budget_stratified_sql(
         f"SELECT doc_id, source, {_quality_sql('text')} AS quality, "
         f"{_MIX_NTOK} AS n_tok FROM documents",
         "source",
@@ -1562,7 +1571,19 @@ _MIX_BUDGETS = {
         "n_tok",
         _MIX_BUDGETS,
         ["doc_id", "source", "quality", "n_tok"],
-    ),
+    )})
+UNION ALL
+SELECT 'wrs' AS section, doc_id, source, quality, n_tok, wrs_rank
+FROM ({weighted_reservoir_sample_sql(
+        f"SELECT doc_id, source, {_quality_sql('text')} AS quality, "
+        f"{_MIX_NTOK} AS n_tok, {_MIX_NTOK} + 1 AS w FROM documents",
+        _WRS_K,
+        weight_col="w",
+        group_col="source",
+        id_col="doc_id",
+        salt=_WRS_SALT,
+    )})
+""",
 )
 def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing recipe: per-source TOKEN budgets, best quality first
@@ -1575,10 +1596,22 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join admits the keep-set — one shuffle of ≤ strata·bins rows
     total.  Budgets cover partial / keep-all / zero / dropped strata.
     Deterministic (no RNG), so the kept SET itself is hash-checked
-    against the DuckDB twin."""
+    against the DuckDB twin.
+
+    ``section='wrs'`` (X70): deterministic WEIGHTED RESERVOIR SAMPLING
+    (Efraimidis & Spirakis A-ES over the house 60-bit md5 uniforms) —
+    20 docs per source ∝ (n_tok + 1), the "sample documents so token
+    mass is represented" draw; kept rows AND their ``wrs_rank`` are
+    hash-checked.  The ``ln()`` in the key is class C: the rank order
+    can only flip if two keys in one group sit within libm's ~2-ulp
+    spread of each other, and the measured min adjacent gap among the
+    audited top-21 keys is ~10¹² ulps at both sf0.01 and sf0.1
+    (ORACLES.md).  The k=1 ∝ w/Σw draw-probability law and the numpy
+    reference parity stay pytest-pinned."""
     from pyspark_dist_explore_spark.operators.dedup import normalize_text
     from pyspark_dist_explore_spark.operators.sampling import (
         select_by_token_budget_stratified,
+        weighted_reservoir_sample,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1594,9 +1627,32 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality, 6).alias("quality"),
         n_tok.alias("n_tok"),
     )
-    return select_by_token_budget_stratified(
+    budget = select_by_token_budget_stratified(
         scored, "source", "quality", "n_tok", _MIX_BUDGETS
+    ).select(
+        F.lit("budget").alias("section"),
+        "doc_id",
+        "source",
+        "quality",
+        "n_tok",
+        F.lit(0).cast("int").alias("wrs_rank"),
     )
+    wrs = weighted_reservoir_sample(
+        scored.withColumn("w", F.col("n_tok") + 1),
+        _WRS_K,
+        weight_col="w",
+        group_col="source",
+        id_col="doc_id",
+        salt=_WRS_SALT,
+    ).select(
+        F.lit("wrs").alias("section"),
+        "doc_id",
+        "source",
+        "quality",
+        "n_tok",
+        F.col("wrs_rank").cast("int").alias("wrs_rank"),
+    )
+    return budget.unionByName(wrs)
 
 
 # --------------------------------------------------------------------------
@@ -3868,6 +3924,14 @@ SELECT 'ivf_pq' AS section, query_id AS vec_id,
        CAST(count(*) AS INT) AS n_dims
 FROM ({similarity.ivf_pq_sql(_PQ_GRID_SRC, m=_PQ_M, dim=_PQ_DIM, n_codes=_PQ_CODES, n_centroids=_IVFPQ_CENTS, n_probe=_IVFPQ_PROBE, k=5, n_queries=3)})
 GROUP BY query_id
+UNION ALL
+SELECT 'ivf_pq_res' AS section, query_id AS vec_id,
+       string_agg(concat(CAST(vec_id AS VARCHAR), ':',
+                         CAST(CAST(score AS BIGINT) AS VARCHAR)),
+                  ',' ORDER BY rank) AS codes_csv,
+       CAST(count(*) AS INT) AS n_dims
+FROM ({similarity.ivf_pq_residual_sql(_PQ_GRID_SRC, m=_PQ_M, dim=_PQ_DIM, n_codes=_PQ_CODES, n_centroids=_IVFPQ_CENTS, n_probe=_IVFPQ_PROBE, k=5, n_queries=3)})
+GROUP BY query_id
 """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3908,6 +3972,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``'pq'`` sections check, the 4-probe candidate join, and the ADC
       ranking restricted to candidates.  Proves the COMPOSITION
       cross-engine, not just its parts.
+    - ``section='ivf_pq_res'`` (X69): the RESIDUAL-encoded IVFADC form
+      (Jégou et al. 2011 §III.C — PQ quantizes ``x − c(x)``, not the
+      raw vector) over the same fixed artifacts: squared-L2 coarse
+      assignment, elementwise grid residuals, sample residual
+      codebooks, and the decomposed ``q·c + Σ q·cv`` score — class A
+      end-to-end.  The quality claim (residual beats raw when coarse
+      cells outnumber codes — the 100 TB regime) stays pytest-pinned.
     """
     parts = embedding_quantize_parts(spark, sf_dir)
     out = None
@@ -4103,6 +4174,26 @@ def embedding_quantize_parts(
         ),
         "ivf_pq",
     )
+    # section='ivf_pq_res' (X69): residual-encoded IVFADC over the same
+    # fixed artifacts — squared-L2 coarse assignment to the raw grid
+    # centroids, PQ over the residuals x − c (sample codebooks =
+    # residuals of ids < _PQ_CODES), and the decomposed q·c + Σ q·cv
+    # score; every intermediate an exact grid integer (class A), so the
+    # composition hash-checks cross-engine.  The quality A/B (residual
+    # beats raw at n_cells > n_codes) stays pytest-pinned.
+    ivfpqres = _topk_section(
+        similarity.ivf_pq_residual_topk(
+            emb6_v,
+            pq_q,
+            k=5,
+            m=_PQ_M,
+            dim=dim,
+            n_codes=_PQ_CODES,
+            n_centroids=_IVFPQ_CENTS,
+            n_probe=_IVFPQ_PROBE,
+        ),
+        "ivf_pq_res",
+    )
     return {
         "codes": codes,
         "pooled": pooled,
@@ -4113,6 +4204,7 @@ def embedding_quantize_parts(
         "pq": pq,
         "pq_adc": pq_adc,
         "ivf_pq": ivfpq,
+        "ivf_pq_res": ivfpqres,
     }
 
 

@@ -8668,3 +8668,323 @@ def test_ivf_pq_bounded_probe_recall(spark):
     recall = len(exact & got) / len(exact)
     assert recall >= 0.1, f"IVF-PQ recall@5 {recall:.3f}"  # doubly lossy
     # by design (coarse probe x 16-code ADC) on the isotropic corpus
+
+
+# --------------------------------------------------------------------------
+# X69: residual-encoded IVFADC
+# --------------------------------------------------------------------------
+
+
+def _residual_brute_force(q, emb6):
+    """(query_id, rank) -> (vec_id, int score) of the exact grid-dot
+    ranking — the reference both X69 exactness pins compare against."""
+    from pyspark.sql import Window as W
+
+    ref = (
+        q.crossJoin(emb6.select("vec_id", F.col("embedding").alias("ve")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            similarity.dot(F.col("embedding"), F.col("ve")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return {
+        (r["query_id"], r["rank"]): (r["vec_id"], int(r["score"]))
+        for r in ref.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5).collect()
+    }
+
+
+def test_ivf_pq_residual_exactness_composition(spark):
+    """X69: with a full probe and a codebook containing every corpus
+    RESIDUAL subvector, r-hat == r so the decomposed score q·c + Σ q·cv
+    equals the exact grid dot bit for bit — the IVFADC analogue of the
+    X66 exactness invariant."""
+    emb6 = _pq_grid_emb(spark)
+    q = emb6.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], int(r["score"]))
+        for r in similarity.ivf_pq_residual_topk(
+            emb6, q, k=5, m=8, dim=64, n_codes=500,
+            n_centroids=16, n_probe=16,
+        ).collect()
+    }
+    want = _residual_brute_force(q, emb6)
+    assert got == want and len(got) == 15
+
+
+def test_ivf_pq_residual_matches_duckdb(spark):
+    """X69 twin: the lossy operating point (8 raw-grid centroids,
+    4-probe, 16 sample residual codes) hash-matches the DuckDB twin row
+    for row — coarse L2 assignment, elementwise residuals, residual
+    codebook argmin, and the decomposed q·c + Σ q·cv score are all
+    exact integers on the grid."""
+    from tests.oracle_utils import duckdb_con
+
+    emb6 = _pq_grid_emb(spark)
+    q = emb6.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], int(r["score"]))
+        for r in similarity.ivf_pq_residual_topk(
+            emb6, q, k=5, m=8, dim=64, n_codes=16, n_centroids=8, n_probe=4
+        ).collect()
+    )
+    src = (
+        "SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> round(x * 1000000)) AS embedding FROM embeddings"
+    )
+    con = duckdb_con("/root/testdata/sf0.001")
+    try:
+        want = sorted(
+            (r[0], r[1], r[2], int(r[3]))
+            for r in con.execute(
+                similarity.ivf_pq_residual_sql(
+                    src, m=8, dim=64, n_codes=16,
+                    n_centroids=8, n_probe=4, k=5, n_queries=3,
+                )
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want and len(got) == 15
+
+
+def test_ivf_pq_residual_beats_raw_on_clustered_corpus(spark):
+    """The IVFADC motivation, measured: when the corpus has MORE coarse
+    cells than the per-subspace code budget (40 clusters vs 16 codes —
+    the 100 TB regime, where n_lists ~ √N is thousands against ≤256
+    codes), raw-space PQ must span inter-cluster structure with codes
+    it doesn't have, while residual PQ only quantizes intra-cluster
+    offsets: ADC error drops ~10× at the same m·log2(n_codes) budget,
+    recall never worse.  (With few clusters and n_codes ≥ n_clusters
+    the sample codebook already covers the centers and the two forms
+    tie — measured during development; this corpus is the shape
+    residual encoding exists for.)"""
+    import numpy as _np
+
+    rng = _np.random.RandomState(11)
+    n, dim, m, ncl = 300, 64, 8, 40
+    centers = _np.round(rng.randn(ncl, dim) * 3e6)
+    a = _np.vstack(
+        [centers[i % ncl] + _np.round(rng.randn(dim) * 2e5) for i in range(n)]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in a[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(4)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(ncl)],
+        "cent_id bigint, cv array<double>",
+    ).coalesce(1)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from pyspark.sql import Window as W
+
+    ref = (
+        q.crossJoin(emb.select("vec_id", F.col("embedding").alias("ve")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            similarity.dot(F.col("embedding"), F.col("ve")).alias("true"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("true").desc(), F.col("vec_id").asc())
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ref.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5).collect()
+    }
+
+    def metrics(ranked):
+        got5 = {
+            (r["query_id"], r["vec_id"])
+            for r in ranked.where(F.col("rank") <= 5).collect()
+        }
+        err = (
+            ranked.join(ref, ["query_id", "vec_id"])
+            .select(F.avg(F.abs(F.col("score") - F.col("true"))).alias("e"))
+            .collect()[0]["e"]
+        )
+        return len(exact & got5) / len(exact), float(err)
+
+    r_raw, e_raw = metrics(
+        similarity.ivf_pq_topk(
+            emb, q, k=n, m=m, dim=dim, n_codes=16, n_centroids=16, n_probe=16
+        )
+    )
+    r_res, e_res = metrics(
+        similarity.ivf_pq_residual_topk(
+            emb, q, k=n, m=m, dim=dim, n_codes=16,
+            n_centroids=ncl, n_probe=ncl, centroids=cents,
+        )
+    )
+    assert e_res < e_raw * 0.5, (e_res, e_raw)
+    assert r_res >= r_raw, (r_res, r_raw)
+
+
+def test_ivf_pq_residual_prebuilt_artifacts_and_guards(spark):
+    """X69 landed form: prebuilt centroids/codebooks/enc reproduce the
+    derive-everything path bit for bit (vectors never read at serve
+    time); n_assign=2 runs with a recall floor; the guard rails raise."""
+    emb6 = _pq_grid_emb(spark)
+    q = emb6.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = emb6.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    cb = similarity.pq_residual_codebooks(emb6, cents, m=8, dim=64, n_codes=16)
+    resid = similarity.ivf_residuals(emb6, cents)
+    enc = similarity.pq_encode(
+        resid, cb, m=8, dim=64, id_col="vec_id", vec_col="residual",
+        keep=("cent_id",),
+    )
+    rows_of = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], int(r["score"]))
+        for r in df.collect()
+    )
+    a = rows_of(
+        similarity.ivf_pq_residual_topk(
+            emb6, q, k=5, m=8, dim=64, n_codes=16, n_centroids=8, n_probe=4
+        )
+    )
+    b = rows_of(
+        similarity.ivf_pq_residual_topk(
+            None, q, k=5, m=8, dim=64, n_codes=16, n_centroids=8, n_probe=4,
+            centroids=cents, codebooks=cb, enc=enc,
+        )
+    )
+    assert a == b and len(a) == 15
+
+    # multi-assign replication: runs, and the result is a ranking
+    ma = similarity.ivf_pq_residual_topk(
+        emb6, q, k=5, m=8, dim=64, n_codes=16,
+        n_centroids=8, n_probe=4, n_assign=2,
+    ).collect()
+    assert len(ma) == 15 and all(1 <= r["rank"] <= 5 for r in ma)
+
+    with pytest.raises(ValueError, match="n_assign"):
+        similarity.ivf_pq_residual_topk(
+            emb6, q, k=5, m=8, dim=64, n_assign=0
+        )
+    with pytest.raises(ValueError, match="landed residual index"):
+        similarity.ivf_pq_residual_topk(None, q, k=5, m=8, dim=64)
+    with pytest.raises(ValueError, match="n_assign"):
+        similarity.ivf_residuals(emb6, cents, n_assign=0)
+    with pytest.raises(ValueError, match="multiple"):
+        similarity.ivf_pq_residual_sql("SELECT 1", m=7, dim=64)
+
+
+# --------------------------------------------------------------------------
+# X70: deterministic weighted reservoir sampling (A-ES)
+# --------------------------------------------------------------------------
+
+
+def test_weighted_reservoir_matches_duckdb(spark):
+    """X70 twin: grouped and global forms select the identical rows
+    with identical ranks on both engines — the 60-bit md5 uniform, the
+    power-of-two scale, and the ln(u)/w division are the same
+    arithmetic spelled twice (ln is class C; the measured min adjacent
+    key gap at the gate is ~10^12 ulps — ORACLES.md)."""
+    from tests.oracle_utils import duckdb_con
+    from pyspark_dist_explore_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = docs.select(
+        "doc_id", "source", (F.length("text") + 1).alias("w")
+    )
+    con = duckdb_con("/root/testdata/sf0.001")
+    try:
+        for grp in ("source", None):
+            got = sorted(
+                (r["source"], r["doc_id"], r["wrs_rank"])
+                for r in sampling.weighted_reservoir_sample(
+                    scored, 5, weight_col="w", group_col=grp, salt="t1"
+                ).collect()
+            )
+            want = sorted(
+                (r[1], r[0], r[3])
+                for r in con.execute(
+                    sampling.weighted_reservoir_sample_sql(
+                        "SELECT doc_id, source, length(text)+1 AS w "
+                        "FROM documents",
+                        5,
+                        weight_col="w",
+                        group_col=grp,
+                        salt="t1",
+                    )
+                ).fetchall()
+            )
+            assert got == want
+            assert len(got) == (100 if grp else 5)
+    finally:
+        con.close()
+
+
+def test_weighted_reservoir_distribution_and_guards(spark):
+    """X70 semantics: (a) Spark equals the pure numpy/hashlib reference
+    rank for rank; (b) with k=1 the draw probability is w_i/Σw — the
+    A-ES law — measured over 4000 salts driver-side; (c) NULL and
+    non-positive weights are dropped; (d) k < 1 raises in both
+    renderers."""
+    import hashlib as _hl
+    import math as _m
+
+    from pyspark_dist_explore_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = docs.select(
+        "doc_id", "source", (F.length("text") + 1).alias("w")
+    ).where(F.col("source") == "src0")
+    rows = [(r["doc_id"], r["w"]) for r in scored.collect()]
+
+    def np_keys(salt, sub):
+        out = []
+        for did, w in sub:
+            h = int(_hl.md5(f"{salt}:{did}".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / float(1 << 60)
+            out.append((_m.log(u) / w, -did, did))
+        return out
+
+    ref = [
+        d for _, _, d in sorted(np_keys("t2", rows), reverse=True)[:5]
+    ]
+    got = [
+        r["doc_id"]
+        for r in sampling.weighted_reservoir_sample(
+            scored, 5, weight_col="w", group_col=None, salt="t2"
+        )
+        .orderBy("wrs_rank")
+        .collect()
+    ]
+    assert got == ref
+
+    sub = rows[:6]
+    wsum = sum(w for _, w in sub)
+    cnt = {d: 0 for d, _ in sub}
+    n_draws = 4000
+    for s in range(n_draws):
+        cnt[max(np_keys(f"s{s}", sub))[2]] += 1
+    assert max(abs(cnt[d] / n_draws - w / wsum) for d, w in sub) < 0.03
+
+    # NULL / non-positive weights dropped; never sampled
+    bad = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 0.0), (4, -2.0), (5, 1.0)],
+        "doc_id bigint, w double",
+    )
+    kept = sampling.weighted_reservoir_sample(
+        bad, 10, weight_col="w", group_col=None, salt="g"
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 5]
+
+    with pytest.raises(ValueError, match="k must be"):
+        sampling.weighted_reservoir_sample(bad, 0, weight_col="w")
+    with pytest.raises(ValueError, match="k must be"):
+        sampling.weighted_reservoir_sample_sql("SELECT 1", 0, weight_col="w")
