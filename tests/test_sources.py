@@ -734,3 +734,108 @@ def test_pq_index_rotation_salt_round_trip(spark, tmp_path):
         **serve_kw,
     ).collect()))
     assert from_loaded == from_memory and from_loaded
+
+
+# --------------------------------------------------------------------------
+# X71: WebDataset-style tar shard sink / source
+# --------------------------------------------------------------------------
+
+
+def _tar_docs(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where(F.col("doc_id") < 120)
+        .select(
+            "doc_id", "source", "text",
+            F.encode(F.reverse("text"), "utf-8").alias("blob"),
+        )
+    )
+
+
+def test_write_tar_shards_deterministic_round_trip(spark, tmp_path):
+    """X71: two writes of the same frame are BYTE-identical tars; the
+    reader recovers every member's content, sample key, and training
+    position; the manifest counts add up; the sidecar guard refuses a
+    mismatched scheme."""
+    from pyspark_dist_explore_spark.sources import sinks
+
+    docs = _tar_docs(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    members = {"txt": "text", "src": "source", "bin": "blob"}
+    man_a = sorted(
+        (r["shard"], r["n_samples"], r["n_bytes"], r["tar_md5"])
+        for r in sinks.write_tar_shards(
+            docs, a, shards=4, members=members, salt="e0"
+        ).collect()
+    )
+    man_b = sorted(
+        (r["shard"], r["n_samples"], r["n_bytes"], r["tar_md5"])
+        for r in sinks.write_tar_shards(
+            docs, b, shards=4, members=members, salt="e0"
+        ).collect()
+    )
+    assert man_a == man_b and len(man_a) == 4
+    assert sum(r[1] for r in man_a) == 120
+    fa = sorted(p for p in os.listdir(a) if p.endswith(".tar"))
+    assert fa == [f"shard-{i:06d}.tar" for i in range(4)]
+    for f in fa:
+        with open(os.path.join(a, f), "rb") as fh_a, open(
+            os.path.join(b, f), "rb"
+        ) as fh_b:
+            assert fh_a.read() == fh_b.read()
+
+    back = sinks.read_tar_shards(spark, a, expect={"salt": "e0", "shards": 4})
+    rows = back.collect()
+    assert len(rows) == 3 * 120
+    orig_txt = {str(r["doc_id"]): r["text"] for r in docs.collect()}
+    got_txt = {
+        r["key"]: r["payload"].decode("utf-8")
+        for r in rows
+        if r["ext"] == "txt"
+    }
+    assert got_txt == orig_txt
+    orig_blob = {str(r["doc_id"]): bytes(r["blob"]) for r in docs.collect()}
+    got_blob = {
+        r["key"]: bytes(r["payload"]) for r in rows if r["ext"] == "bin"
+    }
+    assert got_blob == orig_blob
+    # training order: pos values within a shard are the shuffle_shards
+    # positions — strictly increasing in tar member order
+    by_shard: dict = {}
+    for r in rows:
+        if r["ext"] == "txt":
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert poss == sorted(poss)
+
+    with pytest.raises(ValueError, match="different scheme"):
+        sinks.read_tar_shards(spark, a, expect={"salt": "other"})
+
+
+def test_tar_shards_verify_detects_tamper_and_guards(spark, tmp_path):
+    """X71: verify_tar_shards is green on an intact dump, names the
+    flipped shard after a byte tamper; writer guards reject bad member
+    specs."""
+    from pyspark_dist_explore_spark.sources import sinks
+
+    docs = _tar_docs(spark)
+    out = str(tmp_path / "dump")
+    sinks.write_tar_shards(
+        docs, out, shards=3, members={"txt": "text"}, salt="e1"
+    )
+    ver = sinks.verify_tar_shards(spark, out).collect()
+    assert len(ver) == 3 and all(r["ok"] for r in ver)
+    with open(os.path.join(out, "shard-000001.tar"), "r+b") as f:
+        f.seek(700)
+        f.write(b"X")
+    ver2 = {r["shard"]: r["ok"] for r in sinks.verify_tar_shards(spark, out).collect()}
+    assert ver2[1] is False and sum(1 for v in ver2.values() if v) == 2
+
+    with pytest.raises(ValueError, match="at least one"):
+        sinks.write_tar_shards(docs, out, shards=2, members={})
+    with pytest.raises(ValueError, match="not in frame"):
+        sinks.write_tar_shards(docs, out, shards=2, members={"txt": "nope"})
+    with pytest.raises(ValueError, match="string or binary"):
+        sinks.write_tar_shards(docs, out, shards=2, members={"txt": "doc_id"})
+    with pytest.raises(ValueError, match="may not contain"):
+        sinks.write_tar_shards(docs, out, shards=2, members={"a.b": "text"})
