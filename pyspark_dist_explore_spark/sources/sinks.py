@@ -544,6 +544,7 @@ def write_pq_index(
     codebooks: DataFrame | None = None,
     assign_round: int | None = None,
     rotation_salt: str | None = None,
+    residual: bool = False,
     mode: str = "overwrite",
 ) -> None:
     """Land the IVF-PQ INDEX ARTIFACTS for an embedding corpus — the
@@ -583,17 +584,38 @@ def write_pq_index(
     VERIFIED at load — serving queries must be rotated with the same
     salt (``load_pq_index`` returns it in ``params``).  Supplied
     ``centroids=``/``codebooks=`` must already be in rotated space.
+
+    ``residual=True`` (round 14, X69): the true IVFADC index — PQ codes
+    quantize the coarse RESIDUAL ``x − c(x)`` (squared-L2 assignment
+    against RAW centroids, so default centroids are NOT unit-normalized
+    in this mode), and the residual enc ``(vec_id, cent_id, codes)`` is
+    ONE ``cent_id``-partitioned artifact that serves as both the code
+    table and the inverted lists (``path/codes/cent_id=N/``; no
+    separate ``assign`` directory — :func:`load_pq_index` derives the
+    assignment view from it).  Serve the loaded artifacts with
+    :func:`~pyspark_dist_explore_spark.operators.similarity.
+    ivf_pq_residual_topk` (``vectors=None``); the flag rides the
+    sidecar so a raw-space server cannot silently consume a residual
+    index or vice versa.  ``assign_round`` does not apply (the residual
+    path has no rounding branch).
     """
     from pyspark.sql import functions as F
 
     from pyspark_dist_explore_spark.operators.similarity import (
         _unit,
         ivf_coarse_assign,
+        ivf_residuals,
         pq_codebooks,
         pq_encode,
+        pq_residual_codebooks,
         rotate_embeddings,
     )
 
+    if residual and assign_round is not None:
+        raise ValueError(
+            "assign_round does not apply to residual indexes (the L2 "
+            "assignment path has no rounding branch)"
+        )
     kw = dict(
         m=m,
         dim=dim,
@@ -603,14 +625,20 @@ def write_pq_index(
         fit=fit,
         assign_round=assign_round,
         rotation_salt=rotation_salt,
+        residual=residual,
     )
     if rotation_salt is not None:
         vectors = rotate_embeddings(
             vectors, dim=dim, vec_col=vec_col, salt=rotation_salt
         )
     if centroids is None:
+        cv = (
+            F.col(vec_col).cast("array<double>")
+            if residual
+            else _unit(F.col(vec_col))
+        )
         centroids = vectors.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), _unit(F.col(vec_col)).alias("cv")
+            F.col(id_col).alias("cent_id"), cv.alias("cv")
         )
     # the centroid frame feeds BOTH landed artifacts and the assignment
     # build below — stage it once (model-sized: n_centroids rows)
@@ -619,12 +647,36 @@ def write_pq_index(
     ).localCheckpoint(eager=False)
     cents.write.mode(mode).parquet(f"{path}/centroids")
     if codebooks is None:
-        codebooks = pq_codebooks(
-            vectors, m=m, dim=dim, n_codes=n_codes,
-            id_col=id_col, vec_col=vec_col, fit=fit,
-        )
+        if residual:
+            codebooks = pq_residual_codebooks(
+                vectors, cents, m=m, dim=dim, n_codes=n_codes,
+                id_col=id_col, vec_col=vec_col, fit=fit,
+            )
+        else:
+            codebooks = pq_codebooks(
+                vectors, m=m, dim=dim, n_codes=n_codes,
+                id_col=id_col, vec_col=vec_col, fit=fit,
+            )
     cb = codebooks.select("sub", "code", "cv").localCheckpoint(eager=False)
     cb.write.mode(mode).parquet(f"{path}/codebooks")
+    if residual:
+        # ONE artifact: the residual enc is the code table AND the
+        # inverted lists — partitioned on cent_id so a probe prunes to
+        # the list directories it hits (same repartition-first
+        # discipline as the raw-space assign write below)
+        enc = pq_encode(
+            ivf_residuals(
+                vectors, cents, n_assign=n_assign,
+                id_col=id_col, vec_col=vec_col,
+            ),
+            cb, m=m, dim=dim,
+            id_col="vec_id", vec_col="residual", keep=("cent_id",),
+        )
+        enc.repartition("cent_id").write.mode(mode).partitionBy(
+            "cent_id"
+        ).parquet(f"{path}/codes")
+        _write_json_sidecar(vectors.sparkSession, f"{path}/_params.json", kw)
+        return
     pq_encode(
         vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col
     ).write.mode(mode).parquet(f"{path}/codes")
@@ -653,8 +705,15 @@ def load_pq_index(spark: SparkSession, path: str, *, expect: dict | None = None)
     as ``centroids=``/``codebooks=``/``codes=``/``assignments=`` with
     ``vectors=None``.  ``expect``: the scheme the caller is about to
     serve with (any of ``m``/``dim``/``n_codes``/``n_centroids``/
-    ``n_assign``/``fit``/``assign_round``) — raises on mismatch instead
-    of silently mis-ranking."""
+    ``n_assign``/``fit``/``assign_round``/``residual``) — raises on
+    mismatch instead of silently mis-ranking.
+
+    For a ``residual=True`` index the ``codes`` frame is the residual
+    enc ``(vec_id, cent_id, codes)`` — pass it to
+    :func:`~pyspark_dist_explore_spark.operators.similarity.
+    ivf_pq_residual_topk` as ``enc=`` — and the ``assignments`` frame
+    is a projection of the same artifact (no second read; the
+    cent_id-pruned directories back both)."""
     params = _read_json_sidecar(spark, f"{path}/_params.json")
     if expect is not None:
         diffs = {k: (params.get(k), v) for k, v in expect.items() if params.get(k) != v}
@@ -663,10 +722,19 @@ def load_pq_index(spark: SparkSession, path: str, *, expect: dict | None = None)
                 f"PQ index at {path} was built with a different scheme: {diffs} "
                 "(stored, expected) — serving against it would silently mis-rank"
             )
+    codes = spark.read.parquet(f"{path}/codes")
+    if params.get("residual"):
+        return (
+            spark.read.parquet(f"{path}/centroids"),
+            spark.read.parquet(f"{path}/codebooks"),
+            codes,
+            codes.select("vec_id", "cent_id"),
+            params,
+        )
     return (
         spark.read.parquet(f"{path}/centroids"),
         spark.read.parquet(f"{path}/codebooks"),
-        spark.read.parquet(f"{path}/codes"),
+        codes,
         spark.read.parquet(f"{path}/assign"),
         params,
     )

@@ -839,3 +839,67 @@ def test_tar_shards_verify_detects_tamper_and_guards(spark, tmp_path):
         sinks.write_tar_shards(docs, out, shards=2, members={"txt": "doc_id"})
     with pytest.raises(ValueError, match="may not contain"):
         sinks.write_tar_shards(docs, out, shards=2, members={"a.b": "text"})
+
+
+def test_pq_index_residual_round_trip(spark, tmp_path):
+    """X69 landed form: write_pq_index(residual=True) lands the
+    residual enc as ONE cent_id-partitioned artifact (code table ==
+    inverted lists, no assign/ directory); ivf_pq_residual_topk over
+    the LOADED artifacts with vectors=None equals the in-memory
+    composition bit for bit; the sidecar flag separates the two index
+    kinds loudly; assign_round is refused in residual mode."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.operators import similarity
+    from pyspark_dist_explore_spark.sources.sinks import (
+        load_pq_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1e6)),
+        ).alias("embedding"),
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pqres")
+    kw = dict(m=8, dim=64, n_codes=16, n_centroids=8, residual=True)
+    write_pq_index(emb, path, **kw)
+
+    cents, cb, codes, assign, params = load_pq_index(spark, path, expect=kw)
+    assert params["residual"] is True
+    assert not os.path.exists(f"{path}/assign"), (
+        "residual index must not land a separate assign artifact"
+    )
+    assert any(d.startswith("cent_id=") for d in os.listdir(f"{path}/codes"))
+    assert set(codes.columns) == {"vec_id", "codes", "cent_id"}
+    assert assign.count() == emb.count()
+
+    serve_kw = dict(k=5, m=8, dim=64, n_codes=16, n_centroids=8, n_probe=4)
+    from_loaded = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], int(r["score"]))
+        for r in similarity.ivf_pq_residual_topk(
+            None, q, centroids=cents, codebooks=cb, enc=codes, **serve_kw
+        ).collect()
+    )
+    from_memory = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], int(r["score"]))
+        for r in similarity.ivf_pq_residual_topk(emb, q, **serve_kw).collect()
+    )
+    assert from_loaded == from_memory and len(from_loaded) == 15
+
+    # a raw-space server must not silently consume a residual index
+    with _pytest.raises(ValueError, match="different scheme"):
+        load_pq_index(spark, path, expect=dict(residual=False))
+    with _pytest.raises(ValueError, match="assign_round"):
+        write_pq_index(
+            emb, str(tmp_path / "bad"), m=8, dim=64,
+            residual=True, assign_round=6,
+        )
