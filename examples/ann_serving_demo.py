@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pyspark.sql import SparkSession, functions as F
 
 from pyspark_dist_explore_spark import (
+    ivf_pq_residual_topk,
     ivf_pq_topk,
     load_pq_index,
     rotate_embeddings,
@@ -87,6 +88,23 @@ def main() -> None:
     )
     print("top-3 per query from the landed index:")
     hits.orderBy("query_id", "rank").show(9, truncate=False)
+
+    # ---- residual index (X69): the true IVFADC — PQ quantizes x − c,
+    # the enc doubles as code table AND inverted lists; same serve-time
+    # contract, recall lifts when coarse cells outnumber codes ----
+    ridx = f"{work}/pq_index_residual"
+    write_pq_index(
+        emb, ridx, m=8, dim=64, n_codes=16, n_centroids=8, residual=True
+    )
+    rcents, rcb, renc, _ra, _rp = load_pq_index(
+        spark, ridx, expect=dict(residual=True)
+    )
+    rhits = ivf_pq_residual_topk(
+        None, queries, k=3, m=8, dim=64, n_probe=3,
+        centroids=rcents, codebooks=rcb, enc=renc,
+    )
+    print("top-3 per query from the landed RESIDUAL index:")
+    rhits.orderBy("query_id", "rank").show(9, truncate=False)
 
     # ---- stream time (each new crawl micro-batch) ----
     arrivals_dir = f"{work}/arrivals"

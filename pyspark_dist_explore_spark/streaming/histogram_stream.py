@@ -475,6 +475,7 @@ def stream_pq_neardup_filter(
     assignments: DataFrame | None = None,
     n_probe: int = 4,
     rotation_salt: str | None = None,
+    residual: bool = False,
 ):
     """Streaming SEMANTIC near-dup against a LANDED PQ index (the
     embedding analogue of :func:`stream_neardup_filter`, closing the
@@ -504,14 +505,29 @@ def stream_pq_neardup_filter(
     other in-flight batches (the :func:`stream_neardup_filter`
     boundary semantics); fold accepted batches into the next index
     build for cross-run closure.
+
+    ``residual=True`` (X69 closure): serve a
+    ``write_pq_index(residual=True)`` index — ``codes`` is then the
+    residual enc ``(vec_id, cent_id, codes)``, ``centroids`` is
+    required (the residual score needs the coarse term ``q·c``), and
+    ``assignments`` is ignored (the enc carries its own inverted
+    lists).  Check ``load_pq_index``'s ``params['residual']`` to pick
+    the mode — the sidecar guard keeps the two index kinds from
+    cross-serving.
     """
     from pyspark_dist_explore_spark.operators.similarity import (
+        ivf_pq_residual_topk,
         ivf_pq_topk,
         pq_topk,
         rotate_embeddings,
     )
 
-    if (centroids is None) != (assignments is None):
+    if residual and centroids is None:
+        raise ValueError(
+            "residual=True requires centroids (the residual ADC score's "
+            "coarse q-dot-c term comes from the probe stage)"
+        )
+    if not residual and (centroids is None) != (assignments is None):
         raise ValueError(
             "centroids and assignments must be passed together (the IVF "
             "probe needs both halves of the landed coarse quantizer)"
@@ -529,7 +545,19 @@ def stream_pq_neardup_filter(
         # candidate set blows up at the 200k-vector decade; parity when
         # the coarse lists are sized right -- the batch scan bounds the
         # mis-sizing damage)
-        if centroids is not None:
+        if residual:
+            ranked = ivf_pq_residual_topk(
+                None,
+                q,
+                k=1,
+                m=m,
+                dim=dim,
+                n_probe=n_probe,
+                centroids=centroids,
+                codebooks=codebooks,
+                enc=codes,
+            )
+        elif centroids is not None:
             ranked = ivf_pq_topk(
                 None,
                 q,

@@ -1139,3 +1139,75 @@ def test_stream_pq_neardup_filter_foreachbatch(spark, tmp_path):
             cb, codes, lambda b, i: None,
             m=m, dim=dim, threshold=1e11, centroids=cents,
         )
+
+
+def test_stream_pq_neardup_filter_residual_index(spark, tmp_path):
+    """X68↔X69 closure: the streaming filter serves a RESIDUAL landed
+    index — one-hot geometry keeps the pins arithmetic (a re-embedded
+    index vector scores its exact dot and is dropped; an orthogonal
+    vector scores ≤ 0 against every reconstruction and passes); the
+    guard refuses residual mode without the coarse quantizer."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_dist_explore_spark.sources.sinks import (
+        load_pq_index,
+        write_pq_index,
+    )
+    from pyspark_dist_explore_spark.streaming.histogram_stream import (
+        stream_pq_neardup_filter,
+    )
+
+    dim, m = 64, 8
+
+    def onehot(d, scale=1e6):
+        v = [0.0] * dim
+        v[d] = float(scale)
+        return v
+
+    idx = spark.createDataFrame(
+        [(i, onehot(i)) for i in range(12)],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "residx")
+    write_pq_index(
+        idx, path, m=m, dim=dim, n_codes=16, n_centroids=8, residual=True
+    )
+    cents, cb, codes, assign, params = load_pq_index(
+        spark, path, expect={"residual": True}
+    )
+
+    vs = "vec_id bigint, embedding array<double>"
+    d = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(101, onehot(0)), (102, onehot(40))], vs
+    ).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(103, onehot(5)), (104, onehot(50))], vs
+    ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(vs).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    got: list[int] = []
+
+    def sink(batch, batch_id):
+        got.extend(r["vec_id"] for r in batch.collect())
+
+    q = (
+        stream_pq_neardup_filter(
+            stream, cb, codes, sink,
+            m=m, dim=dim, threshold=1e11,
+            centroids=cents, n_probe=8, residual=True,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [102, 104], got
+
+    with _pytest.raises(ValueError, match="residual=True requires"):
+        stream_pq_neardup_filter(
+            stream, cb, codes, sink, m=m, dim=dim,
+            threshold=1e11, residual=True,
+        )
