@@ -986,3 +986,120 @@ SELECT pack_id, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          + n_tokens AS BIGINT) AS "end"
 FROM spm
 """
+
+
+# ---------------------------------------------------------------------------
+# X72: length-bucketed batch shaping (padding-efficiency batching)
+# ---------------------------------------------------------------------------
+
+
+def bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    *,
+    batch_size: int,
+    token_count_col: str | None = None,
+    text_col: str | None = None,
+) -> DataFrame:
+    """Length-bucketed BATCH assignment — the non-packing half of
+    training-batch shaping: sequences sorted by token count (DESC, id
+    ASC ties) and cut into consecutive ``batch_size`` groups, so each
+    batch pads only to ITS OWN max length instead of the corpus max
+    (the classic "bucketing by sequence length" of seq2seq/LLM
+    fine-tuning loaders; packing concatenates into fixed windows, this
+    keeps one sequence per slot and minimizes the pad it must eat).
+
+    Output per row: ``(id, n_tokens, batch_id, pos_in_batch, pad)``
+    where ``pad = batch_max − n_tokens`` (exact BIGINTs — sum(pad) is
+    the wasted-token bill the A/B pytest pins at ~30× below
+    arrival-order batching on the real corpus).  The LAST batch may be
+    short (the remainder).
+
+    Scale shape — the global length rank WITHOUT a global sort (the X53
+    two-level rank discipline): ONE tiny per-length count aggregate
+    (≤ distinct-lengths rows, driver-small for any real token
+    distribution) gets exclusive cumulative offsets on a single-
+    partition window over that TINY frame; each row's global rank is
+    then ``offset(its length) + rank-within-length`` — a window
+    partitioned BY LENGTH, so the corpus shuffle is hash-partitioned,
+    never range-sorted.  One more batch-partitioned window computes the
+    batch max.  Every key is an exact integer; the DuckDB twin
+    (:func:`bucket_batches_sql`) spells the same arithmetic over a
+    plain ``row_number`` and must match row for row (class A)."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if (token_count_col is None) == (text_col is None):
+        raise ValueError("provide exactly one of token_count_col / text_col")
+    if token_count_col is not None:
+        n_tokens = F.col(token_count_col).cast("bigint")
+    else:
+        from pyspark_dist_explore_spark.operators.dedup import normalize_text
+
+        norm = normalize_text(F.col(text_col))
+        n_tokens = (
+            F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+        ).cast("bigint")
+    base = df.select(F.col(id_col).alias("id"), n_tokens.alias("n_tokens"))
+    # level 1: per-length counts (tiny) -> exclusive offsets in global
+    # (n DESC) order; single-partition window over the distinct-length
+    # frame only
+    counts = base.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.orderBy(F.col("n_tokens").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "n_tokens",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    # level 2: rank within each length by id, lift by the broadcast
+    # offset -> exact global (n DESC, id ASC) rank, no global sort
+    w_in = Window.partitionBy("n_tokens").orderBy(F.col("id").asc())
+    ranked = (
+        base.join(F.broadcast(offsets), "n_tokens")
+        .withColumn(
+            "__rk", F.col("__off") + F.row_number().over(w_in) - F.lit(1)
+        )
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("__rk") / batch_size).cast("bigint").alias("batch_id"),
+            (F.col("__rk") % batch_size).cast("int").alias("pos_in_batch"),
+        )
+    )
+    w_batch = Window.partitionBy("batch_id")
+    return ranked.withColumn(
+        "pad", (F.max("n_tokens").over(w_batch) - F.col("n_tokens")).cast("bigint")
+    )
+
+
+def bucket_batches_sql(
+    src: str,
+    id_col: str,
+    *,
+    batch_size: int,
+    token_count_expr: str,
+) -> str:
+    """DuckDB twin of :func:`bucket_batches` — the same (n DESC, id
+    ASC) total order via a plain ``row_number``, the same floor-div/mod
+    batch arithmetic, the same batch-max pad; all integers.  ``src``
+    must yield ``{id_col}`` and the columns ``token_count_expr`` reads;
+    emits ``(id, n_tokens, batch_id, pos_in_batch, pad)``."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    return f"""
+SELECT id, n_tokens,
+       CAST((rk - 1) // {batch_size} AS BIGINT) AS batch_id,
+       CAST((rk - 1) % {batch_size} AS INT) AS pos_in_batch,
+       CAST(max(n_tokens) OVER (PARTITION BY (rk - 1) // {batch_size})
+            - n_tokens AS BIGINT) AS pad
+FROM (
+  SELECT CAST({id_col} AS BIGINT) AS id,
+         CAST({token_count_expr} AS BIGINT) AS n_tokens,
+         row_number() OVER (
+           ORDER BY CAST({token_count_expr} AS BIGINT) DESC,
+                    CAST({id_col} AS BIGINT) ASC
+         ) AS rk
+  FROM ({src})
+)
+"""

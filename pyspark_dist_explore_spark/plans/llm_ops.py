@@ -1878,6 +1878,8 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from pyspark_dist_explore_spark.operators.packing import (  # noqa: E402
     _PACK_STRIDE,
+    bucket_batches,
+    bucket_batches_sql,
     chunk_documents,
     chunk_ids,
     chunk_pack_modes_sql,
@@ -1960,6 +1962,16 @@ FROM rel"""
 UNION ALL
 SELECT 'related' AS mode, chunk_id, n_tokens, bucket, pack_id, oversize
 FROM ({_related_pack_sql()})
+UNION ALL
+SELECT 'batch' AS mode, id AS chunk_id, n_tokens,
+       pos_in_batch AS bucket, batch_id AS pack_id,
+       CAST(pad AS INT) AS oversize
+FROM ({bucket_batches_sql(
+        "SELECT doc_id, text FROM documents",
+        "doc_id",
+        batch_size=16,
+        token_count_expr=_MIX_NTOK,
+    )})
 """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2005,7 +2017,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packs.  Spans are exact BIGINTs (class A); the shared section
     schema carries ``start`` in ``bucket`` and ``end`` in ``oversize``
     (both < 2³¹: spans are bounded by the 512-token pack budget), so
-    every offset of every pack hash-checks cross-engine."""
+    every offset of every pack hash-checks cross-engine.
+
+    Round 14b adds ``mode='batch'`` — X72 LENGTH-BUCKETED BATCH SHAPING
+    (:func:`~pyspark_dist_explore_spark.operators.packing.
+    bucket_batches`): whole docs sorted by token count and cut into
+    16-doc batches via the X53 two-level rank (per-length counts +
+    within-length rank — NO global sort), each batch padding only to
+    its own max.  ``pos_in_batch`` rides ``bucket``, ``batch_id`` rides
+    ``pack_id``, the per-row pad rides ``oversize`` — exact integers,
+    class A; the padding-waste A/B (bucketed ≈ 28× below arrival-order
+    batches on this corpus) stays pytest-pinned."""
     parts = pack_sequences_parts(spark, sf_dir)
     out = None
     for df in parts.values():
@@ -2092,12 +2114,27 @@ def pack_sequences_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFra
         "pack_id",
         "oversize",
     )
+    # X72 (round 14b): length-bucketed BATCH shaping over whole docs —
+    # the non-packing half of batch prep (one sequence per slot, each
+    # batch pads only to its own max).  pos_in_batch rides `bucket`,
+    # batch_id rides `pack_id`, the per-row pad rides `oversize` (all
+    # exact ints < 2^31 — class A); the 28x padding-waste A/B vs
+    # arrival-order batches stays pytest-pinned.
+    batch = bucket_batches(docs, "doc_id", batch_size=16, text_col="text").select(
+        F.lit("batch").alias("mode"),
+        F.col("id").alias("chunk_id"),
+        "n_tokens",
+        F.col("pos_in_batch").alias("bucket"),
+        F.col("batch_id").alias("pack_id"),
+        F.col("pad").cast("int").alias("oversize"),
+    )
     return {
         "cumsum": out[0],
         "greedy": out[1],
         "ffd": out[2],
         "span": span,
         "related": rel,
+        "batch": batch,
     }
 
 

@@ -8988,3 +8988,94 @@ def test_weighted_reservoir_distribution_and_guards(spark):
         sampling.weighted_reservoir_sample(bad, 0, weight_col="w")
     with pytest.raises(ValueError, match="k must be"):
         sampling.weighted_reservoir_sample_sql("SELECT 1", 0, weight_col="w")
+
+
+# --------------------------------------------------------------------------
+# X72: length-bucketed batch shaping
+# --------------------------------------------------------------------------
+
+
+def test_bucket_batches_matches_duckdb(spark):
+    """X72 twin: the two-level-rank batch assignment (per-length counts
+    + within-length rank, no global sort) equals the DuckDB plain
+    row_number form row for row — same (n DESC, id ASC) total order,
+    same floor-div/mod batch arithmetic, same batch-max pad; all exact
+    integers."""
+    from tests.oracle_utils import duckdb_con
+    from pyspark_dist_explore_spark.operators import packing
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in packing.bucket_batches(
+            docs, "doc_id", batch_size=16, text_col="text"
+        ).collect()
+    )
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    ntok = f"CASE WHEN {norm} = '' THEN 0 ELSE len(string_split({norm}, ' ')) END"
+    con = duckdb_con("/root/testdata/sf0.001")
+    try:
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                packing.bucket_batches_sql(
+                    "SELECT doc_id, text FROM documents",
+                    "doc_id",
+                    batch_size=16,
+                    token_count_expr=ntok,
+                )
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want and len(got) == 500
+
+
+def test_bucket_batches_pad_efficiency_and_guards(spark):
+    """X72 semantics: every batch is full except possibly the last;
+    pad is the gap to the batch max; and the MOTIVATION is measured —
+    bucketing by length cuts total padding waste >10× vs arrival-order
+    (md5-ordered) batches of the same size on the real corpus
+    (development measurement: 677 vs 19 385 wasted tokens, 28.6×)."""
+    from pyspark.sql import Window as W
+
+    from pyspark_dist_explore_spark.operators import packing
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bb = packing.bucket_batches(docs, "doc_id", batch_size=16, text_col="text")
+    rows = bb.collect()
+    by_batch: dict = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    n_full = sum(1 for v in by_batch.values() if len(v) == 16)
+    assert n_full >= len(by_batch) - 1
+    for v in by_batch.values():
+        mx = max(r["n_tokens"] for r in v)
+        assert all(r["pad"] == mx - r["n_tokens"] for r in v)
+        assert sorted(r["pos_in_batch"] for r in v) == list(range(len(v)))
+
+    waste_bucketed = sum(r["pad"] for r in rows)
+    arr = (
+        docs.select(F.col("doc_id").alias("id"))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.md5(F.col("id").cast("string"))))
+            - 1,
+        )
+        .join(bb.select("id", "n_tokens"), "id")
+        .withColumn("batch_id", (F.col("rk") / 16).cast("bigint"))
+        .withColumn(
+            "pad",
+            F.max("n_tokens").over(W.partitionBy("batch_id")) - F.col("n_tokens"),
+        )
+    )
+    waste_arrival = arr.agg(F.sum("pad")).collect()[0][0]
+    assert waste_bucketed * 10 < waste_arrival, (waste_bucketed, waste_arrival)
+
+    with pytest.raises(ValueError, match="batch_size"):
+        packing.bucket_batches(docs, "doc_id", batch_size=0, text_col="text")
+    with pytest.raises(ValueError, match="exactly one"):
+        packing.bucket_batches(docs, "doc_id", batch_size=4)
+    with pytest.raises(ValueError, match="batch_size"):
+        packing.bucket_batches_sql("SELECT 1", "doc_id", batch_size=0,
+                                   token_count_expr="1")

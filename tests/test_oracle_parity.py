@@ -45,6 +45,10 @@ def test_transcendental_oracle_allowlist():
         "text_tfidf",                # idf ln
         "histogram_drift_groups",    # PSI ln
         "scalar_unpivot_part",       # price_ln
+        "corpus_token_budget",       # X70 A-ES key ln(u)/w — audited by
+        # knife_probe.py's RANK-GAP variant (the hashed artifact is the
+        # selected set + ranks, so the fragile quantity is the adjacent
+        # key gap, ~1e12 ulps at both gate scales; ORACLES.md r14 row)
     }
     offenders = []
     for name, spec in REGISTRY.items():
