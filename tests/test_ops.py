@@ -9079,3 +9079,57 @@ def test_bucket_batches_pad_efficiency_and_guards(spark):
     with pytest.raises(ValueError, match="batch_size"):
         packing.bucket_batches_sql("SELECT 1", "doc_id", batch_size=0,
                                    token_count_expr="1")
+
+
+def test_residual_coarse_stage_commutes_with_rotation(spark):
+    """X67⊗X69 invariance, scoped to where it actually holds: the
+    signed permutation preserves dots and squared-L2, so the COARSE
+    stage — assignments and the probed candidate sets — is identical
+    after rotating corpus + queries.  The ADC scores legitimately
+    CHANGE (the permutation moves coordinates across PQ subspaces,
+    which is the entire OPQ point), so full-score commutation is only
+    expected — and separately pinned — in the all-subvector exact
+    regime."""
+    emb6 = _pq_grid_emb(spark)
+    cents_plain = emb6.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    rot = similarity.rotate_embeddings(emb6, dim=64, salt="comm")
+    cents_rot = rot.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    a = sorted(
+        (r["vec_id"], r["cent_id"])
+        for r in similarity.ivf_residuals(emb6, cents_plain).select(
+            "vec_id", "cent_id"
+        ).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cent_id"])
+        for r in similarity.ivf_residuals(rot, cents_rot).select(
+            "vec_id", "cent_id"
+        ).collect()
+    )
+    assert a == b and len(a) == 500
+
+    # and in the exact regime (all-residual codebook, full probe) the
+    # SCORES commute too: both sides equal the brute-force dot ranking
+    q = emb6.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q_rot = similarity.rotate_embeddings(q, dim=64, salt="comm")
+    plain = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], int(r["score"]))
+        for r in similarity.ivf_pq_residual_topk(
+            emb6, q, k=5, m=8, dim=64, n_codes=500, n_centroids=8, n_probe=8
+        ).collect()
+    )
+    rotated = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], int(r["score"]))
+        for r in similarity.ivf_pq_residual_topk(
+            rot, q_rot, k=5, m=8, dim=64, n_codes=500, n_centroids=8, n_probe=8
+        ).collect()
+    )
+    assert plain == rotated and len(plain) == 15
