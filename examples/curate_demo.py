@@ -162,6 +162,51 @@ def main() -> None:
 
     verify_training_shards(spark, f"{work}/shards").show()
 
+    # 6b. the OTHER two batch-prep shapes (round 14b) ----------------------
+    # X72: length-bucketed batches — one sequence per slot, each batch
+    # pads only to its own max (vs packing's concatenation); the pad
+    # column is the wasted-token bill, ~28x below arrival-order batches
+    from pyspark_dist_explore_spark import bucket_batches
+
+    bat = bucket_batches(
+        with_tok, "doc_id", batch_size=16, token_count_col="n_tok"
+    )
+    bat.groupBy().agg(
+        F.countDistinct("batch_id").alias("batches"),
+        F.sum("pad").alias("padding_tokens_wasted"),
+    ).show()
+    # X70: weighted reservoir draw — 5 docs per language ∝ token count,
+    # deterministic (same salt = same sample on any engine/partitioning)
+    from pyspark_dist_explore_spark import weighted_reservoir_sample
+
+    wrs = weighted_reservoir_sample(
+        with_tok.withColumn("w", F.col("n_tok") + 1),
+        5, weight_col="w", group_col="lang_pred", id_col="doc_id",
+        salt="audit0",
+    )
+    print("weighted audit sample (5 per language, ∝ tokens):",
+          sorted(r["doc_id"] for r in wrs.collect()))
+
+    # 6c. X71: the SAME curated stream as WebDataset tar shards — the
+    # sequential-IO layout multimodal loaders consume; byte-deterministic
+    # (same salt ⇒ identical tar md5s), verified like the parquet dump
+    from pyspark_dist_explore_spark import (
+        verify_tar_shards,
+        write_tar_shards,
+    )
+
+    write_tar_shards(
+        stream.select(
+            F.concat_ws(":", "doc_id", "epoch").alias("row_key"), "text"
+        ),
+        f"{work}/wds",
+        shards=4,
+        members={"txt": "text"},
+        key_col="row_key",
+        salt="epoch0",
+    )
+    verify_tar_shards(spark, f"{work}/wds").show()
+
     # 7b. the ORDER a mixture implies (X53): stride-scheduled
     # proportional interleave of the epoch stream by SOURCE (this
     # synthetic corpus lang-ids everything 'en', so source is the
