@@ -3211,3 +3211,92 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, score FROM (
   GROUP BY p.query_id, a.vec_id
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# X73: hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+
+def mine_hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    *,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    floor: float | None = None,
+    route: str = "exact",
+    oversample: int = 4,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Mine HARD NEGATIVES for contrastive/embedding training: per
+    anchor, the ``k`` most-similar corpus vectors whose cosine stays
+    BELOW ``dup_threshold`` — near the decision boundary (hard) but not
+    plausibly the same item (negative).  In-batch/random negatives are
+    trivially separable; retrieval encoders train on exactly this band
+    (the public DPR/ANCE/SimCSE recipe: "top-ranked non-positives from
+    the current index").  ``floor=`` optionally drops easy negatives
+    below a minimum cosine, leaving the band ``[floor, dup_threshold)``.
+
+    ``route='exact'`` scores every (anchor, vector) pair — the
+    ground-truth form, anchor-count-bounded (anchors are broadcast; the
+    corpus is scanned once per batch of anchors).  ``route='ivf'`` runs
+    :func:`ivf_topk` with ``k·oversample`` candidates first and applies
+    the band filter to that probe-bounded set — the corpus-scale form;
+    it may return FEWER than ``k`` per anchor when the probed lists
+    hold too few in-band vectors (raise ``oversample``/``n_probe``);
+    recall vs the exact route is pytest-pinned.
+
+    Deterministic: rounded-@6 cosine, (cos DESC, vec_id ASC) rank, no
+    RNG.  Output ``(query_id, rank, vec_id, cos_sim)`` — the same shape
+    as :func:`exact_topk`, so the pair table feeds
+    :func:`~pyspark_dist_explore_spark.operators.sampling.
+    sample_negatives`-style batch builders directly."""
+    if route not in ("exact", "ivf"):
+        raise ValueError(f"route must be 'exact' or 'ivf', got {route!r}")
+    if floor is not None and floor >= dup_threshold:
+        raise ValueError(
+            f"floor ({floor}) must be < dup_threshold ({dup_threshold})"
+        )
+    if route == "exact":
+        q = anchors.select(
+            F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
+        )
+        v = vectors.select(
+            F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv")
+        )
+        scored = (
+            v.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(_dot_arrow(F.col("qv"), F.col("vv")), 6).alias("cos_sim"),
+            )
+        )
+    else:
+        scored = ivf_topk(
+            vectors,
+            anchors,
+            k=k * oversample,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        ).select("query_id", "vec_id", "cos_sim")
+    band = scored.where(F.col("cos_sim") < dup_threshold)
+    if floor is not None:
+        band = band.where(F.col("cos_sim") >= floor)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        band.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )

@@ -2281,6 +2281,14 @@ FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
   FROM lsh_scored
 ) WHERE rank <= 5
+UNION ALL
+SELECT 'hardneg' AS kind, query_id AS id_a, vec_id AS id_b,
+       CAST(rank AS INT) AS rank, cos_sim
+FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored WHERE cos_sim < {_COS_THRESHOLD}
+) WHERE rank <= 5
 """,
 )
 def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2307,6 +2315,7 @@ def q_vector_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(p["pairs"])
         .unionByName(p["semdedup"])
         .unionByName(p["lsh"])
+        .unionByName(p["hardneg"])
     )
 
 
@@ -2378,7 +2387,28 @@ def vector_exact_search_parts(
         F.col("is_survivor").cast("int").alias("rank"),
         F.lit(None).cast("double").alias("cos_sim"),
     )
-    return {"topk": topk, "pairs": pairs, "semdedup": semdedup, "lsh": lsh}
+    # kind='hardneg' (X73, round 14b): per-anchor top-5 BELOW the dup
+    # threshold — the contrastive-training hard-negative band, over the
+    # same capped corpus and the same audited round@6 cosine grid the
+    # topk/pairs sections hash-check (the DPR/ANCE mining shape; the
+    # ivf route + floor/oversample semantics stay pytest-pinned)
+    hardneg = similarity.mine_hard_negatives(
+        embe, queries, k=5, dup_threshold=_COS_THRESHOLD,
+        query_id_col="query_id",
+    ).select(
+        F.lit("hardneg").alias("kind"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("rank").cast("int").alias("rank"),
+        "cos_sim",
+    )
+    return {
+        "topk": topk,
+        "pairs": pairs,
+        "semdedup": semdedup,
+        "lsh": lsh,
+        "hardneg": hardneg,
+    }
 
 
 def _winnowing_oracle(k: int, window: int) -> str:

@@ -9133,3 +9133,67 @@ def test_residual_coarse_stage_commutes_with_rotation(spark):
         ).collect()
     )
     assert plain == rotated and len(plain) == 15
+
+
+# --------------------------------------------------------------------------
+# X73: hard-negative mining
+# --------------------------------------------------------------------------
+
+
+def test_mine_hard_negatives_band_and_routes(spark):
+    """X73: (a) every mined negative sits strictly inside the
+    [floor, dup_threshold) band and below every excluded near-dup;
+    (b) the exact route equals a reference built from the full scored
+    ranking; (c) the ivf route's hits are a subset of the exact band
+    with a recall floor; (d) guards raise."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    thr = 0.45
+    got = similarity.mine_hard_negatives(
+        emb, anchors, k=5, dup_threshold=thr
+    ).collect()
+    assert len(got) == 25 and all(r["cos_sim"] < thr for r in got)
+
+    # reference: full exact ranking, band-filtered, re-ranked
+    full = similarity.exact_topk(emb, anchors, k=500)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+        for r in full.where(F.col("cos_sim") < thr)
+        .select("query_id", "vec_id", "cos_sim")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    )
+    assert sorted((r["query_id"], r["rank"], r["vec_id"], r["cos_sim"]) for r in got) == want
+
+    # floor bounds the band from below
+    floored = similarity.mine_hard_negatives(
+        emb, anchors, k=50, dup_threshold=thr, floor=0.2
+    ).collect()
+    assert floored and all(0.2 <= r["cos_sim"] < thr for r in floored)
+
+    # ivf route: in-band, and decent overlap with the exact band at a
+    # generous probe
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.mine_hard_negatives(
+            emb, anchors, k=5, dup_threshold=thr, route="ivf",
+            oversample=8, n_centroids=8, n_probe=4,
+        ).collect()
+    }
+    exact_set = {(q, v) for q, _, v, _ in want}
+    assert ivf and len(ivf & exact_set) / len(exact_set) >= 0.2
+
+    with pytest.raises(ValueError, match="route"):
+        similarity.mine_hard_negatives(emb, anchors, route="hnsw")
+    with pytest.raises(ValueError, match="floor"):
+        similarity.mine_hard_negatives(
+            emb, anchors, dup_threshold=0.5, floor=0.6
+        )
