@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -3926,3 +3928,73 @@ LEFT JOIN (
   GROUP BY doc_id
 ) j ON s.doc_id = j.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# X74: compressibility quality signal
+# ---------------------------------------------------------------------------
+
+
+def compression_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    level: int = 6,
+    prefix: str = "",
+) -> DataFrame:
+    """Append the COMPRESSIBILITY quality signal: ``zlib_ratio`` =
+    deflate-compressed bytes / raw utf-8 bytes (plus ``utf8_bytes``) —
+    the "compression filtering" heuristic of public curation pipelines:
+    templated / boilerplate / highly repetitive text compresses far
+    below prose (ratio ≪ the ~0.4–0.7 natural-language band), while
+    random or already-compressed payloads sit near 1.0; both tails are
+    quality-suspect.  Complements the n-gram repetition battery (X5h/
+    X32): deflate's 32 KB window catches long-range and APPROXIMATE
+    repetition structure that fixed-n gram counts miss.
+
+    Scale shape: ONE Arrow-batched pandas UDF (zlib is row-local CPU,
+    no shuffle, no collect); deterministic for a fixed ``level`` and
+    zlib build (pytest pins Spark == driver-side ``zlib.compress``
+    byte-for-byte on the real corpus — library-checked, never a hash
+    oracle: DuckDB carries no deflate).  NULL text → NULL signals;
+    empty text → ratio NULL (no bytes to compress), ``utf8_bytes`` 0.
+    """
+    import zlib
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    if not 0 <= level <= 9:
+        raise ValueError(f"level must be in [0, 9], got {level}")
+    out_t = StructType(
+        [
+            StructField("utf8_bytes", LongType()),
+            StructField("zlib_ratio", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _sig(texts: pd.Series) -> pd.DataFrame:
+        n_bytes, ratios = [], []
+        for t in texts:
+            if t is None:
+                n_bytes.append(None)
+                ratios.append(None)
+                continue
+            raw = t.encode("utf-8")
+            n_bytes.append(len(raw))
+            ratios.append(
+                len(zlib.compress(raw, level)) / len(raw) if raw else None
+            )
+        return pd.DataFrame({"utf8_bytes": n_bytes, "zlib_ratio": ratios})
+
+    # materialize the struct ONCE, then expand — two bare withColumn
+    # calls on the UDF result would rely on CSE to avoid compressing
+    # every row twice
+    return (
+        df.withColumn("__sig", _sig(F.col(text_col)))
+        .withColumn(f"{prefix}utf8_bytes", F.col("__sig.utf8_bytes"))
+        .withColumn(f"{prefix}zlib_ratio", F.col("__sig.zlib_ratio"))
+        .drop("__sig")
+    )

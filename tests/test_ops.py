@@ -9197,3 +9197,62 @@ def test_mine_hard_negatives_band_and_routes(spark):
         similarity.mine_hard_negatives(
             emb, anchors, dup_threshold=0.5, floor=0.6
         )
+
+
+# --------------------------------------------------------------------------
+# X74: compressibility quality signal
+# --------------------------------------------------------------------------
+
+
+def test_compression_signals_match_zlib_and_separate_quality(spark):
+    """X74: the distributed signal equals driver-side zlib byte for
+    byte on the real corpus; templated/repetitive text lands far below
+    the natural-language band while random-ish text lands above it;
+    NULL/empty semantics and the level guard hold."""
+    import zlib
+
+    from pyspark_dist_explore_spark.operators import textstats as ts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: (r["utf8_bytes"], r["zlib_ratio"])
+        for r in ts.compression_signals(docs).select(
+            "doc_id", "utf8_bytes", "zlib_ratio"
+        ).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        raw = r["text"].encode("utf-8")
+        want = (len(raw), len(zlib.compress(raw, 6)) / len(raw) if raw else None)
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+    import numpy as _np
+
+    rng = _np.random.RandomState(3)
+    alphabet = list(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?"
+    )
+    high_entropy = "".join(rng.choice(alphabet) for _ in range(2000))
+    probe = spark.createDataFrame(
+        [
+            (1, "the same line repeats here " * 80),
+            (2, high_entropy),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    p = {
+        r["doc_id"]: (r["utf8_bytes"], r["zlib_ratio"])
+        for r in ts.compression_signals(probe).collect()
+    }
+    assert p[1][1] < 0.1 < p[2][1], p  # template vs high-entropy band
+    assert p[3] == (None, None)
+    assert p[4] == (0, None)
+
+    # corpus prose sits in the natural-language band, away from both
+    # quality-suspect tails
+    ratios = [v[1] for v in got.values()]
+    assert 0.2 < sum(ratios) / len(ratios) < 0.9
+
+    with pytest.raises(ValueError, match="level"):
+        ts.compression_signals(docs, level=11)
