@@ -899,18 +899,28 @@ def simhash_neardup(
     *,
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    stage: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ ``max_hamming``.
 
     Candidate generation bands the hash into 4 equal chunks (16 bits for
     xxhash64, 15 for the md5 variant; pigeonhole: distance ≤3 ⇒ ≥1
     identical chunk), so the join is on small buckets, not a cross join.
+
+    ``stage=True`` ``localCheckpoint``s the signature table (lazily)
+    before the chunk self-join — both join sides otherwise re-run the
+    explode → 60/64-column bit-sum aggregate (the dominant cost; the
+    semantic_dedup ``stage=`` pattern).  Default False keeps the
+    operator job-free for callers that persist/land signatures
+    themselves.
     """
     if hash_fn not in SIMHASH_BITS:
         raise ValueError(f"hash_fn must be one of {sorted(SIMHASH_BITS)}, got {hash_fn!r}")
     chunk_bits = SIMHASH_BITS[hash_fn] // 4
     chunk_mask = (1 << chunk_bits) - 1
     sig = simhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
+    if stage:
+        sig = sig.localCheckpoint(eager=False)
     chunks = sig.select(
         "doc_id",
         "sim",

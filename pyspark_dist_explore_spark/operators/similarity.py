@@ -81,6 +81,39 @@ def _unit(arr: Column) -> Column:
     )
 
 
+def exact_scores(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The full (query, vector) cosine grid both exact rankers consume:
+    ``(query_id, vec_id, cos_sim)`` with cosine rounded @6 and
+    self-matches excluded.  ``queries`` must be small (broadcast).
+
+    Exposed so a caller that needs MORE than one ranking over the same
+    grid (:func:`exact_topk` AND :func:`mine_hard_negatives`, say) can
+    compute it once — stage it and pass it via their ``scores=`` —
+    instead of paying the broadcast-crossJoin scoring pass per ranking
+    (guide §2.4: shared subtrees are computed per consumer otherwise).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
+    )
+    v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
+    return (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot_arrow(F.col("qv"), F.col("vv")), 6).alias("cos_sim"),
+        )
+    )
+
+
 def exact_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -89,24 +122,27 @@ def exact_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: (query_id, rank, vec_id, cos_sim).
 
     ``queries`` must be small (it is broadcast).  Self-matches (same id)
     are excluded.  Deterministic ordering: rounded cosine desc, vec_id asc.
+
+    ``scores=``: a precomputed :func:`exact_scores` grid — the ranking
+    consumes it instead of re-scoring (callers sharing one grid across
+    several rankings stage it once).
     """
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
-    )
-    v = vectors.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv"))
     scored = (
-        v.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(_dot_arrow(F.col("qv"), F.col("vv")), 6).alias("cos_sim"),
+        exact_scores(
+            vectors,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
         )
+        if scores is None
+        else scores
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -3232,6 +3268,7 @@ def mine_hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Mine HARD NEGATIVES for contrastive/embedding training: per
     anchor, the ``k`` most-similar corpus vectors whose cosine stays
@@ -3255,28 +3292,32 @@ def mine_hard_negatives(
     RNG.  Output ``(query_id, rank, vec_id, cos_sim)`` — the same shape
     as :func:`exact_topk`, so the pair table feeds
     :func:`~pyspark_dist_explore_spark.operators.sampling.
-    sample_negatives`-style batch builders directly."""
+    sample_negatives`-style batch builders directly.
+
+    ``scores=`` (``route='exact'`` only): a precomputed
+    :func:`exact_scores` grid — the band filter + ranking consume it
+    instead of re-scoring, so a caller that also ranks
+    :func:`exact_topk` over the same (anchors, corpus) stages the grid
+    once and pays the scoring pass once."""
     if route not in ("exact", "ivf"):
         raise ValueError(f"route must be 'exact' or 'ivf', got {route!r}")
     if floor is not None and floor >= dup_threshold:
         raise ValueError(
             f"floor ({floor}) must be < dup_threshold ({dup_threshold})"
         )
+    if scores is not None and route != "exact":
+        raise ValueError("scores= is only meaningful with route='exact'")
     if route == "exact":
-        q = anchors.select(
-            F.col(query_id_col).alias("query_id"), _unit(F.col(vec_col)).alias("qv")
-        )
-        v = vectors.select(
-            F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("vv")
-        )
         scored = (
-            v.crossJoin(F.broadcast(q))
-            .where(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "vec_id",
-                F.round(_dot_arrow(F.col("qv"), F.col("vv")), 6).alias("cos_sim"),
+            exact_scores(
+                vectors,
+                anchors,
+                id_col=id_col,
+                vec_col=vec_col,
+                query_id_col=query_id_col,
             )
+            if scores is None
+            else scores
         )
     else:
         scored = ivf_topk(

@@ -629,9 +629,18 @@ def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans, and the checkpoint write costs what the re-scans cost.
     # Keep the lazy form; `shingle_rows=` stays available on every
     # builder for deployments whose corpus scan IS the bottleneck.)
+    # r14 opt: stage the SIGNATURE table (not the shingles — that A/B
+    # was a wash, see above): the banding self-join otherwise runs the
+    # shingle+32-min aggregate on BOTH sides; with ``signatures=`` the
+    # band rows derive row-locally from one checkpointed ~N×32 frame
+    # and the heavy aggregate runs once.  The Jaccard verify still
+    # reads the (lazy) shingle rows — that part is unchanged.
+    full_sigs = dedup.minhash_signatures(
+        docs, "text", "doc_id", num_hashes=32, shingle_n=3, hash_fn="md5"
+    ).localCheckpoint(eager=False)
     full = dedup.minhash_neardup(
         docs, "text", "doc_id", threshold=0.8, num_hashes=32, bands=8, shingle_n=3,
-        hash_fn="md5",
+        hash_fn="md5", signatures=full_sigs,
     ).select(F.lit("full").alias("section"), "doc_a", "doc_b", "jaccard")
     snap = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
@@ -843,7 +852,13 @@ def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — is DuckDB-hash-checked.  The 64-bit xxhash64 variant stays
     the library default (faster; same algorithm, wider hash)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_neardup(docs, "text", "doc_id", max_hamming=3, hash_fn="md5")
+    # stage=True (r14 opt): the chunk self-join otherwise runs the
+    # 60-column signature aggregate on BOTH sides — staging the tiny
+    # (doc_id, sim) frame halves the heavy pass (A/B in
+    # OPTIMIZATION_r14.md); identical rows, oracle-checked
+    return dedup.simhash_neardup(
+        docs, "text", "doc_id", max_hamming=3, hash_fn="md5", stage=True
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2043,7 +2058,11 @@ def pack_sequences_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFra
     chunks = chunk_documents(
         docs, "text", "doc_id", max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
     )
-    ids = chunk_ids(chunks)
+    # staged (r14 opt): FOUR union branches (cumsum/greedy/ffd + span
+    # via ffd) re-derive the chunk-id frame from the text scan — one
+    # lazy localCheckpoint of the small (chunk_id, n_tokens, bucket)
+    # rows tokenizes/chunks the corpus once (guide §2.4)
+    ids = chunk_ids(chunks).localCheckpoint(eager=False)
     out = []
     ffd_packed = None
     for mode in ("cumsum", "greedy", "ffd"):
@@ -2056,6 +2075,10 @@ def pack_sequences_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFra
             mode=mode,
         )
         if mode == "ffd":
+            # staged: the span section windows over the SAME ffd packing
+            # — checkpoint so the per-bucket FFD pass runs once, not
+            # once for 'ffd' and again for 'span'
+            packed = packed.localCheckpoint(eager=False)
             ffd_packed = packed
         out.append(
             packed.withColumnRenamed("doc_id", "chunk_id").select(
@@ -2334,7 +2357,17 @@ def vector_exact_search_parts(
     # the exact audit sections search the capped corpus (see _EXACT_CAP);
     # the scale-path sections below (semdedup, lsh) search the full table
     embe = emb.where(F.col("vec_id") < _EXACT_CAP)
-    topk = similarity.exact_topk(embe, queries, k=5, query_id_col="query_id").select(
+    # r14 opt: 'topk' and 'hardneg' rank the SAME (query × capped
+    # corpus) cosine grid — compute it once (exact_scores), stage the
+    # tiny (query_id, vec_id, cos_sim) frame, feed both rankings via
+    # scores= (guide §2.4; arithmetic stays single-sourced in the
+    # library, so the oracle twins are untouched)
+    grid = similarity.exact_scores(
+        embe, queries, query_id_col="query_id"
+    ).localCheckpoint(eager=False)
+    topk = similarity.exact_topk(
+        embe, queries, k=5, query_id_col="query_id", scores=grid
+    ).select(
         F.lit("topk").alias("kind"),
         F.col("query_id").alias("id_a"),
         F.col("vec_id").alias("id_b"),
@@ -2394,7 +2427,7 @@ def vector_exact_search_parts(
     # ivf route + floor/oversample semantics stay pytest-pinned)
     hardneg = similarity.mine_hard_negatives(
         embe, queries, k=5, dup_threshold=_COS_THRESHOLD,
-        query_id_col="query_id",
+        query_id_col="query_id", scores=grid,
     ).select(
         F.lit("hardneg").alias("kind"),
         F.col("query_id").alias("id_a"),
@@ -4127,7 +4160,17 @@ def embedding_quantize_parts(
     # the D4 prototypicality score — through the same argmax aggregate;
     # the 'domain' section derives from it (identical label arithmetic)
     # and the 'proto' section hashes the 1e-6 fixed-point score per id
-    scored = similarity.domain_scores(emb, cents, assign_round=6)
+    # staged (r14 opt): THREE sections (domain, proto, domain_profile)
+    # consume this argmax frame — left lazy the union re-runs the
+    # broadcast-crossJoin argmax aggregate once per branch (the before
+    # plan shows the same SortAggregate subtree three times; 52 parquet
+    # scans across the slot).  One lazy localCheckpoint of the ~N-row
+    # (id, domain, proto_sim) frame computes it once (guide §2.4:
+    # remove repeated subtrees; the snap_sigs/semantic_dedup staging
+    # precedent).  A/B at sf0.1 local[32] is in OPTIMIZATION_r14.md.
+    scored = similarity.domain_scores(emb, cents, assign_round=6).localCheckpoint(
+        eager=False
+    )
     asg = scored.select("vec_id", "domain")
     dom = asg.select(
         F.lit("domain").alias("section"),
@@ -4167,7 +4210,12 @@ def embedding_quantize_parts(
     pq_cb = similarity.pq_codebooks(
         emb6_v, m=_PQ_M, dim=dim, n_codes=_PQ_CODES
     )
-    pq_codes = similarity.pq_encode(emb6_v, pq_cb, m=_PQ_M, dim=dim)
+    # staged (r14 opt): the encoded frame feeds THREE sections (pq,
+    # pq_adc, ivf_pq) — staging the m-codes-per-id rows runs the Arrow
+    # encode pass once instead of once per consuming branch
+    pq_codes = similarity.pq_encode(emb6_v, pq_cb, m=_PQ_M, dim=dim).localCheckpoint(
+        eager=False
+    )
     pq = pq_codes.select(
         F.lit("pq").alias("section"),
         "vec_id",

@@ -9256,3 +9256,55 @@ def test_compression_signals_match_zlib_and_separate_quality(spark):
 
     with pytest.raises(ValueError, match="level"):
         ts.compression_signals(docs, level=11)
+
+
+# --------------------------------------------------------------------------
+# r14 optimization invariants: staged/shared-intermediate forms must be
+# row-identical to the lazy forms they replace in the registered queries
+# --------------------------------------------------------------------------
+
+
+def test_exact_scores_shared_grid_matches_per_ranker_scoring(spark):
+    """The staged exact_scores grid consumed via scores= must reproduce
+    exact_topk AND mine_hard_negatives row-for-row — the
+    vector_exact_search slot shares one grid across both rankings."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    grid = similarity.exact_scores(emb, anchors).localCheckpoint(eager=False)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(similarity.exact_topk(emb, anchors, k=5, scores=grid)) == rows(
+        similarity.exact_topk(emb, anchors, k=5)
+    )
+    assert rows(
+        similarity.mine_hard_negatives(
+            emb, anchors, k=5, dup_threshold=0.45, scores=grid
+        )
+    ) == rows(
+        similarity.mine_hard_negatives(emb, anchors, k=5, dup_threshold=0.45)
+    )
+    with pytest.raises(ValueError, match="scores"):
+        similarity.mine_hard_negatives(
+            emb, anchors, route="ivf", scores=grid
+        )
+
+
+def test_simhash_neardup_staged_matches_lazy(spark):
+    """stage=True (signature localCheckpoint before the chunk self-join)
+    is a pure execution-shape change — identical pair rows."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rows(stage):
+        return sorted(
+            tuple(r)
+            for r in dedup.simhash_neardup(
+                docs, "text", "doc_id", max_hamming=3, hash_fn="md5", stage=stage
+            ).collect()
+        )
+
+    staged = rows(True)
+    assert staged and staged == rows(False)
