@@ -1644,6 +1644,7 @@ def incremental_dedup(
     fp_col: str = "fingerprint",
     bloom_bits: int | None = None,
     bloom_hashes: int = 5,
+    stage: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus snapshot: collapse
     the batch to one row per distinct content (deterministic min-id
@@ -1669,6 +1670,13 @@ def incremental_dedup(
     requires the maybe-seen set to be broadcast-small, i.e. a batch
     whose overlap with the snapshot is low — the normal incremental
     case.  Both paths deterministic; no RNG anywhere.
+
+    ``stage=True`` (bloom path only) ``localCheckpoint``s the flagged
+    batch lazily: its three consumers (the bloom-miss branch, the
+    broadcast candidate probe, the verify anti-join) otherwise each
+    re-run the batch fingerprint aggregate + Arrow membership test
+    (the repo staging pattern; default False keeps the operator
+    job-free).
     """
     batch = fingerprint_dedup(new_df, text_col, id_col)
     seen = seen_fps.select(F.col(fp_col).alias("fingerprint")).distinct()
@@ -1699,6 +1707,8 @@ def incremental_dedup(
 
     h1, h2 = _fp_km_hashes(F.col("fingerprint"))
     flagged = batch.withColumn("__maybe", _maybe_seen(h1, h2))
+    if stage:
+        flagged = flagged.localCheckpoint(eager=False)
     sure_new = flagged.where(~F.col("__maybe")).drop("__maybe")
     cand = flagged.where(F.col("__maybe")).drop("__maybe")
     confirmed = seen.join(

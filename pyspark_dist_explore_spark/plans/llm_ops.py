@@ -336,7 +336,8 @@ def dedup_incremental_parts(
         F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint")
     ).distinct()
     incr = dedup.incremental_dedup(
-        batch, seen, "text", "doc_id", bloom_bits=4096, bloom_hashes=5
+        batch, seen, "text", "doc_id", bloom_bits=4096, bloom_hashes=5,
+        stage=True,  # r14 opt: the flagged batch feeds three branches
     ).select(F.lit("batch").alias("section"), "fingerprint", "survivor_id", "n_dups")
     census = dedup.corpus_overlap(batch, snap, "text", "doc_id")
     stack = "stack({n}, {pairs}) as (fingerprint, n_dups)".format(
@@ -2374,7 +2375,15 @@ def vector_exact_search_parts(
         F.col("rank").cast("int").alias("rank"),
         "cos_sim",
     )
-    pairs = similarity.cosine_neardup_pairs(embe, threshold=_COS_THRESHOLD).select(
+    # n_blocks=1 (r14 opt, the semdedup precedent): the section corpus
+    # is gate-bounded at _EXACT_CAP, so one ≤600² matmul is trivially
+    # memory-safe and the n_blocks² group fan-out is pure task overhead
+    # — A/B warm min-of-3: 1.00 s (8 blocks) → 0.63 s (1 block),
+    # identical pair rows (the tiling partitions the same pair space).
+    # The library default stays 8 for unbounded corpora.
+    pairs = similarity.cosine_neardup_pairs(
+        embe, threshold=_COS_THRESHOLD, n_blocks=1
+    ).select(
         F.lit("pairs").alias("kind"),
         "id_a",
         "id_b",

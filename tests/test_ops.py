@@ -9308,3 +9308,27 @@ def test_simhash_neardup_staged_matches_lazy(spark):
 
     staged = rows(True)
     assert staged and staged == rows(False)
+
+
+def test_incremental_dedup_staged_matches_lazy(spark):
+    """stage=True (lazy checkpoint of the bloom-flagged batch) is a pure
+    execution-shape change — identical survivor rows on both paths."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    seen = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select(F.md5(dedup.normalize_text(F.col("text"))).alias("fingerprint"))
+        .distinct()
+    )
+
+    def rows(stage):
+        return sorted(
+            tuple(r)
+            for r in dedup.incremental_dedup(
+                batch, seen, "text", "doc_id",
+                bloom_bits=4096, bloom_hashes=5, stage=stage,
+            ).collect()
+        )
+
+    staged = rows(True)
+    assert staged and staged == rows(False)
