@@ -323,6 +323,7 @@ def compute_kde(
     num: int = 300,
     pre_bins: int = 1024,
     bandwidth: float | None = None,
+    stage: bool = False,
 ) -> DataFrame:
     """R11: smoothed density curve — Gaussian KDE over ``num`` grid points.
 
@@ -334,6 +335,13 @@ def compute_kde(
     ``plot_density`` intent (smoothed curve, ``num=300``) without scipy;
     kernel math follows pandas-on-Spark ``KdePlotBase.compute_kde_col``
     ($PYSPARK/pandas/plot/core.py:421-463).
+
+    ``stage=True`` ``localCheckpoint``s the ``pre_bins``-bucket weighted
+    histogram (lazily, ≤ pre_bins × series rows): the lazy lineage
+    otherwise re-executes that corpus scan + aggregate once per
+    consumer — the bandwidth stats, the variance join and the final
+    kernel join each re-derive it (the repo staging pattern; default
+    False keeps construction job-free).
     """
     if num < 2:
         raise ValueError(f"num must be >= 2 grid points, got {num}")
@@ -363,6 +371,8 @@ def compute_kde(
             "hi",
         )
     )
+    if stage:
+        centers = centers.localCheckpoint(eager=False)
     # Per-series stats for Silverman bandwidth + total weight, from the binned data.
     stats = centers.groupBy("series").agg(
         F.sum("w").alias("n"),

@@ -361,7 +361,13 @@ def q_hist_density_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "density",
     )
-    k = compute_kde(_hist_sources(spark, sf_dir, _FLAGSHIP), num=300).select(
+    # stage=True (r14 opt): the KDE's pre-binned weighted histogram
+    # feeds the bandwidth stats, the variance join and the kernel join
+    # — left lazy each consumer re-runs the corpus scan + 1024-bucket
+    # aggregate (the before plan shows 24 parquet scans for this slot);
+    # staging the ≤1024-row frame scans the column once.  A/B warm
+    # min-of-3 at sf0.1 local[32] in OPTIMIZATION_r14.md.
+    k = compute_kde(_hist_sources(spark, sf_dir, _FLAGSHIP), num=300, stage=True).select(
         "series",
         F.lit("kde").alias("kind"),
         F.col("i").cast("bigint").alias("i"),

@@ -9332,3 +9332,24 @@ def test_incremental_dedup_staged_matches_lazy(spark):
 
     staged = rows(True)
     assert staged and staged == rows(False)
+
+
+def test_compute_kde_staged_matches_lazy(spark):
+    """stage=True (lazy checkpoint of the pre-binned weighted histogram)
+    must not move the registered surface: densities compared @10 dp,
+    the rounding the registered query (and its oracle) applies exactly
+    because distributed kernel-sum order is partitioning-dependent —
+    raw last-ulp equality is not promised even between two lazy runs."""
+    from pyspark_dist_explore_spark.operators.histogram import compute_kde
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    series = [("price", df, "l_extendedprice")]
+
+    def rows(stage):
+        return sorted(
+            (r["series"], r["i"], round(r["x"], 10), round(r["density"], 10))
+            for r in compute_kde(series, num=50, stage=stage).collect()
+        )
+
+    staged = rows(True)
+    assert staged and staged == rows(False)

@@ -82,7 +82,18 @@ def test_minhash_no_cartesian_product(spark):
 def test_simhash_partial_aggregation(spark):
     plan = _plan(spark, "neardup_simhash")
     assert "CartesianProduct" not in plan
-    assert "partial_sum" in plan  # 64 bit-sums combine map-side
+    # r14: the registered form STAGES the signature table, so the final
+    # plan reads a checkpointed RDD and the bit-sum aggregate executes
+    # inside the checkpoint materialization — pin the map-side partial
+    # on the signature subtree itself (what the checkpoint runs)
+    from pyspark_dist_explore_spark.operators.dedup import simhash_signatures
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sig = simhash_signatures(docs, "text", "doc_id", hash_fn="md5")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sig.explain("formatted")
+    assert "partial_sum" in buf.getvalue()  # 60 bit-sums combine map-side
 
 
 def test_blocked_cosine_single_group_shuffle(spark):
