@@ -645,14 +645,18 @@ def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("full").alias("section"), "doc_a", "doc_b", "jaccard")
     snap = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
-    # signature staging (round 9): the snapshot sig frame feeds BOTH the
-    # band derivation and the estimator verify — computing it once
-    # (lazy localCheckpoint: ~5k tiny rows, materialized at first
-    # action) beats the double shingle+min pass, A/B at sf0.1 local[32]
-    # warm min-of-3: staged 5.20/5.39/5.64 s vs lazy 5.93/6.42/6.61 s
-    snap_sigs = dedup.minhash_signatures(
-        snap, "text", "doc_id", num_hashes=32, shingle_n=3, hash_fn="md5"
-    ).localCheckpoint(eager=False)
+    # r14 opt (supersedes the round-9 separate snap_sigs checkpoint):
+    # MinHash signatures are per-document ROW-LOCAL (shingle within doc,
+    # min over hashes), so the snapshot and batch signature tables are
+    # exactly filters of the staged full-corpus frame — deriving both
+    # from full_sigs removes the 4/5-corpus snap_sigs re-aggregate AND
+    # the 1/5-corpus batch re-minhash inside the incremental probe (the
+    # corpus signature aggregate now runs ONCE; guide §2.4).  Identical
+    # rows by construction, asserted in the A/B and oracle-checked;
+    # same-session interleaved A/B at sf0.1 local[32], full slot:
+    # derived 3.38/3.08/3.15 s vs separate 5.32/5.06/4.24 s.
+    snap_sigs = full_sigs.where(F.col("doc_id") % 5 != 0)
+    batch_sigs = full_sigs.where(F.col("doc_id") % 5 == 0)
     snap_bands = dedup.minhash_band_rows(
         snap, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, hash_fn="md5",
         signatures=snap_sigs,
@@ -660,6 +664,7 @@ def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = dedup.incremental_minhash_neardup(
         batch, snap_bands, snap_sigs, "text", "doc_id",
         threshold=0.8, num_hashes=32, bands=8, shingle_n=3, hash_fn="md5",
+        signatures=batch_sigs,
     ).select(
         F.lit("incremental").alias("section"),
         F.col("doc_id").alias("doc_a"),

@@ -9353,3 +9353,44 @@ def test_compute_kde_staged_matches_lazy(spark):
 
     staged = rows(True)
     assert staged and staged == rows(False)
+
+
+def test_incremental_minhash_derived_sigs_match_separate(spark):
+    """The registered neardup_minhash_lsh derives the snapshot AND batch
+    signature tables by row-local doc_id filters of ONE full-corpus
+    signature frame (signatures are per-document: shingle within doc,
+    min over hashes — so filter-after == filter-before).  Pin that the
+    derived form returns exactly the rows of independently-computed
+    snapshot/batch signatures."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full_sigs = dedup.minhash_signatures(
+        docs, "text", "doc_id", num_hashes=32, shingle_n=3, hash_fn="md5"
+    ).localCheckpoint(eager=False)
+    snap = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+
+    def pairs(snap_sigs, batch_sigs):
+        bands = dedup.minhash_band_rows(
+            snap, "text", "doc_id", num_hashes=32, bands=8, shingle_n=3,
+            hash_fn="md5", signatures=snap_sigs,
+        )
+        return sorted(
+            tuple(r)
+            for r in dedup.incremental_minhash_neardup(
+                batch, bands, snap_sigs, "text", "doc_id",
+                threshold=0.8, num_hashes=32, bands=8, shingle_n=3,
+                hash_fn="md5", signatures=batch_sigs,
+            ).collect()
+        )
+
+    derived = pairs(
+        full_sigs.where(F.col("doc_id") % 5 != 0),
+        full_sigs.where(F.col("doc_id") % 5 == 0),
+    )
+    separate = pairs(
+        dedup.minhash_signatures(
+            snap, "text", "doc_id", num_hashes=32, shingle_n=3, hash_fn="md5"
+        ),
+        None,  # the probe re-minhashes the batch itself
+    )
+    assert derived and derived == separate

@@ -76,7 +76,19 @@ def test_minhash_no_cartesian_product(spark):
     CartesianProduct in the plan means the pruning is broken."""
     plan = _plan(spark, "neardup_minhash_lsh")
     assert "CartesianProduct" not in plan
-    assert "partial_min" in plan  # signature mins are map-side partial
+    # r14: the registered form derives snapshot AND batch signature
+    # tables from ONE staged full-corpus signature frame, so the final
+    # plan reads a checkpointed RDD and the min aggregate executes
+    # inside the checkpoint materialization (the simhash precedent
+    # below) — pin the map-side partial on the signature subtree itself
+    from pyspark_dist_explore_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sig = minhash_signatures(docs, "text", "doc_id", hash_fn="md5")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sig.explain("formatted")
+    assert "partial_min" in buf.getvalue()  # signature mins combine map-side
 
 
 def test_simhash_partial_aggregation(spark):
