@@ -1185,27 +1185,34 @@ def neardup_clusters(
     edge list is localCheckpoint-ed once — it is joined every round and
     must not re-execute its upstream pair pipeline).  The loop stops at
     the first round with zero label changes — the convergence count is
-    the one tiny action per round.  Labels are (id, id)-shaped — 2
+    the ONLY action per round: the checkpoints are lazy, so the count
+    job materializes the round's blocks as it runs (r14: merging the
+    two actions per round removed a planning round + job each).  Labels are (id, id)-shaped — 2
     longs per doc — so 100 TB of text is still only GBs of label state
     shuffling on the id key.  The FINAL round's state backs the
     returned frame and stays pinned until the driver reference is
     garbage-collected (Spark's ContextCleaner then drops the blocks).
     """
     src = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    # materialize the edge list ONCE: every round joins against it, and
+    # checkpoint the edge list ONCE: every round joins against it, and
     # without this the whole upstream pair pipeline (e.g. a Jaccard
     # self-join) would re-execute per round — measured 3-4× the entire
-    # operator cost on a 186-node graph
+    # operator cost on a 186-node graph.  Lazy (eager=False): round 1's
+    # convergence count is the materializing action, so construction
+    # schedules no job of its own (one fewer action + planning round —
+    # A/B'd at sf0.1, see OPTIMIZATION_r14.md)
     edges = (
         src.union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     if all_ids is not None:
         extra = all_ids.select(F.col(all_ids.columns[0]).alias("doc_id")).distinct()
         nodes = nodes.union(extra).distinct()
-    prev = nodes.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    prev = nodes.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint(
+        eager=False
+    )
     labels = prev
     changed = -1  # sentinel: max_iter == 0 never converged
     for _ in range(max_iter):
@@ -1228,12 +1235,18 @@ def neardup_clusters(
                     F.coalesce(F.col("jump_lbl"), F.col("lbl")),
                 ).alias("lbl"),
             )
-            .localCheckpoint()  # eager: stepped is self-contained blocks now
+            .localCheckpoint(eager=False)
         )
+        # ONE action per round: the convergence count doubles as the
+        # checkpoint's materializing job (lazy checkpoint + count vs
+        # eager checkpoint THEN count — same blocks, one fewer job and
+        # planning round per iteration).  After it, stepped is
+        # self-contained blocks.
         changed = stepped.where(F.col("lbl") != F.col("old_lbl")).count()
         # the superseded round's blocks can go the moment its successor
-        # has materialized — without this, a long run pins every round's
-        # (doc_id, lbl) copy until driver GC gets around to it
+        # has materialized (the count above guarantees it has) — without
+        # this, a long run pins every round's (doc_id, lbl) copy until
+        # driver GC gets around to it
         _release_local_checkpoint(prev)
         prev = stepped
         labels = stepped.select("doc_id", "lbl")

@@ -1033,11 +1033,12 @@ def proportional_interleave(
     # ONE corpus scan feeds the K·S count table; localCheckpoint it so
     # the totals collect, the offsets window, AND the main pass all read
     # the (K·S)-row blocks instead of re-deriving the aggregate — the
-    # whole operator is exactly TWO corpus scans at any size
+    # whole operator is exactly TWO corpus scans at any size.  Lazy: the
+    # totals collect is the materializing action (r14 — no build job)
     counts = (
         tagged.groupBy("__g", "__sh")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     woff = (
         Window.partitionBy("__g")
@@ -1243,7 +1244,9 @@ def sample_negatives(
         (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % shards).alias("__sh"),
     )
     counts = (
-        tagged.groupBy("__sh").agg(F.count(F.lit(1)).alias("__c")).localCheckpoint()
+        tagged.groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
     )
     woff = Window.orderBy("__sh").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

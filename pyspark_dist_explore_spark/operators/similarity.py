@@ -1051,8 +1051,10 @@ def semantic_dedup(
     ``resolve_rounds``-round propagation references the edge list every
     round, and each reference re-executes the blocked-matmul pair
     subtree — measured 7.5–9 s vs ~2 s staged on the sf0.1 registered
-    query.  Default False keeps construction job-free (beyond the
-    KMeans fit, when one runs).
+    query.  The checkpoint is LAZY (r14): the first consuming action
+    materializes the pair blocks, so construction stays job-free even
+    with ``stage=True`` (beyond the KMeans fit, when one runs) — A/B'd
+    −0.6 s on the registered slot vs the eager form.
     """
     from pyspark_dist_explore_spark.operators.dedup import neardup_clusters_lazy
 
@@ -1070,7 +1072,7 @@ def semantic_dedup(
         max_cell_rows=max_cell_rows,
     )
     if stage:
-        pairs = pairs.localCheckpoint()
+        pairs = pairs.localCheckpoint(eager=False)
     return neardup_clusters_lazy(
         pairs,
         a_col="id_a",

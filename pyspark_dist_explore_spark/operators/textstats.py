@@ -2838,8 +2838,9 @@ def unigram_seed_candidates(
     )
     if stage:
         # blocks are released by the ContextCleaner when the returned
-        # frame is dropped — the caller owns the lifetime
-        counts = counts.localCheckpoint()
+        # frame is dropped — the caller owns the lifetime.  Lazy: the
+        # caller's first action materializes (r14 — no build job)
+        counts = counts.localCheckpoint(eager=False)
     chars = counts.where(F.length("piece") == 1)
     multi = (
         counts.where(F.length("piece") > 1)
@@ -3041,7 +3042,9 @@ def unigram_lm_learn(
             "if you accept the driver/closure footprint."
         )
     spark = df.sparkSession
-    types = bpe_word_freqs(df, text_col).localCheckpoint()
+    # lazy: the seed collect below materializes the type table; the EM
+    # rounds then read the blocks (released only in the finally)
+    types = bpe_word_freqs(df, text_col).localCheckpoint(eager=False)
     from pyspark_dist_explore_spark.operators.dedup import (
         _release_local_checkpoint,
     )

@@ -24,11 +24,12 @@ Label state through stages 3–4 is (id, small scalars) — text never
 travels past the pair generator.
 
 Laziness caveat: CONSTRUCTION is not free.  ``neardup_clusters``
-materializes the edge list (localCheckpoint — this eagerly runs the
-scoring scan, exact dedup, and the pair self-join) and executes its
-propagation rounds with a count action per round, all inside the
-``curate_documents`` call; ``materialize=True`` also eagerly
-checkpoints the deduped stage, and ``snapshot_dir=...`` eagerly WRITES
+executes its propagation rounds with one count action per round
+(materializing the round's lazily-checkpointed label state, and — in
+round 1 — the edge list, i.e. the scoring scan, exact dedup, and the
+pair self-join), all inside the ``curate_documents`` call;
+``materialize=True`` checkpoints the deduped stage (lazily — the first
+downstream action runs it), and ``snapshot_dir=...`` eagerly WRITES
 it to parquet and re-reads the files.  Only the RETURNED frame
 (survivor join + split) is lazy.  The deduped intermediate is
 referenced by the pair generator, the cluster label init, and the
@@ -83,7 +84,7 @@ def minhash_pair_fn(
     def fn(kept: DataFrame) -> DataFrame:
         rows = dedup.shingle_rows(kept, "__text", "doc_id", shingle_n)
         if stage:
-            rows = rows.localCheckpoint()
+            rows = rows.localCheckpoint(eager=False)
         return dedup.minhash_neardup(
             kept,
             "__text",
@@ -129,7 +130,7 @@ def containment_pair_fn(
         if stage:
             rows = winnowing_fingerprints(
                 kept, "__text", "doc_id", k=k, window=window
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         return dedup.containment_pairs(
             kept,
             "__text",
@@ -673,8 +674,9 @@ def curate_documents(
         # span rewrite chain per scan.  Opt-in via the same materialize/
         # snapshot_dir knobs as the post-dedup stage (the 100 TB form
         # lands the rewrite to parquet; localCheckpoint is the
-        # single-session equivalent)
-        docs = docs.localCheckpoint()
+        # single-session equivalent — lazy since r14: the first
+        # downstream action materializes, construction stays job-free)
+        docs = docs.localCheckpoint(eager=False)
 
     t = F.col(text_col)
     if scrub:
@@ -882,7 +884,7 @@ def curate_documents(
         kept.write.mode("overwrite").parquet(snapshot_dir)
         kept = docs.sparkSession.read.parquet(snapshot_dir)
     elif materialize:
-        kept = kept.localCheckpoint()
+        kept = kept.localCheckpoint(eager=False)
 
     if pair_fn is None:
         pair_fn = lambda d: dedup.jaccard_pairs_exact(  # noqa: E731

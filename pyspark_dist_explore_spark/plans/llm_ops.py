@@ -1437,7 +1437,9 @@ def sampling_splits_parts(spark: SparkSession, sf_dir: str) -> "dict[str, DataFr
     # type table of a 600-doc slice is ~10³ rows, far under the 1M
     # collect guard).  parts_build dropped ~4 s → ~1.5 s idle.
     bdocs = docs.where(F.col("doc_id") < _BPE_CAP)
-    wf = textstats.bpe_word_freqs(bdocs, "text").localCheckpoint()
+    # lazy checkpoint (r14): the BPE driver fit's type-table collect is
+    # the materializing action; the unigram seed then reads the blocks
+    wf = textstats.bpe_word_freqs(bdocs, "text").localCheckpoint(eager=False)
     learned = textstats.bpe_learn(
         bdocs, "text", k=_BPE_K, word_freqs=wf, fit="driver"
     )
@@ -2568,7 +2570,7 @@ def q_neardup_containment(
     if stage:
         fps = winnowing_fingerprints(
             docs, "text", "doc_id", k=5, window=4, hash_fn="md5"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return containment_pairs(
         docs, "text", "doc_id", threshold=0.5, hash_fn="md5", max_df=50, fp_rows=fps
     )
@@ -3110,11 +3112,15 @@ def text_scrub_repetition_parts(
         "n_lines_kept",
         "n_lines_dropped",
     )
-    # staged gram frame (eager-at-build localCheckpoint, the accepted
-    # registry opt-in): the grams feed BOTH the duplicate-detection
-    # aggregate and the occurrence probe — staging them once measured
-    # 2.10 → 1.56 s at sf0.1 (the 100 TB form lands them to parquet)
-    grams = textstats.span_grams(docs, "text", "doc_id", k=8).localCheckpoint()
+    # staged gram frame (lazy localCheckpoint, the accepted registry
+    # opt-in): the grams feed BOTH the duplicate-detection aggregate and
+    # the occurrence probe — staging them once measured 2.10 → 1.56 s at
+    # sf0.1, and materializing them inside the first consuming action
+    # instead of a build-time job took the slot 3.78 → 3.32 s (r14;
+    # the 100 TB form lands them to parquet)
+    grams = textstats.span_grams(docs, "text", "doc_id", k=8).localCheckpoint(
+        eager=False
+    )
     sd = textstats.drop_duplicate_spans(
         docs, "text", "doc_id", k=8, min_count=2, gram_rows=grams
     ).select(
@@ -3350,7 +3356,7 @@ def q_multimodal_features(
         docs, "doc_id", width=_IMG_W, height=_IMG_H, n_frames=_IMG_FRAMES
     )
     if stage:
-        img = img.localCheckpoint()
+        img = img.localCheckpoint(eager=False)
     resized = multimodal.resize_images(
         img, width=_RESIZE_W, height=_RESIZE_H, decoder=multimodal.decode_bmp
     )
@@ -3819,7 +3825,7 @@ def _perplexity_staged_inputs(
         w = Window.partitionBy("doc_id").orderBy("idx")
         pairs = toks.select(
             "doc_id", "idx", "tok", F.lag("tok", 1).over(w).alias("prev")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         tf = pairs.groupBy("doc_id", F.col("tok").alias("term")).agg(
             F.count(F.lit(1)).alias("tf")
         )

@@ -514,6 +514,38 @@ def test_stage_knob_staged_matches_lazy(spark):
         assert lazy == staged, q.__name__
 
 
+def test_lazy_checkpoint_staging_matches_forced_eager(spark):
+    """r14: every staging localCheckpoint is lazy (eager=False) — the
+    first consuming action materializes the blocks instead of a
+    dedicated build-time job.  Eagerness is pure action TIMING, never
+    content: forcing every checkpoint back to eager=True must reproduce
+    the registered rows bit-for-bit (covers the resolve loop's merged
+    convergence-count materialization, the semdedup pair stage, and the
+    staged section frames)."""
+    from pyspark.sql import DataFrame
+
+    from pyspark_dist_explore_spark.plans.queries import REGISTRY
+
+    slots = [
+        "neardup_clusters",
+        "pipeline_curate",
+        "text_scrub_repetition",
+        "multimodal_features",
+    ]
+    shipped = {
+        s: sorted(map(tuple, REGISTRY[s].build(spark, SF_SMOKE).collect()))
+        for s in slots
+    }
+    orig = DataFrame.localCheckpoint
+    DataFrame.localCheckpoint = lambda self, eager=True: orig(self, eager=True)
+    try:
+        for s in slots:
+            forced = sorted(map(tuple, REGISTRY[s].build(spark, SF_SMOKE).collect()))
+            assert forced == shipped[s], s
+    finally:
+        DataFrame.localCheckpoint = orig
+
+
 def test_semantic_pairs_plan_shape(spark):
     """X22 scale pins: the centroid grid is a BROADCAST nested-loop (never
     a cartesian of data × data), the assignment argmax collapses with
