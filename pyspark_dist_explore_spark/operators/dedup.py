@@ -858,15 +858,38 @@ def _simhash_token_hash(hash_fn: str) -> Column:
     raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
+#: lane width of the packed per-bit counters in :func:`simhash_signatures`
+#: — 3 lanes of 21 bits per BIGINT aggregate column.  Each lane counts
+#: set bits over a doc's distinct tokens, so the packing is exact while
+#: every doc has < 2**21 (≈2M) distinct tokens; the decode asserts the
+#: bound at execution time rather than going silently wrong past it.
+_SIMHASH_LANE_BITS = 21
+_SIMHASH_LANES = 3
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, *, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """(doc_id, sim) SimHash signature table (64-bit, or 60-bit for md5).
 
-    Row-relational: explode distinct tokens → one hash per token →
-    n_bits SUM(±1) partial aggregates by doc_id → sign per bit.
+    Row-relational: explode distinct tokens → one hash per token → a
+    lane-packed per-bit set-count aggregate by doc_id → sign per bit.
     Vectorized hash aggregation (one shuffle by doc_id), no per-element
     lambda folds — ~10× cheaper than the nested-array formulation.
+
+    The per-bit ±1 sums are NOT materialized as ``n_bits`` aggregate
+    columns (the r14 form: 60-64 SUM(CASE…) buffer slots per row).
+    Instead each BIGINT aggregate column packs ``_SIMHASH_LANES``
+    21-bit set-bit COUNTERS (per-token contribution = the 0/1 bit
+    values shifted into their lanes — pure arithmetic, no branches),
+    plus one shared ``count(*)``:  ``sign_i > 0  ⇔  2·c_i > n`` exactly
+    (``±1-sum = 2·c_i − n``), so the signature is bit-identical to the
+    wide form while the aggregation state and partial-aggregate shuffle
+    narrow from 61-65 to ~22-23 longs per doc (guide §2.3: shuffle and
+    compute fewer bytes).  Lane overflow would need a doc with ≥ 2**21
+    distinct tokens; the decode ``assert_true``s the bound so that
+    corpus fails loudly instead of hashing wrong.  Equality with the
+    unpacked form is pytest-pinned (``test_simhash_packed_lanes``).
 
     ``hash_fn="md5"`` derives a 60-bit token hash from the md5 hex
     digest — slower than xxhash64 but available bit-identically in
@@ -874,6 +897,60 @@ def simhash_signatures(
     (the registered driver query uses it; xxhash64 stays the default).
     """
     h_expr = _simhash_token_hash(hash_fn)  # validates hash_fn
+    bits = SIMHASH_BITS[hash_fn]
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).where(F.col("tok") != "")
+    hashed = toks.select("doc_id", h_expr.alias("h"))
+    lane_groups = [
+        list(range(g, min(g + _SIMHASH_LANES, bits)))
+        for g in range(0, bits, _SIMHASH_LANES)
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for gi, group in enumerate(lane_groups):
+        contrib = None
+        for lane, i in enumerate(group):
+            bit = (
+                F.shiftrightunsigned(F.col("h"), i)
+                .bitwiseAND(F.lit(1).cast("bigint"))
+            )
+            term = F.shiftleft(bit, lane * _SIMHASH_LANE_BITS)
+            contrib = term if contrib is None else contrib + term
+        aggs.append(F.sum(contrib).alias(f"g{gi}"))
+    sums = hashed.groupBy("doc_id").agg(*aggs)
+    lane_mask = (1 << _SIMHASH_LANE_BITS) - 1
+    # overflow guard: every lane counter is ≤ n, so n < 2**lane_bits is
+    # sufficient for exactness.  assert_true is NULL when the bound
+    # holds; coalescing it into the count makes the guard ride the
+    # projection without an extra column.
+    n_ok = F.coalesce(
+        F.assert_true(
+            F.col("n") < F.lit(1 << _SIMHASH_LANE_BITS),
+            F.lit(
+                "simhash_signatures: document with >= 2**21 distinct tokens "
+                "overflows the packed per-bit counters"
+            ),
+        ).cast("bigint"),
+        F.col("n"),
+    )
+    sim = F.lit(0).cast("bigint")
+    for gi, group in enumerate(lane_groups):
+        for lane, i in enumerate(group):
+            c = F.shiftrightunsigned(F.col(f"g{gi}"), lane * _SIMHASH_LANE_BITS).bitwiseAND(
+                F.lit(lane_mask).cast("bigint")
+            )
+            sim = sim + F.when(c * 2 > n_ok, _mask(i)).otherwise(F.lit(0).cast("bigint"))
+    return sums.select("doc_id", sim.alias("sim"))
+
+
+def _simhash_signatures_unpacked(
+    df: DataFrame, text_col: str, id_col: str, *, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """The r14 wide-aggregate reference form (one SUM(±1) column per
+    signature bit) — kept ONLY as the equality pin for the lane-packed
+    rewrite above (tests/test_ops.py::test_simhash_packed_lanes)."""
+    h_expr = _simhash_token_hash(hash_fn)
     bits = SIMHASH_BITS[hash_fn]
     toks = df.select(
         F.col(id_col).alias("doc_id"),

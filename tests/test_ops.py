@@ -315,6 +315,30 @@ def test_simhash_close_for_neardups(spark, hash_fn):
     assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])
 
 
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_simhash_packed_lanes(spark, hash_fn):
+    """The r15 lane-packed bit-count aggregate must reproduce the wide
+    SUM(±1) reference form bit for bit — sign_i>0 ⇔ 2·c_i>n is exact
+    integer arithmetic, so any mismatch is a packing bug.  Checked on
+    the hand fixtures AND the sf0.001 corpus (real token spread)."""
+    from tests.conftest import SF_SMOKE
+
+    for docs in (_docs(spark), spark.read.parquet(f"{SF_SMOKE}/documents.parquet")):
+        got = sorted(
+            (r["doc_id"], r["sim"])
+            for r in dedup.simhash_signatures(
+                docs, "text", "doc_id", hash_fn=hash_fn
+            ).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["sim"])
+            for r in dedup._simhash_signatures_unpacked(
+                docs, "text", "doc_id", hash_fn=hash_fn
+            ).collect()
+        )
+        assert got == want
+
+
 def test_simhash_md5_token_hash_matches_duckdb(spark):
     """The md5-variant's 60-bit token hash (conv of the leading 15 md5
     hex chars) must be bit-identical to DuckDB's '0x…'::BIGINT twin —
