@@ -2703,7 +2703,15 @@ def q_vector_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.ivf_topk(
         emb, queries, k=5, n_probe=_IVF_PROBE, centroids=cents, assign_round=6
     )
-    mm = similarity.dimension_minmax(emb, vec_col="embedding")
+    # staged (r15 opt, guide §2.4): the per-dimension min/max aggregate
+    # is consumed by quantize_embeddings AND (twice, via _minmax_row)
+    # ivf_topk_packed — left lazy the full-corpus posexplode+aggregate
+    # ran three times per collect (plans/r15/vector_ann_topk_before.txt
+    # nodes 50/63/108).  One lazy localCheckpoint of the ≤dim-row frame
+    # scans the corpus once; rows unchanged by construction.
+    mm = similarity.dimension_minmax(emb, vec_col="embedding").localCheckpoint(
+        eager=False
+    )
     quant = similarity.quantize_embeddings(emb, mm, id_col="vec_id", vec_col="embedding")
     packed = similarity.ivf_topk_packed(
         quant, mm, queries, k=5, n_probe=_IVF_PROBE, centroids=cents, assign_round=6
