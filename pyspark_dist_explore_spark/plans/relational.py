@@ -849,7 +849,18 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((qty < F.col("approx_median")).cast("long")).alias("lt"),
             F.sum((qty <= F.col("approx_median")).cast("long")).alias("le"),
             F.first("approx_parts").alias("approx_parts"),
+            # r15 opt (guide §2.4): carry the price extrema through this
+            # pass so the histogram verify's global (n, min, max) derives
+            # from the ≤groups-row chk frame instead of a fourth lineitem
+            # scan — sum of per-flag counts / min of mins / max of maxes
+            # select the identical values bit for bit
+            F.min(F.col("l_extendedprice").cast("double")).alias("p_min_flag"),
+            F.max(F.col("l_extendedprice").cast("double")).alias("p_max_flag"),
         )
+        # staged: TWO consumers now (the stack leg and the derived
+        # global tot) — lazily checkpoint the ≤groups-row frame so the
+        # exact/rank pass over lineitem executes once, not per consumer
+        .localCheckpoint(eager=False)
     )
     # ONE reference to chk — stack() unpivots both sketch verdicts from
     # the same subtree (separate selects unioned would re-execute the
@@ -872,10 +883,16 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("center").alias("c_min"),
         F.max("center").alias("c_max"),
     )
-    tot = li.groupBy().agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.col("l_extendedprice").cast("double")).alias("p_min"),
-        F.max(F.col("l_extendedprice").cast("double")).alias("p_max"),
+    # r15 opt: the exact global (n, p_min, p_max) re-aggregates the
+    # staged per-flag chk frame (every lineitem row carries a flag and
+    # joins sk, so the flags partition the table: sum/min/max over the
+    # per-flag rows select the identical values) — the fourth lineitem
+    # scan this side previously paid is gone (plans/r15/
+    # approx_sketches_{before,after}.txt).
+    tot = chk.groupBy().agg(
+        F.sum("n").alias("n"),
+        F.min("p_min_flag").alias("p_min"),
+        F.max("p_max_flag").alias("p_max"),
     )
     hchk = hs.crossJoin(F.broadcast(tot))
     # same single-reference stack() move for the four histogram checks
