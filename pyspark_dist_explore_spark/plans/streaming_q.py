@@ -17,6 +17,8 @@ late-data drop, state plateaus).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -30,6 +32,65 @@ from pyspark_dist_explore_spark.streaming.histogram_stream import (
 
 _BINS = 10
 _LO, _HI = 0.0, 500.0
+
+
+def _parse_size_bytes(v: str | int) -> int:
+    """Parse a Spark byte-size conf value ('64m', '1g', '67108864')."""
+    if isinstance(v, int):
+        return v
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
+
+def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive state-store partition count for the registered
+    streaming queries (r15 opt, guide §2.2).
+
+    A streaming aggregation's state partitioning is FIXED by
+    ``spark.sql.shuffle.partitions`` at the first micro-batch — AQE's
+    size-based coalescing never applies to it — so at a small input the
+    engine schedules (and commits state for) the full session partition
+    count per micro-batch while each partition holds a few KB.  Derive
+    the count the same way AQE would: ``ceil(input bytes / advisory
+    partition size)``, clamped to ``[1, spark.sql.shuffle.partitions]``
+    — the session's scale knob stays the ceiling, so a real deployment
+    (bytes ≫ advisory·partitions) is unchanged and only the tiny-input
+    regime collapses."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        nbytes = os.stat(path).st_size
+    except OSError:
+        nbytes = None
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if not nbytes:
+        return cur
+    advisory = _parse_size_bytes(
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    )
+    return max(1, min(cur, -(-nbytes // max(advisory, 1))))
+
+
+class _scoped_shuffle_partitions:
+    """Set ``spark.sql.shuffle.partitions`` around a streaming start and
+    restore the caller's value afterwards (the conf is read when the
+    streaming query plans its first micro-batch)."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
 
 
 _STREAM_HIST_ORACLE = f"""
@@ -78,17 +139,20 @@ def q_events_stream_hist(
     )
     if not streaming:
         return out
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_STREAM_HIST_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(
+        spark, _stream_state_partitions(spark, sf_dir)
+    ):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(_STREAM_HIST_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(_STREAM_HIST_SINK)
 
 
@@ -199,6 +263,14 @@ def q_events_session_window(
                 "n_events",
             )
         )
+        # NOT wrapped in _scoped_shuffle_partitions (r15): the derived
+        # single state partition was A/B-measured slightly SLOWER here
+        # at both 8 and 32 cores (warm 1.84/1.95 s → 2.08 s and
+        # 1.70/1.74 s → 1.76-2.06 s) — the merging session-window state
+        # op does real per-partition work proportional to rows, so
+        # collapsing partitions serializes the merge instead of shaving
+        # task overhead.  The windowed-histogram query (tiny per-bucket
+        # state) keeps the derived count.
         q = (
             agg.writeStream.format("memory")
             .queryName(_SESSION_SINK)
