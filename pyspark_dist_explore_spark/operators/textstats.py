@@ -3312,18 +3312,22 @@ def _gate_from_grams(
     fold for ``cls_keep`` and the gram chain for every consumer (HOFs
     are CodegenFallback: no codegen subexpression elimination)."""
     num, den = threshold
-    ws = F.transform(
-        F.col(gram_col),
-        lambda g: _cls_weight_expr(
-            g, n_buckets=n_buckets, weight_scale=weight_scale, hash_fn=hash_fn
-        ),
-    )
+    # r15: fold the weight inside the aggregate lambda instead of
+    # materializing a transform()'d weight array first — one interpreted
+    # pass and no per-row intermediate array; exact integer sums, so the
+    # logit is unchanged (probe: noop 1.03-1.14 s → 0.90-1.17 s at
+    # sf0.1, rows identical)
     scored = staged.select(
         "*",
         F.size(gram_col).cast("bigint").alias("n_cls_grams"),
-        F.aggregate(ws, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
-            "cls_logit_num"
-        ),
+        F.aggregate(
+            F.col(gram_col),
+            F.lit(0).cast("bigint"),
+            lambda acc, g: acc
+            + _cls_weight_expr(
+                g, n_buckets=n_buckets, weight_scale=weight_scale, hash_fn=hash_fn
+            ),
+        ).alias("cls_logit_num"),
     ).drop(gram_col)
     n_g, logit = F.col("n_cls_grams"), F.col("cls_logit_num")
     keep = ((n_g > 0) & (logit * F.lit(den) >= F.lit(num) * n_g)).cast("int")
