@@ -1278,6 +1278,18 @@ def neardup_clusters(
     # convergence count is the materializing action, so construction
     # schedules no job of its own (one fewer action + planning round —
     # A/B'd at sf0.1, see OPTIMIZATION_r14.md)
+    # NOTE (r15, advisor): with Spark's default
+    # spark.checkpoint.checkpointAllMarkedAncestors=false, a job only
+    # truly checkpoints the TOPMOST lazily-marked RDD in its lineage —
+    # round 1's count checkpoints `stepped`, while this edge mark (and
+    # the label init below) are materialized as MEMORY_AND_DISK cache
+    # blocks with their lineage intact.  Rows are identical either way
+    # and every round reads the cached blocks, so the loop never
+    # re-executes the upstream pair pipeline in healthy runs; only on
+    # executor/block LOSS in a cluster would the cache (unlike a true
+    # checkpoint) recompute upstream.  Set
+    # checkpointAllMarkedAncestors=true in the session for strict
+    # truncation semantics.
     edges = (
         src.union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
@@ -1345,8 +1357,14 @@ def neardup_clusters(
             stacklevel=2,
         )
     # the returned plan reads ONLY the final round's checkpoint — the
-    # edge list is not referenced past the loop, so drop it now too
-    _release_local_checkpoint(edges)
+    # edge list is not referenced past the loop, so drop it now too.
+    # EXCEPT when no round ever ran (max_iter=0, changed stays -1): the
+    # returned labels then still read the never-materialized lazy marks,
+    # and releasing the edge mark here would force the caller's first
+    # action to re-execute the whole upstream pair pipeline (r14
+    # advisor item); leave both marks for that first action.
+    if changed >= 0:
+        _release_local_checkpoint(edges)
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

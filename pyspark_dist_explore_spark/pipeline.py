@@ -675,7 +675,14 @@ def curate_documents(
         # snapshot_dir knobs as the post-dedup stage (the 100 TB form
         # lands the rewrite to parquet; localCheckpoint is the
         # single-session equivalent — lazy since r14: the first
-        # downstream action materializes, construction stays job-free)
+        # downstream action materializes, construction stays job-free).
+        # When this mark sits BELOW another lazy mark in one job's
+        # lineage (e.g. under neardup_clusters' round state), the
+        # default checkpointAllMarkedAncestors=false materializes it as
+        # CACHE blocks with lineage intact rather than a true
+        # checkpoint — identical rows and reuse; only block loss on a
+        # cluster recomputes upstream (set the conf true for strict
+        # truncation).
         docs = docs.localCheckpoint(eager=False)
 
     t = F.col(text_col)
@@ -884,6 +891,7 @@ def curate_documents(
         kept.write.mode("overwrite").parquet(snapshot_dir)
         kept = docs.sparkSession.read.parquet(snapshot_dir)
     elif materialize:
+        # nested-mark caveat: see the stage-1 checkpoint above
         kept = kept.localCheckpoint(eager=False)
 
     if pair_fn is None:

@@ -537,7 +537,9 @@ def test_lazy_checkpoint_staging_matches_forced_eager(spark):
         for s in slots
     }
     orig = DataFrame.localCheckpoint
-    DataFrame.localCheckpoint = lambda self, eager=True: orig(self, eager=True)
+    # tolerate signature drift (PySpark 4.x adds storageLevel): force
+    # eagerness whatever the callsite passed (r14 advisor item)
+    DataFrame.localCheckpoint = lambda self, *a, **kw: orig(self, eager=True)
     try:
         for s in slots:
             forced = sorted(map(tuple, REGISTRY[s].build(spark, SF_SMOKE).collect()))
