@@ -494,7 +494,7 @@ def pack_related_documents(
     """
     from pyspark_dist_explore_spark.operators.similarity import (
         assign_domains,
-        random_projection,
+        random_projection_exprs,
     )
 
     if (token_count_col is None) == (text_col is None):
@@ -511,8 +511,21 @@ def pack_related_documents(
 
     if order not in ("rp", "greedy_nn"):
         raise ValueError(f"order must be 'rp' or 'greedy_nn', got {order!r}")
+    # r15 opt (guide §2.4): the JL order key is a row-local function of
+    # the same vectors the domain assignment aggregates — compute it in
+    # the SAME projection and carry it through the assignment's
+    # ``keep=`` instead of building a second vectors-derived frame and
+    # equi-joining it back by id (the join shuffled both N-row sides).
+    # Identical key values by construction (same random_projection
+    # arithmetic, evaluated once per row before the centroid
+    # replication); pinned by test_pack_related_rp_key_rides_assignment.
+    rp1_expr = random_projection_exprs(
+        F.col(vec_col), out_dim=1, hash_fn=hash_fn, dim=dim, scale=False
+    )[0]
     dom = assign_domains(
-        vectors,
+        vectors.select(
+            F.col(vec_id_col), F.col(vec_col), rp1_expr.alias("__rp1")
+        ),
         centroids,
         n_domains=n_domains,
         id_col=vec_id_col,
@@ -520,19 +533,9 @@ def pack_related_documents(
         assign_round=assign_round,
         fit_sample_mod=fit_sample_mod,
         max_fit_rows=max_fit_rows,
+        keep=("__rp1",),
     )
-    rp1 = random_projection(
-        vectors,
-        out_dim=1,
-        id_col=vec_id_col,
-        vec_col=vec_col,
-        hash_fn=hash_fn,
-        dim=dim,
-        scale=False,
-    ).select(F.col("vec_id"), F.element_at("rp", 1).alias("__rp1"))
-    meta = dom.join(rp1, dom[vec_id_col] == rp1["vec_id"]).select(
-        dom[vec_id_col].alias("__vid"), "domain", "__rp1"
-    )
+    meta = dom.select(F.col(vec_id_col).alias("__vid"), "domain", "__rp1")
     base = (
         docs.select(F.col(id_col).alias("doc_id"), n_tokens.alias("n_tokens"))
         .join(meta, F.col("doc_id") == F.col("__vid"), "left")

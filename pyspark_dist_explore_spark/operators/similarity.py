@@ -464,7 +464,31 @@ def random_projection(
     """
     if out_dim < 1:
         raise ValueError(f"out_dim must be >= 1, got {out_dim}")
-    vec = _as_double(F.col(vec_col))
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.array(
+            *random_projection_exprs(
+                F.col(vec_col), out_dim=out_dim, hash_fn=hash_fn, dim=dim, scale=scale
+            )
+        ).alias(out_col),
+    )
+
+
+def random_projection_exprs(
+    vec_col: Column,
+    *,
+    out_dim: int,
+    hash_fn: str = "xxhash64",
+    dim: int | None = None,
+    scale: bool = True,
+) -> list[Column]:
+    """The per-plane projection COLUMNS of :func:`random_projection`
+    (identical arithmetic — that function is now a thin select over
+    these), exposed so a caller can ride an EXISTING projection/scan
+    instead of joining a second vectors-derived frame by id (r15:
+    ``pack_related_documents`` folds the JL order key into its
+    assignment pass this way — guide §2.4)."""
+    vec = _as_double(vec_col)
     if hash_fn == "md5" and dim is not None:
         vec = F.when(
             F.assert_true(
@@ -500,9 +524,7 @@ def random_projection(
         if scale:
             proj = proj / F.lit(float(out_dim) ** 0.5)
         projs.append(proj)
-    return vectors.select(
-        F.col(id_col).alias("vec_id"), F.array(*projs).alias(out_col)
-    )
+    return projs
 
 
 def random_projection_sql(
@@ -1204,6 +1226,7 @@ def assign_domains(
     fit_sample_mod: int | None = 4,
     max_fit_rows: int | None = 1 << 18,
     domain_col: str = "domain",
+    keep: tuple = (),
 ) -> DataFrame:
     """Nearest-centroid DOMAIN assignment: ``(id_col, domain)`` with
     ``domain`` the ``cent_id`` of the highest-cosine centroid
@@ -1231,7 +1254,15 @@ def assign_domains(
     the IVF assignment pattern with the vector payload DROPPED from the
     aggregation buffer (a tag needs the label only, unlike
     :func:`semantic_pairs` which carries ``vv`` through to the pair
-    stage)."""
+    stage).
+
+    ``keep=`` carries extra input columns through the aggregate
+    unchanged (``F.first`` over the centroid-replicated rows — every
+    replica holds the same value, so the pick is deterministic): a
+    caller needing a row-local companion column (e.g. the JL order key
+    in ``pack_related_documents``) rides this ONE pass instead of
+    computing a second vectors-derived frame and joining it back by id
+    (r15, guide §2.4)."""
     # __bad: the embedding itself is NULL or carries a NULL element —
     # _unit coerces those to all-zero vectors (the Arrow-matmul
     # contract), which would otherwise launder them into the smallest
@@ -1244,6 +1275,7 @@ def assign_domains(
             F.exists(_as_double(F.col(vec_col)), lambda x: x.isNull()),
             F.lit(True),
         ).alias("__bad"),
+        *[F.col(c) for c in keep],
     )
     if centroids is not None:
         missing = {"cent_id", "cv"} - set(centroids.columns)
@@ -1275,7 +1307,9 @@ def assign_domains(
     # back with a NULL domain (domain_tag maps them to missing_domain)
     return (
         v.crossJoin(F.broadcast(cents))
-        .select(id_col, "cent_id", sim.alias("__sim"), "__bad")
+        .select(
+            id_col, "cent_id", sim.alias("__sim"), "__bad", *[F.col(c) for c in keep]
+        )
         .groupBy(id_col)
         .agg(
             F.max_by(
@@ -1284,6 +1318,7 @@ def assign_domains(
             ).alias(domain_col),
             F.max("__sim").alias("__maxsim"),
             F.first("__bad").alias("__bad"),
+            *[F.first(c).alias(c) for c in keep],
         )
         .select(
             id_col,
@@ -1291,6 +1326,7 @@ def assign_domains(
                 F.col("__maxsim").isNotNull() & ~F.col("__bad"),
                 F.col(domain_col),
             ).alias(domain_col),
+            *[F.col(c) for c in keep],
         )
     )
 

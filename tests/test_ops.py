@@ -6783,6 +6783,60 @@ def test_unigram_learn_degenerate_corpora(spark):
         unigram_lm_learn(onechar, "text", seed_size=1 << 21)
 
 
+def test_pack_related_rp_key_rides_assignment(spark):
+    """r15: the JL order key carried through assign_domains' ``keep=``
+    must be BIT-identical per id to the standalone random_projection
+    frame the old equi-join read — same arithmetic, same rows, no join."""
+    import struct
+
+    from pyspark_dist_explore_spark.operators.similarity import (
+        _unit,
+        assign_domains,
+        random_projection,
+        random_projection_exprs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: F.round(x * F.lit(1e6))
+        ).alias("embedding"),
+    )
+    dim = len(emb.select("embedding").first()[0])
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), _unit(F.col("embedding")).alias("cv")
+    )
+    rp1_expr = random_projection_exprs(
+        F.col("embedding"), out_dim=1, hash_fn="md5", dim=dim, scale=False
+    )[0]
+    kept = {
+        r["vec_id"]: (r["domain"], r["__rp1"])
+        for r in assign_domains(
+            emb.select("vec_id", "embedding", rp1_expr.alias("__rp1")),
+            cents,
+            id_col="vec_id",
+            assign_round=6,
+            keep=("__rp1",),
+        ).collect()
+    }
+    standalone = {
+        r["vec_id"]: r["rp"][0]
+        for r in random_projection(
+            emb, out_dim=1, hash_fn="md5", dim=dim, scale=False
+        ).collect()
+    }
+    plain = {
+        r["vec_id"]: r["domain"]
+        for r in assign_domains(
+            emb, cents, id_col="vec_id", assign_round=6
+        ).collect()
+    }
+    assert set(kept) == set(standalone) == set(plain)
+    for vid, (domain, rp1) in kept.items():
+        assert domain == plain[vid], vid  # keep= must not perturb the argmax
+        assert struct.pack("<d", rp1) == struct.pack("<d", standalone[vid]), vid
+
+
 def test_pack_related_documents_hypothesis_purity_and_budget(spark):
     """Property pin over random corpora: packs never mix domains, the
     output is total, cumsum budgets hold (≤ max + one boundary doc),
